@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Loaders for the driver-generated test tables (TESTDATA.md).
+  *
+  * All queries receive an `sfDir` (e.g. /root/testdata/sf0.01) and read
+  * the parquet tables from it. Reads go through `spark.read.parquet`
+  * so Catalyst pushes filters/pruning into the scan.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(spark: SparkSession, d: String): DataFrame = load(spark, d, "region")
+  def nation(spark: SparkSession, d: String): DataFrame = load(spark, d, "nation")
+  def customer(spark: SparkSession, d: String): DataFrame = load(spark, d, "customer")
+  def supplier(spark: SparkSession, d: String): DataFrame = load(spark, d, "supplier")
+  def part(spark: SparkSession, d: String): DataFrame = load(spark, d, "part")
+  def orders(spark: SparkSession, d: String): DataFrame = load(spark, d, "orders")
+  def lineitem(spark: SparkSession, d: String): DataFrame = load(spark, d, "lineitem")
+  /** `events.ts` is parquet TIMESTAMP(NANOS); Spark reads it as Long
+    * nanos under `spark.sql.legacy.parquet.nanosAsLong`. The data is
+    * µs-precision, so `div 1000` is a lossless ns→µs conversion
+    * (integer division — a double roundtrip would corrupt int64 nanos).
+    */
+  def events(spark: SparkSession, d: String): DataFrame = {
+    val df = load(spark, d, "events")
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _        => df
+    }
+  }
+  def documents(spark: SparkSession, d: String): DataFrame = load(spark, d, "documents")
+  def embeddings(spark: SparkSession, d: String): DataFrame = load(spark, d, "embeddings")
+}

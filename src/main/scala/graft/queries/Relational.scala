@@ -1,0 +1,188 @@
+package graft.queries
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.functions._
+
+/** Relational query surface: the scan / filter / join / aggregate /
+  * sort / set-op shapes the reference issues (SURVEY §2.1, §2.3–2.7),
+  * expressed over the TPC-H-ish fixtures so the DuckDB oracle can
+  * check them value-for-value.
+  *
+  * Reference query shapes covered here:
+  *  - GROUP BY + aggregates (G1): `replayer/connemara_replay.pl:474-478`
+  *  - equi-joins on keys (J1): `replayer/connemara_replay.pl:207-208`
+  *  - anti-joins / NOT EXISTS (J4, J6): `replayer/connemara_reindex.sh:14-18,35-45`
+  *  - ORDER BY + LIMIT top-k (O1, O2): `replayer/connemara_fixer.pl:101-102`
+  *  - DISTINCT (G4): `connemara_python/connemara/schema_dump.py:46-59`
+  *  - scalar MIN subquery + interval window (G3, F6): `replayer/connemara_fixer.pl:99`
+  *  - IN-list membership (E3): `replayer/connemara_replay.pl:798`
+  */
+object Relational {
+
+  // Exact-arithmetic casts (see QueryRegistry determinism contract).
+  private val D = "decimal(18,6)"
+
+  val q1_agg = GraftQuery(
+    "q1_agg",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast(D)).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast(D)).cast("double").as("sum_base_price"),
+          // product scale is 12 but true data scale is 4; reduce to
+          // scale 6 (exact) before the double cast — DuckDB's
+          // decimal→double is only correctly rounded when the
+          // int-scaled magnitude fits in 2^53.
+          sum((col("l_extendedprice").cast(D) * (lit(1).cast(D) - col("l_discount").cast(D)))
+            .cast("decimal(38,12)")).cast("decimal(30,6)").cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+      CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(38,12))) AS DECIMAL(30,6)) AS DOUBLE) AS sum_disc_price,
+      COUNT(*) AS count_order
+      FROM lineitem
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""))
+
+  /** Equi-join + group-by: revenue per market segment (J1 + G1 shape). */
+  val q2_join_agg = GraftQuery(
+    "q2_join_agg",
+    (s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(D)).cast("double").as("revenue"))
+        .orderBy(col("c_mktsegment"))
+    },
+    Some("""SELECT c_mktsegment,
+      COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      FROM customer JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  /** Three-way join through nation/region with an IN-list filter (E3). */
+  val q3_multi_join = GraftQuery(
+    "q3_multi_join",
+    (s, dir) => {
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir)
+      c.join(n, c("c_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .filter(col("r_name").isin("ASIA", "EUROPE"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          count(lit(1)).as("n_customers"),
+          sum(col("c_acctbal").cast(D)).cast("double").as("total_acctbal"))
+        .orderBy(col("r_name"), col("n_name"))
+    },
+    Some("""SELECT r_name, n_name,
+      COUNT(*) AS n_customers,
+      CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_acctbal
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name IN ('ASIA','EUROPE')
+      GROUP BY r_name, n_name ORDER BY r_name, n_name"""))
+
+  /** Top-k after total sort with key-complete tiebreak (O1+O2 shape —
+    * `… ORDER BY … LIMIT 1` at `replayer/connemara_fixer.pl:102`). */
+  val q4_topk = GraftQuery(
+    "q4_topk",
+    (s, dir) => {
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10"""))
+
+  /** DISTINCT projection (G4 — `SELECT DISTINCT objid::regproc`). */
+  val q5_distinct = GraftQuery(
+    "q5_distinct",
+    (s, dir) => {
+      Tables.orders(s, dir)
+        .select(col("o_orderstatus"), col("o_orderpriority"))
+        .distinct()
+        .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+    },
+    Some("""SELECT DISTINCT o_orderstatus, o_orderpriority
+      FROM orders ORDER BY o_orderstatus, o_orderpriority"""))
+
+  /** Anti-join: customers without orders (J4/J6 NOT EXISTS shape). */
+  val q6_anti_join = GraftQuery(
+    "q6_anti_join",
+    (s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey, c_name FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      ORDER BY c_custkey"""))
+
+  /** Semi-join: parts that appear in lineitem (EXISTS shape). */
+  val q7_semi_join = GraftQuery(
+    "q7_semi_join",
+    (s, dir) => {
+      val p = Tables.part(s, dir)
+      val li = Tables.lineitem(s, dir)
+      p.join(li, p("p_partkey") === li("l_partkey"), "left_semi")
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_parts"))
+        .orderBy(col("p_brand"))
+    },
+    Some("""SELECT p_brand, COUNT(*) AS n_parts FROM part p
+      WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+      GROUP BY p_brand ORDER BY p_brand"""))
+
+  /** Scalar-MIN subquery + 30s interval horizon over the events stream
+    * table (G3 + F6 — `insert_timestamp < min(insert_timestamp) +
+    * '30s'::interval`, `replayer/connemara_fixer.pl:99`). */
+  val q8_min_window = GraftQuery(
+    "q8_min_window",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      val horizon = e.agg(min(col("ts")).as("min_ts"))
+      e.crossJoin(broadcast(horizon))
+        .filter(col("ts") < col("min_ts") + expr("INTERVAL 30 SECONDS"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type, COUNT(*) AS n_events FROM events
+      WHERE ts < (SELECT MIN(ts) + INTERVAL 30 SECOND FROM events)
+      GROUP BY event_type ORDER BY event_type"""))
+
+  /** Event-time tumbling 30 s batch key (G7/A2 — `floor(epoch/30)` batch
+    * boundary, `replayer/connemara_replay.pl:846-857`). */
+  val q9_event_batches = GraftQuery(
+    "q9_event_batches",
+    (s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("batch_id", floor(unix_timestamp(col("ts")) / 30))
+        .groupBy(col("batch_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast(D)).cast("double").as("total_value"))
+        .orderBy(col("batch_id"))
+    },
+    Some("""SELECT CAST(FLOOR(EPOCH(ts) / 30) AS BIGINT) AS batch_id,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      FROM events GROUP BY 1 ORDER BY batch_id"""))
+
+  def all: Seq[GraftQuery] = Seq(
+    q1_agg, q2_join_agg, q3_multi_join, q4_topk, q5_distinct,
+    q6_anti_join, q7_semi_join, q8_min_window, q9_event_batches)
+}
