@@ -1,0 +1,152 @@
+package graft.apply
+
+import graft.model.TableMeta
+import graft.types.PgTypeMapper
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The CDC MERGE engine (SURVEY §2.8 A1) — the reference's ordered
+  * row-at-a-time replay (`replayer/connemara_replay.pl:355-427,
+  * 801-985`), re-expressed as a batch collapse + keyed join:
+  *
+  *  1. [[collapse]]: per key, fold the ordered event sequence into a
+  *     single final state — `row` (full replacement), `patch`
+  *     (column-wise partial overrides of the pre-batch row), or `del`.
+  *     Replaces the reference's barrier/ordering protocol: within a
+  *     batch, per-key order is total, cross-key order is immaterial.
+  *  2. [[merge]]: full-outer join with the target on typed PK values;
+  *     `patch` columns resolve via `coalesce(cast(new), old)` — the
+  *     TOAST-partial-update semantics of `replayer/connemara_replay.pl:185-190`.
+  *
+  * All of it is built from codegen'd built-ins (`aggregate`,
+  * `map_*`, `when`) — no UDFs, no driver-side loops; both the
+  * collapse (shuffle by key) and the merge (shuffle or broadcast by
+  * PK) scale horizontally.
+  */
+object ApplyEngine {
+
+  private val valsT = MapType(StringType, StringType)
+
+  /** m1 overridden by m2 (map_concat alone throws on duplicate keys). */
+  private def overwrite(m1: Column, m2: Column): Column =
+    map_concat(map_filter(m1, (k, _) => !map_contains_key(m2, k)), m2)
+
+  /** Fold one key's ordered events into its final state.
+    *
+    * Output: `key array<string>`, `st ∈ {row, patch, del}`,
+    * `vals map<string,string>`, `viol int` (count of
+    * patch-after-delete sequences — the batch analog of the
+    * reference's affected-rows==1 assertion,
+    * `replayer/connemara_replay.pl:417-421`).
+    */
+  def collapse(events: DataFrame): DataFrame = {
+    val init = struct(
+      lit("base").as("st"),
+      map().cast(valsT).as("vals"),
+      lit(0).as("viol"))
+
+    def step(acc: Column, e: Column): Column = {
+      val st = acc.getField("st")
+      val vals = acc.getField("vals")
+      val viol = acc.getField("viol")
+      val ev = e.getField("vals")
+      when(e.getField("op") === "row",
+        struct(lit("row").as("st"), ev.as("vals"), viol.as("viol")))
+        .when(e.getField("op") === "del",
+          struct(lit("del").as("st"), map().cast(valsT).as("vals"), viol.as("viol")))
+        // patch:
+        .when(st === "del", // update of a row deleted earlier in batch
+          struct(lit("del").as("st"), vals.as("vals"), (viol + 1).as("viol")))
+        .when(st === "base",
+          struct(lit("patch").as("st"), ev.as("vals"), viol.as("viol")))
+        .otherwise( // row|patch: column-wise override
+          struct(st.as("st"), overwrite(vals, ev).as("vals"), viol.as("viol")))
+    }
+
+    events
+      .groupBy(col("key"))
+      .agg(aggregate(
+        // custom comparator: the default one refuses structs that
+        // contain a (non-orderable) map column; ord alone is orderable
+        array_sort(
+          collect_list(struct(col("ord"), col("op"), col("vals"))),
+          (l, r) => when(l.getField("ord") < r.getField("ord"), -1)
+            .when(l.getField("ord") > r.getField("ord"), 1)
+            .otherwise(0)),
+        init,
+        (acc, e) => step(acc, e)).as("fin"))
+      .select(
+        col("key"),
+        col("fin.st").as("st"),
+        col("fin.vals").as("vals"),
+        col("fin.viol").as("viol"))
+  }
+
+  /** Apply collapsed per-key states onto the target table; returns the
+    * post-batch table with the target's exact schema.
+    *
+    * At scale: the collapsed change set is normally ≪ target, so the
+    * join broadcasts (AQE decides; `broadcastChanges` forces it). The
+    * target side never shuffles when bucketed/partitioned by PK.
+    */
+  def merge(target: DataFrame, collapsed: DataFrame, meta: TableMeta,
+            broadcastChanges: Boolean = false): DataFrame = {
+    // Typed PK columns from the key array, registry order.
+    val typedKeys = meta.pkCols.zipWithIndex.map { case (c, i) =>
+      PgTypeMapper.castFromText(element_at(col("key"), i + 1), meta.colType(c))
+        .as(s"__k_$c")
+    }
+    val chg0 = collapsed.select(typedKeys :+ col("st") :+ col("vals"): _*)
+    val chg = if (broadcastChanges) broadcast(chg0) else chg0
+
+    val joinCond = meta.pkCols
+      .map(c => target(c) <=> chg(s"__k_$c"))
+      .reduce(_ && _)
+    val joined = target.join(chg, joinCond, "full_outer")
+
+    def outCol(c: String): Column = {
+      val dt = meta.colType(c)
+      val fromVals = when(
+        map_contains_key(col("vals"), lit(c)),
+        PgTypeMapper.castFromText(element_at(col("vals"), lit(c)), dt))
+      val base =
+        if (meta.pkCols.contains(c)) coalesce(target(c), col(s"__k_$c"))
+        else target(c)
+      when(col("st").isNull, base) // untouched target row
+        .when(col("st") === "row", fromVals.otherwise(lit(null).cast(dt)))
+        .when(col("st") === "patch", fromVals.otherwise(base))
+        .otherwise(base)
+        .as(c)
+    }
+
+    joined
+      .filter(col("st").isNull || col("st") =!= "del")
+      .select(meta.schema.fieldNames.map(outCol): _*)
+  }
+
+  /** Parity validations (strict mode, SURVEY §2.8 A9 fail-fast):
+    * rows whose application the reference would refuse — a `patch`
+    * with no matching target row (affected rows ≠ 1), or a
+    * patch-after-delete fold (`viol > 0`). Empty DataFrame = clean.
+    */
+  def violations(target: DataFrame, collapsed: DataFrame, meta: TableMeta): DataFrame = {
+    val typedKeys = meta.pkCols.zipWithIndex.map { case (c, i) =>
+      PgTypeMapper.castFromText(element_at(col("key"), i + 1), meta.colType(c)).as(c)
+    }
+    val patches = collapsed.filter(col("st") === "patch")
+      .select(typedKeys :+ col("viol"): _*)
+    val unmatched = patches
+      .join(target.select(meta.pkCols.map(target(_)): _*), meta.pkCols, "left_anti")
+      .withColumn("violation", lit("patch_without_target"))
+    val folds = collapsed.filter(col("viol") > 0)
+      .select(typedKeys :+ col("viol"): _*)
+      .withColumn("violation", lit("patch_after_delete"))
+    unmatched.unionByName(folds)
+  }
+
+  /** decode→collapse→merge in one call (batch-mode A1). */
+  def applyChanges(target: DataFrame, events: DataFrame, meta: TableMeta,
+                   broadcastChanges: Boolean = false): DataFrame =
+    merge(target, collapse(events), meta, broadcastChanges)
+}

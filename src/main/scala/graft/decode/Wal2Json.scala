@@ -1,0 +1,120 @@
+package graft.decode
+
+import graft.model.TableMeta
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** wal2json v1 change decoding (SURVEY §2.3 P1–P3, §1.1).
+  *
+  * The reference extracts untyped JSON text per column
+  * (`payload->>…`, `replayer/connemara_replay.pl:818-833`) and builds
+  * a names→values hash (`@record{@columnnames}=@columnvalues`,
+  * `:287,393-398,938`). Here: one `from_json` into a struct, values
+  * projected as strings (JSON numbers/bools coerce to their literal
+  * text — same as PG's `#>>` text extraction), then
+  * `map_from_arrays` for the names→values map.
+  */
+object Wal2Json {
+
+  /** Payload shape with `include-types=false` (decoder options at
+    * `connemara_replication/src/connemara_replication.c:504`).
+    */
+  val payloadSchema: StructType = StructType(Seq(
+    StructField("kind", StringType),
+    StructField("schema", StringType),
+    StructField("table", StringType),
+    StructField("columnnames", ArrayType(StringType)),
+    StructField("columnvalues", ArrayType(StringType)),
+    StructField("oldkeys", StructType(Seq(
+      StructField("keynames", ArrayType(StringType)),
+      StructField("keyvalues", ArrayType(StringType)))))))
+
+  /** Transaction envelope for un-chunked streams (S2): one JSON doc
+    * `{"xid":…,"timestamp":"…","change":[…]}` per transaction.
+    */
+  val envelopeSchema: StructType = StructType(Seq(
+    StructField("xid", LongType),
+    StructField("timestamp", StringType),
+    StructField("change", ArrayType(payloadSchema))))
+
+  /** Parse the spool `payload` column into a typed struct `p`. */
+  def parse(spool: DataFrame): DataFrame =
+    spool.withColumn("p", from_json(col("payload"), payloadSchema))
+
+  /** Envelope stream → one spool-shaped row per change, the envelope's
+    * xid/timestamp carried onto every change (S2's framing, minus the
+    * chunk reassembly that a line-per-transaction source obviates).
+    * `chg_idx` preserves intra-transaction order.
+    */
+  def explodeEnvelope(envelopes: DataFrame, payloadCol: String = "value"): DataFrame = {
+    val parsed = envelopes.withColumn("env", from_json(col(payloadCol), envelopeSchema))
+    parsed
+      .select(
+        col("*"),
+        posexplode(col("env.change")).as(Seq("chg_idx", "p")))
+      .withColumn("xid", col("env.xid"))
+      .withColumn("xid_timestamp", to_timestamp(col("env.timestamp")))
+      .drop("env", payloadCol)
+  }
+
+  private val emptyVals = lit(null).cast(MapType(StringType, StringType))
+
+  /** Decode parsed DML changes of ONE table into merge events:
+    * `(ord struct(ts,lsn,sub), op ∈ {row,patch,del},
+    *   key array<string> aligned to meta.pkCols, vals map)`.
+    *
+    *  - insert → `row` (full replacement)
+    *  - update → `patch` keyed by oldkeys (partial columns — TOAST
+    *    omission, `replayer/connemara_replay.pl:185-190`)
+    *  - update changing the PK (`:905-931`) → `del`(oldkey) +
+    *    `row`(newkey) pair, ordered by a sub-sequence number (A5)
+    *  - delete → `del` keyed by oldkeys
+    *
+    * PK values are looked up name-by-name in registry order, never
+    * positionally (`:938-940`).
+    */
+  def decodeEvents(parsed: DataFrame, meta: TableMeta): DataFrame = {
+    val forTable = parsed.filter(
+      col("p.schema") === meta.id.schema && col("p.table") === meta.id.table &&
+        !col("p.table").startsWith("pg_temp")) // P6 table-rewrite artifacts
+
+    val vals = map_from_arrays(col("p.columnnames"), col("p.columnvalues"))
+    val oldm = map_from_arrays(col("p.oldkeys.keynames"), col("p.oldkeys.keyvalues"))
+    val pkLits = array(meta.pkCols.map(lit): _*)
+    val newKey = transform(pkLits, c => element_at(vals, c))
+    val oldKey = transform(pkLits, c => element_at(oldm, c))
+
+    val isIns = col("p.kind") === "insert"
+    val isDel = col("p.kind") === "delete"
+    val isUpd = col("p.kind") === "update"
+    // PK changed: new values present for every pk col and any differs.
+    val pkChanged = isUpd && col("p.oldkeys").isNotNull &&
+      !exists(newKey, _.isNull) &&
+      exists(zip_with(newKey, oldKey, (n, o) => !(n <=> o)), identity)
+    val updKey = when(col("p.oldkeys").isNotNull, oldKey).otherwise(newKey)
+
+    def ev(sub: Int, op: String, key: Column, v: Column) =
+      struct(lit(sub).as("sub"), lit(op).as("op"), key.as("key"), v.as("vals"))
+
+    val events = array(
+      when(isIns, ev(0, "row", newKey, vals)),
+      when(isDel, ev(0, "del", oldKey, emptyVals)),
+      when(isUpd && !pkChanged, ev(0, "patch", updKey, vals)),
+      when(pkChanged, ev(0, "del", oldKey, emptyVals)),
+      when(pkChanged, ev(1, "row", newKey, vals)))
+
+    forTable
+      .select(
+        col("xid_timestamp"), col("lsn_start"),
+        explode(filter(events, _.isNotNull)).as("e"))
+      .select(
+        struct(
+          col("xid_timestamp").as("ts"),
+          col("lsn_start").as("lsn"),
+          col("e.sub").as("sub")).as("ord"),
+        col("e.op").as("op"),
+        col("e.key").as("key"),
+        col("e.vals").as("vals"))
+  }
+}

@@ -1,0 +1,124 @@
+package graft.fixtures
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic wal2json v1 change log over the `customer` fixture
+  * (FIXTURES.md §2/§6): spool-shaped rows whose application is also
+  * expressible as plain SQL, so the DuckDB oracle can check the whole
+  * decode→collapse→merge pipeline value-for-value.
+  *
+  * Mod-10 classes of `c_custkey` (disjoint, so phases compose simply):
+  *  - %10 ∈ {1,2} : partial UPDATE  acctbal += 100       (phase 1)
+  *  - %10 = 1     : partial UPDATE  mktsegment = 'HOT'   (phase 2)
+  *  - %10 = 3     : PK-change UPDATE key += 5 000 000    (phase 3)
+  *  - %10 = 4     : INSERT new key + 9 000 000           (phase 4)
+  *  - %20 = 4     : partial UPDATE of the phase-4 insert (phase 5)
+  *  - %10 = 0     : DELETE                               (phase 6)
+  *  - %20 = 10    : re-INSERT of a phase-6-deleted key   (phase 7)
+  *
+  * Exercises every hard case from SURVEY §7.4: TOAST-partial updates,
+  * multi-patch folding, PK change, insert-then-patch, delete-then-
+  * insert resurrection — all within one batch.
+  */
+object SyntheticCdc {
+
+  private val tsBase = 1700000000L
+
+  private def updatePayload(names: Seq[String], values: Seq[Column], oldKey: Column): Column =
+    to_json(struct(
+      lit("update").as("kind"), lit("public").as("schema"), lit("customer").as("table"),
+      array(names.map(lit): _*).as("columnnames"),
+      array(values: _*).as("columnvalues"),
+      struct(
+        array(lit("c_custkey")).as("keynames"),
+        array(oldKey).as("keyvalues")).as("oldkeys")))
+
+  private def insertPayload(values: Seq[Column]): Column =
+    to_json(struct(
+      lit("insert").as("kind"), lit("public").as("schema"), lit("customer").as("table"),
+      array(Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+        .map(lit): _*).as("columnnames"),
+      array(values: _*).as("columnvalues")))
+
+  private def deletePayload(oldKey: Column): Column =
+    to_json(struct(
+      lit("delete").as("kind"), lit("public").as("schema"), lit("customer").as("table"),
+      struct(
+        array(lit("c_custkey")).as("keynames"),
+        array(oldKey).as("keyvalues")).as("oldkeys")))
+
+  /** Wrap payloads as spool rows (`replication.raw_messages` shape).
+    * Ordering clock = (xid_timestamp, lsn_start): one timestamp per
+    * phase, lsn unique per row within the phase.
+    */
+  private def spoolRows(df: DataFrame, phase: Int, payload: Column, lsnKey: Column): DataFrame =
+    df.select(
+      timestamp_seconds(lit(tsBase + phase)).as("insert_timestamp"),
+      lit("srcdb").as("database"),
+      (lit(phase.toLong * 10000000L) + lsnKey).as("lsn_start"),
+      (lit(phase.toLong * 100000L) + lsnKey).as("xid"),
+      payload.as("payload"),
+      timestamp_seconds(lit(tsBase + phase * 60L)).as("xid_timestamp"),
+      lit("slot1").as("source_slotname"))
+
+  def customerLog(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val k = col("c_custkey")
+    val ks = k.cast("string")
+
+    val p1 = spoolRows(
+      c.filter(pmod(k, lit(10)).isin(1, 2)), 1,
+      updatePayload(
+        Seq("c_custkey", "c_acctbal"),
+        Seq(ks, (col("c_acctbal") + 100).cast("string")), ks), k)
+
+    val p2 = spoolRows(
+      c.filter(pmod(k, lit(10)) === 1), 2,
+      updatePayload(
+        Seq("c_custkey", "c_mktsegment"),
+        Seq(ks, lit("HOT")), ks), k)
+
+    val p3 = spoolRows(
+      c.filter(pmod(k, lit(10)) === 3), 3,
+      updatePayload(
+        Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+        Seq(
+          (k + 5000000L).cast("string"),
+          concat(lit("Moved#"), ks),
+          col("c_nationkey").cast("string"),
+          col("c_acctbal").cast("string"),
+          col("c_mktsegment")), ks), k)
+
+    val p4 = spoolRows(
+      c.filter(pmod(k, lit(10)) === 4), 4,
+      insertPayload(Seq(
+        (k + 9000000L).cast("string"),
+        concat(lit("New#"), ks),
+        col("c_nationkey").cast("string"),
+        lit("0.0"), lit("NEWSEG"))), k)
+
+    val p5 = spoolRows(
+      c.filter(pmod(k, lit(20)) === 4), 5,
+      updatePayload(
+        Seq("c_custkey", "c_acctbal"),
+        Seq((k + 9000000L).cast("string"), lit("50.0")),
+        (k + 9000000L).cast("string")), k)
+
+    val p6 = spoolRows(
+      c.filter(pmod(k, lit(10)) === 0), 6,
+      deletePayload(ks), k)
+
+    val p7 = spoolRows(
+      c.filter(pmod(k, lit(20)) === 10), 7,
+      insertPayload(Seq(
+        ks,
+        concat(lit("Re#"), ks),
+        col("c_nationkey").cast("string"),
+        lit("1.0"), lit("RESEG"))), k)
+
+    p1.unionByName(p2).unionByName(p3).unionByName(p4)
+      .unionByName(p5).unionByName(p6).unionByName(p7)
+  }
+}

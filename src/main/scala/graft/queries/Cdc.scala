@@ -1,8 +1,102 @@
 package graft.queries
 
-import graft.GraftQuery
+import graft.{GraftQuery, Tables}
+import graft.apply.ApplyEngine
+import graft.decode.Wal2Json
+import graft.fixtures.SyntheticCdc
+import graft.model.{TableId, TableMeta}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
-/** CDC apply / decode query surface — filled by the ApplyEngine slice. */
+/** CDC query surface: the decode→collapse→merge pipeline (SURVEY
+  * §2.8 A1/A4/A5) driven by the deterministic synthetic change log,
+  * oracle-checked against plain SQL recomputing the same final state.
+  */
 object Cdc {
-  def all: Seq[GraftQuery] = Seq.empty
+
+  private def customerMeta(c: DataFrame): TableMeta =
+    TableMeta(TableId("srcdb", "public", "customer"), c.schema, Seq("c_custkey"))
+
+  private def events(s: SparkSession, dir: String): (DataFrame, TableMeta) = {
+    val c = Tables.customer(s, dir)
+    val meta = customerMeta(c)
+    val spool = SyntheticCdc.customerLog(s, dir)
+    (Wal2Json.decodeEvents(Wal2Json.parse(spool), meta), meta)
+  }
+
+  /** Full CDC apply: the engine's flagship operation. */
+  val cdc_apply = GraftQuery(
+    "cdc_apply",
+    (s, dir) => {
+      val (evs, meta) = events(s, dir)
+      ApplyEngine.applyChanges(Tables.customer(s, dir), evs, meta)
+        .orderBy(col("c_custkey"))
+    },
+    Some("""SELECT * FROM (
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        FROM customer WHERE c_custkey % 10 IN (4,5,6,7,8,9)
+      UNION ALL
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100, c_mktsegment
+        FROM customer WHERE c_custkey % 10 = 2
+      UNION ALL
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100, 'HOT'
+        FROM customer WHERE c_custkey % 10 = 1
+      UNION ALL
+      SELECT c_custkey + 5000000, 'Moved#' || CAST(c_custkey AS VARCHAR),
+             c_nationkey, c_acctbal, c_mktsegment
+        FROM customer WHERE c_custkey % 10 = 3
+      UNION ALL
+      SELECT c_custkey + 9000000, 'New#' || CAST(c_custkey AS VARCHAR), c_nationkey,
+             CASE WHEN c_custkey % 20 = 4 THEN 50.0 ELSE 0.0 END, 'NEWSEG'
+        FROM customer WHERE c_custkey % 10 = 4
+      UNION ALL
+      SELECT c_custkey, 'Re#' || CAST(c_custkey AS VARCHAR), c_nationkey, 1.0, 'RESEG'
+        FROM customer WHERE c_custkey % 20 = 10
+      ) t(c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)
+      ORDER BY c_custkey"""))
+
+  /** Decoded merge-event counts (decode layer incl. PK-change
+    * expansion into del+row pairs). */
+  val cdc_decode_counts = GraftQuery(
+    "cdc_decode_counts",
+    (s, dir) => {
+      val (evs, _) = events(s, dir)
+      evs.groupBy(col("op")).agg(count(lit(1)).as("n")).orderBy(col("op"))
+    },
+    Some("""SELECT op, n FROM (
+      SELECT 'row' AS op,
+        (SELECT COUNT(*) FROM customer WHERE c_custkey % 10 = 4)
+        + (SELECT COUNT(*) FROM customer WHERE c_custkey % 20 = 10)
+        + (SELECT COUNT(*) FROM customer WHERE c_custkey % 10 = 3) AS n
+      UNION ALL SELECT 'del',
+        (SELECT COUNT(*) FROM customer WHERE c_custkey % 10 = 0)
+        + (SELECT COUNT(*) FROM customer WHERE c_custkey % 10 = 3)
+      UNION ALL SELECT 'patch',
+        (SELECT COUNT(*) FROM customer WHERE c_custkey % 10 IN (1,2))
+        + (SELECT COUNT(*) FROM customer WHERE c_custkey % 10 = 1)
+        + (SELECT COUNT(*) FROM customer WHERE c_custkey % 20 = 4)
+      ) ORDER BY op"""))
+
+  /** Per-key collapsed final states (the order-fold itself). */
+  val cdc_collapse_counts = GraftQuery(
+    "cdc_collapse_counts",
+    (s, dir) => {
+      val (evs, _) = events(s, dir)
+      ApplyEngine.collapse(evs)
+        .groupBy(col("st")).agg(count(lit(1)).as("n")).orderBy(col("st"))
+    },
+    Some("""SELECT st, n FROM (
+      SELECT 'row' AS st,
+        (SELECT COUNT(*) FROM customer WHERE c_custkey % 10 = 3)
+        + (SELECT COUNT(*) FROM customer WHERE c_custkey % 10 = 4)
+        + (SELECT COUNT(*) FROM customer WHERE c_custkey % 20 = 10) AS n
+      UNION ALL SELECT 'del',
+        (SELECT COUNT(*) FROM customer WHERE c_custkey % 10 = 0)
+        - (SELECT COUNT(*) FROM customer WHERE c_custkey % 20 = 10)
+        + (SELECT COUNT(*) FROM customer WHERE c_custkey % 10 = 3)
+      UNION ALL SELECT 'patch',
+        (SELECT COUNT(*) FROM customer WHERE c_custkey % 10 IN (1,2))
+      ) ORDER BY st"""))
+
+  def all: Seq[GraftQuery] = Seq(cdc_apply, cdc_decode_counts, cdc_collapse_counts)
 }

@@ -1,0 +1,158 @@
+package graft
+
+import graft.apply.ApplyEngine
+import graft.decode.Wal2Json
+import graft.model.{TableId, TableMeta}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Decode+apply semantics on the FIXTURES.md §2 payloads — verbatim,
+  * including unquoted JSON numbers (wal2json emits numbers untyped;
+  * the decoder must coerce them to text like PG's `#>>`).
+  */
+class ApplyEngineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val custSchema = StructType(Seq(
+    StructField("c_custkey", LongType),
+    StructField("c_name", StringType),
+    StructField("c_acctbal", DoubleType),
+    StructField("c_mktsegment", StringType)))
+  private val meta = TableMeta(
+    TableId("srcdb", "public", "customer"), custSchema, Seq("c_custkey"))
+
+  private def spool(rows: (Long, String)*): DataFrame =
+    rows.toSeq.toDF("lsn_start", "payload")
+      .withColumn("xid_timestamp", timestamp_seconds(lit(1700000000L)))
+
+  private def target(rows: (Long, String, Double, String)*): DataFrame =
+    rows.toSeq.toDF("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+
+  private def applied(t: DataFrame, s: DataFrame): Seq[Row] =
+    ApplyEngine.applyChanges(t, Wal2Json.decodeEvents(Wal2Json.parse(s), meta), meta)
+      .orderBy("c_custkey").collect().toSeq
+
+  test("insert with unquoted JSON numbers (FIXTURES §2)") {
+    val s = spool((1L,
+      """{"kind":"insert","schema":"public","table":"customer",
+         "columnnames":["c_custkey","c_name","c_acctbal","c_mktsegment"],
+         "columnvalues":[42,"Customer#42",711.56,"BUILDING"]}"""))
+    assert(applied(target(), s) ==
+      Seq(Row(42L, "Customer#42", 711.56, "BUILDING")))
+  }
+
+  test("partial update leaves omitted (TOAST) columns intact") {
+    val s = spool((1L,
+      """{"kind":"update","schema":"public","table":"customer",
+         "columnnames":["c_custkey","c_acctbal"],
+         "columnvalues":[42,"99.99"],
+         "oldkeys":{"keynames":["c_custkey"],"keyvalues":[42]}}"""))
+    assert(applied(target((42L, "Customer#42", 711.56, "BUILDING")), s) ==
+      Seq(Row(42L, "Customer#42", 99.99, "BUILDING")))
+  }
+
+  test("update can set a column to explicit NULL (key present, value null)") {
+    val s = spool((1L,
+      """{"kind":"update","schema":"public","table":"customer",
+         "columnnames":["c_custkey","c_mktsegment"],
+         "columnvalues":[42,null],
+         "oldkeys":{"keynames":["c_custkey"],"keyvalues":[42]}}"""))
+    assert(applied(target((42L, "Customer#42", 711.56, "BUILDING")), s) ==
+      Seq(Row(42L, "Customer#42", 711.56, null)))
+  }
+
+  test("PK-change update becomes delete(old)+insert(new) (FIXTURES §2)") {
+    val s = spool((1L,
+      """{"kind":"update","schema":"public","table":"customer",
+         "columnnames":["c_custkey","c_name","c_acctbal","c_mktsegment"],
+         "columnvalues":[43,"Customer#43",1.25,"AUTO"],
+         "oldkeys":{"keynames":["c_custkey"],"keyvalues":[42]}}"""))
+    assert(applied(target((42L, "Customer#42", 711.56, "BUILDING")), s) ==
+      Seq(Row(43L, "Customer#43", 1.25, "AUTO")))
+  }
+
+  test("delete removes the row; unrelated rows survive") {
+    val s = spool((1L,
+      """{"kind":"delete","schema":"public","table":"customer",
+         "oldkeys":{"keynames":["c_custkey"],"keyvalues":[42]}}"""))
+    assert(applied(target(
+      (42L, "Customer#42", 711.56, "BUILDING"),
+      (7L, "Customer#7", 0.0, "AUTO")), s) ==
+      Seq(Row(7L, "Customer#7", 0.0, "AUTO")))
+  }
+
+  test("in-batch chain: insert → patch → delete → insert resurrects") {
+    val s = spool(
+      (1L, """{"kind":"insert","schema":"public","table":"customer",
+         "columnnames":["c_custkey","c_name","c_acctbal","c_mktsegment"],
+         "columnvalues":[5,"A",1.0,"X"]}"""),
+      (2L, """{"kind":"update","schema":"public","table":"customer",
+         "columnnames":["c_custkey","c_acctbal"],"columnvalues":[5,2.0],
+         "oldkeys":{"keynames":["c_custkey"],"keyvalues":[5]}}"""),
+      (3L, """{"kind":"delete","schema":"public","table":"customer",
+         "oldkeys":{"keynames":["c_custkey"],"keyvalues":[5]}}"""),
+      (4L, """{"kind":"insert","schema":"public","table":"customer",
+         "columnnames":["c_custkey","c_name","c_acctbal","c_mktsegment"],
+         "columnvalues":[5,"B",9.0,"Y"]}"""))
+    assert(applied(target(), s) == Seq(Row(5L, "B", 9.0, "Y")))
+  }
+
+  test("insert missing a column yields NULL, not a stale target value") {
+    val s = spool(
+      (1L, """{"kind":"delete","schema":"public","table":"customer",
+         "oldkeys":{"keynames":["c_custkey"],"keyvalues":[9]}}"""),
+      (2L, """{"kind":"insert","schema":"public","table":"customer",
+         "columnnames":["c_custkey","c_name"],"columnvalues":[9,"Fresh"]}"""))
+    assert(applied(target((9L, "Old", 5.0, "SEG")), s) ==
+      Seq(Row(9L, "Fresh", null, null)))
+  }
+
+  test("violations: patch without target row, patch after delete") {
+    val s = spool(
+      (1L, """{"kind":"update","schema":"public","table":"customer",
+         "columnnames":["c_custkey","c_acctbal"],"columnvalues":[404,1.0],
+         "oldkeys":{"keynames":["c_custkey"],"keyvalues":[404]}}"""),
+      (2L, """{"kind":"delete","schema":"public","table":"customer",
+         "oldkeys":{"keynames":["c_custkey"],"keyvalues":[42]}}"""),
+      (3L, """{"kind":"update","schema":"public","table":"customer",
+         "columnnames":["c_custkey","c_acctbal"],"columnvalues":[42,1.0],
+         "oldkeys":{"keynames":["c_custkey"],"keyvalues":[42]}}"""))
+    val collapsed = ApplyEngine.collapse(
+      Wal2Json.decodeEvents(Wal2Json.parse(s), meta))
+    val v = ApplyEngine.violations(
+      target((42L, "Customer#42", 711.56, "BUILDING")), collapsed, meta)
+      .select("violation").as[String].collect().sorted.toSeq
+    assert(v == Seq("patch_after_delete", "patch_without_target"))
+  }
+
+  test("changes to other tables are ignored") {
+    val s = spool(
+      (1L, """{"kind":"insert","schema":"public","table":"other",
+         "columnnames":["c_custkey"],"columnvalues":[1]}"""),
+      (2L, """{"kind":"insert","schema":"bi","table":"customer",
+         "columnnames":["c_custkey"],"columnvalues":[2]}"""))
+    assert(applied(target((7L, "C", 1.0, "X")), s) == Seq(Row(7L, "C", 1.0, "X")))
+  }
+
+  test("composite PK: lineitem-style two-column key") {
+    val liSchema = StructType(Seq(
+      StructField("l_orderkey", LongType),
+      StructField("l_linenumber", IntegerType),
+      StructField("l_quantity", DoubleType)))
+    val liMeta = TableMeta(TableId("srcdb", "public", "lineitem"), liSchema,
+      Seq("l_orderkey", "l_linenumber"))
+    val t = Seq((1L, 1, 10.0), (1L, 2, 20.0)).toDF("l_orderkey", "l_linenumber", "l_quantity")
+    val s = spool(
+      (1L, """{"kind":"update","schema":"public","table":"lineitem",
+         "columnnames":["l_orderkey","l_linenumber","l_quantity"],
+         "columnvalues":[1,2,99.0],
+         "oldkeys":{"keynames":["l_orderkey","l_linenumber"],"keyvalues":[1,2]}}"""),
+      (2L, """{"kind":"delete","schema":"public","table":"lineitem",
+         "oldkeys":{"keynames":["l_orderkey","l_linenumber"],"keyvalues":[1,1]}}"""))
+    val out = ApplyEngine.applyChanges(
+      t, Wal2Json.decodeEvents(Wal2Json.parse(s), liMeta), liMeta)
+      .orderBy("l_orderkey", "l_linenumber").collect().toSeq
+    assert(out == Seq(Row(1L, 2, 99.0)))
+  }
+}

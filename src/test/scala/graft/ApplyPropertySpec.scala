@@ -1,0 +1,114 @@
+package graft
+
+import scala.collection.mutable
+import scala.util.Random
+
+import graft.apply.ApplyEngine
+import graft.decode.Wal2Json
+import graft.model.{TableId, TableMeta}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Property: batch apply ≡ applying the same ordered change log
+  * row-at-a-time — exactly the invariant the reference's barrier
+  * protocol protects (`replayer/connemara_replay.pl:855-961`).
+  *
+  * A seeded generator produces valid op sequences (insert only on
+  * absent keys, update/delete only on present keys, PK-change moves
+  * to absent keys — PG itself enforces these via constraints); a
+  * driver-side interpreter computes the expected final state.
+  */
+class ApplyPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("k", LongType),
+    StructField("a", StringType),
+    StructField("b", DoubleType)))
+  private val meta = TableMeta(TableId("db", "public", "t"), schema, Seq("k"))
+
+  private case class ModelRow(a: Option[String], b: Option[Double])
+
+  private def js(s: Option[String]): String = s.map("\"" + _ + "\"").getOrElse("null")
+  private def jd(d: Option[Double]): String = d.map(_.toString).getOrElse("null")
+
+  /** One random valid op; mutates the model, returns the payload. */
+  private def randomOp(rnd: Random, state: mutable.Map[Long, ModelRow]): Option[String] = {
+    def word() = "w" + rnd.nextInt(1000)
+    def num() = math.round(rnd.nextDouble() * 1e6) / 100.0
+    val present = state.keys.toSeq.sorted
+    val absentKey = Iterator.continually(rnd.nextInt(40).toLong)
+      .filterNot(state.contains).next()
+    rnd.nextInt(4) match {
+      case 0 => // insert (possibly with missing columns)
+        val a = if (rnd.nextBoolean()) Some(word()) else None
+        val b = Some(num())
+        state(absentKey) = ModelRow(a, b)
+        Some(s"""{"kind":"insert","schema":"public","table":"t",
+          "columnnames":["k","a","b"],
+          "columnvalues":[$absentKey,${js(a)},${jd(b)}]}""")
+      case 1 if present.nonEmpty => // partial update
+        val k = present(rnd.nextInt(present.size))
+        val old = state(k)
+        val touchA = rnd.nextBoolean()
+        val a = if (touchA) (if (rnd.nextBoolean()) Some(word()) else None) else old.a
+        val b = if (!touchA || rnd.nextBoolean()) Some(num()) else old.b
+        val cols = mutable.Buffer("\"k\"")
+        val vals = mutable.Buffer(k.toString)
+        if (touchA) { cols += "\"a\""; vals += js(a) }
+        if (b != old.b) { cols += "\"b\""; vals += jd(b) }
+        state(k) = ModelRow(a, b)
+        Some(s"""{"kind":"update","schema":"public","table":"t",
+          "columnnames":[${cols.mkString(",")}],
+          "columnvalues":[${vals.mkString(",")}],
+          "oldkeys":{"keynames":["k"],"keyvalues":[$k]}}""")
+      case 2 if present.nonEmpty => // PK-change update (full columns)
+        val k = present(rnd.nextInt(present.size))
+        val a = if (rnd.nextBoolean()) Some(word()) else None
+        val b = Some(num())
+        state.remove(k)
+        state(absentKey) = ModelRow(a, b)
+        Some(s"""{"kind":"update","schema":"public","table":"t",
+          "columnnames":["k","a","b"],
+          "columnvalues":[$absentKey,${js(a)},${jd(b)}],
+          "oldkeys":{"keynames":["k"],"keyvalues":[$k]}}""")
+      case 3 if present.nonEmpty => // delete
+        val k = present(rnd.nextInt(present.size))
+        state.remove(k)
+        Some(s"""{"kind":"delete","schema":"public","table":"t",
+          "oldkeys":{"keynames":["k"],"keyvalues":[$k]}}""")
+      case _ => None
+    }
+  }
+
+  private def runSeed(seed: Long): Unit = {
+    val rnd = new Random(seed)
+    val state = mutable.Map.empty[Long, ModelRow]
+    // initial target
+    (0 until 10).foreach { i =>
+      state(i.toLong) = ModelRow(Some("init" + i), Some(i * 1.5))
+    }
+    val targetRows = state.toSeq.map { case (k, r) => (k, r.a.orNull, r.b) }
+    val target = targetRows.map { case (k, a, b) => (k, a, b.get) }.toDF("k", "a", "b")
+
+    val payloads = (0 until 60).flatMap(_ => randomOp(rnd, state))
+    val spool = payloads.zipWithIndex
+      .map { case (p, i) => (i.toLong, p) }.toDF("lsn_start", "payload")
+      .withColumn("xid_timestamp", timestamp_seconds(lit(1700000000L)))
+
+    val got = ApplyEngine.applyChanges(
+      target, Wal2Json.decodeEvents(Wal2Json.parse(spool), meta), meta)
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.toString),
+        Option(r.get(2)).map(_.asInstanceOf[Double])))
+      .toSeq
+    val expected = state.toSeq.sortBy(_._1)
+      .map { case (k, r) => (k, r.a, r.b) }
+    assert(got == expected, s"seed=$seed")
+  }
+
+  test("batch apply ≡ sequential apply (5 seeded random logs × 60 ops)") {
+    Seq(1L, 2L, 3L, 42L, 1337L).foreach(runSeed)
+  }
+}
