@@ -8,10 +8,14 @@ import duckdb
 sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 
-con = duckdb.connect()
-for t in ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings"]:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+def fresh_con():
+    # fresh connection per query: one fatal DuckDB error must not
+    # cascade into every subsequent check
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 
@@ -34,12 +38,13 @@ for name, sql in sorted(oracle.items()):
     files = glob.glob(f"{out_dir}/{name}/*.parquet")
     if not files:
         print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+    con = fresh_con()
     try:
         o = con.execute(sql)
         ocols = [d[0] for d in o.description]
         orows = o.fetchall()
     except Exception as e:
-        print(f"FAIL {name}: oracle error {e}"); n_fail += 1; continue
+        print(f"FAIL {name}: oracle error {str(e)[:200]}"); n_fail += 1; continue
     s = con.execute(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
     scols = [d[0] for d in s.description]
     srows = s.fetchall()
