@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, processed per-partition in batches —
+  * the Spark-side shape of a decode/feature-extract stage. The codec
+  * itself is STUBBED (no media libraries in this environment) with a
+  * deterministic fake; schema, partitioning, batch shape, and the
+  * iterator contract are real and tested.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("media", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("format", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType))))))
+
+  /** Build a media table from a text corpus: bytes = UTF-8 of the
+    * text (stand-in for real image/audio payloads), metadata derived
+    * deterministically.
+    */
+  def packFromText(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).cast("long").as("media_id"),
+      encode(col(textCol), "UTF-8").as("media"),
+      struct(
+        element_at(array(lit("png"), lit("jpeg"), lit("wav")),
+          (pmod(col(idCol), lit(3)) + 1).cast("int")).as("format"),
+        (pmod(col(idCol), lit(640)) + 1).cast("int").as("width"),
+        (pmod(col(idCol), lit(480)) + 1).cast("int").as("height")).as("meta"))
+
+  /** STUB decode: a real implementation would hand `bytes` to an
+    * image/audio codec here. The fake derives deterministic
+    * "features" (byte count, mean byte value) so the plumbing is
+    * testable end-to-end.
+    */
+  private def stubDecode(bytes: Array[Byte]): (Int, Double) = {
+    var sum = 0L
+    var i = 0
+    while (i < bytes.length) { sum += bytes(i) & 0xFF; i += 1 }
+    (bytes.length, if (bytes.length == 0) 0.0 else sum.toDouble / bytes.length)
+  }
+
+  private val featureSchema = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("format", StringType),
+    StructField("n_bytes", IntegerType),
+    StructField("mean_byte", DoubleType),
+    StructField("batch_size", IntegerType)))
+
+  /** Per-partition batched feature extraction — the `mapInPandas`
+    * analog in Scala: iterator-of-batches, one codec call per row,
+    * bounded memory (`batchSize` rows in flight per partition).
+    */
+  def extractFeatures(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(featureSchema)
+    media.select(col("media_id"), col("media"), col("meta.format").as("format"))
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { r =>
+            val (n, mean) = stubDecode(r.getAs[Array[Byte]]("media"))
+            Row(r.getAs[Long]("media_id"), r.getAs[String]("format"),
+              n, mean, batch.size)
+          }
+        }
+      }(enc)
+  }
+}

@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language ID, fingerprinting.
+  * All column-expression built-ins (codegen'd, no UDFs) — each scales
+  * as a narrow map over the corpus, no shuffle.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens (empty text → 0, not 1). */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish sub-token count: runs of word chars or single non-space
+    * punctuation — the `\w+|[^\w\s]` heuristic. `regexp_extract_all`
+    * (not lookaround splits) so the pattern also runs on RE2 engines.
+    */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\w+|[^\\w\\s]"), lit(0)))
+
+  /** Quality-scoring features: length, type-token ratio, stopword
+    * ratio, mean token length. Deterministic doubles (int/int
+    * divisions), so oracle-checkable cross-engine.
+    */
+  def qualityFeatures(text: Column, stopwords: Seq[String]): Seq[Column] = {
+    val toks = tokens(text)
+    val n = size(toks).cast("double")
+    val stopArr = array(stopwords.map(lit): _*)
+    Seq(
+      length(text).as("n_chars"),
+      size(toks).as("n_tokens"),
+      (size(array_distinct(toks)).cast("double") / n).as("type_token_ratio"),
+      (size(filter(toks, t => array_contains(stopArr, t))).cast("double") / n)
+        .as("stopword_ratio"),
+      (length(regexp_replace(text, "\\s", "")).cast("double") / n)
+        .as("mean_token_len"))
+  }
+
+  /** Composite quality score in [0,1]-ish: favors mid-length docs
+    * with diverse tokens and a sane stopword rate. Same arithmetic
+    * tree as the SQL oracle → bit-identical doubles.
+    */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val toks = tokens(text)
+    val n = size(toks).cast("double")
+    val ttr = size(array_distinct(toks)).cast("double") / n
+    val stopArr = array(stopwords.map(lit): _*)
+    val sr = size(filter(toks, t => array_contains(stopArr, t))).cast("double") / n
+    least(n / lit(100.0), lit(1.0)) * ttr * (lit(1.0) - sr)
+  }
+
+  /** Stopword-count language ID: score per language = occurrences of
+    * that language's marker tokens; argmax with a fixed priority
+    * chain as tie-break. `langSets` ordering IS the priority.
+    */
+  def languageId(text: Column, langSets: Seq[(String, Seq[String])]): Column = {
+    val toks = tokens(text)
+    val scores = langSets.map { case (lang, words) =>
+      val arr = array(words.map(lit): _*)
+      lang -> size(filter(toks, t => array_contains(arr, t)))
+    }
+    scores.foldRight(lit(langSets.head._1)) { case ((lang, sc), alt) =>
+      val isMax = scores.map(_._2).map(o => sc >= o).reduce(_ && _)
+      when(isMax, lit(lang)).otherwise(alt)
+    }
+  }
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercase
+    * text — exact-dedup key, portable to any engine. */
+  def fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+}

@@ -1,8 +1,259 @@
 package graft.queries
 
-import graft.GraftQuery
+import graft.{GraftQuery, Tables}
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
-/** Training-data pipeline ops: dedup, similarity, text analysis. */
+/** Training-data pipeline query surface: dedup, similarity search,
+  * text analysis, multimodal plumbing — over the `documents` /
+  * `embeddings` fixtures. Oracle-checked wherever the algorithm is
+  * SQL-expressible; hash-based ops (minhash LSH) get an oracle on
+  * their *verified output* (true-Jaccard-filtered planted pairs).
+  */
 object TrainingData {
-  def all: Seq[GraftQuery] = Seq.empty
+
+  private val stopwords = Seq("the", "a")
+  private val langSets = Seq(
+    "en" -> Seq("the", "a", "of"),
+    "de" -> Seq("table", "row", "column"),
+    "es" -> Seq("data", "value", "query"),
+    "fr" -> Seq("join", "merge", "group"))
+
+  val td_text_stats = GraftQuery(
+    "td_text_stats",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      d.select(
+        (col("doc_id") +:
+          TextAnalysis.qualityFeatures(col("text"), stopwords) :+
+          TextAnalysis.bpeishTokenCount(col("text")).as("n_subtokens") :+
+          TextAnalysis.qualityScore(col("text"), stopwords).as("quality")): _*)
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+      length(text) AS n_chars,
+      len(string_split_regex(trim(text),'\s+')) AS n_tokens,
+      CAST(len(list_distinct(string_split_regex(trim(text),'\s+'))) AS DOUBLE)
+        / len(string_split_regex(trim(text),'\s+')) AS type_token_ratio,
+      CAST(len(list_filter(string_split_regex(trim(text),'\s+'),
+          t -> list_contains(['the','a'], t))) AS DOUBLE)
+        / len(string_split_regex(trim(text),'\s+')) AS stopword_ratio,
+      CAST(length(regexp_replace(text,'\s','','g')) AS DOUBLE)
+        / len(string_split_regex(trim(text),'\s+')) AS mean_token_len,
+      len(regexp_extract_all(text,'\w+|[^\w\s]')) AS n_subtokens,
+      least(len(string_split_regex(trim(text),'\s+')) / 100.0, 1.0)
+        * (CAST(len(list_distinct(string_split_regex(trim(text),'\s+'))) AS DOUBLE)
+           / len(string_split_regex(trim(text),'\s+')))
+        * (1.0 - CAST(len(list_filter(string_split_regex(trim(text),'\s+'),
+             t -> list_contains(['the','a'], t))) AS DOUBLE)
+           / len(string_split_regex(trim(text),'\s+'))) AS quality
+      FROM documents ORDER BY doc_id"""))
+
+  val td_lang_id = GraftQuery(
+    "td_lang_id",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      d.withColumn("lang_pred", TextAnalysis.languageId(col("text"), langSets))
+        .groupBy(col("lang_pred")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lang_pred"))
+    },
+    Some("""WITH scored AS (
+      SELECT
+        len(list_filter(string_split_regex(trim(text),'\s+'), t -> list_contains(['the','a','of'], t))) AS s_en,
+        len(list_filter(string_split_regex(trim(text),'\s+'), t -> list_contains(['table','row','column'], t))) AS s_de,
+        len(list_filter(string_split_regex(trim(text),'\s+'), t -> list_contains(['data','value','query'], t))) AS s_es,
+        len(list_filter(string_split_regex(trim(text),'\s+'), t -> list_contains(['join','merge','group'], t))) AS s_fr
+      FROM documents)
+      SELECT lang_pred, COUNT(*) AS n FROM (
+        SELECT CASE
+          WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+          WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+          WHEN s_es >= s_en AND s_es >= s_de AND s_es >= s_fr THEN 'es'
+          WHEN s_fr >= s_en AND s_fr >= s_de AND s_fr >= s_es THEN 'fr'
+          ELSE 'en' END AS lang_pred
+        FROM scored)
+      GROUP BY lang_pred ORDER BY lang_pred"""))
+
+  val td_fingerprint = GraftQuery(
+    "td_fingerprint",
+    (s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+      md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+      FROM documents ORDER BY doc_id"""))
+
+  /** Exact dedup over a corpus with planted full copies. */
+  val td_dedup_exact = GraftQuery(
+    "td_dedup_exact",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val corpus = d.unionByName(d.withColumn("doc_id", col("doc_id") + 1000000L))
+      Dedup.exact(corpus, "doc_id", "text")
+        .select(col("doc_id"), col("n_copies"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT min(doc_id) AS doc_id, COUNT(*) AS n_copies
+      FROM (SELECT doc_id, text FROM documents
+            UNION ALL SELECT doc_id + 1000000, text FROM documents)
+      GROUP BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+      ORDER BY doc_id"""))
+
+  /** Character-set Jaccard over within-source pairs (E2-style set
+    * algebra on the data plane). min/max are order-free, so exact
+    * doubles compare across engines; no float sums.
+    */
+  val td_char_jaccard = GraftQuery(
+    "td_char_jaccard",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val a = d.select(col("source"), col("doc_id").as("id_a"), col("text").as("ta"))
+      val b = d.select(col("source"), col("doc_id").as("id_b"), col("text").as("tb"))
+      a.join(b, Seq("source")).filter(col("id_a") < col("id_b"))
+        .withColumn("jac", Dedup.charJaccard(col("ta"), col("tb")))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          sum(when(col("jac") >= 0.9, 1).otherwise(0)).as("n_similar"),
+          min(col("jac")).as("min_jac"),
+          max(col("jac")).as("max_jac"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH pairs AS (
+      SELECT a.source, a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(len(list_filter(list_distinct(string_split(a.text,'')),
+              x -> list_contains(list_distinct(string_split(b.text,'')), x))) AS DOUBLE)
+        / len(list_distinct(list_concat(
+              list_distinct(string_split(a.text,'')),
+              list_distinct(string_split(b.text,''))))) AS jac
+      FROM documents a JOIN documents b
+        ON a.source = b.source AND a.doc_id < b.doc_id)
+      SELECT source, COUNT(*) AS n_pairs,
+             SUM(CASE WHEN jac >= 0.9 THEN 1 ELSE 0 END) AS n_similar,
+             MIN(jac) AS min_jac, MAX(jac) AS max_jac
+      FROM pairs GROUP BY source ORDER BY source"""))
+
+  /** Brute-force cosine top-5; oracle checks neighbor identity and
+    * rank (cosine values agree to ~1e-15 across engines — enough to
+    * order distinct neighbors, not enough to hash-compare doubles).
+    */
+  val td_cosine_topk = GraftQuery(
+    "td_cosine_topk",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(
+        e.filter(col("vec_id") < 20), e, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some("""SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        row_number() OVER (PARTITION BY q.vec_id
+          ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+                   c.vec_id) AS rank
+      FROM embeddings q, embeddings c
+      WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id)
+      WHERE rank <= 5 ORDER BY query_id, rank"""))
+
+  /** MinHash+LSH near-dup detection over a corpus with planted
+    * near-copies (2 extra tokens) — plus whatever organic near-dups
+    * the corpus contains. The oracle brute-forces true 3-gram Jaccard
+    * over ALL pairs of a bounded corpus subset (doc_id < 150, so the
+    * O(n²) oracle stays cheap at every sf); LSH (16 bands × 2 rows)
+    * recalls j ≥ 0.8 pairs with P(miss) < 1e-7 per pair.
+    */
+  val td_minhash_neardup = GraftQuery(
+    "td_minhash_neardup",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).filter(col("doc_id") < 150)
+      val corpus = d.unionByName(
+        d.filter(pmod(col("doc_id"), lit(5)) === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L)
+          .withColumn("text", concat(col("text"), lit(" xtra wrds"))))
+      Dedup.minhashNearDuplicates(corpus, "doc_id", "text",
+        numHashes = 32, bands = 16, threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""WITH base AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 150),
+    corpus AS (
+      SELECT doc_id, text FROM base
+      UNION ALL
+      SELECT doc_id + 1000000, text || ' xtra wrds' FROM base WHERE doc_id % 5 = 0),
+    tok AS (
+      SELECT doc_id, string_split_regex(trim(text),'\s+') AS t FROM corpus),
+    sh AS (
+      SELECT doc_id,
+        CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+             ELSE list_distinct(list_transform(range(1, len(t)-1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS s
+      FROM tok)
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)
+          / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+    WHERE jaccard >= 0.8
+    ORDER BY id_a, id_b"""))
+
+  /** SimHash per doc (hash-defined — rows-only check). */
+  val td_simhash = GraftQuery(
+    "td_simhash",
+    (s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+        .orderBy(col("doc_id"))
+    },
+    None)
+
+  /** LSH ANN (approximate, hash-defined buckets — rows-only). */
+  val td_ann_lsh = GraftQuery(
+    "td_ann_lsh",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.lshTopK(e.filter(col("vec_id") < 20), e,
+        "vec_id", "embedding", 5, numPlanes = 8, probes = 2)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    None)
+
+  /** Multimodal metadata path (pure column exprs — oracled). */
+  val td_media_meta = GraftQuery(
+    "td_media_meta",
+    (s, dir) => {
+      Multimodal.packFromText(Tables.documents(s, dir), "doc_id", "text")
+        .select(
+          col("media_id"),
+          octet_length(col("media")).as("n_bytes"),
+          col("meta.format").as("format"),
+          col("meta.width").as("width"),
+          col("meta.height").as("height"))
+        .orderBy(col("media_id"))
+    },
+    Some("""SELECT doc_id AS media_id,
+      octet_length(encode(text)) AS n_bytes,
+      CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        ELSE 'wav' END AS format,
+      CAST(doc_id % 640 + 1 AS INTEGER) AS width,
+      CAST(doc_id % 480 + 1 AS INTEGER) AS height
+      FROM documents ORDER BY media_id"""))
+
+  /** Full batched decode plumbing (stub codec — rows-only). */
+  val td_media_features = GraftQuery(
+    "td_media_features",
+    (s, dir) => {
+      Multimodal.extractFeatures(
+        Multimodal.packFromText(Tables.documents(s, dir), "doc_id", "text"))
+        .orderBy(col("media_id"))
+    },
+    None)
+
+  def all: Seq[GraftQuery] = Seq(
+    td_text_stats, td_lang_id, td_fingerprint, td_dedup_exact,
+    td_char_jaccard, td_cosine_topk, td_minhash_neardup, td_simhash,
+    td_ann_lsh, td_media_meta, td_media_features)
 }

@@ -1,0 +1,91 @@
+package graft
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens/tokenCount handle empty and multi-space text") {
+    val df = Seq("", "  ", "a  b\tc", "one").toDF("text")
+      .select(TextAnalysis.tokenCount(col("text")).as("n"))
+    assert(df.as[Int].collect().toSeq == Seq(0, 0, 3, 1))
+  }
+
+  test("shingles: word 3-grams, short docs collapse to one shingle") {
+    val df = Seq("a b c d", "a b").toDF("text")
+      .select(Dedup.shingles(col("text")).as("sh"))
+    val r = df.as[Seq[String]].collect()
+    assert(r(0).toSet == Set("a b c", "b c d"))
+    assert(r(1) == Seq("a b"))
+  }
+
+  test("simhash: identical text → identical hash; disjoint text differs") {
+    val df = Seq(("x", "k1 k2 k3 k4"), ("y", "k1 k2 k3 k4"), ("z", "q9 q8 q7 q6"))
+      .toDF("id", "text")
+      .select(col("id"), Dedup.simhash(col("text")).as("s"))
+    val m = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("x") == m("y"))
+    assert(m("x") != m("z"))
+  }
+
+  test("simhashNearDuplicates finds identical docs, skips disjoint ones") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six seven")).toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDuplicates(docs, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(pairs == Seq((1L, 2L)))
+  }
+
+  test("minhash near-dups: exact copy has jaccard 1.0") {
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8")).toDF("doc_id", "text")
+    val r = Dedup.minhashNearDuplicates(docs, "doc_id", "text")
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSeq
+    assert(r == Seq((1L, 2L, 1.0)))
+  }
+
+  test("cosine: orthogonal → 0, identical → 1") {
+    val df = Seq(
+      (Seq(1f, 0f), Seq(0f, 1f)),
+      (Seq(1f, 2f), Seq(1f, 2f))).toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b")).as("c"))
+    val r = df.as[Double].collect()
+    assert(math.abs(r(0)) < 1e-12 && math.abs(r(1) - 1.0) < 1e-12)
+  }
+
+  test("lshTopK cosines agree with the exhaustive ranking") {
+    val vecs = (0 until 50).map { i =>
+      (i.toLong, (0 until 8).map(j => ((i * 7 + j * 13) % 17 - 8).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") < 5)
+    // all-pair cosines as ground truth
+    val all = Similarity.bruteForceTopK(q, vecs, "vec_id", "embedding", 49)
+      .select("query_id", "neighbor_id", "cos")
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    val ann = Similarity.lshTopK(q, vecs, "vec_id", "embedding", 5,
+      numPlanes = 4, probes = 2)
+      .select("query_id", "neighbor_id", "cos")
+      .as[(Long, Long, Double)].collect()
+    assert(ann.nonEmpty)
+    ann.foreach { case (qid, nid, c) =>
+      assert(math.abs(all((qid, nid)) - c) < 1e-12, s"pair ($qid,$nid)")
+    }
+  }
+
+  test("multimodal: batched stub decode preserves ids and byte counts") {
+    val docs = Seq((1L, "abc"), (2L, "defg"), (3L, "")).toDF("doc_id", "text")
+    val out = Multimodal.extractFeatures(
+      Multimodal.packFromText(docs, "doc_id", "text"), batchSize = 2)
+      .select("media_id", "n_bytes", "mean_byte")
+      .as[(Long, Int, Double)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 3, ('a' + 'b' + 'c').toDouble / 3),
+      (2L, 4, ('d' + 'e' + 'f' + 'g').toDouble / 4),
+      (3L, 0, 0.0)))
+  }
+}
