@@ -90,8 +90,19 @@ object ApplyEngine {
     * join broadcasts (AQE decides; `broadcastChanges` forces it). The
     * target side never shuffles when bucketed/partitioned by PK.
     */
-  def merge(target: DataFrame, collapsed: DataFrame, meta: TableMeta,
+  /** Align a DataFrame to a (possibly evolved) schema: add missing
+    * columns as NULL, drop removed ones, apply type changes — how a
+    * DDL-evolved registry schema meets pre-DDL table data (A8).
+    */
+  def conform(df: DataFrame, schema: StructType): DataFrame =
+    df.select(schema.fields.map { f =>
+      if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+
+  def merge(target0: DataFrame, collapsed: DataFrame, meta: TableMeta,
             broadcastChanges: Boolean = false): DataFrame = {
+    val target = conform(target0, meta.schema)
     // Typed PK columns from the key array, registry order.
     val typedKeys = meta.pkCols.zipWithIndex.map { case (c, i) =>
       PgTypeMapper.castFromText(element_at(col("key"), i + 1), meta.colType(c))

@@ -1,0 +1,115 @@
+package graft.ddl
+
+import graft.functions.PgArrayLiteral
+import graft.model.{SchemaRegistry, TableId, TableMeta}
+import graft.stream.TableStore
+import graft.types.PgTypeMapper
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.StructField
+
+import DdlAst._
+import DdlRules._
+
+/** The kill switch fired — the engine must die (fail-fast A9 /
+  * P8 parity, `replayer/connemara_replay.pl:294-298`). */
+final class KillSwitchException(msg: String) extends RuntimeException(msg)
+
+/** One in-stream DDL event (`public.sql_ddl_statements` row,
+  * FIXTURES.md §4). */
+final case class DdlEvent(database: String, currentQuery: String,
+                          searchPath: String, commandTags: Seq[String])
+
+/** In-stream DDL application (SURVEY §2.8 A8): split → parse →
+  * classify (skip / post-data / kill) → schema-remap → apply to
+  * registry + store, then the caller's plans rebuild from the
+  * registry — the `DISCARD` analog. DROP of a missing table is
+  * tolerated (the reference tolerates SQLSTATE 42P01).
+  */
+final class DdlInterpreter(
+    spark: SparkSession,
+    registry: SchemaRegistry,
+    store: TableStore,
+    ignoredSchemas: Set[String] = Set.empty,
+    md5Whitelist: Set[String] = Set.empty) {
+
+  /** Post-data statements seen so far (indexes/constraints) — the
+    * async-maintenance queue (A12). */
+  val postData = scala.collection.mutable.Buffer.empty[String]
+
+  def execute(ev: DdlEvent): Unit = {
+    val remapper = new SchemaRemapper(ev.database)
+    val searchPath = remapper.parseSearchPath(ev.searchPath) match {
+      case Seq() => Seq("public")
+      case sp    => sp
+    }
+    StatementSplitter.split(ev.currentQuery).foreach { sql =>
+      val stmt = DdlAst.parse(sql)
+      classify(stmt, ignoredSchemas, md5Whitelist) match {
+        case Kill     => throw new KillSwitchException(sql)
+        case Skip     => ()
+        case PostData => postData += sql
+        case Apply    => apply(ev.database, stmt, searchPath)
+      }
+    }
+  }
+
+  private def tableId(db: String, q: QualifiedName, searchPath: Seq[String]): TableId =
+    TableId(db, q.schema.getOrElse(searchPath.headOption.getOrElse("public")), q.name)
+
+  private def apply(db: String, stmt: DdlStatement, searchPath: Seq[String]): Unit =
+    stmt match {
+      case CreateTable(_, t, cols, ifNotExists) =>
+        val id = tableId(db, t, searchPath)
+        if (registry.get(id).isEmpty) {
+          val fields = cols.map { case (n, typ) =>
+            StructField(n, PgTypeMapper.toSpark(typ))
+          }
+          // PK discovery is catalog-driven in the reference; until a
+          // caller registers real PKs, the first column serves.
+          val meta = TableMeta(id,
+            org.apache.spark.sql.types.StructType(fields),
+            Seq(fields.head.name))
+          registry.register(meta)
+          store.stage(id, spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta.schema), 0L)
+          store.commit(Map(id -> 0L))
+        } else if (!ifNotExists) ()
+
+      case DropTable(_, t, _) =>
+        val id = tableId(db, t, searchPath)
+        registry.invalidate(id) // missing table tolerated (42P01 parity)
+        store.drop(id)
+
+      case TruncateTable(_, t) =>
+        val id = tableId(db, t, searchPath)
+        registry.get(id).foreach { meta =>
+          store.stage(id, spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta.schema), 0L)
+          store.commit(Map(id -> 0L))
+        }
+
+      case AddColumn(_, t, name, typ, _) =>
+        registry.addColumn(tableId(db, t, searchPath),
+          StructField(name, PgTypeMapper.toSpark(typ)))
+
+      case DropColumn(_, t, name, _) =>
+        registry.dropColumn(tableId(db, t, searchPath), name)
+
+      case RenameColumn(_, t, from, to) =>
+        registry.renameColumn(tableId(db, t, searchPath), from, to)
+
+      case CreateSchema(_, _, _) => () // schemas are implicit in store paths
+      case Other(_, _)           => ()
+    }
+}
+
+object DdlInterpreter {
+  /** Decode a raw `sql_ddl_statements` change into a [[DdlEvent]]. */
+  def eventFrom(database: String, columns: Map[String, String]): DdlEvent =
+    DdlEvent(
+      database,
+      columns.getOrElse("current_query", ""),
+      columns.getOrElse("search_path", "public"),
+      columns.get("command_tags")
+        .map(PgArrayLiteral.parse(_).flatten).getOrElse(Seq.empty))
+}

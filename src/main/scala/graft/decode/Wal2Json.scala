@@ -75,8 +75,14 @@ object Wal2Json {
     * positionally (`:938-940`).
     */
   def decodeEvents(parsed: DataFrame, meta: TableMeta): DataFrame = {
+    // P5-style source restriction: filter on database only when the
+    // spool carries it (unit fixtures may omit the column).
+    val dbFilter =
+      if (parsed.columns.contains("database")) col("database") === meta.id.database
+      else lit(true)
     val forTable = parsed.filter(
-      col("p.schema") === meta.id.schema && col("p.table") === meta.id.table &&
+      dbFilter &&
+        col("p.schema") === meta.id.schema && col("p.table") === meta.id.table &&
         !col("p.table").startsWith("pg_temp")) // P6 table-rewrite artifacts
 
     val vals = map_from_arrays(col("p.columnnames"), col("p.columnvalues"))

