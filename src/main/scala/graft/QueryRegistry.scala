@@ -26,6 +26,7 @@ object QueryRegistry {
     queries.Relational.all ++
       queries.Cdc.all ++
       queries.Catalog.all ++
+      queries.Snap.all ++
       queries.TrainingData.all
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =

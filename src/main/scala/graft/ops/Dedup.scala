@@ -85,20 +85,51 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** 64-bit SimHash over whitespace tokens: sign-sum of per-token
-    * hashes, bit by bit — expressed as a fold over bit positions with
-    * only built-ins.
+  /** 64-bit SimHash over whitespace tokens: bit i = majority vote of
+    * bit i across token hashes. Single pass over the token array — a
+    * 64-counter accumulator folded once (the naive per-bit form
+    * re-hashes every token 64×; Catalyst CSE does not rescue it).
     */
   def simhash(text: Column): Column = {
     val toks = TextAnalysis.tokens(text)
     val hashes = transform(toks, t => xxhash64(t))
-    // bit i of the simhash = majority vote of bit i across token hashes
-    val bits = (0 until 64).map { i =>
-      val votes = aggregate(hashes, lit(0),
-        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1).otherwise(-1))
-      when(votes > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }
-    bits.reduce((x, y) => x.bitwiseOR(y))
+    val bitIdx = sequence(lit(0), lit(63))
+    val ones = aggregate(
+      hashes,
+      array_repeat(lit(0), 64),
+      (acc, h) => zip_with(acc, bitIdx,
+        (a, i) => a + call_function("getbit", h, i).cast("int")))
+    val bits = zip_with(ones, bitIdx,
+      (v, _) => when(v * 2 > size(hashes), lit(1L)).otherwise(lit(0L)))
+    // fold MSB→LSB: (acc << 1) | bit — shift, not *2: ANSI mode would
+    // reject the deliberate wrap when bit 63 is set
+    aggregate(reverse(bits), lit(0L), (acc, b) => shiftleft(acc, 1).bitwiseOR(b))
+  }
+
+  /** DataFrame-level SimHash — same definition as [[simhash]], but
+    * explode + grouped bit-count sums so the whole thing stays in
+    * whole-stage codegen (higher-order-function lambdas are
+    * interpreted per element; at corpus scale that loses to one
+    * shuffle with map-side combine).
+    */
+  def simhashDf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hashes = docs
+      .select(col(idCol).as("id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .select(col("id"), xxhash64(col("tok")).as("h"))
+    val bitSums = (0 until 64).map(i =>
+      sum(call_function("getbit", col("h"), lit(i))).as(s"b$i"))
+    val counted = hashes.groupBy(col("id"))
+      .agg(count(lit(1)).as("n"), bitSums: _*)
+    val sim = (0 until 64)
+      .map(i => when(col(s"b$i") * 2 > col("n"), shiftleft(lit(1L), i))
+        .otherwise(lit(0L)))
+      .reduce((x, y) => x.bitwiseOR(y))
+    // docs with zero tokens have no exploded rows: simhash 0, like the
+    // column version's empty fold
+    docs.select(col(idCol).as("id"))
+      .join(counted.select(col("id"), sim.as("simhash")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("simhash"), lit(0L)).as("simhash"))
   }
 
   /** SimHash near-dup candidates: block on 16-bit chunks (any pair
@@ -107,8 +138,8 @@ object Dedup {
     */
   def simhashNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                             maxHamming: Int = 3): DataFrame = {
-    val withSim = docs.select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("sim", simhash(col("text")))
+    val withSim = simhashDf(docs, idCol, textCol)
+      .select(col("id"), col("simhash").as("sim"))
     val chunked = withSim.select(
       col("id"), col("sim"),
       posexplode(array((0 until 4).map(c =>
@@ -125,12 +156,50 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
-  /** Character-set Jaccard similarity (the classic cheap near-dup
-    * score; set-based |A∩B| / |A∪B| over distinct characters).
+  /** Distinct-character set of a text column. Compute this ONCE per
+    * row before any pairwise join — recomputing it inside an O(n²)
+    * pair comparison multiplies the split cost by the fan-out.
     */
-  def charJaccard(a: Column, b: Column): Column = {
-    val ca = array_distinct(split(a, ""))
-    val cb = array_distinct(split(b, ""))
+  def charSet(text: Column): Column = array_distinct(split(text, ""))
+
+  /** Set Jaccard over two precomputed element arrays:
+    * |A∩B| / |A∪B| as exact int/int double division. */
+  def setJaccard(ca: Column, cb: Column): Column =
     size(array_intersect(ca, cb)).cast("double") / size(array_union(ca, cb))
+
+  /** Character-set Jaccard similarity of two raw texts (convenience;
+    * for joins use charSet + setJaccard on precomputed sets). */
+  def charJaccard(a: Column, b: Column): Column =
+    setJaccard(charSet(a), charSet(b))
+
+  /** ASCII char set as a 128-bit bitmap `(lo, hi)` — for ASCII text
+    * this represents exactly the distinct-char set, and pairwise
+    * Jaccard becomes two ANDs + two ORs + popcounts instead of array
+    * intersect/union: the O(n²) pair stage drops from array-walk cost
+    * to a handful of ALU ops. Non-ASCII chars (ascii() > 127) must
+    * not occur — use [[charSet]]/[[setJaccard]] there.
+    */
+  def charMask(text: Column): Column = {
+    val zero = struct(lit(0L).as("lo"), lit(0L).as("hi"))
+    aggregate(split(text, ""), zero, (acc, ch) => {
+      val a = ascii(ch)
+      val bit = call_function("shiftleft", lit(1L), pmod(a, lit(64)))
+      struct(
+        when(a < 64, acc.getField("lo").bitwiseOR(bit))
+          .otherwise(acc.getField("lo")).as("lo"),
+        when(a >= 64, acc.getField("hi").bitwiseOR(bit))
+          .otherwise(acc.getField("hi")).as("hi"))
+    })
+  }
+
+  /** Jaccard over two [[charMask]] bitmaps (exact ASCII char-set
+    * Jaccard, bit-parallel). */
+  def maskJaccard(ma: Column, mb: Column): Column = {
+    def pop(c: Column) = bit_count(c).cast("int")
+    val inter = pop(ma.getField("lo").bitwiseAND(mb.getField("lo"))) +
+      pop(ma.getField("hi").bitwiseAND(mb.getField("hi")))
+    val union = pop(ma.getField("lo").bitwiseOR(mb.getField("lo"))) +
+      pop(ma.getField("hi").bitwiseOR(mb.getField("hi")))
+    inter.cast("double") / union
   }
 }

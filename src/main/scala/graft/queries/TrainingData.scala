@@ -109,11 +109,14 @@ object TrainingData {
   val td_char_jaccard = GraftQuery(
     "td_char_jaccard",
     (s, dir) => {
+      // char sets as 128-bit masks, computed once per doc BEFORE the
+      // O(n²) pair join — the pair stage is then pure ALU work
       val d = Tables.documents(s, dir)
-      val a = d.select(col("source"), col("doc_id").as("id_a"), col("text").as("ta"))
-      val b = d.select(col("source"), col("doc_id").as("id_b"), col("text").as("tb"))
+        .select(col("source"), col("doc_id"), Dedup.charMask(col("text")).as("cm"))
+      val a = d.select(col("source"), col("doc_id").as("id_a"), col("cm").as("ma"))
+      val b = d.select(col("source"), col("doc_id").as("id_b"), col("cm").as("mb"))
       a.join(b, Seq("source")).filter(col("id_a") < col("id_b"))
-        .withColumn("jac", Dedup.charJaccard(col("ta"), col("tb")))
+        .withColumn("jac", Dedup.maskJaccard(col("ma"), col("mb")))
         .groupBy(col("source"))
         .agg(
           count(lit(1)).as("n_pairs"),
@@ -203,8 +206,8 @@ object TrainingData {
   val td_simhash = GraftQuery(
     "td_simhash",
     (s, dir) => {
-      Tables.documents(s, dir)
-        .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+      Dedup.simhashDf(Tables.documents(s, dir), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))
     },
     None)

@@ -1,0 +1,81 @@
+package graft.snapshot
+
+import java.nio.file.{Files, Paths}
+
+import graft.model.{SchemaRegistry, TableId, TableMeta}
+import graft.stream.TableStore
+import graft.types.LsnCodec
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The "logical basebackup" analog (SURVEY §3.3,
+  * `connemara_python/bin/connemara_basebackup.py:97-191`): one
+  * consistent source snapshot, schema translation, parallel
+  * partitioned copy, deferred validation, and the snapshot↔LSN
+  * pinning that hands off to the change stream.
+  *
+  * Spark mapping: the pinned MVCC snapshot is an immutable source
+  * directory; the P-way `ctid % P` copy
+  * (`connemara_python/connemara/restore.py:13-28`) becomes
+  * `repartition(P, pk)` — which also pre-clusters each table by its
+  * merge key, the layout the CDC apply path wants; constraints
+  * become validation queries (Spark enforces none — K7 parity note).
+  */
+object Snapshot {
+
+  final case class TableSpec(id: TableId, pkCols: Seq[String], sourcePath: String)
+  final case class TableReport(id: TableId, rows: Long, version: Long)
+  final case class Report(tables: Seq[TableReport], startLsn: Long)
+
+  /** Copy every table of one pinned snapshot into the store as
+    * version 0 and record the consistent-point LSN the stream must
+    * resume from (`CREATE_REPLICATION_SLOT … consistent_point`,
+    * `connemara_python/connemara/schema_dump.py:31-37`).
+    */
+  def basebackup(
+      spark: SparkSession,
+      specs: Seq[TableSpec],
+      registry: SchemaRegistry,
+      store: TableStore,
+      storeRoot: String,
+      startLsn: Long,
+      njobs: Int = 8): Report = {
+    val reports = specs.map { spec =>
+      val src = spark.read.parquet(spec.sourcePath)
+      registry.register(TableMeta(spec.id, src.schema, spec.pkCols))
+      val clustered = src.repartition(njobs, spec.pkCols.map(col): _*)
+      store.stage(spec.id, clustered, 0L)
+      TableReport(spec.id, store.readVersion(spec.id, 0L).count(), 0L)
+    }
+    // all tables commit together: one consistent snapshot cut
+    store.commit(specs.map(_.id -> 0L).toMap)
+    Files.writeString(Paths.get(storeRoot, "_start_lsn"), LsnCodec.format(startLsn))
+    Report(reports, startLsn)
+  }
+
+  def readStartLsn(storeRoot: String): Option[Long] = {
+    val p = Paths.get(storeRoot, "_start_lsn")
+    if (Files.exists(p)) Some(LsnCodec.parse(Files.readString(p).trim)) else None
+  }
+
+  /** Post-data PK validation (K7: "PK/unique enforcement becomes a
+    * validation query"): key tuples appearing more than once. */
+  def validatePrimaryKey(df: DataFrame, pkCols: Seq[String]): DataFrame =
+    df.groupBy(pkCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"))
+      .filter(col("n_rows") > 1)
+
+  /** FK orphan check (P11's kept FOREIGN KEY constraints): child key
+    * tuples with no matching parent. */
+  def validateForeignKey(child: DataFrame, childCols: Seq[String],
+                         parent: DataFrame, parentCols: Seq[String]): DataFrame = {
+    val parentKeys = parent
+      .select(parentCols.zip(childCols).map { case (p, c) => col(p).as(c) }: _*)
+      .distinct()
+    child
+      .filter(childCols.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(childCols.map(col): _*)
+      .agg(count(lit(1)).as("n_orphan_rows"))
+      .join(parentKeys, childCols, "left_anti")
+  }
+}

@@ -58,6 +58,10 @@ final class TableStore(spark: SparkSession, root: String) {
   def stage(id: TableId, df: DataFrame, version: Long): Unit =
     df.write.mode("overwrite").parquet(dir(id, version))
 
+  /** Read one specific staged version (committed or not). */
+  def readVersion(id: TableId, version: Long): DataFrame =
+    spark.read.parquet(dir(id, version))
+
   /** Atomically publish a set of staged versions: the cross-table
     * commit barrier. Tables not in `updates` keep their version.
     */

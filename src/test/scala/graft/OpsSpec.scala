@@ -29,6 +29,20 @@ class OpsSpec extends SparkSpec {
     assert(m("x") != m("z"))
   }
 
+  test("simhashDf agrees with the column-expression simhash") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "one two three four five"),
+      (3L, ""),
+      (4L, "single")).toDF("doc_id", "text")
+    val colVersion = docs
+      .select(col("doc_id").as("id"), Dedup.simhash(col("text")).as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dfVersion = Dedup.simhashDf(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dfVersion == colVersion)
+  }
+
   test("simhashNearDuplicates finds identical docs, skips disjoint ones") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),

@@ -1,0 +1,46 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.model.{SchemaRegistry, TableId}
+import graft.snapshot.Snapshot
+import graft.stream.TableStore
+import org.apache.spark.sql.functions._
+
+class SnapshotSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("basebackup copies a consistent cut and pins the start LSN") {
+    val sf = "/root/testdata/sf0.001"
+    val root = Files.createTempDirectory("snap-spec-").toString
+    val store = new TableStore(spark, root)
+    val registry = new SchemaRegistry
+    val specs = Seq(
+      Snapshot.TableSpec(TableId("srcdb", "public", "region"), Seq("r_regionkey"), s"$sf/region.parquet"),
+      Snapshot.TableSpec(TableId("srcdb", "public", "nation"), Seq("n_nationkey"), s"$sf/nation.parquet"))
+    val report = Snapshot.basebackup(spark, specs, registry, store, root, 0xA0000000BL, njobs = 4)
+    assert(report.tables.map(t => t.id.table -> t.rows).toMap ==
+      Map("region" -> 5L, "nation" -> 25L))
+    // registry got schema + pks
+    assert(registry(TableId("srcdb", "public", "nation")).pkCols == Seq("n_nationkey"))
+    // store readable through the manifest (committed cut)
+    assert(store.read(TableId("srcdb", "public", "region")).count() == 5)
+    // LSN pin round-trips through the %X/%X rendering
+    assert(Snapshot.readStartLsn(root).contains(0xA0000000BL))
+  }
+
+  test("validatePrimaryKey flags only duplicated key tuples") {
+    val df = Seq((1L, 1), (1L, 2), (2L, 1), (1L, 1)).toDF("k1", "k2")
+    val bad = Snapshot.validatePrimaryKey(df, Seq("k1", "k2")).collect()
+    assert(bad.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq ==
+      Seq((1L, 1, 2L)))
+  }
+
+  test("validateForeignKey reports orphans, ignores NULL keys") {
+    val child = Seq(Some(1L), Some(2L), Some(99L), None).toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val orphans = Snapshot.validateForeignKey(child, Seq("fk"), parent, Seq("pk"))
+      .collect()
+    assert(orphans.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((99L, 1L)))
+  }
+}
