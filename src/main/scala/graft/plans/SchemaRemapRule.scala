@@ -1,0 +1,49 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.SparkSession
+
+/** Custom Catalyst analyzer rule (SURVEY §2.10): the true Spark
+  * analog of the reference's AST `node_remapper` registry
+  * (`connemara_python/connemara/sqlparser/remappers.py:98-119` —
+  * `RangeVar`/`ColumnRef` schema rewriting) — full SQL against source
+  * schema names resolves against the consolidated target schemas.
+  *
+  * `SELECT … FROM public.customer` → `FROM <db>_public.customer`,
+  * driven by `spark.graft.schemaMap` =
+  * `"public=srcdb_public,s2=srcdb_s2"`. Registered through
+  * [[GraftExtensions]] (`spark.sql.extensions=graft.plans.GraftExtensions`).
+  */
+final class SchemaRemapRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  private def mapping: Map[String, String] =
+    spark.conf.getOption("spark.graft.schemaMap")
+      .map(_.split(",").flatMap { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) if k.nonEmpty && v.nonEmpty => Some(k.trim -> v.trim)
+          case _ => None
+        }
+      }.toMap)
+      .getOrElse(Map.empty)
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val m = mapping
+    if (m.isEmpty) plan
+    else plan.resolveOperatorsUp {
+      case u: UnresolvedRelation if u.multipartIdentifier.length == 2 &&
+          m.contains(u.multipartIdentifier.head) =>
+        u.copy(multipartIdentifier =
+          Seq(m(u.multipartIdentifier.head), u.multipartIdentifier(1)))
+    }
+  }
+}
+
+/** `SparkSessionExtensions` entry point: inject the remap rule into
+  * analysis. */
+final class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectResolutionRule(session => new SchemaRemapRule(session))
+}

@@ -182,7 +182,50 @@ object Relational {
       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
       FROM events GROUP BY 1 ORDER BY batch_id"""))
 
+  /** F1: the md5-modulo routing partitioner, bit-for-bit vs the
+    * oracle (`unpack('N', md5(…)) % n` parity). */
+  val q10_md5_route = GraftQuery(
+    "q10_md5_route",
+    (s, dir) => {
+      Tables.customer(s, dir)
+        .withColumn("route", graft.functions.Routing.md5Route(
+          4, lit("srcdb"), lit("public"), lit("customer"),
+          col("c_custkey").cast("string")))
+        .groupBy(col("route")).agg(count(lit(1)).as("n"))
+        .orderBy(col("route"))
+    },
+    Some("""SELECT route, COUNT(*) AS n FROM (
+      SELECT CAST(('0x' || substring(
+          md5('srcdb|public|customer|' || CAST(c_custkey AS VARCHAR)),
+          1, 8)) AS BIGINT) % 4 AS route
+      FROM customer)
+      GROUP BY route ORDER BY route"""))
+
+  /** P5: the db/slot restriction predicate over a synthetic
+    * multi-source spool shape. */
+  val q11_db_slot = GraftQuery(
+    "q11_db_slot",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+        .withColumn("database", concat(lit("db"), pmod(col("user_id"), lit(3))))
+        .withColumn("slot", concat(lit("slot"), pmod(col("event_id"), lit(2))))
+      e.filter(graft.functions.Routing.dbSlotRestriction(
+        Map("db0" -> "slot0", "db1" -> "slot1"),
+        col("database"), col("slot")))
+        .groupBy(col("database")).agg(count(lit(1)).as("n"))
+        .orderBy(col("database"))
+    },
+    Some("""SELECT database, COUNT(*) AS n FROM (
+      SELECT 'db' || CAST(user_id % 3 AS VARCHAR) AS database,
+             'slot' || CAST(event_id % 2 AS VARCHAR) AS slot
+      FROM events)
+      WHERE database NOT IN ('db0','db1')
+         OR (database = 'db0' AND slot = 'slot0')
+         OR (database = 'db1' AND slot = 'slot1')
+      GROUP BY database ORDER BY database"""))
+
   def all: Seq[GraftQuery] = Seq(
     q1_agg, q2_join_agg, q3_multi_join, q4_topk, q5_distinct,
-    q6_anti_join, q7_semi_join, q8_min_window, q9_event_batches)
+    q6_anti_join, q7_semi_join, q8_min_window, q9_event_batches,
+    q10_md5_route, q11_db_slot)
 }

@@ -32,7 +32,8 @@ final class CdcStreamEngine(
     registry: SchemaRegistry,
     store: TableStore,
     ddlHandler: graft.ddl.DdlEvent => Unit = _ => (),
-    strict: Boolean = false) {
+    strict: Boolean = false,
+    archiveDir: Option[String] = None) {
 
   /** One micro-batch: the replay loop body. Public for batch-mode
     * reuse and direct testing.
@@ -92,6 +93,19 @@ final class CdcStreamEngine(
 
       // A2/A3: one atomic cross-table commit per batch.
       if (updates.nonEmpty) store.commit(updates)
+
+      // K5 --keep_data / E4 archive CTE analog: applied spool records
+      // move to the audit table instead of vanishing. Partitioned by
+      // batch so a replayed batch overwrites its own partition
+      // (idempotent), mirroring `WITH deleted AS (DELETE … RETURNING *)
+      // INSERT INTO replication.replayed` (`replayer/connemara_replay.pl:521-526`).
+      archiveDir.foreach { dir =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(dir)
+      }
     } finally parsed.unpersist()
   }
 

@@ -1,0 +1,49 @@
+package graft
+
+import graft.decode.Framing
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Framing classification — the reference's CUnit vectors verbatim
+  * (`connemara_replication/tests/connemara_basic_test.c:5-25`,
+  * quoted in FIXTURES.md §3).
+  */
+class FramingSpec extends AnyFunSuite {
+
+  test("is_first_message: CUnit vectors") {
+    assert(Framing.isFirst(
+      """{"xid":1234,"timestamp":"2021-03-17 10:04:29.123456+01", "change": ["""))
+    assert(Framing.isFirst("""{"xid":1,"timestamp":"2021-03-17 10:04:29+01","change":[]}"""))
+    assert(!Framing.isFirst(""",{"kind":"insert"}"""))
+    assert(!Framing.isFirst("]}"))
+  }
+
+  test("is_last_message: CUnit vectors") {
+    assert(Framing.isLast("]}"))
+    assert(Framing.isLast(" ]} "))
+    assert(!Framing.isLast("""{"xid":1234,"timestamp":"x","change":["""))
+    assert(!Framing.isLast(""",{"kind":"delete"}"""))
+  }
+
+  test("first header extracts xid and the timestamp grammar (F3)") {
+    assert(Framing.firstHeader(
+      """{"xid":1234,"timestamp":"2021-03-17 10:04:29.123456+01", "change": [""")
+      .contains((1234L, "2021-03-17 10:04:29.123456+01")))
+  }
+
+  test("reassemble: transaction context carried onto each change") {
+    val chunks = Iterator(
+      """{"xid":7,"timestamp":"2021-03-17 10:04:29+01", "change": [""",
+      """{"kind":"insert","schema":"public","table":"t"}""",
+      """,{"kind":"delete","schema":"public","table":"t"}""",
+      "]}",
+      """,{"kind":"orphan-outside-txn"}""", // dropped: no open transaction
+      """{"xid":8,"timestamp":"2021-03-17 10:05:00+01", "change": [""",
+      """{"kind":"update"}""",
+      "]}")
+    val out = Framing.reassemble(chunks).toSeq
+    assert(out == Seq(
+      (7L, "2021-03-17 10:04:29+01", """{"kind":"insert","schema":"public","table":"t"}"""),
+      (7L, "2021-03-17 10:04:29+01", """{"kind":"delete","schema":"public","table":"t"}"""),
+      (8L, "2021-03-17 10:05:00+01", """{"kind":"update"}""")))
+  }
+}
