@@ -100,6 +100,20 @@ object ApplyEngine {
       else lit(null).cast(f.dataType).as(f.name)
     }: _*)
 
+  /** The merge is deliberately NOT a full-outer join: full-outer
+    * can only run as a shuffle join in Spark, which re-shuffles the
+    * ENTIRE target per batch. Instead:
+    *
+    *   kept     = target LEFT OUTER JOIN changes   — st null → keep,
+    *              `patch` → column overrides, `del`/`row` → drop old
+    *   replaced = changes where st = `row`, built purely from vals
+    *   result   = kept ∪ replaced
+    *
+    * One scan of the target; with a small change set the left-outer
+    * join broadcasts (forced by `broadcastChanges`, or AQE decides),
+    * so the target never shuffles — the property that matters at
+    * 100 TB where changes/batch ≪ table size.
+    */
   def merge(target0: DataFrame, collapsed: DataFrame, meta: TableMeta,
             broadcastChanges: Boolean = false): DataFrame = {
     val target = conform(target0, meta.schema)
@@ -108,32 +122,42 @@ object ApplyEngine {
       PgTypeMapper.castFromText(element_at(col("key"), i + 1), meta.colType(c))
         .as(s"__k_$c")
     }
+    // `chg` feeds BOTH union branches; without materialization the
+    // whole decode→collapse subtree runs twice (exchange reuse does
+    // not fire across the differing branch filters). localCheckpoint
+    // is lazy=false-free and needs no explicit unpersist bookkeeping
+    // at call sites; the collapsed set is small (≤ batch keys).
     val chg0 = collapsed.select(typedKeys :+ col("st") :+ col("vals"): _*)
+      .localCheckpoint(eager = false)
     val chg = if (broadcastChanges) broadcast(chg0) else chg0
+
+    def fromVals(c: String): Column = {
+      val dt = meta.colType(c)
+      when(
+        map_contains_key(col("vals"), lit(c)),
+        PgTypeMapper.castFromText(element_at(col("vals"), lit(c)), dt))
+    }
 
     val joinCond = meta.pkCols
       .map(c => target(c) <=> chg(s"__k_$c"))
       .reduce(_ && _)
-    val joined = target.join(chg, joinCond, "full_outer")
+    val kept = target.join(chg, joinCond, "left_outer")
+      .filter(col("st").isNull || col("st") === "patch")
+      .select(meta.schema.fieldNames.map { c =>
+        when(col("st") === "patch", fromVals(c).otherwise(target(c)))
+          .otherwise(target(c))
+          .as(c)
+      }: _*)
 
-    def outCol(c: String): Column = {
-      val dt = meta.colType(c)
-      val fromVals = when(
-        map_contains_key(col("vals"), lit(c)),
-        PgTypeMapper.castFromText(element_at(col("vals"), lit(c)), dt))
-      val base =
-        if (meta.pkCols.contains(c)) coalesce(target(c), col(s"__k_$c"))
-        else target(c)
-      when(col("st").isNull, base) // untouched target row
-        .when(col("st") === "row", fromVals.otherwise(lit(null).cast(dt)))
-        .when(col("st") === "patch", fromVals.otherwise(base))
-        .otherwise(base)
-        .as(c)
-    }
+    val replaced = chg
+      .filter(col("st") === "row")
+      .select(meta.schema.fieldNames.map { c =>
+        val dt = meta.colType(c)
+        if (meta.pkCols.contains(c)) col(s"__k_$c").cast(dt).as(c)
+        else fromVals(c).otherwise(lit(null).cast(dt)).as(c)
+      }: _*)
 
-    joined
-      .filter(col("st").isNull || col("st") =!= "del")
-      .select(meta.schema.fieldNames.map(outCol): _*)
+    kept.unionByName(replaced)
   }
 
   /** Parity validations (strict mode, SURVEY §2.8 A9 fail-fast):

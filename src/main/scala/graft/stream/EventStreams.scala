@@ -1,0 +1,91 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-stream processing beyond the CDC parity surface: the
+  * standard large-pipeline shapes — watermarked tumbling-window
+  * aggregation (the reference's 30 s event-time cadence, A2/G7, as a
+  * first-class streaming agg) and gap-based sessionization with
+  * custom state (`flatMapGroupsWithState`).
+  *
+  * Both run identically over `readStream` (micro-batch, stateful
+  * across batches) and plain batch DataFrames (tests/backfill).
+  */
+object EventStreams {
+
+  /** Tumbling event-time windows with a watermark for state eviction:
+    * `window($"ts", "30 seconds")` per event type. Late rows beyond
+    * the watermark are dropped — the knob the reference never needed
+    * (its spool is exactly ordered) but any at-scale stream does.
+    */
+  def windowedStats(events: DataFrame, eventTime: String = "ts",
+                    windowLength: String = "30 seconds",
+                    watermark: String = "2 minutes"): DataFrame =
+    events
+      .withWatermark(eventTime, watermark)
+      .groupBy(window(col(eventTime), windowLength), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value")).as("total_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  final case class Event(user_id: Long, ts: java.sql.Timestamp,
+                         event_type: String, value: Double)
+  final case class SessionAcc(start: Long, end: Long, n: Long, total: Double)
+  final case class Session(user_id: Long, session_start: java.sql.Timestamp,
+                           session_end: java.sql.Timestamp, n_events: Long,
+                           total_value: Double)
+
+  /** Gap-based sessionization: events of one user belong to one
+    * session while consecutive gaps stay under `gapSeconds`. Sessions
+    * close via event-time timeout once the watermark passes
+    * session_end + gap — classic
+    * `groupByKey.flatMapGroupsWithState` custom state.
+    */
+  def sessionize(events: Dataset[Event], gapSeconds: Long,
+                 watermark: String = "30 seconds"): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def toSession(uid: Long, a: SessionAcc): Session =
+      Session(uid, new java.sql.Timestamp(a.start), new java.sql.Timestamp(a.end),
+        a.n, a.total)
+
+    val fn = (uid: Long, evs: Iterator[Event], state: GroupState[SessionAcc]) => {
+      if (evs.isEmpty && state.hasTimedOut) {
+        // watermark passed: close the open session
+        val out = state.getOption.map(toSession(uid, _)).iterator
+        state.remove()
+        out
+      } else {
+        val sorted = evs.toSeq.sortBy(_.ts.getTime)
+        var acc = state.getOption.orNull
+        val closed = scala.collection.mutable.Buffer.empty[Session]
+        sorted.foreach { e =>
+          val t = e.ts.getTime
+          if (acc == null) acc = SessionAcc(t, t, 1, e.value)
+          else if (t - acc.end <= gapSeconds * 1000) {
+            acc = SessionAcc(acc.start, math.max(acc.end, t), acc.n + 1, acc.total + e.value)
+          } else {
+            closed += toSession(uid, acc)
+            acc = SessionAcc(t, t, 1, e.value)
+          }
+        }
+        if (acc != null) {
+          state.update(acc)
+          state.setTimeoutTimestamp(acc.end + gapSeconds * 1000)
+        }
+        closed.iterator
+      }
+    }
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+}
