@@ -60,6 +60,67 @@ object Similarity {
     bits.reduce((x, y) => x.bitwiseOR(y))
   }
 
+  /** Embedding-cosine near-duplicate pairs, brute force within a
+    * blocking column (the exact baseline; LSH/IVF are the scale
+    * variants). Pairs (id_a < id_b) with cosine ≥ threshold.
+    */
+  def cosineNearDuplicates(corpus: DataFrame, idCol: String, vecCol: String,
+                           threshold: Double): DataFrame = {
+    val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /** IVF-style ANN: a deterministic coarse quantizer (every
+    * `corpusSize/k`-th vector by id is a centroid — stand-in for a
+    * trained codebook), vectors assigned to their nearest centroid,
+    * queries probe the `nProbe` nearest cells. The candidate join is
+    * keyed by cell — the inverted-file layout that scales: each query
+    * touches nProbe/k of the corpus.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    // deterministic "codebook": lowest-id vector of each id%nCells class
+    val centroids = broadcast(
+      corpus.withColumn("cell", pmod(col(idCol), lit(nCells)).cast("int"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("cell")).orderBy(col(idCol))))
+        .filter(col("rn") === 1)
+        .select(col("cell"), col(vecCol).as("centroid")))
+
+    def assign(df: DataFrame, vec: String, n: Int): DataFrame = {
+      // rank cells by cosine to the vector, keep top n
+      val scored = df.crossJoin(centroids)
+        .withColumn("csim", cosine(col(vec), col("centroid")))
+      val w = Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("cell"))
+      scored.withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= n)
+        .drop("centroid", "csim", "crank")
+    }
+
+    val c = assign(corpus.select(col(idCol), col(vecCol)), vecCol, 1)
+      .select(col("cell"), col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    val q = assign(queries.select(col(idCol), col(vecCol)), vecCol, nProbe)
+      .select(col("cell"), col(idCol).as("query_id"), col(vecCol).as("qvec"))
+
+    val scored = q.join(c, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("qvec"), col("neighbor_id"), col("cvec"))
+      .distinct()
+      .withColumn("cos", cosine(col("qvec"), col("cvec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
   /** LSH-bucketed ANN: join query and corpus on bucket key (equality
     * on all sign bits), then exact cosine + top-k within candidates.
     * Misses are possible (it's approximate); multi-probe = union over

@@ -224,8 +224,64 @@ object Relational {
          OR (database = 'db1' AND slot = 'slot1')
       GROUP BY database ORDER BY database"""))
 
+  /** W2-style analytic windows: per-customer order sequencing with
+    * row_number + lag — the ranking form of the per-key ordered
+    * collapse the CDC engine does internally. */
+  val q12_window = GraftQuery(
+    "q12_window",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables.orders(s, dir)
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      o.select(
+        col("o_custkey"), col("o_orderkey"),
+        row_number().over(w).as("seq"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_orderkey"))
+        .filter(col("seq") <= 3)
+        .orderBy(col("o_custkey"), col("seq"))
+    },
+    Some("""SELECT o_custkey, o_orderkey, CAST(seq AS INTEGER) AS seq, prev_orderkey
+      FROM (
+        SELECT o_custkey, o_orderkey,
+          row_number() OVER w AS seq,
+          lag(o_orderkey, 1) OVER w AS prev_orderkey
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+      WHERE seq <= 3 ORDER BY o_custkey, seq"""))
+
+  /** E1: set difference — nations with customers but no suppliers. */
+  val q13_except = GraftQuery(
+    "q13_except",
+    (s, dir) => {
+      val c = Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
+      val su = Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey"))
+      c.except(su).orderBy(col("nationkey"))
+    },
+    Some("""SELECT nationkey FROM (
+      SELECT DISTINCT c_nationkey AS nationkey FROM customer
+      EXCEPT SELECT DISTINCT s_nationkey FROM supplier)
+      ORDER BY nationkey"""))
+
+  /** G2 on business data: ordered string_agg — nation list per
+    * region, alphabetical (`string_agg(… ORDER BY …)` parity). */
+  val q14_string_agg = GraftQuery(
+    "q14_string_agg",
+    (s, dir) => {
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir)
+      n.join(r, n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(concat_ws(",",
+          array_sort(collect_list(col("n_name")))).as("nations"))
+        .orderBy(col("r_name"))
+    },
+    Some("""SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name ORDER BY r_name"""))
+
   def all: Seq[GraftQuery] = Seq(
     q1_agg, q2_join_agg, q3_multi_join, q4_topk, q5_distinct,
     q6_anti_join, q7_semi_join, q8_min_window, q9_event_batches,
-    q10_md5_route, q11_db_slot)
+    q10_md5_route, q11_db_slot, q12_window, q13_except, q14_string_agg)
 }

@@ -212,6 +212,37 @@ object TrainingData {
     },
     None)
 
+  /** Embedding-cosine near-dup pairs over a bounded subset, exact
+    * baseline — oracle recomputes with list_cosine_similarity. The
+    * 0.8 threshold sits far from the cross-engine double divergence
+    * (~1e-15). */
+  val td_embedding_neardup = GraftQuery(
+    "td_embedding_neardup",
+    (s, dir) => {
+      Similarity.cosineNearDuplicates(
+        Tables.embeddings(s, dir).filter(col("vec_id") < 150),
+        "vec_id", "embedding", 0.8)
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE a.vec_id < 150 AND b.vec_id < 150
+        AND list_cosine_similarity(a.embedding, b.embedding) >= 0.8
+      ORDER BY id_a, id_b"""))
+
+  /** IVF ANN (deterministic coarse quantizer — rows-only). */
+  val td_ann_ivf = GraftQuery(
+    "td_ann_ivf",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(e.filter(col("vec_id") < 20), e,
+        "vec_id", "embedding", 5, nCells = 16, nProbe = 4)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    None)
+
   /** LSH ANN (approximate, hash-defined buckets — rows-only). */
   val td_ann_lsh = GraftQuery(
     "td_ann_lsh",
@@ -258,5 +289,6 @@ object TrainingData {
   def all: Seq[GraftQuery] = Seq(
     td_text_stats, td_lang_id, td_fingerprint, td_dedup_exact,
     td_char_jaccard, td_cosine_topk, td_minhash_neardup, td_simhash,
-    td_ann_lsh, td_media_meta, td_media_features)
+    td_ann_lsh, td_embedding_neardup, td_ann_ivf,
+    td_media_meta, td_media_features)
 }

@@ -2,6 +2,8 @@ package graft.stream
 
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
+import scala.jdk.CollectionConverters._
+
 import graft.model.TableId
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -73,4 +75,46 @@ final class TableStore(spark: SparkSession, root: String) {
     */
   def drop(id: TableId): Unit =
     writeManifest(manifest() - id.qualified)
+
+  /** Delete version directories below the committed one (keeping the
+    * committed version plus `keepHistory` older ones for in-flight
+    * readers). The spool-retirement analog for table versions —
+    * without it every batch's full rewrite accumulates forever.
+    * Returns the number of directories removed.
+    */
+  def vacuum(keepHistory: Int = 1): Int = {
+    val m = manifest()
+    var removed = 0
+    m.foreach { case (qualified, committed) =>
+      val tableDir = Paths.get(root, qualified)
+      if (Files.isDirectory(tableDir)) {
+        val children = {
+          val s = Files.list(tableDir)
+          try s.iterator().asScala.toList finally s.close()
+        }
+        children.foreach { p =>
+          val name = p.getFileName.toString
+          if (name.startsWith("v=")) {
+            val v = name.stripPrefix("v=").toLong
+            if (v < committed - keepHistory) {
+              deleteRecursively(p)
+              removed += 1
+            }
+          }
+        }
+      }
+    }
+    removed
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val children = {
+        val s = Files.list(p)
+        try s.iterator().asScala.toList finally s.close()
+      }
+      children.foreach(deleteRecursively)
+    }
+    Files.deleteIfExists(p)
+  }
 }

@@ -135,6 +135,34 @@ class ApplyEngineSpec extends SparkSpec {
     assert(applied(target((7L, "C", 1.0, "X")), s) == Seq(Row(7L, "C", 1.0, "X")))
   }
 
+  test("full PG type breadth: bool/date/timestamp/numeric/bytea decode") {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("active", BooleanType),
+      StructField("born", DateType),
+      StructField("seen", TimestampType),
+      StructField("balance", DecimalType(38, 18)),
+      StructField("blob", BinaryType)))
+    val m = TableMeta(TableId("srcdb", "public", "typed"), schema, Seq("id"))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], schema)
+    val s = spool((1L,
+      """{"kind":"insert","schema":"public","table":"typed",
+         "columnnames":["id","active","born","seen","balance","blob"],
+         "columnvalues":[7,true,"2021-03-17",
+           "2021-03-17 10:04:29.123456+01","12345.678900",
+           "48656c6c6f"]}"""))
+    val out = ApplyEngine.applyChanges(
+      empty, Wal2Json.decodeEvents(Wal2Json.parse(s), m), m).collect()(0)
+    assert(out.getAs[Boolean]("active"))
+    assert(out.getAs[java.sql.Date]("born").toString == "2021-03-17")
+    assert(out.getAs[java.sql.Timestamp]("seen").toInstant.toString ==
+      "2021-03-17T09:04:29.123456Z") // +01 offset applied, UTC session
+    assert(out.getAs[java.math.BigDecimal]("balance")
+      .compareTo(new java.math.BigDecimal("12345.6789")) == 0)
+    assert(new String(out.getAs[Array[Byte]]("blob")) == "Hello") // hex bytea
+  }
+
   test("composite PK: lineitem-style two-column key") {
     val liSchema = StructType(Seq(
       StructField("l_orderkey", LongType),

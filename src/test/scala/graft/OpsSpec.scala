@@ -91,6 +91,24 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("ivfTopK cosines agree with the exhaustive ranking") {
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, (0 until 8).map(j => ((i * 11 + j * 7) % 19 - 9).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") < 4)
+    val all = Similarity.bruteForceTopK(q, vecs, "vec_id", "embedding", 59)
+      .select("query_id", "neighbor_id", "cos")
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    val ivf = Similarity.ivfTopK(q, vecs, "vec_id", "embedding", 5,
+      nCells = 8, nProbe = 3)
+      .select("query_id", "neighbor_id", "cos")
+      .as[(Long, Long, Double)].collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { case (qid, nid, c) =>
+      assert(math.abs(all((qid, nid)) - c) < 1e-12, s"pair ($qid,$nid)")
+    }
+  }
+
   test("multimodal: batched stub decode preserves ids and byte counts") {
     val docs = Seq((1L, "abc"), (2L, "defg"), (3L, "")).toDF("doc_id", "text")
     val out = Multimodal.extractFeatures(

@@ -29,6 +29,21 @@ class SnapshotSpec extends SparkSpec {
     assert(Snapshot.readStartLsn(root).contains(0xA0000000BL))
   }
 
+  test("vacuum removes superseded versions, keeps committed + history") {
+    val root = Files.createTempDirectory("vac-spec-").toString
+    val store = new TableStore(spark, root)
+    val tid = TableId("srcdb", "public", "t")
+    (0L to 4L).foreach { v =>
+      store.stage(tid, Seq((v, s"v$v")).toDF("id", "v"), v)
+      store.commit(Map(tid -> v))
+    }
+    val removed = store.vacuum(keepHistory = 1)
+    assert(removed == 3) // v0,v1,v2 gone; v3 (history) + v4 (committed) stay
+    assert(store.read(tid).collect().map(_.getString(1)).toSeq == Seq("v4"))
+    assert(store.readVersion(tid, 3L).count() == 1)
+    intercept[Exception] { store.readVersion(tid, 0L).count() }
+  }
+
   test("validatePrimaryKey flags only duplicated key tuples") {
     val df = Seq((1L, 1), (1L, 2), (2L, 1), (1L, 1)).toDF("k1", "k2")
     val bad = Snapshot.validatePrimaryKey(df, Seq("k1", "k2")).collect()
