@@ -16,7 +16,8 @@ object DdlAst {
 
   sealed trait DdlStatement { def raw: String }
   final case class CreateTable(raw: String, table: QualifiedName,
-      columns: Seq[(String, String)], ifNotExists: Boolean) extends DdlStatement
+      columns: Seq[(String, String)], ifNotExists: Boolean,
+      pkCols: Seq[String] = Seq.empty) extends DdlStatement
   final case class DropTable(raw: String, table: QualifiedName,
       ifExists: Boolean) extends DdlStatement
   final case class TruncateTable(raw: String, table: QualifiedName) extends DdlStatement
@@ -58,6 +59,25 @@ object DdlAst {
   private val createSchemaRe =
     s"""(?is)^CREATE\\s+SCHEMA\\s+(IF\\s+NOT\\s+EXISTS\\s+)?$ident\\s*$$""".r
   private val tagRe = """(?is)^\s*([A-Za-z]+(?:\s+[A-Za-z]+)?)""".r
+
+  /** Primary-key columns from a `CREATE TABLE (...)` body: a
+    * table-level `PRIMARY KEY (a, b)` clause, or an inline
+    * `<col> <type> … PRIMARY KEY`. */
+  private def parsePkCols(body: String): Seq[String] = {
+    val tableLevel = """(?is)\bPRIMARY\s+KEY\s*\(([^)]*)\)""".r
+      .findFirstMatchIn(body)
+      .map(_.group(1).split(",").toSeq
+        .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty))
+    tableLevel.getOrElse {
+      mutable.split(body).flatMap { p =>
+        val t = p.trim
+        val inline = s"""(?is)^$ident\\s+.*\\bPRIMARY\\s+KEY\\b.*$$""".r
+        inline.findFirstMatchIn(t)
+          .filterNot(_ => t.toUpperCase.startsWith("PRIMARY"))
+          .map(m => Option(m.group(1)).getOrElse(m.group(2)))
+      }
+    }
+  }
 
   /** Split a `CREATE TABLE (...)` body into (name, type) pairs,
     * respecting parens/quotes; constraint clauses are dropped.
@@ -106,7 +126,7 @@ object DdlAst {
     s match {
       case createTableRe(ine, q1, b1, q2, b2, body) =>
         CreateTable(s, qn(List(Option(q1), Option(b1), Option(q2), Option(b2))),
-          parseColumns(body), ine != null)
+          parseColumns(body), ine != null, parsePkCols(body))
       case dropTableRe(ife, q1, b1, q2, b2, _) =>
         DropTable(s, qn(List(Option(q1), Option(b1), Option(q2), Option(b2))), ife != null)
       case addColRe(q1, b1, q2, b2, ine, cq, cb, typ) =>

@@ -58,17 +58,20 @@ final class DdlInterpreter(
 
   private def apply(db: String, stmt: DdlStatement, searchPath: Seq[String]): Unit =
     stmt match {
-      case CreateTable(_, t, cols, ifNotExists) =>
+      case CreateTable(_, t, cols, ifNotExists, pkCols) =>
         val id = tableId(db, t, searchPath)
         if (registry.get(id).isEmpty) {
           val fields = cols.map { case (n, typ) =>
             StructField(n, PgTypeMapper.toSpark(typ))
           }
-          // PK discovery is catalog-driven in the reference; until a
-          // caller registers real PKs, the first column serves.
+          // PK from the statement itself (table-level or inline);
+          // first column only as the last-resort fallback (the
+          // reference discovers PKs from the live catalog).
+          val pk =
+            if (pkCols.nonEmpty && pkCols.forall(c => fields.exists(_.name == c))) pkCols
+            else Seq(fields.head.name)
           val meta = TableMeta(id,
-            org.apache.spark.sql.types.StructType(fields),
-            Seq(fields.head.name))
+            org.apache.spark.sql.types.StructType(fields), pk)
           registry.register(meta)
           store.stage(id, spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta.schema), 0L)

@@ -54,7 +54,7 @@ object DdlRules {
     if (skipRegexes.exists(_.findFirstIn(raw).isDefined)) return Skip
 
     val inIgnoredSchema = stmt match {
-      case CreateTable(_, t, _, _) => t.schema.exists(ignoredSchemas)
+      case CreateTable(_, t, _, _, _) => t.schema.exists(ignoredSchemas)
       case DropTable(_, t, _)      => t.schema.exists(ignoredSchemas)
       case TruncateTable(_, t)     => t.schema.exists(ignoredSchemas)
       case AddColumn(_, t, _, _, _) => t.schema.exists(ignoredSchemas)

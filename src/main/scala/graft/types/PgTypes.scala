@@ -10,7 +10,12 @@ import org.apache.spark.sql.types._
   * `Column.cast`, driven by this map.
   */
 object PgTypeMapper {
+  private val numericRe = """(numeric|decimal)\s*\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)""".r
+
   def toSpark(pgType: String): DataType = pgType.toLowerCase.trim match {
+    case numericRe(_, p, s) =>
+      val prec = math.min(p.toInt, 38)
+      DecimalType(prec, math.min(Option(s).map(_.toInt).getOrElse(0), prec))
     case t if t.startsWith("numeric") || t.startsWith("decimal") => DecimalType(38, 18)
     case "smallint" | "int2"                 => ShortType
     case "integer" | "int" | "int4" | "xid"  => IntegerType

@@ -110,6 +110,31 @@ class CdcStreamSpec extends SparkSpec {
     assert(state(store).map(_.getDouble(2)) == Seq(10.0, 20.0, 33.0))
   }
 
+  test("cross-table batch: both tables commit in one manifest cut (A2/A3)") {
+    val oid = TableId("srcdb", "public", "orders")
+    val (engine0, store, registry, spool, ckpt) = freshEngine()
+    registry.register(TableMeta(oid, StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_total", DoubleType))), Seq("o_orderkey")))
+    store.stage(oid, Seq((100L, 5.0)).toDF("o_orderkey", "o_total"), 0L)
+    store.commit(Map(oid -> 0L))
+
+    spoolBatch(
+      (1L, """{"kind":"update","schema":"public","table":"customer",
+        "columnnames":["c_custkey","c_acctbal"],"columnvalues":[1,77.0],
+        "oldkeys":{"keynames":["c_custkey"],"keyvalues":[1]}}"""),
+      (2L, """{"kind":"insert","schema":"public","table":"orders",
+        "columnnames":["o_orderkey","o_total"],"columnvalues":[101,9.0]}"""))
+      .coalesce(1).write.mode("append").parquet(spool)
+    run(engine0, spool, ckpt)
+
+    // one batch → both tables at the same version in one manifest
+    val m = store.manifest()
+    assert(m("srcdb_public.customer") == m("srcdb_public.orders"))
+    assert(state(store).map(_.getDouble(2)).head == 77.0)
+    assert(store.read(oid).count() == 2)
+  }
+
   test("strict mode aborts the query on an apply violation") {
     val (engine0, store, registry, spool, ckpt) = freshEngine()
     val strictEngine = new CdcStreamEngine(spark, registry, store, strict = true)

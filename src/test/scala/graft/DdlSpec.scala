@@ -34,9 +34,20 @@ class DdlSpec extends SparkSpec {
       DropColumn("""ALTER TABLE "s1".t DROP COLUMN IF EXISTS old_col CASCADE""",
         QualifiedName(Some("s1"), "t"), "old_col", true))
     DdlAst.parse("CREATE TABLE s.t (id bigint NOT NULL, name text, val numeric(10,2) DEFAULT 0, PRIMARY KEY (id))") match {
-      case CreateTable(_, t, cols, _) =>
+      case CreateTable(_, t, cols, _, pk) =>
         assert(t == QualifiedName(Some("s"), "t"))
         assert(cols == Seq(("id", "bigint"), ("name", "text"), ("val", "numeric(10,2)")))
+        assert(pk == Seq("id"))
+      case other => fail(s"got $other")
+    }
+    DdlAst.parse("CREATE TABLE li (ok bigint, ln int, qty double precision, PRIMARY KEY (ok, ln))") match {
+      case CreateTable(_, _, _, _, pk) => assert(pk == Seq("ok", "ln"))
+      case other => fail(s"got $other")
+    }
+    DdlAst.parse("CREATE TABLE t2 (id bigint PRIMARY KEY, v text)") match {
+      case CreateTable(_, _, cols, _, pk) =>
+        assert(pk == Seq("id"))
+        assert(cols.head == ("id", "bigint"))
       case other => fail(s"got $other")
     }
     assert(DdlAst.parse("TRUNCATE TABLE ONLY public.big") ==

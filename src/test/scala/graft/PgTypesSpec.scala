@@ -28,7 +28,9 @@ class PgTypesSpec extends SparkSpec {
 
   test("PG typname mapping") {
     assert(PgTypeMapper.toSpark("text") == StringType)
-    assert(PgTypeMapper.toSpark("numeric(10,2)") == DecimalType(38, 18))
+    assert(PgTypeMapper.toSpark("numeric(10,2)") == DecimalType(10, 2))
+    assert(PgTypeMapper.toSpark("numeric") == DecimalType(38, 18))
+    assert(PgTypeMapper.toSpark("numeric(64,30)") == DecimalType(38, 30))
     assert(PgTypeMapper.toSpark("timestamp with time zone") == TimestampType)
     assert(PgTypeMapper.toSpark("bytea") == BinaryType)
     assert(PgTypeMapper.toSpark("integer[]") == ArrayType(IntegerType))
