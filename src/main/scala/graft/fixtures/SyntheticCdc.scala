@@ -121,4 +121,46 @@ object SyntheticCdc {
     p1.unionByName(p2).unionByName(p3).unionByName(p4)
       .unionByName(p5).unionByName(p6).unionByName(p7)
   }
+
+  /** Composite-key change log over a lineitem-shaped target
+    * (PK = l_orderkey, l_linenumber — the fixture's raw table has
+    * duplicate pairs, so callers pass a key-unique projection).
+    * Mod-10 classes of l_orderkey:
+    *  - %10 = 1 : partial UPDATE  l_quantity += 5      (phase 1)
+    *  - %10 = 0 : DELETE of line 1 only                (phase 2)
+    */
+  def lineitemLog(li: DataFrame): DataFrame = {
+    val ok = col("l_orderkey")
+    val oks = ok.cast("string")
+    val lns = col("l_linenumber").cast("string")
+
+    def payload(kind: String, names: Seq[String], values: Seq[Column],
+                withOld: Boolean): Column = {
+      val base = Seq(
+        lit(kind).as("kind"), lit("public").as("schema"), lit("lineitem").as("table"))
+      val cols =
+        (if (names.nonEmpty)
+          Seq(array(names.map(lit): _*).as("columnnames"),
+            array(values: _*).as("columnvalues"))
+        else Seq.empty) ++
+        (if (withOld)
+          Seq(struct(
+            array(lit("l_orderkey"), lit("l_linenumber")).as("keynames"),
+            array(oks, lns).as("keyvalues")).as("oldkeys"))
+        else Seq.empty)
+      to_json(struct(base ++ cols: _*))
+    }
+
+    val lsnKey = ok * 10 + col("l_linenumber")
+    val p1 = spoolRows(
+      li.filter(pmod(ok, lit(10)) === 1), 1,
+      payload("update",
+        Seq("l_orderkey", "l_linenumber", "l_quantity"),
+        Seq(oks, lns, (col("l_quantity") + 5).cast("string")),
+        withOld = true), lsnKey)
+    val p2 = spoolRows(
+      li.filter(pmod(ok, lit(10)) === 0 && col("l_linenumber") === 1), 2,
+      payload("delete", Seq.empty, Seq.empty, withOld = true), lsnKey)
+    p1.unionByName(p2)
+  }
 }

@@ -98,5 +98,44 @@ object Cdc {
         (SELECT COUNT(*) FROM customer WHERE c_custkey % 10 IN (1,2))
       ) ORDER BY st"""))
 
-  def all: Seq[GraftQuery] = Seq(cdc_apply, cdc_decode_counts, cdc_collapse_counts)
+  /** Composite-PK apply over the biggest fixture table: output is an
+    * aggregate of the merged state (full 600k-row dumps would slow
+    * the gate; sums pin every row's post-merge value anyway). */
+  val cdc_apply_lineitem = GraftQuery(
+    "cdc_apply_lineitem",
+    (s, dir) => {
+      // the raw fixture has duplicate (orderkey, linenumber) pairs —
+      // CDC needs a key-unique target, so apply onto a deduped
+      // projection (mirrored in the oracle)
+      val li = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(max(col("l_quantity")).as("l_quantity"))
+      val meta = TableMeta(
+        TableId("srcdb", "public", "lineitem"), li.schema,
+        Seq("l_orderkey", "l_linenumber"))
+      val spool = SyntheticCdc.lineitemLog(li)
+      val events = Wal2Json.decodeEvents(Wal2Json.parse(spool), meta)
+      ApplyEngine.applyChanges(li, events, meta)
+        .groupBy(pmod(col("l_orderkey"), lit(10)).cast("int").as("okmod"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,6)")).cast("double").as("sum_qty"))
+        .orderBy(col("okmod"))
+    },
+    Some("""WITH t AS (
+        SELECT l_orderkey, l_linenumber, MAX(l_quantity) AS l_quantity
+        FROM lineitem GROUP BY 1, 2)
+      SELECT CAST(l_orderkey % 10 AS INTEGER) AS okmod,
+        COUNT(*) AS n_rows,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+      FROM (
+        SELECT l_orderkey, l_linenumber,
+          CASE WHEN l_orderkey % 10 = 1 THEN l_quantity + 5
+               ELSE l_quantity END AS l_quantity
+        FROM t
+        WHERE NOT (l_orderkey % 10 = 0 AND l_linenumber = 1))
+      GROUP BY 1 ORDER BY okmod"""))
+
+  def all: Seq[GraftQuery] = Seq(
+    cdc_apply, cdc_decode_counts, cdc_collapse_counts, cdc_apply_lineitem)
 }

@@ -33,7 +33,8 @@ final class CdcStreamEngine(
     store: TableStore,
     ddlHandler: graft.ddl.DdlEvent => Unit = _ => (),
     strict: Boolean = false,
-    archiveDir: Option[String] = None) {
+    archiveDir: Option[String] = None,
+    tableParallelism: Int = 4) {
 
   /** One micro-batch: the replay loop body. Public for batch-mode
     * reuse and direct testing.
@@ -74,25 +75,35 @@ final class CdcStreamEngine(
       // checkpoint commit) — skip it, or the replay would double-apply.
       val targetVersion = batchId + 1
       val committed = store.manifest()
-      val updates = touched.flatMap { tid =>
+      val work = touched.flatMap { tid =>
         registry.get(tid)
           .filter(meta => committed.get(meta.id.qualified).forall(_ < targetVersion))
-          .map { meta =>
-            val events = Wal2Json.decodeEvents(dml, meta)
-            val collapsed = ApplyEngine.collapse(events)
-            if (strict) {
-              val nViol = ApplyEngine.violations(store.read(meta.id), collapsed, meta).count()
-              if (nViol > 0) throw new IllegalStateException(
-                s"batch $batchId: $nViol apply violations on ${meta.id.qualified}")
-            }
-            val merged = ApplyEngine.merge(store.read(meta.id), collapsed, meta)
-            store.stage(meta.id, merged, targetVersion)
-            meta.id -> targetVersion
-          }
-      }.toMap
+      }
+
+      // Per-table apply jobs run concurrently from the driver — the
+      // nb_threads worker pool of the reference (`replayer/
+      // connemara_replay.pl:764-777`), as concurrent Spark jobs.
+      // Stage dirs are disjoint per table; the manifest commit below
+      // is the only shared write and happens once, after the barrier.
+      val updates: Map[graft.model.TableId, Long] =
+        if (work.length <= 1) {
+          work.map(applyOneTable(_, dml, batchId, targetVersion)).toMap
+        } else {
+          import scala.concurrent.{Await, ExecutionContext, Future}
+          import scala.concurrent.duration.Duration
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(
+            math.min(work.length, tableParallelism))
+          implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+          try Await.result(
+            Future.sequence(work.toSeq.map(meta =>
+              Future(applyOneTable(meta, dml, batchId, targetVersion)))),
+            Duration.Inf).toMap
+          finally pool.shutdown()
+        }
 
       // A2/A3: one atomic cross-table commit per batch.
       if (updates.nonEmpty) store.commit(updates)
+      ()
 
       // K5 --keep_data / E4 archive CTE analog: applied spool records
       // move to the audit table instead of vanishing. Partitioned by
@@ -107,6 +118,20 @@ final class CdcStreamEngine(
           .parquet(dir)
       }
     } finally parsed.unpersist()
+  }
+
+  private def applyOneTable(meta: graft.model.TableMeta, dml: DataFrame,
+                            batchId: Long, targetVersion: Long): (TableId, Long) = {
+    val events = Wal2Json.decodeEvents(dml, meta)
+    val collapsed = ApplyEngine.collapse(events)
+    if (strict) {
+      val nViol = ApplyEngine.violations(store.read(meta.id), collapsed, meta).count()
+      if (nViol > 0) throw new IllegalStateException(
+        s"batch $batchId: $nViol apply violations on ${meta.id.qualified}")
+    }
+    val merged = ApplyEngine.merge(store.read(meta.id), collapsed, meta)
+    store.stage(meta.id, merged, targetVersion)
+    meta.id -> targetVersion
   }
 
   /** Start the streaming replay over a spool directory. */
