@@ -39,7 +39,21 @@ object Snapshot {
       store: TableStore,
       storeRoot: String,
       startLsn: Long,
-      njobs: Int = 8): Report = {
+      njobs: Int = 8,
+      validatePk: Boolean = false): Report = {
+    // validate every table BEFORE staging any: all-or-nothing, no
+    // orphan version dirs or polluted registry on a late failure.
+    // A CDC target MUST be key-unique — duplicate keys make the keyed
+    // merge fan out silently (the batch analog of the reference's
+    // affected-rows==1 dying, replay.pl:417-421).
+    if (validatePk) specs.foreach { spec =>
+      require(spec.pkCols.nonEmpty,
+        s"table ${spec.id.qualified}: no primary key declared")
+      val src = spark.read.parquet(spec.sourcePath)
+      val dups = validatePrimaryKey(src, spec.pkCols).limit(1).count()
+      if (dups > 0) throw new IllegalStateException(
+        s"table ${spec.id.qualified}: PK ${spec.pkCols.mkString(",")} not unique")
+    }
     val reports = specs.map { spec =>
       val src = spark.read.parquet(spec.sourcePath)
       registry.register(TableMeta(spec.id, src.schema, spec.pkCols))

@@ -29,6 +29,41 @@ class SnapshotSpec extends SparkSpec {
     assert(Snapshot.readStartLsn(root).contains(0xA0000000BL))
   }
 
+  test("basebackup validatePk refuses a non-key-unique table, before staging") {
+    val sf = "/root/testdata/sf0.001"
+    val root = Files.createTempDirectory("snap-dup-").toString
+    val store = new TableStore(spark, root)
+    val registry = new SchemaRegistry
+    // construct duplicates explicitly (don't rely on fixture quirks)
+    val dupPath = Files.createTempDirectory("snap-dup-src-").toString + "/t.parquet"
+    val c = spark.read.parquet(s"$sf/customer.parquet")
+    c.unionByName(c.limit(10)).write.parquet(dupPath)
+    // order matters: a VALID table listed first must not get staged
+    // or registered when a later one fails validation
+    val specs = Seq(
+      Snapshot.TableSpec(TableId("srcdb", "public", "customer"),
+        Seq("c_custkey"), s"$sf/customer.parquet"),
+      Snapshot.TableSpec(TableId("srcdb", "public", "dupt"),
+        Seq("c_custkey"), dupPath))
+    val e = intercept[IllegalStateException] {
+      Snapshot.basebackup(spark, specs, registry, store, root, 0L, validatePk = true)
+    }
+    assert(e.getMessage.contains("not unique"))
+    assert(registry.ids.isEmpty)          // nothing registered
+    assert(store.manifest().isEmpty)      // nothing committed
+    // empty PK is a distinct, named error
+    val e2 = intercept[IllegalArgumentException] {
+      Snapshot.basebackup(spark, Seq(Snapshot.TableSpec(
+        TableId("srcdb", "public", "nopk"), Seq.empty, s"$sf/customer.parquet")),
+        registry, store, root, 0L, validatePk = true)
+    }
+    assert(e2.getMessage.contains("no primary key"))
+    // clean data passes with validation on
+    val ok = Snapshot.basebackup(spark, specs.take(1), registry, store, root, 0L,
+      validatePk = true)
+    assert(ok.tables.head.rows == 150L)
+  }
+
   test("vacuum removes superseded versions, keeps committed + history") {
     val root = Files.createTempDirectory("vac-spec-").toString
     val store = new TableStore(spark, root)
