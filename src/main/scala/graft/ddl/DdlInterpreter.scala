@@ -30,7 +30,20 @@ final class DdlInterpreter(
     registry: SchemaRegistry,
     store: TableStore,
     ignoredSchemas: Set[String] = Set.empty,
-    md5Whitelist: Set[String] = Set.empty) {
+    md5Whitelist: Set[String] = Set.empty,
+    /** Applies a column rename to table DATA (the registry alone
+      * would make schema-conform drop the old column's values). The
+      * default rewrites the committed store table; the stream engine
+      * overrides it to rename inside its in-flight working chain. */
+    onRenameData: (TableId, String, String) => Unit = null) {
+
+  private def renameData(id: TableId, from: String, to: String): Unit =
+    if (onRenameData != null) onRenameData(id, from, to)
+    else if (store.exists(id)) {
+      val v = store.manifest()(id.qualified) + 1
+      store.stage(id, store.read(id).withColumnRenamed(from, to), v)
+      store.commit(Map(id -> v))
+    }
 
   /** Post-data statements seen so far (indexes/constraints) — the
     * async-maintenance queue (A12). */
@@ -99,7 +112,9 @@ final class DdlInterpreter(
         registry.dropColumn(tableId(db, t, searchPath), name)
 
       case RenameColumn(_, t, from, to) =>
-        registry.renameColumn(tableId(db, t, searchPath), from, to)
+        val id = tableId(db, t, searchPath)
+        registry.renameColumn(id, from, to)
+        renameData(id, from, to)
 
       case CreateSchema(_, _, _) => () // schemas are implicit in store paths
       case Other(_, _)           => ()

@@ -41,9 +41,17 @@ final class SchemaRemapRule(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 }
 
-/** `SparkSessionExtensions` entry point: inject the remap rule into
-  * analysis. */
+/** `SparkSessionExtensions` entry point: the schema-remap analyzer
+  * rule plus the engine's native SQL functions. */
 final class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectResolutionRule(session => new SchemaRemapRule(session))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("pg_array_parse"),
+      PgArrayParseExpression.info,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1, "pg_array_parse takes one argument")
+        PgArrayParseExpression(children.head)
+      }))
+  }
 }

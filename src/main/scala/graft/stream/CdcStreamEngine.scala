@@ -36,8 +36,36 @@ final class CdcStreamEngine(
     archiveDir: Option[String] = None,
     tableParallelism: Int = 4) {
 
+  // per-batch chained table states; a field so the DDL interpreter's
+  // rename hook can rewrite in-flight results (processBatch is the
+  // stream's single-threaded driver loop — not reentrant)
+  private val working =
+    scala.collection.mutable.LinkedHashMap.empty[TableId, DataFrame]
+
+  /** Rename-hook target for [[graft.ddl.DdlInterpreter]]: renames in
+    * the in-flight working chain when the table was already touched
+    * this batch, else rewrites the committed store version. */
+  def renameTableData(id: TableId, from: String, to: String): Unit =
+    working.get(id) match {
+      case Some(df) => working(id) = df.withColumnRenamed(from, to)
+      case None if store.exists(id) =>
+        val v = store.manifest()(id.qualified) + 1
+        store.stage(id, store.read(id).withColumnRenamed(from, to), v)
+        store.commit(Map(id -> v))
+      case None => ()
+    }
+
   /** One micro-batch: the replay loop body. Public for batch-mode
     * reuse and direct testing.
+    *
+    * DDL is a barrier AT ITS STREAM POSITION (A8): the batch splits
+    * into segments around each DDL, DML segments apply in order with
+    * the DDL executed between them — so e.g. a RENAME COLUMN
+    * mid-batch sees pre-rename DML under the old name and
+    * post-rename DML under the new one, exactly like the reference's
+    * commit-barrier routing (`replayer/connemara_replay.pl:862-876`).
+    * Segment merges chain lazily per table; everything is staged and
+    * committed once at the end of the batch.
     */
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
     if (batch.isEmpty) return
@@ -47,27 +75,23 @@ final class CdcStreamEngine(
       val isDdl = col("p.schema") === "public" &&
         col("p.table") === "sql_ddl_statements"
 
-      // A8: DDL first, under the batch barrier, in stream order.
-      parsed.filter(isDdl)
-        .orderBy(col("insert_timestamp"), col("lsn_start"))
-        .select(col("database"),
+      val ddls = parsed.filter(isDdl)
+        .orderBy(col("xid_timestamp"), col("lsn_start"))
+        .select(col("xid_timestamp"), col("lsn_start"), col("database"),
           map_from_arrays(col("p.columnnames"), col("p.columnvalues")).as("m"))
         .collect()
-        .foreach { r =>
-          val m = r.getMap[String, String](1)
-          ddlHandler(graft.ddl.DdlInterpreter.eventFrom(
-            r.getString(0),
-            Map.empty[String, String] ++ m.toMap.collect {
-              case (k, v) if v != null => k -> v
-            }))
+        .map { r =>
+          val m = r.getMap[String, String](3)
+          (r.getTimestamp(0), r.getLong(1),
+            graft.ddl.DdlInterpreter.eventFrom(
+              r.getString(2),
+              Map.empty[String, String] ++ m.toMap.collect {
+                case (k, v) if v != null => k -> v
+              }))
         }
 
       val dml = parsed.filter(!isDdl)
-      val touched = dml
-        .select(col("database").as("d"), col("p.schema").as("s"), col("p.table").as("t"))
-        .filter(!col("t").startsWith("pg_temp")) // P6
-        .distinct().collect()
-        .map(r => TableId(r.getString(0), r.getString(1), r.getString(2)))
+      val pos = struct(col("xid_timestamp"), col("lsn_start"))
 
       // Batch N publishes version N+1 (v=0 is the initial snapshot).
       // A table already at version ≥ N+1 was committed by a previous
@@ -75,31 +99,71 @@ final class CdcStreamEngine(
       // checkpoint commit) — skip it, or the replay would double-apply.
       val targetVersion = batchId + 1
       val committed = store.manifest()
-      val work = touched.flatMap { tid =>
-        registry.get(tid)
-          .filter(meta => committed.get(meta.id.qualified).forall(_ < targetVersion))
+
+      working.clear() // chained working state per table across segments
+
+      def applySegment(segDml: DataFrame): Unit = {
+        val touched = segDml
+          .select(col("database").as("d"), col("p.schema").as("s"), col("p.table").as("t"))
+          .filter(!col("t").startsWith("pg_temp")) // P6
+          .distinct().collect()
+          .map(r => TableId(r.getString(0), r.getString(1), r.getString(2)))
+        touched.foreach { tid =>
+          registry.get(tid)
+            .filter(meta => committed.get(meta.id.qualified).forall(_ < targetVersion))
+            .foreach { meta =>
+              val target = working.getOrElse(meta.id, store.read(meta.id))
+              val collapsed = ApplyEngine.collapse(Wal2Json.decodeEvents(segDml, meta))
+              if (strict) {
+                val nViol = ApplyEngine.violations(target, collapsed, meta).count()
+                if (nViol > 0) throw new IllegalStateException(
+                  s"batch $batchId: $nViol apply violations on ${meta.id.qualified}")
+              }
+              working(meta.id) = ApplyEngine.merge(target, collapsed, meta)
+            }
+        }
       }
 
-      // Per-table apply jobs run concurrently from the driver — the
-      // nb_threads worker pool of the reference (`replayer/
-      // connemara_replay.pl:764-777`), as concurrent Spark jobs.
-      // Stage dirs are disjoint per table; the manifest commit below
-      // is the only shared write and happens once, after the barrier.
-      val updates: Map[graft.model.TableId, Long] =
-        if (work.length <= 1) {
-          work.map(applyOneTable(_, dml, batchId, targetVersion)).toMap
-        } else {
+      if (ddls.isEmpty) applySegment(dml)
+      else {
+        val bounds = ddls.map { case (ts, lsn, _) => struct(lit(ts), lit(lsn)) }
+        applySegment(dml.filter(pos < bounds.head))
+        ddls.indices.foreach { i =>
+          ddlHandler(ddls(i)._3) // the barrier: DDL at its position
+          val lower = pos > bounds(i)
+          val seg =
+            if (i + 1 < ddls.length) dml.filter(lower && pos < bounds(i + 1))
+            else dml.filter(lower)
+          applySegment(seg)
+        }
+      }
+
+      // conform each chained result to the POST-batch registry schema
+      // (a later-segment DDL may have evolved it after the merge ran)
+      val updates: Map[TableId, Long] = {
+        val entries = working.toSeq.flatMap { case (tid, df) =>
+          registry.get(tid).map(meta =>
+            (tid, ApplyEngine.conform(df, meta.schema)))
+        }
+        // parallel staging: disjoint dirs, one commit after the barrier
+        // (the reference's nb_threads worker pool, replay.pl:764-777)
+        if (entries.length <= 1)
+          entries.map { case (tid, df) =>
+            store.stage(tid, df, targetVersion); tid -> targetVersion
+          }.toMap
+        else {
           import scala.concurrent.{Await, ExecutionContext, Future}
           import scala.concurrent.duration.Duration
           val pool = java.util.concurrent.Executors.newFixedThreadPool(
-            math.min(work.length, tableParallelism))
+            math.min(entries.length, tableParallelism))
           implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
           try Await.result(
-            Future.sequence(work.toSeq.map(meta =>
-              Future(applyOneTable(meta, dml, batchId, targetVersion)))),
-            Duration.Inf).toMap
+            Future.sequence(entries.map { case (tid, df) =>
+              Future { store.stage(tid, df, targetVersion); tid -> targetVersion }
+            }), Duration.Inf).toMap
           finally pool.shutdown()
         }
+      }
 
       // A2/A3: one atomic cross-table commit per batch.
       if (updates.nonEmpty) store.commit(updates)
@@ -118,20 +182,6 @@ final class CdcStreamEngine(
           .parquet(dir)
       }
     } finally parsed.unpersist()
-  }
-
-  private def applyOneTable(meta: graft.model.TableMeta, dml: DataFrame,
-                            batchId: Long, targetVersion: Long): (TableId, Long) = {
-    val events = Wal2Json.decodeEvents(dml, meta)
-    val collapsed = ApplyEngine.collapse(events)
-    if (strict) {
-      val nViol = ApplyEngine.violations(store.read(meta.id), collapsed, meta).count()
-      if (nViol > 0) throw new IllegalStateException(
-        s"batch $batchId: $nViol apply violations on ${meta.id.qualified}")
-    }
-    val merged = ApplyEngine.merge(store.read(meta.id), collapsed, meta)
-    store.stage(meta.id, merged, targetVersion)
-    meta.id -> targetVersion
   }
 
   /** Start the streaming replay over a spool directory. */
@@ -155,8 +205,14 @@ object CdcStreamEngine {
               ignoredSchemas: Set[String] = Set.empty,
               md5Whitelist: Set[String] = Set.empty,
               strict: Boolean = false): CdcStreamEngine = {
+    // interpreter and engine reference each other: the engine routes
+    // DDL events to the interpreter, the interpreter routes column
+    // renames back into the engine's in-flight batch state
+    var engine: CdcStreamEngine = null
     val interp = new graft.ddl.DdlInterpreter(
-      spark, registry, store, ignoredSchemas, md5Whitelist)
-    new CdcStreamEngine(spark, registry, store, interp.execute, strict)
+      spark, registry, store, ignoredSchemas, md5Whitelist,
+      onRenameData = (id, from, to) => engine.renameTableData(id, from, to))
+    engine = new CdcStreamEngine(spark, registry, store, interp.execute, strict)
+    engine
   }
 }

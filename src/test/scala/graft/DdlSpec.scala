@@ -145,6 +145,27 @@ class DdlSpec extends SparkSpec {
     assert(rows.map(_.toSeq.toList).toList == List(
       List(1L, "Alice", null), List(2L, "Bob", "hello")))
 
+    // DDL is a barrier at its STREAM POSITION: DML before a RENAME
+    // uses the old column name, DML after uses the new one — both in
+    // ONE batch (replay.pl:862-876 semantics)
+    engine.processBatch(spool(
+      (10L, """{"kind":"update","schema":"public","table":"customer",
+         "columnnames":["c_custkey","c_note"],"columnvalues":[1,"before"],
+         "oldkeys":{"keynames":["c_custkey"],"keyvalues":[1]}}"""),
+      (11L, """{"kind":"insert","schema":"public","table":"sql_ddl_statements",
+         "columnnames":["current_query","search_path","command_tags"],
+         "columnvalues":["ALTER TABLE customer RENAME COLUMN c_note TO c_memo",
+           "public","{\"ALTER TABLE\"}"]}"""),
+      (12L, """{"kind":"update","schema":"public","table":"customer",
+         "columnnames":["c_custkey","c_memo"],"columnvalues":[2,"after"],
+         "oldkeys":{"keynames":["c_custkey"],"keyvalues":[2]}}""")), 2L)
+    val renamed = store.read(tid).orderBy("c_custkey").collect()
+    assert(renamed.map(_.schema.fieldNames.toSeq).head ==
+      Seq("c_custkey", "c_name", "c_memo"))
+    // row 1 patched pre-rename under old name; row 2 post-rename
+    assert(renamed.map(r => r.getLong(0) -> r.getString(2)).toSeq ==
+      Seq(1L -> "before", 2L -> "after"))
+
     // kill switch aborts
     intercept[KillSwitchException] {
       engine.processBatch(spool(

@@ -44,6 +44,21 @@ class SchemaRemapRuleSpec extends AnyFunSuite {
       intercept[Exception] {
         spark.sql("SELECT * FROM nosuch.customer").collect()
       }
+
+      // native pg_array_parse expression, registered by the same
+      // extension, callable from SQL and codegen'd
+      // SQL unescapes \\ and \" once, so the parser receives
+      // {"ALTER TABLE",INSERT,"esc \"q\"",NULL}
+      val arr = spark.sql(
+        """SELECT pg_array_parse('{"ALTER TABLE",INSERT,"esc \\"q\\"",NULL}') AS a""")
+        .collect()(0).getSeq[String](0)
+      assert(arr == Seq("ALTER TABLE", "INSERT", "esc \"q\"", null))
+      // null input → null output; wrong arity → analysis error
+      assert(spark.sql("SELECT pg_array_parse(CAST(NULL AS STRING)) AS a")
+        .collect()(0).isNullAt(0))
+      intercept[Exception] {
+        spark.sql("SELECT pg_array_parse('{a}', 'extra')").collect()
+      }
     } finally {
       spark.sql("DROP TABLE IF EXISTS srcdb_public.customer")
       SparkSession.clearActiveSession()
