@@ -156,6 +156,34 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Chunk-level dedup (the paragraph/line dedup of training
+    * pipelines, applied to fixed token windows since the fixture has
+    * no newlines): explode each doc into `chunkTokens`-sized chunks,
+    * keep each distinct chunk only for the lowest (doc_id, chunk_idx),
+    * report per-doc retention. Scales as one explode + one shuffle on
+    * the chunk hash.
+    */
+  def chunkDedup(docs: DataFrame, idCol: String, textCol: String,
+                 chunkTokens: Int = 20): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val nChunks = greatest(
+      ((size(toks) + lit(chunkTokens - 1)) / lit(chunkTokens)).cast("int"), lit(1))
+    val chunks = docs.select(
+      col(idCol).as("id"),
+      posexplode(transform(
+        sequence(lit(0), nChunks - 1),
+        i => concat_ws(" ", slice(toks, i * chunkTokens + 1, lit(chunkTokens)))))
+        .as(Seq("chunk_idx", "chunk")))
+      .filter(length(col("chunk")) > 0)
+    val w = Window.partitionBy(col("chunk")).orderBy(col("id"), col("chunk_idx"))
+    chunks
+      .withColumn("keep", row_number().over(w) === 1)
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("keep"), 1).otherwise(0)).as("n_kept"))
+  }
+
   /** Distinct-character set of a text column. Compute this ONCE per
     * row before any pairwise join — recomputing it inside an O(n²)
     * pair comparison multiplies the split cost by the fan-out.

@@ -75,4 +75,25 @@ object TextAnalysis {
     * text — exact-dedup key, portable to any engine. */
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+
+  /** Corpus-frequency quality feature: per document, how many of its
+    * token occurrences use words whose corpus frequency is below
+    * `rareThreshold` — the integer-valued core of an LM-style
+    * "surprisal" score (float log-prob sums are not portable across
+    * engines; counts are). The frequency table is tiny (vocab-sized)
+    * and broadcasts into the per-doc join.
+    */
+  def rareWordCounts(docs: org.apache.spark.sql.DataFrame,
+                     idCol: String, textCol: String,
+                     rareThreshold: Long): org.apache.spark.sql.DataFrame = {
+    val words = docs.select(col(idCol).as("id"),
+      explode(tokens(col(textCol))).as("w"))
+    val freq = words.groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    words
+      .join(broadcast(freq), Seq("w"))
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("freq") < rareThreshold, 1).otherwise(0)).as("n_rare"))
+  }
 }

@@ -280,8 +280,51 @@ object Relational {
       FROM nation JOIN region ON n_regionkey = r_regionkey
       GROUP BY r_name ORDER BY r_name"""))
 
+  /** Gap-based sessionization in batch form — the oracle-checked twin
+    * of the streaming `flatMapGroupsWithState` sessionizer: session
+    * boundaries = gaps > 30 s, session id = running sum of boundary
+    * flags (lag + cumulative sum over the per-user event-time
+    * window). */
+  val q15_sessions = GraftQuery(
+    "q15_sessions",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.events(s, dir)
+      val wOrder = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      // gaps compared in exact microseconds — second-truncation here
+      // vs fractional epochs in the oracle would flag different pairs
+      val flagged = e.withColumn("new_session",
+        when(unix_micros(col("ts")) -
+          unix_micros(lag(col("ts"), 1).over(wOrder)) > 30000000L, 1)
+          .otherwise(0))
+      val withSid = flagged.withColumn("session_id",
+        sum(col("new_session")).over(
+          wOrder.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      withSid.groupBy(col("user_id"))
+        .agg(
+          (max(col("session_id")) + 1).as("n_sessions"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH flagged AS (
+        SELECT user_id, ts, event_id,
+          CASE WHEN EPOCH_US(ts) - EPOCH_US(lag(ts, 1) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id)) > 30000000
+               THEN 1 ELSE 0 END AS new_session
+        FROM events),
+      sess AS (
+        SELECT user_id,
+          SUM(new_session) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged)
+      SELECT user_id, CAST(MAX(session_id) + 1 AS BIGINT) AS n_sessions,
+             COUNT(*) AS n_events
+      FROM sess GROUP BY user_id ORDER BY user_id"""))
+
   def all: Seq[GraftQuery] = Seq(
     q1_agg, q2_join_agg, q3_multi_join, q4_topk, q5_distinct,
     q6_anti_join, q7_semi_join, q8_min_window, q9_event_batches,
-    q10_md5_route, q11_db_slot, q12_window, q13_except, q14_string_agg)
+    q10_md5_route, q11_db_slot, q12_window, q13_except, q14_string_agg,
+    q15_sessions)
 }

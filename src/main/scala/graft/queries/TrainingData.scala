@@ -255,6 +255,55 @@ object TrainingData {
     },
     None)
 
+  /** Corpus-frequency rare-word counts (LM-surprisal core, integer-
+    * valued so fully oracle-checkable). */
+  val td_rare_words = GraftQuery(
+    "td_rare_words",
+    (s, dir) => {
+      TextAnalysis.rareWordCounts(Tables.documents(s, dir), "doc_id", "text",
+        rareThreshold = 500L)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH words AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text),'\s+')) AS w
+        FROM documents),
+      freq AS (SELECT w, COUNT(*) AS freq FROM words GROUP BY w)
+      SELECT doc_id, COUNT(*) AS n_tokens,
+        SUM(CASE WHEN freq < 500 THEN 1 ELSE 0 END) AS n_rare
+      FROM words JOIN freq USING (w)
+      GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** Chunk-level (paragraph-analog) dedup retention per doc. */
+  val td_chunk_dedup = GraftQuery(
+    "td_chunk_dedup",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val corpus = d.unionByName(
+        d.filter(pmod(col("doc_id"), lit(7)) === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      Dedup.chunkDedup(corpus, "doc_id", "text", chunkTokens = 20)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0),
+      tok AS (
+        SELECT doc_id, string_split_regex(trim(text),'\s+') AS t FROM corpus),
+      chunks AS (
+        SELECT doc_id, i - 1 AS chunk_idx,
+          array_to_string(t[(i-1)*20+1 : i*20], ' ') AS chunk
+        FROM tok, UNNEST(range(1, CAST(greatest((len(t)+19)//20, 1) AS BIGINT) + 1)) u(i)),
+      ranked AS (
+        SELECT doc_id, chunk,
+          row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+        FROM chunks WHERE length(chunk) > 0)
+      SELECT doc_id, COUNT(*) AS n_chunks,
+        SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept
+      FROM ranked GROUP BY doc_id ORDER BY doc_id"""))
+
   /** Multimodal metadata path (pure column exprs — oracled). */
   val td_media_meta = GraftQuery(
     "td_media_meta",
@@ -290,5 +339,6 @@ object TrainingData {
     td_text_stats, td_lang_id, td_fingerprint, td_dedup_exact,
     td_char_jaccard, td_cosine_topk, td_minhash_neardup, td_simhash,
     td_ann_lsh, td_embedding_neardup, td_ann_ivf,
+    td_rare_words, td_chunk_dedup,
     td_media_meta, td_media_features)
 }
