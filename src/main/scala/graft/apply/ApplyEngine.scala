@@ -127,30 +127,33 @@ object ApplyEngine {
     // not fire across the differing branch filters). localCheckpoint
     // is lazy=false-free and needs no explicit unpersist bookkeeping
     // at call sites; the collapsed set is small (≤ batch keys).
-    val chg0 = collapsed.select(typedKeys :+ col("st") :+ col("vals"): _*)
+    // Reserved __-prefixed names: a replicated table with columns
+    // literally named `st`/`vals` must not make the join ambiguous.
+    val chg0 = collapsed.select(
+      typedKeys :+ col("st").as("__st") :+ col("vals").as("__vals"): _*)
       .localCheckpoint(eager = false)
     val chg = if (broadcastChanges) broadcast(chg0) else chg0
 
     def fromVals(c: String): Column = {
       val dt = meta.colType(c)
       when(
-        map_contains_key(col("vals"), lit(c)),
-        PgTypeMapper.castFromText(element_at(col("vals"), lit(c)), dt))
+        map_contains_key(col("__vals"), lit(c)),
+        PgTypeMapper.castFromText(element_at(col("__vals"), lit(c)), dt))
     }
 
     val joinCond = meta.pkCols
       .map(c => target(c) <=> chg(s"__k_$c"))
       .reduce(_ && _)
     val kept = target.join(chg, joinCond, "left_outer")
-      .filter(col("st").isNull || col("st") === "patch")
+      .filter(col("__st").isNull || col("__st") === "patch")
       .select(meta.schema.fieldNames.map { c =>
-        when(col("st") === "patch", fromVals(c).otherwise(target(c)))
+        when(col("__st") === "patch", fromVals(c).otherwise(target(c)))
           .otherwise(target(c))
           .as(c)
       }: _*)
 
     val replaced = chg
-      .filter(col("st") === "row")
+      .filter(col("__st") === "row")
       .select(meta.schema.fieldNames.map { c =>
         val dt = meta.colType(c)
         if (meta.pkCols.contains(c)) col(s"__k_$c").cast(dt).as(c)

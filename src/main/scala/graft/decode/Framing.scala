@@ -36,8 +36,34 @@ object Framing {
   def firstHeader(chunk: String): Option[(Long, String)] =
     firstRe.findFirstMatchIn(chunk).map(m => (m.group(1).toLong, m.group(2)))
 
+  /** Split a string of comma-separated top-level JSON objects into
+    * the individual objects (brace/quote aware). */
+  private[decode] def splitTopLevelObjects(s: String): Seq[String] = {
+    val out = scala.collection.mutable.Buffer.empty[String]
+    var depth = 0; var inq = false; var esc = false; var start = -1
+    s.zipWithIndex.foreach { case (c, i) =>
+      if (esc) esc = false
+      else if (inq) c match {
+        case '\\' => esc = true
+        case '"'  => inq = false
+        case _    => ()
+      } else c match {
+        case '"' => inq = true
+        case '{' => if (depth == 0) start = i; depth += 1
+        case '}' =>
+          depth -= 1
+          if (depth == 0 && start >= 0) { out += s.substring(start, i + 1); start = -1 }
+        case _ => ()
+      }
+    }
+    out.toSeq
+  }
+
   /** Reassemble a chunk stream into complete per-change payloads with
     * their transaction context: (xid, timestampText, changeJson).
+    * A first chunk may already carry change records after
+    * `"change": [` (including a complete single-chunk envelope) —
+    * those are emitted, and a trailing `]}` closes the transaction.
     * Chunks outside a first…last window are dropped, as the receiver
     * drops them.
     */
@@ -47,8 +73,16 @@ object Framing {
       classify(chunk) match {
         case First =>
           current = firstHeader(chunk)
-          // the opener may carry the first change after "change": [
-          Seq.empty
+          val inline = current match {
+            case Some((xid, ts)) =>
+              val afterOpen = chunk.indexOf('[', chunk.indexOf("\"change\""))
+              if (afterOpen < 0) Seq.empty
+              else splitTopLevelObjects(chunk.substring(afterOpen + 1))
+                .map(obj => (xid, ts, obj))
+            case None => Seq.empty
+          }
+          if (chunk.trim.endsWith("]}")) current = None // complete envelope
+          inline
         case Last =>
           current = None
           Seq.empty

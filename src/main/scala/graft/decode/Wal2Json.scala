@@ -45,8 +45,13 @@ object Wal2Json {
   /** Envelope stream → one spool-shaped row per change, the envelope's
     * xid/timestamp carried onto every change (S2's framing, minus the
     * chunk reassembly that a line-per-transaction source obviates).
-    * `chg_idx` preserves intra-transaction order.
-    */
+    *
+    * Envelope sources have no LSNs, but [[decodeEvents]] orders by
+    * `(xid_timestamp, lsn_start)` and per-key order inside a
+    * transaction matters (insert-then-update of one key). So a
+    * synthetic `lsn_start` = `xid << 20 | chg_idx` provides the
+    * logical clock: xids are assigned monotonically by the source,
+    * and the intra-transaction change index breaks ties. */
   def explodeEnvelope(envelopes: DataFrame, payloadCol: String = "value"): DataFrame = {
     val parsed = envelopes.withColumn("env", from_json(col(payloadCol), envelopeSchema))
     parsed
@@ -55,6 +60,8 @@ object Wal2Json {
         posexplode(col("env.change")).as(Seq("chg_idx", "p")))
       .withColumn("xid", col("env.xid"))
       .withColumn("xid_timestamp", to_timestamp(col("env.timestamp")))
+      .withColumn("lsn_start",
+        shiftleft(col("env.xid"), 20).bitwiseOR(col("chg_idx")))
       .drop("env", payloadCol)
   }
 

@@ -66,9 +66,13 @@ final class SchemaRegistry {
   def invalidateAll(): Unit = tables.clear()
   def ids: Set[TableId] = tables.keySet.toSet
 
-  /** DDL-driven schema evolution (SURVEY §2.8 A8). */
+  /** DDL-driven schema evolution (SURVEY §2.8 A8). Idempotent: a
+    * crash-replayed batch re-executes its DDL, so adding an existing
+    * column must be a no-op, not a duplicate field. */
   def addColumn(id: TableId, field: StructField): Unit =
-    tables.updateWith(id)(_.map(m => m.copy(schema = StructType(m.schema.fields :+ field))))
+    tables.updateWith(id)(_.map(m =>
+      if (m.schema.fieldNames.contains(field.name)) m
+      else m.copy(schema = StructType(m.schema.fields :+ field))))
   def dropColumn(id: TableId, name: String): Unit =
     tables.updateWith(id)(_.map(m =>
       m.copy(schema = StructType(m.schema.fields.filterNot(_.name == name)))))

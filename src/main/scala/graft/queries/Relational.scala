@@ -322,9 +322,30 @@ object Relational {
              COUNT(*) AS n_events
       FROM sess GROUP BY user_id ORDER BY user_id"""))
 
+  /** jsonb-column handling (§1.2): JSON path extraction + typed cast
+    * over the events `props` payload — the engine-side analog of the
+    * reference's `payload->>…` projections (P1). */
+  val q16_json = GraftQuery(
+    "q16_json",
+    (s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          sum(when(col("k") > 50, 1).otherwise(0)).as("n_high"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type, COUNT(*) AS n,
+        SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+        SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+                 THEN 1 ELSE 0 END) AS n_high
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
   def all: Seq[GraftQuery] = Seq(
     q1_agg, q2_join_agg, q3_multi_join, q4_topk, q5_distinct,
     q6_anti_join, q7_semi_join, q8_min_window, q9_event_batches,
     q10_md5_route, q11_db_slot, q12_window, q13_except, q14_string_agg,
-    q15_sessions)
+    q15_sessions, q16_json)
 }

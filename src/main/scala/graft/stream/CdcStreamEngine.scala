@@ -43,15 +43,16 @@ final class CdcStreamEngine(
     scala.collection.mutable.LinkedHashMap.empty[TableId, DataFrame]
 
   /** Rename-hook target for [[graft.ddl.DdlInterpreter]]: renames in
-    * the in-flight working chain when the table was already touched
-    * this batch, else rewrites the committed store version. */
+    * the in-flight working chain, loading the committed version into
+    * the chain first if the table wasn't touched yet this batch. No
+    * mid-batch store commit — that would collide with the batch's own
+    * targetVersion and, on crash-replay, trip the double-apply guard
+    * into silently skipping the batch's DML. */
   def renameTableData(id: TableId, from: String, to: String): Unit =
     working.get(id) match {
       case Some(df) => working(id) = df.withColumnRenamed(from, to)
       case None if store.exists(id) =>
-        val v = store.manifest()(id.qualified) + 1
-        store.stage(id, store.read(id).withColumnRenamed(from, to), v)
-        store.commit(Map(id -> v))
+        working(id) = store.read(id).withColumnRenamed(from, to)
       case None => ()
     }
 
@@ -130,7 +131,10 @@ final class CdcStreamEngine(
         applySegment(dml.filter(pos < bounds.head))
         ddls.indices.foreach { i =>
           ddlHandler(ddls(i)._3) // the barrier: DDL at its position
-          val lower = pos > bounds(i)
+          // lower bound INCLUSIVE: DML sharing the DDL's exact stream
+          // position (same-transaction event-trigger rows) must land
+          // in a segment, not vanish between two strict inequalities
+          val lower = pos >= bounds(i)
           val seg =
             if (i + 1 < ddls.length) dml.filter(lower && pos < bounds(i + 1))
             else dml.filter(lower)

@@ -55,6 +55,7 @@ object EventStreams {
       Session(uid, new java.sql.Timestamp(a.start), new java.sql.Timestamp(a.end),
         a.n, a.total)
 
+    val gapMs = gapSeconds * 1000
     val fn = (uid: Long, evs: Iterator[Event], state: GroupState[SessionAcc]) => {
       if (evs.isEmpty && state.hasTimedOut) {
         // watermark passed: close the open session
@@ -68,8 +69,15 @@ object EventStreams {
         sorted.foreach { e =>
           val t = e.ts.getTime
           if (acc == null) acc = SessionAcc(t, t, 1, e.value)
-          else if (t - acc.end <= gapSeconds * 1000) {
-            acc = SessionAcc(acc.start, math.max(acc.end, t), acc.n + 1, acc.total + e.value)
+          else if (t < acc.start - gapMs) {
+            // cross-batch straggler older than the open session by
+            // more than the gap: its own (already-complete) session —
+            // merging it would mutate totals without the time bounds
+            closed += toSession(uid, SessionAcc(t, t, 1, e.value))
+          } else if (t <= acc.end + gapMs) {
+            // in-window (possibly out-of-order): extend both bounds
+            acc = SessionAcc(math.min(acc.start, t), math.max(acc.end, t),
+              acc.n + 1, acc.total + e.value)
           } else {
             closed += toSession(uid, acc)
             acc = SessionAcc(t, t, 1, e.value)
@@ -77,7 +85,11 @@ object EventStreams {
         }
         if (acc != null) {
           state.update(acc)
-          state.setTimeoutTimestamp(acc.end + gapSeconds * 1000)
+          // flatMapGroupsWithState does NOT drop late rows, so the
+          // natural timeout can sit at/below the current watermark —
+          // which setTimeoutTimestamp rejects, killing the query.
+          state.setTimeoutTimestamp(math.max(
+            acc.end + gapMs, state.getCurrentWatermarkMs() + 1))
         }
         closed.iterator
       }

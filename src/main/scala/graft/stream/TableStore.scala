@@ -85,23 +85,36 @@ final class TableStore(spark: SparkSession, root: String) {
   def vacuum(keepHistory: Int = 1): Int = {
     val m = manifest()
     var removed = 0
-    m.foreach { case (qualified, committed) =>
-      val tableDir = Paths.get(root, qualified)
-      if (Files.isDirectory(tableDir)) {
-        val children = {
-          val s = Files.list(tableDir)
-          try s.iterator().asScala.toList finally s.close()
-        }
-        children.foreach { p =>
-          val name = p.getFileName.toString
-          if (name.startsWith("v=")) {
-            val v = name.stripPrefix("v=").toLong
-            if (v < committed - keepHistory) {
-              deleteRecursively(p)
-              removed += 1
+    val tableDirs = {
+      val s = Files.list(Paths.get(root))
+      try s.iterator().asScala.toList.filter(Files.isDirectory(_))
+      finally s.close()
+    }
+    tableDirs.foreach { tableDir =>
+      val qualified = tableDir.getFileName.toString
+      m.get(qualified) match {
+        case Some(committed) =>
+          val children = {
+            val s = Files.list(tableDir)
+            try s.iterator().asScala.toList finally s.close()
+          }
+          children.foreach { p =>
+            val name = p.getFileName.toString
+            if (name.startsWith("v=")) {
+              val v = name.stripPrefix("v=").toLong
+              // versions above `committed` may be a batch in flight —
+              // only reclaim superseded history
+              if (v < committed - keepHistory) {
+                deleteRecursively(p)
+                removed += 1
+              }
             }
           }
-        }
+        case None =>
+          // dropped (or never-committed) table: drop() defers its
+          // data dirs to vacuum — reclaim the whole tree
+          deleteRecursively(tableDir)
+          removed += 1
       }
     }
     removed

@@ -33,11 +33,13 @@ object PgTypeMapper {
 
   /** Cast one wal2json text value into its target Spark type —
     * the `(payload#>>'{columnvalues,i}')::<coltype>` of
-    * `replayer/connemara_replay.pl:133-156`. bytea arrives hex-encoded
-    * (`decode(…,'hex')` → `unhex`).
+    * `replayer/connemara_replay.pl:133-156`. bytea arrives in PG hex
+    * form `\x48656c6c6f` — the `\x` prefix must be stripped before
+    * decoding (`unhex` would otherwise return NULL for EVERY value,
+    * silently nulling all binary columns); bare hex also accepted.
     */
   def castFromText(c: Column, dt: DataType): Column = dt match {
-    case BinaryType => unhex(c)
+    case BinaryType => unhex(regexp_replace(c, "^\\\\x", ""))
     case other      => c.cast(other)
   }
 }

@@ -126,6 +126,40 @@ class ApplyEngineSpec extends SparkSpec {
     assert(v == Seq("patch_after_delete", "patch_without_target"))
   }
 
+  test("envelope source decodes end-to-end with intra-txn ordering") {
+    val env = Seq(
+      """{"xid":100,"timestamp":"2021-01-01 00:00:00+00","change":[
+         {"kind":"insert","schema":"public","table":"customer",
+          "columnnames":["c_custkey","c_name","c_acctbal","c_mktsegment"],
+          "columnvalues":[1,"A",1.0,"X"]},
+         {"kind":"update","schema":"public","table":"customer",
+          "columnnames":["c_custkey","c_acctbal"],"columnvalues":[1,2.5],
+          "oldkeys":{"keynames":["c_custkey"],"keyvalues":[1]}}]}""")
+      .toDF("value")
+    val exploded = Wal2Json.explodeEnvelope(env)
+    val out = ApplyEngine.applyChanges(
+      target(), Wal2Json.decodeEvents(exploded, meta), meta).collect().toSeq
+    // insert then same-transaction update: order preserved via the
+    // synthetic xid<<20|chg_idx lsn
+    assert(out == Seq(Row(1L, "A", 2.5, "X")))
+  }
+
+  test("reserved-looking column names (st, vals) don't break the merge") {
+    val schema2 = StructType(Seq(
+      StructField("id", LongType),
+      StructField("st", StringType),
+      StructField("vals", StringType)))
+    val m2 = TableMeta(TableId("srcdb", "public", "weird"), schema2, Seq("id"))
+    val t = Seq((1L, "s1", "v1")).toDF("id", "st", "vals")
+    val s = spool((1L,
+      """{"kind":"update","schema":"public","table":"weird",
+         "columnnames":["id","st"],"columnvalues":[1,"s2"],
+         "oldkeys":{"keynames":["id"],"keyvalues":[1]}}"""))
+    val out = ApplyEngine.applyChanges(
+      t, Wal2Json.decodeEvents(Wal2Json.parse(s), m2), m2).collect().toSeq
+    assert(out == Seq(Row(1L, "s2", "v1")))
+  }
+
   test("changes to other tables are ignored") {
     val s = spool(
       (1L, """{"kind":"insert","schema":"public","table":"other",

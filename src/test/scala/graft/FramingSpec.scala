@@ -30,6 +30,25 @@ class FramingSpec extends AnyFunSuite {
       .contains((1234L, "2021-03-17 10:04:29.123456+01")))
   }
 
+  test("reassemble: single-chunk envelope and inline first-chunk changes") {
+    val chunks = Iterator(
+      // complete envelope in ONE chunk — changes must not be lost
+      """{"xid":5,"timestamp":"2021-01-01 00:00:00+00","change":[{"kind":"insert","v":1},{"kind":"update","v":2}]}""",
+      // orphan regular after a complete envelope: dropped, not
+      // mis-attributed to xid 5
+      """,{"kind":"orphan"}""",
+      // first chunk carrying its first change inline, continued
+      """{"xid":6,"timestamp":"2021-01-01 00:01:00+00","change":[{"kind":"insert","v":3}""",
+      """,{"kind":"delete","v":4}""",
+      "]}")
+    val out = Framing.reassemble(chunks).toSeq
+    assert(out == Seq(
+      (5L, "2021-01-01 00:00:00+00", """{"kind":"insert","v":1}"""),
+      (5L, "2021-01-01 00:00:00+00", """{"kind":"update","v":2}"""),
+      (6L, "2021-01-01 00:01:00+00", """{"kind":"insert","v":3}"""),
+      (6L, "2021-01-01 00:01:00+00", """{"kind":"delete","v":4}""")))
+  }
+
   test("reassemble: transaction context carried onto each change") {
     val chunks = Iterator(
       """{"xid":7,"timestamp":"2021-03-17 10:04:29+01", "change": [""",

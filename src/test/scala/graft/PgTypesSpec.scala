@@ -37,10 +37,11 @@ class PgTypesSpec extends SparkSpec {
     assert(PgTypeMapper.toSpark("pg_lsn") == LongType)
   }
 
-  test("bytea hex decode (reference decode(…,'hex') → unhex)") {
-    val df = Seq("48656c6c6f").toDF("h")
+  test("bytea hex decode handles PG \\x prefix AND bare hex") {
+    val df = Seq("\\x48656c6c6f", "48656c6c6f").toDF("h")
       .select(PgTypeMapper.castFromText(col("h"), BinaryType).as("b"))
-    assert(new String(df.collect()(0).getAs[Array[Byte]]("b")) == "Hello")
+    val rows = df.collect().map(r => new String(r.getAs[Array[Byte]]("b")))
+    assert(rows.toSeq == Seq("Hello", "Hello"))
   }
 
   test("timestamptz text with offset casts correctly (F3 grammar)") {

@@ -77,6 +77,11 @@ class SnapshotSpec extends SparkSpec {
     assert(store.read(tid).collect().map(_.getString(1)).toSeq == Seq("v4"))
     assert(store.readVersion(tid, 3L).count() == 1)
     intercept[Exception] { store.readVersion(tid, 0L).count() }
+    // dropped tables' whole trees are reclaimed (drop defers to vacuum)
+    store.drop(tid)
+    assert(store.vacuum(keepHistory = 1) == 1)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, tid.qualified)))
   }
 
   test("validatePrimaryKey flags only duplicated key tuples") {
