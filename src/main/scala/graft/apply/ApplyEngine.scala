@@ -90,6 +90,87 @@ object ApplyEngine {
     * join broadcasts (AQE decides; `broadcastChanges` forces it). The
     * target side never shuffles when bucketed/partitioned by PK.
     */
+  /** Skew-resistant two-phase collapse. The fold state `(st, vals,
+    * viol)` is a MONOID under "apply B's events after A's": `row`
+    * replaces, `del` tombstones, `patch` overlays column-wise — so a
+    * hot key's events can pre-fold inside contiguous event-time
+    * buckets (phase 1 shuffles on (key, bucket), spreading the hot
+    * key across `bucketSeconds`-wide slices) and the per-key phase 2
+    * only folds one small partial per bucket. Produces bit-identical
+    * results to [[collapse]]; use when single keys receive very large
+    * in-batch event counts (the reference would hot-spot one worker
+    * thread on exactly that case).
+    */
+  def collapseSkewResistant(events: DataFrame, bucketSeconds: Long = 30): DataFrame = {
+    val init = struct(
+      lit("base").as("st"),
+      map().cast(valsT).as("vals"),
+      lit(0).as("viol"))
+
+    // compose(acc, partial): apply a later contiguous range's folded
+    // state after an earlier one — same transition table as `step`
+    def compose(a: Column, b: Column): Column = {
+      val bSt = b.getField("st")
+      when(bSt === "row" || bSt === "del",
+        struct(bSt.as("st"), b.getField("vals").as("vals"),
+          (a.getField("viol") + b.getField("viol")).as("viol")))
+        .when(bSt === "base", a)
+        // b is a pure patch:
+        .when(a.getField("st") === "del",
+          struct(lit("del").as("st"), a.getField("vals").as("vals"),
+            (a.getField("viol") + b.getField("viol") + 1).as("viol")))
+        .when(a.getField("st") === "base",
+          struct(lit("patch").as("st"), b.getField("vals").as("vals"),
+            (a.getField("viol") + b.getField("viol")).as("viol")))
+        .otherwise(struct(
+          a.getField("st").as("st"),
+          overwrite(a.getField("vals"), b.getField("vals")).as("vals"),
+          (a.getField("viol") + b.getField("viol")).as("viol")))
+    }
+
+    def step(acc: Column, e: Column): Column = {
+      // one event is the partial state of a singleton range
+      val asPartial = when(e.getField("op") === "row",
+        struct(lit("row").as("st"), e.getField("vals").as("vals"), lit(0).as("viol")))
+        .when(e.getField("op") === "del",
+          struct(lit("del").as("st"), map().cast(valsT).as("vals"), lit(0).as("viol")))
+        .otherwise(
+          struct(lit("patch").as("st"), e.getField("vals").as("vals"), lit(0).as("viol")))
+      compose(acc, asPartial)
+    }
+
+    val ordCmp = (l: Column, r: Column) =>
+      when(l.getField("ord") < r.getField("ord"), -1)
+        .when(l.getField("ord") > r.getField("ord"), 1)
+        .otherwise(0)
+
+    // phase 1: fold within (key, time-bucket) — hot keys spread
+    val partials = events
+      .withColumn("bucket",
+        floor(unix_timestamp(col("ord.ts")) / bucketSeconds))
+      .groupBy(col("key"), col("bucket"))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("ord"), col("op"), col("vals"))), ordCmp),
+        init, step).as("partial"))
+
+    // phase 2: compose bucket partials per key, in bucket order
+    partials
+      .groupBy(col("key"))
+      .agg(aggregate(
+        array_sort(
+          collect_list(struct(col("bucket"), col("partial"))),
+          (l, r) => when(l.getField("bucket") < r.getField("bucket"), -1)
+            .when(l.getField("bucket") > r.getField("bucket"), 1)
+            .otherwise(0)),
+        init,
+        (acc, p) => compose(acc, p.getField("partial"))).as("fin"))
+      .select(
+        col("key"),
+        col("fin.st").as("st"),
+        col("fin.vals").as("vals"),
+        col("fin.viol").as("viol"))
+  }
+
   /** Align a DataFrame to a (possibly evolved) schema: add missing
     * columns as NULL, drop removed ones, apply type changes — how a
     * DDL-evolved registry schema meets pre-DDL table data (A8).

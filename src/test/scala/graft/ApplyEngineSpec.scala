@@ -197,6 +197,30 @@ class ApplyEngineSpec extends SparkSpec {
     assert(new String(out.getAs[Array[Byte]]("blob")) == "Hello") // hex bytea
   }
 
+  test("collapseSkewResistant ≡ collapse on multi-phase logs") {
+    val c = graft.Tables.customer(spark, "/root/testdata/sf0.001")
+    val m = graft.model.TableMeta(
+      TableId("srcdb", "public", "customer"), c.schema, Seq("c_custkey"))
+    val events = Wal2Json.decodeEvents(
+      Wal2Json.parse(graft.fixtures.SyntheticCdc.customerLog(spark, "/root/testdata/sf0.001")), m)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("key"), col("st"),
+        map_entries(col("vals")).as("ve"), col("viol"))
+        .collect()
+        .map(r => (r.getSeq[String](0), r.getString(1),
+          Option(r.getSeq[Row](2)).map(_.map(e =>
+            (e.getString(0), e.getString(1))).sortBy(_._1)).orNull,
+          r.getInt(3)))
+        .sortBy(_._1.mkString("|")).toSeq
+    // phases are 60 s apart → several 30 s buckets; results must be
+    // identical to the single-phase fold
+    assert(canon(ApplyEngine.collapseSkewResistant(events, 30)) ==
+      canon(ApplyEngine.collapse(events)))
+    // degenerate bucketing (everything in one bucket) also identical
+    assert(canon(ApplyEngine.collapseSkewResistant(events, 100000)) ==
+      canon(ApplyEngine.collapse(events)))
+  }
+
   test("composite PK: lineitem-style two-column key") {
     val liSchema = StructType(Seq(
       StructField("l_orderkey", LongType),

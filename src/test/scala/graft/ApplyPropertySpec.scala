@@ -94,18 +94,25 @@ class ApplyPropertySpec extends SparkSpec {
     val payloads = (0 until 60).flatMap(_ => randomOp(rnd, state))
     val spool = payloads.zipWithIndex
       .map { case (p, i) => (i.toLong, p) }.toDF("lsn_start", "payload")
-      .withColumn("xid_timestamp", timestamp_seconds(lit(1700000000L)))
+      // spread event time so skew-resistant bucketing really buckets
+      .withColumn("xid_timestamp",
+        timestamp_seconds(lit(1700000000L) + col("lsn_start") * 20))
 
-    val got = ApplyEngine.applyChanges(
-      target, Wal2Json.decodeEvents(Wal2Json.parse(spool), meta), meta)
-      .orderBy("k").collect()
-      .map(r => (r.getLong(0),
-        Option(r.get(1)).map(_.toString),
-        Option(r.get(2)).map(_.asInstanceOf[Double])))
-      .toSeq
+    val events = Wal2Json.decodeEvents(Wal2Json.parse(spool), meta)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("k").collect()
+        .map(r => (r.getLong(0),
+          Option(r.get(1)).map(_.toString),
+          Option(r.get(2)).map(_.asInstanceOf[Double])))
+        .toSeq
     val expected = state.toSeq.sortBy(_._1)
       .map { case (k, r) => (k, r.a, r.b) }
-    assert(got == expected, s"seed=$seed")
+    assert(rows(ApplyEngine.applyChanges(target, events, meta)) == expected,
+      s"seed=$seed")
+    // the two-phase skew-resistant collapse must agree as well
+    assert(rows(ApplyEngine.merge(
+      target, ApplyEngine.collapseSkewResistant(events, 30), meta)) == expected,
+      s"seed=$seed (skew-resistant)")
   }
 
   test("batch apply ≡ sequential apply (5 seeded random logs × 60 ops)") {
