@@ -135,6 +135,47 @@ class CdcStreamSpec extends SparkSpec {
     assert(store.read(oid).count() == 2)
   }
 
+  test("multi-database consolidation: same table name, isolated per source db") {
+    // the reference's headline capability: N source databases land in
+    // one analytics store, each under <db>_<schema> (docs/index.rst:9-13)
+    val tidA = TableId("shopdb", "public", "customer")
+    val tidB = TableId("crmdb", "public", "customer")
+    val schema = StructType(Seq(
+      StructField("c_custkey", LongType), StructField("c_name", StringType)))
+    val registry = new SchemaRegistry
+    registry.register(TableMeta(tidA, schema, Seq("c_custkey")))
+    registry.register(TableMeta(tidB, schema, Seq("c_custkey")))
+    val store = new TableStore(spark,
+      java.nio.file.Files.createTempDirectory("multidb-").toString)
+    store.stage(tidA, Seq((1L, "shop-1")).toDF("c_custkey", "c_name"), 0L)
+    store.stage(tidB, Seq((1L, "crm-1")).toDF("c_custkey", "c_name"), 0L)
+    store.commit(Map(tidA -> 0L, tidB -> 0L))
+    val engine = new CdcStreamEngine(spark, registry, store)
+
+    // one batch carries changes from BOTH source databases, same
+    // schema.table — they must route by the spool's database column
+    val batch = Seq(
+      ("shopdb", 1L, """{"kind":"update","schema":"public","table":"customer",
+        "columnnames":["c_custkey","c_name"],"columnvalues":[1,"shop-updated"],
+        "oldkeys":{"keynames":["c_custkey"],"keyvalues":[1]}}"""),
+      ("crmdb", 2L, """{"kind":"insert","schema":"public","table":"customer",
+        "columnnames":["c_custkey","c_name"],"columnvalues":[2,"crm-new"]}"""))
+      .toDF("database", "lsn_start", "payload")
+      .withColumn("insert_timestamp", timestamp_seconds(lit(1700000000L)))
+      .withColumn("xid", col("lsn_start"))
+      .withColumn("xid_timestamp", col("insert_timestamp"))
+      .withColumn("source_slotname", lit("s"))
+    engine.processBatch(batch, 0L)
+
+    assert(store.read(tidA).orderBy("c_custkey").collect().toSeq ==
+      Seq(Row(1L, "shop-updated")))
+    assert(store.read(tidB).orderBy("c_custkey").collect().toSeq ==
+      Seq(Row(1L, "crm-1"), Row(2L, "crm-new")))
+    // distinct target schemas in the consolidated store
+    assert(store.manifest().keySet ==
+      Set("shopdb_public.customer", "crmdb_public.customer"))
+  }
+
   test("strict mode aborts the query on an apply violation") {
     val (engine0, store, registry, spool, ckpt) = freshEngine()
     val strictEngine = new CdcStreamEngine(spark, registry, store, strict = true)
