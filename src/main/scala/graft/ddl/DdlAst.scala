@@ -50,15 +50,35 @@ object DdlAst {
     s"""(?is)^DROP\\s+TABLE\\s+(IF\\s+EXISTS\\s+)?$qname\\s*(CASCADE|RESTRICT)?\\s*$$""".r
   private val truncateRe =
     s"""(?is)^TRUNCATE\\s+(?:TABLE\\s+)?(?:ONLY\\s+)?$qname.*$$""".r
+  // COLUMN keyword is optional in PG; the lookahead keeps
+  // ADD/DROP CONSTRAINT from parsing "CONSTRAINT" as a column name
   private val addColRe =
-    s"""(?is)^ALTER\\s+TABLE\\s+(?:ONLY\\s+)?$qname\\s+ADD\\s+COLUMN\\s+(IF\\s+NOT\\s+EXISTS\\s+)?$ident\\s+(.+?)\\s*$$""".r
+    s"""(?is)^ALTER\\s+TABLE\\s+(?:ONLY\\s+)?$qname\\s+ADD\\s+(?!CONSTRAINT\\b)(?:COLUMN\\s+)?(IF\\s+NOT\\s+EXISTS\\s+)?$ident\\s+(.+?)\\s*$$""".r
   private val dropColRe =
-    s"""(?is)^ALTER\\s+TABLE\\s+(?:ONLY\\s+)?$qname\\s+DROP\\s+COLUMN\\s+(IF\\s+EXISTS\\s+)?$ident\\s*(CASCADE|RESTRICT)?\\s*$$""".r
+    s"""(?is)^ALTER\\s+TABLE\\s+(?:ONLY\\s+)?$qname\\s+DROP\\s+(?!CONSTRAINT\\b)(?:COLUMN\\s+)?(IF\\s+EXISTS\\s+)?$ident\\s*(CASCADE|RESTRICT)?\\s*$$""".r
   private val renameColRe =
     s"""(?is)^ALTER\\s+TABLE\\s+(?:ONLY\\s+)?$qname\\s+RENAME\\s+(?:COLUMN\\s+)?$ident\\s+TO\\s+$ident\\s*$$""".r
   private val createSchemaRe =
     s"""(?is)^CREATE\\s+SCHEMA\\s+(IF\\s+NOT\\s+EXISTS\\s+)?$ident\\s*$$""".r
   private val tagRe = """(?is)^\s*([A-Za-z]+(?:\s+[A-Za-z]+)?)""".r
+
+  private val trailingConstraintRe =
+    """(?is)\s+(NOT\s+NULL|NULL|DEFAULT\s+.+|PRIMARY\s+KEY|UNIQUE|REFERENCES\s+.+|CHECK\s*\(.+\)|GENERATED\s+.+|COLLATE\s+\S+)$""".r
+
+  /** Strip ALL trailing column constraints from a type string —
+    * `int NOT NULL DEFAULT 5` has two, and a single anchored replace
+    * leaves `int NOT NULL`, which the type mapper would silently turn
+    * into StringType. Iterate to a fixpoint.
+    */
+  private def stripColumnConstraints(typ: String): String = {
+    var cur = typ.trim
+    var prev = ""
+    while (cur != prev) {
+      prev = cur
+      cur = trailingConstraintRe.replaceAllIn(cur, "").trim
+    }
+    cur
+  }
 
   /** Primary-key columns from a `CREATE TABLE (...)` body: a
     * table-level `PRIMARY KEY (a, b)` clause, or an inline
@@ -93,11 +113,7 @@ object DdlAst {
         val m = s"""(?s)^$ident\\s+(.+)$$""".r.findFirstMatchIn(t)
         m.map { mm =>
           val name = Option(mm.group(1)).getOrElse(mm.group(2))
-          // strip column constraints from the type
-          val typ = mm.group(3)
-            .replaceAll("""(?is)\s+(NOT\s+NULL|NULL|DEFAULT\s+.+|PRIMARY\s+KEY|UNIQUE|REFERENCES\s+.+|CHECK\s*\(.+\)|GENERATED\s+.+)$""", "")
-            .trim
-          (name, typ)
+          (name, stripColumnConstraints(mm.group(3)))
         }
       }
     }
@@ -131,7 +147,7 @@ object DdlAst {
         DropTable(s, qn(List(Option(q1), Option(b1), Option(q2), Option(b2))), ife != null)
       case addColRe(q1, b1, q2, b2, ine, cq, cb, typ) =>
         AddColumn(s, qn(List(Option(q1), Option(b1), Option(q2), Option(b2))),
-          Option(cq).getOrElse(cb), typ.trim, ine != null)
+          Option(cq).getOrElse(cb), stripColumnConstraints(typ), ine != null)
       case dropColRe(q1, b1, q2, b2, ife, cq, cb, _) =>
         DropColumn(s, qn(List(Option(q1), Option(b1), Option(q2), Option(b2))),
           Option(cq).getOrElse(cb), ife != null)

@@ -35,7 +35,13 @@ final class DdlInterpreter(
       * would make schema-conform drop the old column's values). The
       * default rewrites the committed store table; the stream engine
       * overrides it to rename inside its in-flight working chain. */
-    onRenameData: (TableId, String, String) => Unit = null) {
+    onRenameData: (TableId, String, String) => Unit = null,
+    /** Applies a TRUNCATE to table DATA. Default: commit an empty
+      * version (monotonic, never regressing to v=0); the stream
+      * engine overrides to truncate its in-flight working chain — a
+      * mid-batch store commit would collide with the batch's own
+      * version and be overwritten by the chained result. */
+    onTruncateData: TableId => Unit = null) {
 
   private def renameData(id: TableId, from: String, to: String): Unit =
     if (onRenameData != null) onRenameData(id, from, to)
@@ -43,6 +49,17 @@ final class DdlInterpreter(
       val v = store.manifest()(id.qualified) + 1
       store.stage(id, store.read(id).withColumnRenamed(from, to), v)
       store.commit(Map(id -> v))
+    }
+
+  private def truncateData(id: TableId): Unit =
+    if (onTruncateData != null) onTruncateData(id)
+    else registry.get(id).foreach { meta =>
+      if (store.exists(id)) {
+        val v = store.manifest()(id.qualified) + 1
+        store.stage(id, spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta.schema), v)
+        store.commit(Map(id -> v))
+      }
     }
 
   /** Post-data statements seen so far (indexes/constraints) — the
@@ -71,6 +88,9 @@ final class DdlInterpreter(
 
   private def apply(db: String, stmt: DdlStatement, searchPath: Seq[String]): Unit =
     stmt match {
+      case CreateTable(_, t, cols, ifNotExists, pkCols) if cols.isEmpty =>
+        () // e.g. CREATE TABLE (LIKE src): nothing parseable to register
+
       case CreateTable(_, t, cols, ifNotExists, pkCols) =>
         val id = tableId(db, t, searchPath)
         if (registry.get(id).isEmpty) {
@@ -97,12 +117,7 @@ final class DdlInterpreter(
         store.drop(id)
 
       case TruncateTable(_, t) =>
-        val id = tableId(db, t, searchPath)
-        registry.get(id).foreach { meta =>
-          store.stage(id, spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta.schema), 0L)
-          store.commit(Map(id -> 0L))
-        }
+        truncateData(tableId(db, t, searchPath))
 
       case AddColumn(_, t, name, typ, _) =>
         registry.addColumn(tableId(db, t, searchPath),

@@ -40,7 +40,7 @@ object StatementSplitter {
       mode match {
         case Plain =>
           if (startsWith("--")) { mode = LineComment; i += 2 }
-          else if (startsWith("/*")) { mode = BlockComment(1); cur.append("/*"); i += 2 }
+          else if (startsWith("/*")) { mode = BlockComment(1); i += 2 }
           else if (c == '\'') { mode = Literal; cur.append(c); i += 1 }
           else if (c == '$') {
             dollarTag.findPrefixOf(script.substring(i)) match {
@@ -59,16 +59,20 @@ object StatementSplitter {
           } else if (c == '\'') { mode = Plain; cur.append(c); i += 1 }
           else { cur.append(c); i += 1 }
 
+        // comments are stripped, each replaced by one space — keeping
+        // them glues tokens ("t--x\nRENAME" → "tRENAME") or leaves
+        // inline noise the DDL regexes can't parse
         case LineComment =>
-          if (c == '\n') mode = Plain
+          if (c == '\n') { mode = Plain; cur.append(' ') }
           i += 1
 
         case BlockComment(d) =>
-          if (startsWith("/*")) { mode = BlockComment(d + 1); cur.append("/*"); i += 2 }
+          if (startsWith("/*")) { mode = BlockComment(d + 1); i += 2 }
           else if (startsWith("*/")) {
             mode = if (d == 1) Plain else BlockComment(d - 1)
-            cur.append("*/"); i += 2
-          } else { cur.append(c); i += 1 }
+            if (d == 1) cur.append(' ')
+            i += 2
+          } else i += 1
 
         case DollarQuote(tag) =>
           if (startsWith(tag)) { mode = Plain; cur.append(tag); i += tag.length }

@@ -41,6 +41,7 @@ object Multimodal {
     * testable end-to-end.
     */
   private def stubDecode(bytes: Array[Byte]): (Int, Double) = {
+    if (bytes == null) return (0, 0.0) // null media row ≡ empty payload
     var sum = 0L
     var i = 0
     while (i < bytes.length) { sum += bytes(i) & 0xFF; i += 1 }

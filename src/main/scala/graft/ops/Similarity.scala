@@ -12,13 +12,16 @@ object Similarity {
 
   /** Cosine similarity between two float-array columns, computed in
     * double precision with a left-to-right fold (deterministic).
+    * Zero-norm vectors score NULL — under Spark 4's default ANSI mode
+    * an unguarded division would abort the whole job on the first
+    * all-zero embedding.
     */
   def cosine(a: Column, b: Column): Column = {
     def dbl(c: Column) = transform(c, _.cast("double"))
     def dot(x: Column, y: Column) =
       aggregate(zip_with(x, y, _ * _), lit(0.0), _ + _)
     val da = dbl(a); val db = dbl(b)
-    dot(da, db) / (sqrt(dot(da, da)) * sqrt(dot(db, db)))
+    dot(da, db) / nullif(sqrt(dot(da, da)) * sqrt(dot(db, db)), lit(0.0))
   }
 
   /** Brute-force cosine top-k: each query row against the whole

@@ -30,7 +30,9 @@ object TextAnalysis {
     */
   def qualityFeatures(text: Column, stopwords: Seq[String]): Seq[Column] = {
     val toks = tokens(text)
-    val n = size(toks).cast("double")
+    // nullif: empty docs yield NULL ratios instead of aborting the
+    // whole job with DIVIDE_BY_ZERO under Spark 4's default ANSI mode
+    val n = nullif(size(toks).cast("double"), lit(0.0))
     val stopArr = array(stopwords.map(lit): _*)
     Seq(
       length(text).as("n_chars"),
@@ -48,7 +50,7 @@ object TextAnalysis {
     */
   def qualityScore(text: Column, stopwords: Seq[String]): Column = {
     val toks = tokens(text)
-    val n = size(toks).cast("double")
+    val n = nullif(size(toks).cast("double"), lit(0.0))
     val ttr = size(array_distinct(toks)).cast("double") / n
     val stopArr = array(stopwords.map(lit): _*)
     val sr = size(filter(toks, t => array_contains(stopArr, t))).cast("double") / n

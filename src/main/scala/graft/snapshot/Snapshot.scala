@@ -54,13 +54,20 @@ object Snapshot {
       if (dups > 0) throw new IllegalStateException(
         s"table ${spec.id.qualified}: PK ${spec.pkCols.mkString(",")} not unique")
     }
-    val reports = specs.map { spec =>
+    // build ALL metas up front (source reads may fail — registry must
+    // stay clean if any does), stage everything, and only then
+    // register + commit: a mid-loop failure leaves no registered-but-
+    // uncommitted tables behind.
+    val metas = specs.map { spec =>
+      spec -> TableMeta(spec.id, spark.read.parquet(spec.sourcePath).schema, spec.pkCols)
+    }
+    val reports = metas.map { case (spec, _) =>
       val src = spark.read.parquet(spec.sourcePath)
-      registry.register(TableMeta(spec.id, src.schema, spec.pkCols))
       val clustered = src.repartition(njobs, spec.pkCols.map(col): _*)
       store.stage(spec.id, clustered, 0L)
       TableReport(spec.id, store.readVersion(spec.id, 0L).count(), 0L)
     }
+    metas.foreach { case (_, meta) => registry.register(meta) }
     // all tables commit together: one consistent snapshot cut
     store.commit(specs.map(_.id -> 0L).toMap)
     Files.writeString(Paths.get(storeRoot, "_start_lsn"), LsnCodec.format(startLsn))

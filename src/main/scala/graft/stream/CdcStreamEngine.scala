@@ -56,6 +56,17 @@ final class CdcStreamEngine(
       case None => ()
     }
 
+  /** Truncate-hook target: TRUNCATE takes effect inside the working
+    * chain at its stream position — pre-truncate DML vanishes with
+    * the old rows, post-truncate DML applies onto the empty table;
+    * everything commits once with the batch. */
+  def truncateTableData(id: TableId): Unit =
+    registry.get(id).foreach { meta =>
+      if (working.contains(id) || store.exists(id))
+        working(id) = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta.schema)
+    }
+
   /** One micro-batch: the replay loop body. Public for batch-mode
     * reuse and direct testing.
     *
@@ -215,7 +226,8 @@ object CdcStreamEngine {
     var engine: CdcStreamEngine = null
     val interp = new graft.ddl.DdlInterpreter(
       spark, registry, store, ignoredSchemas, md5Whitelist,
-      onRenameData = (id, from, to) => engine.renameTableData(id, from, to))
+      onRenameData = (id, from, to) => engine.renameTableData(id, from, to),
+      onTruncateData = id => engine.truncateTableData(id))
     engine = new CdcStreamEngine(spark, registry, store, interp.execute, strict)
     engine
   }

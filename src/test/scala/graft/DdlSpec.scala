@@ -61,6 +61,44 @@ class DdlSpec extends SparkSpec {
     }
   }
 
+  test("parser: stacked constraints stripped, COLUMN keyword optional") {
+    DdlAst.parse("CREATE TABLE t (a int NOT NULL DEFAULT 5, b text COLLATE \"C\" NOT NULL)") match {
+      case CreateTable(_, _, cols, _, _) =>
+        assert(cols == Seq(("a", "int"), ("b", "text")))
+      case other => fail(s"got $other")
+    }
+    assert(DdlAst.parse("ALTER TABLE t ADD x integer NOT NULL") ==
+      AddColumn("ALTER TABLE t ADD x integer NOT NULL",
+        QualifiedName(None, "t"), "x", "integer", false))
+    assert(DdlAst.parse("ALTER TABLE t DROP x") ==
+      DropColumn("ALTER TABLE t DROP x", QualifiedName(None, "t"), "x", false))
+    // ADD/DROP CONSTRAINT must NOT parse as a column named CONSTRAINT
+    DdlAst.parse("ALTER TABLE t ADD CONSTRAINT fk FOREIGN KEY (x) REFERENCES u(y)") match {
+      case Other(_, _) => ()
+      case other => fail(s"got $other")
+    }
+    DdlAst.parse("ALTER TABLE t DROP CONSTRAINT fk") match {
+      case Other(_, _) => ()
+      case other => fail(s"got $other")
+    }
+    // LIKE-only body → no parseable columns
+    DdlAst.parse("CREATE TABLE t (LIKE src INCLUDING ALL)") match {
+      case CreateTable(_, _, cols, _, _) => assert(cols.isEmpty)
+      case other => fail(s"got $other")
+    }
+  }
+
+  test("splitter: comments are stripped, not glued into tokens") {
+    val stmts = StatementSplitter.split(
+      "ALTER TABLE t--note\nRENAME COLUMN a TO b;\nCREATE TABLE /*x*/ u (id int)")
+    assert(DdlAst.parse(stmts(0)).isInstanceOf[RenameColumn])
+    DdlAst.parse(stmts(1)) match {
+      case CreateTable(_, t, cols, _, _) =>
+        assert(t.name == "u" && cols == Seq(("id", "int")))
+      case other => fail(s"got $other")
+    }
+  }
+
   test("rules: drop/post-data/kill classification (P8, P10-P12)") {
     def c(sql: String) = classify(DdlAst.parse(sql))
     assert(c("GRANT SELECT ON t TO app") == Skip)
@@ -165,6 +203,21 @@ class DdlSpec extends SparkSpec {
     // row 1 patched pre-rename under old name; row 2 post-rename
     assert(renamed.map(r => r.getLong(0) -> r.getString(2)).toSeq ==
       Seq(1L -> "before", 2L -> "after"))
+
+    // TRUNCATE at its stream position: pre-truncate DML vanishes,
+    // post-truncate insert survives, all in one batch commit
+    engine.processBatch(spool(
+      (20L, """{"kind":"insert","schema":"public","table":"customer",
+         "columnnames":["c_custkey","c_name"],"columnvalues":[50,"doomed"]}"""),
+      (21L, """{"kind":"insert","schema":"public","table":"sql_ddl_statements",
+         "columnnames":["current_query","search_path","command_tags"],
+         "columnvalues":["TRUNCATE TABLE customer","public","{\"TRUNCATE TABLE\"}"]}"""),
+      (22L, """{"kind":"insert","schema":"public","table":"customer",
+         "columnnames":["c_custkey","c_name"],"columnvalues":[60,"survivor"]}""")), 3L)
+    val afterTrunc = store.read(tid).collect()
+    assert(afterTrunc.map(_.getLong(0)).toSeq == Seq(60L))
+    // manifest must be monotonic (no regression to v=0)
+    assert(store.manifest()("srcdb_public.customer") == 4L)
 
     // kill switch aborts
     intercept[KillSwitchException] {

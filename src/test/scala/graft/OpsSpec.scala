@@ -63,13 +63,25 @@ class OpsSpec extends SparkSpec {
     assert(r == Seq((1L, 2L, 1.0)))
   }
 
-  test("cosine: orthogonal → 0, identical → 1") {
+  test("cosine: orthogonal → 0, identical → 1, zero-norm → null (no ANSI abort)") {
     val df = Seq(
       (Seq(1f, 0f), Seq(0f, 1f)),
-      (Seq(1f, 2f), Seq(1f, 2f))).toDF("a", "b")
+      (Seq(1f, 2f), Seq(1f, 2f)),
+      (Seq(0f, 0f), Seq(1f, 2f))).toDF("a", "b")
       .select(Similarity.cosine(col("a"), col("b")).as("c"))
-    val r = df.as[Double].collect()
-    assert(math.abs(r(0)) < 1e-12 && math.abs(r(1) - 1.0) < 1e-12)
+    val r = df.collect()
+    assert(math.abs(r(0).getDouble(0)) < 1e-12)
+    assert(math.abs(r(1).getDouble(0) - 1.0) < 1e-12)
+    assert(r(2).isNullAt(0))
+  }
+
+  test("qualityFeatures on empty text: NULL ratios, not DIVIDE_BY_ZERO") {
+    val df = Seq("", "a b").toDF("text")
+      .select(TextAnalysis.qualityFeatures(col("text"), Seq("a")): _*)
+    val rows = df.collect()
+    assert(rows(0).isNullAt(2) && rows(0).isNullAt(3)) // ratios null
+    assert(rows(0).getInt(1) == 0)                     // n_tokens 0
+    assert(rows(1).getDouble(3) == 0.5)                // stopword ratio
   }
 
   test("lshTopK cosines agree with the exhaustive ranking") {
