@@ -81,4 +81,52 @@ final class SchemaRegistry {
       schema = StructType(m.schema.fields.map(f =>
         if (f.name == from) f.copy(name = to) else f)),
       pkCols = m.pkCols.map(c => if (c == from) to else c))))
+
+  /** Persist all metadata to one JSON file (atomic rename). The
+    * streaming checkpoint only stores source offsets; DDL-evolved
+    * schemas must survive a driver restart too, or replay decodes
+    * against stale types. */
+  def save(path: java.nio.file.Path): Unit = {
+    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val json = tables.values.toSeq
+      .sortBy(m => (m.id.database, m.id.schema, m.id.table))
+      .map { m =>
+        s"""{"database":${q(m.id.database)},"schema":${q(m.id.schema)},""" +
+          s""""table":${q(m.id.table)},"pkCols":[${m.pkCols.map(q).mkString(",")}],""" +
+          s""""hasOtherUniques":${m.hasOtherUniques},"sparkSchema":${m.schema.json}}"""
+      }.mkString("[", ",", "]")
+    val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
+    java.nio.file.Files.writeString(tmp, json)
+    java.nio.file.Files.move(tmp, path,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+}
+
+object SchemaRegistry {
+  /** Load a registry persisted by [[SchemaRegistry.save]]. */
+  def load(path: java.nio.file.Path): SchemaRegistry = {
+    val registry = new SchemaRegistry
+    if (java.nio.file.Files.exists(path)) {
+      val json = java.nio.file.Files.readString(path)
+      // parse with Spark's own JSON machinery: one row per entry
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = mapper.readTree(json)
+      root.forEach { node =>
+        val schema = org.apache.spark.sql.types.DataType
+          .fromJson(node.get("sparkSchema").toString)
+          .asInstanceOf[StructType]
+        val pk = {
+          val b = Seq.newBuilder[String]
+          node.get("pkCols").forEach(e => b += e.asText())
+          b.result()
+        }
+        registry.register(TableMeta(
+          TableId(node.get("database").asText(),
+            node.get("schema").asText(), node.get("table").asText()),
+          schema, pk, node.get("hasOtherUniques").asBoolean()))
+      }
+    }
+    registry
+  }
 }

@@ -182,6 +182,9 @@ final class CdcStreamEngine(
 
       // A2/A3: one atomic cross-table commit per batch.
       if (updates.nonEmpty) store.commit(updates)
+      // the checkpoint only persists source offsets — DDL-evolved
+      // schemas must survive a driver restart too (A8)
+      if (ddls.nonEmpty) registry.save(store.registryPath)
       ()
 
       // K5 --keep_data / E4 archive CTE analog: applied spool records

@@ -20,10 +20,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * restart before checkpoint commit) rewrites the same version dir —
   * idempotent, which is what makes checkpoint-replay exactly-once.
   */
-final class TableStore(spark: SparkSession, root: String) {
+final class TableStore(spark: SparkSession, val root: String) {
 
   private val manifestPath = Paths.get(root, "_latest")
   Files.createDirectories(Paths.get(root))
+
+  /** Canonical location for the persisted [[graft.model.SchemaRegistry]]
+    * (saved by the stream engine after DDL batches, loaded on
+    * restart). */
+  def registryPath: java.nio.file.Path = Paths.get(root, "_registry.json")
 
   private def dir(id: TableId, version: Long): String =
     s"$root/${id.qualified}/v=$version"

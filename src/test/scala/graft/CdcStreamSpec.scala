@@ -135,6 +135,41 @@ class CdcStreamSpec extends SparkSpec {
     assert(store.read(oid).count() == 2)
   }
 
+  test("registry persists across driver restarts (DDL-evolved schema)") {
+    val (engine, store, registry, spool, ckpt) = freshEngine()
+    val engineWithDdl = graft.stream.CdcStreamEngine.withDdl(spark, registry, store)
+    spoolBatch(
+      (1L, """{"kind":"insert","schema":"public","table":"sql_ddl_statements",
+        "columnnames":["current_query","search_path","command_tags"],
+        "columnvalues":["ALTER TABLE customer ADD c_tier text",
+          "public","{\"ALTER TABLE\"}"]}"""),
+      (2L, """{"kind":"update","schema":"public","table":"customer",
+        "columnnames":["c_custkey","c_tier"],"columnvalues":[1,"gold"],
+        "oldkeys":{"keynames":["c_custkey"],"keyvalues":[1]}}"""))
+      .coalesce(1).write.mode("append").parquet(spool)
+    val q = engineWithDdl.start(spool, ckpt)
+    q.awaitTermination()
+    assert(q.exception.isEmpty)
+
+    // "restart": a fresh registry loaded from the store sees the
+    // evolved schema, and a fresh engine continues correctly
+    val registry2 = SchemaRegistry.load(store.registryPath)
+    assert(registry2(tid).schema.fieldNames.toSeq ==
+      Seq("c_custkey", "c_name", "c_acctbal", "c_tier"))
+    assert(registry2(tid).pkCols == Seq("c_custkey"))
+    val engine2 = graft.stream.CdcStreamEngine.withDdl(spark, registry2, store)
+    spoolBatch(
+      (3L, """{"kind":"update","schema":"public","table":"customer",
+        "columnnames":["c_custkey","c_tier"],"columnvalues":[2,"silver"],
+        "oldkeys":{"keynames":["c_custkey"],"keyvalues":[2]}}"""))
+      .coalesce(1).write.mode("append").parquet(spool)
+    val q2 = engine2.start(spool, ckpt)
+    q2.awaitTermination()
+    val rows = store.read(tid).orderBy("c_custkey").collect()
+    assert(rows.map(r => r.getLong(0) -> r.getString(3)).toSeq ==
+      Seq(1L -> "gold", 2L -> "silver", 3L -> null))
+  }
+
   test("multi-database consolidation: same table name, isolated per source db") {
     // the reference's headline capability: N source databases land in
     // one analytics store, each under <db>_<schema> (docs/index.rst:9-13)
