@@ -55,6 +55,37 @@ object Multimodal {
     StructField("mean_byte", DoubleType),
     StructField("batch_size", IntegerType)))
 
+  /** STUB resize: a real implementation decodes, scales to
+    * `(w, h)`, and re-encodes. The fake deterministically truncates/
+    * pads the payload to `w*h` bytes so output size tracks the target
+    * dimensions — the plumbing (binary→binary map, metadata update,
+    * no shuffle) is the real part.
+    */
+  def resize(media: DataFrame, w: Int, h: Int): DataFrame =
+    media
+      // rpad on binary both truncates and zero-pads to the target
+      .withColumn("media", expr(s"rpad(media, ${w * h}, X'00')"))
+      .withColumn("meta", struct(
+        col("meta.format").as("format"),
+        lit(w).as("width"), lit(h).as("height")))
+
+  /** STUB frame sampling: every `every`-th fixed-size slice of the
+    * payload becomes one "frame" row — the explode shape of video
+    * frame extraction (one input row → N frame rows, order-stable
+    * via frame_idx), with the codec faked as byte slicing.
+    */
+  def sampleFrames(media: DataFrame, frameBytes: Int, every: Int): DataFrame = {
+    val nFrames = greatest(
+      (octet_length(col("media")) / lit(frameBytes)).cast("int"), lit(1))
+    media
+      .select(col("media_id"), col("meta"), col("media"),
+        posexplode(sequence(lit(0), nFrames - 1)).as(Seq("frame_idx", "i")))
+      .filter(pmod(col("frame_idx"), lit(every)) === 0)
+      .withColumn("frame", expr(s"substring(media, i * $frameBytes + 1, $frameBytes)"))
+      .filter(octet_length(col("frame")) > 0)
+      .select(col("media_id"), col("frame_idx"), col("frame"), col("meta"))
+  }
+
   /** Per-partition batched feature extraction — the `mapInPandas`
     * analog in Scala: iterator-of-batches, one codec call per row,
     * bounded memory (`batchSize` rows in flight per partition).

@@ -325,6 +325,31 @@ object TrainingData {
       CAST(doc_id % 480 + 1 AS INTEGER) AS height
       FROM documents ORDER BY media_id"""))
 
+  /** Frame-sampling plumbing over binary media: one row per sampled
+    * fixed-size slice — the oracle recomputes frame counts/bytes from
+    * payload lengths. */
+  val td_media_frames = GraftQuery(
+    "td_media_frames",
+    (s, dir) => {
+      Multimodal.sampleFrames(
+        Multimodal.packFromText(Tables.documents(s, dir), "doc_id", "text"),
+        frameBytes = 64, every = 2)
+        .groupBy(col("media_id"))
+        .agg(
+          count(lit(1)).as("n_frames"),
+          sum(octet_length(col("frame"))).as("frame_bytes"))
+        .orderBy(col("media_id"))
+    },
+    Some("""WITH m AS (
+        SELECT doc_id AS media_id, octet_length(encode(text)) AS len
+        FROM documents),
+      f AS (
+        SELECT media_id, i, least(64, len - i*64) AS flen
+        FROM m, UNNEST(range(0, CAST(greatest(len//64, 1) AS BIGINT))) u(i)
+        WHERE i % 2 = 0 AND len - i*64 > 0)
+      SELECT media_id, COUNT(*) AS n_frames, SUM(flen) AS frame_bytes
+      FROM f GROUP BY media_id ORDER BY media_id"""))
+
   /** Full batched decode plumbing (stub codec — rows-only). */
   val td_media_features = GraftQuery(
     "td_media_features",
@@ -340,5 +365,5 @@ object TrainingData {
     td_char_jaccard, td_cosine_topk, td_minhash_neardup, td_simhash,
     td_ann_lsh, td_embedding_neardup, td_ann_ivf,
     td_rare_words, td_chunk_dedup,
-    td_media_meta, td_media_features)
+    td_media_meta, td_media_frames, td_media_features)
 }

@@ -121,6 +121,25 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("multimodal resize: payload tracks target dims, meta updated") {
+    val docs = Seq((1L, "0123456789abcdef"), (2L, "xy")).toDF("doc_id", "text")
+    val out = Multimodal.resize(
+      Multimodal.packFromText(docs, "doc_id", "text"), w = 2, h = 4)
+      .select(col("media_id"), octet_length(col("media")).as("len"),
+        col("meta.width"), col("meta.height"))
+      .as[(Long, Int, Int, Int)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, 8, 2, 4), (2L, 8, 2, 4))) // truncated / padded
+  }
+
+  test("multimodal sampleFrames: slicing, stride, order-stable index") {
+    val docs = Seq((1L, "aaaabbbbccccdddd")).toDF("doc_id", "text") // 16 bytes
+    val frames = Multimodal.sampleFrames(
+      Multimodal.packFromText(docs, "doc_id", "text"), frameBytes = 4, every = 2)
+      .select(col("frame_idx"), col("frame").cast("string"))
+      .as[(Int, String)].collect().sortBy(_._1).toSeq
+    assert(frames == Seq((0, "aaaa"), (2, "cccc"))) // every 2nd frame
+  }
+
   test("multimodal: batched stub decode preserves ids and byte counts") {
     val docs = Seq((1L, "abc"), (2L, "defg"), (3L, "")).toDF("doc_id", "text")
     val out = Multimodal.extractFeatures(
