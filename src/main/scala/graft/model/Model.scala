@@ -74,8 +74,15 @@ final class SchemaRegistry {
       if (m.schema.fieldNames.contains(field.name)) m
       else m.copy(schema = StructType(m.schema.fields :+ field))))
   def dropColumn(id: TableId, name: String): Unit =
-    tables.updateWith(id)(_.map(m =>
-      m.copy(schema = StructType(m.schema.fields.filterNot(_.name == name)))))
+    tables.updateWith(id)(_.map { m =>
+      // PG allows dropping a PK member (the constraint goes with it),
+      // but CDC cannot continue without a merge key — fail with a
+      // diagnosable error, not TableMeta's bare require message
+      if (m.pkCols.contains(name)) throw new IllegalStateException(
+        s"cannot drop PK column '$name' of ${id.qualified}: " +
+          "CDC apply requires the key; re-register the table with a new key first")
+      m.copy(schema = StructType(m.schema.fields.filterNot(_.name == name)))
+    })
   def renameColumn(id: TableId, from: String, to: String): Unit =
     tables.updateWith(id)(_.map(m => m.copy(
       schema = StructType(m.schema.fields.map(f =>
@@ -87,7 +94,7 @@ final class SchemaRegistry {
     * schemas must survive a driver restart too, or replay decodes
     * against stale types. */
   def save(path: java.nio.file.Path): Unit = {
-    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val q = graft.JsonUtil.quote _
     val json = tables.values.toSeq
       .sortBy(m => (m.id.database, m.id.schema, m.id.table))
       .map { m =>

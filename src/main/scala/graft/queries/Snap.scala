@@ -22,7 +22,14 @@ object Snap {
     "snap_basebackup",
     (s, dir) => {
       import s.implicits._
-      val root = Files.createTempDirectory("graft-snap-").toString
+      // fixed per-process path, cleaned before use — fresh temp dirs
+      // every run would leak a full table copy per gate invocation
+      val root = java.nio.file.Paths
+        .get(System.getProperty("java.io.tmpdir"), "graft-snap-fixed").toString
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(root))
       val store = new TableStore(s, root)
       val registry = new SchemaRegistry
       val specs = Seq(

@@ -13,13 +13,17 @@ object PgTypeMapper {
   private val numericRe = """(numeric|decimal)\s*\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)""".r
 
   def toSpark(pgType: String): DataType = pgType.toLowerCase.trim match {
+    // array case FIRST: `numeric(10,2)[]` / `timestamp[]` would
+    // otherwise match the scalar prefix cases below
+    case t if t.endsWith("[]")               => ArrayType(toSpark(t.dropRight(2)))
     case numericRe(_, p, s) =>
       val prec = math.min(p.toInt, 38)
       DecimalType(prec, math.min(Option(s).map(_.toInt).getOrElse(0), prec))
     case t if t.startsWith("numeric") || t.startsWith("decimal") => DecimalType(38, 18)
     case "smallint" | "int2"                 => ShortType
-    case "integer" | "int" | "int4" | "xid"  => IntegerType
-    case "bigint" | "int8" | "pg_lsn" | "oid" => LongType
+    case "integer" | "int" | "int4"          => IntegerType
+    // xid is a 32-bit UNSIGNED counter — values exceed Int.MaxValue
+    case "bigint" | "int8" | "pg_lsn" | "oid" | "xid" => LongType
     case "real" | "float4"                   => FloatType
     case "double precision" | "float8"       => DoubleType
     case "boolean" | "bool"                  => BooleanType
@@ -27,7 +31,6 @@ object PgTypeMapper {
     case t if t.startsWith("timestamp")      => TimestampType // µs, UTC session
     case "bytea"                             => BinaryType
     case "jsonb" | "json" | "uuid" | "name"  => StringType
-    case t if t.endsWith("[]")               => ArrayType(toSpark(t.dropRight(2)))
     case _                                   => StringType // text, varchar, enums, …
   }
 
@@ -40,7 +43,13 @@ object PgTypeMapper {
     */
   def castFromText(c: Column, dt: DataType): Column = dt match {
     case BinaryType => unhex(regexp_replace(c, "^\\\\x", ""))
-    case other      => c.cast(other)
+    case ArrayType(elem, _) =>
+      // PG array literal text `{1,2,3}` — Spark cannot cast string to
+      // array; parse the literal, then cast each element
+      transform(
+        graft.functions.PgArrayLiteral.parseCol(c),
+        e => castFromText(e, elem))
+    case other => c.cast(other)
   }
 }
 
@@ -48,10 +57,17 @@ object PgTypeMapper {
   * (`connemara_replication/src/connemara_replication.c:207-215,806-808`).
   */
 object LsnCodec {
-  /** `"16/B374D848"` → 0x16B374D848 */
-  def parse(s: String): Long = {
-    val Array(hi, lo) = s.split("/", 2)
-    (java.lang.Long.parseLong(hi, 16) << 32) | java.lang.Long.parseLong(lo, 16)
+  /** `"16/B374D848"` → 0x16B374D848; malformed input (truncated
+    * `_start_lsn` file, junk hex) raises a diagnosable error instead
+    * of a bare MatchError/NumberFormatException. */
+  def parse(s: String): Long = s.split("/", 2) match {
+    case Array(hi, lo) =>
+      try (java.lang.Long.parseLong(hi, 16) << 32) | java.lang.Long.parseLong(lo, 16)
+      catch {
+        case e: NumberFormatException =>
+          throw new IllegalArgumentException(s"invalid LSN '$s'", e)
+      }
+    case _ => throw new IllegalArgumentException(s"invalid LSN '$s' (expected HI/LO)")
   }
   def format(lsn: Long): String =
     f"${lsn >>> 32}%X/${lsn & 0xFFFFFFFFL}%X"

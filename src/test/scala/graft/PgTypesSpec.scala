@@ -35,6 +35,24 @@ class PgTypesSpec extends SparkSpec {
     assert(PgTypeMapper.toSpark("bytea") == BinaryType)
     assert(PgTypeMapper.toSpark("integer[]") == ArrayType(IntegerType))
     assert(PgTypeMapper.toSpark("pg_lsn") == LongType)
+    // arrays of parameterized/prefixed scalars must stay arrays
+    assert(PgTypeMapper.toSpark("numeric(10,2)[]") == ArrayType(DecimalType(10, 2)))
+    assert(PgTypeMapper.toSpark("timestamp with time zone[]") == ArrayType(TimestampType))
+    // xid is unsigned 32-bit — must be long
+    assert(PgTypeMapper.toSpark("xid") == LongType)
+  }
+
+  test("castFromText decodes PG array literals into typed Spark arrays") {
+    val df = Seq("""{1,2,NULL,42}""").toDF("a")
+      .select(PgTypeMapper.castFromText(col("a"), ArrayType(IntegerType)).as("arr"))
+    import spark.implicits._
+    assert(df.as[Seq[Option[Int]]].collect()(0) ==
+      Seq(Some(1), Some(2), None, Some(42)))
+  }
+
+  test("LsnCodec.parse rejects malformed input with a named error") {
+    intercept[IllegalArgumentException] { LsnCodec.parse("") }
+    intercept[IllegalArgumentException] { LsnCodec.parse("nohex/zz") }
   }
 
   test("bytea hex decode handles PG \\x prefix AND bare hex") {
