@@ -343,9 +343,28 @@ object Relational {
                  THEN 1 ELSE 0 END) AS n_high
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  /** Temporal aggregation: orders per calendar month (`date_trunc`)
+    * with decimal-exact revenue. */
+  val q17_monthly = GraftQuery(
+    "q17_monthly",
+    (s, dir) => {
+      Tables.orders(s, dir)
+        // cast to DATE: DuckDB's month-granularity date_trunc returns
+        // DATE while Spark's returns timestamp
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(D)).cast("double").as("revenue"))
+        .orderBy(col("month"))
+    },
+    Some("""SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      FROM orders GROUP BY 1 ORDER BY month"""))
+
   def all: Seq[GraftQuery] = Seq(
     q1_agg, q2_join_agg, q3_multi_join, q4_topk, q5_distinct,
     q6_anti_join, q7_semi_join, q8_min_window, q9_event_batches,
     q10_md5_route, q11_db_slot, q12_window, q13_except, q14_string_agg,
-    q15_sessions, q16_json)
+    q15_sessions, q16_json, q17_monthly)
 }
