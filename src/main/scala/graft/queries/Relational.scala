@@ -338,9 +338,9 @@ object Relational {
         .orderBy(col("event_type"))
     },
     Some("""SELECT event_type, COUNT(*) AS n,
-        SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
-        SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
-                 THEN 1 ELSE 0 END) AS n_high
+        CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+        CAST(SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
   /** Temporal aggregation: orders per calendar month (`date_trunc`)

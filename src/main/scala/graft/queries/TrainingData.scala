@@ -135,7 +135,7 @@ object TrainingData {
       FROM documents a JOIN documents b
         ON a.source = b.source AND a.doc_id < b.doc_id)
       SELECT source, COUNT(*) AS n_pairs,
-             SUM(CASE WHEN jac >= 0.9 THEN 1 ELSE 0 END) AS n_similar,
+             CAST(SUM(CASE WHEN jac >= 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS n_similar,
              MIN(jac) AS min_jac, MAX(jac) AS max_jac
       FROM pairs GROUP BY source ORDER BY source"""))
 
@@ -270,7 +270,7 @@ object TrainingData {
         FROM documents),
       freq AS (SELECT w, COUNT(*) AS freq FROM words GROUP BY w)
       SELECT doc_id, COUNT(*) AS n_tokens,
-        SUM(CASE WHEN freq < 500 THEN 1 ELSE 0 END) AS n_rare
+        CAST(SUM(CASE WHEN freq < 500 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
       FROM words JOIN freq USING (w)
       GROUP BY doc_id ORDER BY doc_id"""))
 
@@ -301,7 +301,7 @@ object TrainingData {
           row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
         FROM chunks WHERE length(chunk) > 0)
       SELECT doc_id, COUNT(*) AS n_chunks,
-        SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept
+        CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
       FROM ranked GROUP BY doc_id ORDER BY doc_id"""))
 
   /** Multimodal metadata path (pure column exprs — oracled). */
@@ -347,7 +347,7 @@ object TrainingData {
         SELECT media_id, i, least(64, len - i*64) AS flen
         FROM m, UNNEST(range(0, CAST(greatest(len//64, 1) AS BIGINT))) u(i)
         WHERE i % 2 = 0 AND len - i*64 > 0)
-      SELECT media_id, COUNT(*) AS n_frames, SUM(flen) AS frame_bytes
+      SELECT media_id, COUNT(*) AS n_frames, CAST(SUM(flen) AS BIGINT) AS frame_bytes
       FROM f GROUP BY media_id ORDER BY media_id"""))
 
   /** Full batched decode plumbing (stub codec — rows-only). */

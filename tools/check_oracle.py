@@ -40,6 +40,16 @@ for name, sql in sorted(oracle.items()):
         print(f"FAIL {name}: no spark output"); n_fail += 1; continue
     con = fresh_con()
     try:
+        # the driver canonicalizes DuckDB HUGEINT/DECIMAL output columns
+        # differently than Python ints (round-1 lesson: 5 queries failed
+        # remotely on uncast integer SUMs while passing here) — reject any
+        # oracle whose result schema isn't plain BIGINT/INT/DOUBLE/etc.
+        d = con.execute(f"DESCRIBE {sql}").fetchall()
+        bad = [f"{r[0]}:{r[1]}" for r in d
+               if "HUGEINT" in str(r[1]) or "DECIMAL" in str(r[1])]
+        if bad:
+            print(f"FAIL {name}: oracle col type needs explicit CAST: {bad}")
+            n_fail += 1; continue
         o = con.execute(sql)
         ocols = [d[0] for d in o.description]
         orows = o.fetchall()
