@@ -207,7 +207,13 @@ object Dedup {
     * to a handful of ALU ops. Non-ASCII chars (ascii() > 127) must
     * not occur — use [[charSet]]/[[setJaccard]] there.
     */
-  def charMask(text: Column): Column = {
+  def charMask(text: Column): Column =
+    graft.plans.NativeCols.charMask(text)
+
+  /** The original interpreted fold form of [[charMask]] — kept as the
+    * semantic reference the native codegen expression is verified
+    * against (VectorExprsSpec). */
+  def charMaskFold(text: Column): Column = {
     val zero = struct(lit(0L).as("lo"), lit(0L).as("hi"))
     aggregate(split(text, ""), zero, (acc, ch) => {
       val a = ascii(ch)

@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-assembly operators for large-scale training-data pipelines:
+  * deterministic sampling, token budgeting, sequence packing, and
+  * source interleaving. All pure column expressions / windows — each
+  * is one narrow map or one shuffle keyed by the stratum, and every
+  * output is integer- or exactly-representable-double-valued so the
+  * DuckDB oracle can hash-match it cross-engine.
+  */
+object Pipeline {
+
+  /** Deterministic hash bucket in [0, buckets): md5-based so any
+    * engine can reproduce the selection (xxhash64 is Spark-only).
+    * First 8 md5 hex digits → 32-bit value → modulo. Used for
+    * sampling and train/test splits: membership is a pure function of
+    * the key, stable under reshuffling, repartitioning, and reruns —
+    * the property that matters when the corpus is rebuilt at 100 TB.
+    */
+  def hashBucket(key: Column, buckets: Int): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("long") % buckets
+
+  /** Stratified Bernoulli sample: keep `pct`% of rows per key,
+    * deterministically. No shuffle — a narrow filter. */
+  def stratifiedSample(df: DataFrame, keyCol: String, pct: Int): DataFrame =
+    df.filter(hashBucket(col(keyCol), 100) < pct)
+
+  /** Per-stratum token budget: walk docs in `orderCol` order within
+    * each stratum, keep while the running token total stays ≤
+    * `budget`. One shuffle on the stratum key; the window is a single
+    * sort per stratum (the 100 TB shape: strata ≪ corpus, cumsum is
+    * linear per partition).
+    */
+  def tokenBudget(docs: DataFrame, strataCol: String, orderCol: String,
+                  textCol: String, budget: Long): DataFrame = {
+    val w = Window.partitionBy(col(strataCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)).cast("long"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+      .select(col(strataCol), col(orderCol), col("n_tokens"), col("cum_tokens"))
+  }
+
+  /** Sequence packing: concatenate docs in `orderCol` order within a
+    * stratum and cut the stream into fixed `window`-token context
+    * windows (split-allowed packing — a doc may straddle a boundary,
+    * like GPT-style pretraining packing). A doc's bin = tokens before
+    * it ÷ window. Returns per-(stratum, bin) doc/token counts, the
+    * shape a packer needs to emit fixed-length training rows.
+    */
+  def packSequences(docs: DataFrame, strataCol: String, orderCol: String,
+                    textCol: String, window: Int): DataFrame = {
+    val w = Window.partitionBy(col(strataCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)).cast("long"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("bin", ((col("cum_tokens") - col("n_tokens")) / window)
+        .cast("long"))
+      .groupBy(col(strataCol), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+  }
+
+  /** Weighted round-robin interleave of strata: doc i (1-based, in
+    * `orderCol` order) of a stratum with weight w gets global key
+    * (i - 0.5) / w — a stratum with twice the weight appears twice as
+    * often in the merged stream. The key is a single IEEE division of
+    * small integers, exactly reproducible on any engine. Returns the
+    * first `limit` docs of the merged stream with their positions.
+    */
+  def interleave(docs: DataFrame, strataCol: String, orderCol: String,
+                 weights: Map[String, Int], limit: Int): DataFrame = {
+    val wRank = Window.partitionBy(col(strataCol)).orderBy(col(orderCol))
+    val weight = weights.foldLeft(lit(1.0)) { case (alt, (k, v)) =>
+      when(col(strataCol) === k, lit(v.toDouble)).otherwise(alt)
+    }
+    val keyed = docs
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("ikey", (col("rn").cast("double") - 0.5) / weight)
+    val wGlobal = Window.orderBy(col("ikey"), col(strataCol), col(orderCol))
+    keyed
+      .withColumn("pos", row_number().over(wGlobal))
+      .filter(col("pos") <= limit)
+      .select(col("pos"), col(strataCol), col(orderCol), col("rn"))
+  }
+}

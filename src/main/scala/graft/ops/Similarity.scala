@@ -15,8 +15,18 @@ object Similarity {
     * Zero-norm vectors score NULL — under Spark 4's default ANSI mode
     * an unguarded division would abort the whole job on the first
     * all-zero embedding.
+    *
+    * Native codegen expression ([[graft.plans.CosineSimExpression]]):
+    * one compiled loop per pair instead of three interpreted
+    * higher-order-function folds. Bit-identical to [[cosineFold]]
+    * (same fold order — cross-checked by VectorExprsSpec).
     */
-  def cosine(a: Column, b: Column): Column = {
+  def cosine(a: Column, b: Column): Column =
+    graft.plans.NativeCols.cosineSim(a, b)
+
+  /** The original column-DSL fold form of [[cosine]] — kept as the
+    * semantic reference the native expression is verified against. */
+  def cosineFold(a: Column, b: Column): Column = {
     def dbl(c: Column) = transform(c, _.cast("double"))
     def dot(x: Column, y: Column) =
       aggregate(zip_with(x, y, _ * _), lit(0.0), _ + _)
@@ -51,8 +61,15 @@ object Similarity {
   private def planeComponent(p: Int, j: Column): Column =
     (pmod(xxhash64(lit(p), j), lit(1000000L)).cast("double") / 1000000.0) - 0.5
 
-  /** Sign-LSH bucket key: `numPlanes` sign bits of dot(vec, plane). */
-  def lshBucket(vec: Column, numPlanes: Int = 12): Column = {
+  /** Sign-LSH bucket key: `numPlanes` sign bits of dot(vec, plane).
+    * Native codegen ([[graft.plans.LshBucketExpression]]) — the DSL
+    * fold form is kept as [[lshBucketFold]] for the equivalence spec.
+    */
+  def lshBucket(vec: Column, numPlanes: Int = 12): Column =
+    graft.plans.NativeCols.lshBucket(vec, numPlanes)
+
+  /** Column-DSL reference form of [[lshBucket]]. */
+  def lshBucketFold(vec: Column, numPlanes: Int = 12): Column = {
     val bits = (0 until numPlanes).map { p =>
       val dotp = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),

@@ -1,0 +1,27 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+/** Column-DSL entry points for the native expressions — bridges a
+  * catalyst `Expression` into the public `Column` API via
+  * [[ColumnBridge]] (Spark 4 keeps the converter in
+  * `sql.classic.ExpressionUtils`; same mechanism the built-in
+  * `functions` object uses).
+  */
+object NativeCols {
+  private def ex(c: Column): Expression = ColumnBridge.expression(c)
+  private def cl(e: Expression): Column = ColumnBridge.column(e)
+
+  /** Codegen cosine similarity (see [[CosineSimExpression]]). */
+  def cosineSim(a: Column, b: Column): Column =
+    cl(CosineSimExpression(ex(a), ex(b)))
+
+  /** Codegen ASCII char-set bitmap (see [[CharMaskExpression]]). */
+  def charMask(text: Column): Column = cl(CharMaskExpression(ex(text)))
+
+  /** Codegen sign-LSH bucket key (see [[LshBucketExpression]]). */
+  def lshBucket(vec: Column, numPlanes: Int): Column =
+    cl(LshBucketExpression(ex(vec), numPlanes))
+}

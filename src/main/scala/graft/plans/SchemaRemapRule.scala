@@ -53,5 +53,19 @@ final class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1, "pg_array_parse takes one argument")
         PgArrayParseExpression(children.head)
       }))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim"),
+      CosineSimExpression.info,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "cosine_sim takes two arguments")
+        CosineSimExpression(children.head, children(1))
+      }))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("char_mask"),
+      CharMaskExpression.info,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1, "char_mask takes one argument")
+        CharMaskExpression(children.head)
+      }))
   }
 }

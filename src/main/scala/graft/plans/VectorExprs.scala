@@ -1,0 +1,235 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native codegen expressions for the similarity / dedup hot paths.
+  *
+  * The column-DSL versions of these ([[graft.ops.Similarity.cosineFold]],
+  * the old `charMask` fold) are built from `aggregate`/`zip_with`
+  * higher-order functions, which Spark evaluates with an interpreted
+  * lambda per element — fine per row, ruinous inside an O(n·k) ANN
+  * candidate stage (the round-1 bench showed td_ann_ivf and
+  * td_char_jaccard dominating the suite on exactly this). These
+  * expressions keep identical semantics (same fold order, same
+  * float→double widening, same null/zero-norm behavior — bit-identical
+  * doubles) but evaluate as one compiled loop per value, inlined into
+  * whole-stage codegen via a static call (the
+  * [[PgArrayParseExpression]] pattern, SURVEY §2.10).
+  */
+object VectorOps {
+
+  /** Cosine similarity with left-to-right double accumulation —
+    * the exact fold order of `aggregate(zip_with(a,b,_*_),0.0,_+_)`,
+    * so results are bit-identical to the HOF form. Null when: lengths
+    * differ (zip_with pads with null), any element is null, or either
+    * norm is zero (`nullif` guard in the DSL form).
+    */
+  def cosine(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    val den = math.sqrt(na) * math.sqrt(nb)
+    if (den == 0.0) null else java.lang.Double.valueOf(dot / den)
+  }
+
+  /** ASCII char-set bitmap, identical to the old interpreted fold over
+    * `split(text, "")`: per code point cp, bit `1L << (cp % 64)` goes
+    * to `lo` if cp < 64 else `hi`. Java's `<<` wraps its shift mod 64,
+    * matching `shiftleft(1L, pmod(cp, 64))`. The empty string keeps
+    * the fold's quirk: `split` yields `[""]` and `ascii("") = 0`, so
+    * bit 0 of `lo` is set.
+    */
+  def charMask(s: UTF8String): InternalRow = {
+    var lo = 0L
+    var hi = 0L
+    val str = s.toString
+    if (str.isEmpty) {
+      lo = 1L
+    } else {
+      var i = 0
+      val len = str.length
+      while (i < len) {
+        val cp = str.codePointAt(i)
+        val bit = 1L << cp
+        if (cp < 64) lo |= bit else hi |= bit
+        i += Character.charCount(cp)
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](lo, hi))
+  }
+
+  /** Sign-LSH bucket: bit p of the result = sign of dot(vec, plane_p),
+    * plane component j = pmod(xxhash64(p, j), 1e6)/1e6 - 0.5 — the
+    * exact hash chain of the column form (`xxhash64(lit(p), j)` =
+    * XXH64.hashInt(j, XXH64.hashInt(p, 42))), same left-to-right
+    * double fold, so buckets match the DSL version bit-for-bit.
+    */
+  def lshBucket(vec: ArrayData, numPlanes: Int, vFloat: Boolean): java.lang.Long = {
+    val n = vec.numElements()
+    var bucket = 0L
+    var p = 0
+    while (p < numPlanes) {
+      val hp = XXH64.hashInt(p, 42L)
+      var dot = 0.0
+      var j = 0
+      while (j < n) {
+        if (vec.isNullAt(j)) return null
+        val h = XXH64.hashInt(j, hp)
+        val m = h % 1000000L
+        val pm = if (m < 0) m + 1000000L else m
+        val comp = pm.toDouble / 1000000.0 - 0.5
+        val x = if (vFloat) vec.getFloat(j).toDouble else vec.getDouble(j)
+        dot += x * comp
+        j += 1
+      }
+      if (dot > 0) bucket |= (1L << p)
+      p += 1
+    }
+    java.lang.Long.valueOf(bucket)
+  }
+
+  private[plans] def elemFloat(dt: DataType, name: String): Boolean = dt match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"$name requires array<float> or array<double>, got ${other.sql}")
+  }
+}
+
+/** `cosine_sim(a, b)`: codegen cosine similarity over float/double
+  * array columns. Nullable (zero-norm and malformed inputs → NULL). */
+final case class CosineSimExpression(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cosine_sim requires array<float|double> inputs, got " +
+        s"${left.dataType.sql}, ${right.dataType.sql}")
+  }
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private lazy val aFloat = VectorOps.elemFloat(left.dataType, "cosine_sim")
+  private lazy val bFloat = VectorOps.elemFloat(right.dataType, "cosine_sim")
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      aFloat, bFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |java.lang.Double ${ev.value}_r =
+         |  graft.plans.VectorOps.cosine($a, $b, $aFloat, $bFloat);
+         |if (${ev.value}_r == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ${ev.value}_r.doubleValue();
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "cosine_sim"
+}
+
+object CosineSimExpression {
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[CosineSimExpression].getName, "cosine_sim")
+}
+
+/** `char_mask(text)`: codegen ASCII char-set bitmap as
+  * struct(lo BIGINT, hi BIGINT). */
+final case class CharMaskExpression(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"char_mask requires STRING input, got ${child.dataType.sql}")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("lo", LongType, nullable = false),
+    StructField("hi", LongType, nullable = false)))
+
+  override def nullSafeEval(input: Any): Any =
+    VectorOps.charMask(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.VectorOps.charMask($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "char_mask"
+}
+
+object CharMaskExpression {
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[CharMaskExpression].getName, "char_mask")
+}
+
+/** `lsh_bucket(vec, numPlanes)`: codegen sign-LSH bucket key. */
+final case class LshBucketExpression(child: Expression, numPlanes: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"lsh_bucket requires array<float|double> input, got ${other.sql}")
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  private lazy val vFloat = VectorOps.elemFloat(child.dataType, "lsh_bucket")
+
+  override def nullSafeEval(input: Any): Any =
+    VectorOps.lshBucket(input.asInstanceOf[ArrayData], numPlanes, vFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      s"""
+         |java.lang.Long ${ev.value}_r =
+         |  graft.plans.VectorOps.lshBucket($v, $numPlanes, $vFloat);
+         |if (${ev.value}_r == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ${ev.value}_r.longValue();
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "lsh_bucket"
+}

@@ -1,0 +1,136 @@
+package graft
+
+import graft.ops.{Dedup, Similarity}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The native codegen expressions (cosine_sim, char_mask, lsh_bucket)
+  * must be BIT-IDENTICAL to the column-DSL fold forms they replace —
+  * same fold order, same widening, same null/zero-norm behavior.
+  * Doubles are compared with ==, not tolerance: any reordering of the
+  * accumulation would change oracle hashes.
+  */
+class VectorExprsSpec extends SparkSpec {
+
+  private def seededVec(seed: Long, dim: Int): Array[Float] = {
+    val r = new scala.util.Random(seed)
+    Array.fill(dim)((r.nextDouble() - 0.5).toFloat)
+  }
+
+  test("cosine_sim ≡ fold form bit-for-bit, incl zero-norm and empty") {
+    import spark.implicits._
+    val rows =
+      (0 until 50).map(i => (i.toLong, seededVec(i, 64), seededVec(i + 1000, 64))) ++
+        Seq(
+          (900L, Array.fill(8)(0.0f), seededVec(1, 8)), // zero norm → null
+          (901L, Array.empty[Float], Array.empty[Float]), // empty → null
+          (902L, seededVec(2, 4), seededVec(3, 4)))
+    val df = rows.toDF("id", "a", "b")
+      .select(col("id"),
+        Similarity.cosine(col("a"), col("b")).as("native"),
+        Similarity.cosineFold(col("a"), col("b")).as("fold"))
+    val got = df.collect()
+    assert(got.length == rows.length)
+    got.foreach { r =>
+      val n = if (r.isNullAt(1)) null else r.getDouble(1)
+      val f = if (r.isNullAt(2)) null else r.getDouble(2)
+      assert(n == f, s"row ${r.getLong(0)}: native=$n fold=$f")
+    }
+    // sanity: the non-degenerate rows actually produced values
+    assert(got.count(r => !r.isNullAt(1)) == 51)
+  }
+
+  test("cosine_sim: length mismatch and null element → null") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0f, 2.0f), Seq(1.0f, 2.0f, 3.0f)),
+      (2L, Seq(1.0f, 2.0f), Seq(1.0f, 2.0f))
+    ).toDF("id", "a", "b")
+      .select(col("id"), Similarity.cosine(col("a"), col("b")).as("c"))
+      .orderBy("id").collect()
+    assert(df(0).isNullAt(1))
+    assert(!df(1).isNullAt(1))
+    val withNull = spark.sql(
+      "SELECT * FROM VALUES (array(CAST(1.0 AS FLOAT), NULL), array(CAST(1.0 AS FLOAT), CAST(1.0 AS FLOAT))) t(a, b)")
+      .select(Similarity.cosine(col("a"), col("b")).as("c")).collect()
+    assert(withNull(0).isNullAt(0))
+  }
+
+  test("char_mask ≡ fold form, incl empty string quirk") {
+    import spark.implicits._
+    val texts = Seq("", "a", "Hello, World! 42", "zzz   \t\n mixed CASE 0189",
+      "~`!@#$%^&*()_+-=[]{}|;':\",./<>?") ++
+      (0 until 30).map(i => new scala.util.Random(i).alphanumeric.take(80).mkString)
+    val df = texts.toDF("t").select(
+      Dedup.charMask(col("t")).as("native"),
+      Dedup.charMaskFold(col("t")).as("fold"))
+    df.collect().foreach { r =>
+      assert(r.getStruct(0) == r.getStruct(1),
+        s"mask mismatch: ${r.getStruct(0)} vs ${r.getStruct(1)}")
+    }
+  }
+
+  test("maskJaccard over native masks ≡ set Jaccard on ASCII text") {
+    import spark.implicits._
+    val df = Seq(("abcabc", "abcd"), ("hello", "world"), ("xy", "xy"))
+      .toDF("a", "b")
+      .select(
+        Dedup.maskJaccard(Dedup.charMask(col("a")), Dedup.charMask(col("b"))).as("m"),
+        Dedup.setJaccard(Dedup.charSet(col("a")), Dedup.charSet(col("b"))).as("s"))
+    df.collect().foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("lsh_bucket ≡ fold form across plane counts") {
+    import spark.implicits._
+    val rows = (0 until 40).map(i => Tuple1(seededVec(i, 32)))
+    for (planes <- Seq(1, 8, 12, 63)) {
+      val df = rows.toDF("v").select(
+        Similarity.lshBucket(col("v"), planes).as("native"),
+        Similarity.lshBucketFold(col("v"), planes).as("fold"))
+      df.collect().foreach(r =>
+        assert(r.getLong(0) == r.getLong(1), s"planes=$planes"))
+    }
+  }
+
+  test("native expressions survive whole-stage codegen in a real plan") {
+    import spark.implicits._
+    // force the codegen path (not interpreted fallback eval) by going
+    // through a filter+agg pipeline over enough rows
+    val df = (0 until 2000).map(i => (i.toLong, seededVec(i, 16)))
+      .toDF("id", "v")
+    val q = df.as("a").join(df.as("b"), $"a.id" < $"b.id" && $"b.id" < $"a.id" + 3)
+      .select(Similarity.cosine($"a.v", $"b.v").as("c"))
+      .agg(count(when($"c" > 0, 1)).as("n_pos"), avg($"c").as("mean"))
+    val r = q.collect()(0)
+    assert(r.getLong(0) > 0 && !r.isNullAt(1))
+  }
+
+  test("cosine_sim registered as SQL function via GraftExtensions") {
+    // extensions bind at session build: clear active+default so
+    // getOrCreate builds a fresh session over the shared context
+    // (the SchemaRemapRuleSpec pattern)
+    TestSpark.spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    val withExt = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val r = withExt.sql(
+        """SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+                             array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c,
+                  char_mask('ab').lo AS lo""").collect()(0)
+      assert(math.abs(r.getDouble(0) - 1.0) < 1e-15)
+      assert(r.getLong(1) == 0L)
+      val hi = withExt.sql("SELECT char_mask('ab').hi AS hi").collect()(0).getLong(0)
+      // 'a'=97 → bit 33 of hi, 'b'=98 → bit 34
+      assert(hi == ((1L << 33) | (1L << 34)))
+    } finally {
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      org.apache.spark.sql.SparkSession.clearDefaultSession()
+    }
+  }
+}
