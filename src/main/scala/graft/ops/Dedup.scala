@@ -112,16 +112,29 @@ object Dedup {
     * interpreted per element; at corpus scale that loses to one
     * shuffle with map-side combine).
     */
-  def simhashDf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhashDf(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhashOver(docs, idCol, textCol, xxhash64(_), bits = 64)
+
+  /** SimHash with md5-derived 60-bit token hashes (first 15 hex chars
+    * of md5 → bigint). Slower to hash than xxhash64, but md5 exists in
+    * every engine, so the full simhash value is oracle-checkable —
+    * the portability/speed trade both variants document.
+    */
+  def simhashMd5Df(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhashOver(docs, idCol, textCol,
+      t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"), bits = 60)
+
+  private def simhashOver(docs: DataFrame, idCol: String, textCol: String,
+                          hashOf: Column => Column, bits: Int): DataFrame = {
     val hashes = docs
       .select(col(idCol).as("id"),
         explode(TextAnalysis.tokens(col(textCol))).as("tok"))
-      .select(col("id"), xxhash64(col("tok")).as("h"))
-    val bitSums = (0 until 64).map(i =>
+      .select(col("id"), hashOf(col("tok")).as("h"))
+    val bitSums = (0 until bits).map(i =>
       sum(call_function("getbit", col("h"), lit(i))).as(s"b$i"))
     val counted = hashes.groupBy(col("id"))
       .agg(count(lit(1)).as("n"), bitSums: _*)
-    val sim = (0 until 64)
+    val sim = (0 until bits)
       .map(i => when(col(s"b$i") * 2 > col("n"), shiftleft(lit(1L), i))
         .otherwise(lit(0L)))
       .reduce((x, y) => x.bitwiseOR(y))
@@ -154,6 +167,51 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Connected components over an undirected near-duplicate pair
+    * graph — the step that turns pairwise matches into dedup CLUSTERS
+    * (keep `min(id)` per component, drop the rest). Iterative
+    * min-label propagation: each round every vertex takes the min
+    * label among itself and its neighbors; converges in O(graph
+    * diameter) rounds (tiny for dup clusters — they are
+    * near-cliques). Each round is one keyed join + one map-side-
+    * combinable min-aggregate, both shuffling only the (pairs-sized,
+    * ≪ corpus) edge list; lineage is cut per round with
+    * localCheckpoint so plans don't grow with iteration count.
+    *
+    * @param pairs columns `id_a`, `id_b` (one row per undirected pair)
+    * @return (id, comp) for every vertex that appears in `pairs`,
+    *         comp = min vertex id of its component
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      .distinct()
+      .localCheckpoint(eager = false)
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint(eager = false)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val prop = edges.join(labels.withColumnRenamed("id", "u"), Seq("u"))
+        .select(col("v").as("id"), col("comp"))
+      val next = labels.unionByName(prop)
+        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+        .localCheckpoint(eager = false)
+      // one tiny driver-side count per round IS the convergence test —
+      // it reads only the diff join, never collects the labels
+      val changed = next
+        .join(labels.withColumnRenamed("comp", "prev"), Seq("id"))
+        .filter(col("comp") =!= col("prev")).limit(1).count()
+      converged = changed == 0
+      labels = next
+      iter += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents: not converged after $maxIter rounds")
+    labels
   }
 
   /** Chunk-level dedup (the paragraph/line dedup of training

@@ -107,9 +107,12 @@ object Cdc {
       // the raw fixture has duplicate (orderkey, linenumber) pairs —
       // CDC needs a key-unique target, so apply onto a deduped
       // projection (mirrored in the oracle)
+      // localCheckpoint: `li` feeds three subtrees (target + both log
+      // phases) — without it the 600k-row dedup shuffle runs 3×
       val li = Tables.lineitem(s, dir)
         .groupBy(col("l_orderkey"), col("l_linenumber"))
         .agg(max(col("l_quantity")).as("l_quantity"))
+        .localCheckpoint(eager = false)
       val meta = TableMeta(
         TableId("srcdb", "public", "lineitem"), li.schema,
         Seq("l_orderkey", "l_linenumber"))

@@ -202,7 +202,59 @@ object TrainingData {
     WHERE jaccard >= 0.8
     ORDER BY id_a, id_b"""))
 
-  /** SimHash per doc (hash-defined — rows-only check). */
+  /** Near-dup pairs → dedup clusters: connected components over the
+    * minhash near-duplicate graph of the bounded corpus (same corpus
+    * and pair semantics as [[td_minhash_neardup]]). The oracle
+    * recomputes true-Jaccard pairs and closes them transitively with
+    * a recursive CTE — exactly what min-label propagation converges
+    * to. */
+  val td_dedup_components = GraftQuery(
+    "td_dedup_components",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).filter(col("doc_id") < 150)
+      val corpus = d.unionByName(
+        d.filter(pmod(col("doc_id"), lit(5)) === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L)
+          .withColumn("text", concat(col("text"), lit(" xtra wrds"))))
+      val pairs = Dedup.minhashNearDuplicates(corpus, "doc_id", "text",
+        numHashes = 32, bands = 16, threshold = 0.8)
+      Dedup.connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("comp").as("component"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH RECURSIVE base AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 150),
+      corpus AS (
+        SELECT doc_id, text FROM base
+        UNION ALL
+        SELECT doc_id + 1000000, text || ' xtra wrds' FROM base WHERE doc_id % 5 = 0),
+      tok AS (
+        SELECT doc_id, string_split_regex(trim(text),'\s+') AS t FROM corpus),
+      sh AS (
+        SELECT doc_id,
+          CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+               ELSE list_distinct(list_transform(range(1, len(t)-1),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS s
+        FROM tok),
+      pairs AS (
+        SELECT id_a, id_b FROM (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)
+              / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        WHERE jaccard >= 0.8),
+      edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+      reach AS (
+        SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges) t
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+      SELECT u AS doc_id, MIN(v) AS component
+      FROM reach GROUP BY u ORDER BY doc_id"""))
+
+  /** SimHash per doc (xxhash64 bits: fast path, hash-defined —
+    * rows-only check; [[td_simhash_md5]] is the oracled variant). */
   val td_simhash = GraftQuery(
     "td_simhash",
     (s, dir) => {
@@ -211,6 +263,38 @@ object TrainingData {
         .orderBy(col("doc_id"))
     },
     None)
+
+  /** SimHash with md5-derived 60-bit token hashes — same explode +
+    * grouped-bit-count plan as [[td_simhash]], but md5 exists in both
+    * engines so the full hash value is oracle-checkable.
+    */
+  val td_simhash_md5 = GraftQuery(
+    "td_simhash_md5",
+    (s, dir) => {
+      Dedup.simhashMd5Df(Tables.documents(s, dir), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH words AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text),'\s+')) AS w
+        FROM documents WHERE length(trim(text)) > 0),
+      h AS (
+        SELECT doc_id, ('0x'||substr(md5(w),1,15))::BIGINT AS h FROM words),
+      cnt AS (SELECT doc_id, COUNT(*) AS n FROM h GROUP BY doc_id),
+      bits AS (
+        SELECT doc_id, i, SUM((h >> CAST(i AS INTEGER)) & 1) AS ones
+        FROM h, UNNEST(range(0, 60)) u(i)
+        GROUP BY doc_id, i),
+      sim AS (
+        SELECT b.doc_id,
+          CAST(SUM(CASE WHEN 2*b.ones > c.n
+                        THEN (CAST(1 AS BIGINT) << CAST(b.i AS INTEGER))
+                        ELSE 0 END) AS BIGINT) AS simhash
+        FROM bits b JOIN cnt c USING (doc_id)
+        GROUP BY b.doc_id)
+      SELECT d.doc_id, COALESCE(s.simhash, CAST(0 AS BIGINT)) AS simhash
+      FROM documents d LEFT JOIN sim s USING (doc_id)
+      ORDER BY doc_id"""))
 
   /** Embedding-cosine near-dup pairs over a bounded subset, exact
     * baseline — oracle recomputes with list_cosine_similarity. The
@@ -231,7 +315,14 @@ object TrainingData {
         AND list_cosine_similarity(a.embedding, b.embedding) >= 0.8
       ORDER BY id_a, id_b"""))
 
-  /** IVF ANN (deterministic coarse quantizer — rows-only). */
+  /** IVF ANN. The coarse quantizer is deterministic (cell c's centroid
+    * = the lowest-id vector with id%nCells = c), so the whole
+    * inverted-file search is SQL-expressible: the oracle recomputes
+    * centroid choice, cell assignment, nProbe probing, and final
+    * ranking. Ranks order on cosine values whose cross-engine
+    * divergence (~1e-7, DuckDB sums float lists in float) sits far
+    * below the gaps between distinct random vectors.
+    */
   val td_ann_ivf = GraftQuery(
     "td_ann_ivf",
     (s, dir) => {
@@ -241,7 +332,35 @@ object TrainingData {
         .select(col("query_id"), col("rank"), col("neighbor_id"))
         .orderBy(col("query_id"), col("rank"))
     },
-    None)
+    Some("""WITH cent AS (
+        SELECT CAST(vec_id % 16 AS INTEGER) AS cell,
+               arg_min(embedding, vec_id) AS centroid
+        FROM embeddings GROUP BY 1),
+      ca AS (
+        SELECT neighbor_id, cvec, cell FROM (
+          SELECT e.vec_id AS neighbor_id, e.embedding AS cvec, c.cell,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY list_cosine_similarity(e.embedding, c.centroid) DESC, c.cell) AS rn
+          FROM embeddings e CROSS JOIN cent c)
+        WHERE rn = 1),
+      qa AS (
+        SELECT query_id, qvec, cell FROM (
+          SELECT e.vec_id AS query_id, e.embedding AS qvec, c.cell,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY list_cosine_similarity(e.embedding, c.centroid) DESC, c.cell) AS rn
+          FROM embeddings e CROSS JOIN cent c
+          WHERE e.vec_id < 20)
+        WHERE rn <= 4),
+      cand AS (
+        SELECT DISTINCT query_id, qvec, neighbor_id, cvec
+        FROM qa JOIN ca USING (cell)
+        WHERE query_id <> neighbor_id)
+      SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY list_cosine_similarity(qvec, cvec) DESC, neighbor_id) AS rank
+        FROM cand)
+      WHERE rank <= 5 ORDER BY query_id, rank"""))
 
   /** LSH ANN (approximate, hash-defined buckets — rows-only). */
   val td_ann_lsh = GraftQuery(
@@ -350,20 +469,35 @@ object TrainingData {
       SELECT media_id, COUNT(*) AS n_frames, CAST(SUM(flen) AS BIGINT) AS frame_bytes
       FROM f GROUP BY media_id ORDER BY media_id"""))
 
-  /** Full batched decode plumbing (stub codec — rows-only). */
+  /** Full batched decode plumbing (stub codec). The deterministic
+    * features (byte count, mean byte value) are oracled — the corpus
+    * is ASCII, so DuckDB can recompute byte sums from codepoints;
+    * `batch_size` (partitioning-dependent) stays out of the output and
+    * is covered by OpsSpec instead.
+    */
   val td_media_features = GraftQuery(
     "td_media_features",
     (s, dir) => {
       Multimodal.extractFeatures(
         Multimodal.packFromText(Tables.documents(s, dir), "doc_id", "text"))
+        .select(col("media_id"), col("format"), col("n_bytes"), col("mean_byte"))
         .orderBy(col("media_id"))
     },
-    None)
+    Some("""SELECT doc_id AS media_id,
+      CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        ELSE 'wav' END AS format,
+      octet_length(encode(text)) AS n_bytes,
+      CASE WHEN octet_length(encode(text)) = 0 THEN 0.0
+           ELSE CAST(list_sum(list_transform(string_split(text, ''),
+                  c -> ascii(c))) AS DOUBLE) / octet_length(encode(text))
+      END AS mean_byte
+      FROM documents ORDER BY media_id"""))
 
   def all: Seq[GraftQuery] = Seq(
     td_text_stats, td_lang_id, td_fingerprint, td_dedup_exact,
-    td_char_jaccard, td_cosine_topk, td_minhash_neardup, td_simhash,
-    td_ann_lsh, td_embedding_neardup, td_ann_ivf,
+    td_char_jaccard, td_cosine_topk, td_minhash_neardup,
+    td_dedup_components, td_simhash,
+    td_simhash_md5, td_ann_lsh, td_embedding_neardup, td_ann_ivf,
     td_rare_words, td_chunk_dedup,
     td_media_meta, td_media_frames, td_media_features)
 }

@@ -61,11 +61,23 @@ object Snapshot {
     val metas = specs.map { spec =>
       spec -> TableMeta(spec.id, spark.read.parquet(spec.sourcePath).schema, spec.pkCols)
     }
-    val reports = metas.map { case (spec, _) =>
-      val src = spark.read.parquet(spec.sourcePath)
-      val clustered = src.repartition(njobs, spec.pkCols.map(col): _*)
-      store.stage(spec.id, clustered, 0L)
-      TableReport(spec.id, store.readVersion(spec.id, 0L).count(), 0L)
+    // Stage tables CONCURRENTLY — the analog of the reference's
+    // 8-process restore pool (`pool(njobs=8)` over tables,
+    // `connemara_python/connemara/restore.py:42-54`). Spark job
+    // submission is thread-safe; each table's write+count is small
+    // relative to scheduler latency, so overlapping them matters even
+    // more than intra-table parallelism on a busy cluster.
+    val reports = {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      val fs = metas.map { case (spec, _) => Future {
+        val src = spark.read.parquet(spec.sourcePath)
+        val clustered = src.repartition(njobs, spec.pkCols.map(col): _*)
+        store.stage(spec.id, clustered, 0L)
+        TableReport(spec.id, store.readVersion(spec.id, 0L).count(), 0L)
+      }}
+      Await.result(Future.sequence(fs), Duration.Inf)
     }
     metas.foreach { case (_, meta) => registry.register(meta) }
     // all tables commit together: one consistent snapshot cut
