@@ -362,9 +362,30 @@ object Relational {
         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
       FROM orders GROUP BY 1 ORDER BY month"""))
 
+  /** Salted skew join (A4's hash-partitioning pushed one level
+    * further): result must be IDENTICAL to the plain join — the
+    * oracle runs the unsalted SQL. */
+  val q18_salted_join = GraftQuery(
+    "q18_salted_join",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir).select(col("l_partkey"), col("l_quantity"))
+      val p = Tables.part(s, dir)
+        .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+      graft.ops.SkewJoin.saltedJoin(li, p, Seq("l_partkey"), salt = 8)
+        .groupBy(col("p_brand"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast(D)).cast("double").as("sum_qty"))
+        .orderBy(col("p_brand"))
+    },
+    Some("""SELECT p_brand, COUNT(*) AS n_rows,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p_brand ORDER BY p_brand"""))
+
   def all: Seq[GraftQuery] = Seq(
     q1_agg, q2_join_agg, q3_multi_join, q4_topk, q5_distinct,
     q6_anti_join, q7_semi_join, q8_min_window, q9_event_batches,
     q10_md5_route, q11_db_slot, q12_window, q13_except, q14_string_agg,
-    q15_sessions, q16_json, q17_monthly)
+    q15_sessions, q16_json, q17_monthly, q18_salted_join)
 }

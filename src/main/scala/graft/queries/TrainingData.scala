@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{GraftQuery, Tables}
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -423,6 +423,65 @@ object TrainingData {
         CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
       FROM ranked GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Deterministic Bernoulli sample (md5-hash membership, no shuffle,
+    * reproducible across engines/runs/partitionings — `rand()` is
+    * none of those). The cutoff literal is shared with the oracle. */
+  val td_sample_hash = GraftQuery(
+    "td_sample_hash",
+    (s, dir) => {
+      Sampling.hashSample(Tables.documents(s, dir), "doc_id", 0.1)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""SELECT doc_id, source FROM documents
+      WHERE ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+            < ${Sampling.cutoff(0.1)}
+      ORDER BY doc_id"""))
+
+  /** Stratified fixed-size sample: 10 docs per source, chosen by
+    * lowest id-hash within the stratum. */
+  val td_sample_stratified = GraftQuery(
+    "td_sample_stratified",
+    (s, dir) => {
+      Sampling.stratifiedSample(Tables.documents(s, dir), "source", "doc_id", 10)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+        row_number() OVER (PARTITION BY source
+          ORDER BY ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT,
+                   doc_id) AS rn
+      FROM documents)
+      WHERE rn <= 10 ORDER BY doc_id"""))
+
+  /** Discrete token-count quantiles per source (percentile-disc:
+    * value at rank ceil(p*n) — integer-exact across engines, unlike
+    * interpolated quantiles). */
+  val td_token_quantiles = GraftQuery(
+    "td_token_quantiles",
+    (s, dir) => {
+      Sampling.discreteQuantiles(
+        Tables.documents(s, dir), "source", "doc_id",
+        TextAnalysis.tokenCount(col("text")),
+        Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+        .orderBy(col("source"))
+    },
+    Some("""WITH t AS (
+        SELECT source, doc_id,
+          len(string_split_regex(trim(text),'\s+')) AS n_tokens
+        FROM documents),
+      r AS (
+        SELECT source, n_tokens,
+          row_number() OVER (PARTITION BY source ORDER BY n_tokens, doc_id) AS rn,
+          COUNT(*) OVER (PARTITION BY source) AS cnt
+        FROM t)
+      SELECT source,
+        MAX(CASE WHEN rn = CAST(ceil(cnt * 0.5) AS BIGINT) THEN n_tokens END) AS p50,
+        MAX(CASE WHEN rn = CAST(ceil(cnt * 0.9) AS BIGINT) THEN n_tokens END) AS p90,
+        MAX(CASE WHEN rn = CAST(ceil(cnt * 0.99) AS BIGINT) THEN n_tokens END) AS p99
+      FROM r GROUP BY source ORDER BY source"""))
+
   /** Multimodal metadata path (pure column exprs — oracled). */
   val td_media_meta = GraftQuery(
     "td_media_meta",
@@ -499,5 +558,6 @@ object TrainingData {
     td_dedup_components, td_simhash,
     td_simhash_md5, td_ann_lsh, td_embedding_neardup, td_ann_ivf,
     td_rare_words, td_chunk_dedup,
+    td_sample_hash, td_sample_stratified, td_token_quantiles,
     td_media_meta, td_media_frames, td_media_features)
 }

@@ -1,0 +1,59 @@
+package graft
+
+import graft.ops.{Sampling, SkewJoin}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling + salted-join invariants. The oracle gate
+  * checks values; these specs check the STABILITY properties the
+  * oracle can't see (partitioning-independence, join identity).
+  */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val ids = (1L to 2000L).toDF("id")
+    .withColumn("grp", (col("id") % 7).cast("string"))
+
+  test("hashSample: membership independent of partitioning and run") {
+    val a = Sampling.hashSample(ids, "id", 0.2).select("id")
+      .as[Long].collect().toSet
+    val b = Sampling.hashSample(ids.repartition(13, col("grp")), "id", 0.2)
+      .select("id").as[Long].collect().toSet
+    assert(a == b)
+    // fraction is approximate but must be in a sane band for n=2000
+    assert(a.size > 300 && a.size < 500, s"got ${a.size}")
+  }
+
+  test("hashSample: nested sample property — 10% subset of 20%") {
+    val s20 = Sampling.hashSample(ids, "id", 0.2).select("id").as[Long].collect().toSet
+    val s10 = Sampling.hashSample(ids, "id", 0.1).select("id").as[Long].collect().toSet
+    assert(s10.subsetOf(s20))
+  }
+
+  test("stratifiedSample: exactly n per stratum (or all if fewer)") {
+    val out = Sampling.stratifiedSample(ids, "grp", "id", 5)
+      .groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(out.values.forall(_ == 5L) && out.size == 7)
+    val tiny = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "grp")
+    val outTiny = Sampling.stratifiedSample(tiny, "grp", "id", 5).count()
+    assert(outTiny == 3L)
+  }
+
+  test("discreteQuantiles: exact rank semantics on a known sequence") {
+    // group "g": measures 1..100 → p50 = ceil(50)=rank 50 → 50, p99 → 99
+    val df = (1 to 100).map(i => (i.toLong, "g", i)).toDF("id", "grp", "m")
+    val q = Sampling.discreteQuantiles(df, "grp", "id", col("m"),
+      Seq("p50" -> 0.5, "p99" -> 0.99))
+    val row = q.collect()(0)
+    assert(row.getAs[Int]("p50") == 50 && row.getAs[Int]("p99") == 99)
+  }
+
+  test("saltedJoin: identical result to the plain join, incl. dup keys") {
+    val big = Seq((1, "x"), (1, "y"), (2, "z"), (3, "w")).toDF("k", "v")
+    val small = Seq((1, "A"), (1, "B"), (2, "C")).toDF("k", "d")
+    val plain = big.join(small, Seq("k"), "inner")
+      .orderBy("k", "v", "d").collect().toSeq
+    val salted = SkewJoin.saltedJoin(big, small, Seq("k"), salt = 4)
+      .orderBy("k", "v", "d").collect().toSeq
+    assert(salted == plain)
+  }
+}
