@@ -284,6 +284,28 @@ object Dedup {
     })
   }
 
+  /** Benchmark decontamination: count, per corpus doc, the distinct
+    * word n-gram shingles it shares with ANY document in `benchmark`
+    * (the eval sets a training corpus must not contain). Docs with a
+    * hit get dropped or down-weighted downstream.
+    *
+    * Scale shape: the benchmark shingle set is tiny next to a 100 TB
+    * corpus, so it broadcasts; the corpus side is a narrow
+    * explode→broadcast-join→partial-agg pipeline — no corpus shuffle
+    * except the final per-doc count, keyed by doc id.
+    */
+  def contaminatedDocs(corpus: DataFrame, benchmark: DataFrame,
+                       idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val benchShingles = broadcast(
+      benchmark.select(explode(shingles(col(textCol), n)).as("shingle"))
+        .distinct())
+    corpus
+      .select(col(idCol), explode(shingles(col(textCol), n)).as("shingle"))
+      .join(benchShingles, Seq("shingle"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Jaccard over two [[charMask]] bitmaps (exact ASCII char-set
     * Jaccard, bit-parallel). */
   def maskJaccard(ma: Column, mb: Column): Column = {

@@ -31,6 +31,18 @@ object Sampling {
   def hashSample(df: DataFrame, idCol: String, fraction: Double): DataFrame =
     df.filter(hash60(col(idCol)) < lit(cutoff(fraction)))
 
+  /** Domain-mixing sample: a different keep-fraction per group value
+    * (e.g. up-sample curated sources, down-sample web crawl), with a
+    * `default` for unlisted groups. Same hash-membership determinism
+    * as [[hashSample]]; still a narrow map, no shuffle. */
+  def weightedSample(df: DataFrame, idCol: String, groupCol: String,
+                     fractions: Map[String, Double], default: Double): DataFrame = {
+    val cut = fractions.foldLeft(lit(cutoff(default))) {
+      case (acc, (g, f)) => when(col(groupCol) === g, lit(cutoff(f))).otherwise(acc)
+    }
+    df.filter(hash60(col(idCol)) < cut)
+  }
+
   /** Stratified fixed-size sample: the `n` rows of each stratum whose
     * ids hash lowest (ties broken by id). Equivalent to a per-stratum
     * uniform draw, but deterministic; one shuffle on the stratum key.

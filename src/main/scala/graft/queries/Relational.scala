@@ -383,9 +383,58 @@ object Relational {
       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
       GROUP BY p_brand ORDER BY p_brand"""))
 
+  /** Bucketed co-located join: both sides written bucketed+sorted on
+    * the join key (one file per bucket), so the join plans with NO
+    * exchange and NO sort — the layout IS the shuffle, paid once at
+    * write time (asserted in BucketingSpec; values oracled here
+    * against the plain join). */
+  val q19_bucketed_join = GraftQuery(
+    "q19_bucketed_join",
+    (s, dir) => {
+      val D4 = "decimal(18,4)"
+      val o = Tables.orders(s, dir).select(col("o_custkey"), col("o_totalprice"))
+      val c = Tables.customer(s, dir)
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      val bo = graft.ops.Bucketing.writeBucketed(s, o, "graft_bkt_orders", 8, "o_custkey")
+      val bc = graft.ops.Bucketing.writeBucketed(s, c, "graft_bkt_customer", 8, "o_custkey")
+      bo.join(bc, Seq("o_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(D4)).cast("double").as("revenue"))
+        .orderBy(col("c_mktsegment"))
+    },
+    Some("""SELECT c_mktsegment, COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  /** Partition-pruned scan: orders staged partitioned by priority; the
+    * filter prunes directories at planning time (PartitionFilters in
+    * the scan — BucketingSpec asserts only one partition is read). */
+  val q20_partition_prune = GraftQuery(
+    "q20_partition_prune",
+    (s, dir) => {
+      val D4 = "decimal(18,4)"
+      val stage = s"${System.getProperty("java.io.tmpdir")}/graft_pp_${math.abs(dir.hashCode)}"
+      val part = graft.ops.Bucketing.writePartitioned(
+        s, Tables.orders(s, dir), stage, "o_orderpriority")
+      part.filter(col("o_orderpriority") === "1-URGENT")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(D4)).cast("double").as("revenue"))
+        .orderBy(col("o_orderstatus"))
+    },
+    Some("""SELECT o_orderstatus, COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM orders WHERE o_orderpriority = '1-URGENT'
+      GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
   def all: Seq[GraftQuery] = Seq(
     q1_agg, q2_join_agg, q3_multi_join, q4_topk, q5_distinct,
     q6_anti_join, q7_semi_join, q8_min_window, q9_event_batches,
     q10_md5_route, q11_db_slot, q12_window, q13_except, q14_string_agg,
-    q15_sessions, q16_json, q17_monthly, q18_salted_join)
+    q15_sessions, q16_json, q17_monthly, q18_salted_join,
+    q19_bucketed_join, q20_partition_prune)
 }

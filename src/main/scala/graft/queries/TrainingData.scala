@@ -482,6 +482,78 @@ object TrainingData {
         MAX(CASE WHEN rn = CAST(ceil(cnt * 0.99) AS BIGINT) THEN n_tokens END) AS p99
       FROM r GROUP BY source ORDER BY source"""))
 
+  /** Domain-mixing weighted sample: per-source keep fractions (the
+    * curated/up-weighted vs crawl/down-weighted split every training
+    * mix needs), same md5-membership determinism as td_sample_hash. */
+  val td_sample_weighted = GraftQuery(
+    "td_sample_weighted",
+    (s, dir) => {
+      Sampling.weightedSample(Tables.documents(s, dir), "doc_id", "source",
+        Map("src0" -> 0.5, "src1" -> 0.2), default = 0.05)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""SELECT doc_id, source FROM documents
+      WHERE ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+            < CASE WHEN source = 'src1' THEN ${Sampling.cutoff(0.2)}
+                   WHEN source = 'src0' THEN ${Sampling.cutoff(0.5)}
+                   ELSE ${Sampling.cutoff(0.05)} END
+      ORDER BY doc_id"""))
+
+  /** Sequence packing: docs → fixed-token-budget training sequences
+    * by per-source offset binning (window cumsum, integer-exact). */
+  val td_pack_sequences = GraftQuery(
+    "td_pack_sequences",
+    (s, dir) => {
+      graft.ops.Packing.packedStats(
+        Tables.documents(s, dir), "source", "doc_id",
+        TextAnalysis.tokenCount(col("text")), budget = 200L)
+        .orderBy(col("source"), col("seq_id"))
+    },
+    Some("""WITH t AS (
+        SELECT source, doc_id,
+          len(string_split_regex(trim(text),'\s+')) AS tok
+        FROM documents),
+      c AS (
+        SELECT source, doc_id, tok,
+          SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING) - tok AS strt
+        FROM t)
+      SELECT source, CAST(floor(strt / 200.0) AS BIGINT) AS seq_id,
+        COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS n_tokens
+      FROM c GROUP BY source, seq_id ORDER BY source, seq_id"""))
+
+  /** Benchmark decontamination: corpus docs sharing any word 3-gram
+    * with the "benchmark" subset (doc_id % 97 = 0), with the count of
+    * distinct shared shingles. */
+  val td_decontam = GraftQuery(
+    "td_decontam",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.ops.Dedup.contaminatedDocs(
+        docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(97)) === 0),
+        "doc_id", "text")
+        .withColumn("n_shared", col("n_shared").cast("long"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH tok AS (
+        SELECT doc_id, string_split_regex(trim(text),'\s+') AS t
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+          CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+               ELSE list_distinct(list_transform(range(1, len(t)-1),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS s
+        FROM tok),
+      bsh AS (
+        SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE doc_id % 97 = 0),
+      csh AS (
+        SELECT doc_id, unnest(s) AS shingle FROM sh WHERE doc_id % 97 <> 0)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM csh JOIN bsh USING (shingle)
+      GROUP BY doc_id ORDER BY doc_id"""))
+
   /** Multimodal metadata path (pure column exprs — oracled). */
   val td_media_meta = GraftQuery(
     "td_media_meta",
@@ -558,6 +630,7 @@ object TrainingData {
     td_dedup_components, td_simhash,
     td_simhash_md5, td_ann_lsh, td_embedding_neardup, td_ann_ivf,
     td_rare_words, td_chunk_dedup,
-    td_sample_hash, td_sample_stratified, td_token_quantiles,
+    td_sample_hash, td_sample_stratified, td_sample_weighted,
+    td_token_quantiles, td_pack_sequences, td_decontam,
     td_media_meta, td_media_frames, td_media_features)
 }

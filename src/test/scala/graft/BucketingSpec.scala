@@ -1,0 +1,72 @@
+package graft
+
+import graft.ops.Bucketing
+import org.apache.spark.sql.execution.SortExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+import org.apache.spark.sql.functions._
+
+/** The 100 TB layout claims, proven on the physical plan — not just
+  * the values (the oracle covers those): a bucketed-both-sides join
+  * must run with zero exchanges and zero sorts, and a partition-
+  * pruned scan must only touch matching directories.
+  */
+class BucketingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withConf[T](pairs: (String, String)*)(body: => T): T = {
+    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("bucketed equi-join: no exchange, no sort, one file per bucket") {
+    // force SMJ (broadcast would hide the layout) and a static plan
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false",
+      // report the per-bucket file sort order to the planner — valid
+      // exactly because writeBucketed guarantees ONE file per bucket
+      "spark.sql.legacy.bucketedTableScan.outputOrdering" -> "true") {
+      val left = (1L to 1000L).map(i => (i, s"l$i")).toDF("k", "lv")
+      val right = (1L to 300L).map(i => (i, s"r$i")).toDF("k", "rv")
+      val bl = Bucketing.writeBucketed(spark, left, "bkt_spec_left", 4, "k")
+      val br = Bucketing.writeBucketed(spark, right, "bkt_spec_right", 4, "k")
+      assert(bl.inputFiles.length == 4, "expected exactly one file per bucket")
+
+      val j = bl.join(br, Seq("k"))
+      assert(j.count() == 300L)
+      val plan = j.queryExecution.executedPlan
+      assert(plan.collect { case s: SortMergeJoinExec => s }.nonEmpty,
+        s"expected SMJ:\n$plan")
+      assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"bucketed join must not shuffle:\n$plan")
+      assert(plan.collect { case s: SortExec => s }.isEmpty,
+        s"single sorted file per bucket must not re-sort:\n$plan")
+    }
+  }
+
+  test("partitioned staging read prunes to the matching directory") {
+    withConf("spark.sql.adaptive.enabled" -> "false") {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_pp_spec"
+      val df = Seq((1L, "a", 10), (2L, "b", 20), (3L, "a", 30), (4L, "c", 40))
+        .toDF("id", "part", "v")
+      val back = Bucketing.writePartitioned(spark, df, dir, "part")
+      val pruned = back.filter(col("part") === "a")
+      assert(pruned.agg(sum("v")).as[Long].collect()(0) == 40L)
+      val scan = pruned.queryExecution.executedPlan
+        .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+        .getOrElse(fail("no file scan in plan"))
+      assert(scan.partitionFilters.nonEmpty, "filter not pushed to partitioning")
+      val chosen = scan.relation.location
+        .listFiles(scan.partitionFilters, scan.dataFilters)
+        .flatMap(_.files.map(_.getPath.toString))
+      assert(chosen.nonEmpty && chosen.forall(_.contains("part=a")),
+        s"scan selected non-matching partitions: ${chosen.mkString(", ")}")
+    }
+  }
+}
