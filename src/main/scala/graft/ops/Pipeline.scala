@@ -24,10 +24,16 @@ object Pipeline {
     conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
       .cast("long") % buckets
 
-  /** Stratified Bernoulli sample: keep `pct`% of rows per key,
-    * deterministically. No shuffle — a narrow filter. */
-  def stratifiedSample(df: DataFrame, keyCol: String, pct: Int): DataFrame =
-    df.filter(hashBucket(col(keyCol), 100) < pct)
+  /** Train/val/test split: bucket each key into [0,100) and assign a
+    * named split by cumulative percentage. Membership is a pure
+    * function of the key — a doc never migrates between splits when
+    * the corpus is rebuilt, resharded, or appended to. */
+  def assignSplit(key: Column, trainPct: Int, valPct: Int): Column = {
+    val b = hashBucket(key, 100)
+    when(b < trainPct, "train")
+      .when(b < trainPct + valPct, "val")
+      .otherwise("test")
+  }
 
   /** Per-stratum token budget: walk docs in `orderCol` order within
     * each stratum, keep while the running token total stays ≤
@@ -81,6 +87,11 @@ object Pipeline {
     }
     val keyed = docs
       .withColumn("rn", row_number().over(wRank))
+      // a doc at per-stratum rank rn has ≥ rn-1 same-stratum docs
+      // ahead of it globally, so rn > limit can never make the cut —
+      // prefiltering bounds the single-partition global sort at
+      // strata × limit rows instead of the whole corpus
+      .filter(col("rn") <= limit)
       .withColumn("ikey", (col("rn").cast("double") - 0.5) / weight)
     val wGlobal = Window.orderBy(col("ikey"), col(strataCol), col(orderCol))
     keyed

@@ -505,9 +505,9 @@ object TrainingData {
   val td_pack_sequences = GraftQuery(
     "td_pack_sequences",
     (s, dir) => {
-      graft.ops.Packing.packedStats(
-        Tables.documents(s, dir), "source", "doc_id",
-        TextAnalysis.tokenCount(col("text")), budget = 200L)
+      graft.ops.Pipeline.packSequences(
+        Tables.documents(s, dir), "source", "doc_id", "text", window = 200)
+        .withColumnRenamed("bin", "seq_id")
         .orderBy(col("source"), col("seq_id"))
     },
     Some("""WITH t AS (
@@ -522,6 +522,78 @@ object TrainingData {
       SELECT source, CAST(floor(strt / 200.0) AS BIGINT) AS seq_id,
         COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS n_tokens
       FROM c GROUP BY source, seq_id ORDER BY source, seq_id"""))
+
+  /** Per-source token budget: keep docs in id order while the running
+    * token total stays under budget (corpus-assembly cutoff). */
+  val td_token_budget = GraftQuery(
+    "td_token_budget",
+    (s, dir) => {
+      graft.ops.Pipeline.tokenBudget(
+        Tables.documents(s, dir), "source", "doc_id", "text", budget = 1500L)
+        .orderBy(col("source"), col("doc_id"))
+    },
+    Some("""WITH t AS (
+        SELECT source, doc_id,
+          CAST(len(string_split_regex(trim(text),'\s+')) AS BIGINT) AS n_tokens
+        FROM documents),
+      c AS (
+        SELECT source, doc_id, n_tokens,
+          CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+            AS cum_tokens
+        FROM t)
+      SELECT source, doc_id, n_tokens, cum_tokens FROM c
+      WHERE cum_tokens <= 1500 ORDER BY source, doc_id"""))
+
+  /** Weighted round-robin interleave of sources into one training
+    * stream (first 50 positions). The merge key is one IEEE division
+    * of small integers — exact on any engine. */
+  val td_interleave = GraftQuery(
+    "td_interleave",
+    (s, dir) => {
+      graft.ops.Pipeline.interleave(
+        Tables.documents(s, dir), "source", "doc_id",
+        Map("src0" -> 4, "src1" -> 2), limit = 50)
+        .orderBy(col("pos"))
+    },
+    Some("""WITH r AS (
+        SELECT source, doc_id,
+          row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        FROM documents),
+      k AS (
+        SELECT source, doc_id, rn,
+          (CAST(rn AS DOUBLE) - 0.5) /
+            CASE WHEN source = 'src0' THEN 4.0
+                 WHEN source = 'src1' THEN 2.0 ELSE 1.0 END AS ikey
+        FROM r WHERE rn <= 50),
+      g AS (
+        SELECT source, doc_id, rn,
+          row_number() OVER (ORDER BY ikey, source, doc_id) AS pos
+        FROM k)
+      SELECT CAST(pos AS INTEGER) AS pos, source, doc_id,
+        CAST(rn AS INTEGER) AS rn
+      FROM g WHERE pos <= 50 ORDER BY pos"""))
+
+  /** Deterministic train/val/test split (90/5/5 by id-hash bucket):
+    * a doc never migrates between splits on corpus rebuilds. */
+  val td_train_split = GraftQuery(
+    "td_train_split",
+    (s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("split", graft.ops.Pipeline.assignSplit(col("doc_id"), 90, 5))
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("source"), col("split"))
+    },
+    Some("""WITH b AS (
+        SELECT source,
+          ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 100 AS bkt
+        FROM documents)
+      SELECT source,
+        CASE WHEN bkt < 90 THEN 'train'
+             WHEN bkt < 95 THEN 'val' ELSE 'test' END AS split,
+        COUNT(*) AS n_docs
+      FROM b GROUP BY 1, 2 ORDER BY source, split"""))
 
   /** Benchmark decontamination: corpus docs sharing any word 3-gram
     * with the "benchmark" subset (doc_id % 97 = 0), with the count of
@@ -632,5 +704,6 @@ object TrainingData {
     td_rare_words, td_chunk_dedup,
     td_sample_hash, td_sample_stratified, td_sample_weighted,
     td_token_quantiles, td_pack_sequences, td_decontam,
+    td_token_budget, td_interleave, td_train_split,
     td_media_meta, td_media_frames, td_media_features)
 }

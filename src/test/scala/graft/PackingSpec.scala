@@ -1,38 +1,60 @@
 package graft
 
-import graft.ops.{Dedup, Packing}
+import graft.ops.{Dedup, Pipeline}
 import org.apache.spark.sql.functions._
 
 class PackingSpec extends SparkSpec {
   import spark.implicits._
 
-  test("assignSequences: offset binning with straddling docs") {
-    // tokens 80,80,80 on budget 200: starts 0,80,160 → bins 0,0,0
-    // (third doc straddles — offset binning keeps it in bin 0);
-    // next doc starts at 240 → bin 1
-    val df = Seq((1L, 80), (2L, 80), (3L, 80), (4L, 50))
-      .toDF("id", "tok").withColumn("g", lit("s"))
-    val out = Packing.assignSequences(df, "g", "id", col("tok"), 200L)
-      .orderBy("id").select("seq_id").as[Long].collect().toSeq
-    assert(out == Seq(0L, 0L, 0L, 1L))
+  private def docs(rows: (Long, String, String)*) =
+    rows.toDF("doc_id", "source", "text")
+
+  test("packSequences: offset binning with straddling docs") {
+    // 80+80+80 tokens on window 200: starts 0,80,160 → all bin 0
+    // (third doc straddles); the next doc starts at 240 → bin 1
+    val d = docs(
+      (1L, "s", Seq.fill(80)("w").mkString(" ")),
+      (2L, "s", Seq.fill(80)("w").mkString(" ")),
+      (3L, "s", Seq.fill(80)("w").mkString(" ")),
+      (4L, "s", Seq.fill(50)("w").mkString(" ")))
+    val out = Pipeline.packSequences(d, "source", "doc_id", "text", 200)
+      .orderBy("bin").select("bin", "n_docs", "n_tokens")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((0L, 3L, 240L), (1L, 1L, 50L)))
   }
 
-  test("packedStats: per-sequence doc and token totals") {
-    val df = Seq((1L, 150), (2L, 150), (3L, 10))
-      .toDF("id", "tok").withColumn("g", lit("s"))
-    val out = Packing.packedStats(df, "g", "id", col("tok"), 200L)
-      .orderBy("seq_id")
-      .select("seq_id", "n_docs", "n_tokens")
-      .as[(Long, Long, Long)].collect().toSeq
-    // starts: 0, 150, 300 → bins 0, 0, 1
-    assert(out == Seq((0L, 2L, 300L), (1L, 1L, 10L)))
+  test("tokenBudget: keeps prefix while running total fits") {
+    val d = docs(
+      (1L, "s", "a b c"), (2L, "s", "a b"), (3L, "s", "a b c d"))
+    val out = Pipeline.tokenBudget(d, "source", "doc_id", "text", budget = 5L)
+      .orderBy("doc_id").select("doc_id").as[Long].collect().toSeq
+    assert(out == Seq(1L, 2L))
+  }
+
+  test("interleave: weight-2 stratum appears twice as often") {
+    val d = docs(
+      (1L, "a", "x"), (2L, "a", "x"), (3L, "a", "x"), (4L, "a", "x"),
+      (10L, "b", "x"), (11L, "b", "x"))
+    val out = Pipeline.interleave(d, "source", "doc_id",
+      Map("a" -> 2, "b" -> 1), limit = 6)
+      .orderBy("pos").select("source").as[String].collect().toSeq
+    // ikeys: a → 0.25, 0.75, 1.25, 1.75 ; b → 0.5, 1.5
+    assert(out == Seq("a", "b", "a", "a", "b", "a"))
+  }
+
+  test("assignSplit: percentages roughly honored, membership stable") {
+    val d = (1L to 2000L).toDF("doc_id")
+    val counts = d.select(Pipeline.assignSplit(col("doc_id"), 90, 5).as("s"))
+      .groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(counts("train") > 1700 && counts("val") > 50 && counts("test") > 50)
+    assert(counts.values.sum == 2000L)
   }
 
   test("contaminatedDocs: counts distinct shared 3-grams, benchmark excluded") {
     val corpus = Seq(
-      (1L, "the quick brown fox jumps"),       // shares "the quick brown", "quick brown fox"
+      (1L, "the quick brown fox jumps"),
       (2L, "totally unrelated words here now"),
-      (3L, "quick brown fox jumps high")       // shares "quick brown fox"
+      (3L, "quick brown fox jumps high")
     ).toDF("doc_id", "text")
     val benchmark = Seq((100L, "the quick brown fox")).toDF("doc_id", "text")
     val out = Dedup.contaminatedDocs(corpus, benchmark, "doc_id", "text")
