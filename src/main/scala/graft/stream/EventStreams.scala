@@ -33,6 +33,20 @@ object EventStreams {
         col("window.start").as("window_start"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Streaming exact dedup: drop re-deliveries of the same key within
+    * the watermark horizon (`dropDuplicatesWithinWatermark`, so the
+    * key-state store is EVICTED as event time advances — bounded
+    * memory at any throughput, unlike plain `dropDuplicates` whose
+    * state grows with the key space forever). The batch analog of
+    * Dedup.exact for at-least-once ingest paths.
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+                  eventTime: String = "ts",
+                  watermark: String = "2 minutes"): DataFrame =
+    events
+      .withWatermark(eventTime, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   final case class Event(user_id: Long, ts: java.sql.Timestamp,
                          event_type: String, value: Double)
   final case class SessionAcc(start: Long, end: Long, n: Long, total: Double)

@@ -41,6 +41,28 @@ class EventStreamsSpec extends SparkSpec {
     assert(rows.contains((30L, "view", 1L, 5.0)))
   }
 
+  test("dedupStream: re-delivered keys dropped within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.dedupStream(mem.toDF(), Seq("user_id", "event_type"),
+      watermark = "1 minute")
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append()).start()
+
+    mem.addData(
+      Event(1, ts(0), "click", 1.0),
+      Event(1, ts(5), "click", 1.0),  // duplicate delivery within horizon
+      Event(2, ts(5), "view", 7.0))
+    q.processAllAvailable()
+    mem.addData(Event(1, ts(8), "click", 1.0)) // dup again, later batch
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("dedup")
+      .select("user_id", "event_type").as[(Long, String)].collect().toSeq
+    assert(rows.sorted == Seq((1L, "click"), (2L, "view")))
+  }
+
   test("sessionize: gap-based sessions with event-time timeout") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]

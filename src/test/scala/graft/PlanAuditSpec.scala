@@ -1,0 +1,67 @@
+package graft
+
+import graft.queries.Relational
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+
+/** Physical-plan audit of the registered queries: the properties that
+  * decide whether a plan survives a 100 TB scale-up — filters reaching
+  * the parquet scan, scans pruned to referenced columns, and
+  * broadcast (not shuffle) joins against small dimensions. AQE is
+  * disabled so the static plan is inspectable; the properties audited
+  * here are decided before adaptive re-planning anyway.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def audited[T](df: => DataFrame)(body: DataFrame => T): T = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try { val d = df; d.collect(); body(d) }
+    finally spark.conf.unset("spark.sql.adaptive.enabled")
+  }
+
+  private def scans(df: DataFrame): Seq[FileSourceScanExec] =
+    df.queryExecution.executedPlan.collect { case f: FileSourceScanExec => f }
+
+  test("q3: dimension filter is pushed into the region scan") {
+    audited(Relational.q3_multi_join.fn(spark, dir)) { df =>
+      val region = scans(df).find(_.metadata("Location").contains("region"))
+        .getOrElse(fail("no region scan"))
+      val pushed = region.metadata("PushedFilters")
+      assert(pushed.contains("r_name"), s"IN-list not pushed to parquet: $pushed")
+    }
+  }
+
+  test("q3: joins against nation/region are broadcast, not shuffled") {
+    audited(Relational.q3_multi_join.fn(spark, dir)) { df =>
+      val bhj = df.queryExecution.executedPlan
+        .collect { case b: BroadcastHashJoinExec => b }
+      assert(bhj.size == 2,
+        s"small-dim joins not broadcast:\n${df.queryExecution.executedPlan}")
+    }
+  }
+
+  test("q2: scans are pruned to the referenced columns") {
+    audited(Relational.q2_join_agg.fn(spark, dir)) { df =>
+      val byTable = scans(df)
+        .map(s => s.metadata("Location") -> s.requiredSchema.fieldNames.toSet)
+      val cust = byTable.find(_._1.contains("customer")).map(_._2)
+        .getOrElse(fail("no customer scan"))
+      val ord = byTable.find(_._1.contains("orders")).map(_._2)
+        .getOrElse(fail("no orders scan"))
+      assert(cust == Set("c_custkey", "c_mktsegment"),
+        s"customer scan reads extra columns: $cust")
+      assert(ord == Set("o_custkey", "o_totalprice"),
+        s"orders scan reads extra columns: $ord")
+    }
+  }
+
+  test("q1: aggregation pipeline stays inside whole-stage codegen") {
+    audited(Relational.q1_agg.fn(spark, dir)) { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("*("), s"agg pipeline fell out of codegen:\n$plan")
+    }
+  }
+}
