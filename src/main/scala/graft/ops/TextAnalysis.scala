@@ -78,6 +78,20 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(trim(text), "\\s+", " ")))
 
+  /** PII redaction: apply (regex → replacement-token) rules left to
+    * right. A narrow codegen'd map over the corpus — the shape that
+    * matters when scrubbing 100 TB is a single pass. Patterns must
+    * stay within the RE2-compatible subset (no lookaround) so the
+    * same rules run on any engine. */
+  def scrubPii(text: Column, rules: Seq[(String, String)]): Column =
+    rules.foldLeft(text) { case (t, (p, r)) => regexp_replace(t, p, r) }
+
+  /** Total match count of the given PII patterns (audit metric for a
+    * scrub pass). */
+  def piiCount(text: Column, patterns: Seq[String]): Column =
+    patterns.map(p => size(regexp_extract_all(text, lit(p), lit(0))))
+      .reduce(_ + _)
+
   /** Corpus-frequency quality feature: per document, how many of its
     * token occurrences use words whose corpus frequency is below
     * `rareThreshold` — the integer-valued core of an LM-style

@@ -626,6 +626,39 @@ object TrainingData {
       FROM csh JOIN bsh USING (shingle)
       GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** PII scrub: synthetic emails/URLs injected at every 'slow' token
+    * (variable positions per doc), then redacted; output is the
+    * per-doc redaction count and the md5 of the scrubbed text, so the
+    * oracle pins the entire scrubbed value. */
+  val td_pii_scrub = GraftQuery(
+    "td_pii_scrub",
+    (s, dir) => {
+      val injected = regexp_replace(col("text"), lit(" slow "),
+        concat(lit(" u"), col("doc_id"), lit("@mail.com http://x.io/"),
+          col("doc_id"), lit(" ")))
+      val rules = Seq(
+        "u[0-9]+@mail\\.com" -> "<EMAIL>",
+        "http://[a-z0-9./]+" -> "<URL>")
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          TextAnalysis.piiCount(injected, rules.map(_._1)).cast("long").as("n_pii"),
+          md5(TextAnalysis.scrubPii(injected, rules)).as("clean_hash"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH inj AS (
+        SELECT doc_id,
+          regexp_replace(text, ' slow ',
+            ' u' || CAST(doc_id AS VARCHAR) || '@mail.com http://x.io/'
+              || CAST(doc_id AS VARCHAR) || ' ', 'g') AS t
+        FROM documents)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(t, 'u[0-9]+@mail\.com'))
+           + len(regexp_extract_all(t, 'http://[a-z0-9./]+')) AS BIGINT) AS n_pii,
+        md5(regexp_replace(regexp_replace(t, 'u[0-9]+@mail\.com', '<EMAIL>', 'g'),
+            'http://[a-z0-9./]+', '<URL>', 'g')) AS clean_hash
+      FROM inj ORDER BY doc_id"""))
+
   /** Multimodal metadata path (pure column exprs — oracled). */
   val td_media_meta = GraftQuery(
     "td_media_meta",
@@ -704,6 +737,6 @@ object TrainingData {
     td_rare_words, td_chunk_dedup,
     td_sample_hash, td_sample_stratified, td_sample_weighted,
     td_token_quantiles, td_pack_sequences, td_decontam,
-    td_token_budget, td_interleave, td_train_split,
+    td_token_budget, td_interleave, td_train_split, td_pii_scrub,
     td_media_meta, td_media_frames, td_media_features)
 }

@@ -151,4 +151,21 @@ class OpsSpec extends SparkSpec {
       (2L, 4, ('d' + 'e' + 'f' + 'g').toDouble / 4),
       (3L, 0, 0.0)))
   }
+
+  test("scrubPii: rules applied in order, count matches redactions") {
+    val rules = Seq(
+      "[a-z0-9]+@[a-z.]+" -> "<EMAIL>",
+      "http://[a-z./]+" -> "<URL>")
+    val df = Seq(
+      "mail me at bob@x.com or see http://x.io/a",
+      "no pii here at all",
+      "two mails a@b.c and d@e.f").toDF("text")
+      .select(
+        TextAnalysis.scrubPii(col("text"), rules).as("clean"),
+        TextAnalysis.piiCount(col("text"), rules.map(_._1)).as("n"))
+    val out = df.as[(String, Int)].collect().toSeq
+    assert(out(0) == ("mail me at <EMAIL> or see <URL>", 2))
+    assert(out(1) == ("no pii here at all", 0))
+    assert(out(2) == ("two mails <EMAIL> and <EMAIL>", 2))
+  }
 }
