@@ -22,8 +22,17 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
-  /** Word n-gram shingle set of a text column. */
-  def shingles(text: Column, n: Int = 3): Column = {
+  /** Word n-gram shingle set of a text column — native codegen
+    * expression (one tight loop per row; the `transform` lambda form
+    * evaluates interpreted per shingle, ~3× slower at corpus scale).
+    */
+  def shingles(text: Column, n: Int = 3): Column =
+    graft.plans.NativeCols.wordShingles(text, n)
+
+  /** The original higher-order-function form of [[shingles]] — kept as
+    * the semantic reference the native expression is verified against
+    * (VectorExprsSpec). */
+  def shinglesFold(text: Column, n: Int = 3): Column = {
     val toks = TextAnalysis.tokens(text)
     array_distinct(
       when(size(toks) < n, array(concat_ws(" ", toks)))
@@ -290,9 +299,10 @@ object Dedup {
     * hit get dropped or down-weighted downstream.
     *
     * Scale shape: the benchmark shingle set is tiny next to a 100 TB
-    * corpus, so it broadcasts; the corpus side is a narrow
-    * explode→broadcast-join→partial-agg pipeline — no corpus shuffle
-    * except the final per-doc count, keyed by doc id.
+    * corpus, so it broadcasts; the corpus side is a narrow codegen'd
+    * shingle-explode→broadcast-join pipeline whose only shuffle is the
+    * final per-doc count over the (small) matched subset. Per-doc
+    * shingle arrays are already distinct, so a plain count suffices.
     */
   def contaminatedDocs(corpus: DataFrame, benchmark: DataFrame,
                        idCol: String, textCol: String, n: Int = 3): DataFrame = {

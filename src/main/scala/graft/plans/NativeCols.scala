@@ -24,4 +24,8 @@ object NativeCols {
   /** Codegen sign-LSH bucket key (see [[LshBucketExpression]]). */
   def lshBucket(vec: Column, numPlanes: Int): Column =
     cl(LshBucketExpression(ex(vec), numPlanes))
+
+  /** Codegen word n-gram shingles (see [[WordShinglesExpression]]). */
+  def wordShingles(text: Column, n: Int): Column =
+    cl(WordShinglesExpression(ex(text), n))
 }

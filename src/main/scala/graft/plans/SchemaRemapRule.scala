@@ -67,5 +67,17 @@ final class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1, "char_mask takes one argument")
         CharMaskExpression(children.head)
       }))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("word_shingles"),
+      WordShinglesExpression.info,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "word_shingles takes (text, n)")
+        val n = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"word_shingles n must be an INT literal, got $other")
+        }
+        WordShinglesExpression(children.head, n)
+      }))
   }
 }

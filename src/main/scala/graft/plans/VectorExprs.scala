@@ -77,6 +77,36 @@ object VectorOps {
       Array[Any](lo, hi))
   }
 
+  /** Distinct word n-gram shingles, first-occurrence order — the
+    * native form of `Dedup.shingles`: tokens = trim-split on \s+,
+    * whole-text fallback when fewer than n tokens. One tight loop per
+    * row instead of an interpreted `transform` lambda per shingle.
+    */
+  def wordShingles(s: UTF8String, n: Int): ArrayData = {
+    val str = s.toString.trim
+    val toks: Array[String] =
+      if (str.isEmpty) Array.empty else str.split("\\s+")
+    if (toks.length < n) {
+      ArrayData.toArrayData(Array[Any](UTF8String.fromString(toks.mkString(" "))))
+    } else {
+      val seen = new java.util.LinkedHashSet[String]
+      var i = 0
+      val last = toks.length - n
+      while (i <= last) {
+        val sb = new java.lang.StringBuilder(toks(i))
+        var j = 1
+        while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+        seen.add(sb.toString)
+        i += 1
+      }
+      val out = new Array[Any](seen.size)
+      val it = seen.iterator()
+      var k = 0
+      while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+      ArrayData.toArrayData(out)
+    }
+  }
+
   /** Sign-LSH bucket: bit p of the result = sign of dot(vec, plane_p),
     * plane component j = pmod(xxhash64(p, j), 1e6)/1e6 - 0.5 — the
     * exact hash chain of the column form (`xxhash64(lit(p), j)` =
@@ -195,6 +225,34 @@ final case class CharMaskExpression(child: Expression)
 object CharMaskExpression {
   val info: ExpressionInfo = new ExpressionInfo(
     classOf[CharMaskExpression].getName, "char_mask")
+}
+
+/** `word_shingles(text, n)`: codegen distinct word n-gram shingles. */
+final case class WordShinglesExpression(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"word_shingles requires STRING input, got ${child.dataType.sql}")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    VectorOps.wordShingles(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.VectorOps.wordShingles($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "word_shingles"
+}
+
+object WordShinglesExpression {
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[WordShinglesExpression].getName, "word_shingles")
 }
 
 /** `lsh_bucket(vec, numPlanes)`: codegen sign-LSH bucket key. */

@@ -93,6 +93,23 @@ class VectorExprsSpec extends SparkSpec {
     }
   }
 
+  test("word_shingles ≡ fold form, incl empty/short/duplicate texts") {
+    import spark.implicits._
+    val texts = Seq(
+      "", "   ", "one", "a b", "a b c", "a b c d",
+      "x y x y x y x y",            // duplicate shingles collapse
+      "  padded   with   spaces  ",
+      (0 until 200).map(i => s"w${i % 7}").mkString(" "))
+    for (n <- Seq(2, 3, 5)) {
+      val df = texts.toDF("t").select(
+        Dedup.shingles(col("t"), n).as("native"),
+        Dedup.shinglesFold(col("t"), n).as("fold"))
+      df.as[(Seq[String], Seq[String])].collect().foreach { case (a, b) =>
+        assert(a == b, s"n=$n")
+      }
+    }
+  }
+
   test("native expressions survive whole-stage codegen in a real plan") {
     import spark.implicits._
     // force the codegen path (not interpreted fallback eval) by going
