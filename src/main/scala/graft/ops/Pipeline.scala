@@ -13,16 +13,26 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
-  /** Deterministic hash bucket in [0, buckets): md5-based so any
-    * engine can reproduce the selection (xxhash64 is Spark-only).
-    * First 8 md5 hex digits → 32-bit value → modulo. Used for
-    * sampling and train/test splits: membership is a pure function of
-    * the key, stable under reshuffling, repartitioning, and reruns —
-    * the property that matters when the corpus is rebuilt at 100 TB.
+  /** THE oracle-portable hash idiom — first `width` hex digits of
+    * md5 of the key's text, as a long. md5 (not xxhash64) so any
+    * engine reproduces it: DuckDB mirrors it textually as
+    * `('0x'||substr(md5(CAST(k AS VARCHAR)),1,width))::BIGINT`.
+    * Every sampling/split/routing op derives from this ONE helper so
+    * the Spark side and the oracle SQL can never desynchronize.
+    * width ≤ 15 (60 bits) keeps the value positive in a BIGINT. */
+  def hashHex(key: Column, width: Int): Column = {
+    require(width >= 1 && width <= 15, "width must be in [1,15]")
+    conv(substring(md5(key.cast("string")), 1, width), 16, 10).cast("long")
+  }
+
+  /** Deterministic hash bucket in [0, buckets): 32-bit [[hashHex]]
+    * value → modulo. Used for sampling and train/test splits:
+    * membership is a pure function of the key, stable under
+    * reshuffling, repartitioning, and reruns — the property that
+    * matters when the corpus is rebuilt at 100 TB.
     */
   def hashBucket(key: Column, buckets: Int): Column =
-    conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
-      .cast("long") % buckets
+    hashHex(key, 8) % buckets
 
   /** Train/val/test split: bucket each key into [0,100) and assign a
     * named split by cumulative percentage. Membership is a pure

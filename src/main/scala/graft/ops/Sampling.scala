@@ -13,11 +13,8 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   /** Uniform deterministic hash of an id column into [0, 2^60):
-    * first 15 hex chars of md5 of the id's decimal text. md5 (not
-    * xxhash64) so any engine can reproduce the sample membership.
-    */
-  def hash60(id: Column): Column =
-    conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long")
+    * the shared [[Pipeline.hashHex]] idiom at full 15-hex width. */
+  def hash60(id: Column): Column = Pipeline.hashHex(id, 15)
 
   /** The integer cutoff such that `hash60 < cutoff` keeps ≈`fraction`
     * of rows. Computed in driver code so Spark and any oracle can
@@ -51,6 +48,8 @@ object Sampling {
     */
   def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
                        n: Int): DataFrame = {
+    require(!df.columns.contains("__rn"),
+      "input already has a __rn column (reserved temp name)")
     val w = Window.partitionBy(col(stratumCol))
       .orderBy(hash60(col(idCol)), col(idCol))
     df.withColumn("__rn", row_number().over(w))
@@ -70,11 +69,17 @@ object Sampling {
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col(groupCol)).orderBy(col("__m"), col(idCol))))
       .withColumn("__cnt", count(lit(1)).over(Window.partitionBy(col(groupCol))))
-    // ceil(p * count) must be written IDENTICALLY in any oracle SQL:
-    // both engines do the same IEEE double multiply, so edge cases
-    // like 500 * 0.9 = 450.00000000000006 → 451 agree by construction
+    // rank = ceil(p * count) computed in EXACT decimal arithmetic
+    // (count and p are both exact decimals, so the product and its
+    // ceiling are too) — DuckDB's `ceil(cnt * 0.9)` is likewise a
+    // decimal multiply, so the two engines agree for ANY count, with
+    // no reliance on double-rounding coincidences.
     val aggs = ps.map { case (name, p) =>
-      max(when(col("__rn") === ceil(col("__cnt") * p), col("__m"))).as(name)
+      require(BigDecimal(p.toString).scale <= 4,
+        s"quantile $p needs more than 4 decimal digits; widen the cast")
+      val pDec = lit(new java.math.BigDecimal(p.toString)).cast("decimal(10,4)")
+      val rank = ceil(col("__cnt").cast("decimal(20,0)") * pDec)
+      max(when(col("__rn") === rank, col("__m"))).as(name)
     }
     ranked.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
   }

@@ -21,11 +21,17 @@ object SkewJoin {
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
                  salt: Int = 8): DataFrame = {
     require(salt >= 1, "salt must be >= 1")
-    // deterministic spread: hash ALL probe-side columns, so same-key
-    // rows scatter while reruns salt identically (rand() would
-    // re-sample per retry and break task determinism)
+    require(!big.columns.contains("__salt") && !small.columns.contains("__salt"),
+      "input already has a __salt column")
+    // spread by row position, not row content: content hashes send
+    // byte-identical duplicate rows of a hot key (the at-least-once
+    // ingest shape salting exists for) to ONE reducer. The id is
+    // partition-deterministic (partitionId << 33 | row index), so
+    // task retries re-derive the same salts; and whichever salt a row
+    // gets, it matches the same replicated build row — the salt can
+    // never change the join result, only the distribution.
     val bigS = big.withColumn("__salt",
-      pmod(xxhash64(big.columns.map(col): _*), lit(salt)).cast("int"))
+      pmod(monotonically_increasing_id(), lit(salt)).cast("int"))
     val smallS = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salt - 1))))
     bigS.join(smallS, keys :+ "__salt", "inner").drop("__salt")

@@ -77,15 +77,29 @@ object VectorOps {
       Array[Any](lo, hi))
   }
 
+  private val wsPattern = java.util.regex.Pattern.compile("\\s+")
+
   /** Distinct word n-gram shingles, first-occurrence order — the
     * native form of `Dedup.shingles`: tokens = trim-split on \s+,
     * whole-text fallback when fewer than n tokens. One tight loop per
     * row instead of an interpreted `transform` lambda per shingle.
+    *
+    * Tokenization replicates the column form EXACTLY (and the DuckDB
+    * oracles' `string_split_regex(trim(text),'\s+')`): SQL `trim`
+    * strips ONLY ASCII spaces (not \t/\n/\r — Java's String.trim
+    * would), and the regex split keeps boundary empty tokens the way
+    * SQL split does (Java's default String.split drops trailing
+    * ones — Pattern.split with limit -1 keeps them).
     */
   def wordShingles(s: UTF8String, n: Int): ArrayData = {
-    val str = s.toString.trim
+    val raw = s.toString
+    var b = 0
+    var e = raw.length
+    while (b < e && raw.charAt(b) == ' ') b += 1
+    while (e > b && raw.charAt(e - 1) == ' ') e -= 1
+    val str = raw.substring(b, e)
     val toks: Array[String] =
-      if (str.isEmpty) Array.empty else str.split("\\s+")
+      if (str.isEmpty) Array.empty else wsPattern.split(str, -1)
     if (toks.length < n) {
       ArrayData.toArrayData(Array[Any](UTF8String.fromString(toks.mkString(" "))))
     } else {

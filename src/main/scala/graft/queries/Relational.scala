@@ -416,7 +416,11 @@ object Relational {
     "q20_partition_prune",
     (s, dir) => {
       val D4 = "decimal(18,4)"
-      val stage = s"${System.getProperty("java.io.tmpdir")}/graft_pp_${math.abs(dir.hashCode)}"
+      // keyed by applicationId so concurrent sessions never race on
+      // one staging dir (overwrite-while-read), and by the data dir
+      // so scale factors don't collide within a session
+      val stage = s"${System.getProperty("java.io.tmpdir")}/graft_pp_" +
+        s"${s.sparkContext.applicationId}_${Integer.toHexString(dir.hashCode)}"
       val part = graft.ops.Bucketing.writePartitioned(
         s, Tables.orders(s, dir), stage, "o_orderpriority")
       part.filter(col("o_orderpriority") === "1-URGENT")

@@ -99,6 +99,10 @@ class VectorExprsSpec extends SparkSpec {
       "", "   ", "one", "a b", "a b c", "a b c d",
       "x y x y x y x y",            // duplicate shingles collapse
       "  padded   with   spaces  ",
+      // non-space boundary whitespace: SQL trim strips ONLY spaces,
+      // so \n/\t survive and the regex split emits boundary empty
+      // tokens — the native expression must reproduce that exactly
+      "a b c\n", "\ta b c", " \t a b c \n ", "a\tb\nc\rd",
       (0 until 200).map(i => s"w${i % 7}").mkString(" "))
     for (n <- Seq(2, 3, 5)) {
       val df = texts.toDF("t").select(
