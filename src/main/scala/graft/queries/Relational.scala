@@ -435,10 +435,47 @@ object Relational {
       FROM orders WHERE o_orderpriority = '1-URGENT'
       GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
+  /** Point-in-time as-of join: each purchase gets the latest view at
+    * or before it, per user — one union + keyed window scan (see
+    * [[graft.ops.AsOfJoin]]), never a θ-join blowup. */
+  val q21_asof_join = GraftQuery(
+    "q21_asof_join",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .drop("event_type")
+      val views = ev.filter(col("event_type") === "view")
+        .drop("event_type")
+      graft.ops.AsOfJoin.asOf(purchases, views,
+        keys = Seq("user_id"), tsCol = "ts", tieCol = "event_id",
+        rightVals = Seq("event_id", "value"))
+        .select(
+          col("event_id"), col("user_id"),
+          col("event_id_asof"), col("value_asof"))
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH l AS (
+        SELECT event_id, ts, user_id, value FROM events
+        WHERE event_type = 'purchase'),
+      r AS (
+        SELECT event_id AS r_event_id, ts AS r_ts, user_id, value AS r_value
+        FROM events WHERE event_type = 'view'),
+      j AS (
+        SELECT l.event_id, l.user_id, r.r_event_id, r.r_value,
+          row_number() OVER (PARTITION BY l.event_id
+            ORDER BY r.r_ts DESC, r.r_event_id DESC) AS rn
+        FROM l LEFT JOIN r
+          ON l.user_id = r.user_id AND r.r_ts <= l.ts)
+      SELECT event_id, user_id, r_event_id AS event_id_asof,
+        r_value AS value_asof
+      FROM j WHERE rn = 1 ORDER BY event_id"""))
+
   def all: Seq[GraftQuery] = Seq(
     q1_agg, q2_join_agg, q3_multi_join, q4_topk, q5_distinct,
     q6_anti_join, q7_semi_join, q8_min_window, q9_event_batches,
     q10_md5_route, q11_db_slot, q12_window, q13_except, q14_string_agg,
     q15_sessions, q16_json, q17_monthly, q18_salted_join,
-    q19_bucketed_join, q20_partition_prune)
+    q19_bucketed_join, q20_partition_prune, q21_asof_join)
 }
