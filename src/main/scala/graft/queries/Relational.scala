@@ -472,10 +472,43 @@ object Relational {
         r_value AS value_asof
       FROM j WHERE rn = 1 ORDER BY event_id"""))
 
+  /** Bucketed range join: clicks inside a ±30 min window around each
+    * error event, per user — equi-join on (user, minute-bucket) + a
+    * residual containment filter (see [[graft.ops.RangeJoin]]), never
+    * a nested-loop θ-join. */
+  val q22_range_join = GraftQuery(
+    "q22_range_join",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("user_id"),
+          (col("ts") - expr("INTERVAL 30 MINUTES")).as("win_start"),
+          (col("ts") + expr("INTERVAL 30 MINUTES")).as("win_end"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      graft.ops.RangeJoin.byBucket(errors, clicks, Seq("user_id"),
+        "win_start", "win_end", "ts", bucketSeconds = 3600)
+        .groupBy(col("err_id"))
+        .agg(count(lit(1)).as("n_clicks"), min(col("click_id")).as("first_click"))
+        .orderBy(col("err_id"))
+    },
+    Some("""WITH e AS (
+        SELECT event_id AS err_id, user_id,
+          ts - INTERVAL 30 MINUTE AS st, ts + INTERVAL 30 MINUTE AS en
+        FROM events WHERE event_type = 'error'),
+      c AS (
+        SELECT user_id, ts, event_id AS click_id
+        FROM events WHERE event_type = 'click')
+      SELECT err_id, COUNT(*) AS n_clicks, MIN(click_id) AS first_click
+      FROM e JOIN c ON e.user_id = c.user_id
+        AND c.ts >= e.st AND c.ts <= e.en
+      GROUP BY err_id ORDER BY err_id"""))
+
   def all: Seq[GraftQuery] = Seq(
     q1_agg, q2_join_agg, q3_multi_join, q4_topk, q5_distinct,
     q6_anti_join, q7_semi_join, q8_min_window, q9_event_batches,
     q10_md5_route, q11_db_slot, q12_window, q13_except, q14_string_agg,
     q15_sessions, q16_json, q17_monthly, q18_salted_join,
-    q19_bucketed_join, q20_partition_prune, q21_asof_join)
+    q19_bucketed_join, q20_partition_prune, q21_asof_join,
+    q22_range_join)
 }
