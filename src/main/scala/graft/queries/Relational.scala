@@ -504,11 +504,85 @@ object Relational {
         AND c.ts >= e.st AND c.ts <= e.en
       GROUP BY err_id ORDER BY err_id"""))
 
+  /** ROLLUP subtotals: (priority, status) with per-priority and grand
+    * totals; rollup NULLs labeled 'ALL' so the hash compare can't
+    * confuse them with data NULLs. */
+  val q23_rollup = GraftQuery(
+    "q23_rollup",
+    (s, dir) => {
+      Tables.orders(s, dir)
+        .rollup(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("revenue"))
+        .select(
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          col("n_orders"), col("revenue"))
+        .orderBy(col("priority"), col("status"))
+    },
+    Some("""SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+        COALESCE(o_orderstatus, 'ALL') AS status,
+        COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+      ORDER BY priority, status"""))
+
+  /** Pivot: order counts status × priority (conditional-aggregation
+    * form in the oracle — the relational identity of pivot). */
+  val q24_pivot = GraftQuery(
+    "q24_pivot",
+    (s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus"))
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))
+        .select(
+          col("o_orderstatus") +:
+            Seq("1-URGENT" -> "p1", "2-HIGH" -> "p2", "3-MEDIUM" -> "p3",
+              "4-NOT SPECIFIED" -> "p4", "5-LOW" -> "p5").map {
+              // pivot yields NULL for empty cells; conditional COUNT
+              // yields 0 — align on 0
+              case (c, a) => coalesce(col(s"`$c`"), lit(0L)).as(a)
+            }: _*)
+        .orderBy(col("o_orderstatus"))
+    },
+    Some("""SELECT o_orderstatus,
+        COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS p1,
+        COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS p2,
+        COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS p3,
+        COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS p4,
+        COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS p5
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
+  /** Trailing event-time range window: per user, events in the
+    * preceding hour (RANGE frame on epoch seconds — count is
+    * integer-exact, unlike a rolling mean). */
+  val q25_rolling = GraftQuery(
+    "q25_rolling",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("epoch_s"))
+        .rangeBetween(-3600L, 0L)
+      Tables.events(s, dir)
+        .withColumn("epoch_s", unix_timestamp(col("ts")))
+        .withColumn("n_last_hour", count(lit(1)).over(w))
+        .select(col("event_id"), col("user_id"), col("n_last_hour"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id, user_id,
+        COUNT(*) OVER (PARTITION BY user_id ORDER BY EPOCH_US(ts) // 1000000
+                       RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+          AS n_last_hour
+      FROM events ORDER BY event_id"""))
+
   def all: Seq[GraftQuery] = Seq(
     q1_agg, q2_join_agg, q3_multi_join, q4_topk, q5_distinct,
     q6_anti_join, q7_semi_join, q8_min_window, q9_event_batches,
     q10_md5_route, q11_db_slot, q12_window, q13_except, q14_string_agg,
     q15_sessions, q16_json, q17_monthly, q18_salted_join,
     q19_bucketed_join, q20_partition_prune, q21_asof_join,
-    q22_range_join)
+    q22_range_join, q23_rollup, q24_pivot, q25_rolling)
 }
