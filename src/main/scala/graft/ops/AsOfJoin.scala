@@ -1,8 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** Point-in-time ("as-of") join: attach to each left row the LATEST
   * right row whose timestamp is ≤ the left row's, within the same
@@ -15,6 +16,11 @@ import org.apache.spark.sql.functions._
   * ordered window scan carries the latest right row forward past
   * each left row — O(n log n) in the partition, no blowup; the
   * merge-scan an interval index would do, expressed as a window.
+  *
+  * Matching is equi-join-semantics on keys and timestamps: right
+  * rows with a NULL key or NULL timestamp never match anything
+  * (`l.key = r.key AND r.ts <= l.ts` is never true through NULL),
+  * and left rows with a NULL key or timestamp get NULL lookups.
   */
 object AsOfJoin {
 
@@ -31,40 +37,51 @@ object AsOfJoin {
            suffix: String = "_asof"): DataFrame = {
     require(rightVals.nonEmpty, "rightVals must not be empty")
     val leftCols = left.columns.toSeq
-    // unified shape: keys ++ ts ++ side ++ tie ++ left payload ++ right bundle
-    val lNorm = left
-      .withColumn("__side", lit(1))
-      .withColumn("__tie", lit(null).cast(right.schema(tieCol).dataType))
-      .withColumn("__r", lit(null).cast(
-        s"struct<${rightVals.map(c => s"$c:${right.schema(c).dataType.sql}").mkString(",")}>"))
-    val rNorm = {
-      val bundle = struct(rightVals.map(col): _*)
-      val base = right
-        .withColumn("__side", lit(0))
-        .withColumn("__tie", col(tieCol))
-        .withColumn("__r", bundle)
-      // right rows carry ONLY the unified-schema columns
-      val padded = leftCols.foldLeft(base) { (df, c) =>
-        if (df.columns.contains(c)) df
-        else df.withColumn(c, lit(null).cast(left.schema(c).dataType))
-      }
-      padded.select((leftCols ++ Seq("__side", "__tie", "__r")).map(col): _*)
-    }
-    val unioned = lNorm.select(
-      (leftCols ++ Seq("__side", "__tie", "__r")).map(col): _*)
-      .unionByName(rNorm)
+    val reserved = Seq("__side", "__tie", "__r", "__last") ++
+      rightVals.map(c => s"$c$suffix")
+    reserved.foreach(c => require(!leftCols.contains(c),
+      s"left already has a column named '$c' (reserved or attach target)"))
+
+    val bundleType = StructType(
+      rightVals.map(c => StructField(c, right.schema(c).dataType)))
+    val unifiedCols = leftCols ++ Seq("__side", "__tie", "__r")
+
+    val lNorm = left.select(
+      leftCols.map(col) ++ Seq(
+        lit(1).as("__side"),
+        lit(null).cast(right.schema(tieCol).dataType).as("__tie"),
+        lit(null).cast(bundleType).as("__r")): _*)
+    // equi-semantics: NULL keys/ts on the right can never match
+    val rNorm = right
+      .filter(col(tsCol).isNotNull &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
+      .select(leftCols.map { c =>
+        val fromRight: Column =
+          if (keys.contains(c) || c == tsCol) col(c)
+          else lit(null).cast(left.schema(c).dataType)
+        fromRight.as(c)
+      } ++ Seq(
+        lit(0).as("__side"),
+        col(tieCol).as("__tie"),
+        struct(rightVals.map(col): _*).as("__r")): _*)
 
     // at equal ts, right (side 0) sorts before left (side 1) so an
     // exactly-coincident right row is visible "at or before"; among
-    // equal-ts right rows the largest tie is last (= wins)
+    // equal-ts right rows the largest tie is last (= wins). Left rows
+    // with NULL ts sort first (asc NULLS FIRST) and see no right rows.
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol).asc, col("__side").asc, col("__tie").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val attached = unioned
+    val attached = lNorm.select(unifiedCols.map(col): _*)
+      .unionByName(rNorm)
       .withColumn("__last", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-    rightVals.foldLeft(attached) { (df, c) =>
-      df.withColumn(s"$c$suffix", col(s"__last.$c"))
-    }.drop("__side", "__tie", "__r", "__last")
+    val lookupNull = keys.map(col(_).isNull).reduce(_ || _)
+    attached.select(
+      leftCols.map(col) ++ rightVals.map { c =>
+        // left rows with a NULL key share one window partition; mask
+        // their lookups back to NULL (equi-joins never match NULLs)
+        when(!lookupNull, col("__last").getField(c)).as(s"$c$suffix")
+      }: _*)
   }
 }

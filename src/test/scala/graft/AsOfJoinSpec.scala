@@ -48,25 +48,33 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out == Seq(None))
   }
 
-  test("rangeJoin byBucket ≡ theta join, incl bucket-straddling intervals") {
-    import graft.ops.RangeJoin
-    // interval [95, 185] spans buckets 1..3 at 60s buckets; points at
-    // 94 (out), 95 (edge in), 150 (in), 185 (edge in), 186 (out)
-    val intervals = Seq((1L, "a", 95L, 185L), (2L, "a", 400L, 410L),
-      (3L, "b", 100L, 200L))
-      .toDF("iv_id", "k", "s", "e")
-      .withColumn("st", timestamp_seconds(col("s")))
-      .withColumn("en", timestamp_seconds(col("e"))).drop("s", "e")
-    val points = Seq((10L, "a", 94L), (11L, "a", 95L), (12L, "a", 150L),
-      (13L, "a", 185L), (14L, "a", 186L), (15L, "b", 150L))
-      .toDF("pt_id", "k", "sec")
+  test("asOf: NULL keys/ts never match (equi-join semantics)") {
+    val left = Seq(
+      (10L, Option("a"), Option(100L), 1.0),
+      (11L, Option.empty[String], Option(100L), 2.0),  // null key
+      (12L, Option("a"), Option.empty[Long], 3.0))     // null ts
+      .toDF("event_id", "k", "sec", "value")
       .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
-    val got = RangeJoin.byBucket(intervals, points, Seq("k"), "st", "en", "ts")
-      .select("iv_id", "pt_id").as[(Long, Long)].collect().toSet
-    val expected = intervals.as("i").join(points.as("p"),
-      $"i.k" === $"p.k" && $"p.ts" >= $"i.st" && $"p.ts" <= $"i.en")
-      .select("iv_id", "pt_id").as[(Long, Long)].collect().toSet
-    assert(got == expected)
-    assert(got == Set((1L, 11L), (1L, 12L), (1L, 13L), (3L, 15L)))
+    val right = Seq(
+      (1L, Option("a"), Option(90L), 0.9),
+      (2L, Option.empty[String], Option(90L), 8.8),    // null key: never matches
+      (3L, Option("a"), Option.empty[Long], 7.7))      // null ts: never matches
+      .toDF("event_id", "k", "sec", "value")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+    val out = AsOfJoin.asOf(left, right, Seq("k"), "ts", "event_id",
+      Seq("event_id", "value"))
+      .select("event_id", "event_id_asof")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(out(10L).contains(1L)) // normal match unaffected
+    assert(out(11L).isEmpty)      // null-key left: no lookup
+    assert(out(12L).isEmpty)      // null-ts left: nothing at-or-before
+  }
+
+  test("asOf: rejects reserved/colliding output column names") {
+    val left = side((10L, "a", 100L, 1.0)).withColumn("value_asof", lit(9))
+    val right = side((1L, "a", 90L, 0.9))
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(left, right, Seq("k"), "ts", "event_id", Seq("value"))
+    }
   }
 }

@@ -64,4 +64,37 @@ class PlanAuditSpec extends SparkSpec {
       assert(plan.contains("*("), s"agg pipeline fell out of codegen:\n$plan")
     }
   }
+
+  test("q21 as-of join: no theta-join in the plan, one keyed exchange") {
+    audited(Relational.q21_asof_join.fn(spark, dir)) { df =>
+      val plan = df.queryExecution.executedPlan
+      assert(plan.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      }.isEmpty, s"as-of join regressed to a theta-join:\n$plan")
+      val hashExchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if e.outputPartitioning
+              .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+      }
+      assert(hashExchanges.size == 1,
+        s"expected exactly one keyed exchange (the union window scan):\n$plan")
+    }
+  }
+
+  test("q22 range join: equi-join on (key, bucket), never a nested loop") {
+    audited(Relational.q22_range_join.fn(spark, dir)) { df =>
+      val plan = df.queryExecution.executedPlan
+      assert(plan.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      }.isEmpty, s"range join regressed to a nested loop:\n$plan")
+      val equiJoins = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      }
+      assert(equiJoins.nonEmpty, s"no hash/merge equi-join found:\n$plan")
+    }
+  }
 }
