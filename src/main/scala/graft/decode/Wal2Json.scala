@@ -42,6 +42,20 @@ object Wal2Json {
   def parse(spool: DataFrame): DataFrame =
     spool.withColumn("p", from_json(col("payload"), payloadSchema))
 
+  /** Split parsed spool rows into (valid, quarantine): a row is
+    * quarantined when its payload failed to parse entirely, or parsed
+    * to a change with no usable kind/table. The reference dies on the
+    * first bad row (A9) — strict mode keeps that; this is the
+    * non-strict dead-letter path so one corrupt record can't stall
+    * a 100 TB backfill. Quarantined rows keep the RAW payload for
+    * offline repair.
+    */
+  def partitionValid(parsed: DataFrame): (DataFrame, DataFrame) = {
+    val bad = col("p").isNull ||
+      col("p.kind").isNull || col("p.table").isNull || col("p.schema").isNull
+    (parsed.filter(!bad), parsed.filter(bad))
+  }
+
   /** Envelope stream → one spool-shaped row per change, the envelope's
     * xid/timestamp carried onto every change (S2's framing, minus the
     * chunk reassembly that a line-per-transaction source obviates).

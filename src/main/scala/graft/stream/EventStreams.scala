@@ -47,6 +47,26 @@ object EventStreams {
       .withWatermark(eventTime, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-stream interval join: pair each left event with right
+    * events of the same key whose time falls within `[left.ts -
+    * lookback, left.ts]`. Both sides carry watermarks so Spark can
+    * BOUND the join state: a buffered right row is dropped once the
+    * left watermark passes its eligibility window — without the time
+    * condition the state store grows forever at 100 TB rates.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                   lookback: String = "1 hour",
+                   watermark: String = "2 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermark).alias("l")
+    val r = right
+      .withColumnRenamed("ts", "r_ts")
+      .withWatermark("r_ts", watermark).alias("r")
+    l.join(r,
+      col(s"l.$keyCol") === col(s"r.$keyCol") &&
+        col("r_ts") >= col("l.ts") - expr(s"INTERVAL $lookback") &&
+        col("r_ts") <= col("l.ts"))
+  }
+
   final case class Event(user_id: Long, ts: java.sql.Timestamp,
                          event_type: String, value: Double)
   final case class SessionAcc(start: Long, end: Long, n: Long, total: Double)

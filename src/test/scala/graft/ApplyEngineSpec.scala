@@ -241,4 +241,18 @@ class ApplyEngineSpec extends SparkSpec {
       .orderBy("l_orderkey", "l_linenumber").collect().toSeq
     assert(out == Seq(Row(1L, 2, 99.0)))
   }
+
+  test("partitionValid: corrupt payloads quarantine with raw text intact") {
+    val s = spool(
+      (1L, """{"kind":"insert","schema":"public","table":"customer",
+              "columnnames":["c_custkey"],"columnvalues":[1]}"""),
+      (2L, """{this is not json at all"""),
+      (3L, """{"schema":"public"}"""))   // parses but has no kind/table
+    val (valid, quarantine) = Wal2Json.partitionValid(Wal2Json.parse(s))
+    assert(valid.count() == 1L)
+    val bad = quarantine.select("lsn_start", "payload")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(bad.keySet == Set(2L, 3L))
+    assert(bad(2L).startsWith("{this is not json")) // raw kept for repair
+  }
 }

@@ -63,6 +63,39 @@ class EventStreamsSpec extends SparkSpec {
     assert(rows.sorted == Seq((1L, "click"), (2L, "view")))
   }
 
+  test("intervalJoin: stream-stream lookback join with bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[Event]
+    val views = MemoryStream[Event]
+    val joined = EventStreams.intervalJoin(
+      purchases.toDF().filter(col("event_type") === "purchase"),
+      views.toDF().filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("value").as("view_value")),
+      "user_id", lookback = "40 seconds", watermark = "10 seconds")
+      .select(col("l.user_id"), col("value"), col("view_value"))
+    val q = joined.writeStream.format("memory").queryName("ivjoin")
+      .outputMode(OutputMode.Append()).start()
+
+    views.addData(
+      Event(1, ts(0), "view", 10.0),
+      Event(1, ts(50), "view", 11.0),   // outside lookback of purchase@30
+      Event(2, ts(20), "view", 20.0))
+    purchases.addData(
+      Event(1, ts(30), "purchase", 1.0), // matches view@0 (30-40<=0<=30)
+      Event(2, ts(25), "purchase", 2.0)) // matches view@20
+    q.processAllAvailable()
+    // advance both watermarks so results flush in append mode
+    // (distinct sentinel users so the sentinels can't join each other)
+    views.addData(Event(8, ts(5000), "view", 0.0))
+    purchases.addData(Event(9, ts(5000), "purchase", 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("ivjoin")
+      .as[(Long, Double, Double)].collect().toSet
+    assert(rows == Set((1L, 1.0, 10.0), (2L, 2.0, 20.0)))
+  }
+
   test("sessionize: gap-based sessions with event-time timeout") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
