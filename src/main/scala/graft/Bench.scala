@@ -22,6 +22,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // session warmup (codegen, noop sink, shuffle machinery) so the
+    // alphabetically-first query isn't charged ~3 s of JVM spin-up
+    spark.range(1 << 20).selectExpr("sum(id) as s")
+      .write.format("noop").mode("overwrite").save()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
