@@ -147,11 +147,14 @@ object Dedup {
       .map(i => when(col(s"b$i") * 2 > col("n"), shiftleft(lit(1L), i))
         .otherwise(lit(0L)))
       .reduce((x, y) => x.bitwiseOR(y))
-    // docs with zero tokens have no exploded rows: simhash 0, like the
-    // column version's empty fold
-    docs.select(col(idCol).as("id"))
+    // parity with the column form: NULL text → NULL simhash (the fold
+    // over a NULL token array is NULL); zero-token docs (no exploded
+    // rows) → 0, like the column version's empty fold
+    docs.select(col(idCol).as("id"), col(textCol).isNull.as("__null_text"))
       .join(counted.select(col("id"), sim.as("simhash")), Seq("id"), "left")
-      .select(col("id"), coalesce(col("simhash"), lit(0L)).as("simhash"))
+      .select(col("id"),
+        when(col("__null_text"), lit(null).cast("long"))
+          .otherwise(coalesce(col("simhash"), lit(0L))).as("simhash"))
   }
 
   /** SimHash near-dup candidates: block on 16-bit chunks (any pair
@@ -160,6 +163,11 @@ object Dedup {
     */
   def simhashNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                             maxHamming: Int = 3): DataFrame = {
+    // 4 chunks guarantee a shared chunk only up to 3 differing bits
+    // (pigeonhole); a larger radius would silently lose recall
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming=$maxHamming unsupported: 16-bit-chunk blocking is only " +
+        "complete for maxHamming <= 3")
     val withSim = simhashDf(docs, idCol, textCol)
       .select(col("id"), col("simhash").as("sim"))
     val chunked = withSim.select(
@@ -243,12 +251,20 @@ object Dedup {
         .as(Seq("chunk_idx", "chunk")))
       .filter(length(col("chunk")) > 0)
     val w = Window.partitionBy(col("chunk")).orderBy(col("id"), col("chunk_idx"))
-    chunks
+    val counted = chunks
       .withColumn("keep", row_number().over(w) === 1)
       .groupBy(col("id"))
       .agg(
         count(lit(1)).as("n_chunks"),
         sum(when(col("keep"), 1).otherwise(0)).as("n_kept"))
+    // empty/whitespace-only docs produce no non-empty chunks; report
+    // them as 0-chunk rows instead of silently omitting them from the
+    // retention accounting
+    docs.select(col(idCol).as("id"))
+      .join(counted, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
   /** Distinct-character set of a text column. Compute this ONCE per

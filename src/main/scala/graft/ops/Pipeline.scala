@@ -39,10 +39,14 @@ object Pipeline {
     * function of the key — a doc never migrates between splits when
     * the corpus is rebuilt, resharded, or appended to. */
   def assignSplit(key: Column, trainPct: Int, valPct: Int): Column = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"invalid split percentages: train=$trainPct val=$valPct")
     val b = hashBucket(key, 100)
-    when(b < trainPct, "train")
-      .when(b < trainPct + valPct, "val")
-      .otherwise("test")
+    // NULL keys get a NULL split, never a silent 'test' assignment
+    when(key.isNotNull,
+      when(b < trainPct, "train")
+        .when(b < trainPct + valPct, "val")
+        .otherwise("test"))
   }
 
   /** Per-stratum token budget: walk docs in `orderCol` order within

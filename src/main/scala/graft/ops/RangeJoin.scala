@@ -33,6 +33,9 @@ object RangeJoin {
                startCol: String, endCol: String, tsCol: String,
                bucketSeconds: Long = 60): DataFrame = {
     require(bucketSeconds > 0, "bucketSeconds must be positive")
+    require(!intervals.columns.contains("__bucket") &&
+      !points.columns.contains("__bucket"),
+      "input already has a __bucket column (reserved temp name)")
     val iv = intervals.withColumn("__bucket",
       explode(sequence(
         floor(unix_timestamp(col(startCol)) / bucketSeconds),

@@ -64,6 +64,10 @@ object Sampling {
     */
   def discreteQuantiles(df: DataFrame, groupCol: String, idCol: String,
                         measure: Column, ps: Seq[(String, Double)]): DataFrame = {
+    require(ps.nonEmpty, "ps must name at least one quantile")
+    ps.foreach { case (name, p) =>
+      require(p > 0.0 && p <= 1.0, s"quantile $name: p=$p outside (0, 1]")
+    }
     val ranked = df
       .select(col(groupCol), col(idCol), measure.as("__m"))
       .withColumn("__rn", row_number().over(

@@ -104,7 +104,6 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
               idCol: String, vecCol: String, k: Int,
               nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val spark = corpus.sparkSession
     // deterministic "codebook": lowest-id vector of each id%nCells class
     val centroids = broadcast(
       corpus.withColumn("cell", pmod(col(idCol), lit(nCells)).cast("int"))

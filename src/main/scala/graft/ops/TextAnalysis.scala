@@ -102,8 +102,12 @@ object TextAnalysis {
   def rareWordCounts(docs: org.apache.spark.sql.DataFrame,
                      idCol: String, textCol: String,
                      rareThreshold: Long): org.apache.spark.sql.DataFrame = {
+    // words feeds BOTH the frequency aggregate and the probe side;
+    // without materialization the corpus scan + tokenize + explode
+    // runs twice (the project's two-branch recompute landmine)
     val words = docs.select(col(idCol).as("id"),
       explode(tokens(col(textCol))).as("w"))
+      .localCheckpoint(eager = false)
     val freq = words.groupBy(col("w")).agg(count(lit(1)).as("freq"))
     words
       .join(broadcast(freq), Seq("w"))

@@ -418,10 +418,14 @@ object TrainingData {
       ranked AS (
         SELECT doc_id, chunk,
           row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
-        FROM chunks WHERE length(chunk) > 0)
-      SELECT doc_id, COUNT(*) AS n_chunks,
-        CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
-      FROM ranked GROUP BY doc_id ORDER BY doc_id"""))
+        FROM chunks WHERE length(chunk) > 0),
+      g AS (
+        SELECT doc_id, COUNT(*) AS n_chunks,
+          CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        FROM ranked GROUP BY doc_id)
+      SELECT c.doc_id, COALESCE(g.n_chunks, 0) AS n_chunks,
+        COALESCE(g.n_kept, 0) AS n_kept
+      FROM corpus c LEFT JOIN g USING (doc_id) ORDER BY doc_id"""))
 
   /** Deterministic Bernoulli sample (md5-hash membership, no shuffle,
     * reproducible across engines/runs/partitionings — `rand()` is
