@@ -102,40 +102,56 @@ object ApplyEngine {
     * thread on exactly that case).
     */
   def collapseSkewResistant(events: DataFrame, bucketSeconds: Long = 30): DataFrame = {
+    // `lead` = number of LEADING patch events in the folded range
+    // (patches before its first row/del). Those are the events whose
+    // violation status depends on the PRECEDING range's state: if it
+    // ends in `del`, each of them is a patch-after-delete. Without
+    // this the two-phase fold counted +1 per bucket instead of +1 per
+    // patch event and missed leading patches of row/del-ending buckets.
     val init = struct(
       lit("base").as("st"),
       map().cast(valsT).as("vals"),
-      lit(0).as("viol"))
+      lit(0).as("viol"),
+      lit(0).as("lead"))
 
     // compose(acc, partial): apply a later contiguous range's folded
     // state after an earlier one — same transition table as `step`
     def compose(a: Column, b: Column): Column = {
+      val aSt = a.getField("st")
       val bSt = b.getField("st")
+      val viol = (a.getField("viol") + b.getField("viol") +
+        when(aSt === "del", b.getField("lead")).otherwise(lit(0))).as("viol")
+      // a is all-patches exactly when st ∈ {base, patch} — only then
+      // do b's leading patches stay leading for the combined range
+      val lead = when(aSt === "base" || aSt === "patch",
+        a.getField("lead") + b.getField("lead"))
+        .otherwise(a.getField("lead")).as("lead")
       when(bSt === "row" || bSt === "del",
-        struct(bSt.as("st"), b.getField("vals").as("vals"),
-          (a.getField("viol") + b.getField("viol")).as("viol")))
-        .when(bSt === "base", a)
+        struct(bSt.as("st"), b.getField("vals").as("vals"), viol, lead))
+        .when(bSt === "base",
+          struct(aSt.as("st"), a.getField("vals").as("vals"), viol, lead))
         // b is a pure patch:
-        .when(a.getField("st") === "del",
-          struct(lit("del").as("st"), a.getField("vals").as("vals"),
-            (a.getField("viol") + b.getField("viol") + 1).as("viol")))
-        .when(a.getField("st") === "base",
-          struct(lit("patch").as("st"), b.getField("vals").as("vals"),
-            (a.getField("viol") + b.getField("viol")).as("viol")))
+        .when(aSt === "del",
+          struct(lit("del").as("st"), a.getField("vals").as("vals"), viol, lead))
+        .when(aSt === "base",
+          struct(lit("patch").as("st"), b.getField("vals").as("vals"), viol, lead))
         .otherwise(struct(
-          a.getField("st").as("st"),
+          aSt.as("st"),
           overwrite(a.getField("vals"), b.getField("vals")).as("vals"),
-          (a.getField("viol") + b.getField("viol")).as("viol")))
+          viol, lead))
     }
 
     def step(acc: Column, e: Column): Column = {
       // one event is the partial state of a singleton range
       val asPartial = when(e.getField("op") === "row",
-        struct(lit("row").as("st"), e.getField("vals").as("vals"), lit(0).as("viol")))
+        struct(lit("row").as("st"), e.getField("vals").as("vals"),
+          lit(0).as("viol"), lit(0).as("lead")))
         .when(e.getField("op") === "del",
-          struct(lit("del").as("st"), map().cast(valsT).as("vals"), lit(0).as("viol")))
+          struct(lit("del").as("st"), map().cast(valsT).as("vals"),
+            lit(0).as("viol"), lit(0).as("lead")))
         .otherwise(
-          struct(lit("patch").as("st"), e.getField("vals").as("vals"), lit(0).as("viol")))
+          struct(lit("patch").as("st"), e.getField("vals").as("vals"),
+            lit(0).as("viol"), lit(1).as("lead")))
       compose(acc, asPartial)
     }
 

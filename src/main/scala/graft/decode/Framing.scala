@@ -89,8 +89,11 @@ object Framing {
         case Regular =>
           current match {
             case Some((xid, ts)) =>
-              regularRe.findFirstMatchIn(chunk)
-                .map(m => (xid, ts, m.group(1))).toSeq
+              // a Regular chunk may carry SEVERAL change records
+              // (`{...},{...}`) — split like the First-chunk path
+              // does; the greedy `regularRe` capture would glue them
+              // into one unparseable payload
+              splitTopLevelObjects(chunk).map(obj => (xid, ts, obj))
             case None => Seq.empty
           }
       }

@@ -63,9 +63,13 @@ object Wal2Json {
     * Envelope sources have no LSNs, but [[decodeEvents]] orders by
     * `(xid_timestamp, lsn_start)` and per-key order inside a
     * transaction matters (insert-then-update of one key). So a
-    * synthetic `lsn_start` = `xid << 20 | chg_idx` provides the
+    * synthetic `lsn_start` = `xid << 30 | chg_idx` provides the
     * logical clock: xids are assigned monotonically by the source,
-    * and the intra-transaction change index breaks ties. */
+    * and the intra-transaction change index breaks ties. 30 bits
+    * cover ~1B changes per transaction without carrying into the xid
+    * bits (a 2^20 shift overflowed on bulk transactions and
+    * interleaved their ordering with the next xid); PG xids are
+    * 32-bit, so xid << 30 stays inside a positive Long. */
   def explodeEnvelope(envelopes: DataFrame, payloadCol: String = "value"): DataFrame = {
     val parsed = envelopes.withColumn("env", from_json(col(payloadCol), envelopeSchema))
     parsed
@@ -75,7 +79,7 @@ object Wal2Json {
       .withColumn("xid", col("env.xid"))
       .withColumn("xid_timestamp", to_timestamp(col("env.timestamp")))
       .withColumn("lsn_start",
-        shiftleft(col("env.xid"), 20).bitwiseOR(col("chg_idx")))
+        shiftleft(col("env.xid"), 30).bitwiseOR(col("chg_idx")))
       .drop("env", payloadCol)
   }
 

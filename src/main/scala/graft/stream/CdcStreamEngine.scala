@@ -34,6 +34,7 @@ final class CdcStreamEngine(
     ddlHandler: graft.ddl.DdlEvent => Unit = _ => (),
     strict: Boolean = false,
     archiveDir: Option[String] = None,
+    quarantineDir: Option[String] = None,
     tableParallelism: Int = 4) {
 
   // per-batch chained table states; a field so the DDL interpreter's
@@ -41,6 +42,11 @@ final class CdcStreamEngine(
   // stream's single-threaded driver loop — not reentrant)
   private val working =
     scala.collection.mutable.LinkedHashMap.empty[TableId, DataFrame]
+  // the batch being replayed: its target version and the manifest
+  // snapshot taken at batch start — the DDL data hooks consult these
+  // so crash-replay can't re-apply effects already published
+  private var currentTargetVersion: Long = Long.MinValue
+  private var committedAtBatchStart: Map[String, Long] = Map.empty
 
   /** Rename-hook target for [[graft.ddl.DdlInterpreter]]: renames in
     * the in-flight working chain, loading the committed version into
@@ -59,13 +65,22 @@ final class CdcStreamEngine(
   /** Truncate-hook target: TRUNCATE takes effect inside the working
     * chain at its stream position — pre-truncate DML vanishes with
     * the old rows, post-truncate DML applies onto the empty table;
-    * everything commits once with the batch. */
+    * everything commits once with the batch.
+    *
+    * Crash-replay guard: if this table's manifest version already
+    * reached the batch's target, a previous attempt of THIS batch
+    * committed the post-truncate state — truncating again would stage
+    * an empty table over it and erase the batch's post-truncate DML
+    * (the DML segments are skipped by the same-version guard). */
   def truncateTableData(id: TableId): Unit =
-    registry.get(id).foreach { meta =>
-      if (working.contains(id) || store.exists(id))
-        working(id) = spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta.schema)
-    }
+    registry.get(id)
+      .filter(meta => committedAtBatchStart.get(meta.id.qualified)
+        .forall(_ < currentTargetVersion))
+      .foreach { meta =>
+        if (working.contains(id) || store.exists(id))
+          working(id) = spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta.schema)
+      }
 
   /** One micro-batch: the replay loop body. Public for batch-mode
     * reuse and direct testing.
@@ -81,13 +96,32 @@ final class CdcStreamEngine(
     */
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
     if (batch.isEmpty) return
-    val parsed = Wal2Json.parse(batch).cache()
+    val parsedAll = Wal2Json.parse(batch).cache()
     try {
-      // P7: DDL routing predicate splits the stream.
+      // Malformed payloads: fail fast in strict mode (A9 — the
+      // reference dies on the first bad row); otherwise drop them
+      // from replay but preserve the raw rows for offline repair.
+      val (parsed, quarantined) = Wal2Json.partitionValid(parsedAll)
+      if (strict) {
+        val nBad = quarantined.count()
+        if (nBad > 0) throw new IllegalStateException(
+          s"batch $batchId: $nBad unparseable change payloads")
+      }
+      quarantineDir.foreach { dir =>
+        quarantined.drop("p").withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(dir)
+      }
+
+      // P7: DDL routing predicate splits the stream. Only INSERTs
+      // carry statements; deletes/updates of the DDL spool table
+      // (e.g. processed-row cleanup) are ignorable bookkeeping.
       val isDdl = col("p.schema") === "public" &&
         col("p.table") === "sql_ddl_statements"
 
-      val ddls = parsed.filter(isDdl)
+      val ddls = parsed.filter(isDdl && col("p.kind") === "insert")
         .orderBy(col("xid_timestamp"), col("lsn_start"))
         .select(col("xid_timestamp"), col("lsn_start"), col("database"),
           map_from_arrays(col("p.columnnames"), col("p.columnvalues")).as("m"))
@@ -111,6 +145,8 @@ final class CdcStreamEngine(
       // checkpoint commit) — skip it, or the replay would double-apply.
       val targetVersion = batchId + 1
       val committed = store.manifest()
+      currentTargetVersion = targetVersion
+      committedAtBatchStart = committed
 
       working.clear() // chained working state per table across segments
 
@@ -125,7 +161,11 @@ final class CdcStreamEngine(
             .filter(meta => committed.get(meta.id.qualified).forall(_ < targetVersion))
             .foreach { meta =>
               val target = working.getOrElse(meta.id, store.read(meta.id))
-              val collapsed = ApplyEngine.collapse(Wal2Json.decodeEvents(segDml, meta))
+              val collapsed0 = ApplyEngine.collapse(Wal2Json.decodeEvents(segDml, meta))
+              // strict runs TWO consumers of the collapsed plan (the
+              // violations count and the merge) — materialize once
+              val collapsed =
+                if (strict) collapsed0.localCheckpoint(eager = false) else collapsed0
               if (strict) {
                 val nViol = ApplyEngine.violations(target, collapsed, meta).count()
                 if (nViol > 0) throw new IllegalStateException(
@@ -199,7 +239,7 @@ final class CdcStreamEngine(
           .partitionBy("batch_id")
           .parquet(dir)
       }
-    } finally parsed.unpersist()
+    } finally parsedAll.unpersist()
   }
 
   /** Start the streaming replay over a spool directory. */

@@ -97,26 +97,28 @@ object EventStreams {
         state.remove()
         out
       } else {
-        val sorted = evs.toSeq.sortBy(_.ts.getTime)
-        var acc = state.getOption.orNull
-        val closed = scala.collection.mutable.Buffer.empty[Session]
-        sorted.foreach { e =>
-          val t = e.ts.getTime
-          if (acc == null) acc = SessionAcc(t, t, 1, e.value)
-          else if (t < acc.start - gapMs) {
-            // cross-batch straggler older than the open session by
-            // more than the gap: its own (already-complete) session —
-            // merging it would mutate totals without the time bounds
-            closed += toSession(uid, SessionAcc(t, t, 1, e.value))
-          } else if (t <= acc.end + gapMs) {
-            // in-window (possibly out-of-order): extend both bounds
-            acc = SessionAcc(math.min(acc.start, t), math.max(acc.end, t),
-              acc.n + 1, acc.total + e.value)
-          } else {
-            closed += toSession(uid, acc)
-            acc = SessionAcc(t, t, 1, e.value)
+        // interval merge: the open state session and each event (as a
+        // singleton interval), sorted by start, fold left merging
+        // whenever the next interval begins within gap of the current
+        // end. Cross-batch stragglers older than the open session
+        // thereby merge with EACH OTHER into proper sessions instead
+        // of each closing as its own singleton; everything except the
+        // last (still-open) interval closes now.
+        val intervals = (state.getOption.toSeq ++
+          evs.map(e => SessionAcc(e.ts.getTime, e.ts.getTime, 1, e.value)))
+          .sortBy(a => (a.start, a.end))
+        val merged = intervals.foldLeft(List.empty[SessionAcc]) { (accs, iv) =>
+          accs match {
+            case head :: tail if iv.start <= head.end + gapMs =>
+              SessionAcc(math.min(head.start, iv.start),
+                math.max(head.end, iv.end),
+                head.n + iv.n, head.total + iv.total) :: tail
+            case _ => iv :: accs
           }
-        }
+        }.reverse
+        val closed = scala.collection.mutable.Buffer.empty[Session]
+        if (merged.nonEmpty) merged.init.foreach(a => closed += toSession(uid, a))
+        val acc = merged.lastOption.orNull
         if (acc != null) {
           state.update(acc)
           // flatMapGroupsWithState does NOT drop late rows, so the

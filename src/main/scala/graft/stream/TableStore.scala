@@ -71,9 +71,20 @@ final class TableStore(spark: SparkSession, val root: String) {
 
   /** Atomically publish a set of staged versions: the cross-table
     * commit barrier. Tables not in `updates` keep their version.
+    *
+    * MONOTONIC: a commit can never lower a table's published version.
+    * Versions only ever advance batch-by-batch, so a lower incoming
+    * version is always a crash-replay re-running an already-published
+    * effect (e.g. CREATE TABLE committing v=0 after a died-mid-batch
+    * attempt already published v=N+1) — regressing would point readers
+    * at stale or empty data.
     */
-  def commit(updates: Map[TableId, Long]): Unit =
-    writeManifest(manifest() ++ updates.map { case (id, v) => id.qualified -> v })
+  def commit(updates: Map[TableId, Long]): Unit = {
+    val cur = manifest()
+    writeManifest(cur ++ updates.map { case (id, v) =>
+      id.qualified -> math.max(v, cur.getOrElse(id.qualified, Long.MinValue))
+    })
+  }
 
   /** Remove a table from the committed manifest (DROP TABLE). Data
     * dirs are left for vacuum — readers can no longer resolve them.
@@ -87,7 +98,7 @@ final class TableStore(spark: SparkSession, val root: String) {
     * without it every batch's full rewrite accumulates forever.
     * Returns the number of directories removed.
     */
-  def vacuum(keepHistory: Int = 1): Int = {
+  def vacuum(keepHistory: Int = 1, reclaimDropped: Boolean = false): Int = {
     val m = manifest()
     var removed = 0
     val tableDirs = {
@@ -116,10 +127,16 @@ final class TableStore(spark: SparkSession, val root: String) {
             }
           }
         case None =>
-          // dropped (or never-committed) table: drop() defers its
-          // data dirs to vacuum — reclaim the whole tree
-          deleteRecursively(tableDir)
-          removed += 1
+          // no manifest entry: either a DROPped table (drop() defers
+          // its data dirs to vacuum) or a table whose FIRST version is
+          // being staged right now — indistinguishable from here, so
+          // only reclaim when the caller asserts no create/snapshot is
+          // in flight (deleting under an active stage writer corrupts
+          // the table's initial publish)
+          if (reclaimDropped) {
+            deleteRecursively(tableDir)
+            removed += 1
+          }
       }
     }
     removed

@@ -221,6 +221,37 @@ class ApplyEngineSpec extends SparkSpec {
       canon(ApplyEngine.collapse(events)))
   }
 
+  test("collapseSkewResistant: cross-bucket patch-after-delete violations") {
+    // del in bucket 0, TWO patches in bucket 1, then a patch-leading
+    // bucket ending in row: viol must count per patch EVENT (3), not
+    // per bucket, exactly like the sequential fold
+    val s = spool(
+      (1L, """{"kind":"delete","schema":"public","table":"customer",
+              "oldkeys":{"keynames":["c_custkey"],"keyvalues":[7]}}"""),
+      (2L, """{"kind":"update","schema":"public","table":"customer",
+              "columnnames":["c_custkey","c_name"],"columnvalues":[7,"a"],
+              "oldkeys":{"keynames":["c_custkey"],"keyvalues":[7]}}"""),
+      (3L, """{"kind":"update","schema":"public","table":"customer",
+              "columnnames":["c_custkey","c_name"],"columnvalues":[7,"b"],
+              "oldkeys":{"keynames":["c_custkey"],"keyvalues":[7]}}"""),
+      (4L, """{"kind":"update","schema":"public","table":"customer",
+              "columnnames":["c_custkey","c_name"],"columnvalues":[7,"c"],
+              "oldkeys":{"keynames":["c_custkey"],"keyvalues":[7]}}"""),
+      (5L, """{"kind":"insert","schema":"public","table":"customer",
+              "columnnames":["c_custkey","c_name","c_acctbal","c_mktsegment"],
+              "columnvalues":[7,"fresh",1.0,"S"]}"""))
+      // spread events across 30s buckets via distinct timestamps
+      .withColumn("xid_timestamp",
+        timestamp_seconds(lit(1700000000L) + col("lsn_start") * 31))
+    val events = Wal2Json.decodeEvents(Wal2Json.parse(s), meta)
+    def violOf(df: org.apache.spark.sql.DataFrame): Int =
+      df.select("viol").collect().map(_.getInt(0)).sum
+    assert(violOf(ApplyEngine.collapse(events)) == 3)
+    assert(violOf(ApplyEngine.collapseSkewResistant(events, 30)) == 3)
+    assert(violOf(ApplyEngine.collapseSkewResistant(events, 1)) == 3)
+    assert(violOf(ApplyEngine.collapseSkewResistant(events, 100000)) == 3)
+  }
+
   test("composite PK: lineitem-style two-column key") {
     val liSchema = StructType(Seq(
       StructField("l_orderkey", LongType),

@@ -96,6 +96,40 @@ class EventStreamsSpec extends SparkSpec {
     assert(rows == Set((1L, 1.0, 10.0), (2L, 2.0, 20.0)))
   }
 
+  test("sessionize: cross-batch stragglers within gap merge into one session") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    // wide watermark so the stragglers are late-but-not-dropped:
+    // inside the watermark, yet > gap older than the open session
+    val q = EventStreams.sessionize(mem.toDS(), gapSeconds = 20,
+      watermark = "5 minutes")
+      .writeStream.format("memory").queryName("straggler_sessions")
+      .outputMode(OutputMode.Append()).start()
+
+    // open a session for user 1; watermark advances to 1000s - 5min
+    mem.addData(Event(1, ts(1000), "click", 1.0))
+    q.processAllAvailable()
+    // two stragglers 10s apart, both > gap older than the open
+    // session: must merge into ONE [800,810] session, not two
+    // singletons
+    mem.addData(Event(1, ts(800), "click", 2.0), Event(1, ts(810), "click", 3.0))
+    q.processAllAvailable()
+    mem.addData(Event(9, ts(9000), "noise", 0.0))
+    q.processAllAvailable()
+    mem.addData(Event(9, ts(12000), "noise", 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val sessions = spark.table("straggler_sessions").as[Session].collect()
+      .filter(_.user_id == 1L)
+      .map(s => ((s.session_start.getTime - base) / 1000,
+        (s.session_end.getTime - base) / 1000, s.n_events, s.total_value))
+      .toSet
+    assert(sessions.contains((800L, 810L, 2L, 5.0)))
+    assert(sessions.contains((1000L, 1000L, 1L, 1.0)))
+    assert(sessions.size == 2)
+  }
+
   test("sessionize: gap-based sessions with event-time timeout") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]

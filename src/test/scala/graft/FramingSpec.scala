@@ -65,4 +65,17 @@ class FramingSpec extends AnyFunSuite {
       (7L, "2021-03-17 10:04:29+01", """{"kind":"delete","schema":"public","table":"t"}"""),
       (8L, "2021-03-17 10:05:00+01", """{"kind":"update"}""")))
   }
+
+  test("reassemble: one Regular chunk carrying several change records") {
+    val chunks = Iterator(
+      """{"xid":9,"timestamp":"2021-03-17 11:00:00+01", "change": [""",
+      """,{"kind":"insert","v":1},{"kind":"update","v":2}""", // two in one chunk
+      """,{"kind":"delete","v":"br{}ace \"q\""}""",           // braces/quotes inside
+      "]}")
+    val out = Framing.reassemble(chunks).toSeq
+    assert(out == Seq(
+      (9L, "2021-03-17 11:00:00+01", """{"kind":"insert","v":1}"""),
+      (9L, "2021-03-17 11:00:00+01", """{"kind":"update","v":2}"""),
+      (9L, "2021-03-17 11:00:00+01", """{"kind":"delete","v":"br{}ace \"q\""}""")))
+  }
 }

@@ -77,9 +77,12 @@ class SnapshotSpec extends SparkSpec {
     assert(store.read(tid).collect().map(_.getString(1)).toSeq == Seq("v4"))
     assert(store.readVersion(tid, 3L).count() == 1)
     intercept[Exception] { store.readVersion(tid, 0L).count() }
-    // dropped tables' whole trees are reclaimed (drop defers to vacuum)
+    // dropped tables' trees survive a default vacuum (a missing
+    // manifest entry could also be a first-version stage in flight)
+    // and are reclaimed only on explicit request
     store.drop(tid)
-    assert(store.vacuum(keepHistory = 1) == 1)
+    assert(store.vacuum(keepHistory = 1) == 0)
+    assert(store.vacuum(keepHistory = 1, reclaimDropped = true) == 1)
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(root, tid.qualified)))
   }
