@@ -27,8 +27,16 @@ object DdlAst {
       column: String, ifExists: Boolean) extends DdlStatement
   final case class RenameColumn(raw: String, table: QualifiedName,
       from: String, to: String) extends DdlStatement
+  final case class RenameTable(raw: String, table: QualifiedName,
+      to: String) extends DdlStatement
+  final case class AlterColumnType(raw: String, table: QualifiedName,
+      column: String, pgType: String) extends DdlStatement
   final case class CreateSchema(raw: String, schema: String,
       ifNotExists: Boolean) extends DdlStatement
+  /** One SQL statement carrying several sub-statements (multi-action
+    * ALTER TABLE, multi-table TRUNCATE/DROP). The interpreter
+    * classifies and applies each part independently. */
+  final case class Multi(raw: String, parts: Seq[DdlStatement]) extends DdlStatement
   final case class Other(raw: String, tag: String) extends DdlStatement
 
   private val ident = """(?:"([^"]+)"|([A-Za-z_][A-Za-z_0-9$]*))"""
@@ -44,20 +52,29 @@ object DdlAst {
     }
   }
 
-  private val createTableRe =
-    s"""(?is)^CREATE\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?$qname\\s*\\((.*)\\)\\s*$$""".r
+  // constraint-introducing keywords after ADD that are NOT column
+  // names — 'ADD PRIMARY KEY (id)' must not become a phantom column
+  private val constraintKw = """(?:CONSTRAINT|PRIMARY|UNIQUE|FOREIGN|CHECK|EXCLUDE)"""
+
+  private val createTableHeadRe =
+    s"""(?is)^CREATE\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?$qname\\s*\\(""".r
   private val dropTableRe =
-    s"""(?is)^DROP\\s+TABLE\\s+(IF\\s+EXISTS\\s+)?$qname\\s*(CASCADE|RESTRICT)?\\s*$$""".r
+    s"""(?is)^DROP\\s+TABLE\\s+(IF\\s+EXISTS\\s+)?(.+?)\\s*(CASCADE|RESTRICT)?\\s*$$""".r
   private val truncateRe =
-    s"""(?is)^TRUNCATE\\s+(?:TABLE\\s+)?(?:ONLY\\s+)?$qname.*$$""".r
-  // COLUMN keyword is optional in PG; the lookahead keeps
-  // ADD/DROP CONSTRAINT from parsing "CONSTRAINT" as a column name
-  private val addColRe =
-    s"""(?is)^ALTER\\s+TABLE\\s+(?:ONLY\\s+)?$qname\\s+ADD\\s+(?!CONSTRAINT\\b)(?:COLUMN\\s+)?(IF\\s+NOT\\s+EXISTS\\s+)?$ident\\s+(.+?)\\s*$$""".r
-  private val dropColRe =
-    s"""(?is)^ALTER\\s+TABLE\\s+(?:ONLY\\s+)?$qname\\s+DROP\\s+(?!CONSTRAINT\\b)(?:COLUMN\\s+)?(IF\\s+EXISTS\\s+)?$ident\\s*(CASCADE|RESTRICT)?\\s*$$""".r
-  private val renameColRe =
-    s"""(?is)^ALTER\\s+TABLE\\s+(?:ONLY\\s+)?$qname\\s+RENAME\\s+(?:COLUMN\\s+)?$ident\\s+TO\\s+$ident\\s*$$""".r
+    """(?is)^TRUNCATE\s+(?:TABLE\s+)?(.+?)\s*(?:(?:RESTART|CONTINUE)\s+IDENTITY)?\s*(?:CASCADE|RESTRICT)?\s*$""".r
+  private val alterHeadRe =
+    s"""(?is)^ALTER\\s+TABLE\\s+(?:ONLY\\s+)?$qname\\s+(.+)$$""".r
+  private val addColActRe =
+    s"""(?is)^ADD\\s+(?!$constraintKw\\b)(?:COLUMN\\s+)?(IF\\s+NOT\\s+EXISTS\\s+)?$ident\\s+(.+?)\\s*$$""".r
+  private val dropColActRe =
+    s"""(?is)^DROP\\s+(?!CONSTRAINT\\b)(?:COLUMN\\s+)?(IF\\s+EXISTS\\s+)?$ident\\s*(CASCADE|RESTRICT)?\\s*$$""".r
+  private val renameTableActRe =
+    s"""(?is)^RENAME\\s+TO\\s+$ident\\s*$$""".r
+  private val renameColActRe =
+    s"""(?is)^RENAME\\s+(?:COLUMN\\s+)?$ident\\s+TO\\s+$ident\\s*$$""".r
+  private val alterTypeActRe =
+    s"""(?is)^ALTER\\s+(?:COLUMN\\s+)?$ident\\s+(?:SET\\s+DATA\\s+)?TYPE\\s+(.+?)(?:\\s+USING\\s+.*)?\\s*$$""".r
+  private val qnameOnlyRe = s"""(?is)^(?:ONLY\\s+)?$qname\\s*$$""".r
   private val createSchemaRe =
     s"""(?is)^CREATE\\s+SCHEMA\\s+(IF\\s+NOT\\s+EXISTS\\s+)?$ident\\s*$$""".r
   private val tagRe = """(?is)^\s*([A-Za-z]+(?:\s+[A-Za-z]+)?)""".r
@@ -89,7 +106,7 @@ object DdlAst {
       .map(_.group(1).split(",").toSeq
         .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty))
     tableLevel.getOrElse {
-      mutable.split(body).flatMap { p =>
+      splitTopLevel(body).flatMap { p =>
         val t = p.trim
         val inline = s"""(?is)^$ident\\s+.*\\bPRIMARY\\s+KEY\\b.*$$""".r
         inline.findFirstMatchIn(t)
@@ -103,7 +120,7 @@ object DdlAst {
     * respecting parens/quotes; constraint clauses are dropped.
     */
   private def parseColumns(body: String): Seq[(String, String)] = {
-    val parts = mutable.split(body)
+    val parts = splitTopLevel(body)
     parts.flatMap { p =>
       val t = p.trim
       val isConstraint = """(?i)^(PRIMARY|UNIQUE|CONSTRAINT|FOREIGN|CHECK|EXCLUDE|LIKE)\b""".r
@@ -119,47 +136,116 @@ object DdlAst {
     }
   }
 
-  private object mutable {
-    /** comma-split at paren/quote depth 0 */
-    def split(s: String): Seq[String] = {
-      val out = scala.collection.mutable.Buffer.empty[String]
-      val cur = new StringBuilder
-      var depth = 0; var inq = false
-      s.foreach {
-        case '\'' => inq = !inq; cur.append('\'')
-        case '(' if !inq => depth += 1; cur.append('(')
-        case ')' if !inq => depth -= 1; cur.append(')')
-        case ',' if !inq && depth == 0 => out += cur.toString; cur.clear()
-        case c => cur.append(c)
-      }
-      if (cur.nonEmpty) out += cur.toString
-      out.toSeq
+  /** comma-split at paren/quote depth 0 */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = scala.collection.mutable.Buffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0; var inq = false
+    s.foreach {
+      case '\'' => inq = !inq; cur.append('\'')
+      case '(' if !inq => depth += 1; cur.append('(')
+      case ')' if !inq => depth -= 1; cur.append(')')
+      case ',' if !inq && depth == 0 => out += cur.toString; cur.clear()
+      case c => cur.append(c)
     }
+    if (cur.nonEmpty) out += cur.toString
+    out.toSeq
   }
+
+  /** The balanced `(...)` body starting at `open` (index of the
+    * opening paren), quote-aware. Returns the inside, WITHOUT the
+    * parens — the regex alternative (`\\((.*)\\)$`) either corrupts
+    * the last column when trailing clauses follow (WITH / PARTITION
+    * BY / INHERITS carry their own parens) or rejects clauses without
+    * one (TABLESPACE). */
+  private def balancedBody(s: String, open: Int): Option[String] = {
+    var depth = 0; var inq = false; var i = open
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inq) { if (c == '\'') inq = false }
+      else c match {
+        case '\'' => inq = true
+        case '(' => depth += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0) return Some(s.substring(open + 1, i))
+        case _ => ()
+      }
+      i += 1
+    }
+    None
+  }
+
+  private def parseQname(part: String): Option[QualifiedName] =
+    qnameOnlyRe.findFirstMatchIn(part.trim).map(m =>
+      qn(List(Option(m.group(1)), Option(m.group(2)),
+        Option(m.group(3)), Option(m.group(4)))))
+
+  private def oneOrMulti(raw: String, parts: Seq[DdlStatement]): DdlStatement =
+    parts match {
+      case Seq(single) => single
+      case Seq()       => Other(raw, tagOf(raw))
+      case many        => Multi(raw, many)
+    }
+
+  private def tagOf(s: String): String =
+    tagRe.findFirstMatchIn(s).map(_.group(1).toUpperCase).getOrElse("")
+
+  private def parseAlterAction(raw: String, table: QualifiedName,
+                               action: String): DdlStatement =
+    action.trim match {
+      case addColActRe(ine, cq, cb, typ) =>
+        AddColumn(raw, table, Option(cq).getOrElse(cb),
+          stripColumnConstraints(typ), ine != null)
+      case dropColActRe(ife, cq, cb, _) =>
+        DropColumn(raw, table, Option(cq).getOrElse(cb), ife != null)
+      case renameTableActRe(tq, tb) =>
+        RenameTable(raw, table, Option(tq).getOrElse(tb))
+      case renameColActRe(fq, fb, tq, tb) =>
+        RenameColumn(raw, table, Option(fq).getOrElse(fb), Option(tq).getOrElse(tb))
+      case alterTypeActRe(cq, cb, typ) =>
+        AlterColumnType(raw, table, Option(cq).getOrElse(cb),
+          stripColumnConstraints(typ))
+      case _ => Other(raw, "ALTER TABLE")
+    }
 
   def parse(sql: String): DdlStatement = {
     val s = sql.trim.stripSuffix(";").trim
+
+    createTableHeadRe.findFirstMatchIn(s) match {
+      case Some(m) =>
+        return balancedBody(s, m.end - 1) match {
+          case Some(body) =>
+            CreateTable(s,
+              qn(List(Option(m.group(2)), Option(m.group(3)),
+                Option(m.group(4)), Option(m.group(5)))),
+              parseColumns(body), m.group(1) != null, parsePkCols(body))
+          case None => Other(s, tagOf(s))
+        }
+      case None => ()
+    }
+
     s match {
-      case createTableRe(ine, q1, b1, q2, b2, body) =>
-        CreateTable(s, qn(List(Option(q1), Option(b1), Option(q2), Option(b2))),
-          parseColumns(body), ine != null, parsePkCols(body))
-      case dropTableRe(ife, q1, b1, q2, b2, _) =>
-        DropTable(s, qn(List(Option(q1), Option(b1), Option(q2), Option(b2))), ife != null)
-      case addColRe(q1, b1, q2, b2, ine, cq, cb, typ) =>
-        AddColumn(s, qn(List(Option(q1), Option(b1), Option(q2), Option(b2))),
-          Option(cq).getOrElse(cb), stripColumnConstraints(typ), ine != null)
-      case dropColRe(q1, b1, q2, b2, ife, cq, cb, _) =>
-        DropColumn(s, qn(List(Option(q1), Option(b1), Option(q2), Option(b2))),
-          Option(cq).getOrElse(cb), ife != null)
-      case renameColRe(q1, b1, q2, b2, fq, fb, tq, tb) =>
-        RenameColumn(s, qn(List(Option(q1), Option(b1), Option(q2), Option(b2))),
-          Option(fq).getOrElse(fb), Option(tq).getOrElse(tb))
-      case truncateRe(q1, b1, q2, b2) =>
-        TruncateTable(s, qn(List(Option(q1), Option(b1), Option(q2), Option(b2))))
+      case alterHeadRe(q1, b1, q2, b2, tail) =>
+        val table = qn(List(Option(q1), Option(b1), Option(q2), Option(b2)))
+        // multi-action ALTER TABLE: split on top-level commas, parse
+        // each action; sub-raws stay addressable for post-data routing
+        val actions = splitTopLevel(tail).map(_.trim).filter(_.nonEmpty)
+        oneOrMulti(s, actions.map { a =>
+          val subRaw = if (actions.length == 1) s
+            else s"ALTER TABLE ${table.render} $a"
+          parseAlterAction(subRaw, table, a)
+        })
+      case dropTableRe(ife, list, _) =>
+        val names = splitTopLevel(list).flatMap(parseQname)
+        oneOrMulti(s, names.map(nm => DropTable(s, nm, ife != null)))
+      case truncateRe(list) =>
+        val names = splitTopLevel(list).flatMap(parseQname)
+        oneOrMulti(s, names.map(nm => TruncateTable(s, nm)))
       case createSchemaRe(ine, sq, sb) =>
         CreateSchema(s, Option(sq).getOrElse(sb), ine != null)
       case _ =>
-        Other(s, tagRe.findFirstMatchIn(s).map(_.group(1).toUpperCase).getOrElse(""))
+        Other(s, tagOf(s))
     }
   }
 }

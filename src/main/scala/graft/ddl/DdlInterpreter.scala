@@ -41,7 +41,11 @@ final class DdlInterpreter(
       * engine overrides to truncate its in-flight working chain — a
       * mid-batch store commit would collide with the batch's own
       * version and be overwritten by the chained result. */
-    onTruncateData: TableId => Unit = null) {
+    onTruncateData: TableId => Unit = null,
+    /** Notifies the caller that a table was renamed (ALTER TABLE …
+      * RENAME TO): the stream engine re-keys its in-flight working
+      * chain so pre-rename DML isn't dropped at staging time. */
+    onRenameTable: (TableId, TableId) => Unit = null) {
 
   private def renameData(id: TableId, from: String, to: String): Unit =
     if (onRenameData != null) onRenameData(id, from, to)
@@ -73,15 +77,24 @@ final class DdlInterpreter(
       case sp    => sp
     }
     StatementSplitter.split(ev.currentQuery).foreach { sql =>
-      val stmt = DdlAst.parse(sql)
-      classify(stmt, ignoredSchemas, md5Whitelist) match {
-        case Kill     => throw new KillSwitchException(sql)
-        case Skip     => ()
-        case PostData => postData += sql
-        case Apply    => apply(ev.database, stmt, searchPath)
-      }
+      dispatch(ev.database, DdlAst.parse(sql), searchPath)
     }
   }
+
+  private def dispatch(db: String, stmt: DdlStatement,
+                       searchPath: Seq[String]): Unit =
+    classify(stmt, ignoredSchemas, md5Whitelist, searchPath) match {
+      case Kill     => throw new KillSwitchException(stmt.raw)
+      case Skip     => ()
+      case PostData => postData += stmt.raw
+      case Apply    => stmt match {
+        // one SQL statement, several sub-statements (multi-action
+        // ALTER, multi-table TRUNCATE/DROP): each part classifies and
+        // applies on its own
+        case Multi(_, parts) => parts.foreach(dispatch(db, _, searchPath))
+        case other           => apply(db, other, searchPath)
+      }
+    }
 
   private def tableId(db: String, q: QualifiedName, searchPath: Seq[String]): TableId =
     TableId(db, q.schema.getOrElse(searchPath.headOption.getOrElse("public")), q.name)
@@ -98,11 +111,16 @@ final class DdlInterpreter(
             StructField(n, PgTypeMapper.toSpark(typ))
           }
           // PK from the statement itself (table-level or inline);
-          // first column only as the last-resort fallback (the
-          // reference discovers PKs from the live catalog).
+          // first column only when NO key was declared (the reference
+          // discovers PKs from the live catalog). A declared PK that
+          // references columns we failed to parse is a fail-fast —
+          // merging on a silently-substituted key corrupts CDC apply.
           val pk =
-            if (pkCols.nonEmpty && pkCols.forall(c => fields.exists(_.name == c))) pkCols
-            else Seq(fields.head.name)
+            if (pkCols.isEmpty) Seq(fields.head.name)
+            else if (pkCols.forall(c => fields.exists(_.name == c))) pkCols
+            else throw new IllegalStateException(
+              s"declared PK (${pkCols.mkString(",")}) of ${id.qualified} " +
+                s"references unparsed columns (got ${fields.map(_.name).mkString(",")})")
           val meta = TableMeta(id,
             org.apache.spark.sql.types.StructType(fields), pk)
           registry.register(meta)
@@ -130,6 +148,25 @@ final class DdlInterpreter(
         val id = tableId(db, t, searchPath)
         registry.renameColumn(id, from, to)
         renameData(id, from, to)
+
+      case RenameTable(_, t, to) =>
+        val oldId = tableId(db, t, searchPath)
+        registry.get(oldId).foreach { meta =>
+          val newId = oldId.copy(table = to)
+          registry.invalidate(oldId)
+          registry.register(meta.copy(id = newId))
+          store.rename(oldId, newId)
+          if (onRenameTable != null) onRenameTable(oldId, newId)
+        }
+
+      case AlterColumnType(_, t, c, typ) =>
+        // registry-only: data casts lazily through schema-conform at
+        // the next merge/read (ApplyEngine.conform)
+        registry.alterColumnType(tableId(db, t, searchPath), c,
+          PgTypeMapper.toSpark(typ))
+
+      case Multi(_, parts) => // handled in dispatch; direct calls recurse
+        parts.foreach(apply(db, _, searchPath))
 
       case CreateSchema(_, _, _) => () // schemas are implicit in store paths
       case Other(_, _)           => ()

@@ -47,21 +47,28 @@ object DdlRules {
 
   def classify(stmt: DdlStatement,
                ignoredSchemas: Set[String] = Set.empty,
-               md5Whitelist: Set[String] = Set.empty): Disposition = {
+               md5Whitelist: Set[String] = Set.empty,
+               searchPath: Seq[String] = Seq("public")): Disposition = {
     val raw = stmt.raw
     if (killRe.findFirstIn(raw).isDefined) return Kill
     if (md5Whitelist.contains(md5Hex(raw))) return Skip
     if (skipRegexes.exists(_.findFirstIn(raw).isDefined)) return Skip
 
+    // unqualified names resolve through the event's search_path — an
+    // ignored schema must be ignored whether or not it was spelled out
+    def ignored(t: QualifiedName): Boolean =
+      t.schema.orElse(searchPath.headOption).exists(ignoredSchemas)
     val inIgnoredSchema = stmt match {
-      case CreateTable(_, t, _, _, _) => t.schema.exists(ignoredSchemas)
-      case DropTable(_, t, _)      => t.schema.exists(ignoredSchemas)
-      case TruncateTable(_, t)     => t.schema.exists(ignoredSchemas)
-      case AddColumn(_, t, _, _, _) => t.schema.exists(ignoredSchemas)
-      case DropColumn(_, t, _, _)  => t.schema.exists(ignoredSchemas)
-      case RenameColumn(_, t, _, _) => t.schema.exists(ignoredSchemas)
-      case CreateSchema(_, s, _)   => ignoredSchemas(s)
-      case _                       => false
+      case CreateTable(_, t, _, _, _)   => ignored(t)
+      case DropTable(_, t, _)           => ignored(t)
+      case TruncateTable(_, t)          => ignored(t)
+      case AddColumn(_, t, _, _, _)     => ignored(t)
+      case DropColumn(_, t, _, _)       => ignored(t)
+      case RenameColumn(_, t, _, _)     => ignored(t)
+      case RenameTable(_, t, _)         => ignored(t)
+      case AlterColumnType(_, t, _, _)  => ignored(t)
+      case CreateSchema(_, s, _)        => ignoredSchemas(s)
+      case _                            => false
     }
     if (inIgnoredSchema) return Skip
 

@@ -13,7 +13,7 @@ object StatementSplitter {
 
   private sealed trait Mode
   private case object Plain extends Mode
-  private case object Literal extends Mode
+  private case class Literal(eString: Boolean) extends Mode
   private case object LineComment extends Mode
   private case class BlockComment(depth: Int) extends Mode
   private case class DollarQuote(tag: String) extends Mode
@@ -41,7 +41,17 @@ object StatementSplitter {
         case Plain =>
           if (startsWith("--")) { mode = LineComment; i += 2 }
           else if (startsWith("/*")) { mode = BlockComment(1); i += 2 }
-          else if (c == '\'') { mode = Literal; cur.append(c); i += 1 }
+          else if (c == '\'') {
+            // E'...' strings honor backslash escapes (standard
+            // literals treat backslash as a plain character)
+            val eStr = cur.nonEmpty &&
+              (cur.last == 'E' || cur.last == 'e') &&
+              (cur.length == 1 || {
+                val p = cur.charAt(cur.length - 2)
+                !Character.isLetterOrDigit(p) && p != '_'
+              })
+            mode = Literal(eStr); cur.append(c); i += 1
+          }
           else if (c == '$') {
             dollarTag.findPrefixOf(script.substring(i)) match {
               case Some(tag) => mode = DollarQuote(tag); cur.append(tag); i += tag.length
@@ -53,8 +63,12 @@ object StatementSplitter {
           } else if (c == ';') { flush(); i += 1 }
           else { cur.append(c); i += 1 }
 
-        case Literal =>
-          if (c == '\'' && i + 1 < n && script.charAt(i + 1) == '\'') {
+        case Literal(eStr) =>
+          if (eStr && c == '\\' && i + 1 < n) {
+            // backslash escape inside E'...': next char (incl. a
+            // quote) stays inside the literal
+            cur.append(c).append(script.charAt(i + 1)); i += 2
+          } else if (c == '\'' && i + 1 < n && script.charAt(i + 1) == '\'') {
             cur.append("''"); i += 2 // escaped quote stays inside
           } else if (c == '\'') { mode = Plain; cur.append(c); i += 1 }
           else { cur.append(c); i += 1 }

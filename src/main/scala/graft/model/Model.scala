@@ -88,6 +88,11 @@ final class SchemaRegistry {
       schema = StructType(m.schema.fields.map(f =>
         if (f.name == from) f.copy(name = to) else f)),
       pkCols = m.pkCols.map(c => if (c == from) to else c))))
+  def alterColumnType(id: TableId, name: String,
+                      dt: org.apache.spark.sql.types.DataType): Unit =
+    tables.updateWith(id)(_.map(m => m.copy(
+      schema = StructType(m.schema.fields.map(f =>
+        if (f.name == name) f.copy(dataType = dt) else f)))))
 
   /** Persist all metadata to one JSON file (atomic rename). The
     * streaming checkpoint only stores source offsets; DDL-evolved

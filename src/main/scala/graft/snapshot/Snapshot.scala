@@ -46,11 +46,14 @@ object Snapshot {
     // A CDC target MUST be key-unique — duplicate keys make the keyed
     // merge fan out silently (the batch analog of the reference's
     // affected-rows==1 dying, replay.pl:417-421).
+    // one source DataFrame per spec, reused by validation, meta
+    // build, and staging — re-opening the parquet repeats footer
+    // listing/schema inference per open
+    val sources = specs.map(spec => spec -> spark.read.parquet(spec.sourcePath)).toMap
     if (validatePk) specs.foreach { spec =>
       require(spec.pkCols.nonEmpty,
         s"table ${spec.id.qualified}: no primary key declared")
-      val src = spark.read.parquet(spec.sourcePath)
-      val dups = validatePrimaryKey(src, spec.pkCols).limit(1).count()
+      val dups = validatePrimaryKey(sources(spec), spec.pkCols).limit(1).count()
       if (dups > 0) throw new IllegalStateException(
         s"table ${spec.id.qualified}: PK ${spec.pkCols.mkString(",")} not unique")
     }
@@ -59,7 +62,7 @@ object Snapshot {
     // register + commit: a mid-loop failure leaves no registered-but-
     // uncommitted tables behind.
     val metas = specs.map { spec =>
-      spec -> TableMeta(spec.id, spark.read.parquet(spec.sourcePath).schema, spec.pkCols)
+      spec -> TableMeta(spec.id, sources(spec).schema, spec.pkCols)
     }
     // Stage tables CONCURRENTLY — the analog of the reference's
     // 8-process restore pool (`pool(njobs=8)` over tables,
@@ -72,8 +75,7 @@ object Snapshot {
       import scala.concurrent.duration.Duration
       implicit val ec: ExecutionContext = ExecutionContext.global
       val fs = metas.map { case (spec, _) => Future {
-        val src = spark.read.parquet(spec.sourcePath)
-        val clustered = src.repartition(njobs, spec.pkCols.map(col): _*)
+        val clustered = sources(spec).repartition(njobs, spec.pkCols.map(col): _*)
         store.stage(spec.id, clustered, 0L)
         TableReport(spec.id, store.readVersion(spec.id, 0L).count(), 0L)
       }}

@@ -62,6 +62,13 @@ final class CdcStreamEngine(
       case None => ()
     }
 
+  /** Rename-table hook target: re-key the in-flight working chain so
+    * pre-rename DML staged under the old id isn't dropped when the
+    * end-of-batch staging loop resolves ids through the (renamed)
+    * registry. */
+  def renameTableEntry(oldId: TableId, newId: TableId): Unit =
+    working.remove(oldId).foreach(df => working(newId) = df)
+
   /** Truncate-hook target: TRUNCATE takes effect inside the working
     * chain at its stream position — pre-truncate DML vanishes with
     * the old rows, post-truncate DML applies onto the empty table;
@@ -270,7 +277,8 @@ object CdcStreamEngine {
     val interp = new graft.ddl.DdlInterpreter(
       spark, registry, store, ignoredSchemas, md5Whitelist,
       onRenameData = (id, from, to) => engine.renameTableData(id, from, to),
-      onTruncateData = id => engine.truncateTableData(id))
+      onTruncateData = id => engine.truncateTableData(id),
+      onRenameTable = (o, n) => engine.renameTableEntry(o, n))
     engine = new CdcStreamEngine(spark, registry, store, interp.execute, strict)
     engine
   }

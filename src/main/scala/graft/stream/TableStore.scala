@@ -92,6 +92,20 @@ final class TableStore(spark: SparkSession, val root: String) {
   def drop(id: TableId): Unit =
     writeManifest(manifest() - id.qualified)
 
+  /** Rename a table (ALTER TABLE … RENAME TO): move its directory and
+    * its manifest entry in one step; the version is preserved. No-op
+    * when the old table was never committed. */
+  def rename(oldId: TableId, newId: TableId): Unit = {
+    val m = manifest()
+    m.get(oldId.qualified).foreach { v =>
+      val from = Paths.get(root, oldId.qualified)
+      val to = Paths.get(root, newId.qualified)
+      if (Files.exists(from)) Files.move(from, to,
+        StandardCopyOption.ATOMIC_MOVE)
+      writeManifest(m - oldId.qualified + (newId.qualified -> v))
+    }
+  }
+
   /** Delete version directories below the committed one (keeping the
     * committed version plus `keepHistory` older ones for in-flight
     * readers). The spool-retirement analog for table versions —

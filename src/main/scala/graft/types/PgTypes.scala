@@ -20,8 +20,9 @@ object PgTypeMapper {
       val prec = math.min(p.toInt, 38)
       DecimalType(prec, math.min(Option(s).map(_.toInt).getOrElse(0), prec))
     case t if t.startsWith("numeric") || t.startsWith("decimal") => DecimalType(38, 18)
-    case "smallint" | "int2"                 => ShortType
-    case "integer" | "int" | "int4"          => IntegerType
+    case "smallint" | "int2" | "smallserial" | "serial2" => ShortType
+    case "integer" | "int" | "int4" | "serial" | "serial4" => IntegerType
+    case "bigserial" | "serial8"             => LongType
     // xid is a 32-bit UNSIGNED counter — values exceed Int.MaxValue
     case "bigint" | "int8" | "pg_lsn" | "oid" | "xid" => LongType
     case "real" | "float4"                   => FloatType

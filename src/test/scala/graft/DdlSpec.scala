@@ -228,4 +228,100 @@ class DdlSpec extends SparkSpec {
              "public","{\"COMMENT\"}"]}""")), 2L)
     }
   }
+
+  test("parser: ADD PRIMARY KEY / UNIQUE / FOREIGN are not phantom columns") {
+    import graft.ddl.DdlAst._
+    assert(!DdlAst.parse("ALTER TABLE public.t ADD PRIMARY KEY (id)")
+      .isInstanceOf[AddColumn])
+    assert(!DdlAst.parse("ALTER TABLE t ADD UNIQUE (x)").isInstanceOf[AddColumn])
+    assert(!DdlAst.parse("ALTER TABLE t ADD FOREIGN KEY (x) REFERENCES u(y)")
+      .isInstanceOf[AddColumn])
+    assert(DdlAst.parse("ALTER TABLE t ADD checksum int")
+      .isInstanceOf[AddColumn]) // a column NAMED like a keyword prefix still works
+  }
+
+  test("parser: CREATE TABLE with trailing clauses keeps column types intact") {
+    import graft.ddl.DdlAst._
+    val p = DdlAst.parse(
+      "CREATE TABLE public.m (a int, b date) PARTITION BY RANGE (b)")
+      .asInstanceOf[CreateTable]
+    assert(p.columns == Seq("a" -> "int", "b" -> "date"))
+    val ts = DdlAst.parse("CREATE TABLE t (a int) TABLESPACE fast")
+      .asInstanceOf[CreateTable]
+    assert(ts.columns == Seq("a" -> "int"))
+    val w = DdlAst.parse("CREATE TABLE t (a numeric(10,2)) WITH (fillfactor=70)")
+      .asInstanceOf[CreateTable]
+    assert(w.columns == Seq("a" -> "numeric(10,2)"))
+  }
+
+  test("parser: multi-table TRUNCATE/DROP and multi-action ALTER split") {
+    import graft.ddl.DdlAst._
+    val tr = DdlAst.parse("TRUNCATE public.a, public.b CASCADE")
+      .asInstanceOf[Multi]
+    assert(tr.parts.collect { case TruncateTable(_, t) => t.render } ==
+      Seq("public.a", "public.b"))
+    val dr = DdlAst.parse("DROP TABLE IF EXISTS a, b").asInstanceOf[Multi]
+    assert(dr.parts.collect { case DropTable(_, t, ife) => (t.name, ife) } ==
+      Seq(("a", true), ("b", true)))
+    val ma = DdlAst.parse("ALTER TABLE t ADD COLUMN a int, ADD COLUMN b text")
+      .asInstanceOf[Multi]
+    assert(ma.parts.collect { case AddColumn(_, _, c, ty, _) => (c, ty) } ==
+      Seq(("a", "int"), ("b", "text")))
+  }
+
+  test("parser: RENAME TO table and ALTER COLUMN TYPE are replayed") {
+    import graft.ddl.DdlAst._
+    val rt = DdlAst.parse("ALTER TABLE public.t RENAME TO t2")
+      .asInstanceOf[RenameTable]
+    assert(rt.table.render == "public.t" && rt.to == "t2")
+    val at = DdlAst.parse(
+      "ALTER TABLE t ALTER COLUMN c SET DATA TYPE bigint USING c::bigint")
+      .asInstanceOf[AlterColumnType]
+    assert(at.column == "c" && at.pgType == "bigint")
+  }
+
+  test("rules: unqualified DDL in an ignored schema is skipped via search_path") {
+    import graft.ddl.DdlRules._
+    val stmt = DdlAst.parse("CREATE TABLE tmp_t (a int)")
+    assert(classify(stmt, ignoredSchemas = Set("scratch"),
+      searchPath = Seq("scratch")) == Skip)
+    assert(classify(stmt, ignoredSchemas = Set("scratch"),
+      searchPath = Seq("public")) == Apply)
+  }
+
+  test("splitter: backslash-escaped quote inside E'' strings") {
+    val stmts = graft.ddl.StatementSplitter.split(
+      """ALTER TABLE t ALTER c SET DEFAULT E'it\'s'; CREATE TABLE u (a int);""")
+    assert(stmts.length == 2)
+    assert(stmts(0).contains("""E'it\'s'"""))
+    assert(stmts(1).startsWith("CREATE TABLE u"))
+  }
+
+  test("types: serial family maps to integer types") {
+    import org.apache.spark.sql.types._
+    import graft.types.PgTypeMapper
+    assert(PgTypeMapper.toSpark("serial") == IntegerType)
+    assert(PgTypeMapper.toSpark("bigserial") == LongType)
+    assert(PgTypeMapper.toSpark("smallserial") == ShortType)
+  }
+
+  test("interpreter: table rename moves registry, store dir, and data") {
+    import graft.model._
+    val spark2 = spark
+    import spark2.implicits._
+    val root = java.nio.file.Files.createTempDirectory("rt-spec-").toString
+    val registry = new SchemaRegistry
+    val store = new graft.stream.TableStore(spark, root)
+    val id = TableId("db", "public", "t")
+    val df = Seq((1L, "x")).toDF("id", "v")
+    registry.register(TableMeta(id, df.schema, Seq("id")))
+    store.stage(id, df, 0L); store.commit(Map(id -> 0L))
+    val interp = new graft.ddl.DdlInterpreter(spark, registry, store)
+    interp.execute(graft.ddl.DdlEvent("db",
+      "ALTER TABLE public.t RENAME TO t2", "public", Seq("ALTER TABLE")))
+    val newId = TableId("db", "public", "t2")
+    assert(registry.get(id).isEmpty && registry.get(newId).isDefined)
+    assert(!store.exists(id) && store.exists(newId))
+    assert(store.read(newId).as[(Long, String)].collect().toSeq == Seq((1L, "x")))
+  }
 }
