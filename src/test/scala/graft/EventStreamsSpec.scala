@@ -96,6 +96,23 @@ class EventStreamsSpec extends SparkSpec {
     assert(rows == Set((1L, 1.0, 10.0), (2L, 2.0, 20.0)))
   }
 
+  test("stream-static enrichment join broadcasts the dimension") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val mem = MemoryStream[Event]
+    val q = mem.toDF()
+      .join(broadcast(dim), Seq("user_id"), "left")
+      .select(col("user_id"), col("event_type"), col("tier"))
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(Event(1, ts(0), "click", 1.0), Event(3, ts(1), "view", 2.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("enriched")
+      .as[(Long, String, Option[String])].collect().toSet
+    assert(rows == Set((1L, "click", Some("gold")), (3L, "view", None)))
+  }
+
   test("sessionize: cross-batch stragglers within gap merge into one session") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]

@@ -152,6 +152,19 @@ class OpsSpec extends SparkSpec {
       (3L, 0, 0.0)))
   }
 
+  test("approx sketches track exact cardinality within rsd bounds") {
+    // the 100 TB cardinality path: exact COUNT(DISTINCT) shuffles the
+    // full key set; approx_count_distinct (HLL++) is one pass with
+    // fixed memory. Sanity-pin the error envelope we'd budget for.
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val words = docs.select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+    val exact = words.select(countDistinct("w")).as[Long].collect()(0)
+    val approx = words.select(approx_count_distinct("w", 0.02)).as[Long].collect()(0)
+    assert(exact > 0)
+    val err = math.abs(approx - exact).toDouble / exact
+    assert(err < 0.05, s"approx=$approx exact=$exact err=$err")
+  }
+
   test("scrubPii: rules applied in order, count matches redactions") {
     val rules = Seq(
       "[a-z0-9]+@[a-z.]+" -> "<EMAIL>",
