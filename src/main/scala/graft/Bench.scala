@@ -17,6 +17,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // report per-bucket file sort order to the planner — valid
+      // because Bucketing.writeBucketed guarantees one file per
+      // bucket; without it q19's join re-sorts pre-sorted buckets
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

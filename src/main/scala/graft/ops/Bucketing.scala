@@ -51,6 +51,27 @@ object Bucketing {
   def writePartitioned(spark: SparkSession, df: DataFrame, dir: String,
                        partCol: String): DataFrame = {
     df.write.mode("overwrite").partitionBy(partCol).parquet(dir)
+    // staging dirs are per-session (callers key them by applicationId
+    // to stay race-free) — reclaim on JVM exit or every run leaks a
+    // full table copy into tmp
+    cleanupOnExit(dir)
     spark.read.parquet(dir)
+  }
+
+  private val exitCleanup =
+    scala.collection.mutable.LinkedHashSet.empty[String]
+  private def cleanupOnExit(dir: String): Unit = exitCleanup.synchronized {
+    if (exitCleanup.isEmpty) {
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        exitCleanup.foreach { d =>
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm))
+            f.delete(); ()
+          }
+          rm(new java.io.File(d))
+        }))
+    }
+    exitCleanup += dir
+    ()
   }
 }

@@ -70,8 +70,12 @@ object Sampling {
     }
     val ranked = df
       .select(col(groupCol), col(idCol), measure.as("__m"))
+      // NULLS LAST explicitly: Spark's default asc ordering is nulls
+      // first while SQL engines (and the oracle) rank nulls last —
+      // a null measure must not shift every rank in the stratum
       .withColumn("__rn", row_number().over(
-        Window.partitionBy(col(groupCol)).orderBy(col("__m"), col(idCol))))
+        Window.partitionBy(col(groupCol))
+          .orderBy(col("__m").asc_nulls_last, col(idCol))))
       .withColumn("__cnt", count(lit(1)).over(Window.partitionBy(col(groupCol))))
     // rank = ceil(p * count) computed in EXACT decimal arithmetic
     // (count and p are both exact decimals, so the product and its

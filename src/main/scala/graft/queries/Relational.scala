@@ -21,6 +21,9 @@ object Relational {
 
   // Exact-arithmetic casts (see QueryRegistry determinism contract).
   private val D = "decimal(18,6)"
+  // scale-4 variant for whole-table o_totalprice sums: keeps the
+  // int-scaled magnitude well under 2^53 at larger scale factors
+  private val D4 = "decimal(18,4)"
 
   val q1_agg = GraftQuery(
     "q1_agg",
@@ -391,12 +394,18 @@ object Relational {
   val q19_bucketed_join = GraftQuery(
     "q19_bucketed_join",
     (s, dir) => {
-      val D4 = "decimal(18,4)"
       val o = Tables.orders(s, dir).select(col("o_custkey"), col("o_totalprice"))
       val c = Tables.customer(s, dir)
         .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
-      val bo = graft.ops.Bucketing.writeBucketed(s, o, "graft_bkt_orders", 8, "o_custkey")
-      val bc = graft.ops.Bucketing.writeBucketed(s, c, "graft_bkt_customer", 8, "o_custkey")
+      // table names keyed by session + data dir: two JVMs sharing the
+      // warehouse (or two scale factors in one session) must not race
+      // on one staging table (the q20 staging-dir hazard)
+      val key = (s.sparkContext.applicationId + "_" +
+        Integer.toHexString(dir.hashCode)).replaceAll("[^A-Za-z0-9_]", "_")
+      val bo = graft.ops.Bucketing.writeBucketed(
+        s, o, s"graft_bkt_orders_$key", 8, "o_custkey")
+      val bc = graft.ops.Bucketing.writeBucketed(
+        s, c, s"graft_bkt_customer_$key", 8, "o_custkey")
       bo.join(bc, Seq("o_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(
@@ -415,7 +424,6 @@ object Relational {
   val q20_partition_prune = GraftQuery(
     "q20_partition_prune",
     (s, dir) => {
-      val D4 = "decimal(18,4)"
       // keyed by applicationId so concurrent sessions never race on
       // one staging dir (overwrite-while-read), and by the data dir
       // so scale factors don't collide within a session

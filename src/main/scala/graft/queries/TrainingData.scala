@@ -473,7 +473,8 @@ object TrainingData {
     },
     Some("""WITH t AS (
         SELECT source, doc_id,
-          len(string_split_regex(trim(text),'\s+')) AS n_tokens
+          CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(trim(text),'\s+')) END AS n_tokens
         FROM documents),
       r AS (
         SELECT source, n_tokens,
@@ -516,7 +517,8 @@ object TrainingData {
     },
     Some("""WITH t AS (
         SELECT source, doc_id,
-          len(string_split_regex(trim(text),'\s+')) AS tok
+          CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(trim(text),'\s+')) END AS tok
         FROM documents),
       c AS (
         SELECT source, doc_id, tok,
@@ -538,7 +540,9 @@ object TrainingData {
     },
     Some("""WITH t AS (
         SELECT source, doc_id,
-          CAST(len(string_split_regex(trim(text),'\s+')) AS BIGINT) AS n_tokens
+          CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text),'\s+')) END
+               AS BIGINT) AS n_tokens
         FROM documents),
       c AS (
         SELECT source, doc_id, n_tokens,
@@ -594,7 +598,8 @@ object TrainingData {
           ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 100 AS bkt
         FROM documents)
       SELECT source,
-        CASE WHEN bkt < 90 THEN 'train'
+        CASE WHEN bkt IS NULL THEN NULL
+             WHEN bkt < 90 THEN 'train'
              WHEN bkt < 95 THEN 'val' ELSE 'test' END AS split,
         COUNT(*) AS n_docs
       FROM b GROUP BY 1, 2 ORDER BY source, split"""))
@@ -610,7 +615,6 @@ object TrainingData {
         docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
         docs.filter(pmod(col("doc_id"), lit(97)) === 0),
         "doc_id", "text")
-        .withColumn("n_shared", col("n_shared").cast("long"))
         .orderBy(col("doc_id"))
     },
     Some("""WITH tok AS (
