@@ -26,4 +26,29 @@ class RangeJoinSpec extends SparkSpec {
     assert(got == expected)
     assert(got == Set((1L, 11L), (1L, 12L), (1L, 13L), (3L, 15L)))
   }
+
+  test("byBucket ≡ theta join on random data across bucket widths") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val intervals = (0 until 50).map { i =>
+        val s = rnd.nextInt(3000).toLong
+        (i.toLong, "k" + rnd.nextInt(4), s, s + rnd.nextInt(400).toLong)
+      }.toDF("iv_id", "k", "s", "e")
+        .withColumn("st", timestamp_seconds(col("s")))
+        .withColumn("en", timestamp_seconds(col("e"))).drop("s", "e")
+      val points = (0 until 200).map { i =>
+        (1000L + i, "k" + rnd.nextInt(4), rnd.nextInt(3500).toLong)
+      }.toDF("pt_id", "k", "sec")
+        .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+      val expected = intervals.as("i").join(points.as("p"),
+        $"i.k" === $"p.k" && $"p.ts" >= $"i.st" && $"p.ts" <= $"i.en")
+        .select("iv_id", "pt_id").as[(Long, Long)].collect().toSet
+      for (bucket <- Seq(7L, 60L, 1000L)) {
+        val got = RangeJoin.byBucket(intervals, points, Seq("k"),
+          "st", "en", "ts", bucketSeconds = bucket)
+          .select("iv_id", "pt_id").as[(Long, Long)].collect().toSet
+        assert(got == expected, s"seed=$seed bucket=$bucket")
+      }
+    }
+  }
 }
