@@ -12,6 +12,13 @@ object DdlAst {
 
   final case class QualifiedName(schema: Option[String], name: String) {
     def render: String = schema.map(s => s"$s.$name").getOrElse(name)
+    /** SQL-valid rendering: parts that aren't plain identifiers get
+      * double-quoted (synthesized sub-statements must reparse). */
+    def renderSql: String = {
+      def q(p: String) =
+        if (p.matches("[A-Za-z_][A-Za-z_0-9$]*")) p else "\"" + p + "\""
+      schema.map(s => s"${q(s)}.${q(name)}").getOrElse(q(name))
+    }
   }
 
   sealed trait DdlStatement { def raw: String }
@@ -233,15 +240,21 @@ object DdlAst {
         val actions = splitTopLevel(tail).map(_.trim).filter(_.nonEmpty)
         oneOrMulti(s, actions.map { a =>
           val subRaw = if (actions.length == 1) s
-            else s"ALTER TABLE ${table.render} $a"
+            else s"ALTER TABLE ${table.renderSql} $a"
           parseAlterAction(subRaw, table, a)
         })
       case dropTableRe(ife, list, _) =>
-        val names = splitTopLevel(list).flatMap(parseQname)
-        oneOrMulti(s, names.map(nm => DropTable(s, nm, ife != null)))
+        // all-or-nothing: a partially-parseable name list must fall
+        // through to Other (uniformly unhandled), never half-apply
+        val parts = splitTopLevel(list)
+        val names = parts.flatMap(parseQname)
+        if (names.length != parts.length) Other(s, tagOf(s))
+        else oneOrMulti(s, names.map(nm => DropTable(s, nm, ife != null)))
       case truncateRe(list) =>
-        val names = splitTopLevel(list).flatMap(parseQname)
-        oneOrMulti(s, names.map(nm => TruncateTable(s, nm)))
+        val parts = splitTopLevel(list)
+        val names = parts.flatMap(parseQname)
+        if (names.length != parts.length) Other(s, tagOf(s))
+        else oneOrMulti(s, names.map(nm => TruncateTable(s, nm)))
       case createSchemaRe(ine, sq, sb) =>
         CreateSchema(s, Option(sq).getOrElse(sb), ine != null)
       case _ =>

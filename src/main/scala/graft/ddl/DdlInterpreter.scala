@@ -155,8 +155,13 @@ final class DdlInterpreter(
           val newId = oldId.copy(table = to)
           registry.invalidate(oldId)
           registry.register(meta.copy(id = newId))
-          store.rename(oldId, newId)
-          if (onRenameTable != null) onRenameTable(oldId, newId)
+          if (onRenameTable != null) {
+            // stream engine: the rename persists at the batch's commit
+            // barrier (working chain re-keyed, old manifest entry
+            // retired atomically with the publish) — a mid-batch
+            // store.rename would leave a crash window
+            onRenameTable(oldId, newId)
+          } else store.rename(oldId, newId)
         }
 
       case AlterColumnType(_, t, c, typ) =>

@@ -52,6 +52,13 @@ object DdlRules {
     val raw = stmt.raw
     if (killRe.findFirstIn(raw).isDefined) return Kill
     if (md5Whitelist.contains(md5Hex(raw))) return Skip
+    // a Multi's parts classify INDIVIDUALLY (dispatch recurses with
+    // each part's own raw) — whole-raw skip regexes here would let
+    // one skippable action veto the statement's real schema changes
+    stmt match {
+      case Multi(_, _) => return Apply
+      case _           => ()
+    }
     if (skipRegexes.exists(_.findFirstIn(raw).isDefined)) return Skip
 
     // unqualified names resolve through the event's search_path — an

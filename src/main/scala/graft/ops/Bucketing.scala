@@ -40,6 +40,10 @@ object Bucketing {
       .bucketBy(buckets, key)
       .sortBy(key)
       .saveAsTable(table)
+    // session-keyed staging tables are never reused by another JVM
+    // (the in-memory catalog dies with it) — reclaim the warehouse
+    // dir on exit or every run leaks a table copy
+    cleanupOnExit(loc.toUri.getPath)
     spark.table(table)
   }
 

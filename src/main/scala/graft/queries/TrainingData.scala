@@ -292,7 +292,9 @@ object TrainingData {
                         ELSE 0 END) AS BIGINT) AS simhash
         FROM bits b JOIN cnt c USING (doc_id)
         GROUP BY b.doc_id)
-      SELECT d.doc_id, COALESCE(s.simhash, CAST(0 AS BIGINT)) AS simhash
+      SELECT d.doc_id,
+        CASE WHEN d.text IS NULL THEN NULL
+             ELSE COALESCE(s.simhash, CAST(0 AS BIGINT)) END AS simhash
       FROM documents d LEFT JOIN sim s USING (doc_id)
       ORDER BY doc_id"""))
 

@@ -46,6 +46,16 @@ object Snapshot {
     // A CDC target MUST be key-unique — duplicate keys make the keyed
     // merge fan out silently (the batch analog of the reference's
     // affected-rows==1 dying, replay.pl:417-421).
+    // refuse to re-seed a table CDC has already advanced: the
+    // monotonic manifest would keep serving the old version while
+    // this snapshot's report claims the new rows were published
+    specs.foreach { spec =>
+      store.manifest().get(spec.id.qualified).filter(_ > 0L).foreach { v =>
+        throw new IllegalStateException(
+          s"table ${spec.id.qualified} is already at version $v; " +
+            "drop it (and vacuum) before re-running the initial snapshot")
+      }
+    }
     // one source DataFrame per spec, reused by validation, meta
     // build, and staging — re-opening the parquet repeats footer
     // listing/schema inference per open

@@ -62,12 +62,28 @@ final class CdcStreamEngine(
       case None => ()
     }
 
+  // renames announced by this batch's DDL; the OLD names retire in
+  // the same atomic manifest write that publishes the batch (a
+  // mid-batch store.rename would leave a crash window where the
+  // manifest is re-keyed but the batch never committed)
+  private val pendingRenames =
+    scala.collection.mutable.Buffer.empty[(TableId, TableId)]
+
   /** Rename-table hook target: re-key the in-flight working chain so
     * pre-rename DML staged under the old id isn't dropped when the
     * end-of-batch staging loop resolves ids through the (renamed)
-    * registry. */
-  def renameTableEntry(oldId: TableId, newId: TableId): Unit =
-    working.remove(oldId).foreach(df => working(newId) = df)
+    * registry. An untouched committed table is pulled into the chain
+    * so its rows get re-staged (and re-committed) under the new name;
+    * the old manifest entry retires at the batch's commit barrier. */
+  def renameTableEntry(oldId: TableId, newId: TableId): Unit = {
+    working.remove(oldId) match {
+      case Some(df) => working(newId) = df
+      case None if store.exists(oldId) => working(newId) = store.read(oldId)
+      case None => ()
+    }
+    pendingRenames += (oldId -> newId)
+    ()
+  }
 
   /** Truncate-hook target: TRUNCATE takes effect inside the working
     * chain at its stream position — pre-truncate DML vanishes with
@@ -109,17 +125,20 @@ final class CdcStreamEngine(
       // reference dies on the first bad row); otherwise drop them
       // from replay but preserve the raw rows for offline repair.
       val (parsed, quarantined) = Wal2Json.partitionValid(parsedAll)
-      if (strict) {
-        val nBad = quarantined.count()
-        if (nBad > 0) throw new IllegalStateException(
-          s"batch $batchId: $nBad unparseable change payloads")
-      }
+      // preserve the bad rows FIRST — in strict mode they're exactly
+      // what the operator needs to diagnose the fail-fast
       quarantineDir.foreach { dir =>
         quarantined.drop("p").withColumn("batch_id", lit(batchId))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id")
           .parquet(dir)
+      }
+      if (strict) {
+        val nBad = quarantined.count()
+        if (nBad > 0) throw new IllegalStateException(
+          s"batch $batchId: $nBad unparseable change payloads" +
+            quarantineDir.map(d => s" (preserved under $d)").getOrElse(""))
       }
 
       // P7: DDL routing predicate splits the stream. Only INSERTs
@@ -156,6 +175,7 @@ final class CdcStreamEngine(
       committedAtBatchStart = committed
 
       working.clear() // chained working state per table across segments
+      pendingRenames.clear()
 
       def applySegment(segDml: DataFrame): Unit = {
         val touched = segDml
@@ -166,6 +186,12 @@ final class CdcStreamEngine(
         touched.foreach { tid =>
           registry.get(tid)
             .filter(meta => committed.get(meta.id.qualified).forall(_ < targetVersion))
+            // registry-known but neither in-flight nor in the store:
+            // the only way here is replaying a committed batch whose
+            // rename barrier already retired this name — the final
+            // state is published, skip (a fresh CREATE commits v=0
+            // immediately, so it never hits this)
+            .filter(meta => working.contains(meta.id) || store.exists(meta.id))
             .foreach { meta =>
               val target = working.getOrElse(meta.id, store.read(meta.id))
               val collapsed0 = ApplyEngine.collapse(Wal2Json.decodeEvents(segDml, meta))
@@ -227,8 +253,13 @@ final class CdcStreamEngine(
         }
       }
 
-      // A2/A3: one atomic cross-table commit per batch.
-      if (updates.nonEmpty) store.commit(updates)
+      // A2/A3: one atomic cross-table commit per batch; renamed-away
+      // old names retire in the SAME manifest write (the rename
+      // barrier — no crash window between re-key and publish)
+      val dropped = pendingRenames.map(_._1)
+        .filterNot(o => updates.contains(o)).toSet
+      if (updates.nonEmpty || dropped.nonEmpty)
+        store.commitWithDrops(updates, dropped)
       // the checkpoint only persists source offsets — DDL-evolved
       // schemas must survive a driver restart too (A8)
       if (ddls.nonEmpty) registry.save(store.registryPath)

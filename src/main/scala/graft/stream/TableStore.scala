@@ -94,16 +94,33 @@ final class TableStore(spark: SparkSession, val root: String) {
 
   /** Rename a table (ALTER TABLE … RENAME TO): move its directory and
     * its manifest entry in one step; the version is preserved. No-op
-    * when the old table was never committed. */
+    * when the old table was never committed. A leftover directory of
+    * a previously DROPped table under the new name (drop defers dir
+    * deletion to vacuum) is reclaimed first; renaming ONTO a live
+    * table is refused. */
   def rename(oldId: TableId, newId: TableId): Unit = {
     val m = manifest()
+    require(!m.contains(newId.qualified),
+      s"cannot rename ${oldId.qualified} onto live table ${newId.qualified}")
     m.get(oldId.qualified).foreach { v =>
       val from = Paths.get(root, oldId.qualified)
       val to = Paths.get(root, newId.qualified)
+      if (Files.exists(to)) deleteRecursively(to) // dropped-table leftover
       if (Files.exists(from)) Files.move(from, to,
         StandardCopyOption.ATOMIC_MOVE)
       writeManifest(m - oldId.qualified + (newId.qualified -> v))
     }
+  }
+
+  /** Atomic commit with removals — the rename barrier: publish the
+    * batch's staged versions AND retire re-keyed old names in ONE
+    * manifest write, so readers never see both or neither. */
+  def commitWithDrops(updates: Map[TableId, Long], drops: Set[TableId]): Unit = {
+    val cur = manifest()
+    val kept = cur -- drops.map(_.qualified)
+    writeManifest(kept ++ updates.map { case (id, v) =>
+      id.qualified -> math.max(v, kept.getOrElse(id.qualified, Long.MinValue))
+    })
   }
 
   /** Delete version directories below the committed one (keeping the

@@ -211,6 +211,36 @@ class CdcStreamSpec extends SparkSpec {
       Set("shopdb_public.customer", "crmdb_public.customer"))
   }
 
+  test("table RENAME TO mid-batch: pre/post-rename DML land, old name retires atomically") {
+    val (engine0, store, registry, spool, ckpt) = freshEngine()
+    val engine = graft.stream.CdcStreamEngine.withDdl(spark, registry, store)
+    spoolBatch(
+      // pre-rename DML under the old name
+      (1L, """{"kind":"update","schema":"public","table":"customer",
+        "columnnames":["c_custkey","c_acctbal"],"columnvalues":[1,11.0],
+        "oldkeys":{"keynames":["c_custkey"],"keyvalues":[1]}}"""),
+      (2L, """{"kind":"insert","schema":"public","table":"sql_ddl_statements",
+        "columnnames":["current_query","search_path","command_tags"],
+        "columnvalues":["ALTER TABLE customer RENAME TO clients",
+          "public","{\"ALTER TABLE\"}"]}"""),
+      // post-rename DML under the NEW name
+      (3L, """{"kind":"update","schema":"public","table":"clients",
+        "columnnames":["c_custkey","c_acctbal"],"columnvalues":[2,22.0],
+        "oldkeys":{"keynames":["c_custkey"],"keyvalues":[2]}}"""))
+      .coalesce(1).write.mode("append").parquet(spool)
+    val q = engine.start(spool, ckpt)
+    q.awaitTermination()
+    assert(q.exception.isEmpty, q.exception.map(_.toString).getOrElse(""))
+
+    val newId = TableId("srcdb", "public", "clients")
+    assert(!store.exists(tid), "old name must retire at the commit barrier")
+    assert(store.exists(newId))
+    assert(registry.get(tid).isEmpty && registry.get(newId).isDefined)
+    val rows = store.read(newId).orderBy("c_custkey").collect().toSeq
+    assert(rows.map(_.getDouble(2)) == Seq(11.0, 22.0, 30.0),
+      s"pre- and post-rename DML must both land: $rows")
+  }
+
   test("strict mode aborts the query on an apply violation") {
     val (engine0, store, registry, spool, ckpt) = freshEngine()
     val strictEngine = new CdcStreamEngine(spark, registry, store, strict = true)
