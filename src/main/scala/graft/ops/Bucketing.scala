@@ -64,7 +64,8 @@ object Bucketing {
 
   private val exitCleanup =
     scala.collection.mutable.LinkedHashSet.empty[String]
-  private def cleanupOnExit(dir: String): Unit = exitCleanup.synchronized {
+  /** Register a session-scoped staging dir for removal at JVM exit. */
+  private[graft] def cleanupOnExit(dir: String): Unit = exitCleanup.synchronized {
     if (exitCleanup.isEmpty) {
       Runtime.getRuntime.addShutdownHook(new Thread(() =>
         exitCleanup.foreach { d =>

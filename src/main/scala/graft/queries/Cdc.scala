@@ -55,6 +55,34 @@ object Cdc {
       ) t(c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)
       ORDER BY c_custkey"""))
 
+  /** Same apply, through the PK-bucketed incremental publish path:
+    * snapshot seeds a bucketed v=0, the batch merges/rewrites ONLY the
+    * buckets its keys hash into, and the read-back resolves through
+    * the version's bucketmap. Oracle identical to [[cdc_apply]] — the
+    * two paths must be indistinguishable by result; what changes is
+    * per-batch work: O(touched buckets), not O(|table|). */
+  val cdc_apply_bucketed = GraftQuery(
+    "cdc_apply_bucketed",
+    (s, dir) => {
+      val c = Tables.customer(s, dir)
+      val meta = customerMeta(c)
+      val spec = graft.stream.TableStore.BucketSpec(16, Seq("c_custkey"))
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_bstore_" +
+        s"${s.sparkContext.applicationId}_${Integer.toHexString(dir.hashCode)}"
+      graft.ops.Bucketing.cleanupOnExit(root)
+      val store = new graft.stream.TableStore(s, root)
+      store.stageBucketed(meta.id, c, 0L, spec)
+      store.commit(Map(meta.id -> 0L))
+      val spool = SyntheticCdc.customerLog(s, dir)
+      val collapsed = ApplyEngine.collapse(
+        Wal2Json.decodeEvents(Wal2Json.parse(spool), meta))
+      graft.stream.BucketedPublish.stageDelta(
+        store, meta, spec, collapsed, 1L, 0L)
+      store.commit(Map(meta.id -> 1L))
+      store.read(meta.id).orderBy(col("c_custkey"))
+    },
+    cdc_apply.oracle)
+
   /** Decoded merge-event counts (decode layer incl. PK-change
     * expansion into del+row pairs). */
   val cdc_decode_counts = GraftQuery(
@@ -140,5 +168,6 @@ object Cdc {
       GROUP BY 1 ORDER BY okmod"""))
 
   def all: Seq[GraftQuery] = Seq(
-    cdc_apply, cdc_decode_counts, cdc_collapse_counts, cdc_apply_lineitem)
+    cdc_apply, cdc_apply_bucketed, cdc_decode_counts, cdc_collapse_counts,
+    cdc_apply_lineitem)
 }

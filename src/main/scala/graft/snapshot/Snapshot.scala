@@ -40,7 +40,8 @@ object Snapshot {
       storeRoot: String,
       startLsn: Long,
       njobs: Int = 8,
-      validatePk: Boolean = false): Report = {
+      validatePk: Boolean = false,
+      buckets: Option[Int] = None): Report = {
     // validate every table BEFORE staging any: all-or-nothing, no
     // orphan version dirs or polluted registry on a late failure.
     // A CDC target MUST be key-unique — duplicate keys make the keyed
@@ -85,8 +86,17 @@ object Snapshot {
       import scala.concurrent.duration.Duration
       implicit val ec: ExecutionContext = ExecutionContext.global
       val fs = metas.map { case (spec, _) => Future {
-        val clustered = sources(spec).repartition(njobs, spec.pkCols.map(col): _*)
-        store.stage(spec.id, clustered, 0L)
+        // `buckets` seeds the PK-bucketed layout: the snapshot is the
+        // one full write a bucketed table ever pays; every CDC batch
+        // after it rewrites only touched buckets (BucketedPublish)
+        buckets match {
+          case Some(n) =>
+            store.stageBucketed(spec.id, sources(spec), 0L,
+              TableStore.BucketSpec(n, spec.pkCols))
+          case None =>
+            val clustered = sources(spec).repartition(njobs, spec.pkCols.map(col): _*)
+            store.stage(spec.id, clustered, 0L)
+        }
         TableReport(spec.id, store.readVersion(spec.id, 0L).count(), 0L)
       }}
       Await.result(Future.sequence(fs), Duration.Inf)

@@ -42,6 +42,10 @@ final class CdcStreamEngine(
   // stream's single-threaded driver loop — not reentrant)
   private val working =
     scala.collection.mutable.LinkedHashMap.empty[TableId, DataFrame]
+  // bucketed tables merged incrementally this batch: the PK buckets
+  // their working entry covers (absence = the entry is full-table)
+  private val workingBuckets =
+    scala.collection.mutable.Map.empty[TableId, Set[Int]]
   // the batch being replayed: its target version and the manifest
   // snapshot taken at batch start — the DDL data hooks consult these
   // so crash-replay can't re-apply effects already published
@@ -175,7 +179,16 @@ final class CdcStreamEngine(
       committedAtBatchStart = committed
 
       working.clear() // chained working state per table across segments
+      workingBuckets.clear()
       pendingRenames.clear()
+
+      // Incremental bucket-level publish runs only in DML-only batches
+      // (= single segment, registry schemas frozen). A batch with DDL
+      // pays a full rewrite of its touched bucketed tables instead —
+      // that one rule removes every schema-evolution/rename/truncate
+      // edge from the delta path, and DDL batches are rare at the 30 s
+      // cadence the reference runs (`replayer/connemara_replay.pl:846-857`).
+      val allowDelta = ddls.isEmpty
 
       def applySegment(segDml: DataFrame): Unit = {
         val touched = segDml
@@ -193,18 +206,48 @@ final class CdcStreamEngine(
             // immediately, so it never hits this)
             .filter(meta => working.contains(meta.id) || store.exists(meta.id))
             .foreach { meta =>
-              val target = working.getOrElse(meta.id, store.read(meta.id))
-              val collapsed0 = ApplyEngine.collapse(Wal2Json.decodeEvents(segDml, meta))
-              // strict runs TWO consumers of the collapsed plan (the
-              // violations count and the merge) — materialize once
-              val collapsed =
-                if (strict) collapsed0.localCheckpoint(eager = false) else collapsed0
-              if (strict) {
-                val nViol = ApplyEngine.violations(target, collapsed, meta).count()
-                if (nViol > 0) throw new IllegalStateException(
-                  s"batch $batchId: $nViol apply violations on ${meta.id.qualified}")
+              val baseVer = committed.get(meta.id.qualified)
+              val deltaSpec =
+                if (allowDelta && !working.contains(meta.id))
+                  store.bucketSpec(meta.id)
+                    .filter(_ => baseVer.exists(store.isBucketedAt(meta.id, _)))
+                else None
+              deltaSpec match {
+                case Some(spec) =>
+                  // bucket-level path: read ONLY the buckets the
+                  // change keys hash into; the restricted merge equals
+                  // the full merge restricted to those buckets (every
+                  // changed key's bucket is in the set by construction)
+                  val collapsed =
+                    ApplyEngine.collapse(Wal2Json.decodeEvents(segDml, meta))
+                      .localCheckpoint(eager = false)
+                  val changed =
+                    BucketedPublish.changedBuckets(collapsed, meta, spec.n)
+                  val target = store.readBuckets(meta.id, changed, baseVer.get)
+                  if (strict) {
+                    // a patch's target row, if it exists, is in the
+                    // changed bucket set — restricted check ≡ full
+                    val nViol = ApplyEngine.violations(target, collapsed, meta).count()
+                    if (nViol > 0) throw new IllegalStateException(
+                      s"batch $batchId: $nViol apply violations on ${meta.id.qualified}")
+                  }
+                  working(meta.id) =
+                    ApplyEngine.merge(target, collapsed, meta, broadcastChanges = true)
+                  workingBuckets(meta.id) = changed
+                case None =>
+                  val target = working.getOrElse(meta.id, store.read(meta.id))
+                  val collapsed0 = ApplyEngine.collapse(Wal2Json.decodeEvents(segDml, meta))
+                  // strict runs TWO consumers of the collapsed plan (the
+                  // violations count and the merge) — materialize once
+                  val collapsed =
+                    if (strict) collapsed0.localCheckpoint(eager = false) else collapsed0
+                  if (strict) {
+                    val nViol = ApplyEngine.violations(target, collapsed, meta).count()
+                    if (nViol > 0) throw new IllegalStateException(
+                      s"batch $batchId: $nViol apply violations on ${meta.id.qualified}")
+                  }
+                  working(meta.id) = ApplyEngine.merge(target, collapsed, meta)
               }
-              working(meta.id) = ApplyEngine.merge(target, collapsed, meta)
             }
         }
       }
@@ -233,11 +276,24 @@ final class CdcStreamEngine(
           registry.get(tid).map(meta =>
             (tid, ApplyEngine.conform(df, meta.schema)))
         }
+        // delta entries write only their changed buckets; bucketed
+        // tables touched any other way (DDL batch, hooks) keep the
+        // bucketed layout via a full bucket rewrite
+        def stageOne(tid: TableId, df: DataFrame): Unit =
+          store.bucketSpec(tid) match {
+            case Some(spec) => workingBuckets.get(tid) match {
+              case Some(changed) =>
+                store.stageBucketed(tid, df, targetVersion, spec,
+                  Some(changed), Some(committed(tid.qualified)))
+              case None => store.stageBucketed(tid, df, targetVersion, spec)
+            }
+            case None => store.stage(tid, df, targetVersion)
+          }
         // parallel staging: disjoint dirs, one commit after the barrier
         // (the reference's nb_threads worker pool, replay.pl:764-777)
         if (entries.length <= 1)
           entries.map { case (tid, df) =>
-            store.stage(tid, df, targetVersion); tid -> targetVersion
+            stageOne(tid, df); tid -> targetVersion
           }.toMap
         else {
           import scala.concurrent.{Await, ExecutionContext, Future}
@@ -247,7 +303,7 @@ final class CdcStreamEngine(
           implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
           try Await.result(
             Future.sequence(entries.map { case (tid, df) =>
-              Future { store.stage(tid, df, targetVersion); tid -> targetVersion }
+              Future { stageOne(tid, df); tid -> targetVersion }
             }), Duration.Inf).toMap
           finally pool.shutdown()
         }

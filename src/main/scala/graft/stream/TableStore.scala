@@ -5,7 +5,9 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
 
 import graft.model.TableId
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Versioned parquet table store with an atomically-published batch
   * manifest — the engine's answer to the reference's cross-table
@@ -53,12 +55,13 @@ final class TableStore(spark: SparkSession, val root: String) {
 
   def exists(id: TableId): Boolean = manifest().contains(id.qualified)
 
-  /** Read the committed state of a table. */
+  /** Read the committed state of a table (bucketed tables resolve
+    * through the committed version's bucketmap). */
   def read(id: TableId): DataFrame = {
     val m = manifest()
     val v = m.getOrElse(id.qualified,
       throw new NoSuchElementException(s"table ${id.qualified} not in store"))
-    spark.read.parquet(dir(id, v))
+    readVersion(id, v)
   }
 
   /** Stage a new version of one table (no manifest update yet). */
@@ -67,7 +70,106 @@ final class TableStore(spark: SparkSession, val root: String) {
 
   /** Read one specific staged version (committed or not). */
   def readVersion(id: TableId, version: Long): DataFrame =
-    spark.read.parquet(dir(id, version))
+    bucketSpec(id) match {
+      case Some(spec) if Files.exists(bucketMapPath(id, version)) =>
+        readBuckets(id, (0 until spec.n).toSet, version)
+      case _ => spark.read.parquet(dir(id, version))
+    }
+
+  // ── PK-bucketed layout ────────────────────────────────────────────
+  //
+  // The incremental-publish answer to the full-rewrite scale killer:
+  // a bucketed table hashes rows into `n` PK buckets
+  // (`__gb = pmod(hash(pk…), n)`), each version directory holds ONLY
+  // the buckets that batch rewrote, and a per-version `_bucketmap`
+  // sidecar names, for every bucket, the version dir holding its
+  // current file. A 1-key batch reads 1 bucket and writes 1 bucket —
+  // O(|changes|) instead of O(|table|) per 30 s batch, the same
+  // in-place granularity as the reference's per-row UPDATE replay
+  // (`replayer/connemara_replay.pl:220-251`). The cross-table commit
+  // barrier is untouched: `_latest` still names one version per
+  // table; that version's bucketmap closes over the full table state.
+
+  private def bucketSpecPath(id: TableId) =
+    Paths.get(root, id.qualified, "_bucketed")
+  private def bucketMapPath(id: TableId, version: Long) =
+    Paths.get(dir(id, version), "_bucketmap")
+  private def schemaPath(id: TableId, version: Long) =
+    Paths.get(dir(id, version), "_schema.json")
+
+  /** Whether `version` was staged with a bucketmap (a bucketed table
+    * staged through the plain path — e.g. by older code — is readable
+    * but can't base a delta). */
+  def isBucketedAt(id: TableId, version: Long): Boolean =
+    Files.exists(bucketMapPath(id, version))
+
+  /** Bucket layout of a table, if it was created bucketed. */
+  def bucketSpec(id: TableId): Option[TableStore.BucketSpec] =
+    if (!Files.exists(bucketSpecPath(id))) None
+    else {
+      val lines = Files.readAllLines(bucketSpecPath(id)).asScala.toList
+      Some(TableStore.BucketSpec(lines.head.toInt, lines.tail.filter(_.nonEmpty)))
+    }
+
+  /** bucket → version dir currently holding that bucket's file. */
+  private def bucketMap(id: TableId, version: Long): Map[Int, Long] =
+    Files.readAllLines(bucketMapPath(id, version)).asScala
+      .filter(_.nonEmpty)
+      .map { line =>
+        val Array(b, v) = line.split("=", 2)
+        b.toInt -> v.toLong
+      }.toMap
+
+  private def versionSchema(id: TableId, version: Long): StructType =
+    DataType.fromJson(Files.readString(schemaPath(id, version)))
+      .asInstanceOf[StructType]
+
+  /** Read a subset of buckets as of `version` — the pruned target
+    * scan for an incremental merge. Missing bucket dirs are empty
+    * buckets (partitioned writes skip rowless groups); the version's
+    * schema sidecar keeps the read well-typed even when every
+    * requested bucket is empty. */
+  def readBuckets(id: TableId, buckets: Set[Int], version: Long): DataFrame = {
+    val bm = bucketMap(id, version)
+    val schema = versionSchema(id, version)
+    val paths = buckets.toSeq.sorted
+      .flatMap(b => bm.get(b).map(v => s"${dir(id, v)}/__gb=$b"))
+      .filter(p => Files.exists(Paths.get(p)))
+    if (paths.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    else spark.read.schema(schema).parquet(paths: _*)
+  }
+
+  /** Stage a bucketed version. `changed = None` writes every bucket (a
+    * full rewrite: create, snapshot load, or a schema-evolving DDL
+    * batch); `Some(buckets)` writes ONLY those buckets — `df` must
+    * hold exactly their post-merge rows — and the new bucketmap points
+    * every other bucket at `baseVersion`'s file. Re-running a version
+    * (crash replay) overwrites the same dir: idempotent. */
+  def stageBucketed(id: TableId, df: DataFrame, version: Long,
+                    spec: TableStore.BucketSpec,
+                    changed: Option[Set[Int]] = None,
+                    baseVersion: Option[Long] = None): Unit = {
+    require(changed.isEmpty || baseVersion.nonEmpty,
+      "delta staging needs the base version its bucketmap extends")
+    val withBucket = df.withColumn("__gb",
+      pmod(hash(spec.pkCols.map(df(_)): _*), lit(spec.n)))
+    // one task per written bucket → one file per bucket dir
+    withBucket
+      .repartition(math.max(1, changed.map(_.size).getOrElse(spec.n)), col("__gb"))
+      .write.mode("overwrite").partitionBy("__gb").parquet(dir(id, version))
+    // sidecars AFTER the data write (overwrite clears the dir)
+    Files.writeString(schemaPath(id, version), df.schema.json)
+    val bm: Map[Int, Long] = changed match {
+      case None => (0 until spec.n).map(b => b -> version).toMap
+      case Some(ch) => bucketMap(id, baseVersion.get) ++ ch.map(_ -> version)
+    }
+    Files.writeString(bucketMapPath(id, version),
+      bm.toSeq.sorted.map { case (b, v) => s"$b=$v" }.mkString("", "\n", "\n"))
+    if (!Files.exists(bucketSpecPath(id)))
+      Files.writeString(bucketSpecPath(id),
+        (spec.n.toString +: spec.pkCols).mkString("", "\n", "\n"))
+  }
 
   /** Atomically publish a set of staged versions: the cross-table
     * commit barrier. Tables not in `updates` keep their version.
@@ -141,6 +243,13 @@ final class TableStore(spark: SparkSession, val root: String) {
       val qualified = tableDir.getFileName.toString
       m.get(qualified) match {
         case Some(committed) =>
+          // a bucketed table's committed bucketmap may point into old
+          // version dirs — those are live data, never reclaimable
+          val committedMap = tableDir.resolve(s"v=$committed").resolve("_bucketmap")
+          val referenced: Set[Long] =
+            if (!Files.exists(committedMap)) Set.empty
+            else Files.readAllLines(committedMap).asScala
+              .filter(_.nonEmpty).map(_.split("=", 2)(1).toLong).toSet
           val children = {
             val s = Files.list(tableDir)
             try s.iterator().asScala.toList finally s.close()
@@ -151,7 +260,7 @@ final class TableStore(spark: SparkSession, val root: String) {
               val v = name.stripPrefix("v=").toLong
               // versions above `committed` may be a batch in flight —
               // only reclaim superseded history
-              if (v < committed - keepHistory) {
+              if (v < committed - keepHistory && !referenced.contains(v)) {
                 deleteRecursively(p)
                 removed += 1
               }
@@ -183,4 +292,11 @@ final class TableStore(spark: SparkSession, val root: String) {
     }
     Files.deleteIfExists(p)
   }
+}
+
+object TableStore {
+  /** PK-bucket layout of a table: `n` buckets over `pkCols` (registry
+    * order — both sides of an incremental merge must hash the same
+    * typed values in the same column order). */
+  final case class BucketSpec(n: Int, pkCols: Seq[String])
 }
