@@ -59,6 +59,94 @@ object Framing {
     out.toSeq
   }
 
+  // ---------------------------------------------------------------
+  // wal2json v2 (one complete JSON object per message, discriminated
+  // by an "action" key: B=begin C=commit I/U/D=change T=truncate
+  // M=message). The reference detects v2 indirectly: its first
+  // START_REPLICATION attempt passes `"include-unchanged-toast"
+  // 'false'` and a server that rejects the deprecated option (wal2json
+  // >= 2) gets a retry without it
+  // (`connemara_replication/src/connemara_replication.c:540-560`).
+  // ---------------------------------------------------------------
+
+  sealed trait Format
+  case object V1 extends Format
+  case object V2 extends Format
+
+  private val v2ActionRe: Regex =
+    """(?s)^\s*\{\s*"action"\s*:\s*"([BCIUDTM])".*""".r
+  private val xidRe: Regex = """"xid"\s*:\s*(\d+)""".r
+  private val tsRe: Regex = """"timestamp"\s*:\s*"([^"]*)"""".r
+
+  /** v2 action letter of a message, if it is one. */
+  def v2Action(chunk: String): Option[String] =
+    v2ActionRe.findFirstMatchIn(chunk).map(_.group(1))
+
+  /** A v1 stream opens with the transaction envelope (`{"xid":…`);
+    * a v2 stream's messages each carry `"action"`. Detected from the
+    * first message, as the receiver would after the option retry. */
+  def detectFormat(firstChunk: String): Format =
+    if (v2Action(firstChunk).isDefined) V2 else V1
+
+  /** START_REPLICATION option negotiation
+    * (`connemara_replication.c:497-560`): the base option set plus the
+    * formerly-needed, newly-deprecated `include-unchanged-toast`; a
+    * server that rejects the first attempt (wal2json >= 2.0) gets one
+    * retry without it. `accepts` plays the server; returns the
+    * accepted option list, or None when even the fallback is refused
+    * (the receiver exits). `filterTables` appends the server-side
+    * `filter-tables` pushdown when present (`:534-539`). */
+  def negotiateStartOptions(
+      accepts: Seq[(String, String)] => Boolean,
+      filterTables: Option[String] = None): Option[Seq[(String, String)]] = {
+    val base = Seq(
+      "write-in-chunks" -> "true",
+      "include-types" -> "false",
+      "include-xids" -> "true",
+      "include-timestamp" -> "true") ++
+      filterTables.map("filter-tables" -> _)
+    val first = base :+ ("include-unchanged-toast" -> "false")
+    if (accepts(first)) Some(first)
+    else if (accepts(base)) Some(base)
+    else None
+  }
+
+  /** Reassemble a v2 message stream: B opens a transaction (carrying
+    * xid + timestamp under the same include-xids/include-timestamp
+    * options as v1), I/U/D messages inside the window are attributed
+    * to it, C closes it. Changes outside a B…C window and non-DML
+    * actions (T/M) are dropped, as the v1 path drops orphan chunks. */
+  def reassembleV2(chunks: Iterator[String]): Iterator[(Long, String, String)] = {
+    var current: Option[(Long, String)] = None
+    chunks.flatMap { chunk =>
+      v2Action(chunk) match {
+        case Some("B") =>
+          current = for {
+            x <- xidRe.findFirstMatchIn(chunk).map(_.group(1).toLong)
+            t <- tsRe.findFirstMatchIn(chunk).map(_.group(1))
+          } yield (x, t)
+          Seq.empty
+        case Some("C") =>
+          current = None
+          Seq.empty
+        case Some("I") | Some("U") | Some("D") =>
+          current match {
+            case Some((xid, ts)) => Seq((xid, ts, chunk.trim))
+            case None            => Seq.empty
+          }
+        case _ => Seq.empty // T/M/non-v2 noise inside a v2 stream
+      }
+    }
+  }
+
+  /** Format-dispatching reassembly: peeks the first chunk, then runs
+    * the v1 chunk automaton or the v2 message loop. */
+  def reassembleAuto(chunks: Iterator[String]): Iterator[(Long, String, String)] = {
+    val buf = chunks.buffered
+    if (buf.hasNext && detectFormat(buf.head) == V2) reassembleV2(buf)
+    else reassemble(buf)
+  }
+
   /** Reassemble a chunk stream into complete per-change payloads with
     * their transaction context: (xid, timestampText, changeJson).
     * A first chunk may already carry change records after

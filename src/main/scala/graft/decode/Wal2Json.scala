@@ -42,6 +42,56 @@ object Wal2Json {
   def parse(spool: DataFrame): DataFrame =
     spool.withColumn("p", from_json(col("payload"), payloadSchema))
 
+  /** wal2json v2 change shape: one object per message, `action`
+    * discriminated, columns as `[{name,type,value},…]` and the
+    * replica identity under `identity` (wal2json ≥ 2 — the format the
+    * reference falls back to when `include-unchanged-toast` is
+    * rejected, `connemara_replication/src/connemara_replication.c:
+    * 540-560`). Values parse as strings: JSON numbers/bools coerce to
+    * their literal text, identical to the v1 columnvalues handling. */
+  val payloadSchemaV2: StructType = StructType(Seq(
+    StructField("action", StringType),
+    StructField("schema", StringType),
+    StructField("table", StringType),
+    StructField("columns", ArrayType(StructType(Seq(
+      StructField("name", StringType),
+      StructField("value", StringType))))),
+    StructField("identity", ArrayType(StructType(Seq(
+      StructField("name", StringType),
+      StructField("value", StringType)))))))
+
+  /** Parse a v2 spool and normalize into the SAME `p` struct the v1
+    * path produces, so decode/apply downstream is format-agnostic:
+    * action I/U/D → kind, columns → columnnames/columnvalues,
+    * identity → oldkeys. */
+  def parseV2(spool: DataFrame): DataFrame = {
+    val p2 = from_json(col("payload"), payloadSchemaV2)
+    val kind = when(p2("action") === "I", "insert")
+      .when(p2("action") === "U", "update")
+      .when(p2("action") === "D", "delete")
+      .otherwise(lit(null).cast(StringType))
+    spool.withColumn("p",
+      when(p2.isNotNull, struct(
+        kind.as("kind"),
+        p2("schema").as("schema"),
+        p2("table").as("table"),
+        p2("columns").getField("name").as("columnnames"),
+        p2("columns").getField("value").as("columnvalues"),
+        when(p2("identity").isNotNull, struct(
+          p2("identity").getField("name").as("keynames"),
+          p2("identity").getField("value").as("keyvalues")))
+          .otherwise(lit(null).cast(payloadSchema("oldkeys").dataType))
+          .as("oldkeys"))))
+  }
+
+  /** Format-dispatching parse (the spool records which framing its
+    * writer negotiated). */
+  def parse(spool: DataFrame, format: Framing.Format): DataFrame =
+    format match {
+      case Framing.V1 => parse(spool)
+      case Framing.V2 => parseV2(spool)
+    }
+
   /** Split parsed spool rows into (valid, quarantine): a row is
     * quarantined when its payload failed to parse entirely, or parsed
     * to a change with no usable kind/table. The reference dies on the

@@ -286,4 +286,49 @@ class ApplyEngineSpec extends SparkSpec {
     assert(bad.keySet == Set(2L, 3L))
     assert(bad(2L).startsWith("{this is not json")) // raw kept for repair
   }
+
+  test("wal2json v2 payloads decode to the same events as v1") {
+    // the same logical history expressed in both framings: insert 42,
+    // partial (TOASTed) update, PK-change update 42→43, delete 7
+    val v1 = spool(
+      (1L, """{"kind":"insert","schema":"public","table":"customer",
+              "columnnames":["c_custkey","c_name","c_acctbal","c_mktsegment"],
+              "columnvalues":[42,"Customer#42",711.56,"BUILDING"]}"""),
+      (2L, """{"kind":"update","schema":"public","table":"customer",
+              "columnnames":["c_custkey","c_acctbal"],
+              "columnvalues":[42,99.99],
+              "oldkeys":{"keynames":["c_custkey"],"keyvalues":[42]}}"""),
+      (3L, """{"kind":"update","schema":"public","table":"customer",
+              "columnnames":["c_custkey","c_name","c_acctbal","c_mktsegment"],
+              "columnvalues":[43,"Customer#43",1.25,"AUTO"],
+              "oldkeys":{"keynames":["c_custkey"],"keyvalues":[42]}}"""),
+      (4L, """{"kind":"delete","schema":"public","table":"customer",
+              "oldkeys":{"keynames":["c_custkey"],"keyvalues":[7]}}"""))
+    val v2 = spool(
+      (1L, """{"action":"I","schema":"public","table":"customer",
+              "columns":[{"name":"c_custkey","value":42},{"name":"c_name","value":"Customer#42"},
+                         {"name":"c_acctbal","value":711.56},{"name":"c_mktsegment","value":"BUILDING"}]}"""),
+      (2L, """{"action":"U","schema":"public","table":"customer",
+              "columns":[{"name":"c_custkey","value":42},{"name":"c_acctbal","value":99.99}],
+              "identity":[{"name":"c_custkey","value":42}]}"""),
+      (3L, """{"action":"U","schema":"public","table":"customer",
+              "columns":[{"name":"c_custkey","value":43},{"name":"c_name","value":"Customer#43"},
+                         {"name":"c_acctbal","value":1.25},{"name":"c_mktsegment","value":"AUTO"}],
+              "identity":[{"name":"c_custkey","value":42}]}"""),
+      (4L, """{"action":"D","schema":"public","table":"customer",
+              "identity":[{"name":"c_custkey","value":7}]}"""))
+    val dump = (df: DataFrame) =>
+      Wal2Json.decodeEvents(df, meta)
+        .select(col("ord.lsn"), col("ord.sub"), col("op"), col("key"), col("vals"))
+        .orderBy("lsn", "sub").collect().toSeq
+    val (ev1, ev2) = (dump(Wal2Json.parse(v1)),
+      dump(Wal2Json.parse(v2, graft.decode.Framing.V2)))
+    assert(ev1.nonEmpty && ev1 == ev2)
+    // and the applied end-state matches too
+    val t = target((7L, "Customer#7", 0.0, "AUTO"))
+    val a2 = ApplyEngine.applyChanges(
+      t, Wal2Json.decodeEvents(Wal2Json.parse(v2, graft.decode.Framing.V2), meta), meta)
+      .orderBy("c_custkey").collect().toSeq
+    assert(a2 == Seq(Row(43L, "Customer#43", 1.25, "AUTO")))
+  }
 }

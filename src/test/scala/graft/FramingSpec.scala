@@ -66,6 +66,64 @@ class FramingSpec extends AnyFunSuite {
       (8L, "2021-03-17 10:05:00+01", """{"kind":"update"}""")))
   }
 
+  test("v2: action classification and format detection") {
+    assert(Framing.v2Action("""{"action":"B","xid":1234,"timestamp":"2021-03-17 10:04:29.123456+01"}""").contains("B"))
+    assert(Framing.v2Action("""{"action":"I","schema":"public","table":"t","columns":[]}""").contains("I"))
+    assert(Framing.v2Action("""{"action":"C"}""").contains("C"))
+    assert(Framing.v2Action("""{"xid":1,"timestamp":"x","change":[""".stripMargin).isEmpty)
+    assert(Framing.detectFormat("""{"action":"B","xid":1}""") == Framing.V2)
+    assert(Framing.detectFormat("""{"xid":1,"timestamp":"x","change":[""") == Framing.V1)
+  }
+
+  test("v2: reassemble attributes changes to the open B…C window") {
+    val msgs = Iterator(
+      """{"action":"B","xid":11,"timestamp":"2021-03-17 10:04:29.123456+01"}""",
+      """{"action":"I","schema":"public","table":"t","columns":[{"name":"id","value":1}]}""",
+      """{"action":"U","schema":"public","table":"t","columns":[{"name":"id","value":1}],"identity":[{"name":"id","value":1}]}""",
+      """{"action":"C"}""",
+      """{"action":"D","schema":"public","table":"t","identity":[{"name":"id","value":9}]}""", // orphan: dropped
+      """{"action":"B","xid":12,"timestamp":"2021-03-17 10:05:00+01"}""",
+      """{"action":"T","schema":"public","table":"t"}""", // truncate: not DML, dropped
+      """{"action":"D","schema":"public","table":"t","identity":[{"name":"id","value":2}]}""",
+      """{"action":"C"}""")
+    val out = Framing.reassembleV2(msgs).toSeq
+    assert(out.map(t => (t._1, t._2)) == Seq(
+      (11L, "2021-03-17 10:04:29.123456+01"),
+      (11L, "2021-03-17 10:04:29.123456+01"),
+      (12L, "2021-03-17 10:05:00+01")))
+    assert(out(0)._3.contains(""""action":"I""""))
+    assert(out(2)._3.contains(""""value":2"""))
+  }
+
+  test("v2: reassembleAuto dispatches by first message; v1 unchanged") {
+    val v2 = Iterator(
+      """{"action":"B","xid":3,"timestamp":"2021-01-01 00:00:00+00"}""",
+      """{"action":"I","schema":"s","table":"t","columns":[]}""",
+      """{"action":"C"}""")
+    assert(Framing.reassembleAuto(v2).toSeq.map(_._1) == Seq(3L))
+    val v1 = Iterator(
+      """{"xid":5,"timestamp":"2021-01-01 00:00:00+00","change":[{"kind":"insert","v":1}]}""")
+    assert(Framing.reassembleAuto(v1).toSeq ==
+      Seq((5L, "2021-01-01 00:00:00+00", """{"kind":"insert","v":1}""")))
+  }
+
+  test("v2: start-option negotiation retries without include-unchanged-toast") {
+    // v1 server: accepts the deprecated option on the first attempt
+    val v1Opts = Framing.negotiateStartOptions(_ => true)
+    assert(v1Opts.exists(_.contains("include-unchanged-toast" -> "false")))
+    // v2 server: rejects the deprecated option, accepts the fallback
+    val v2Opts = Framing.negotiateStartOptions(
+      opts => !opts.exists(_._1 == "include-unchanged-toast"))
+    assert(v2Opts.isDefined)
+    assert(!v2Opts.get.exists(_._1 == "include-unchanged-toast"))
+    assert(v2Opts.get.contains("write-in-chunks" -> "true"))
+    // filter-tables pushdown rides along in both attempts
+    val filtered = Framing.negotiateStartOptions(_ => true, Some("public.*"))
+    assert(filtered.exists(_.contains("filter-tables" -> "public.*")))
+    // a server refusing both attempts → None (receiver exits)
+    assert(Framing.negotiateStartOptions(_ => false).isEmpty)
+  }
+
   test("reassemble: one Regular chunk carrying several change records") {
     val chunks = Iterator(
       """{"xid":9,"timestamp":"2021-03-17 11:00:00+01", "change": [""",
