@@ -332,6 +332,66 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Scale-safe exact char-set similarity self-join: every pair
+    * (id_a < id_b) within a `partCol` group whose ASCII char-set
+    * Jaccard ≥ `threshold` — WITHOUT an all-pairs join.
+    *
+    * Candidates come from the canonical prefix filter (SSJoin /
+    * ppjoin): under a fixed total order on chars, two sets with
+    * jac ≥ t MUST share an element within their first
+    * `|S| − ⌈t·|S|⌉ + 1` chars — take w = min(A∩B) in the order;
+    * at most `|A| − ⌈t·|A|⌉` elements of A∖B precede it. So exploding
+    * only the prefix and equi-joining on (part, char) is lossless.
+    * The order is ascending document frequency per part (rarest chars
+    * first) — with t = 0.9 the prefix is ≤ ~0.1·|charset|+1 rare
+    * chars, so candidate buckets are keyed by rare chars and stay
+    * small; a char-code order would bucket every doc under ' '.
+    * Survivors are verified with the exact bit-parallel
+    * [[maskJaccard]] residual. Same keyed-candidates shape as
+    * [[minhashNearDuplicates]], but exact, not probabilistic.
+    *
+    * Scale: one window shuffle keyed by doc (≤ 128 rows each), one
+    * shuffle on (part, char) buckets, one distinct on pairs. Output
+    * is the similar-pair set itself — the only O(n²) left is a part
+    * whose docs genuinely all match, which is output size, not plan
+    * waste.
+    */
+  def charJaccardSimilar(docs: DataFrame, partCol: String, idCol: String,
+      textCol: String, threshold: Double = 0.9): DataFrame = {
+    val d = docs.select(
+      col(partCol).as("part"), col(idCol).as("id"),
+      charMask(col(textCol)).as("cm"),
+      array_distinct(split(col(textCol), "")).as("cs"))
+
+    // per-(part,char) document frequency → the prefix order
+    val exploded = d.select(col("part"), col("id"), col("cm"),
+      explode(col("cs")).as("ch"))
+    val withDf = exploded.withColumn("df",
+      count(lit(1)).over(Window.partitionBy("part", "ch")))
+
+    // keep each doc's prefix: chars ranked by (df, ch) up to
+    // |S| − ⌈t·|S|⌉ + 1
+    val byDoc = Window.partitionBy("part", "id")
+    val prefix = withDf
+      .withColumn("pos", row_number().over(byDoc.orderBy("df", "ch")))
+      .withColumn("n", count(lit(1)).over(byDoc))
+      .filter(col("pos") <=
+        col("n") - ceil(lit(threshold) * col("n")).cast("int") + 1)
+      .select(col("part"), col("ch"), col("id"), col("cm"))
+
+    val a = prefix.select(col("part"), col("ch"),
+      col("id").as("id_a"), col("cm").as("ma"))
+    val b = prefix.select(col("part"), col("ch"),
+      col("id").as("id_b"), col("cm").as("mb"))
+    a.join(b, Seq("part", "ch"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("part"), col("id_a"), col("id_b"), col("ma"), col("mb"))
+      .distinct() // a pair may share several prefix chars
+      .withColumn("jac", maskJaccard(col("ma"), col("mb")))
+      .filter(col("jac") >= threshold)
+      .select(col("part"), col("id_a"), col("id_b"), col("jac"))
+  }
+
   /** Jaccard over two [[charMask]] bitmaps (exact ASCII char-set
     * Jaccard, bit-parallel). */
   def maskJaccard(ma: Column, mb: Column): Column = {

@@ -109,18 +109,15 @@ object TrainingData {
   val td_char_jaccard = GraftQuery(
     "td_char_jaccard",
     (s, dir) => {
-      // char sets as 128-bit masks, computed once per doc BEFORE the
-      // O(n²) pair join — the pair stage is then pure ALU work
-      val d = Tables.documents(s, dir)
-        .select(col("source"), col("doc_id"), Dedup.charMask(col("text")).as("cm"))
-      val a = d.select(col("source"), col("doc_id").as("id_a"), col("cm").as("ma"))
-      val b = d.select(col("source"), col("doc_id").as("id_b"), col("cm").as("mb"))
-      a.join(b, Seq("source")).filter(col("id_a") < col("id_b"))
-        .withColumn("jac", Dedup.maskJaccard(col("ma"), col("mb")))
-        .groupBy(col("source"))
+      // prefix-filtered candidate generation + exact bit-parallel
+      // residual (Dedup.charJaccardSimilar) — reports the SIMILAR
+      // pairs per source, never materializing the all-pairs join the
+      // round-3 form used (the one registered plan that died at 100×)
+      Dedup.charJaccardSimilar(
+        Tables.documents(s, dir), "source", "doc_id", "text", 0.9)
+        .groupBy(col("part").as("source"))
         .agg(
-          count(lit(1)).as("n_pairs"),
-          sum(when(col("jac") >= 0.9, 1).otherwise(0)).as("n_similar"),
+          count(lit(1)).as("n_similar"),
           min(col("jac")).as("min_jac"),
           max(col("jac")).as("max_jac"))
         .orderBy(col("source"))
@@ -134,10 +131,9 @@ object TrainingData {
               list_distinct(string_split(b.text,''))))) AS jac
       FROM documents a JOIN documents b
         ON a.source = b.source AND a.doc_id < b.doc_id)
-      SELECT source, COUNT(*) AS n_pairs,
-             CAST(SUM(CASE WHEN jac >= 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS n_similar,
+      SELECT source, COUNT(*) AS n_similar,
              MIN(jac) AS min_jac, MAX(jac) AS max_jac
-      FROM pairs GROUP BY source ORDER BY source"""))
+      FROM pairs WHERE jac >= 0.9 GROUP BY source ORDER BY source"""))
 
   /** Brute-force cosine top-5; oracle checks neighbor identity and
     * rank (cosine values agree to ~1e-15 across engines — enough to

@@ -53,6 +53,35 @@ class OpsSpec extends SparkSpec {
     assert(pairs == Seq((1L, 2L)))
   }
 
+  test("charJaccardSimilar ≡ the all-pairs form on random data") {
+    // small alphabet → plenty of high-Jaccard char-set pairs; fixed
+    // seed for determinism
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abcdef ."
+    val docs = (0 until 60).map { i =>
+      val len = 6 + rnd.nextInt(18)
+      val text = (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      (s"s${i % 3}", i.toLong, text)
+    }.toDF("source", "doc_id", "text")
+
+    val fast = Dedup.charJaccardSimilar(docs, "source", "doc_id", "text", 0.9)
+      .select("part", "id_a", "id_b", "jac").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+
+    val d = docs.select(col("source"), col("doc_id"),
+      Dedup.charMask(col("text")).as("cm"))
+    val a = d.select(col("source"), col("doc_id").as("id_a"), col("cm").as("ma"))
+    val b = d.select(col("source"), col("doc_id").as("id_b"), col("cm").as("mb"))
+    val brute = a.join(b, Seq("source")).filter(col("id_a") < col("id_b"))
+      .withColumn("jac", Dedup.maskJaccard(col("ma"), col("mb")))
+      .filter(col("jac") >= 0.9)
+      .select("source", "id_a", "id_b", "jac").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+
+    assert(brute.nonEmpty, "fixture should contain similar pairs")
+    assert(fast == brute)
+  }
+
   test("minhash near-dups: exact copy has jaccard 1.0") {
     val docs = Seq(
       (1L, "w1 w2 w3 w4 w5 w6 w7 w8"),
