@@ -30,17 +30,31 @@ object Bench {
     // alphabetically-first query isn't charged ~3 s of JVM spin-up
     spark.range(1 << 20).selectExpr("sum(id) as s")
       .write.format("noop").mode("overwrite").save()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case _: Throwable => false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9 }
+      catch { case _: Throwable => -1.0 }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> run(name, fn)
+    }
+    // warm pass: cold times are dominated by plan/codegen compilation
+    // for the big pipelines (cdc_apply: ~4 s cold vs ~1.7 s warm), so
+    // a second iteration is recorded for every query whose cold time
+    // clears a floor — data-plane regressions stop hiding under
+    // compile noise. SPARK_GRAFT_WARM: floor in seconds, 0 = all,
+    // -1 = disable.
+    val warmFloor = sys.env.getOrElse("SPARK_GRAFT_WARM", "1.0").toDouble
+    val warm =
+      if (warmFloor < 0) Seq.empty
+      else SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => results.toMap.get(n).exists(c => c >= warmFloor) }
+        .map { case (name, fn) => name -> run(name, fn) }
+    def js(m: Seq[(String, Double)]) =
+      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},"warm":${js(warm)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
