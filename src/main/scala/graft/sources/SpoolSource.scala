@@ -1,0 +1,330 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSourceV2 CDC spool source with filter pushdown (SURVEY §2.1
+  * S1) — the engine-side analog of wal2json's SERVER-side
+  * `filter-tables` option, which drops non-matching changes before
+  * they ever cross the wire
+  * (`connemara_replication/src/connemara_replication.c:534-539`).
+  *
+  * Reads a directory of line-delimited-JSON spool files (one
+  * [[graft.model.ChangeRecord]] per line — the shape a raw-message
+  * receiver appends), exposing the record columns PLUS `chg_schema` /
+  * `chg_table` extracted from the payload at the source, so that:
+  *
+  *  - Catalyst filters on `chg_schema`/`chg_table`/`database`/
+  *    `source_slotname` (equality, IN, prefix) and `lsn_start` ranges
+  *    push INTO the scan — rows are dropped while reading the file,
+  *    before they materialize as Spark rows;
+  *  - the `filterTables` option (`public.*,audit.log_*` patterns, the
+  *    exact filter-tables grammar) applies unconditionally, mirroring
+  *    the option the reference passes at START_REPLICATION;
+  *  - column pruning reaches the reader (a 2-column projection parses
+  *    2 fields per line, not 9).
+  *
+  * Batch and micro-batch: the stream's offset is the count of spool
+  * files consumed in name order — append-only spools make the file
+  * list a monotone log, so offsets are reproducible on crash-replay
+  * (A6). A Kafka source slots in behind the same row schema.
+  *
+  * 100 TB shape: one input partition per spool file (files are
+  * receiver-rotated, so sized); pushdown means a 1-table subscription
+  * over a 1000-table spool reads and discards at the source instead
+  * of shuffling dead rows.
+  */
+object SpoolSource {
+  val SCHEMA: StructType = StructType(Seq(
+    StructField("insert_timestamp", TimestampType),
+    StructField("database", StringType),
+    StructField("lsn_start", LongType),
+    StructField("xid", LongType),
+    StructField("payload", StringType),
+    StructField("xid_timestamp", TimestampType),
+    StructField("source_slotname", StringType),
+    StructField("chg_schema", StringType),
+    StructField("chg_table", StringType)))
+
+  /** The class-name format string for `spark.read.format(...)`. */
+  val FORMAT: String = classOf[SpoolDataSource].getName
+
+  private[sources] def listFiles(dir: String): Seq[String] = {
+    val p = Paths.get(dir)
+    if (!Files.isDirectory(p)) Seq.empty
+    else Files.list(p).iterator().asScala
+      .filter(f => Files.isRegularFile(f) && f.getFileName.toString.endsWith(".jsonl"))
+      .map(_.toString).toSeq.sorted
+  }
+
+  /** filter-tables pattern list → predicate on (schema, table).
+    * Grammar per wal2json: comma-separated `schema.table`, `*`
+    * wildcards in either part. */
+  private[sources] def tablePatternPredicate(patterns: String): (String, String) => Boolean = {
+    val res = patterns.split(',').map(_.trim).filter(_.nonEmpty).map { pat =>
+      val rx = java.util.regex.Pattern.quote(pat)
+        .replace("*", "\\E.*\\Q") // wildcard escapes the quoted region
+      java.util.regex.Pattern.compile("^" + rx + "$")
+    }
+    (s, t) => {
+      val qual = s + "." + t
+      res.exists(_.matcher(qual).matches())
+    }
+  }
+
+  // payload schema/table extraction: both wal2json v1 and v2 carry
+  // top-level "schema"/"table" string members; first match wins
+  private val schemaRe = """"schema"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+  private val tableRe = """"table"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+  private[sources] def chgSchema(payload: String): String =
+    schemaRe.findFirstMatchIn(payload).map(_.group(1)).orNull
+  private[sources] def chgTable(payload: String): String =
+    tableRe.findFirstMatchIn(payload).map(_.group(1)).orNull
+
+  /** Test/receiver helper: append records to a spool file. Timestamps
+    * are epoch micros. */
+  def append(dir: String, file: String,
+      records: Seq[(Long, String, Long, Long, String, Long, String)]): Unit = {
+    val m = new ObjectMapper()
+    val lines = records.map { case (its, db, lsn, xid, payload, xts, slot) =>
+      val n = m.createObjectNode()
+      n.put("insert_timestamp", its); n.put("database", db)
+      n.put("lsn_start", lsn); n.put("xid", xid)
+      n.put("payload", payload); n.put("xid_timestamp", xts)
+      n.put("source_slotname", slot)
+      m.writeValueAsString(n)
+    }
+    val p = Paths.get(dir, file)
+    Files.createDirectories(p.getParent)
+    Files.write(p, lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    ()
+  }
+}
+
+class SpoolDataSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SpoolSource.SCHEMA
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new SpoolTable(new CaseInsensitiveStringMap(properties))
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+final class SpoolTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+  private val path = Option(options.get("path")).getOrElse(
+    throw new IllegalArgumentException("spool source requires a 'path' option"))
+  override def name(): String = s"graft-spool(${path})"
+  override def schema(): StructType = SpoolSource.SCHEMA
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    new SpoolScanBuilder(path, Option(options.get("filterTables")),
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt))
+}
+
+final class SpoolScanBuilder(path: String, filterTables: Option[String],
+    maxFilesPerTrigger: Option[Int] = None)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = SpoolSource.SCHEMA
+
+  private def pushable(f: Filter): Boolean = f match {
+    case EqualTo(a, _: String) => SpoolFilterEval.stringCols(a)
+    case In(a, vs) => SpoolFilterEval.stringCols(a) && vs.forall(_.isInstanceOf[String])
+    case StringStartsWith(a, _) => SpoolFilterEval.stringCols(a)
+    case EqualTo("lsn_start", _: java.lang.Long) => true
+    case GreaterThan("lsn_start", _: java.lang.Long) => true
+    case GreaterThanOrEqual("lsn_start", _: java.lang.Long) => true
+    case LessThan("lsn_start", _: java.lang.Long) => true
+    case LessThanOrEqual("lsn_start", _: java.lang.Long) => true
+    case _ => false
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (sup, unsup) = filters.partition(pushable)
+    pushed = sup
+    unsup // Spark re-applies these after the scan
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new SpoolScan(path, filterTables, pushed, required, maxFilesPerTrigger)
+}
+
+final class SpoolScan(path: String, filterTables: Option[String],
+    pushed: Array[Filter], required: StructType,
+    maxFilesPerTrigger: Option[Int] = None) extends Scan {
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"graft-spool path=$path PushedFilters: [${pushed.mkString(", ")}]" +
+      filterTables.map(p => s" FilterTables: [$p]").getOrElse("")
+  override def toBatch: Batch = new SpoolBatch(path, filterTables, pushed, required)
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new SpoolMicroBatchStream(path, filterTables, pushed, required, maxFilesPerTrigger)
+}
+
+final class SpoolBatch(path: String, filterTables: Option[String],
+    pushed: Array[Filter], required: StructType) extends Batch {
+  override def planInputPartitions(): Array[InputPartition] =
+    SpoolSource.listFiles(path).map(f => SpoolFilePartition(f): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SpoolReaderFactory(filterTables, pushed, required)
+}
+
+/** File-count offset over the name-sorted, append-only spool list. */
+final case class SpoolOffset(n: Int) extends Offset {
+  override def json(): String = n.toString
+}
+
+final class SpoolMicroBatchStream(path: String, filterTables: Option[String],
+    pushed: Array[Filter], required: StructType,
+    maxFilesPerTrigger: Option[Int] = None)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+  // AvailableNow: the end bound is the file count snapshotted at
+  // prepare time — files appended mid-run wait for the next start
+  private var availableNowEnd: Option[Int] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(SpoolSource.listFiles(path).size)
+  private def visibleEnd: Int = {
+    val n = SpoolSource.listFiles(path).size
+    availableNowEnd.fold(n)(math.min(n, _))
+  }
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n)).getOrElse(ReadLimit.allAvailable())
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[SpoolOffset].n
+    limit match {
+      case mf: ReadMaxFiles => SpoolOffset(math.min(visibleEnd, s + mf.maxFiles()))
+      case _ => SpoolOffset(visibleEnd)
+    }
+  }
+  override def reportLatestOffset(): Offset = SpoolOffset(visibleEnd)
+  override def initialOffset(): Offset = SpoolOffset(0)
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
+  override def deserializeOffset(json: String): Offset = SpoolOffset(json.trim.toInt)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (s, e) = (start.asInstanceOf[SpoolOffset].n, end.asInstanceOf[SpoolOffset].n)
+    SpoolSource.listFiles(path).slice(s, e)
+      .map(f => SpoolFilePartition(f): InputPartition).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SpoolReaderFactory(filterTables, pushed, required)
+}
+
+final case class SpoolFilePartition(file: String) extends InputPartition
+
+final class SpoolReaderFactory(filterTables: Option[String],
+    pushed: Array[Filter], required: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new SpoolFileReader(partition.asInstanceOf[SpoolFilePartition].file,
+      filterTables, pushed, required)
+}
+
+private object SpoolFilterEval {
+  val stringCols: Set[String] =
+    Set("database", "source_slotname", "chg_schema", "chg_table")
+
+  /** Evaluate one pushed filter against the extracted record fields.
+    * NULL field → filter fails (SQL semantics for these operators). */
+  def eval(f: Filter, str: String => String, lsn: Long): Boolean = f match {
+    case EqualTo("lsn_start", v: java.lang.Long) => lsn == v.longValue()
+    case GreaterThan("lsn_start", v: java.lang.Long) => lsn > v.longValue()
+    case GreaterThanOrEqual("lsn_start", v: java.lang.Long) => lsn >= v.longValue()
+    case LessThan("lsn_start", v: java.lang.Long) => lsn < v.longValue()
+    case LessThanOrEqual("lsn_start", v: java.lang.Long) => lsn <= v.longValue()
+    case EqualTo(a, v: String) => str(a) != null && str(a) == v
+    case In(a, vs) => str(a) != null && vs.exists(_ == str(a))
+    case StringStartsWith(a, p) => str(a) != null && str(a).startsWith(p)
+    case _ => true // unreachable: pushable() gates what lands here
+  }
+}
+
+/** Reads one spool file, applying table-pattern + pushed filters at
+  * the source and materializing only the pruned columns. */
+final class SpoolFileReader(file: String, filterTables: Option[String],
+    pushed: Array[Filter], required: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private val mapper = new ObjectMapper()
+  private val tablePred = filterTables.map(SpoolSource.tablePatternPredicate)
+  private val lines = Files.lines(Paths.get(file))
+  private val it = lines.iterator().asScala.filter(_.trim.nonEmpty)
+  private var row: InternalRow = _
+
+  // which derived fields any filter or projected column needs
+  private val needsChg =
+    required.fieldNames.exists(n => n == "chg_schema" || n == "chg_table") ||
+      tablePred.isDefined ||
+      pushed.exists(f => f.references.exists(r => r == "chg_schema" || r == "chg_table"))
+
+  override def next(): Boolean = {
+    row = null
+    while (row == null && it.hasNext) {
+      val node = mapper.readTree(it.next())
+      val payload = textOf(node, "payload")
+      val (cs, ct) =
+        if (needsChg && payload != null)
+          (SpoolSource.chgSchema(payload), SpoolSource.chgTable(payload))
+        else (null, null)
+      val strField: String => String = {
+        case "database" => textOf(node, "database")
+        case "source_slotname" => textOf(node, "source_slotname")
+        case "chg_schema" => cs
+        case "chg_table" => ct
+        case _ => null
+      }
+      val lsn = longOf(node, "lsn_start")
+      val tableOk = tablePred.forall(p => cs != null && ct != null && p(cs, ct))
+      if (tableOk && pushed.forall(SpoolFilterEval.eval(_, strField, lsn))) {
+        val values = required.fields.map { f =>
+          f.name match {
+            case "insert_timestamp" | "xid_timestamp" =>
+              if (node.hasNonNull(f.name)) java.lang.Long.valueOf(longOf(node, f.name))
+              else null
+            case "lsn_start" | "xid" =>
+              if (node.hasNonNull(f.name)) java.lang.Long.valueOf(longOf(node, f.name))
+              else null
+            case "payload" => UTF8String.fromString(payload)
+            case "chg_schema" => if (cs == null) null else UTF8String.fromString(cs)
+            case "chg_table" => if (ct == null) null else UTF8String.fromString(ct)
+            case other =>
+              val v = textOf(node, other)
+              if (v == null) null else UTF8String.fromString(v)
+          }
+        }
+        row = new GenericInternalRow(values.asInstanceOf[Array[Any]])
+      }
+    }
+    row != null
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = lines.close()
+
+  private def textOf(n: JsonNode, f: String): String =
+    if (n.hasNonNull(f)) n.get(f).asText() else null
+  private def longOf(n: JsonNode, f: String): Long =
+    if (n.hasNonNull(f)) n.get(f).asLong() else 0L
+}

@@ -349,6 +349,32 @@ final class CdcStreamEngine(
       .trigger(trigger)
       .foreachBatch((batch: DataFrame, batchId: Long) => processBatch(batch, batchId))
       .start()
+
+  /** Start the replay on the DataSourceV2 jsonl spool source
+    * ([[graft.sources.SpoolSource]]): `filterTables` applies the
+    * wal2json `filter-tables` patterns AT THE SOURCE — non-matching
+    * changes are dropped while the file is read, the engine-side
+    * analog of the server-side pushdown the reference requests at
+    * START_REPLICATION (`connemara_replication.c:534-539`). The
+    * source's extracted `chg_schema`/`chg_table` columns ride along
+    * and are dropped before decode (decode re-derives from the
+    * payload; the extracted pair exists for pushdown). */
+  def startSpool(spoolDir: String, checkpointDir: String,
+                 filterTables: Option[String] = None,
+                 trigger: Trigger = Trigger.AvailableNow(),
+                 maxFilesPerTrigger: Int = 1000): StreamingQuery = {
+    val reader = spark.readStream.format(graft.sources.SpoolSource.FORMAT)
+      .option("path", spoolDir)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+    val withFilter = filterTables.fold(reader)(p => reader.option("filterTables", p))
+    withFilter.load()
+      .drop("chg_schema", "chg_table")
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch((batch: DataFrame, batchId: Long) => processBatch(batch, batchId))
+      .start()
+  }
 }
 
 object CdcStreamEngine {
