@@ -46,6 +46,35 @@ object DdlAst {
   final case class Multi(raw: String, parts: Seq[DdlStatement]) extends DdlStatement
   final case class Other(raw: String, tag: String) extends DdlStatement
 
+  /** `CREATE TYPE … AS ENUM (…)` — basebackup keeps and remaps the
+    * type name (`connemara_python/connemara/sqlparser/remappers.py:
+    * 258-266`); the data plane maps enum columns to StringType. */
+  final case class CreateEnum(raw: String, typeName: QualifiedName,
+      labels: Seq[String]) extends DdlStatement
+  final case class CreateSequence(raw: String, sequence: QualifiedName,
+      ifNotExists: Boolean) extends DdlStatement
+  /** `ALTER SEQUENCE … [OWNED BY table.column]` — the owner's table
+    * part remaps with the sequence (`remappers.py:316-326`). */
+  final case class AlterSequence(raw: String, sequence: QualifiedName,
+      ownedBy: Option[(QualifiedName, String)]) extends DdlStatement
+  /** `CREATE [OR REPLACE] FUNCTION` — basebackup keeps it, remapping
+    * the name and (for LANGUAGE sql) re-splitting and remapping the
+    * statements inside the body (`remappers.py:355-377`); replay
+    * skips functions entirely (`replayer/connemara_rewrite.pm:77-80`).
+    * Spans index into `raw` so [[render]] can rebuild the SQL after a
+    * remap rewrites `name`/`body`. */
+  final case class CreateFunction(raw: String, name: QualifiedName,
+      language: String, body: String,
+      nameSpan: (Int, Int), bodySpan: (Int, Int),
+      orReplace: Boolean) extends DdlStatement {
+    /** The statement with the (possibly remapped) name and body
+      * substituted back into the original text. */
+    def render: String =
+      raw.substring(0, nameSpan._1) + name.renderSql +
+        raw.substring(nameSpan._2, bodySpan._1) + body +
+        raw.substring(bodySpan._2)
+  }
+
   private val ident = """(?:"([^"]+)"|([A-Za-z_][A-Za-z_0-9$]*))"""
   private val qname = s"""$ident(?:\\.$ident)?"""
 
@@ -84,6 +113,19 @@ object DdlAst {
   private val qnameOnlyRe = s"""(?is)^(?:ONLY\\s+)?$qname\\s*$$""".r
   private val createSchemaRe =
     s"""(?is)^CREATE\\s+SCHEMA\\s+(IF\\s+NOT\\s+EXISTS\\s+)?$ident\\s*$$""".r
+  private val createEnumRe =
+    s"""(?is)^CREATE\\s+TYPE\\s+$qname\\s+AS\\s+ENUM\\s*\\(""".r
+  private val createSeqRe =
+    s"""(?is)^CREATE\\s+SEQUENCE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?$qname(\\s.*)?$$""".r
+  private val alterSeqRe =
+    s"""(?is)^ALTER\\s+SEQUENCE\\s+(?:IF\\s+EXISTS\\s+)?$qname(\\s.*)?$$""".r
+  private val ownedByRe =
+    s"""(?is)\\bOWNED\\s+BY\\s+($ident(?:\\.$ident){1,2})""".r
+  private val createFunctionHeadRe =
+    s"""(?is)^CREATE\\s+(OR\\s+REPLACE\\s+)?FUNCTION\\s+($qname)""".r
+  private val languageRe = """(?is)\bLANGUAGE\s+'?([A-Za-z_][A-Za-z_0-9]*)'?""".r
+  private val dollarTagRe = """(?s)\bAS\s+(\$[A-Za-z_0-9]*\$)""".r
+  private val quotedBodyRe = """(?s)\b[Aa][Ss]\s+'""".r
   private val tagRe = """(?is)^\s*([A-Za-z]+(?:\s+[A-Za-z]+)?)""".r
 
   private val trailingConstraintRe =
@@ -216,8 +258,66 @@ object DdlAst {
       case _ => Other(raw, "ALTER TABLE")
     }
 
+  /** CREATE FUNCTION: locate name span and body span in `s`. The body
+    * is the first dollar-quoted or single-quoted literal after `AS`
+    * (dollar-quote nesting per the splitter's automaton is unneeded:
+    * the OUTER tag pair delimits the body verbatim). */
+  private def parseCreateFunction(s: String): Option[CreateFunction] =
+    createFunctionHeadRe.findFirstMatchIn(s).flatMap { h =>
+      val name = qn(List(Option(h.group(3)), Option(h.group(4)),
+        Option(h.group(5)), Option(h.group(6))))
+      val nameSpan = (h.start(2), h.end(2))
+      val language = languageRe.findFirstMatchIn(s).map(_.group(1)).getOrElse("sql")
+      val dollar = dollarTagRe.findFirstMatchIn(s).flatMap { m =>
+        val tag = m.group(1)
+        val bodyStart = m.end
+        val close = s.indexOf(tag, bodyStart)
+        if (close < 0) None
+        else Some((s.substring(bodyStart, close), (bodyStart, close)))
+      }
+      val body = dollar.orElse {
+        quotedBodyRe.findFirstMatchIn(s).flatMap { m =>
+          // single-quoted body with '' escapes: walk to the real close
+          var i = m.end; var end = -1
+          while (end < 0 && i < s.length) {
+            if (s.charAt(i) == '\'') {
+              if (i + 1 < s.length && s.charAt(i + 1) == '\'') i += 2
+              else end = i
+            } else i += 1
+          }
+          if (end < 0) None
+          else Some((s.substring(m.end, end), (m.end, end)))
+        }
+      }
+      body.map { case (b, span) =>
+        CreateFunction(s, name, language.toLowerCase, b, nameSpan, span,
+          h.group(1) != null)
+      }
+    }
+
   def parse(sql: String): DdlStatement = {
     val s = sql.trim.stripSuffix(";").trim
+
+    createFunctionHeadRe.findFirstMatchIn(s) match {
+      case Some(_) =>
+        return parseCreateFunction(s).getOrElse(Other(s, tagOf(s)))
+      case None => ()
+    }
+
+    createEnumRe.findFirstMatchIn(s) match {
+      case Some(m) =>
+        return balancedBody(s, m.end - 1) match {
+          case Some(body) =>
+            val labels = splitTopLevel(body).map(_.trim)
+              .filter(_.nonEmpty)
+              .map(_.stripPrefix("'").stripSuffix("'").replace("''", "'"))
+            CreateEnum(s,
+              qn(List(Option(m.group(1)), Option(m.group(2)),
+                Option(m.group(3)), Option(m.group(4)))), labels)
+          case None => Other(s, tagOf(s))
+        }
+      case None => ()
+    }
 
     createTableHeadRe.findFirstMatchIn(s) match {
       case Some(m) =>
@@ -257,8 +357,38 @@ object DdlAst {
         else oneOrMulti(s, names.map(nm => TruncateTable(s, nm)))
       case createSchemaRe(ine, sq, sb) =>
         CreateSchema(s, Option(sq).getOrElse(sb), ine != null)
+      case createSeqRe(ine, q1, b1, q2, b2, _) =>
+        CreateSequence(s,
+          qn(List(Option(q1), Option(b1), Option(q2), Option(b2))), ine != null)
+      case alterSeqRe(q1, b1, q2, b2, tail) =>
+        val ownedBy = Option(tail).flatMap(t =>
+          ownedByRe.findFirstMatchIn(t).map { m =>
+            // groups inside group(1): dotted ident list; re-split it
+            val parts = splitDottedIdents(m.group(1))
+            parts match {
+              case Seq(tab, c)         => (QualifiedName(None, tab), c)
+              case Seq(sch, tab, c)    => (QualifiedName(Some(sch), tab), c)
+              case _                   => (QualifiedName(None, parts.head), parts.last)
+            }
+          })
+        AlterSequence(s,
+          qn(List(Option(q1), Option(b1), Option(q2), Option(b2))), ownedBy)
       case _ =>
         Other(s, tagOf(s))
     }
+  }
+
+  /** Split `a.b.c` / `"A b".c` into unquoted parts. */
+  private[ddl] def splitDottedIdents(s: String): Seq[String] = {
+    val out = scala.collection.mutable.Buffer.empty[String]
+    val cur = new StringBuilder
+    var inq = false
+    s.foreach {
+      case '"' => inq = !inq
+      case '.' if !inq => out += cur.toString; cur.clear()
+      case c => cur.append(c)
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.toSeq
   }
 }

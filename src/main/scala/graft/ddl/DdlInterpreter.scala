@@ -174,6 +174,12 @@ final class DdlInterpreter(
         parts.foreach(apply(db, _, searchPath))
 
       case CreateSchema(_, _, _) => () // schemas are implicit in store paths
+      // data-plane no-ops: enum columns land as StringType, sequence
+      // state stays with the source (values arrive in-row — S4/F12
+      // dispositions in SURVEY §2); parsed forms exist so basebackup
+      // can remap and re-render them
+      case _: CreateEnum | _: CreateSequence | _: AlterSequence => ()
+      case _: CreateFunction => () // replay skips via DdlRules; defensive
       case Other(_, _)           => ()
     }
 }

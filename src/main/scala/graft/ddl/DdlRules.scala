@@ -75,6 +75,10 @@ object DdlRules {
       case RenameTable(_, t, _)         => ignored(t)
       case AlterColumnType(_, t, _, _)  => ignored(t)
       case CreateSchema(_, s, _)        => ignoredSchemas(s)
+      case CreateEnum(_, t, _)          => ignored(t)
+      case CreateSequence(_, t, _)      => ignored(t)
+      case AlterSequence(_, t, _)       => ignored(t)
+      case f: CreateFunction            => ignored(f.name)
       case _                            => false
     }
     if (inIgnoredSchema) return Skip
@@ -83,6 +87,10 @@ object DdlRules {
       """(?is)^ALTER\s+TABLE\s+.*\s+ADD\s+CONSTRAINT\s+""".r.findFirstIn(raw).isDefined
     stmt match {
       case Other(_, _) if addsConstraint => PostData
+      // replay drops functions — "they'll need a rewrite anyway"
+      // (`replayer/connemara_rewrite.pm:77-80`); the basebackup path
+      // remaps them via SchemaRemapper BEFORE classification applies
+      case _: CreateFunction => Skip
       case Other(_, tag) if dropTags.exists(tag.startsWith) => Skip
       case Other(_, tag) if postDataTags.exists(tag.startsWith) => PostData
       case _ => Apply

@@ -13,8 +13,14 @@ import DdlAst._
 final class SchemaRemapper(database: String,
                            schemaMap: Map[String, String] = Map.empty) {
 
+  /** System schemas pass through unmapped — the reference's
+    * schema_map never contains them, and `remap_rangevar` leaves
+    * unmapped schemas untouched (`remappers.py:337-352`). */
+  private val systemSchemas = Set("pg_catalog", "information_schema", "pg_toast")
+
   def target(schema: String): String =
-    schemaMap.getOrElse(schema, s"${database}_$schema")
+    if (systemSchemas(schema) || schema.startsWith("pg_temp")) schema
+    else schemaMap.getOrElse(schema, s"${database}_$schema")
 
   /** Resolve a possibly-unqualified name: unqualified → first entry
     * of the (already remapped) search path, reference default
@@ -41,7 +47,67 @@ final class SchemaRemapper(database: String,
       case s: AddColumn     => s.copy(table = resolve(s.table, searchPath))
       case s: DropColumn    => s.copy(table = resolve(s.table, searchPath))
       case s: RenameColumn  => s.copy(table = resolve(s.table, searchPath))
+      case s: RenameTable   => s.copy(table = resolve(s.table, searchPath))
+      case s: AlterColumnType => s.copy(table = resolve(s.table, searchPath))
+      case s: Multi         => s.copy(parts = s.parts.map(remap(_, searchPath)))
       case s: CreateSchema  => s.copy(schema = target(s.schema))
+      // basebackup keeps enums/sequences/functions and remaps their
+      // names (`remappers.py:258-266,316-326,355-377`); replay skips
+      // functions — that routing lives in DdlRules, not here
+      case s: CreateEnum     => s.copy(typeName = resolve(s.typeName, searchPath))
+      case s: CreateSequence => s.copy(sequence = resolve(s.sequence, searchPath))
+      case s: AlterSequence  => s.copy(
+        sequence = resolve(s.sequence, searchPath),
+        ownedBy = s.ownedBy.map { case (t, c) => (resolve(t, searchPath), c) })
+      case s: CreateFunction =>
+        s.copy(
+          name = resolve(s.name, searchPath),
+          body =
+            if (s.language == "sql") remapSqlText(s.body, searchPath)
+            else s.body) // non-sql body kept verbatim (`remappers.py:374-377` warns)
       case s: Other         => s
     }
+
+  // --- SQL-text remapping for LANGUAGE sql function bodies ---------
+  // The reference re-parses the body with pglast and remaps RangeVar
+  // / FuncCall / regclass-literal nodes (`remappers.py:355-377`,
+  // TypeCast at `:468-493`). Without a full SQL parser the same three
+  // node classes are rewritten textually: relation names after
+  // FROM/JOIN/INTO/UPDATE/TABLE, schema-qualified function calls, and
+  // 'schema.obj'::regclass literals. Aliased column refs (`t.col`)
+  // match none of these shapes, so they survive untouched.
+
+  private val regclassRe =
+    """(?is)'([^']*)'\s*::\s*(?:pg_catalog\.)?regclass""".r
+  // negative lookahead: `FROM s.f(…)` is a table FUNCTION — it remaps
+  // once, in the function pass (the two passes must be disjoint or a
+  // name remaps twice)
+  // the ident-boundary lookahead (?![\w$]) stops backtracking from
+  // shrinking the name so the no-paren lookahead can't be dodged
+  private val relationRe =
+    """(?is)\b(FROM|JOIN|INTO|UPDATE|TABLE)\s+("[^"]+"|[A-Za-z_][\w$]*)\.("[^"]+"|[A-Za-z_][\w$]*)(?![\w$])(?!\s*\()""".r
+  private val funcCallRe =
+    """(?is)\b("[^"]+"|[A-Za-z_][\w$]*)\.("[^"]+"|[A-Za-z_][\w$]*)\s*\(""".r
+
+  /** Rewrite the schema of a `'schema.obj'` (or unqualified `'obj'`)
+    * literal string, the `replace_schema_in_fqn` analog. */
+  private def remapFqnLiteral(fqn: String, searchPath: Seq[String]): String =
+    DdlAst.splitDottedIdents(fqn) match {
+      case Seq(sch, obj) => s"${target(sch)}.$obj"
+      case Seq(obj)      => resolve(QualifiedName(None, obj), searchPath).render
+      case _             => fqn
+    }
+
+  /** Textual schema remap of a LANGUAGE sql body (see note above). */
+  def remapSqlText(sql: String, searchPath: Seq[String] = Seq("public")): String = {
+    val afterRegclass = regclassRe.replaceAllIn(sql, m =>
+      scala.util.matching.Regex.quoteReplacement(
+        s"'${remapFqnLiteral(m.group(1), searchPath)}'::regclass"))
+    val afterRel = relationRe.replaceAllIn(afterRegclass, m =>
+      scala.util.matching.Regex.quoteReplacement(
+        s"${m.group(1)} ${target(m.group(2).stripPrefix("\"").stripSuffix("\""))}.${m.group(3)}"))
+    funcCallRe.replaceAllIn(afterRel, m =>
+      scala.util.matching.Regex.quoteReplacement(
+        s"${target(m.group(1).stripPrefix("\"").stripSuffix("\""))}.${m.group(2)}("))
+  }
 }

@@ -324,4 +324,121 @@ class DdlSpec extends SparkSpec {
     assert(!store.exists(id) && store.exists(newId))
     assert(store.read(newId).as[(Long, String)].collect().toSeq == Seq((1L, "x")))
   }
+
+  test("CREATE TYPE AS ENUM parses and remaps its type name (remappers.py:258-266)") {
+    val st = DdlAst.parse("CREATE TYPE public.mood AS ENUM ('sad', 'ok', 'it''s fine')")
+    val e = st.asInstanceOf[CreateEnum]
+    assert(e.typeName == QualifiedName(Some("public"), "mood"))
+    assert(e.labels == Seq("sad", "ok", "it's fine"))
+    val r = new SchemaRemapper("mydb")
+    assert(r.remap(e).asInstanceOf[CreateEnum].typeName ==
+      QualifiedName(Some("mydb_public"), "mood"))
+    // unqualified resolves through the search path
+    val uq = DdlAst.parse("CREATE TYPE mood AS ENUM ('a')")
+    assert(r.remap(uq, Seq("s1")).asInstanceOf[CreateEnum].typeName ==
+      QualifiedName(Some("mydb_s1"), "mood"))
+  }
+
+  test("ALTER SEQUENCE remaps sequence and OWNED BY table (remappers.py:316-326)") {
+    val r = new SchemaRemapper("mydb")
+    val cs = DdlAst.parse("CREATE SEQUENCE IF NOT EXISTS public.seq1 START 10")
+    assert(cs.asInstanceOf[CreateSequence].sequence ==
+      QualifiedName(Some("public"), "seq1"))
+    assert(r.remap(cs).asInstanceOf[CreateSequence].sequence ==
+      QualifiedName(Some("mydb_public"), "seq1"))
+
+    val as = DdlAst.parse(
+      "ALTER SEQUENCE public.seq1 OWNED BY sales.orders.o_orderkey")
+    val a = as.asInstanceOf[AlterSequence]
+    assert(a.sequence == QualifiedName(Some("public"), "seq1"))
+    assert(a.ownedBy.contains((QualifiedName(Some("sales"), "orders"), "o_orderkey")))
+    val ra = r.remap(a).asInstanceOf[AlterSequence]
+    assert(ra.sequence == QualifiedName(Some("mydb_public"), "seq1"))
+    assert(ra.ownedBy.contains((QualifiedName(Some("mydb_sales"), "orders"), "o_orderkey")))
+    // two-part OWNED BY (table.column, schema from path)
+    val a2 = DdlAst.parse("ALTER SEQUENCE seq2 OWNED BY orders.o_id")
+      .asInstanceOf[AlterSequence]
+    assert(a2.ownedBy.contains((QualifiedName(None, "orders"), "o_id")))
+  }
+
+  test("CREATE FUNCTION: sql body re-remapped statement by statement (remappers.py:355-377)") {
+    val sql =
+      """CREATE OR REPLACE FUNCTION public.next_order()
+        |RETURNS bigint LANGUAGE sql AS $fn$
+        |  SELECT nextval('public.order_seq'::regclass)
+        |  FROM public.counters c WHERE c.kind = 'order';
+        |$fn$""".stripMargin
+    val f = DdlAst.parse(sql).asInstanceOf[CreateFunction]
+    assert(f.name == QualifiedName(Some("public"), "next_order"))
+    assert(f.language == "sql" && f.orReplace)
+    assert(f.body.contains("nextval"))
+
+    val r = new SchemaRemapper("mydb")
+    val rf = r.remap(f).asInstanceOf[CreateFunction]
+    assert(rf.name == QualifiedName(Some("mydb_public"), "next_order"))
+    // the 'schema.seq'::regclass literal rewrite (remappers.py:468-493)
+    assert(rf.body.contains("'mydb_public.order_seq'::regclass"))
+    // relation remapped; the alias column ref `c.kind` untouched
+    assert(rf.body.contains("FROM mydb_public.counters c"))
+    assert(rf.body.contains("c.kind = 'order'"))
+    // render substitutes remapped name + body back into the statement
+    val rendered = rf.render
+    assert(rendered.startsWith("CREATE OR REPLACE FUNCTION mydb_public.next_order"))
+    assert(rendered.contains("$fn$") && rendered.contains("mydb_public.counters"))
+  }
+
+  test("CREATE FUNCTION: non-sql bodies kept verbatim; quoted bodies parse") {
+    val pl = DdlAst.parse(
+      """CREATE FUNCTION f() RETURNS int LANGUAGE plpgsql AS $$
+        |BEGIN RETURN (SELECT 1 FROM public.t); END;
+        |$$""".stripMargin).asInstanceOf[CreateFunction]
+    val r = new SchemaRemapper("mydb")
+    assert(r.remap(pl).asInstanceOf[CreateFunction].body == pl.body)
+
+    val q = DdlAst.parse(
+      """CREATE FUNCTION g() RETURNS text LANGUAGE sql AS 'SELECT ''x'' FROM public.t'""")
+      .asInstanceOf[CreateFunction]
+    assert(q.body == "SELECT ''x'' FROM public.t")
+    assert(r.remap(q).asInstanceOf[CreateFunction].body.contains("FROM mydb_public.t"))
+  }
+
+  test("remapSqlText: system schemas and table functions handled once") {
+    val r = new SchemaRemapper("mydb")
+    // pg_catalog passes through unmapped (remappers.py leaves
+    // schemas outside the map untouched)
+    assert(r.remapSqlText("SELECT * FROM pg_catalog.pg_class") ==
+      "SELECT * FROM pg_catalog.pg_class")
+    // a table function remaps exactly once (relation pass defers to
+    // the function pass)
+    assert(r.remapSqlText("SELECT * FROM util.gen_series_x(1, 5)") ==
+      "SELECT * FROM mydb_util.gen_series_x(1, 5)")
+  }
+
+  test("classification: functions skip at replay (connemara_rewrite.pm:77-80)") {
+    def c(sql: String) = classify(DdlAst.parse(sql))
+    assert(c("CREATE FUNCTION f() RETURNS int LANGUAGE sql AS 'SELECT 1'") == Skip)
+    // OR REPLACE previously dodged the tag-based skip (tag was 'CREATE OR')
+    assert(c("CREATE OR REPLACE FUNCTION f() RETURNS int LANGUAGE sql AS 'SELECT 1'") == Skip)
+    assert(c("CREATE TYPE mood AS ENUM ('a')") == Apply)
+    assert(c("ALTER SEQUENCE s OWNED BY t.c") == Apply)
+    // ignored-schema routing covers the new nodes
+    assert(classify(DdlAst.parse("CREATE TYPE ig.mood AS ENUM ('a')"),
+      ignoredSchemas = Set("ig")) == Skip)
+    assert(classify(
+      DdlAst.parse("CREATE FUNCTION ig.f() RETURNS int LANGUAGE sql AS 'SELECT 1'"),
+      ignoredSchemas = Set("ig")) == Skip)
+  }
+
+  test("remap covers RenameTable/AlterColumnType/Multi (no MatchError)") {
+    val r = new SchemaRemapper("mydb")
+    val rt = r.remap(DdlAst.parse("ALTER TABLE s.t RENAME TO t2"))
+    assert(rt.asInstanceOf[RenameTable].table == QualifiedName(Some("mydb_s"), "t"))
+    val multi = r.remap(DdlAst.parse(
+      "ALTER TABLE s.t ADD COLUMN a int, ALTER COLUMN b TYPE bigint"))
+    val parts = multi.asInstanceOf[Multi].parts
+    assert(parts.collect { case x: AddColumn => x.table }.head ==
+      QualifiedName(Some("mydb_s"), "t"))
+    assert(parts.collect { case x: AlterColumnType => x.table }.head ==
+      QualifiedName(Some("mydb_s"), "t"))
+  }
 }
