@@ -122,6 +122,60 @@ object SyntheticCdc {
       .unionByName(p5).unionByName(p6).unionByName(p7)
   }
 
+  /** Deliberately hot-keyed change log (SURVEY §2.8 A4 skew): ~half
+    * of ALL events patch ONE key (c_custkey = 1) — even source keys
+    * emit an acctbal patch on it, odd source keys an mktsegment
+    * patch — while `%10 = 7` keys patch themselves (the well-spread
+    * remainder). Each event carries its OWN event time
+    * (`tsBase + emitter key` seconds), so the two-phase
+    * `collapseSkewResistant` fold can shard the hot key by time
+    * bucket; a naive per-key `collect_list` collapse would pull every
+    * hot-key event into one task.
+    *
+    * Deterministic final state (patches override column-wise, clock =
+    * (ts, lsn) = emitter key within each class):
+    * key 1's acctbal = max even key, its segment = 'SEG' + max odd
+    * key — plain SQL for the oracle. */
+  def hotKeyLog(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val k = col("c_custkey")
+    val ks = k.cast("string")
+
+    // spool rows with PER-EVENT timestamps (spoolRows fixes one ts
+    // per phase, which would defeat time-bucket sharding)
+    // 31 s spacing: every emitter lands in its own 30 s bucket, so
+    // the shard count grows with the table, not the phase count
+    def rows(df: DataFrame, phase: Int, payload: Column): DataFrame =
+      df.select(
+        timestamp_seconds(lit(tsBase) + k * 31).as("insert_timestamp"),
+        lit("srcdb").as("database"),
+        (lit(phase.toLong * 10000000L) + k).as("lsn_start"),
+        (lit(phase.toLong * 100000L) + k).as("xid"),
+        payload.as("payload"),
+        timestamp_seconds(lit(tsBase) + k * 31).as("xid_timestamp"),
+        lit("slot1").as("source_slotname"))
+
+    val hotBal = rows(
+      c.filter(pmod(k, lit(2)) === 0), 1,
+      updatePayload(
+        Seq("c_custkey", "c_acctbal"),
+        Seq(lit("1"), k.cast("double").cast("string")), lit("1")))
+
+    val hotSeg = rows(
+      c.filter(pmod(k, lit(2)) === 1), 2,
+      updatePayload(
+        Seq("c_custkey", "c_mktsegment"),
+        Seq(lit("1"), concat(lit("SEG"), ks)), lit("1")))
+
+    val spread = rows(
+      c.filter(pmod(k, lit(10)) === 7), 3,
+      updatePayload(
+        Seq("c_custkey", "c_acctbal"),
+        Seq(ks, (col("c_acctbal") + 1000).cast("string")), ks))
+
+    hotBal.unionByName(hotSeg).unionByName(spread)
+  }
+
   /** Composite-key change log over a lineitem-shaped target
     * (PK = l_orderkey, l_linenumber — the fixture's raw table has
     * duplicate pairs, so callers pass a key-unique projection).

@@ -83,6 +83,35 @@ object Cdc {
     },
     cdc_apply.oracle)
 
+  /** Apply over a deliberately hot-keyed log — HALF of all events
+    * target one key (SURVEY §2.8 A4 skew). Runs the skew-resistant
+    * two-phase collapse: phase 1 folds (key, 30 s time-bucket)
+    * shards in parallel (the hot key spreads over many buckets —
+    * plan-audited in ApplyEngineSpec), phase 2 composes the few
+    * per-key partials with the proven-associative transition monoid.
+    * The naive per-key collect_list collapse would drag every
+    * hot-key event into a single task — the classic straggler. */
+  val cdc_apply_skewed = GraftQuery(
+    "cdc_apply_skewed",
+    (s, dir) => {
+      val c = Tables.customer(s, dir)
+      val meta = customerMeta(c)
+      val collapsed = ApplyEngine.collapseSkewResistant(
+        Wal2Json.decodeEvents(
+          Wal2Json.parse(SyntheticCdc.hotKeyLog(s, dir)), meta))
+      ApplyEngine.merge(c, collapsed, meta, broadcastChanges = true)
+        .orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey, c_name, c_nationkey,
+      CASE WHEN c_custkey = 1 THEN
+             (SELECT CAST(max(c_custkey) AS DOUBLE) FROM customer WHERE c_custkey % 2 = 0)
+           WHEN c_custkey % 10 = 7 THEN c_acctbal + 1000
+           ELSE c_acctbal END AS c_acctbal,
+      CASE WHEN c_custkey = 1 THEN
+             'SEG' || CAST((SELECT max(c_custkey) FROM customer WHERE c_custkey % 2 = 1) AS VARCHAR)
+           ELSE c_mktsegment END AS c_mktsegment
+      FROM customer ORDER BY c_custkey"""))
+
   /** Decoded merge-event counts (decode layer incl. PK-change
     * expansion into del+row pairs). */
   val cdc_decode_counts = GraftQuery(
@@ -168,6 +197,6 @@ object Cdc {
       GROUP BY 1 ORDER BY okmod"""))
 
   def all: Seq[GraftQuery] = Seq(
-    cdc_apply, cdc_apply_bucketed, cdc_decode_counts, cdc_collapse_counts,
-    cdc_apply_lineitem)
+    cdc_apply, cdc_apply_bucketed, cdc_apply_skewed, cdc_decode_counts,
+    cdc_collapse_counts, cdc_apply_lineitem)
 }

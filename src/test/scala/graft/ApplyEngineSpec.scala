@@ -221,6 +221,32 @@ class ApplyEngineSpec extends SparkSpec {
       canon(ApplyEngine.collapse(events)))
   }
 
+  test("hot-key log shards across buckets; skew path ≡ naive end-to-end") {
+    val c = graft.Tables.customer(spark, "/root/testdata/sf0.001")
+    val m = graft.model.TableMeta(
+      TableId("srcdb", "public", "customer"), c.schema, Seq("c_custkey"))
+    val events = Wal2Json.decodeEvents(Wal2Json.parse(
+      graft.fixtures.SyntheticCdc.hotKeyLog(spark, "/root/testdata/sf0.001")), m)
+
+    // the straggler audit: the hot key's events must spread over MANY
+    // (key, 30 s bucket) phase-1 shards — that spread IS what keeps
+    // the fold off a single task
+    val hotBuckets = events
+      .filter(element_at(col("key"), 1) === "1")
+      .select((unix_timestamp(col("ord.ts")) / 30).cast("long"))
+      .distinct().count()
+    assert(hotBuckets >= 16, s"hot key folded into only $hotBuckets shards")
+
+    // and the sharded fold must be indistinguishable from the naive
+    // one after the merge
+    val viaSkew = ApplyEngine.merge(
+      c, ApplyEngine.collapseSkewResistant(events), m)
+      .orderBy("c_custkey").collect().toSeq
+    val viaNaive = ApplyEngine.applyChanges(c, events, m)
+      .orderBy("c_custkey").collect().toSeq
+    assert(viaSkew == viaNaive)
+  }
+
   test("collapseSkewResistant: cross-bucket patch-after-delete violations") {
     // del in bucket 0, TWO patches in bucket 1, then a patch-leading
     // bucket ending in row: viol must count per patch EVENT (3), not
