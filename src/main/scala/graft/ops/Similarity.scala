@@ -140,25 +140,52 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
-  /** LSH-bucketed ANN: join query and corpus on bucket key (equality
-    * on all sign bits), then exact cosine + top-k within candidates.
-    * Misses are possible (it's approximate); multi-probe = union over
-    * `probes` single-bit flips of the query bucket.
+  /** Multi-table sign-LSH ANN: `numTables` independent hash tables of
+    * `numPlanes` sign bits each, a candidate = a corpus vector
+    * colliding with the query in ANY table; exact cosine + top-k over
+    * the deduped candidates. A single table recalls P(collide) =
+    * (1−θ/π)^planes per neighbor — near-useless for top-k (measured
+    * 3% vs the exact ranking at 8 planes); L tables lift that to
+    * 1−(1−p)^L (measured ≥70% at 8×8 — pinned by AnnQualitySpec).
+    *
+    * One native `lshBucket` call computes all tables: table t's key is
+    * bit-window [t·planes, (t+1)·planes) of the 64-plane bucket (the
+    * windows are disjoint plane sets, hence independent tables).
+    * Multi-probe = `probes` single-bit flips within each window.
+    *
+    * Scale shape: keyed equi-join on (table, bucket), candidates
+    * ≈ L · |corpus| / 2^planes per query — never all-pairs.
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame,
               idCol: String, vecCol: String, k: Int,
-              numPlanes: Int = 12, probes: Int = 0): DataFrame = {
+              numPlanes: Int = 8, probes: Int = 0,
+              numTables: Int = 8): DataFrame = {
+    require(numPlanes * numTables <= 64, "at most 64 planes across tables")
+    val total = numPlanes * numTables
+    val mask = if (numPlanes == 64) -1L else (1L << numPlanes) - 1
+
+    def tableKeys(vec: Column): Column = {
+      val full = lshBucket(vec, total)
+      array((0 until numTables).map { t =>
+        struct(lit(t).as("t"),
+          shiftrightunsigned(full, t * numPlanes).bitwiseAND(lit(mask)).as("b"))
+      }: _*)
+    }
+
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
-      .withColumn("bucket", lshBucket(col("cvec"), numPlanes))
-    val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
-      .withColumn("qbucket", lshBucket(col("qvec"), numPlanes))
-    // multi-probe: the exact bucket plus single-bit neighbors
-    val probeBuckets = array(
-      (col("qbucket") +:
-        (0 until probes).map(p =>
-          col("qbucket").bitwiseXOR(shiftleft(lit(1L), p)))): _*)
-    val q = q0.withColumn("bucket", explode(array_distinct(probeBuckets)))
-    val scored = q.join(c, Seq("bucket"))
+      .withColumn("tk", explode(tableKeys(col("cvec"))))
+      .select(col("tk.t").as("t"), col("tk.b").as("bucket"),
+        col("neighbor_id"), col("cvec"))
+
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .withColumn("tk", explode(tableKeys(col("qvec"))))
+      .withColumn("bucket", explode(array_distinct(array(
+        (col("tk.b") +:
+          (0 until probes).map(p =>
+            col("tk.b").bitwiseXOR(shiftleft(lit(1L), p)))): _*))))
+      .select(col("tk.t").as("t"), col("bucket"), col("query_id"), col("qvec"))
+
+    val scored = q.join(c, Seq("t", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("qvec"), col("neighbor_id"), col("cvec"))
       .distinct()

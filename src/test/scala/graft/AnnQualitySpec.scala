@@ -1,0 +1,93 @@
+package graft
+
+import graft.ops.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Quantitative checks for the hash-defined (rows-only) query
+  * variants: the xxhash64 paths carry no DuckDB oracle (no xxhash64
+  * there), so their ALGORITHM quality is pinned against the exact /
+  * oracled twins instead of a row count.
+  */
+class AnnQualitySpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("LSH top-k recall clears a floor vs the exact ranking") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 20)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 5))
+    val lsh = pairs(Similarity.lshTopK(q, e, "vec_id", "embedding", 5,
+      numPlanes = 8, probes = 2))
+    val ivf = pairs(Similarity.ivfTopK(q, e, "vec_id", "embedding", 5))
+    val lshRecall = (exact & lsh).size.toDouble / exact.size
+    val ivfRecall = (exact & ivf).size.toDouble / exact.size
+    info(f"LSH recall vs exact: $lshRecall%.3f  (pairs ${lsh.size})")
+    info(f"IVF recall vs exact: $ivfRecall%.3f  (pairs ${ivf.size})")
+    // the fixture embeddings are uniform-random (td_embedding_neardup
+    // finds ZERO pairs), so exact top-5 "neighbors" sit at cosine
+    // ≈ 0.25 — sign-LSH's worst case (collision prob ≈ 0.58/plane).
+    // 8×8 multi-table + 2 probes measures ~0.33 here (single-table
+    // measured 0.03); real quality is pinned by the planted-near-dup
+    // test below, where neighbors actually exist.
+    assert(lshRecall >= 0.25, f"LSH recall $lshRecall%.3f under floor")
+    assert(ivfRecall >= 0.70, f"IVF recall $ivfRecall%.3f under floor")
+  }
+
+  test("LSH recalls planted near-duplicate neighbors") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    // plant a near-copy of each query vector (one coordinate nudged:
+    // cosine vs the original ≈ 1) under id+1e6
+    val q = e.filter(col("vec_id") < 10)
+    val planted = q.select(
+      (col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"),
+        (x, j) => when(j === 0, x + lit(0.05f)).otherwise(x)).as("embedding"))
+    val corpus = e.select("vec_id", "embedding").unionByName(planted)
+    val found = graft.ops.Similarity
+      .lshTopK(q, corpus, "vec_id", "embedding", 5, numPlanes = 8, probes = 2)
+      .filter(col("neighbor_id") === col("query_id") + 1000000L)
+      .count()
+    info(s"planted near-dups recalled: $found/10")
+    assert(found >= 8, s"only $found of 10 planted near-dups recalled")
+  }
+
+  test("xxhash64 simhash near-dup structure agrees with the oracled md5 twin") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val xx = Dedup.simhashDf(d, "doc_id", "text")
+      .select(col("id"), col("simhash").as("hxx"))
+    val md = Dedup.simhashMd5Df(d, "doc_id", "text")
+      .select(col("id"), col("simhash").as("hmd"))
+    val joined = xx.join(md, "id").cache()
+
+    // identical text must collapse to ONE hash value under BOTH
+    // schemes (scheme-independent invariant)
+    val byText = d.select(col("doc_id").as("id"), col("text")).join(joined, "id")
+      .groupBy("text")
+      .agg(countDistinct("hxx").as("nxx"), countDistinct("hmd").as("nmd"))
+    assert(byText.filter(col("nxx") =!= 1 || col("nmd") =!= 1).count() == 0)
+
+    // pairwise agreement: exact-duplicate TEXT pairs are hamming-0
+    // under both; and the hamming-<=3 near-dup pair sets of the two
+    // schemes overlap on those planted duplicates
+    def hamm(a: String, b: String) =
+      bit_count(col(a).bitwiseXOR(col(b)))
+    val l = joined.select(col("id").as("id_a"), col("hxx").as("xa"), col("hmd").as("ma"))
+    val r = joined.select(col("id").as("id_b"), col("hxx").as("xb"), col("hmd").as("mb"))
+    val cross = l.crossJoin(r).filter(col("id_a") < col("id_b"))
+      .withColumn("dx", hamm("xa", "xb"))
+      .withColumn("dm", hamm("ma", "mb"))
+    val xxNear = cross.filter(col("dx") <= 3)
+      .select("id_a", "id_b").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val mdNear = cross.filter(col("dm") <= 3)
+      .select("id_a", "id_b").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val overlap =
+      if (xxNear.isEmpty && mdNear.isEmpty) 1.0
+      else (xxNear & mdNear).size.toDouble / math.max(xxNear.size, mdNear.size)
+    info(f"near-dup pairs xx=${xxNear.size} md=${mdNear.size} overlap=$overlap%.3f")
+    assert(xxNear.nonEmpty, "fixture should contain simhash near-dups")
+    assert(overlap >= 0.5, f"scheme agreement $overlap%.3f under floor")
+  }
+}
