@@ -30,11 +30,24 @@ object Bench {
     // alphabetically-first query isn't charged ~3 s of JVM spin-up
     spark.range(1 << 20).selectExpr("sum(id) as s")
       .write.format("noop").mode("overwrite").save()
+    // Post-query hygiene, OUTSIDE the timed region: the apply/dedup
+    // pipelines localCheckpoint intermediates that otherwise pile up
+    // in the block manager across all ~70 queries; the accumulated
+    // heap pressure shows up as multi-second GC pauses charged to
+    // whichever later query is unlucky (the roaming 10-25 s outliers
+    // in earlier round records — td_dedup_exact 26.8 s in r4,
+    // td_ann_lsh 13.7 s in r5 — each ~1.5 s when run alone).
+    def release(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
+    }
     def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9 }
       catch { case _: Throwable => -1.0 }
+      finally release()
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> run(name, fn)
@@ -46,6 +59,7 @@ object Bench {
     // compile noise. SPARK_GRAFT_WARM: floor in seconds, 0 = all,
     // -1 = disable.
     val warmFloor = sys.env.getOrElse("SPARK_GRAFT_WARM", "1.0").toDouble
+    System.gc() // take the big collection between passes, not mid-query
     val warm =
       if (warmFloor < 0) Seq.empty
       else SparkEntry.queries.toSeq.sortBy(_._1)
