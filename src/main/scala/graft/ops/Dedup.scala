@@ -392,6 +392,62 @@ object Dedup {
       .select(col("part"), col("id_a"), col("id_b"), col("jac"))
   }
 
+  /** EXACT word-n-gram Jaccard near-duplicate pairs — the
+    * deterministic sibling of [[minhashNearDuplicates]] (which is
+    * probabilistic: a pair missing every band stays unseen). Same
+    * prefix-filter candidate generation as [[charJaccardSimilar]],
+    * lifted from ASCII char sets to shingle sets: under the global
+    * ascending-document-frequency shingle order, two sets with
+    * jac ≥ t must share a shingle within their first
+    * `|S| − ⌈t·|S|⌉ + 1` elements, so exploding only that prefix and
+    * equi-joining on the shingle is lossless. Candidates are verified
+    * with the full `array_intersect` Jaccard.
+    *
+    * Scale: shingling is a narrow codegen map; the df window and the
+    * candidate join shuffle by shingle — rare-shingle keys, so
+    * buckets stay small (with t = 0.8 the prefix is ~20% of each
+    * doc's shingles, and common shingles never enter it); the verify
+    * join is |candidates|, not |corpus|².
+    *
+    * @return (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold
+    */
+  def ngramJaccardSimilar(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    // d feeds prefix generation AND the verify join — localCheckpoint
+    // or the shingle scan runs twice (two-branch recompute landmine)
+    val d = docs
+      .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+      .localCheckpoint(eager = false)
+
+    val exploded = d.select(col("id"), size(col("sh")).as("n_sh"),
+      explode(col("sh")).as("g"))
+    val withDf = exploded.withColumn("df",
+      count(lit(1)).over(Window.partitionBy("g")))
+
+    val byDoc = Window.partitionBy("id")
+    val prefix = withDf
+      .withColumn("pos", row_number().over(byDoc.orderBy("df", "g")))
+      .filter(col("pos") <=
+        col("n_sh") - ceil(lit(threshold) * col("n_sh")).cast("int") + 1)
+      .select(col("g"), col("id"))
+
+    val cand = prefix.select(col("g"), col("id").as("id_a"))
+      .join(prefix.select(col("g"), col("id").as("id_b")), Seq("g"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct() // a pair may share several prefix shingles
+
+    cand
+      .join(d.select(col("id").as("id_a"), col("sh").as("sa")), Seq("id_a"))
+      .join(d.select(col("id").as("id_b"), col("sh").as("sb")), Seq("id_b"))
+      .withColumn("n_inter", size(array_intersect(col("sa"), col("sb"))))
+      // one division of two small ints — bit-identical across engines
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (size(col("sa")) + size(col("sb")) - col("n_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** Jaccard over two [[charMask]] bitmaps (exact ASCII char-set
     * Jaccard, bit-parallel). */
   def maskJaccard(ma: Column, mb: Column): Column = {

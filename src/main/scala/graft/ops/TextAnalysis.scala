@@ -92,6 +92,46 @@ object TextAnalysis {
     patterns.map(p => size(regexp_extract_all(text, lit(p), lit(0))))
       .reduce(_ + _)
 
+  /** Per-document top-k TF-IDF terms, fully integer-deterministic:
+    * idf is the scaled integer `1_000_000 · n_docs div df` (integer
+    * division — `log` differs in the last ulp across engines' libm,
+    * scaled-ratio idf is exact and rank-equivalent for df ordering),
+    * score = tf · idf. Ranking ties break on the term itself.
+    *
+    * Scale shape: tokenize+explode is a narrow codegen map; tf is one
+    * shuffle on (doc, term) with map-side combine; df is vocab-sized
+    * and broadcasts into the probe join; top-k is a per-doc window.
+    * Empty documents are excluded (no terms — and the SQL-engine
+    * split-of-empty-string divergence lives exactly there).
+    */
+  def tfIdfTopTerms(docs: org.apache.spark.sql.DataFrame,
+                    idCol: String, textCol: String,
+                    k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nonEmpty = docs.filter(length(trim(col(textCol))) > 0)
+    // words feeds tf, df AND n_docs — materialize once
+    val words = nonEmpty.select(col(idCol).as("id"),
+      explode(tokens(col(textCol))).as("term"))
+      .localCheckpoint(eager = false)
+    val tf = words.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = words.select(col("id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = words.select(col("id")).distinct()
+      .agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("idf_scaled", expr("1000000 * n_docs div df"))
+      .withColumn("score", col("tf") * col("idf_scaled"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("score").desc, col("term"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("rank"), col("term"), col("tf"), col("df"),
+        col("score"))
+  }
+
   /** Corpus-frequency quality feature: per document, how many of its
     * token occurrences use words whose corpus frequency is below
     * `rareThreshold` — the integer-valued core of an LM-style

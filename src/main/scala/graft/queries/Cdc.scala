@@ -112,6 +112,92 @@ object Cdc {
            ELSE c_mktsegment END AS c_mktsegment
       FROM customer ORDER BY c_custkey"""))
 
+  /** Time travel through the version store: publish the snapshot as
+    * v0 and the post-apply state as v1, then read BOTH — v1 through
+    * the manifest head, v0 via `readVersion` (the as-of read the
+    * versioned layout exists for) — and classify every key
+    * inserted/deleted/updated/same between the two cuts. The merge
+    * bases on the EXPLICIT v0 (not the manifest head), so re-running
+    * the query in a warm session replays idempotently — the same
+    * property that makes checkpoint-replay exactly-once (A6).
+    * The full-outer join here IS the semantics (a version diff), not
+    * the CDC merge path — that one stays left-outer + union. */
+  val cdc_time_travel = GraftQuery(
+    "cdc_time_travel",
+    (s, dir) => {
+      val c = Tables.customer(s, dir)
+      val meta = customerMeta(c)
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_ttstore_" +
+        s"${s.sparkContext.applicationId}_${Integer.toHexString(dir.hashCode)}"
+      graft.ops.Bucketing.cleanupOnExit(root)
+      val store = new graft.stream.TableStore(s, root)
+      store.stage(meta.id, c, 0L)
+      store.commit(Map(meta.id -> 0L))
+      val evs = Wal2Json.decodeEvents(
+        Wal2Json.parse(SyntheticCdc.customerLog(s, dir)), meta)
+      val merged = ApplyEngine.applyChanges(
+        store.readVersion(meta.id, 0L), evs, meta)
+      store.stage(meta.id, merged, 1L)
+      store.commit(Map(meta.id -> 1L))
+
+      val o = store.readVersion(meta.id, 0L).select(
+        col("c_custkey").as("k_old"), col("c_name").as("name_old"),
+        col("c_nationkey").as("nk_old"), col("c_acctbal").as("bal_old"),
+        col("c_mktsegment").as("seg_old"))
+      val n = store.read(meta.id).select(
+        col("c_custkey").as("k_new"), col("c_name").as("name_new"),
+        col("c_nationkey").as("nk_new"), col("c_acctbal").as("bal_new"),
+        col("c_mktsegment").as("seg_new"))
+      val status = when(col("k_old").isNull, "inserted")
+        .when(col("k_new").isNull, "deleted")
+        .when(not(
+          struct(col("name_old"), col("nk_old"), col("bal_old"), col("seg_old"))
+            <=> struct(col("name_new"), col("nk_new"), col("bal_new"),
+              col("seg_new"))), "updated")
+        .otherwise("same")
+      o.join(n, col("k_old") === col("k_new"), "full_outer")
+        .select(status.as("status"))
+        .groupBy(col("status")).agg(count(lit(1)).as("n"))
+        .orderBy(col("status"))
+    },
+    Some("""WITH new_state AS (
+      SELECT * FROM (
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+          FROM customer WHERE c_custkey % 10 IN (4,5,6,7,8,9)
+        UNION ALL
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100, c_mktsegment
+          FROM customer WHERE c_custkey % 10 = 2
+        UNION ALL
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100, 'HOT'
+          FROM customer WHERE c_custkey % 10 = 1
+        UNION ALL
+        SELECT c_custkey + 5000000, 'Moved#' || CAST(c_custkey AS VARCHAR),
+               c_nationkey, c_acctbal, c_mktsegment
+          FROM customer WHERE c_custkey % 10 = 3
+        UNION ALL
+        SELECT c_custkey + 9000000, 'New#' || CAST(c_custkey AS VARCHAR), c_nationkey,
+               CASE WHEN c_custkey % 20 = 4 THEN 50.0 ELSE 0.0 END, 'NEWSEG'
+          FROM customer WHERE c_custkey % 10 = 4
+        UNION ALL
+        SELECT c_custkey, 'Re#' || CAST(c_custkey AS VARCHAR), c_nationkey, 1.0, 'RESEG'
+          FROM customer WHERE c_custkey % 20 = 10
+        ) t(c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)),
+      old_state AS (
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        FROM customer)
+      SELECT status, COUNT(*) AS n FROM (
+        SELECT CASE
+          WHEN o.c_custkey IS NULL THEN 'inserted'
+          WHEN n.c_custkey IS NULL THEN 'deleted'
+          WHEN o.c_name IS DISTINCT FROM n.c_name
+            OR o.c_nationkey IS DISTINCT FROM n.c_nationkey
+            OR o.c_acctbal IS DISTINCT FROM n.c_acctbal
+            OR o.c_mktsegment IS DISTINCT FROM n.c_mktsegment THEN 'updated'
+          ELSE 'same' END AS status
+        FROM old_state o FULL OUTER JOIN new_state n
+          ON o.c_custkey = n.c_custkey)
+      GROUP BY status ORDER BY status"""))
+
   /** Decoded merge-event counts (decode layer incl. PK-change
     * expansion into del+row pairs). */
   val cdc_decode_counts = GraftQuery(
@@ -197,6 +283,6 @@ object Cdc {
       GROUP BY 1 ORDER BY okmod"""))
 
   def all: Seq[GraftQuery] = Seq(
-    cdc_apply, cdc_apply_bucketed, cdc_apply_skewed, cdc_decode_counts,
-    cdc_collapse_counts, cdc_apply_lineitem)
+    cdc_apply, cdc_apply_bucketed, cdc_apply_skewed, cdc_time_travel,
+    cdc_decode_counts, cdc_collapse_counts, cdc_apply_lineitem)
 }

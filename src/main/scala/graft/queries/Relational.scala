@@ -586,11 +586,51 @@ object Relational {
           AS n_last_hour
       FROM events ORDER BY event_id"""))
 
+  /** CUBE marginals: all four grouping combinations of
+    * (status, priority) — ROLLUP's hierarchy plus the cross-marginal
+    * per-priority totals. NULL group labels coalesced to 'ALL' so the
+    * hash compare can't confuse them with data NULLs. */
+  val q26_cube = GraftQuery(
+    "q26_cube",
+    (s, dir) => {
+      Tables.orders(s, dir)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("revenue"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n_orders"), col("revenue"))
+        .orderBy(col("status"), col("priority"))
+    },
+    Some("""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        COALESCE(o_orderpriority, 'ALL') AS priority,
+        COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      ORDER BY status, priority"""))
+
+  /** Set intersection — nations with BOTH customers and suppliers
+    * (the E1 family's other half next to q13's EXCEPT). */
+  val q27_intersect = GraftQuery(
+    "q27_intersect",
+    (s, dir) => {
+      val c = Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
+      val su = Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey"))
+      c.intersect(su).orderBy(col("nationkey"))
+    },
+    Some("""SELECT nationkey FROM (
+      SELECT DISTINCT c_nationkey AS nationkey FROM customer
+      INTERSECT SELECT DISTINCT s_nationkey FROM supplier)
+      ORDER BY nationkey"""))
+
   def all: Seq[GraftQuery] = Seq(
     q1_agg, q2_join_agg, q3_multi_join, q4_topk, q5_distinct,
     q6_anti_join, q7_semi_join, q8_min_window, q9_event_batches,
     q10_md5_route, q11_db_slot, q12_window, q13_except, q14_string_agg,
     q15_sessions, q16_json, q17_monthly, q18_salted_join,
     q19_bucketed_join, q20_partition_prune, q21_asof_join,
-    q22_range_join, q23_rollup, q24_pivot, q25_rolling)
+    q22_range_join, q23_rollup, q24_pivot, q25_rolling, q26_cube,
+    q27_intersect)
 }

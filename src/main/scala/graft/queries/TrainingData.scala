@@ -372,6 +372,73 @@ object TrainingData {
     },
     None)
 
+  /** EXACT n-gram Jaccard near-dup pairs via prefix-filtered
+    * candidates ([[Dedup.ngramJaccardSimilar]]) — the deterministic
+    * sibling of [[td_minhash_neardup]]: same corpus, same brute-force
+    * oracle, but the engine side is exact (prefix filtering is
+    * lossless), so the oracle match proves the candidate generation
+    * misses NOTHING — not just the planted pairs. */
+  val td_ngram_jaccard = GraftQuery(
+    "td_ngram_jaccard",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).filter(col("doc_id") < 150)
+      val corpus = d.unionByName(
+        d.filter(pmod(col("doc_id"), lit(5)) === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L)
+          .withColumn("text", concat(col("text"), lit(" xtra wrds"))))
+      Dedup.ngramJaccardSimilar(corpus, "doc_id", "text", n = 3,
+        threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""WITH base AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 150),
+    corpus AS (
+      SELECT doc_id, text FROM base
+      UNION ALL
+      SELECT doc_id + 1000000, text || ' xtra wrds' FROM base WHERE doc_id % 5 = 0),
+    tok AS (
+      SELECT doc_id, string_split_regex(trim(text),'\s+') AS t FROM corpus),
+    sh AS (
+      SELECT doc_id,
+        CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+             ELSE list_distinct(list_transform(range(1, len(t)-1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS s
+      FROM tok)
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)
+          / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+    WHERE jaccard >= 0.8
+    ORDER BY id_a, id_b"""))
+
+  /** Per-doc top-3 TF-IDF terms with integer-scaled idf
+    * ([[TextAnalysis.tfIdfTopTerms]]): `log`-free so every value is
+    * exact cross-engine — tf, df, and score are integers; ranking
+    * ties break on the term. */
+  val td_tfidf = GraftQuery(
+    "td_tfidf",
+    (s, dir) => {
+      TextAnalysis.tfIdfTopTerms(Tables.documents(s, dir), "doc_id", "text", 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"), col("rank"))
+    },
+    Some("""WITH d AS (
+        SELECT doc_id, text FROM documents WHERE length(trim(text)) > 0),
+      words AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text),'\s+')) AS term
+        FROM d),
+      tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM words GROUP BY 1, 2),
+      df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM words GROUP BY 1),
+      nd AS (SELECT COUNT(*) AS n_docs FROM d)
+      SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, tf, df, score FROM (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+          tf.tf * (1000000 * nd.n_docs // df.df) AS score,
+          row_number() OVER (PARTITION BY tf.doc_id
+            ORDER BY tf.tf * (1000000 * nd.n_docs // df.df) DESC, tf.term) AS rank
+        FROM tf JOIN df USING (term) CROSS JOIN nd)
+      WHERE rank <= 3 ORDER BY doc_id, rank"""))
+
   /** Corpus-frequency rare-word counts (LM-surprisal core, integer-
     * valued so fully oracle-checkable). */
   val td_rare_words = GraftQuery(
@@ -738,6 +805,7 @@ object TrainingData {
   def all: Seq[GraftQuery] = Seq(
     td_text_stats, td_lang_id, td_fingerprint, td_dedup_exact,
     td_char_jaccard, td_cosine_topk, td_minhash_neardup,
+    td_ngram_jaccard, td_tfidf,
     td_dedup_components, td_simhash,
     td_simhash_md5, td_ann_lsh, td_embedding_neardup, td_ann_ivf,
     td_rare_words, td_chunk_dedup,

@@ -82,6 +82,56 @@ class OpsSpec extends SparkSpec {
     assert(fast == brute)
   }
 
+  test("ngramJaccardSimilar ≡ the all-pairs exact form on random data") {
+    // random bases + planted near-copies (random 3-gram SEQUENCES
+    // rarely overlap — similarity must be planted); fixed seed
+    val rnd = new scala.util.Random(7)
+    val vocab = Seq("red", "blue", "green", "dog", "cat", "sun", "sky")
+    val base = (0 until 25).map { i =>
+      val len = 8 + rnd.nextInt(6)
+      (i.toLong, (0 until len).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    val copies = base.collect { case (i, t) if i % 3 == 0 =>
+      (i + 1000L, t + " extra") }
+    val docs = (base ++ copies).toDF("doc_id", "text")
+
+    val fast = Dedup.ngramJaccardSimilar(docs, "doc_id", "text", 3, 0.6)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)]
+      .collect().toSet
+
+    val d = docs.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+    val a = d.select(col("doc_id").as("id_a"), col("sh").as("sa"))
+    val b = d.select(col("doc_id").as("id_b"), col("sh").as("sb"))
+    val brute = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("ni", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard", col("ni").cast("double") /
+        (size(col("sa")) + size(col("sb")) - col("ni")))
+      .filter(col("jaccard") >= 0.6)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)]
+      .collect().toSet
+
+    assert(brute.nonEmpty, "fixture should contain similar pairs")
+    assert(fast == brute)
+  }
+
+  test("tfIdfTopTerms: rare terms outrank common ones, ties break on term") {
+    val docs = Seq(
+      (1L, "common rare1 common"),
+      (2L, "common unique2"),
+      (3L, "common common"),
+      (4L, "")).toDF("doc_id", "text")
+    val r = TextAnalysis.tfIdfTopTerms(docs, "doc_id", "text", 2)
+      .select("id", "rank", "term", "tf", "df", "score")
+      .as[(Long, Int, String, Long, Long, Long)].collect().toSeq.sorted
+    // n_docs = 3 (the empty doc is excluded); idf_scaled("common") =
+    // 1000000*3 div 3 = 1000000; rare1/unique2 → 3000000
+    assert(r.filter(_._1 == 1L).map(t => (t._2, t._3)) == Seq((1, "rare1"), (2, "common")))
+    assert(r.filter(_._1 == 1L).head._6 == 3000000L)       // tf=1 · idf=3e6
+    assert(r.filter(_._1 == 1L).last._6 == 2L * 1000000L)  // tf=2 · idf=1e6
+    assert(r.filter(_._1 == 3L) == Seq((3L, 1, "common", 2L, 3L, 2000000L)))
+    assert(!r.exists(_._1 == 4L), "empty doc must not appear")
+  }
+
   test("minhash near-dups: exact copy has jaccard 1.0") {
     val docs = Seq(
       (1L, "w1 w2 w3 w4 w5 w6 w7 w8"),
