@@ -68,7 +68,29 @@ object Bench {
     def js(m: Seq[(String, Double)]) =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},"warm":${js(warm)},"sf":"$sfDir"}""")
+    // Full-precision record (incl. warm pass) goes to a file and an
+    // early stdout line. The FINAL stdout line must stay compact: the
+    // harness keeps only the last ~2000 chars of output, and a JSON
+    // line whose opening brace scrolls past that window is recorded as
+    // unparseable (rounds 1/3/4/5 all lost their bench numbers this
+    // way — only the shorter round-2 line survived).
+    val detail =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},"warm":${js(warm)},"sf":"$sfDir"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      detail.getBytes("UTF-8"))
+    println(detail)
+    def fmt(v: Double) =
+      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    def jsc(m: Seq[(String, Double)]) =
+      m.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    def line(qs: Seq[(String, Double)]) =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jsc(qs)},"sf":"$sfDir"}"""
+    // if even 2-decimal precision overflows the window, keep the
+    // slowest queries (the ones worth grading) and drop the fastest
+    var kept = results
+    while (line(kept).length > 1700 && kept.nonEmpty)
+      kept = kept.filterNot(_ == kept.minBy(_._2))
+    println(line(kept))
     spark.stop()
   }
 }

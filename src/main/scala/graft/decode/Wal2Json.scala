@@ -101,8 +101,15 @@ object Wal2Json {
     * offline repair.
     */
   def partitionValid(parsed: DataFrame): (DataFrame, DataFrame) = {
+    // an unrecognized kind quarantines too: wal2json change records
+    // carry only insert/update/delete (truncate rides the DDL spool),
+    // and [[decodeEvents]] would silently DROP any other value — the
+    // reference fail-fasts on statements it can't generate
+    // (`replayer/connemara_replay.pl:543-544`), so losing the row
+    // quietly is the one behavior both modes must rule out
     val bad = col("p").isNull ||
-      col("p.kind").isNull || col("p.table").isNull || col("p.schema").isNull
+      col("p.kind").isNull || col("p.table").isNull || col("p.schema").isNull ||
+      !col("p.kind").isin("insert", "update", "delete")
     (parsed.filter(!bad), parsed.filter(bad))
   }
 

@@ -254,4 +254,51 @@ class CdcStreamSpec extends SparkSpec {
     assert(state(store) == Seq(
       Row(1L, "Alice", 10.0), Row(2L, "Bob", 20.0), Row(3L, "Carol", 30.0)))
   }
+
+  test("quarantine repair/requeue: fixed records replay, remainder stays") {
+    val (engine0, store, registry, spool, ckpt) = freshEngine()
+    val qdir = Files.createTempDirectory("graft-quar-").toString
+    val engine = new CdcStreamEngine(spark, registry, store,
+      quarantineDir = Some(qdir))
+
+    // one good update, one repairable (misspelled kind), one hopeless
+    spoolBatch(
+      (1L, """{"kind":"update","schema":"public","table":"customer",
+        "columnnames":["c_custkey","c_acctbal"],"columnvalues":[1,11.0],
+        "oldkeys":{"keynames":["c_custkey"],"keyvalues":[1]}}"""),
+      (2L, """{"kind":"upd8","schema":"public","table":"customer",
+        "columnnames":["c_custkey","c_acctbal"],"columnvalues":[2,22.0],
+        "oldkeys":{"keynames":["c_custkey"],"keyvalues":[2]}}"""),
+      (3L, """not json at all"""))
+      .coalesce(1).write.mode("append").parquet(spool)
+    run(engine, spool, ckpt)
+
+    // bad rows preserved, good one applied
+    val quarantined = graft.stream.Quarantine.read(spark, qdir)
+    assert(quarantined.count() == 2)
+    assert(state(store).collect { case Row(1L, _, b) => b } == Seq(11.0))
+    assert(state(store).collect { case Row(2L, _, b) => b } == Seq(20.0))
+
+    // oldest-first horizon: lsn 2 lands at t+2, lsn 3 at t+3 — a 0 s
+    // horizon selects only the oldest failure
+    assert(graft.stream.Quarantine.oldestWindow(quarantined, 0)
+      .select("lsn_start").as[Long].collect().toSeq == Seq(2L))
+
+    // repair the misspelled kind; "not json at all" stays broken
+    val (requeued, stillBad) = graft.stream.Quarantine.requeue(
+      spark, qdir, spool,
+      q => q.withColumn("payload",
+        regexp_replace(col("payload"), "\"upd8\"", "\"update\"")))
+    assert(requeued == 1 && stillBad == 1)
+
+    // next engine run picks up the requeued record from the spool
+    run(engine, spool, ckpt)
+    assert(state(store).collect { case Row(2L, _, b) => b } == Seq(22.0))
+    // quarantine now holds only the hopeless row, and a second requeue
+    // with no fix is a stable no-op
+    assert(graft.stream.Quarantine.read(spark, qdir)
+      .select("lsn_start").as[Long].collect().toSeq == Seq(3L))
+    val (r2, b2) = graft.stream.Quarantine.requeue(spark, qdir, spool, identity)
+    assert(r2 == 0 && b2 == 1)
+  }
 }
