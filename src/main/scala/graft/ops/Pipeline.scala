@@ -113,4 +113,35 @@ object Pipeline {
       .filter(col("pos") <= limit)
       .select(col("pos"), col(strataCol), col(orderCol), col("rn"))
   }
+
+  /** Deterministic epoch shuffle for training export: every epoch
+    * gets a different but reproducible global order, laid out as
+    * `nShards` hash shards with a dense position within each shard.
+    * `shard = md5("epoch<e>:" + id) % nShards`, `pos` = rank of the
+    * hash within the shard — a pure function of (epoch, id), so the
+    * same epoch re-derives the same order on any engine at any
+    * parallelism.
+    *
+    * Scale shape: ONE shuffle keyed by shard + a per-shard sort —
+    * exactly the `repartition(n, shard) + sortWithinPartitions` write
+    * layout a 100 TB epoch export wants; no global single-partition
+    * ordering anywhere (`pos` is per-shard, a reader consumes shards
+    * independently).
+    */
+  def epochShuffle(docs: DataFrame, idCol: String, epoch: Int,
+                   nShards: Int): DataFrame = {
+    require(nShards >= 1, "nShards must be positive")
+    Seq("__eh", "shard", "pos").foreach { c =>
+      require(!docs.columns.contains(c),
+        s"input already has a $c column (reserved name)")
+    }
+    val h = hashHex(
+      concat(lit(s"epoch$epoch:"), col(idCol).cast("string")), 15)
+    val w = Window.partitionBy(col("shard")).orderBy(col("__eh"), col(idCol))
+    docs
+      .withColumn("__eh", h)
+      .withColumn("shard", (col("__eh") % nShards).cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .drop("__eh")
+  }
 }

@@ -101,26 +101,38 @@ object Similarity {
     * keyed by cell — the inverted-file layout that scales: each query
     * touches nProbe/k of the corpus.
     */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame,
-              idCol: String, vecCol: String, k: Int,
-              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    // deterministic "codebook": lowest-id vector of each id%nCells class
-    val centroids = broadcast(
+  /** Deterministic "codebook" for the coarse quantizer: the lowest-id
+    * vector of each id%nCells class — a stand-in for a trained
+    * codebook that the SQL oracle can recompute exactly. Broadcast:
+    * nCells vectors, never a shuffle. */
+  private def deterministicCentroids(corpus: DataFrame, idCol: String,
+                                     vecCol: String, nCells: Int): DataFrame =
+    broadcast(
       corpus.withColumn("cell", pmod(col(idCol), lit(nCells)).cast("int"))
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("cell")).orderBy(col(idCol))))
         .filter(col("rn") === 1)
         .select(col("cell"), col(vecCol).as("centroid")))
 
-    def assign(df: DataFrame, vec: String, n: Int): DataFrame = {
-      // rank cells by cosine to the vector, keep top n
-      val scored = df.crossJoin(centroids)
-        .withColumn("csim", cosine(col(vec), col("centroid")))
-      val w = Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("cell"))
-      scored.withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= n)
-        .drop("centroid", "csim", "crank")
-    }
+  /** Rank cells by cosine to each vector, keep the top n — the
+    * cell-assignment stage shared by [[ivfTopK]] and
+    * [[semanticNearDuplicates]]. */
+  private def assignCells(df: DataFrame, centroids: DataFrame,
+                          idCol: String, vec: String, n: Int): DataFrame = {
+    val scored = df.crossJoin(centroids)
+      .withColumn("csim", cosine(col(vec), col("centroid")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("cell"))
+    scored.withColumn("crank", row_number().over(w))
+      .filter(col("crank") <= n)
+      .drop("centroid", "csim", "crank")
+  }
+
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val centroids = deterministicCentroids(corpus, idCol, vecCol, nCells)
+    def assign(df: DataFrame, vec: String, n: Int): DataFrame =
+      assignCells(df, centroids, idCol, vec, n)
 
     val c = assign(corpus.select(col(idCol), col(vecCol)), vecCol, 1)
       .select(col("cell"), col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
@@ -138,6 +150,33 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
+  /** SemDeDup-style semantic near-dup detection: embeddings are
+    * assigned to their nearest coarse-quantizer cell
+    * ([[deterministicCentroids]] — same codebook as [[ivfTopK]], so
+    * the whole pipeline is SQL-oracle-checkable), then exact cosine
+    * runs only WITHIN each cell and pairs ≥ threshold are reported.
+    *
+    * Scale shape: the all-pairs stage is confined to a cell, and
+    * nCells grows with the corpus (a trained codebook targets a
+    * roughly constant cell population), so per-cell work stays
+    * bounded while the cell join is a keyed equi-join — never
+    * all-pairs on the corpus. This is the semantic sibling of
+    * [[graft.ops.Dedup.minhashNearDuplicates]]'s band/bucket shape.
+    */
+  def semanticNearDuplicates(corpus: DataFrame, idCol: String, vecCol: String,
+                             threshold: Double, nCells: Int = 16): DataFrame = {
+    val centroids = deterministicCentroids(corpus, idCol, vecCol, nCells)
+    val assigned = assignCells(
+      corpus.select(col(idCol), col(vecCol)), centroids, idCol, vecCol, 1)
+    val a = assigned.select(col("cell"), col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = assigned.select(col("cell"), col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("cell"), col("id_a"), col("id_b"), col("cos"))
   }
 
   /** Multi-table sign-LSH ANN: `numTables` independent hash tables of

@@ -28,4 +28,8 @@ object NativeCols {
   /** Codegen word n-gram shingles (see [[WordShinglesExpression]]). */
   def wordShingles(text: Column, n: Int): Column =
     cl(WordShinglesExpression(ex(text), n))
+
+  /** Codegen repetition features (see [[RepetitionStatsExpression]]). */
+  def repetitionStats(text: Column): Column =
+    cl(RepetitionStatsExpression(ex(text)))
 }

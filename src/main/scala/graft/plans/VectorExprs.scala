@@ -121,6 +121,61 @@ object VectorOps {
     }
   }
 
+  /** Per-document repetition stats (the Gopher-style repetition
+    * filters): `top_bigram_frac` = occurrences of the most frequent
+    * word bigram / total bigrams, `dup_trigram_frac` = fraction of
+    * word trigrams that are repeats of an earlier one. One compiled
+    * pass per document — a narrow map with NO shuffle, the shape that
+    * survives 100 TB (the explode+groupBy alternative shuffles ~2× the
+    * corpus just to compute a per-row statistic).
+    *
+    * Tokenization replicates [[wordShingles]] (= the DuckDB oracles'
+    * `string_split_regex(trim(text),'\s+')`). Fields are null when the
+    * document has no bigrams / trigrams, matching the oracle's
+    * missing-group NULLs. Fractions are single IEEE divisions of exact
+    * integer counts — bit-identical cross-engine.
+    */
+  def repetitionStats(s: UTF8String): InternalRow = {
+    val raw = s.toString
+    var b = 0
+    var e = raw.length
+    while (b < e && raw.charAt(b) == ' ') b += 1
+    while (e > b && raw.charAt(e - 1) == ' ') e -= 1
+    val str = raw.substring(b, e)
+    val toks: Array[String] =
+      if (str.isEmpty) Array.empty else wsPattern.split(str, -1)
+    val nb = toks.length - 1
+    val topBigram: Any =
+      if (nb < 1) null
+      else {
+        val counts = new java.util.HashMap[String, Integer](nb * 2)
+        var best = 0
+        var i = 0
+        while (i < nb) {
+          val g = toks(i) + " " + toks(i + 1)
+          val c = counts.merge(g, Integer.valueOf(1),
+            (x: Integer, y: Integer) => Integer.valueOf(x.intValue + y.intValue))
+          if (c.intValue > best) best = c.intValue
+          i += 1
+        }
+        java.lang.Double.valueOf(best.toDouble / nb)
+      }
+    val nt = toks.length - 2
+    val dupTrigram: Any =
+      if (nt < 1) null
+      else {
+        val seen = new java.util.HashSet[String](nt * 2)
+        var i = 0
+        while (i < nt) {
+          seen.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+          i += 1
+        }
+        java.lang.Double.valueOf(1.0 - seen.size.toDouble / nt)
+      }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](topBigram, dupTrigram))
+  }
+
   /** Sign-LSH bucket: bit p of the result = sign of dot(vec, plane_p),
     * plane component j = pmod(xxhash64(p, j), 1e6)/1e6 - 0.5 — the
     * exact hash chain of the column form (`xxhash64(lit(p), j)` =
@@ -239,6 +294,37 @@ final case class CharMaskExpression(child: Expression)
 object CharMaskExpression {
   val info: ExpressionInfo = new ExpressionInfo(
     classOf[CharMaskExpression].getName, "char_mask")
+}
+
+/** `repetition_stats(text)`: codegen per-document repetition features
+  * as struct(top_bigram_frac DOUBLE, dup_trigram_frac DOUBLE). */
+final case class RepetitionStatsExpression(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"repetition_stats requires STRING input, got ${child.dataType.sql}")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("top_bigram_frac", DoubleType, nullable = true),
+    StructField("dup_trigram_frac", DoubleType, nullable = true)))
+
+  override def nullSafeEval(input: Any): Any =
+    VectorOps.repetitionStats(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.VectorOps.repetitionStats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "repetition_stats"
+}
+
+object RepetitionStatsExpression {
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[RepetitionStatsExpression].getName, "repetition_stats")
 }
 
 /** `word_shingles(text, n)`: codegen distinct word n-gram shingles. */

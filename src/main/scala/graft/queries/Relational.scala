@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Relational query surface: the scan / filter / join / aggregate /
@@ -625,6 +626,34 @@ object Relational {
       INTERSECT SELECT DISTINCT s_nationkey FROM supplier)
       ORDER BY nationkey"""))
 
+  /** Analytic-window breadth: lag/lead/ntile/percent_rank per
+    * customer order history — the W2 family beyond running
+    * aggregates. percent_rank is an exact int/int division, ntile an
+    * integer — deterministic cross-engine; lag/lead carry values
+    * unchanged (no float arithmetic). One shuffle on the partition
+    * key; partitions are per-customer, naturally small. */
+  val q28_window_funcs = GraftQuery(
+    "q28_window_funcs",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, dir).filter(col("o_custkey") < 100)
+        .select(col("o_custkey"), col("o_orderkey"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pct_rank"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+        lag(o_totalprice, 1) OVER w AS prev_price,
+        lead(o_totalprice, 1) OVER w AS next_price,
+        CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        percent_rank() OVER w AS pct_rank
+      FROM orders WHERE o_custkey < 100
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      ORDER BY o_custkey, o_orderkey"""))
+
   def all: Seq[GraftQuery] = Seq(
     q1_agg, q2_join_agg, q3_multi_join, q4_topk, q5_distinct,
     q6_anti_join, q7_semi_join, q8_min_window, q9_event_batches,
@@ -632,5 +661,5 @@ object Relational {
     q15_sessions, q16_json, q17_monthly, q18_salted_join,
     q19_bucketed_join, q20_partition_prune, q21_asof_join,
     q22_range_join, q23_rollup, q24_pivot, q25_rolling, q26_cube,
-    q27_intersect)
+    q27_intersect, q28_window_funcs)
 }

@@ -301,16 +301,28 @@ object TrainingData {
   val td_embedding_neardup = GraftQuery(
     "td_embedding_neardup",
     (s, dir) => {
-      Similarity.cosineNearDuplicates(
-        Tables.embeddings(s, dir).filter(col("vec_id") < 150),
-        "vec_id", "embedding", 0.8)
+      // planted exact copies give the threshold something to find:
+      // the fixture's organic pairs top out ~0.51 cosine, so without
+      // planting this query proved only "nothing ≥ 0.8" (a 0-row
+      // match). Copies sit at ≈1.0 — far from the threshold on both
+      // sides, immune to cross-engine float divergence.
+      val e = Tables.embeddings(s, dir).filter(col("vec_id") < 150)
+        .select(col("vec_id"), col("embedding"))
+      val corpus = e.unionByName(
+        e.filter(pmod(col("vec_id"), lit(3)) === 0)
+          .withColumn("vec_id", col("vec_id") + 1000000L))
+      Similarity.cosineNearDuplicates(corpus, "vec_id", "embedding", 0.8)
         .select(col("id_a"), col("id_b"))
         .orderBy(col("id_a"), col("id_b"))
     },
-    Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b
-      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-      WHERE a.vec_id < 150 AND b.vec_id < 150
-        AND list_cosine_similarity(a.embedding, b.embedding) >= 0.8
+    Some("""WITH corpus AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id < 150
+        UNION ALL
+        SELECT vec_id + 1000000, embedding FROM embeddings
+        WHERE vec_id < 150 AND vec_id % 3 = 0)
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.8
       ORDER BY id_a, id_b"""))
 
   /** IVF ANN. The coarse quantizer is deterministic (cell c's centroid
@@ -802,6 +814,114 @@ object TrainingData {
       END AS mean_byte
       FROM documents ORDER BY media_id"""))
 
+  /** Gopher-style repetition filters: most-frequent-bigram mass and
+    * duplicate-trigram fraction per document, with a flag at the
+    * classic thresholds. One native codegen pass per doc
+    * ([[graft.plans.RepetitionStatsExpression]]) — a narrow map with
+    * zero shuffle, vs the oracle's explode+group form. */
+  val td_quality_repetition = GraftQuery(
+    "td_quality_repetition",
+    (s, dir) => {
+      val st = graft.plans.NativeCols.repetitionStats(col("text"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          st.getField("top_bigram_frac").as("top_bigram_frac"),
+          st.getField("dup_trigram_frac").as("dup_trigram_frac"))
+        .withColumn("flagged",
+          col("top_bigram_frac") > 0.2 || col("dup_trigram_frac") > 0.3)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id,
+          CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(trim(text), '\s+') END AS t
+        FROM documents),
+      g AS (
+        SELECT doc_id,
+          list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS bg,
+          list_transform(range(1, len(t) - 1),
+            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS tg
+        FROM toks),
+      bc AS (
+        SELECT doc_id, b, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(bg) AS b FROM g) GROUP BY doc_id, b),
+      tops AS (SELECT doc_id, max(c) AS topc, sum(c) AS nb FROM bc GROUP BY doc_id)
+      SELECT g.doc_id,
+        CAST(tops.topc AS DOUBLE) / tops.nb AS top_bigram_frac,
+        CASE WHEN len(g.tg) = 0 THEN NULL
+             ELSE 1.0 - CAST(len(list_distinct(g.tg)) AS DOUBLE) / len(g.tg)
+        END AS dup_trigram_frac,
+        (CAST(tops.topc AS DOUBLE) / tops.nb > 0.2
+         OR CASE WHEN len(g.tg) = 0 THEN NULL
+              ELSE 1.0 - CAST(len(list_distinct(g.tg)) AS DOUBLE) / len(g.tg)
+            END > 0.3) AS flagged
+      FROM g LEFT JOIN tops ON g.doc_id = tops.doc_id
+      ORDER BY g.doc_id"""))
+
+  /** SemDeDup: semantic near-dup pairs via coarse-quantizer cells +
+    * within-cell exact cosine. The codebook is the same deterministic
+    * one as [[td_ann_ivf]], so the oracle recomputes the WHOLE
+    * pipeline — cell assignment included. `cos` itself is excluded
+    * from the output (float-sum divergence ~1e-7 cross-engine; same
+    * disposition as td_embedding_neardup). */
+  val td_semdedup = GraftQuery(
+    "td_semdedup",
+    (s, dir) => {
+      // plant exact duplicate vectors (cos ≈ 1.0, organic pairs max
+      // ~0.51 in the fixture): every reported pair sits far from the
+      // 0.8 threshold on BOTH sides, so the float-sum divergence
+      // between engines can't flip membership. Planted ids never win
+      // arg_min, so the codebook is unchanged by the planting.
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val corpus = e.unionByName(
+        e.withColumn("vec_id", col("vec_id") + 1000000L))
+      Similarity.semanticNearDuplicates(
+        corpus, "vec_id", "embedding", 0.8, nCells = 16)
+        .select(col("cell"), col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""WITH corpus AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings),
+      cent AS (
+        SELECT CAST(vec_id % 16 AS INTEGER) AS cell,
+               arg_min(embedding, vec_id) AS centroid
+        FROM corpus GROUP BY 1),
+      asg AS (
+        SELECT vec_id, embedding, cell FROM (
+          SELECT e.vec_id, e.embedding, c.cell,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY list_cosine_similarity(e.embedding, c.centroid) DESC,
+                       c.cell) AS rn
+          FROM corpus e CROSS JOIN cent c)
+        WHERE rn = 1)
+      SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b
+      FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.8
+      ORDER BY id_a, id_b"""))
+
+  /** Deterministic epoch shuffle: hash-sharded, per-shard-ordered
+    * training export layout ([[graft.ops.Pipeline.epochShuffle]]). */
+  val td_epoch_shuffle = GraftQuery(
+    "td_epoch_shuffle",
+    (s, dir) => {
+      graft.ops.Pipeline.epochShuffle(
+        Tables.documents(s, dir).select(col("doc_id")),
+        "doc_id", epoch = 7, nShards = 8)
+        .select(col("shard"), col("pos"), col("doc_id"))
+        .orderBy(col("shard"), col("pos"))
+    },
+    Some("""WITH h AS (
+        SELECT doc_id,
+          ('0x'||substr(md5('epoch7:' || CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+            AS hv
+        FROM documents)
+      SELECT CAST(hv % 8 AS INTEGER) AS shard,
+        CAST(row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id)
+          AS INTEGER) AS pos,
+        doc_id
+      FROM h ORDER BY shard, pos"""))
+
   def all: Seq[GraftQuery] = Seq(
     td_text_stats, td_lang_id, td_fingerprint, td_dedup_exact,
     td_char_jaccard, td_cosine_topk, td_minhash_neardup,
@@ -812,5 +932,6 @@ object TrainingData {
     td_sample_hash, td_sample_stratified, td_sample_weighted,
     td_token_quantiles, td_pack_sequences, td_decontam,
     td_token_budget, td_interleave, td_train_split, td_pii_scrub,
-    td_media_meta, td_media_frames, td_media_features)
+    td_media_meta, td_media_frames, td_media_features,
+    td_quality_repetition, td_semdedup, td_epoch_shuffle)
 }

@@ -200,6 +200,23 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("semanticNearDuplicates: planted copy found in its cell, organic pairs spared") {
+    val vecs = (0 until 60).map { i =>
+      val r = new scala.util.Random(i)
+      (i.toLong, Seq.fill(8)((r.nextDouble() - 0.5).toFloat))
+    }.toDF("vec_id", "embedding")
+    // plant exact copies of vectors 5 and 17
+    val corpus = vecs.unionByName(
+      vecs.filter(col("vec_id").isin(5, 17))
+        .withColumn("vec_id", col("vec_id") + 1000L))
+    val pairs = Similarity.semanticNearDuplicates(
+      corpus, "vec_id", "embedding", threshold = 0.999, nCells = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // the planted copies are found (same cell: identical vector ⇒
+    // identical centroid ranking), and nothing else clears 0.999
+    assert(pairs == Set((5L, 1005L), (17L, 1017L)))
+  }
+
   test("multimodal resize: payload tracks target dims, meta updated") {
     val docs = Seq((1L, "0123456789abcdef"), (2L, "xy")).toDF("doc_id", "text")
     val out = Multimodal.resize(

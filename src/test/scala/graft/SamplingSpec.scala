@@ -47,6 +47,27 @@ class SamplingSpec extends SparkSpec {
     assert(row.getAs[Int]("p50") == 50 && row.getAs[Int]("p99") == 99)
   }
 
+  test("epochShuffle: stable per epoch, dense per-shard positions, epochs differ") {
+    import graft.ops.Pipeline
+    val a = Pipeline.epochShuffle(ids, "id", epoch = 3, nShards = 8)
+    val b = Pipeline.epochShuffle(ids.repartition(13, col("grp")), "id",
+      epoch = 3, nShards = 8)
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("shard", "pos", "id").as[(Int, Int, Long)].collect().sorted.toSeq
+    // same epoch → same layout regardless of input partitioning
+    assert(key(a) == key(b))
+    // shards cover [0, 8) and positions are dense 1..count per shard
+    val perShard = key(a).groupBy(_._1)
+    assert(perShard.keySet.subsetOf((0 until 8).toSet) && perShard.nonEmpty)
+    perShard.foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted == (1 to rows.size).toList)
+    }
+    assert(perShard.values.map(_.size).sum == 2000)
+    // a different epoch reorders (pure-function-of-epoch, not of run)
+    val c = Pipeline.epochShuffle(ids, "id", epoch = 4, nShards = 8)
+    assert(key(a) != key(c))
+  }
+
   test("saltedJoin: identical result to the plain join, incl. dup keys") {
     val big = Seq((1, "x"), (1, "y"), (2, "z"), (3, "w")).toDF("k", "v")
     val small = Seq((1, "A"), (1, "B"), (2, "C")).toDF("k", "d")

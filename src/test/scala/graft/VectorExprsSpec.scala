@@ -114,6 +114,46 @@ class VectorExprsSpec extends SparkSpec {
     }
   }
 
+  test("repetition_stats ≡ explode+groupBy reference, incl degenerates") {
+    import spark.implicits._
+    val texts = Seq(
+      "", "   ", "one", "a b", "a b c",
+      "x y x y x y x y",                    // heavy bigram repetition
+      "a b c d e f g",                      // all distinct
+      "  padded   with   spaces  ",
+      "a b c\n", "\ta b a b",               // boundary whitespace quirks
+      (0 until 200).map(i => s"w${i % 7}").mkString(" "))
+    // reference: same tokenization (SQL trim = spaces only, split
+    // keeps boundary empties), counts computed in plain Scala
+    def ref(t: String): (Option[Double], Option[Double]) = {
+      val str = t.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+      val toks = if (str.isEmpty) Array.empty[String]
+        else java.util.regex.Pattern.compile("\\s+").split(str, -1)
+      val bgs = toks.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      val tgs = toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSeq
+      (if (bgs.isEmpty) None
+       else Some(bgs.groupBy(identity).values.map(_.size).max.toDouble / bgs.size),
+       if (tgs.isEmpty) None
+       else Some(1.0 - tgs.distinct.size.toDouble / tgs.size))
+    }
+    val st = graft.plans.NativeCols.repetitionStats(col("t"))
+    val got = texts.toDF("t")
+      .select(col("t"),
+        st.getField("top_bigram_frac").as("bf"),
+        st.getField("dup_trigram_frac").as("tf"))
+      .collect()
+    got.foreach { r =>
+      val (eb, et) = ref(r.getString(0))
+      val gb = if (r.isNullAt(1)) None else Some(r.getDouble(1))
+      val gt = if (r.isNullAt(2)) None else Some(r.getDouble(2))
+      assert(gb == eb && gt == et, s"text=${r.getString(0)}")
+    }
+    // sanity: repetition actually detected where planted
+    val heavy = got.find(_.getString(0) == "x y x y x y x y").get
+    assert(heavy.getDouble(1) == 4.0 / 7.0) // "x y" 4 of 7 bigrams
+    assert(heavy.getDouble(2) > 0.5)        // trigrams mostly repeats
+  }
+
   test("native expressions survive whole-stage codegen in a real plan") {
     import spark.implicits._
     // force the codegen path (not interpreted fallback eval) by going
