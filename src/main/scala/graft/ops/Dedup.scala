@@ -231,6 +231,31 @@ object Dedup {
     labels
   }
 
+  /** End-to-end near-duplicate removal: LSH candidate pairs →
+    * connected components over the verified-pair graph → keep only
+    * the lowest-id member of each duplicate cluster. Returns the
+    * surviving rows of `docs` with all columns intact.
+    *
+    * Scale shape: the pair graph is tiny relative to the corpus
+    * (edges exist only between near-duplicates), so the component
+    * step runs on edges ≪ corpus; the final step is one left-anti
+    * join of the corpus against the (small) removed-id set — which
+    * broadcasts. The corpus itself is touched by exactly one narrow
+    * pass (shingle/signature) plus that anti join.
+    */
+  def dedupCorpus(docs: DataFrame, idCol: String, textCol: String,
+                  numHashes: Int = 32, bands: Int = 16,
+                  threshold: Double = 0.8): DataFrame = {
+    val pairs =
+      minhashNearDuplicates(docs, idCol, textCol, numHashes, bands, threshold)
+    // comp = min id reachable from each node (incl. itself): every
+    // non-minimum member of a cluster is removed, the minimum survives
+    val removed = connectedComponents(pairs)
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as(idCol))
+    docs.join(broadcast(removed), Seq(idCol), "left_anti")
+  }
+
   /** Chunk-level dedup (the paragraph/line dedup of training
     * pipelines, applied to fixed token windows since the fixture has
     * no newlines): explode each doc into `chunkTokens`-sized chunks,

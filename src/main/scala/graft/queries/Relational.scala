@@ -654,6 +654,72 @@ object Relational {
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       ORDER BY o_custkey, o_orderkey"""))
 
+  /** Correlated-subquery surface, run through `spark.sql` so Catalyst's
+    * subquery decorrelation does the planning: EXISTS and NOT EXISTS
+    * (rewritten to semi/anti joins) plus a correlated scalar COUNT
+    * (rewritten to an aggregate + left outer join — note the
+    * classic COUNT bug guard: a customer with no urgent orders must
+    * read 0, not NULL). The same SQL text is the oracle. */
+  val q29_exists = GraftQuery(
+    "q29_exists",
+    (s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("graft_customer")
+      Tables.orders(s, dir).createOrReplaceTempView("graft_orders")
+      s.sql("""
+        SELECT c.c_custkey, c.c_name,
+          (SELECT COUNT(*) FROM graft_orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderpriority = '1-URGENT') AS n_urgent
+        FROM graft_customer c
+        WHERE EXISTS (SELECT 1 FROM graft_orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority = '1-URGENT')
+          AND NOT EXISTS (SELECT 1 FROM graft_orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderstatus = 'F')
+        ORDER BY c_custkey""")
+    },
+    Some("""SELECT c.c_custkey, c.c_name,
+        (SELECT COUNT(*) FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderpriority = '1-URGENT') AS n_urgent
+      FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT')
+        AND NOT EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderstatus = 'F')
+      ORDER BY c_custkey"""))
+
+  /** GROUPING SETS with per-column GROUPING() markers — the general
+    * form next to q23 ROLLUP / q26 CUBE. Decimal-cast sum keeps the
+    * aggregate exact cross-engine (q26's disposition). */
+  val q30_grouping_sets = GraftQuery(
+    "q30_grouping_sets",
+    (s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("graft_lineitem")
+      s.sql("""
+        SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+               COALESCE(l_linestatus, 'ALL') AS ls,
+               CAST(grouping(l_returnflag) AS INT) AS g_rf,
+               CAST(grouping(l_linestatus) AS INT) AS g_ls,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        FROM graft_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        ORDER BY rf, ls""")
+    },
+    Some("""SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+             COALESCE(l_linestatus, 'ALL') AS ls,
+             CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+             CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+             COUNT(*) AS n_rows,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      ORDER BY rf, ls"""))
+
   def all: Seq[GraftQuery] = Seq(
     q1_agg, q2_join_agg, q3_multi_join, q4_topk, q5_distinct,
     q6_anti_join, q7_semi_join, q8_min_window, q9_event_batches,
@@ -661,5 +727,5 @@ object Relational {
     q15_sessions, q16_json, q17_monthly, q18_salted_join,
     q19_bucketed_join, q20_partition_prune, q21_asof_join,
     q22_range_join, q23_rollup, q24_pivot, q25_rolling, q26_cube,
-    q27_intersect, q28_window_funcs)
+    q27_intersect, q28_window_funcs, q29_exists, q30_grouping_sets)
 }

@@ -249,6 +249,60 @@ object TrainingData {
       SELECT u AS doc_id, MIN(v) AS component
       FROM reach GROUP BY u ORDER BY doc_id"""))
 
+  /** End-to-end dedup ([[graft.ops.Dedup.dedupCorpus]]): the full
+    * remove-near-duplicates pipeline over the same planted corpus as
+    * [[td_dedup_components]] — LSH pairs → components → keep the
+    * lowest-id member per cluster → surviving corpus. The oracle
+    * recomputes the pipeline with brute-force Jaccard + a recursive
+    * reachability CTE and anti-joins the removed set. */
+  val td_dedup_survivors = GraftQuery(
+    "td_dedup_survivors",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).filter(col("doc_id") < 150)
+      val corpus = d.unionByName(
+        d.filter(pmod(col("doc_id"), lit(5)) === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L)
+          .withColumn("text", concat(col("text"), lit(" xtra wrds"))))
+      Dedup.dedupCorpus(corpus, "doc_id", "text",
+        numHashes = 32, bands = 16, threshold = 0.8)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH RECURSIVE base AS (
+        SELECT doc_id, text, source FROM documents WHERE doc_id < 150),
+      corpus AS (
+        SELECT doc_id, text, source FROM base
+        UNION ALL
+        SELECT doc_id + 1000000, text || ' xtra wrds', source
+        FROM base WHERE doc_id % 5 = 0),
+      tok AS (
+        SELECT doc_id, string_split_regex(trim(text),'\s+') AS t FROM corpus),
+      sh AS (
+        SELECT doc_id,
+          CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+               ELSE list_distinct(list_transform(range(1, len(t)-1),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS s
+        FROM tok),
+      pairs AS (
+        SELECT id_a, id_b FROM (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)
+              / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        WHERE jaccard >= 0.8),
+      edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+      reach AS (
+        SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges) t
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      removed AS (
+        SELECT u AS doc_id FROM reach GROUP BY u HAVING u > MIN(v))
+      SELECT c.doc_id, c.source FROM corpus c
+      WHERE c.doc_id NOT IN (SELECT doc_id FROM removed)
+      ORDER BY c.doc_id"""))
+
   /** SimHash per doc (xxhash64 bits: fast path, hash-defined —
     * rows-only check; [[td_simhash_md5]] is the oracled variant). */
   val td_simhash = GraftQuery(
@@ -926,7 +980,7 @@ object TrainingData {
     td_text_stats, td_lang_id, td_fingerprint, td_dedup_exact,
     td_char_jaccard, td_cosine_topk, td_minhash_neardup,
     td_ngram_jaccard, td_tfidf,
-    td_dedup_components, td_simhash,
+    td_dedup_components, td_dedup_survivors, td_simhash,
     td_simhash_md5, td_ann_lsh, td_embedding_neardup, td_ann_ivf,
     td_rare_words, td_chunk_dedup,
     td_sample_hash, td_sample_stratified, td_sample_weighted,

@@ -142,6 +142,20 @@ class OpsSpec extends SparkSpec {
     assert(r == Seq((1L, 2L, 1.0)))
   }
 
+  test("dedupCorpus keeps one representative per cluster, all columns intact") {
+    val docs = Seq(
+      (10L, "w1 w2 w3 w4 w5 w6 w7 w8", "s0"), // cluster {10, 11, 12}
+      (11L, "w1 w2 w3 w4 w5 w6 w7 w8", "s1"),
+      (12L, "w1 w2 w3 w4 w5 w6 w7 w8", "s0"),
+      (20L, "z1 z2 z3 z4 z5 z6 z7 z8", "s1"), // cluster {20, 21}
+      (21L, "z1 z2 z3 z4 z5 z6 z7 z8", "s0"),
+      (30L, "u1 u2 u3 u4 u5 u6 u7 u8", "s1")) // singleton
+      .toDF("doc_id", "text", "source")
+    val r = Dedup.dedupCorpus(docs, "doc_id", "text")
+      .select("doc_id", "source").as[(Long, String)].collect().toSeq.sorted
+    assert(r == Seq((10L, "s0"), (20L, "s1"), (30L, "s1")))
+  }
+
   test("cosine: orthogonal → 0, identical → 1, zero-norm → null (no ANSI abort)") {
     val df = Seq(
       (Seq(1f, 0f), Seq(0f, 1f)),
