@@ -720,6 +720,32 @@ object Relational {
       GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
       ORDER BY rf, ls"""))
 
+  /** Correlated LATERAL derived table with a per-row ORDER BY/LIMIT —
+    * top-2 orders per customer. Catalyst plans the correlated limit
+    * as a ranked window over the join (the J5 lateral family on
+    * business data, beyond posexplode ordinality). */
+  val q31_lateral = GraftQuery(
+    "q31_lateral",
+    (s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("graft_customer")
+      Tables.orders(s, dir).createOrReplaceTempView("graft_orders")
+      s.sql("""
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM graft_customer c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM graft_orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        WHERE c.c_custkey < 100
+        ORDER BY c_custkey, o_totalprice DESC, o_orderkey""")
+    },
+    Some("""SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      FROM customer c, LATERAL (
+        SELECT o_orderkey, o_totalprice FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      WHERE c.c_custkey < 100
+      ORDER BY c_custkey, o_totalprice DESC, o_orderkey"""))
+
   def all: Seq[GraftQuery] = Seq(
     q1_agg, q2_join_agg, q3_multi_join, q4_topk, q5_distinct,
     q6_anti_join, q7_semi_join, q8_min_window, q9_event_batches,
@@ -727,5 +753,6 @@ object Relational {
     q15_sessions, q16_json, q17_monthly, q18_salted_join,
     q19_bucketed_join, q20_partition_prune, q21_asof_join,
     q22_range_join, q23_rollup, q24_pivot, q25_rolling, q26_cube,
-    q27_intersect, q28_window_funcs, q29_exists, q30_grouping_sets)
+    q27_intersect, q28_window_funcs, q29_exists, q30_grouping_sets,
+    q31_lateral)
 }

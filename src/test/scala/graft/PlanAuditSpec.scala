@@ -97,4 +97,39 @@ class PlanAuditSpec extends SparkSpec {
       assert(equiJoins.nonEmpty, s"no hash/merge equi-join found:\n$plan")
     }
   }
+
+  test("q29: correlated subqueries decorrelate to hash joins, no per-row subquery") {
+    audited(Relational.q29_exists.fn(spark, dir)) { df =>
+      val plan = df.queryExecution.executedPlan
+      assert(plan.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      }.isEmpty, s"decorrelation regressed to a nested loop:\n$plan")
+      val joins = plan.collect {
+        case j: BroadcastHashJoinExec => j.joinType.toString
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j.joinType.toString
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j.joinType.toString
+      }
+      assert(joins.exists(_.contains("LeftSemi")) && joins.exists(_.contains("LeftAnti")),
+        s"EXISTS/NOT EXISTS did not become semi/anti joins: $joins\n$plan")
+    }
+  }
+
+  test("q31: lateral ORDER BY/LIMIT plans as a group-limit, partial before the exchange") {
+    audited(Relational.q31_lateral.fn(spark, dir)) { df =>
+      val plan = df.queryExecution.executedPlan
+      val groupLimits = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w.mode
+      }
+      // Partial = map-side top-k before the shuffle, Final after — both
+      // must be present for the per-key limit to scale
+      assert(groupLimits.map(_.toString).contains("Partial") &&
+        groupLimits.map(_.toString).contains("Final"),
+        s"lateral limit not planned as partial+final group-limit: $groupLimits\n$plan")
+      assert(plan.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      }.isEmpty, s"lateral regressed to a nested loop:\n$plan")
+    }
+  }
 }
