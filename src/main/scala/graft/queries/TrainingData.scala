@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{GraftQuery, Tables}
-import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Profiling, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -302,6 +302,29 @@ object TrainingData {
       SELECT c.doc_id, c.source FROM corpus c
       WHERE c.doc_id NOT IN (SELECT doc_id FROM removed)
       ORDER BY c.doc_id"""))
+
+  /** One-pass per-column data profile ([[graft.ops.Profiling]]):
+    * null/distinct/min/max per column in a single scan — the ingest
+    * health check. The approx (HLL++) variant is spec-checked against
+    * this exact one (OpsSpec). */
+  val td_profile = GraftQuery(
+    "td_profile",
+    (s, dir) => {
+      Profiling.profile(Tables.documents(s, dir),
+        Seq("lang", "source", "n_chars"))
+        .orderBy(col("col_name"))
+    },
+    Some("""SELECT 'lang' AS col_name, COUNT(*) - COUNT(lang) AS n_nulls,
+        COUNT(DISTINCT lang) AS n_distinct,
+        CAST(MIN(lang) AS VARCHAR) AS min_val,
+        CAST(MAX(lang) AS VARCHAR) AS max_val FROM documents
+      UNION ALL
+      SELECT 'source', COUNT(*) - COUNT(source), COUNT(DISTINCT source),
+        CAST(MIN(source) AS VARCHAR), CAST(MAX(source) AS VARCHAR) FROM documents
+      UNION ALL
+      SELECT 'n_chars', COUNT(*) - COUNT(n_chars), COUNT(DISTINCT n_chars),
+        CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR) FROM documents
+      ORDER BY col_name"""))
 
   /** SimHash per doc (xxhash64 bits: fast path, hash-defined —
     * rows-only check; [[td_simhash_md5]] is the oracled variant). */
@@ -987,5 +1010,5 @@ object TrainingData {
     td_token_quantiles, td_pack_sequences, td_decontam,
     td_token_budget, td_interleave, td_train_split, td_pii_scrub,
     td_media_meta, td_media_frames, td_media_features,
-    td_quality_repetition, td_semdedup, td_epoch_shuffle)
+    td_quality_repetition, td_semdedup, td_epoch_shuffle, td_profile)
 }

@@ -1,0 +1,67 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.stream.DocIngest
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+class DocIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  case class Doc(doc_id: Long, ts: Timestamp, text: String)
+
+  private val base = 1699999980000L
+  private def ts(sec: Long) = new Timestamp(base + sec * 1000)
+
+  test("streaming ingest: quality floor + content dedup + windowed throughput") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    val cleaned = DocIngest.clean(mem.toDF(), "ts", "text")
+    val q = DocIngest.throughput(cleaned, "ts")
+      .writeStream.format("memory").queryName("ingest")
+      .outputMode(OutputMode.Append()).start()
+
+    mem.addData(
+      Doc(1, ts(0), "alpha beta gamma delta"),   // admitted, 4 tokens
+      Doc(2, ts(5), "too short"),                // dropped: 2 < 3 tokens
+      Doc(3, ts(10), "alpha beta gamma delta"),  // dropped: duplicate of 1
+      Doc(4, ts(40), "epsilon zeta eta"))        // admitted in next window
+    q.processAllAvailable()
+    // push the watermark past both windows so they close and emit
+    mem.addData(Doc(99, ts(1000), "filler doc three tokens"))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("ingest")
+      .select(col("window_start").cast("long") - base / 1000,
+        col("n_docs"), col("n_tokens"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(rows.contains((0L, 1L, 4L)),
+      s"first window should hold only doc 1 (dup + low-quality dropped): $rows")
+    assert(rows.contains((30L, 1L, 3L)), s"second window should hold doc 4: $rows")
+  }
+
+  test("streaming ingest: duplicate content beyond the watermark is re-admitted") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    val q = DocIngest.clean(mem.toDF(), "ts", "text", watermark = "10 seconds")
+      .writeStream.format("memory").queryName("ingest2")
+      .outputMode(OutputMode.Append()).start()
+
+    mem.addData(Doc(1, ts(0), "alpha beta gamma delta"))
+    q.processAllAvailable()
+    // advance the watermark well past ts(0) + 10 s, evicting doc 1's state
+    mem.addData(Doc(2, ts(120), "unrelated filler document text"))
+    q.processAllAvailable()
+    // same content again: state was evicted, so it is admitted anew
+    mem.addData(Doc(3, ts(125), "alpha beta gamma delta"))
+    q.processAllAvailable()
+    q.stop()
+
+    val ids = spark.table("ingest2").select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 2L, 3L),
+      s"doc 3 should be re-admitted after state eviction: $ids")
+  }
+}

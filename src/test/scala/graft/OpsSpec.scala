@@ -142,6 +142,22 @@ class OpsSpec extends SparkSpec {
     assert(r == Seq((1L, 2L, 1.0)))
   }
 
+  test("profileApprox tracks the exact profile; nulls/min/max identical") {
+    val df = spark.range(5000).toDF("id")
+      .withColumn("v", when(pmod(col("id"), lit(10)) === 0, lit(null))
+        .otherwise(concat(lit("k"), pmod(col("id"), lit(997)))))
+    val exact = graft.ops.Profiling.profile(df, Seq("v"))
+      .collect()(0)
+    val approx = graft.ops.Profiling.profileApprox(df, Seq("v"))
+      .collect()(0)
+    assert(exact.getLong(1) == 500 && approx.getLong(1) == 500) // n_nulls
+    assert(exact.getLong(2) == 997)
+    val err = math.abs(approx.getLong(2) - 997).toDouble / 997
+    assert(err < 0.05, s"approx distinct off by $err")
+    assert(exact.getString(3) == approx.getString(3)) // min
+    assert(exact.getString(4) == approx.getString(4)) // max
+  }
+
   test("dedupCorpus keeps one representative per cluster, all columns intact") {
     val docs = Seq(
       (10L, "w1 w2 w3 w4 w5 w6 w7 w8", "s0"), // cluster {10, 11, 12}
