@@ -256,6 +256,35 @@ object Dedup {
     docs.join(broadcast(removed), Seq(idCol), "left_anti")
   }
 
+  /** [[dedupCorpus]] with quality-aware canonical selection: within
+    * each near-duplicate cluster, keep the member with the HIGHEST
+    * `scoreCol` (ties break on lowest id) instead of the lowest id —
+    * what a production pipeline does when duplicates differ in
+    * quality (e.g. one copy is truncated).
+    *
+    * Same scale shape as [[dedupCorpus]]: components run on the tiny
+    * pair graph; scores are looked up for cluster MEMBERS only (a
+    * broadcast semi-join against the corpus), and the final anti
+    * join broadcasts the removed-id set.
+    */
+  def dedupCorpusBy(docs: DataFrame, idCol: String, textCol: String,
+                    scoreCol: String, numHashes: Int = 32,
+                    bands: Int = 16, threshold: Double = 0.8): DataFrame = {
+    val pairs =
+      minhashNearDuplicates(docs, idCol, textCol, numHashes, bands, threshold)
+    val members = connectedComponents(pairs) // (id, comp) — members only
+    val scored = docs.select(col(idCol).as("id"), col(scoreCol).as("__score"))
+      .join(broadcast(members), Seq("id"))
+    // winner per cluster: max score, then min id — deterministic
+    val w = Window.partitionBy(col("comp"))
+      .orderBy(col("__score").desc, col("id"))
+    val removed = scored
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") > 1)
+      .select(col("id").as(idCol))
+    docs.join(broadcast(removed), Seq(idCol), "left_anti")
+  }
+
   /** Chunk-level dedup (the paragraph/line dedup of training
     * pipelines, applied to fixed token windows since the fixture has
     * no newlines): explode each doc into `chunkTokens`-sized chunks,

@@ -78,6 +78,16 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(trim(text), "\\s+", " ")))
 
+  /** Canonical text for punctuation/case-insensitive exact dedup:
+    * lowercase, non-alphanumerics → space, whitespace runs collapsed,
+    * trimmed. A narrow codegen'd map (regex stays in the
+    * RE2-compatible subset so any engine computes the same bytes);
+    * `md5(canonicalize(..))` is the dedup key that catches "same doc,
+    * different punctuation" — the miss class of [[fingerprint]]. */
+  def canonicalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
   /** PII redaction: apply (regex → replacement-token) rules left to
     * right. A narrow codegen'd map over the corpus — the shape that
     * matters when scrubbing 100 TB is a single pass. Patterns must

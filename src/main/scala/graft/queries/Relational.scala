@@ -746,6 +746,32 @@ object Relational {
       WHERE c.c_custkey < 100
       ORDER BY c_custkey, o_totalprice DESC, o_orderkey"""))
 
+  /** Exact quartiles per group (`percentile` ≡ DuckDB
+    * `quantile_cont`). Deterministic cross-engine because every
+    * interpolation input is exact: p ∈ {.25, .5, .75} are dyadic
+    * rationals, ranks (n−1)·p and the integer-valued gaps multiply
+    * exactly in doubles. Exact percentile sorts per group — at full
+    * scale use approx_percentile (t-digest) instead; this is the
+    * correctness anchor for it. */
+  val q32_percentiles = GraftQuery(
+    "q32_percentiles",
+    (s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_quantity, 0.25)").as("q25"),
+          expr("percentile(l_quantity, 0.5)").as("median"),
+          expr("percentile(l_quantity, 0.75)").as("q75"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag,
+        quantile_cont(l_quantity, 0.25) AS q25,
+        quantile_cont(l_quantity, 0.5) AS median,
+        quantile_cont(l_quantity, 0.75) AS q75,
+        COUNT(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   def all: Seq[GraftQuery] = Seq(
     q1_agg, q2_join_agg, q3_multi_join, q4_topk, q5_distinct,
     q6_anti_join, q7_semi_join, q8_min_window, q9_event_batches,
@@ -754,5 +780,5 @@ object Relational {
     q19_bucketed_join, q20_partition_prune, q21_asof_join,
     q22_range_join, q23_rollup, q24_pivot, q25_rolling, q26_cube,
     q27_intersect, q28_window_funcs, q29_exists, q30_grouping_sets,
-    q31_lateral)
+    q31_lateral, q32_percentiles)
 }

@@ -326,6 +326,102 @@ object TrainingData {
         CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR) FROM documents
       ORDER BY col_name"""))
 
+  /** Quality-aware dedup ([[graft.ops.Dedup.dedupCorpusBy]]): same
+    * planted corpus as [[td_dedup_survivors]], but the cluster
+    * winner is the LONGEST member (score = text length), so the
+    * planted "+ xtra wrds" copies beat their originals — the output
+    * provably differs from lowest-id selection. */
+  val td_dedup_best = GraftQuery(
+    "td_dedup_best",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).filter(col("doc_id") < 150)
+      val corpus = d.unionByName(
+        d.filter(pmod(col("doc_id"), lit(5)) === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L)
+          .withColumn("text", concat(col("text"), lit(" xtra wrds"))))
+        .withColumn("score", length(col("text")))
+      Dedup.dedupCorpusBy(corpus, "doc_id", "text", "score",
+        numHashes = 32, bands = 16, threshold = 0.8)
+        .select(col("doc_id"), col("score"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH RECURSIVE base AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 150),
+      corpus AS (
+        SELECT doc_id, text FROM base
+        UNION ALL
+        SELECT doc_id + 1000000, text || ' xtra wrds' FROM base WHERE doc_id % 5 = 0),
+      tok AS (
+        SELECT doc_id, string_split_regex(trim(text),'\s+') AS t FROM corpus),
+      sh AS (
+        SELECT doc_id,
+          CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+               ELSE list_distinct(list_transform(range(1, len(t)-1),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS s
+        FROM tok),
+      pairs AS (
+        SELECT id_a, id_b FROM (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)
+              / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        WHERE jaccard >= 0.8),
+      edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+      reach AS (
+        SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges) t
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      comp AS (SELECT u AS doc_id, MIN(v) AS comp FROM reach GROUP BY u),
+      scored AS (
+        SELECT c.doc_id, comp.comp, length(c.text) AS score
+        FROM corpus c JOIN comp ON c.doc_id = comp.doc_id),
+      removed AS (
+        SELECT doc_id FROM (
+          SELECT doc_id, row_number() OVER (
+            PARTITION BY comp ORDER BY score DESC, doc_id) AS rk
+          FROM scored) WHERE rk > 1)
+      SELECT c.doc_id, CAST(length(c.text) AS INTEGER) AS score FROM corpus c
+      WHERE c.doc_id NOT IN (SELECT doc_id FROM removed)
+      ORDER BY c.doc_id"""))
+
+  /** Canonicalized exact dedup ([[graft.ops.TextAnalysis.canonicalize]]):
+    * planted case/punctuation variants collapse onto their originals
+    * while plain [[td_dedup_exact]]-style byte-identity would keep
+    * them apart. English docs only so case-folding is pure ASCII on
+    * both engines. */
+  val td_dedup_canonical = GraftQuery(
+    "td_dedup_canonical",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+        .filter(col("lang") === "en" && col("doc_id") < 200)
+        .select(col("doc_id"), col("text"))
+      val corpus = d.unionByName(
+        d.filter(pmod(col("doc_id"), lit(4)) === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L)
+          .withColumn("text", concat(upper(col("text")), lit("!!"))))
+      corpus
+        .withColumn("ck", md5(TextAnalysis.canonicalize(col("text"))))
+        .groupBy(col("ck"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+        .select(col("doc_id"), col("n_copies"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH base AS (
+        SELECT doc_id, text FROM documents WHERE lang = 'en' AND doc_id < 200),
+      corpus AS (
+        SELECT doc_id, text FROM base
+        UNION ALL
+        SELECT doc_id + 1000000, upper(text) || '!!' FROM base WHERE doc_id % 4 = 0),
+      keyed AS (
+        SELECT doc_id, md5(trim(regexp_replace(
+          regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+          '\s+', ' ', 'g'))) AS ck
+        FROM corpus)
+      SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+      FROM keyed GROUP BY ck ORDER BY doc_id"""))
+
   /** SimHash per doc (xxhash64 bits: fast path, hash-defined —
     * rows-only check; [[td_simhash_md5]] is the oracled variant). */
   val td_simhash = GraftQuery(
@@ -1003,7 +1099,8 @@ object TrainingData {
     td_text_stats, td_lang_id, td_fingerprint, td_dedup_exact,
     td_char_jaccard, td_cosine_topk, td_minhash_neardup,
     td_ngram_jaccard, td_tfidf,
-    td_dedup_components, td_dedup_survivors, td_simhash,
+    td_dedup_components, td_dedup_survivors, td_dedup_best,
+    td_dedup_canonical, td_simhash,
     td_simhash_md5, td_ann_lsh, td_embedding_neardup, td_ann_ivf,
     td_rare_words, td_chunk_dedup,
     td_sample_hash, td_sample_stratified, td_sample_weighted,

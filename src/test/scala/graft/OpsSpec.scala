@@ -172,6 +172,18 @@ class OpsSpec extends SparkSpec {
     assert(r == Seq((10L, "s0"), (20L, "s1"), (30L, "s1")))
   }
 
+  test("dedupCorpusBy keeps the highest-scoring member, ties break on id") {
+    val docs = Seq(
+      (10L, "w1 w2 w3 w4 w5 w6 w7 w8", 5),  // cluster {10, 11, 12}
+      (11L, "w1 w2 w3 w4 w5 w6 w7 w8", 9),  //   ← winner (best score)
+      (12L, "w1 w2 w3 w4 w5 w6 w7 w8", 9),  //   loses tie on id
+      (30L, "u1 u2 u3 u4 u5 u6 u7 u8", 1))  // singleton survives
+      .toDF("doc_id", "text", "score")
+    val r = Dedup.dedupCorpusBy(docs, "doc_id", "text", "score")
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(r == Seq(11L, 30L))
+  }
+
   test("cosine: orthogonal → 0, identical → 1, zero-norm → null (no ANSI abort)") {
     val df = Seq(
       (Seq(1f, 0f), Seq(0f, 1f)),
