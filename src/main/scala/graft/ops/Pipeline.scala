@@ -144,4 +144,22 @@ object Pipeline {
       .withColumn("pos", row_number().over(w))
       .drop("__eh")
   }
+
+  /** Materialize an [[epochShuffle]]d epoch as a sharded training
+    * export: `outDir/shard=K/` holds shard K's rows in epoch order,
+    * in exactly ONE file, so a data loader streams shards
+    * independently with no further sorting.
+    *
+    * Scale shape: one shuffle (repartition by shard) + an in-partition
+    * sort fused into the write — the same plan at any corpus size; no
+    * global sort, no driver materialization. One file per shard is
+    * the loader-friendly layout; pick nShards so shard files land at
+    * a sane size (e.g. 100 TB / 1 GiB → ~100k shards).
+    */
+  def writeEpochShards(docs: DataFrame, idCol: String, epoch: Int,
+                       nShards: Int, outDir: String): Unit =
+    epochShuffle(docs, idCol, epoch, nShards)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.partitionBy("shard").mode("overwrite").parquet(outDir)
 }

@@ -68,6 +68,26 @@ class SamplingSpec extends SparkSpec {
     assert(key(a) != key(c))
   }
 
+  test("writeEpochShards: one file per shard, epoch order preserved on re-read") {
+    import graft.ops.Pipeline
+    val out = java.nio.file.Files.createTempDirectory("shards").toString
+    Pipeline.writeEpochShards(ids, "id", epoch = 3, nShards = 4, out)
+    // exactly one data file in every shard dir — the loader contract
+    val shardDirs = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("shard=")).sortBy(_.getName)
+    assert(shardDirs.nonEmpty)
+    shardDirs.foreach { d =>
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"${d.getName}: ${files.length} files")
+    }
+    // re-read ≡ the epochShuffle layout it materializes
+    val reread = spark.read.parquet(out)
+      .select("shard", "pos", "id").as[(Int, Int, Long)].collect().sorted.toSeq
+    val direct = Pipeline.epochShuffle(ids, "id", epoch = 3, nShards = 4)
+      .select("shard", "pos", "id").as[(Int, Int, Long)].collect().sorted.toSeq
+    assert(reread == direct)
+  }
+
   test("saltedJoin: identical result to the plain join, incl. dup keys") {
     val big = Seq((1, "x"), (1, "y"), (2, "z"), (3, "w")).toDF("k", "v")
     val small = Seq((1, "A"), (1, "B"), (2, "C")).toDF("k", "d")
