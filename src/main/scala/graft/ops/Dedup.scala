@@ -59,32 +59,28 @@ object Dedup {
     *
     * @return (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold
     */
-  def minhashNearDuplicates(
-      docs: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.8,
-      shingleN: Int = 3): DataFrame = {
+  /** Banding stage shared by the batch and incremental LSH paths:
+    * (id, shingle-set, band, bucket) with one row per (doc, band). */
+  private def bandedSignatures(docs: DataFrame, idCol: String,
+      textCol: String, numHashes: Int, bands: Int,
+      shingleN: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-
-    val withSig = docs
+    docs
       .select(col(idCol).as("id"), col(textCol).as("text"))
       .withColumn("sh", shingles(col("text"), shingleN))
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .select(col("id"), col("sh"),
+        posexplode(transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)))))
+          .as(Seq("band", "bucket")))
+  }
 
-    val banded = withSig.select(
-      col("id"), col("sh"),
-      posexplode(transform(
-        sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)))))
-        .as(Seq("band", "bucket")))
-
-    val a = banded.select(col("band"), col("bucket"),
-      col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("bucket"),
-      col("id").as("id_b"), col("sh").as("sh_b"))
-
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
+  /** Exact-Jaccard verification of candidate pairs carrying both
+    * shingle sets; emits (id_a, id_b, jaccard ≥ threshold). */
+  private def verifyPairs(cand: DataFrame, threshold: Double): DataFrame =
+    cand
       .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
       .distinct()
       .withColumn("jaccard",
@@ -92,6 +88,70 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+
+  def minhashNearDuplicates(
+      docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.8,
+      shingleN: Int = 3): DataFrame = {
+    val banded =
+      bandedSignatures(docs, idCol, textCol, numHashes, bands, shingleN)
+    val a = banded.select(col("band"), col("bucket"),
+      col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("bucket"),
+      col("id").as("id_b"), col("sh").as("sh_b"))
+    verifyPairs(
+      a.join(b, Seq("band", "bucket")).filter(col("id_a") < col("id_b")),
+      threshold)
+  }
+
+  /** Persistable LSH band index of a corpus: (id, sh, band, bucket).
+    * Built ONCE per corpus and appended per ingest batch, so
+    * signatures are never recomputed — the property that makes
+    * near-dup checks affordable on a growing 100 TB corpus. The
+    * shingle sets ride along so verification never reopens corpus
+    * text; if index bytes matter more than a verify-time lookup,
+    * store (id, band, bucket) and re-fetch candidate texts with a
+    * keyed join instead. */
+  def minhashBandIndex(docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 32, bands: Int = 8, shingleN: Int = 3): DataFrame =
+    bandedSignatures(docs, idCol, textCol, numHashes, bands, shingleN)
+
+  /** Incremental near-dup detection: signatures are computed for the
+    * NEW batch only and probed against an existing [[minhashBandIndex]].
+    * Returns every verified pair with at least one new-side member —
+    * new×index collisions plus new×new pairs — with id_a < id_b.
+    * Per batch the work is O(|batch| + collisions): the index is
+    * probed by a (band, bucket) equi-join, never rescanned, and the
+    * corpus text is never touched. New ids must be disjoint from
+    * index ids (append the batch's index rows after the check).
+    */
+  def incrementalNearDuplicates(newDocs: DataFrame, index: DataFrame,
+      idCol: String, textCol: String,
+      numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.8,
+      shingleN: Int = 3): DataFrame = {
+    val nb =
+      bandedSignatures(newDocs, idCol, textCol, numHashes, bands, shingleN)
+        .localCheckpoint(eager = false) // feeds the probe AND the self-join
+    val a = nb.select(col("band"), col("bucket"),
+      col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = index.select(col("band"), col("bucket"),
+      col("id").as("id_b"), col("sh").as("sh_b"))
+    // new × index: order the pair by id after the join (ids interleave)
+    val cross = a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") =!= col("id_b"))
+      .withColumn("swap", col("id_a") > col("id_b"))
+      .select(
+        when(col("swap"), col("id_b")).otherwise(col("id_a")).as("id_a"),
+        when(col("swap"), col("id_a")).otherwise(col("id_b")).as("id_b"),
+        when(col("swap"), col("sh_b")).otherwise(col("sh_a")).as("sh_a"),
+        when(col("swap"), col("sh_a")).otherwise(col("sh_b")).as("sh_b"))
+    val withinNew = a.join(
+      nb.select(col("band"), col("bucket"),
+        col("id").as("id_b"), col("sh").as("sh_b")),
+      Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+    verifyPairs(cross.unionByName(withinNew), threshold)
   }
 
   /** 64-bit SimHash over whitespace tokens: bit i = majority vote of

@@ -198,6 +198,48 @@ object TrainingData {
     WHERE jaccard >= 0.8
     ORDER BY id_a, id_b"""))
 
+  /** Incremental near-dup ([[graft.ops.Dedup.incrementalNearDuplicates]]):
+    * the planted copies arrive as a NEW batch probed against a
+    * [[graft.ops.Dedup.minhashBandIndex]] of the base corpus —
+    * signatures of the base are computed once, never per batch. Same
+    * corpus split as [[td_minhash_neardup]], so the oracle is the
+    * same brute-force Jaccard restricted to pairs with a new-side
+    * member. */
+  val td_incremental_neardup = GraftQuery(
+    "td_incremental_neardup",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).filter(col("doc_id") < 150)
+      val newBatch = d.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+        .withColumn("text", concat(col("text"), lit(" xtra wrds")))
+      val index = Dedup.minhashBandIndex(d, "doc_id", "text",
+        numHashes = 32, bands = 16)
+      Dedup.incrementalNearDuplicates(newBatch, index, "doc_id", "text",
+        numHashes = 32, bands = 16, threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""WITH base AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 150),
+    corpus AS (
+      SELECT doc_id, text FROM base
+      UNION ALL
+      SELECT doc_id + 1000000, text || ' xtra wrds' FROM base WHERE doc_id % 5 = 0),
+    tok AS (
+      SELECT doc_id, string_split_regex(trim(text),'\s+') AS t FROM corpus),
+    sh AS (
+      SELECT doc_id,
+        CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+             ELSE list_distinct(list_transform(range(1, len(t)-1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS s
+      FROM tok)
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)
+          / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+    WHERE jaccard >= 0.8 AND id_b >= 1000000
+    ORDER BY id_a, id_b"""))
+
   /** Near-dup pairs → dedup clusters: connected components over the
     * minhash near-duplicate graph of the bounded corpus (same corpus
     * and pair semantics as [[td_minhash_neardup]]). The oracle
@@ -1098,7 +1140,7 @@ object TrainingData {
   def all: Seq[GraftQuery] = Seq(
     td_text_stats, td_lang_id, td_fingerprint, td_dedup_exact,
     td_char_jaccard, td_cosine_topk, td_minhash_neardup,
-    td_ngram_jaccard, td_tfidf,
+    td_incremental_neardup, td_ngram_jaccard, td_tfidf,
     td_dedup_components, td_dedup_survivors, td_dedup_best,
     td_dedup_canonical, td_simhash,
     td_simhash_md5, td_ann_lsh, td_embedding_neardup, td_ann_ivf,

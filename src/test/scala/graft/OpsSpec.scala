@@ -158,6 +158,33 @@ class OpsSpec extends SparkSpec {
     assert(exact.getString(4) == approx.getString(4)) // max
   }
 
+  test("incremental near-dup ≡ batch minus within-old, on a planted corpus") {
+    // old corpus: 40 docs; new batch: 10 docs, each a near-copy of an
+    // old doc (drop last word) plus one exact within-new duplicate
+    def doc(i: Long, words: Int) =
+      (i, (0 until words).map(w => s"w${i % 7}_$w").mkString(" "))
+    val old = (0L until 40L).map(doc(_, 12))
+    val newer = (100L until 109L).map(i => doc(i - 100, 12).copy(_1 = i)) :+
+      (109L, old.head._2)
+    val oldDf = old.toDF("doc_id", "text")
+    val newDf = newer.toDF("doc_id", "text")
+
+    val index = Dedup.minhashBandIndex(oldDf, "doc_id", "text")
+    val inc = Dedup.incrementalNearDuplicates(newDf, index, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+
+    val full = Dedup.minhashNearDuplicates(
+      oldDf.unionByName(newDf), "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val expected = full.filterNot { case (a, b) => a < 100 && b < 100 }
+    assert(inc == expected, s"inc=$inc expected=$expected")
+    assert(inc.nonEmpty)
+    assert(inc.exists { case (a, b) => a >= 100 && b >= 100 },
+      "within-new pair missing")
+    assert(inc.exists { case (a, b) => a < 100 && b >= 100 },
+      "cross new-old pair missing")
+  }
+
   test("dedupCorpus keeps one representative per cluster, all columns intact") {
     val docs = Seq(
       (10L, "w1 w2 w3 w4 w5 w6 w7 w8", "s0"), // cluster {10, 11, 12}
