@@ -12,13 +12,17 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Exact dedup: keep the lowest id per content fingerprint.
-    * One shuffle on the (high-cardinality, well-distributed) md5 key;
-    * min-aggregate is map-side combinable.
+  /** Exact dedup: keep the lowest id per content key (default: the
+    * whitespace/case-normalized md5 fingerprint; pass e.g.
+    * `t => md5(TextAnalysis.canonicalize(t))` for
+    * punctuation-insensitive identity). One shuffle on the
+    * (high-cardinality, well-distributed) md5 key; min-aggregate is
+    * map-side combinable.
     */
-  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  def exact(docs: DataFrame, idCol: String, textCol: String,
+            key: Column => Column = TextAnalysis.fingerprint): DataFrame =
     docs
-      .withColumn("fp", TextAnalysis.fingerprint(col(textCol)))
+      .withColumn("fp", key(col(textCol)))
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
@@ -50,15 +54,6 @@ object Dedup {
       array_min(transform(shingleSet, s => xxhash64(s, lit(seed))))
     }: _*)
 
-  /** MinHash LSH candidate pairs, verified by true Jaccard.
-    *
-    * shingle → signature (map) → explode bands (map) → shuffle by
-    * (band, bucket-hash) → pairs within buckets (tiny) → distinct →
-    * exact-Jaccard filter on the pair (map). The only O(n²) work is
-    * inside buckets; band/bucket keying is the scale path.
-    *
-    * @return (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold
-    */
   /** Banding stage shared by the batch and incremental LSH paths:
     * (id, shingle-set, band, bucket) with one row per (doc, band). */
   private def bandedSignatures(docs: DataFrame, idCol: String,
@@ -89,6 +84,15 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
 
+  /** MinHash LSH candidate pairs, verified by true Jaccard.
+    *
+    * shingle → signature (map) → explode bands (map) → shuffle by
+    * (band, bucket-hash) → pairs within buckets (tiny) → distinct →
+    * exact-Jaccard filter on the pair (map). The only O(n²) work is
+    * inside buckets; band/bucket keying is the scale path.
+    *
+    * @return (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold
+    */
   def minhashNearDuplicates(
       docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.8,
@@ -115,6 +119,10 @@ object Dedup {
   def minhashBandIndex(docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 32, bands: Int = 8, shingleN: Int = 3): DataFrame =
     bandedSignatures(docs, idCol, textCol, numHashes, bands, shingleN)
+      // constant per index (compresses to nothing in parquet); probed
+      // by incrementalNearDuplicates so a probe with different LSH
+      // parameters fails loudly instead of silently matching nothing
+      .withColumn("params", lit(s"$numHashes:$bands:$shingleN"))
 
   /** Incremental near-dup detection: signatures are computed for the
     * NEW batch only and probed against an existing [[minhashBandIndex]].
@@ -129,6 +137,17 @@ object Dedup {
       idCol: String, textCol: String,
       numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.8,
       shingleN: Int = 3): DataFrame = {
+    // bucket hashes only match when both sides banded identically; a
+    // parameter mismatch would otherwise report ~zero near-dups with
+    // no error (silent corpus contamination). One-row driver read.
+    require(index.columns.contains("params"),
+      "index lacks the params column — was it built by minhashBandIndex?")
+    val expected = s"$numHashes:$bands:$shingleN"
+    index.select("params").limit(1).collect().headOption.foreach { r =>
+      require(r.getString(0) == expected,
+        s"index was built with LSH params ${r.getString(0)}, " +
+          s"but the probe uses $expected")
+    }
     val nb =
       bandedSignatures(newDocs, idCol, textCol, numHashes, bands, shingleN)
         .localCheckpoint(eager = false) // feeds the probe AND the self-join
@@ -299,9 +318,10 @@ object Dedup {
     * Scale shape: the pair graph is tiny relative to the corpus
     * (edges exist only between near-duplicates), so the component
     * step runs on edges ≪ corpus; the final step is one left-anti
-    * join of the corpus against the (small) removed-id set — which
-    * broadcasts. The corpus itself is touched by exactly one narrow
-    * pass (shingle/signature) plus that anti join.
+    * join of the corpus against the removed-id set. No broadcast
+    * hint: the planner broadcasts when the set is under threshold
+    * and falls back to a shuffle join on dup-heavy corpora where
+    * removed ids are a large fraction of the input.
     */
   def dedupCorpus(docs: DataFrame, idCol: String, textCol: String,
                   numHashes: Int = 32, bands: Int = 16,
@@ -313,7 +333,7 @@ object Dedup {
     val removed = connectedComponents(pairs)
       .filter(col("id") =!= col("comp"))
       .select(col("id").as(idCol))
-    docs.join(broadcast(removed), Seq(idCol), "left_anti")
+    docs.join(removed, Seq(idCol), "left_anti")
   }
 
   /** [[dedupCorpus]] with quality-aware canonical selection: within
@@ -322,10 +342,10 @@ object Dedup {
     * what a production pipeline does when duplicates differ in
     * quality (e.g. one copy is truncated).
     *
-    * Same scale shape as [[dedupCorpus]]: components run on the tiny
-    * pair graph; scores are looked up for cluster MEMBERS only (a
-    * broadcast semi-join against the corpus), and the final anti
-    * join broadcasts the removed-id set.
+    * Same scale shape as [[dedupCorpus]]: components run on the pair
+    * graph (≪ corpus); scores are looked up for cluster MEMBERS only,
+    * and both member lookup and the final anti join are unhinted so
+    * the planner broadcasts small sets and shuffles large ones.
     */
   def dedupCorpusBy(docs: DataFrame, idCol: String, textCol: String,
                     scoreCol: String, numHashes: Int = 32,
@@ -334,7 +354,7 @@ object Dedup {
       minhashNearDuplicates(docs, idCol, textCol, numHashes, bands, threshold)
     val members = connectedComponents(pairs) // (id, comp) — members only
     val scored = docs.select(col(idCol).as("id"), col(scoreCol).as("__score"))
-      .join(broadcast(members), Seq("id"))
+      .join(members, Seq("id"))
     // winner per cluster: max score, then min id — deterministic
     val w = Window.partitionBy(col("comp"))
       .orderBy(col("__score").desc, col("id"))
@@ -342,7 +362,7 @@ object Dedup {
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") > 1)
       .select(col("id").as(idCol))
-    docs.join(broadcast(removed), Seq(idCol), "left_anti")
+    docs.join(removed, Seq(idCol), "left_anti")
   }
 
   /** Chunk-level dedup (the paragraph/line dedup of training

@@ -150,16 +150,19 @@ object Pipeline {
     * in exactly ONE file, so a data loader streams shards
     * independently with no further sorting.
     *
-    * Scale shape: one shuffle (repartition by shard) + an in-partition
-    * sort fused into the write — the same plan at any corpus size; no
-    * global sort, no driver materialization. One file per shard is
-    * the loader-friendly layout; pick nShards so shard files land at
-    * a sane size (e.g. 100 TB / 1 GiB → ~100k shards).
+    * Scale shape: [[epochShuffle]]'s window already exchanged by
+    * hash(shard) and sorted each partition by (shard, pos), so the
+    * write adds NO second shuffle — every shard lives wholly in one
+    * partition and `partitionBy` splits it into its own directory.
+    * The explicit in-partition sort is a no-cost guard (sorting
+    * already-sorted runs) that pins the contract if the window plan
+    * ever changes. No global sort, no driver materialization. Pick
+    * nShards so shard files land at a sane size (e.g. 100 TB /
+    * 1 GiB → ~100k shards).
     */
   def writeEpochShards(docs: DataFrame, idCol: String, epoch: Int,
                        nShards: Int, outDir: String): Unit =
     epochShuffle(docs, idCol, epoch, nShards)
-      .repartition(nShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("pos"))
       .write.partitionBy("shard").mode("overwrite").parquet(outDir)
 }

@@ -443,10 +443,8 @@ object TrainingData {
         d.filter(pmod(col("doc_id"), lit(4)) === 0)
           .withColumn("doc_id", col("doc_id") + 1000000L)
           .withColumn("text", concat(upper(col("text")), lit("!!"))))
-      corpus
-        .withColumn("ck", md5(TextAnalysis.canonicalize(col("text"))))
-        .groupBy(col("ck"))
-        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      Dedup.exact(corpus, "doc_id", "text",
+        key = t => md5(TextAnalysis.canonicalize(t)))
         .select(col("doc_id"), col("n_copies"))
         .orderBy(col("doc_id"))
     },

@@ -22,13 +22,18 @@ object DocIngest {
     * (md5 fingerprint) within `watermark`. Adds `n_tokens` and `fp`
     * columns to the survivors. */
   def clean(docs: DataFrame, tsCol: String, textCol: String,
-            minTokens: Int = 3, watermark: String = "1 minute"): DataFrame =
+            minTokens: Int = 3, watermark: String = "1 minute"): DataFrame = {
+    Seq("n_tokens", "fp").foreach { c =>
+      require(!docs.columns.contains(c),
+        s"input already has a $c column (reserved name)")
+    }
     docs
       .withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)))
       .filter(col("n_tokens") >= minTokens)
       .withColumn("fp", TextAnalysis.fingerprint(col(textCol)))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("fp")
+  }
 
   /** Tumbling-window ingest health over a [[clean]]ed stream: docs
     * and tokens admitted per window. */

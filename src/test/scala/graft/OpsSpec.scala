@@ -159,13 +159,15 @@ class OpsSpec extends SparkSpec {
   }
 
   test("incremental near-dup ≡ batch minus within-old, on a planted corpus") {
-    // old corpus: 40 docs; new batch: 10 docs, each a near-copy of an
-    // old doc (drop last word) plus one exact within-new duplicate
+    // old corpus: 40 docs; new batch: 9 near-copies of old docs (last
+    // word dropped → shingle jaccard 9/10, inside the [0.8, 1) band)
+    // plus one exact within-new duplicate of old doc 0
     def doc(i: Long, words: Int) =
       (i, (0 until words).map(w => s"w${i % 7}_$w").mkString(" "))
     val old = (0L until 40L).map(doc(_, 12))
-    val newer = (100L until 109L).map(i => doc(i - 100, 12).copy(_1 = i)) :+
-      (109L, old.head._2)
+    val newer = (100L until 109L).map { i =>
+      (i, doc(i - 100, 11)._2)
+    } :+ (109L, old.head._2)
     val oldDf = old.toDF("doc_id", "text")
     val newDf = newer.toDF("doc_id", "text")
 
