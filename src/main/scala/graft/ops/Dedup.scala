@@ -173,6 +173,74 @@ object Dedup {
     verifyPairs(cross.unionByName(withinNew), threshold)
   }
 
+  /** Collection-level near-duplicate detection: each GROUP (source,
+    * domain, user, repo…) is treated as the union of its documents'
+    * shingle sets, and groups whose set-Jaccard clears `threshold`
+    * are reported. Finds wholesale-copied collections that doc-level
+    * dedup only sees one pair at a time.
+    *
+    * Scale shape: the group signature is per-seed `min(xxhash64)`
+    * over the exploded (group, shingle) relation — a map-side
+    * combinable hash aggregate; no group's text is ever collected.
+    * Candidates come from the same band/bucket keying as the
+    * doc-level LSH, so nothing is all-pairs on groups either. The
+    * exact verify joins the (group, shingle) relation with itself ON
+    * THE SHINGLE restricted to candidate groups — bounded by
+    * candidate count, not group count.
+    *
+    * @return (grp_a, grp_b, jaccard) with grp_a < grp_b, jaccard ≥ threshold
+    */
+  def groupNearDuplicates(docs: DataFrame, groupCol: String,
+      textCol: String, numHashes: Int = 32, bands: Int = 16,
+      threshold: Double = 0.8, shingleN: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    // the deduplicated (group, shingle) relation drives BOTH the
+    // signature agg and the verify join — materialize once
+    val shingled = docs
+      .select(col(groupCol).as("grp"),
+        explode(shingles(col(textCol), shingleN)).as("s"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val sigs = shingled.groupBy(col("grp"))
+      .agg(min(xxhash64(col("s"), lit(0))).as("h0"),
+        (1 until numHashes).map(seed =>
+          min(xxhash64(col("s"), lit(seed))).as(s"h$seed")): _*)
+      .select(col("grp"),
+        array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+    val banded = sigs.select(col("grp"),
+      posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)))))
+        .as(Seq("band", "bucket")))
+    val cand = banded.select(col("band"), col("bucket"), col("grp").as("grp_a"))
+      .join(banded.select(col("band"), col("bucket"), col("grp").as("grp_b")),
+        Seq("band", "bucket"))
+      .filter(col("grp_a") < col("grp_b"))
+      .select(col("grp_a"), col("grp_b"))
+      .distinct()
+    val sizes = shingled.groupBy(col("grp")).agg(count(lit(1)).as("n"))
+    // restrict to candidate groups BEFORE the shingle-keyed join:
+    // common shingles co-occur across many groups, and pair blowup is
+    // bounded by candidates only if non-candidates never enter
+    val candGroups = cand.select(col("grp_a").as("grp"))
+      .unionByName(cand.select(col("grp_b").as("grp"))).distinct()
+    val restricted = shingled.join(candGroups, Seq("grp"), "left_semi")
+    val inter = restricted.select(col("grp").as("grp_a"), col("s"))
+      .join(restricted.select(col("grp").as("grp_b"), col("s")), Seq("s"))
+      .filter(col("grp_a") < col("grp_b"))
+      .join(cand, Seq("grp_a", "grp_b"), "left_semi")
+      .groupBy(col("grp_a"), col("grp_b"))
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.select(col("grp").as("grp_a"), col("n").as("na")), Seq("grp_a"))
+      .join(sizes.select(col("grp").as("grp_b"), col("n").as("nb")), Seq("grp_b"))
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("na") + col("nb") - col("c")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("grp_a"), col("grp_b"), col("jaccard"))
+  }
+
   /** 64-bit SimHash over whitespace tokens: bit i = majority vote of
     * bit i across token hashes. Single pass over the token array — a
     * 64-counter accumulator folded once (the naive per-bit form

@@ -240,6 +240,51 @@ object TrainingData {
     WHERE jaccard >= 0.8 AND id_b >= 1000000
     ORDER BY id_a, id_b"""))
 
+  /** Collection-level near-dup ([[graft.ops.Dedup.groupNearDuplicates]]):
+    * a planted wholesale near-copy of src0 (every doc re-appended
+    * with two extra words under source "srcX") is found by
+    * source-level shingle-set Jaccard; organic cross-source pairs top
+    * out ≈0.08, far under the 0.8 threshold. The oracle recomputes
+    * per-source distinct shingle sets and exact pairwise Jaccard
+    * brute-force. */
+  val td_source_neardup = GraftQuery(
+    "td_source_neardup",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("source"), col("text"))
+      val corpus = d.unionByName(
+        d.filter(col("source") === "src0")
+          .withColumn("source", lit("srcX"))
+          .withColumn("text", concat(col("text"), lit(" xtra wrds"))))
+      Dedup.groupNearDuplicates(corpus, "source", "text",
+        numHashes = 32, bands = 16, threshold = 0.8)
+        .orderBy(col("grp_a"), col("grp_b"))
+    },
+    Some("""WITH corpus AS (
+        SELECT source, text FROM documents
+        UNION ALL
+        SELECT 'srcX', text || ' xtra wrds' FROM documents WHERE source = 'src0'),
+      tok AS (
+        SELECT source, string_split_regex(trim(text),'\s+') AS t FROM corpus),
+      sh AS (
+        SELECT source,
+          CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+               ELSE list_distinct(list_transform(range(1, len(t)-1),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS s
+        FROM tok),
+      shdist AS (SELECT DISTINCT source, unnest(s) AS sg FROM sh),
+      sizes AS (SELECT source, COUNT(*) AS n FROM shdist GROUP BY source),
+      inter AS (
+        SELECT a.source AS grp_a, b.source AS grp_b, COUNT(*) AS c
+        FROM shdist a JOIN shdist b ON a.sg = b.sg AND a.source < b.source
+        GROUP BY 1, 2)
+      SELECT grp_a, grp_b,
+        CAST(c AS DOUBLE) / (x.n + y.n - c) AS jaccard
+      FROM inter
+      JOIN sizes x ON grp_a = x.source
+      JOIN sizes y ON grp_b = y.source
+      WHERE CAST(c AS DOUBLE) / (x.n + y.n - c) >= 0.8
+      ORDER BY grp_a, grp_b"""))
+
   /** Near-dup pairs → dedup clusters: connected components over the
     * minhash near-duplicate graph of the bounded corpus (same corpus
     * and pair semantics as [[td_minhash_neardup]]). The oracle
@@ -1138,7 +1183,7 @@ object TrainingData {
   def all: Seq[GraftQuery] = Seq(
     td_text_stats, td_lang_id, td_fingerprint, td_dedup_exact,
     td_char_jaccard, td_cosine_topk, td_minhash_neardup,
-    td_incremental_neardup, td_ngram_jaccard, td_tfidf,
+    td_incremental_neardup, td_source_neardup, td_ngram_jaccard, td_tfidf,
     td_dedup_components, td_dedup_survivors, td_dedup_best,
     td_dedup_canonical, td_simhash,
     td_simhash_md5, td_ann_lsh, td_embedding_neardup, td_ann_ivf,

@@ -187,6 +187,19 @@ class OpsSpec extends SparkSpec {
       "cross new-old pair missing")
   }
 
+  test("groupNearDuplicates: copied collection found, disjoint ones spared") {
+    // g1 = copy of g0 with one extra doc; g2 disjoint
+    val docs = Seq(
+      ("g0", "a1 a2 a3 a4 a5 a6"), ("g0", "b1 b2 b3 b4 b5 b6"),
+      ("g1", "a1 a2 a3 a4 a5 a6"), ("g1", "b1 b2 b3 b4 b5 b6"),
+      ("g1", "c1 c2 c3"),
+      ("g2", "z1 z2 z3 z4 z5 z6")).toDF("src", "text")
+    val r = Dedup.groupNearDuplicates(docs, "src", "text", threshold = 0.8)
+      .as[(String, String, Double)].collect().toSeq
+    // g0: 8 shingles; g1: those 8 + 1 ("c1 c2 c3") → jaccard 8/9
+    assert(r == Seq(("g0", "g1", 8.0 / 9.0)), r.toString)
+  }
+
   test("dedupCorpus keeps one representative per cluster, all columns intact") {
     val docs = Seq(
       (10L, "w1 w2 w3 w4 w5 w6 w7 w8", "s0"), // cluster {10, 11, 12}
