@@ -772,6 +772,37 @@ object Relational {
         COUNT(*) AS n
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** Recursive CTE (Spark 4's WITH RECURSIVE): binary-tree ancestor
+    * chains derived from doc ids — each iteration is a set-based
+    * step (project + filter over the previous frontier), so the
+    * recursion parallelizes per row with no driver loop; depth is
+    * bounded by log2(maxId). DuckDB oracle runs the same recursion
+    * (`//` is its integer division; Spark spells it DIV). */
+  val q33_recursive = GraftQuery(
+    "q33_recursive",
+    (s, dir) => {
+      Tables.documents(s, dir).createOrReplaceTempView("graft_documents")
+      s.sql("""
+        WITH RECURSIVE anc AS (
+          SELECT doc_id AS node, doc_id AS anc, 0 AS depth FROM graft_documents
+          WHERE doc_id BETWEEN 1 AND 63
+          UNION ALL
+          SELECT node, anc DIV 2, depth + 1 FROM anc WHERE anc > 1
+        )
+        SELECT node, CAST(MAX(depth) AS INT) AS depth,
+               COUNT(*) AS chain_len, CAST(SUM(anc) AS BIGINT) AS anc_sum
+        FROM anc GROUP BY node ORDER BY node""")
+    },
+    Some("""WITH RECURSIVE anc AS (
+        SELECT doc_id AS node, doc_id AS anc, 0 AS depth FROM documents
+        WHERE doc_id BETWEEN 1 AND 63
+        UNION ALL
+        SELECT node, anc // 2, depth + 1 FROM anc WHERE anc > 1
+      )
+      SELECT node, CAST(MAX(depth) AS INT) AS depth,
+             COUNT(*) AS chain_len, CAST(SUM(anc) AS BIGINT) AS anc_sum
+      FROM anc GROUP BY node ORDER BY node"""))
+
   def all: Seq[GraftQuery] = Seq(
     q1_agg, q2_join_agg, q3_multi_join, q4_topk, q5_distinct,
     q6_anti_join, q7_semi_join, q8_min_window, q9_event_batches,
@@ -780,5 +811,5 @@ object Relational {
     q19_bucketed_join, q20_partition_prune, q21_asof_join,
     q22_range_join, q23_rollup, q24_pivot, q25_rolling, q26_cube,
     q27_intersect, q28_window_funcs, q29_exists, q30_grouping_sets,
-    q31_lateral, q32_percentiles)
+    q31_lateral, q32_percentiles, q33_recursive)
 }

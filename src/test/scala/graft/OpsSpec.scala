@@ -187,6 +187,40 @@ class OpsSpec extends SparkSpec {
       "cross new-old pair missing")
   }
 
+  test("minhashNearDuplicates ≡ brute-force Jaccard on seeded random docs") {
+    // fixed seed → deterministic docs → deterministic xxhash64 LSH:
+    // this asserts equality once and stays stable. Near-dup pairs are
+    // planted at j ≥ 0.8 where 16×2-row bands have P(miss) ≈ 8e-8.
+    val rnd = new scala.util.Random(42)
+    val base = (0L until 30L).map { i =>
+      (i, Seq.fill(14)(s"w${rnd.nextInt(400)}").mkString(" "))
+    }
+    // appending ONE word adds one trigram: j = 12/13 ≈ 0.92 ≥ 0.8
+    // (dropping a middle word would kill 3 trigrams → j ≈ 0.64)
+    val copies = base.take(15).map { case (i, t) =>
+      (i + 100, t + " wz")
+    }
+    val docs = (base ++ copies).toDF("doc_id", "text")
+
+    def shingleSet(t: String): Set[String] = {
+      val w = t.trim.split("\\s+").toSeq
+      if (w.size < 3) Set(w.mkString(" "))
+      else w.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val all = (base ++ copies)
+    val expected = (for {
+      (ia, ta) <- all; (ib, tb) <- all if ia < ib
+      sa = shingleSet(ta); sb = shingleSet(tb)
+      j = (sa & sb).size.toDouble / (sa | sb).size if j >= 0.8
+    } yield (ia, ib)).toSet
+
+    val got = Dedup.minhashNearDuplicates(docs, "doc_id", "text",
+      numHashes = 32, bands = 16, threshold = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(expected.nonEmpty)
+    assert(got == expected, s"got=$got expected=$expected")
+  }
+
   test("groupNearDuplicates: copied collection found, disjoint ones spared") {
     // g1 = copy of g0 with one extra doc; g2 disjoint
     val docs = Seq(
