@@ -43,6 +43,36 @@ class DocIngestSpec extends SparkSpec {
     assert(rows.contains((30L, 1L, 3L)), s"second window should hold doc 4: $rows")
   }
 
+  case class RawDoc(doc_id: Long, text: String)
+
+  test("nearDupIngest: cross-batch near-dups dropped via the persisted index") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("neardup").toString
+    val mem = MemoryStream[RawDoc]
+    val q = DocIngest.nearDupIngest(mem.toDF(), "doc_id", "text",
+      s"$dir/index", s"$dir/out", s"$dir/ckpt")
+
+    // batch 0: two distinct docs — both admitted
+    mem.addData(
+      RawDoc(1, "w1 w2 w3 w4 w5 w6 w7 w8"),
+      RawDoc(2, "z1 z2 z3 z4 z5 z6 z7 z8"))
+    q.processAllAvailable()
+    // batch 1: 3 near-dups doc 1 (jaccard 6/7), 5 duplicates 4 in-batch
+    mem.addData(
+      RawDoc(3, "w1 w2 w3 w4 w5 w6 w7 w8 xtra"),
+      RawDoc(4, "u1 u2 u3 u4 u5 u6 u7 u8"),
+      RawDoc(5, "u1 u2 u3 u4 u5 u6 u7 u8"))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.read.parquet(s"$dir/out")
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(1L, 2L, 4L), s"admitted: $out")
+    val indexed = spark.read.parquet(s"$dir/index")
+      .select("id").distinct().as[Long].collect().toSet
+    assert(indexed == Set(1L, 2L, 4L), s"indexed: $indexed")
+  }
+
   test("streaming ingest: duplicate content beyond the watermark is re-admitted") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Doc]
