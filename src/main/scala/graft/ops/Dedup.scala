@@ -54,23 +54,29 @@ object Dedup {
       array_min(transform(shingleSet, s => xxhash64(s, lit(seed))))
     }: _*)
 
+  /** (band, bucket) generator for a signature column: one row per
+    * band, bucket = xxhash64 of that band's signature slice. The ONE
+    * definition of the banding scheme — shared by the doc-level and
+    * group-level paths so they can never drift. */
+  private def bandBucketCols(sig: Column, numHashes: Int, bands: Int): Column = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    posexplode(transform(
+      sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(slice(sig, b * rows + 1, lit(rows)))))
+  }
+
   /** Banding stage shared by the batch and incremental LSH paths:
     * (id, shingle-set, band, bucket) with one row per (doc, band). */
   private def bandedSignatures(docs: DataFrame, idCol: String,
       textCol: String, numHashes: Int, bands: Int,
-      shingleN: Int): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
+      shingleN: Int): DataFrame =
     docs
       .select(col(idCol).as("id"), col(textCol).as("text"))
       .withColumn("sh", shingles(col("text"), shingleN))
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
       .select(col("id"), col("sh"),
-        posexplode(transform(
-          sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)))))
-          .as(Seq("band", "bucket")))
-  }
+        bandBucketCols(col("sig"), numHashes, bands).as(Seq("band", "bucket")))
 
   /** Exact-Jaccard verification of candidate pairs carrying both
     * shingle sets; emits (id_a, id_b, jaccard ≥ threshold). */
@@ -193,8 +199,6 @@ object Dedup {
   def groupNearDuplicates(docs: DataFrame, groupCol: String,
       textCol: String, numHashes: Int = 32, bands: Int = 16,
       threshold: Double = 0.8, shingleN: Int = 3): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
     // the deduplicated (group, shingle) relation drives BOTH the
     // signature agg and the verify join — materialize once
     val shingled = docs
@@ -209,10 +213,7 @@ object Dedup {
       .select(col("grp"),
         array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
     val banded = sigs.select(col("grp"),
-      posexplode(transform(
-        sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)))))
-        .as(Seq("band", "bucket")))
+      bandBucketCols(col("sig"), numHashes, bands).as(Seq("band", "bucket")))
     val cand = banded.select(col("band"), col("bucket"), col("grp").as("grp_a"))
       .join(banded.select(col("band"), col("bucket"), col("grp").as("grp_b")),
         Seq("band", "bucket"))

@@ -47,15 +47,22 @@ object DocIngest {
         col("n_docs"), col("n_tokens"))
 
   /** One batch of cross-corpus near-dup admission: probe `index`
-    * (None for the first batch), drop every new doc that near-dups an
-    * already-admitted doc or an earlier (lower-id) doc of the same
-    * batch, and return (survivors, their band-index rows to append).
+    * (None for the first batch) and return (survivors, their
+    * band-index rows to append).
     *
-    * Policy, from the id_a < id_b pair orientation: a pair's larger
-    * new id always loses; a new id also loses to a larger OLD id
-    * (the corpus member was admitted first — arrival order wins, not
-    * id order). Deterministic and transitive-free by construction:
-    * admission is decided per doc against the standing corpus.
+    * Semantics: transitive components — the same clustering
+    * discipline as [[graft.ops.Dedup.dedupCorpus]]. Over the batch's
+    * verified pair graph (new×index and new×new edges), a new doc is
+    * admitted iff its component contains NO already-admitted doc and
+    * it is the component's lowest new id. Conservative by design: a
+    * doc linked to the corpus only through a rejected doc is still
+    * rejected (its content is represented by the component's keeper),
+    * matching how connected-component dedup treats chains.
+    *
+    * The returned survivors frame is localCheckpoint'd: the caller
+    * writes it AND derives index rows from it, and without the
+    * checkpoint both actions would re-run the whole admission
+    * pipeline.
     */
   def admitBatch(batch: DataFrame, index: Option[DataFrame],
       idCol: String, textCol: String,
@@ -67,17 +74,25 @@ object DocIngest {
       case None => Dedup.minhashNearDuplicates(
         batch, idCol, textCol, numHashes, bands, threshold)
     }
+    // components over the (tiny) pair graph; members only
+    val members = Dedup.connectedComponents(pairs)
+      .localCheckpoint(eager = false) // feeds three subtrees below
     val newIds = batch.select(col(idCol).as("__nid")).distinct()
-    // larger new id of a pair always loses...
-    val loseB = pairs.join(newIds, pairs("id_b") === newIds("__nid"), "left_semi")
-      .select(col("id_b").as(idCol))
-    // ...and a new id_a loses to an old id_b (old = not in this batch)
-    val loseA = pairs
-      .join(newIds, pairs("id_a") === newIds("__nid"), "left_semi")
-      .join(newIds, pairs("id_b") === newIds("__nid"), "left_anti")
-      .select(col("id_a").as(idCol))
-    val survivors = batch.join(
-      loseB.unionByName(loseA).distinct(), Seq(idCol), "left_anti")
+    val newMembers =
+      members.join(newIds, members("id") === newIds("__nid"), "left_semi")
+    // components tainted by an already-admitted (non-batch) member
+    val tainted =
+      members.join(newIds, members("id") === newIds("__nid"), "left_anti")
+        .select(col("comp")).distinct()
+    val keepers = newMembers
+      .join(tainted, Seq("comp"), "left_anti")
+      .groupBy(col("comp")).agg(min(col("id")).as("id"))
+      .select(col("id"))
+    val removed = newMembers.select(col("id"))
+      .join(keepers, Seq("id"), "left_anti")
+      .select(col("id").as(idCol))
+    val survivors = batch.join(removed, Seq(idCol), "left_anti")
+      .localCheckpoint(eager = false)
     (survivors,
       Dedup.minhashBandIndex(survivors, idCol, textCol, numHashes, bands))
   }
@@ -100,10 +115,12 @@ object DocIngest {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val haveIndex = new java.io.File(indexDir).exists() &&
-          new java.io.File(indexDir).listFiles() != null &&
-          new java.io.File(indexDir).listFiles()
-            .exists(f => f.getName.startsWith("batch="))
+        // hadoop FS, not java.io.File: indexDir may be hdfs://, s3a://…
+        // — a local-only probe would silently skip the index forever
+        val idxPath = new org.apache.hadoop.fs.Path(indexDir)
+        val fs = idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val haveIndex = fs.exists(idxPath) &&
+          fs.listStatus(idxPath).exists(_.getPath.getName.startsWith("batch="))
         val index =
           if (haveIndex)
             // a replayed batch must not probe rows it wrote itself

@@ -73,6 +73,23 @@ class DocIngestSpec extends SparkSpec {
     assert(indexed == Set(1L, 2L, 4L), s"indexed: $indexed")
   }
 
+  test("admitBatch: a chain linked to the corpus only via a rejected doc still collapses") {
+    import graft.ops.Dedup
+    val old = Seq((1L, "w1 w2 w3 w4 w5 w6 w7 w8")).toDF("doc_id", "text")
+    val index = Dedup.minhashBandIndex(old, "doc_id", "text",
+      numHashes = 32, bands = 16)
+    // 10 ~ corpus doc 1 (j = 6/7); 11 ~ 10 (j = 7/8) but 11 vs 1 is
+    // only 6/8 = 0.75 < 0.8 — linked to the corpus through 10 alone
+    val batch = Seq(
+      (10L, "w1 w2 w3 w4 w5 w6 w7 w8 x1"),
+      (11L, "w1 w2 w3 w4 w5 w6 w7 w8 x1 x2"),
+      (12L, "q1 q2 q3 q4 q5 q6 q7 q8")).toDF("doc_id", "text")
+    val (surv, idx) = DocIngest.admitBatch(batch, Some(index),
+      "doc_id", "text", numHashes = 32, bands = 16)
+    assert(surv.select("doc_id").as[Long].collect().toSet == Set(12L))
+    assert(idx.select("id").distinct().as[Long].collect().toSet == Set(12L))
+  }
+
   test("streaming ingest: duplicate content beyond the watermark is re-admitted") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Doc]
