@@ -145,6 +145,36 @@ object Pipeline {
       .drop("__eh")
   }
 
+  /** Sliding-window chunking for embedding generation: split each doc
+    * into `windowTokens`-token chunks every `strideTokens` tokens
+    * (stride < window → overlapping context at chunk boundaries, the
+    * standard retrieval-embedding prep). One narrow explode per doc —
+    * no shuffle anywhere; chunk count per doc is
+    * `ceil((n − window)/stride) + 1` (min 1).
+    *
+    * @return (id, chunk_idx, chunk, n_tokens) — n_tokens is the
+    *         chunk's own token count (the tail chunk may be short)
+    */
+  def chunkForEmbedding(docs: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int = 128, strideTokens: Int = 64): DataFrame = {
+    require(windowTokens >= 1 && strideTokens >= 1,
+      "window and stride must be positive")
+    val toks = TextAnalysis.tokens(col(textCol))
+    val n = size(toks)
+    val nChunks = when(n <= windowTokens, lit(1)).otherwise(
+      ceil((n - windowTokens).cast("double") / strideTokens).cast("int") + 1)
+    docs
+      .select(col(idCol).as("id"), toks.as("__t"), nChunks.as("__nc"))
+      .select(col("id"),
+        posexplode(transform(
+          sequence(lit(0), col("__nc") - 1),
+          i => slice(col("__t"), i * strideTokens + 1, lit(windowTokens))))
+          .as(Seq("chunk_idx", "__c")))
+      .select(col("id"), col("chunk_idx"),
+        concat_ws(" ", col("__c")).as("chunk"),
+        size(col("__c")).as("n_tokens"))
+  }
+
   /** Materialize an [[epochShuffle]]d epoch as a sharded training
     * export: `outDir/shard=K/` holds shard K's rows in epoch order,
     * in exactly ONE file, so a data loader streams shards

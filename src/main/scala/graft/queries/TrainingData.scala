@@ -390,6 +390,38 @@ object TrainingData {
       WHERE c.doc_id NOT IN (SELECT doc_id FROM removed)
       ORDER BY c.doc_id"""))
 
+  /** Sliding-window chunking for embedding prep
+    * ([[graft.ops.Pipeline.chunkForEmbedding]]): 16-token windows
+    * every 8 tokens (overlapping halves). Empty docs are excluded —
+    * the two engines disagree on tokenizing "" ([] vs ['']), and a
+    * 0-token doc has nothing to embed. */
+  val td_chunk_embed = GraftQuery(
+    "td_chunk_embed",
+    (s, dir) => {
+      graft.ops.Pipeline.chunkForEmbedding(
+        Tables.documents(s, dir)
+          .filter(col("doc_id") < 100 && length(trim(col("text"))) > 0),
+        "doc_id", "text", windowTokens = 16, strideTokens = 8)
+        .select(col("id").as("doc_id"), col("chunk_idx"),
+          col("chunk"), col("n_tokens"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+    Some("""WITH tok AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        FROM documents WHERE doc_id < 100 AND length(trim(text)) > 0),
+      w AS (
+        SELECT doc_id, t,
+          CASE WHEN len(t) <= 16 THEN 1
+               ELSE CAST(ceil((len(t) - 16) / 8.0) AS INT) + 1 END AS nw
+        FROM tok),
+      c AS (
+        SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+               t[CAST(i*8+1 AS INT) : CAST(i*8+16 AS INT)] AS ch
+        FROM w, unnest(range(0, nw)) AS u(i))
+      SELECT doc_id, chunk_idx, array_to_string(ch, ' ') AS chunk,
+             CAST(len(ch) AS INT) AS n_tokens
+      FROM c ORDER BY doc_id, chunk_idx"""))
+
   /** One-pass per-column data profile ([[graft.ops.Profiling]]):
     * null/distinct/min/max per column in a single scan — the ingest
     * health check. The approx (HLL++) variant is spec-checked against
@@ -1192,5 +1224,6 @@ object TrainingData {
     td_token_quantiles, td_pack_sequences, td_decontam,
     td_token_budget, td_interleave, td_train_split, td_pii_scrub,
     td_media_meta, td_media_frames, td_media_features,
-    td_quality_repetition, td_semdedup, td_epoch_shuffle, td_profile)
+    td_quality_repetition, td_semdedup, td_epoch_shuffle, td_profile,
+    td_chunk_embed)
 }

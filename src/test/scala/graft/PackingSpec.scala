@@ -9,6 +9,24 @@ class PackingSpec extends SparkSpec {
   private def docs(rows: (Long, String, String)*) =
     rows.toDF("doc_id", "source", "text")
 
+  test("chunkForEmbedding: overlapping windows, short tail, single-chunk doc") {
+    import graft.ops.Pipeline
+    val d = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "a b c"))                                  // under one window
+      .toDF("doc_id", "text")
+    val r = Pipeline.chunkForEmbedding(d, "doc_id", "text",
+      windowTokens = 4, strideTokens = 3)
+      .select("id", "chunk_idx", "chunk", "n_tokens")
+      .as[(Long, Int, String, Int)].collect().toSeq.sorted
+    // doc 1: ceil((10-4)/3)+1 = 3 chunks at offsets 0,3,6
+    assert(r == Seq(
+      (1L, 0, "t1 t2 t3 t4", 4),
+      (1L, 1, "t4 t5 t6 t7", 4),
+      (1L, 2, "t7 t8 t9 t10", 4),
+      (2L, 0, "a b c", 3)), r.toString)
+  }
+
   test("packSequences: offset binning with straddling docs") {
     // 80+80+80 tokens on window 200: starts 0,80,160 → all bin 0
     // (third doc straddles); the next doc starts at 240 → bin 1
