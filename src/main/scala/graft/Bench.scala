@@ -86,10 +86,12 @@ object Bench {
     def line(qs: Seq[(String, Double)]) =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jsc(qs)},"sf":"$sfDir"}"""
     // if even 2-decimal precision overflows the window, keep the
-    // slowest queries (the ones worth grading) and drop the fastest
+    // slowest queries (the ones worth grading) and drop the fastest —
+    // but NEVER drop a failure marker (-1): trimming by plain min
+    // would evict failures first and grade the round as all-green
     var kept = results
-    while (line(kept).length > 1700 && kept.nonEmpty)
-      kept = kept.filterNot(_ == kept.minBy(_._2))
+    while (line(kept).length > 1700 && kept.exists(_._2 >= 0))
+      kept = kept.filterNot(_ == kept.filter(_._2 >= 0).minBy(_._2))
     println(line(kept))
     spark.stop()
   }

@@ -1165,9 +1165,14 @@ object TrainingData {
       val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
       val corpus = e.unionByName(
         e.withColumn("vec_id", col("vec_id") + 1000000L))
+      // `cell` stays OUT of the output: a vector whose top-2 centroid
+      // similarities differ by less than the engines' ~1e-7 float-sum
+      // divergence can be celled differently per engine. The planted
+      // PAIR is immune (identical vectors always share a cell), so
+      // pair membership is stable — the cell label is not.
       Similarity.semanticNearDuplicates(
         corpus, "vec_id", "embedding", 0.8, nCells = 16)
-        .select(col("cell"), col("id_a"), col("id_b"))
+        .select(col("id_a"), col("id_b"))
         .orderBy(col("id_a"), col("id_b"))
     },
     Some("""WITH corpus AS (
@@ -1185,7 +1190,7 @@ object TrainingData {
                        c.cell) AS rn
           FROM corpus e CROSS JOIN cent c)
         WHERE rn = 1)
-      SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
       FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
       WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.8
       ORDER BY id_a, id_b"""))

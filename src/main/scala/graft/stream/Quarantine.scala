@@ -2,7 +2,7 @@ package graft.stream
 
 import graft.decode.Wal2Json
 import graft.model.ChangeRecord
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
@@ -17,9 +17,7 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   *
   * The quarantine dir is written by [[CdcStreamEngine.processBatch]]
   * (non-strict mode): raw spool rows that failed decode, partitioned
-  * by the batch that dropped them. Requeued rows re-enter the parquet
-  * spool as a fresh append, so the NEXT micro-batch replays them with
-  * exactly-once semantics intact — no side door into the store.
+  * by the batch that dropped them.
   */
 object Quarantine {
 
@@ -28,11 +26,16 @@ object Quarantine {
     StructType(ChangeRecord.schema.fields :+
       StructField("batch_id", LongType))
 
-  /** Read the quarantine dir (explicit schema: a fully-drained
-    * quarantine — or one not yet written — reads as empty, not as a
-    * schema-inference error). */
-  def read(spark: SparkSession, dir: String): DataFrame =
-    spark.read.schema(schema).parquet(dir)
+  /** Read the quarantine dir. Explicit schema plus an existence check:
+    * a quarantine that was never written (dir absent) or fully drained
+    * reads as empty, not as a listing/inference error. */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    else spark.read.schema(schema).parquet(dir)
+  }
 
   /** The fixer's repair horizon (`connemara_fixer.pl:99-102`): only
     * records within `horizonSeconds` of the OLDEST failure — repair
@@ -52,21 +55,61 @@ object Quarantine {
     * the quarantine to hold only the still-bad rows — the
     * delete-on-success the fixer performs after a manual apply.
     *
+    * Re-stamping (on by default): requeued rows re-enter the stream
+    * as NEW events — their `insert_timestamp` is advanced past the
+    * newest spool event (relative order within the requeued set is
+    * preserved by `lsn_start` at the shared new timestamp). A repair
+    * is the operator's newest statement about the row; without the
+    * re-stamp, a repaired OLD event applied by a later micro-batch
+    * would silently travel back in time and overwrite changes that
+    * newer, already-applied events made to the same key. Pass
+    * `restamp = false` only when the stream is known to hold no
+    * newer events for the affected keys (the reference's model, where
+    * failures block the batch until fixed).
+    *
     * @param repair spool-shaped rows in, spool-shaped rows out
-    *               (typically a `withColumn("payload", …)` rewrite)
+    *               (typically a `withColumn("payload", …)` rewrite);
+    *               extra columns beyond the spool schema are ignored,
+    *               and `batch_id` is re-attached from the quarantine
+    *               automatically
     * @return (requeued, stillBad) counts
     */
   def requeue(spark: SparkSession, quarantineDir: String, spoolDir: String,
-              repair: DataFrame => DataFrame): (Long, Long) = {
+              repair: DataFrame => DataFrame,
+              restamp: Boolean = true): (Long, Long) = {
     val spoolCols = ChangeRecord.schema.fieldNames.map(col).toSeq
     val q = read(spark, quarantineDir)
     val repaired = repair(q)
-    val (valid, stillBad) = Wal2Json.partitionValid(Wal2Json.parse(repaired))
+    val (valid, stillBad0) = Wal2Json.partitionValid(Wal2Json.parse(repaired))
+    // the still-bad rewrite needs the engine's batch_id partitioning;
+    // a repair that returned strictly spool-shaped rows dropped it
+    val stillBad =
+      if (stillBad0.columns.contains("batch_id")) stillBad0
+      else stillBad0.withColumn("batch_id", lit(-1L))
 
-    val requeued = valid.select(spoolCols: _*)
-    val nRequeued = requeued.count()
+    val requeued0 = valid.select(spoolCols: _*)
+    val requeued =
+      if (!restamp) requeued0
+      else {
+        val sp = new org.apache.hadoop.fs.Path(spoolDir)
+        val sfs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!sfs.exists(sp)) requeued0
+        else {
+          // one tiny agg over the spool; empty spool → no shift needed
+          val maxTs = spark.read.schema(ChangeRecord.schema).parquet(spoolDir)
+            .agg(max(col("insert_timestamp"))).collect()(0)
+          if (maxTs.isNullAt(0)) requeued0
+          else requeued0.withColumn("insert_timestamp",
+            greatest(col("insert_timestamp"),
+              lit(maxTs.getTimestamp(0)) + expr("INTERVAL 1 SECOND")))
+        }
+      }
+    // materialize once: count() and the spool append share the
+    // repair/parse/validate pipeline
+    val toWrite = requeued.localCheckpoint(eager = true)
+    val nRequeued = toWrite.count()
     if (nRequeued > 0)
-      requeued.write.mode("append").parquet(spoolDir)
+      toWrite.write.mode("append").parquet(spoolDir)
 
     // materialize the remainder BEFORE overwriting the dir it reads;
     // keep the engine's partitioned layout so later engine writes

@@ -301,4 +301,41 @@ class CdcStreamSpec extends SparkSpec {
     val (r2, b2) = graft.stream.Quarantine.requeue(spark, qdir, spool, identity)
     assert(r2 == 0 && b2 == 1)
   }
+
+  test("requeue re-stamps repaired rows past the newest spool event") {
+    val (engine0, store, registry, spool, ckpt) = freshEngine()
+    val qdir = Files.createTempDirectory("graft-quar-").toString
+    val engine = new CdcStreamEngine(spark, registry, store,
+      quarantineDir = Some(qdir))
+
+    // the quarantined (repairable) event is OLDER than a later valid
+    // update to the same key — without the re-stamp, its repair would
+    // replay behind the newer event and regress the key
+    spoolBatch(
+      (1L, """{"kind":"upd8","schema":"public","table":"customer",
+        "columnnames":["c_custkey","c_acctbal"],"columnvalues":[1,11.0],
+        "oldkeys":{"keynames":["c_custkey"],"keyvalues":[1]}}"""),
+      (2L, """{"kind":"update","schema":"public","table":"customer",
+        "columnnames":["c_custkey","c_acctbal"],"columnvalues":[1,99.0],
+        "oldkeys":{"keynames":["c_custkey"],"keyvalues":[1]}}"""))
+      .coalesce(1).write.mode("append").parquet(spool)
+    run(engine, spool, ckpt)
+    assert(state(store).collect { case Row(1L, _, b) => b } == Seq(99.0))
+
+    val maxBefore = spark.read.parquet(spool)
+      .agg(max(col("insert_timestamp"))).collect()(0).getTimestamp(0)
+    val (requeued, _) = graft.stream.Quarantine.requeue(
+      spark, qdir, spool,
+      q => q.withColumn("payload",
+        regexp_replace(col("payload"), "\"upd8\"", "\"update\"")))
+    assert(requeued == 1)
+    // the requeued row's timestamp moved past everything in the spool
+    val reTs = spark.read.parquet(spool)
+      .filter(col("payload").contains("11.0"))
+      .select("insert_timestamp").collect()(0).getTimestamp(0)
+    assert(reTs.after(maxBefore), s"$reTs not after $maxBefore")
+    // and the replay applies it as the NEWEST statement about the key
+    run(engine, spool, ckpt)
+    assert(state(store).collect { case Row(1L, _, b) => b } == Seq(11.0))
+  }
 }
