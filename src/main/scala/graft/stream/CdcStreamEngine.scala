@@ -35,6 +35,7 @@ final class CdcStreamEngine(
     strict: Boolean = false,
     archiveDir: Option[String] = None,
     quarantineDir: Option[String] = None,
+    startLsn: Option[Long] = None,
     tableParallelism: Int = 4) {
 
   // per-batch chained table states; a field so the DDL interpreter's
@@ -121,7 +122,14 @@ final class CdcStreamEngine(
     * Segment merges chain lazily per table; everything is staged and
     * committed once at the end of the batch.
     */
-  def processBatch(batch: DataFrame, batchId: Long): Unit = {
+  def processBatch(batch0: DataFrame, batchId: Long): Unit = {
+    // basebackup→stream handoff: the snapshot already contains every
+    // effect up to its pinned LSN (Snapshot.readStartLsn), so events
+    // before the cut must not replay — a pre-cut update applied on
+    // top of the (newer) snapshotted row would regress it. Mirrors
+    // the reference starting replication AT the slot's
+    // consistent_point rather than from the WAL's beginning.
+    val batch = startLsn.fold(batch0)(l => batch0.filter(col("lsn_start") >= l))
     if (batch.isEmpty) return
     val parsedAll = Wal2Json.parse(batch).cache()
     try {

@@ -101,4 +101,46 @@ class SnapshotSpec extends SparkSpec {
       .collect()
     assert(orphans.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((99L, 1L)))
   }
+
+  test("basebackup → stream handoff: events before the pinned LSN never replay") {
+    val sf = "/root/testdata/sf0.001"
+    val root = Files.createTempDirectory("snap-handoff-").toString
+    val spool = Files.createTempDirectory("snap-handoff-spool-").toString
+    val ckpt = Files.createTempDirectory("snap-handoff-ckpt-").toString
+    val store = new graft.stream.TableStore(spark, root)
+    val registry = new SchemaRegistry
+    val rid = TableId("srcdb", "public", "region")
+    Snapshot.basebackup(spark, Seq(
+      Snapshot.TableSpec(rid, Seq("r_regionkey"), s"$sf/region.parquet")),
+      registry, store, root, startLsn = 100L)
+
+    // lsn 50 predates the cut — its effect is ALREADY inside the
+    // snapshot image (or superseded by it); replaying would regress.
+    // lsn 150 is post-cut and must apply.
+    def upd(lsn: Long, key: Int, name: String) = (lsn,
+      s"""{"kind":"update","schema":"public","table":"region",
+        "columnnames":["r_regionkey","r_name"],
+        "columnvalues":[$key,"$name"],
+        "oldkeys":{"keynames":["r_regionkey"],"keyvalues":[$key]}}""")
+    Seq(upd(50L, 0, "STALE"), upd(150L, 1, "FRESH"))
+      .toDF("lsn_start", "payload")
+      .withColumn("insert_timestamp",
+        timestamp_seconds(lit(1700000000L) + col("lsn_start")))
+      .withColumn("database", lit("srcdb"))
+      .withColumn("xid", col("lsn_start"))
+      .withColumn("xid_timestamp", col("insert_timestamp"))
+      .withColumn("source_slotname", lit("slot1"))
+      .coalesce(1).write.mode("append").parquet(spool)
+
+    val engine = new graft.stream.CdcStreamEngine(spark, registry, store,
+      startLsn = Snapshot.readStartLsn(root))
+    val q = engine.start(spool, ckpt)
+    q.awaitTermination()
+    assert(q.exception.isEmpty, q.exception.map(_.toString).getOrElse(""))
+
+    val names = store.read(rid).orderBy("r_regionkey")
+      .select("r_regionkey", "r_name").as[(Long, String)].collect().toMap
+    assert(names(1L) == "FRESH", s"post-cut event did not apply: $names")
+    assert(names(0L) != "STALE", s"pre-cut event replayed over the snapshot: $names")
+  }
 }
