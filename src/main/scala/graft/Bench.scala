@@ -58,7 +58,10 @@ object Bench {
     // clears a floor — data-plane regressions stop hiding under
     // compile noise. SPARK_GRAFT_WARM: floor in seconds, 0 = all,
     // -1 = disable.
-    val warmFloor = sys.env.getOrElse("SPARK_GRAFT_WARM", "1.0").toDouble
+    // parse defensively: a bad value must not discard the finished
+    // cold-pass results by throwing AFTER they were measured
+    val warmFloor = sys.env.get("SPARK_GRAFT_WARM")
+      .flatMap(_.toDoubleOption).getOrElse(1.0)
     System.gc() // take the big collection between passes, not mid-query
     val warm =
       if (warmFloor < 0) Seq.empty

@@ -124,7 +124,7 @@ object DdlAst {
   private val createFunctionHeadRe =
     s"""(?is)^CREATE\\s+(OR\\s+REPLACE\\s+)?FUNCTION\\s+($qname)""".r
   private val languageRe = """(?is)\bLANGUAGE\s+'?([A-Za-z_][A-Za-z_0-9]*)'?""".r
-  private val dollarTagRe = """(?s)\bAS\s+(\$[A-Za-z_0-9]*\$)""".r
+  private val dollarTagRe = """(?is)\bAS\s+(\$[A-Za-z_0-9]*\$)""".r
   private val quotedBodyRe = """(?s)\b[Aa][Ss]\s+'""".r
   private val tagRe = """(?is)^\s*([A-Za-z]+(?:\s+[A-Za-z]+)?)""".r
 
@@ -267,7 +267,6 @@ object DdlAst {
       val name = qn(List(Option(h.group(3)), Option(h.group(4)),
         Option(h.group(5)), Option(h.group(6))))
       val nameSpan = (h.start(2), h.end(2))
-      val language = languageRe.findFirstMatchIn(s).map(_.group(1)).getOrElse("sql")
       val dollar = dollarTagRe.findFirstMatchIn(s).flatMap { m =>
         val tag = m.group(1)
         val bodyStart = m.end
@@ -290,6 +289,12 @@ object DdlAst {
         }
       }
       body.map { case (b, span) =>
+        // find the LANGUAGE clause OUTSIDE the body: a body that
+        // itself contains the word (e.g. EXECUTE 'CREATE FUNCTION …
+        // LANGUAGE sql') must not hijack the outer classification
+        val langScan = s.substring(0, span._1) + s.substring(span._2)
+        val language = languageRe.findFirstMatchIn(langScan)
+          .map(_.group(1)).getOrElse("sql")
         CreateFunction(s, name, language.toLowerCase, b, nameSpan, span,
           h.group(1) != null)
       }

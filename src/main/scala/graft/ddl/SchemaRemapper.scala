@@ -86,8 +86,50 @@ final class SchemaRemapper(database: String,
   // shrinking the name so the no-paren lookahead can't be dodged
   private val relationRe =
     """(?is)\b(FROM|JOIN|INTO|UPDATE|TABLE)\s+("[^"]+"|[A-Za-z_][\w$]*)\.("[^"]+"|[A-Za-z_][\w$]*)(?![\w$])(?!\s*\()""".r
+  // FROM-list continuation: an optional (AS) alias, a comma, the next
+  // schema-qualified relation. Anchored via region+lookingAt to the
+  // END of the previous relation match, so a bare `, x.y` elsewhere
+  // (e.g. an aliased column ref in a SELECT list) can never match.
+  private val relContRe =
+    """(?is)(\s*(?:(?:AS\s+)?(?:"[^"]+"|[A-Za-z_][\w$]*))?\s*,\s*)("[^"]+"|[A-Za-z_][\w$]*)\.("[^"]+"|[A-Za-z_][\w$]*)(?![\w$])(?!\s*\()""".r
   private val funcCallRe =
     """(?is)\b("[^"]+"|[A-Za-z_][\w$]*)\.("[^"]+"|[A-Za-z_][\w$]*)\s*\(""".r
+
+  /** Remap a schema token, PRESERVING its quoting: a quoted source
+    * schema yields a quoted target (`"My Schema"` → `"db_My Schema"`)
+    * — stripping the quotes would render invalid SQL for any schema
+    * that needed them. */
+  private def targetTok(tok: String): String =
+    if (tok.startsWith("\""))
+      "\"" + target(tok.stripPrefix("\"").stripSuffix("\"")) + "\""
+    else target(tok)
+
+  /** Relation pass over a SQL body: rewrites the relation after each
+    * FROM/JOIN/INTO/UPDATE/TABLE *and* every comma-continued relation
+    * of the same FROM list (`FROM public.a x, public.b y`). */
+  private def remapRelations(sql: String): String = {
+    val out = new java.lang.StringBuilder
+    val m = relationRe.pattern.matcher(sql)
+    val cont = relContRe.pattern.matcher(sql)
+    var last = 0
+    while (m.find(last)) {
+      out.append(sql, last, m.start)
+      out.append(s"${m.group(1)} ${targetTok(m.group(2))}.${m.group(3)}")
+      var pos = m.end
+      var going = true
+      while (going) {
+        cont.region(pos, sql.length)
+        if (cont.lookingAt()) {
+          out.append(cont.group(1))
+          out.append(s"${targetTok(cont.group(2))}.${cont.group(3)}")
+          pos = cont.end
+        } else going = false
+      }
+      last = pos
+    }
+    out.append(sql, last, sql.length)
+    out.toString
+  }
 
   /** Rewrite the schema of a `'schema.obj'` (or unqualified `'obj'`)
     * literal string, the `replace_schema_in_fqn` analog. */
@@ -103,11 +145,9 @@ final class SchemaRemapper(database: String,
     val afterRegclass = regclassRe.replaceAllIn(sql, m =>
       scala.util.matching.Regex.quoteReplacement(
         s"'${remapFqnLiteral(m.group(1), searchPath)}'::regclass"))
-    val afterRel = relationRe.replaceAllIn(afterRegclass, m =>
-      scala.util.matching.Regex.quoteReplacement(
-        s"${m.group(1)} ${target(m.group(2).stripPrefix("\"").stripSuffix("\""))}.${m.group(3)}"))
+    val afterRel = remapRelations(afterRegclass)
     funcCallRe.replaceAllIn(afterRel, m =>
       scala.util.matching.Regex.quoteReplacement(
-        s"${target(m.group(1).stripPrefix("\"").stripSuffix("\""))}.${m.group(2)}("))
+        s"${targetTok(m.group(1))}.${m.group(2)}("))
   }
 }

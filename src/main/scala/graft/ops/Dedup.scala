@@ -561,12 +561,22 @@ object Dedup {
     */
   def charJaccardSimilar(docs: DataFrame, partCol: String, idCol: String,
       textCol: String, threshold: Double = 0.9): DataFrame = {
+    // candidate keys live in the SAME folded 128-bit space the mask
+    // verifies in (bit = cp if cp<64 else 64 + cp mod 64): with exact
+    // chars as keys, two non-ASCII chars that alias to one mask bit
+    // would verify as similar yet never meet in the equi-join —
+    // silent misses off the ASCII contract. In mask space the prefix
+    // filter is lossless w.r.t. maskJaccard for ANY input.
+    val bitId = (c: Column) => {
+      val a = ascii(c)
+      when(a < 64, a).otherwise(lit(64) + pmod(a, lit(64)))
+    }
     val d = docs.select(
       col(partCol).as("part"), col(idCol).as("id"),
       charMask(col(textCol)).as("cm"),
-      array_distinct(split(col(textCol), "")).as("cs"))
+      array_distinct(transform(split(col(textCol), ""), bitId)).as("cs"))
 
-    // per-(part,char) document frequency → the prefix order
+    // per-(part,bit) document frequency → the prefix order
     val exploded = d.select(col("part"), col("id"), col("cm"),
       explode(col("cs")).as("ch"))
     val withDf = exploded.withColumn("df",

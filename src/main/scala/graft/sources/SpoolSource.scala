@@ -66,9 +66,16 @@ object SpoolSource {
   private[sources] def listFiles(dir: String): Seq[String] = {
     val p = Paths.get(dir)
     if (!Files.isDirectory(p)) Seq.empty
-    else Files.list(p).iterator().asScala
-      .filter(f => Files.isRegularFile(f) && f.getFileName.toString.endsWith(".jsonl"))
-      .map(_.toString).toSeq.sorted
+    else {
+      // close the DirectoryStream: this runs 2-3× per trigger, and an
+      // unclosed stream leaks an fd until GC — a quiet driver heap
+      // eventually hits "Too many open files"
+      val st = Files.list(p)
+      try st.iterator().asScala
+        .filter(f => Files.isRegularFile(f) && f.getFileName.toString.endsWith(".jsonl"))
+        .map(_.toString).toSeq.sorted
+      finally st.close()
+    }
   }
 
   /** filter-tables pattern list → predicate on (schema, table).
@@ -90,10 +97,38 @@ object SpoolSource {
   // top-level "schema"/"table" string members; first match wins
   private val schemaRe = """"schema"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
   private val tableRe = """"table"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+  /** JSON string-escape decoding for the captured raw value: the
+    * extracted columns must agree byte-for-byte with what `from_json`
+    * decodes downstream, or an exactly-pushed EqualTo filter on a
+    * name containing escapes silently drops the row at the source. */
+  private[sources] def jsonUnescape(raw: String): String = {
+    val sb = new StringBuilder(raw.length)
+    var i = 0
+    while (i < raw.length) {
+      val c = raw.charAt(i)
+      if (c == '\\' && i + 1 < raw.length) {
+        raw.charAt(i + 1) match {
+          case '"' => sb.append('"'); i += 2
+          case '\\' => sb.append('\\'); i += 2
+          case '/' => sb.append('/'); i += 2
+          case 'b' => sb.append('\b'); i += 2
+          case 'f' => sb.append('\f'); i += 2
+          case 'n' => sb.append('\n'); i += 2
+          case 'r' => sb.append('\r'); i += 2
+          case 't' => sb.append('\t'); i += 2
+          case 'u' if i + 6 <= raw.length =>
+            sb.append(Integer.parseInt(raw.substring(i + 2, i + 6), 16).toChar)
+            i += 6
+          case other => sb.append(other); i += 2
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
   private[sources] def chgSchema(payload: String): String =
-    schemaRe.findFirstMatchIn(payload).map(_.group(1)).orNull
+    schemaRe.findFirstMatchIn(payload).map(m => jsonUnescape(m.group(1))).orNull
   private[sources] def chgTable(payload: String): String =
-    tableRe.findFirstMatchIn(payload).map(_.group(1)).orNull
+    tableRe.findFirstMatchIn(payload).map(m => jsonUnescape(m.group(1))).orNull
 
   /** Test/receiver helper: append records to a spool file. Timestamps
     * are epoch micros. */

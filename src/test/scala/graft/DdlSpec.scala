@@ -402,6 +402,34 @@ class DdlSpec extends SparkSpec {
     assert(r.remap(q).asInstanceOf[CreateFunction].body.contains("FROM mydb_public.t"))
   }
 
+  test("CREATE FUNCTION: lowercase 'as', body-embedded LANGUAGE, comma FROM lists, quoted schemas") {
+    // lowercase 'as' before the dollar tag must still parse as a body
+    val lower = DdlAst.parse(
+      "create or replace function f() returns int language sql as $$ select 1 from public.t $$")
+    assert(lower.isInstanceOf[CreateFunction],
+      s"lowercase 'as' fell through to ${lower.getClass.getSimpleName}")
+    assert(lower.asInstanceOf[CreateFunction].language == "sql")
+
+    // a LANGUAGE token INSIDE the body must not hijack the outer
+    // clause that follows the body
+    val nested = DdlAst.parse(
+      """CREATE FUNCTION h() RETURNS void AS $do$
+        |BEGIN EXECUTE 'CREATE FUNCTION g() RETURNS int LANGUAGE sql AS ...'; END;
+        |$do$ LANGUAGE plpgsql""".stripMargin).asInstanceOf[CreateFunction]
+    assert(nested.language == "plpgsql",
+      s"body-embedded LANGUAGE won: ${nested.language}")
+
+    val r = new SchemaRemapper("mydb")
+    // every relation of a comma-separated FROM list remaps, aliases
+    // and the SELECT list's own qualified column refs untouched
+    assert(r.remapSqlText(
+      "SELECT a.x, b.y FROM public.a a, public.b AS b WHERE a.x = b.y") ==
+      "SELECT a.x, b.y FROM mydb_public.a a, mydb_public.b AS b WHERE a.x = b.y")
+    // quoted schema identifiers stay quoted after the remap
+    assert(r.remapSqlText("""SELECT * FROM "My Schema".t""") ==
+      """SELECT * FROM "mydb_My Schema".t""")
+  }
+
   test("remapSqlText: system schemas and table functions handled once") {
     val r = new SchemaRemapper("mydb")
     // pg_catalog passes through unmapped (remappers.py leaves

@@ -82,6 +82,16 @@ class OpsSpec extends SparkSpec {
     assert(fast == brute)
   }
 
+  test("charJaccardSimilar: mask-aliasing non-ASCII chars still meet in candidates") {
+    // 'é' (233) and 'i' (105) fold to the SAME mask bit (hi 41), so
+    // maskJaccard('é', 'i') = 1.0; with exact chars as candidate keys
+    // the pair would never meet in the equi-join and be silently lost
+    val docs = Seq(("s", 1L, "é"), ("s", 2L, "i")).toDF("source", "doc_id", "text")
+    val r = Dedup.charJaccardSimilar(docs, "source", "doc_id", "text", 0.9)
+      .select("id_a", "id_b", "jac").as[(Long, Long, Double)].collect().toSeq
+    assert(r == Seq((1L, 2L, 1.0)), s"aliasing pair missed: $r")
+  }
+
   test("ngramJaccardSimilar ≡ the all-pairs exact form on random data") {
     // random bases + planted near-copies (random 3-gram SEQUENCES
     // rarely overlap — similarity must be planted); fixed seed

@@ -47,6 +47,18 @@ class SpoolSourceSpec extends SparkSpec {
     assert(ts.getTime == (TS + 1) / 1000)
   }
 
+  test("chg_schema/chg_table decode JSON escapes like from_json does") {
+    // the extracted column must agree with the downstream from_json
+    // value, or an exactly-pushed EqualTo on an escaped name silently
+    // drops the row at the source with no second evaluation
+    val dir = Files.createTempDirectory("graft-dsv2-esc-").toString
+    SpoolSource.append(dir, "000001.jsonl", Seq(
+      rec(1, """{"kind":"insert","schema":"a\"b","table":"x\\y","columnnames":["x"],"columnvalues":[1]}""")))
+    val got = load(dir).select("chg_schema", "chg_table").collect()(0)
+    assert(got.getString(0) == "a\"b", s"schema extracted: ${got.getString(0)}")
+    assert(got.getString(1) == "x\\y", s"table extracted: ${got.getString(1)}")
+  }
+
   test("catalyst filters on chg_table / lsn_start push into the scan") {
     val dir = Files.createTempDirectory("graft-dsv2-").toString
     SpoolSource.append(dir, "000001.jsonl", Seq(
