@@ -115,6 +115,43 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("td_profile: one Expand bounded by the distinct-column count, partial aggregation") {
+    audited(graft.queries.TrainingData.td_profile.fn(spark, dir)) { df =>
+      val plan = df.queryExecution.executedPlan
+      val expands = plan.collect {
+        case e: org.apache.spark.sql.execution.ExpandExec => e.projections.size
+      }
+      // 3 exact-distinct columns → one Expand of ≤4 projections (3
+      // distinct groups + 1 for the plain aggregates); more would mean
+      // the single-pass profile started re-scanning per measure
+      assert(expands.size == 1 && expands.head <= 4,
+        s"profile expand shape changed: $expands\n$plan")
+      // string min/max plans as SortAggregate, numeric as
+      // HashAggregate — the property is the Partial mode, not the impl
+      val partial = plan.collect {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+          if a.aggregateExpressions.exists(_.mode.toString == "Partial") => a
+      }
+      assert(partial.nonEmpty, s"no map-side partial aggregation:\n$plan")
+    }
+  }
+
+  test("td_source_neardup: signature agg is partial before the shuffle, no nested loop") {
+    audited(graft.queries.TrainingData.td_source_neardup.fn(spark, dir)) { df =>
+      val plan = df.queryExecution.executedPlan
+      val partial = plan.collect {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+          if a.aggregateExpressions.exists(_.mode.toString == "Partial") => a
+      }
+      assert(partial.nonEmpty,
+        s"group signatures lost map-side partial aggregation:\n$plan")
+      assert(plan.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      }.isEmpty, s"collection near-dup regressed to a nested loop:\n$plan")
+    }
+  }
+
   test("q31: lateral ORDER BY/LIMIT plans as a group-limit, partial before the exchange") {
     audited(Relational.q31_lateral.fn(spark, dir)) { df =>
       val plan = df.queryExecution.executedPlan
