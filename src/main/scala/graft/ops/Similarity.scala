@@ -34,6 +34,40 @@ object Similarity {
     dot(da, db) / nullif(sqrt(dot(da, da)) * sqrt(dot(db, db)), lit(0.0))
   }
 
+  /** L2-normalize a float-array column (unit vector, double
+    * precision). Zero-norm vectors map to NULL — the same ANSI-safe
+    * disposition as [[cosine]]. A narrow map: normalizing at write
+    * time turns downstream cosine into a plain dot product. */
+  def l2Normalize(vec: Column): Column = {
+    val d = transform(vec, _.cast("double"))
+    val norm = sqrt(aggregate(transform(d, x => x * x), lit(0.0), _ + _))
+    when(norm > 0, transform(d, x => x / norm))
+  }
+
+  /** Mean-pool vectors per group — the chunk-embeddings → document-
+    * embedding reduction. Computed as posexplode → per-(group,
+    * position) partial-mean aggregate → reassemble in position order:
+    * one keyed shuffle with map-side combine, memory O(dim) per
+    * group. NEVER collect_list of whole vectors (that materializes a
+    * group's every vector in one aggregation buffer — the shape that
+    * OOMs when a group holds thousands of chunks at 100 TB).
+    * Rows with NULL vectors are ignored; vectors within a group must
+    * share a length.
+    */
+  def meanPoolVectors(df: DataFrame, groupCol: String,
+                      vecCol: String): DataFrame =
+    df.filter(col(vecCol).isNotNull)
+      .select(col(groupCol).as("grp"),
+        posexplode(transform(col(vecCol), _.cast("double")))
+          .as(Seq("pos", "x")))
+      .groupBy(col("grp"), col("pos"))
+      .agg(avg(col("x")).as("m"))
+      .groupBy(col("grp"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("m")))),
+        e => e.getField("m")).as("pooled"))
+      .select(col("grp").as(groupCol), col("pooled"))
+
   /** Brute-force cosine top-k: each query row against the whole
     * corpus. The corpus side stays partitioned; queries broadcast
     * (queries ≪ corpus is the realistic shape). Top-k per query via

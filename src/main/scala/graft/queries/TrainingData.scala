@@ -422,6 +422,34 @@ object TrainingData {
              CAST(len(ch) AS INT) AS n_tokens
       FROM c ORDER BY doc_id, chunk_idx"""))
 
+  /** Mean-pooling per group ([[graft.ops.Similarity.meanPoolVectors]])
+    * over deterministic integer-valued vectors (exact sums at any
+    * aggregation order, so the double means hash-match cross-engine —
+    * real float embeddings would diverge in the sum). The pooled
+    * array reassembles strictly by position. */
+  val td_mean_pool = GraftQuery(
+    "td_mean_pool",
+    (s, dir) => {
+      val corpus = Tables.embeddings(s, dir).select(
+        col("label"),
+        transform(sequence(lit(0), lit(7)),
+          i => pmod(col("vec_id") * (i + 1), lit(97)).cast("double"))
+          .as("v"))
+      Similarity.meanPoolVectors(corpus, "label", "v")
+        .orderBy(col("label"))
+    },
+    Some("""WITH v AS (
+        SELECT label,
+          list_transform(range(0, 8),
+            i -> CAST((vec_id * (i + 1)) % 97 AS DOUBLE)) AS v
+        FROM embeddings),
+      e AS (
+        SELECT label, CAST(i AS INT) AS pos, v[CAST(i AS INT) + 1] AS x
+        FROM v, unnest(range(0, 8)) AS t(i)),
+      p AS (SELECT label, pos, AVG(x) AS m FROM e GROUP BY 1, 2)
+      SELECT label, list(m ORDER BY pos) AS pooled
+      FROM p GROUP BY label ORDER BY label"""))
+
   /** One-pass per-column data profile ([[graft.ops.Profiling]]):
     * null/distinct/min/max per column in a single scan — the ingest
     * health check. The approx (HLL++) variant is spec-checked against
@@ -1230,5 +1258,5 @@ object TrainingData {
     td_token_budget, td_interleave, td_train_split, td_pii_scrub,
     td_media_meta, td_media_frames, td_media_features,
     td_quality_repetition, td_semdedup, td_epoch_shuffle, td_profile,
-    td_chunk_embed)
+    td_chunk_embed, td_mean_pool)
 }

@@ -270,6 +270,27 @@ class OpsSpec extends SparkSpec {
     assert(r == Seq(11L, 30L))
   }
 
+  test("l2Normalize: unit norm, zero vector → null") {
+    val df = Seq(Seq(3f, 4f), Seq(0f, 0f)).toDF("v")
+      .select(Similarity.l2Normalize(col("v")).as("n"))
+    val r = df.as[Option[Seq[Double]]].collect()
+    assert(r(0).get == Seq(0.6, 0.8))
+    assert(r(1).isEmpty)
+  }
+
+  test("meanPoolVectors: exact positional means, null vectors ignored") {
+    val df = Seq(
+      ("a", Some(Seq(1.0, 2.0, 3.0))),
+      ("a", Some(Seq(3.0, 4.0, 5.0))),
+      ("a", None),
+      ("b", Some(Seq(10.0, 20.0, 30.0))))
+      .toDF("doc", "vec")
+    val r = Similarity.meanPoolVectors(df, "doc", "vec")
+      .as[(String, Seq[Double])].collect().toMap
+    assert(r("a") == Seq(2.0, 3.0, 4.0))
+    assert(r("b") == Seq(10.0, 20.0, 30.0))
+  }
+
   test("cosine: orthogonal → 0, identical → 1, zero-norm → null (no ANSI abort)") {
     val df = Seq(
       (Seq(1f, 0f), Seq(0f, 1f)),
