@@ -661,6 +661,68 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Exact duplicated-span coverage per document — the substring-level
+    * dedup signal of Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better" (2022), at word-n-gram granularity: a
+    * position is "duplicated" when it is covered by some word n-gram
+    * that also appears in at least `minDocs` distinct documents.
+    * Overlapping spans are merged (interval-island window) so each
+    * position counts once.
+    *
+    * Plan shape (100 TB path): explode positioned n-grams (narrow),
+    * one shuffle keyed by gram for the distinct-doc count, one keyed
+    * join back to positions, one per-doc window — never O(n²); the
+    * per-gram group carries only (gram, doc) pairs.
+    *
+    * @return (id, n_tokens, dup_tokens, dup_ppm) — dup_ppm =
+    *         dup_tokens·10⁶ div n_tokens (exact integer arithmetic,
+    *         oracle-safe), 0 for empty docs.
+    */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, minDocs: Int = 2): DataFrame = {
+    val base = docs
+      .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .withColumn("n_tokens", size(col("toks")))
+
+    val grams = base
+      .filter(col("n_tokens") >= n)
+      .select(col("id"),
+        posexplode(transform(
+          sequence(lit(0), col("n_tokens") - n),
+          i => concat_ws(" ", slice(col("toks"), i + 1, lit(n)))))
+          .as(Seq("pos", "gram")))
+
+    val dupGrams = grams
+      .groupBy(col("gram"))
+      .agg(countDistinct(col("id")).as("ndocs"))
+      .filter(col("ndocs") >= minDocs)
+      .select(col("gram"))
+
+    val spans = grams.join(dupGrams, Seq("gram"))
+      .select(col("id"), col("pos"), (col("pos") + lit(n - 1)).as("e"))
+
+    // Interval-island merge: a span starts a new island iff it begins
+    // past the running max end of everything before it.
+    val byDoc = Window.partitionBy("id").orderBy("pos")
+    val prevMax = byDoc.rowsBetween(Window.unboundedPreceding, -1)
+    val covered = spans
+      .withColumn("pme", max(col("e")).over(prevMax))
+      .withColumn("isl", sum(
+        when(col("pme").isNull || col("pos") > col("pme"), 1L)
+          .otherwise(0L)).over(byDoc))
+      .groupBy(col("id"), col("isl"))
+      .agg((max(col("e")) - min(col("pos")) + 1).as("cov"))
+      .groupBy(col("id"))
+      .agg(sum(col("cov")).cast("long").as("dup_tokens"))
+
+    base.select(col("id"), col("n_tokens"))
+      .join(covered, Seq("id"), "left")
+      .withColumn("dup_tokens", coalesce(col("dup_tokens"), lit(0L)))
+      .withColumn("dup_ppm",
+        when(col("n_tokens") === 0, lit(0L))
+          .otherwise(expr("dup_tokens * 1000000L div n_tokens")))
+  }
+
   /** Jaccard over two [[charMask]] bitmaps (exact ASCII char-set
     * Jaccard, bit-parallel). */
   def maskJaccard(ma: Column, mb: Column): Column = {

@@ -166,4 +166,88 @@ object TextAnalysis {
         count(lit(1)).as("n_tokens"),
         sum(when(col("freq") < rareThreshold, 1).otherwise(0)).as("n_rare"))
   }
+
+  /** Bigram-LM document fluency score (the CCNet-style perplexity
+    * filter, made exact): the corpus itself is the LM; each bigram
+    * contributes its MLE conditional probability P(w₂|w₁) =
+    * c(w₁w₂)/c(w₁·) as the scaled integer `c(w₁w₂)·10⁶ div c(w₁·)`
+    * (every term exact — float log-prob sums differ in the last ulp
+    * across engines, per-term scaled ratios never do). Per doc:
+    * the mean scaled conditional probability and the fraction of
+    * singleton bigrams (corpus count 1 — the OOV analog).
+    *
+    * Scale shape: bigram explode is a narrow codegen map; the bigram
+    * and first-word count tables are vocab²-bounded aggregates with
+    * map-side combine, joined back keyed by bigram/word (AQE handles
+    * the build-side size choice at real scale); final agg is one
+    * shuffle per doc id.
+    *
+    * @return (id, n_bigrams, mean_cond_ppm, singleton_ppm); docs with
+    *         fewer than 2 tokens score 0 bigrams and 0 ppm.
+    */
+  def bigramLmScore(docs: org.apache.spark.sql.DataFrame,
+                    idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val base = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+    // (id, w1, bigram) with multiplicity — feeds counts AND the probe
+    val bi = base
+      .filter(size(col("toks")) >= 2)
+      .select(col("id"),
+        explode(transform(
+          sequence(lit(0), size(col("toks")) - 2),
+          i => struct(
+            element_at(col("toks"), i + 1).as("w1"),
+            concat_ws(" ", slice(col("toks"), i + 1, lit(2))).as("bg"))))
+          .as("p"))
+      .select(col("id"), col("p.w1").as("w1"), col("p.bg").as("bg"))
+      .localCheckpoint(eager = false)
+    val bigramCounts = bi.groupBy(col("bg")).agg(count(lit(1)).as("cbg"))
+    val firstCounts = bi.groupBy(col("w1")).agg(count(lit(1)).as("cw1"))
+    val perDoc = bi
+      .join(bigramCounts, Seq("bg"))
+      .join(firstCounts, Seq("w1"))
+      .withColumn("cond_ppm", expr("cbg * 1000000L div cw1"))
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        expr("sum(cond_ppm) div count(1)").as("mean_cond_ppm"),
+        expr("sum(case when cbg = 1 then 1000000L else 0L end) div count(1)")
+          .as("singleton_ppm"))
+    base.select(col("id"))
+      .join(perDoc, Seq("id"), "left")
+      .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
+      .withColumn("mean_cond_ppm", coalesce(col("mean_cond_ppm"), lit(0L)))
+      .withColumn("singleton_ppm", coalesce(col("singleton_ppm"), lit(0L)))
+  }
+
+  /** Gopher-style heuristic quality-rule flags (Rae et al. 2021,
+    * "Scaling Language Models" §A1.1) — the rules the repetition
+    * filters ([[graft.plans.NativeCols]] RepetitionStats) do not
+    * cover. Every rule is an integer comparison (ratios are
+    * cross-multiplied, never divided) so the flags are exact across
+    * engines. All narrow codegen maps — no shuffle.
+    *
+    * Rules: word count within [minWords, maxWords]; mean word length
+    * within [3, 10]; hash/ellipsis symbol count ≤ 10% of words; ≥ 80%
+    * of words contain an alphabetic character; at least `minStopHits`
+    * stopword occurrences.
+    */
+  def gopherQualityFlags(text: Column, stopwords: Seq[String],
+      minWords: Int = 50, maxWords: Int = 100000,
+      minStopHits: Int = 2): Seq[Column] = {
+    val toks = tokens(text)
+    val n = size(toks)
+    val sumLen = coalesce(
+      aggregate(toks, lit(0), (acc, t) => acc + length(t)), lit(0))
+    val nSymbols = size(regexp_extract_all(text, lit("#|\\.\\.\\."), lit(0)))
+    val nAlpha = size(filter(toks, t => t.rlike("[A-Za-z]")))
+    val stopArr = array(stopwords.map(lit): _*)
+    val stopHits = size(filter(toks, t => array_contains(stopArr, t)))
+    Seq(
+      (n >= minWords && n <= maxWords).as("ok_word_count"),
+      // 3 ≤ sumLen/n ≤ 10 without the division
+      (n > 0 && sumLen >= n * 3 && sumLen <= n * 10).as("ok_mean_word_len"),
+      (nSymbols * 10 <= n).as("ok_symbol_ratio"),
+      (n > 0 && nAlpha * 5 >= n * 4).as("ok_alpha_words"),
+      (stopHits >= minStopHits).as("ok_stopwords"))
+  }
 }

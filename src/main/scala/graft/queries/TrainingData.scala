@@ -742,6 +742,73 @@ object TrainingData {
     WHERE jaccard >= 0.8
     ORDER BY id_a, id_b"""))
 
+  /** Duplicated-n-gram span coverage (word-level substring-dedup
+    * signal, Lee et al. 2022) over a corpus with planted full copies
+    * (doc_id % 7 → +1e6 twin) and a shared 8-token tail (corpus
+    * doc_id % 10). Coverage merges overlapping spans so each word
+    * counts once; dup_ppm is exact integer arithmetic.
+    */
+  val td_dup_spans = GraftQuery(
+    "td_dup_spans",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val corpus = d.unionByName(
+        d.filter(pmod(col("doc_id"), lit(7)) === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      val aug = corpus.withColumn("text",
+        when(pmod(col("doc_id"), lit(10)) === 0,
+          concat(col("text"), lit(" zz yy xx ww vv uu tt ss")))
+          .otherwise(col("text")))
+      Dedup.duplicatedSpans(aug, "doc_id", "text", n = 5)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0),
+      aug AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 10 = 0
+               THEN text || ' zz yy xx ww vv uu tt ss' ELSE text END AS text
+        FROM corpus),
+      base AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t,
+          CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+        FROM aug),
+      grams AS (
+        SELECT doc_id, pos,
+          t[pos]||' '||t[pos+1]||' '||t[pos+2]||' '||t[pos+3]||' '||t[pos+4] AS gram
+        FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS pos
+              FROM base WHERE n_tokens >= 5)),
+      dup AS (
+        SELECT gram FROM grams GROUP BY gram
+        HAVING COUNT(DISTINCT doc_id) >= 2),
+      spans AS (
+        SELECT doc_id, pos, pos + 4 AS e FROM grams JOIN dup USING (gram)),
+      isl AS (
+        SELECT doc_id, pos, e,
+          MAX(e) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        FROM spans),
+      isl2 AS (
+        SELECT doc_id, pos, e,
+          SUM(CASE WHEN pme IS NULL OR pos > pme THEN 1 ELSE 0 END)
+            OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM isl),
+      cov AS (
+        SELECT doc_id, island, MAX(e) - MIN(pos) + 1 AS cov
+        FROM isl2 GROUP BY 1, 2),
+      dc AS (SELECT doc_id, SUM(cov) AS dup_tokens FROM cov GROUP BY 1)
+      SELECT b.doc_id, CAST(b.n_tokens AS INTEGER) AS n_tokens,
+        CAST(COALESCE(dc.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+        CASE WHEN b.n_tokens = 0 THEN 0
+             ELSE CAST(COALESCE(dc.dup_tokens, 0) AS BIGINT) * 1000000
+                    // b.n_tokens END AS dup_ppm
+      FROM base b LEFT JOIN dc USING (doc_id)
+      ORDER BY doc_id"""))
+
   /** Per-doc top-3 TF-IDF terms with integer-scaled idf
     * ([[TextAnalysis.tfIdfTopTerms]]): `log`-free so every value is
     * exact cross-engine — tf, df, and score are integers; ranking
@@ -768,6 +835,82 @@ object TrainingData {
             ORDER BY tf.tf * (1000000 * nd.n_docs // df.df) DESC, tf.term) AS rank
         FROM tf JOIN df USING (term) CROSS JOIN nd)
       WHERE rank <= 3 ORDER BY doc_id, rank"""))
+
+  /** Bigram-LM fluency scoring (CCNet-style perplexity filter, exact):
+    * the corpus is the LM, each bigram contributes its scaled-integer
+    * MLE conditional probability. */
+  val td_lm_bigram = GraftQuery(
+    "td_lm_bigram",
+    (s, dir) => {
+      TextAnalysis.bigramLmScore(Tables.documents(s, dir), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH base AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        FROM documents),
+      bi AS (
+        SELECT doc_id, t[pos] AS w1, t[pos] || ' ' || t[pos+1] AS bg
+        FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS pos
+              FROM base WHERE len(t) >= 2)),
+      bc AS (SELECT bg, COUNT(*) AS cbg FROM bi GROUP BY 1),
+      wc AS (SELECT w1, COUNT(*) AS cw1 FROM bi GROUP BY 1),
+      sc AS (
+        SELECT doc_id, COUNT(*) AS n_bigrams,
+          SUM(cbg * 1000000 // cw1) // COUNT(*) AS mean_cond_ppm,
+          SUM(CASE WHEN cbg = 1 THEN 1000000 ELSE 0 END) // COUNT(*)
+            AS singleton_ppm
+        FROM bi JOIN bc USING (bg) JOIN wc USING (w1) GROUP BY 1)
+      SELECT b.doc_id,
+        CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        CAST(COALESCE(mean_cond_ppm, 0) AS BIGINT) AS mean_cond_ppm,
+        CAST(COALESCE(singleton_ppm, 0) AS BIGINT) AS singleton_ppm
+      FROM base b LEFT JOIN sc USING (doc_id)
+      ORDER BY doc_id"""))
+
+  /** Gopher heuristic quality-rule flags (word-count bounds, mean word
+    * length, symbol ratio, alpha-word ratio, stopword floor) — exact
+    * integer comparisons, narrow map, no shuffle. */
+  val td_gopher_quality = GraftQuery(
+    "td_gopher_quality",
+    (s, dir) => {
+      val stop = Seq("a", "the", "value", "table", "row")
+      val flags = TextAnalysis.gopherQualityFlags(col("text"), stop,
+        minWords = 30)
+      Tables.documents(s, dir)
+        .select((col("doc_id") +: flags) :+
+          flags.reduce(_ && _).as("pass"): _*)
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+        ok_word_count, ok_mean_word_len, ok_symbol_ratio, ok_alpha_words,
+        ok_stopwords,
+        (ok_word_count AND ok_mean_word_len AND ok_symbol_ratio
+          AND ok_alpha_words AND ok_stopwords) AS pass
+      FROM (
+        SELECT doc_id,
+          n >= 30 AND n <= 100000 AS ok_word_count,
+          n > 0 AND sum_len >= n * 3 AND sum_len <= n * 10
+            AS ok_mean_word_len,
+          nsym * 10 <= n AS ok_symbol_ratio,
+          n > 0 AND nalpha * 5 >= n * 4 AS ok_alpha_words,
+          stop_hits >= 2 AS ok_stopwords
+        FROM (
+          SELECT doc_id,
+            CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(t) END AS n,
+            CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE CAST(list_sum(list_transform(t, x -> length(x)))
+                           AS BIGINT) END AS sum_len,
+            len(regexp_extract_all(text, '#|\.\.\.')) AS nsym,
+            len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]')))
+              AS nalpha,
+            len(list_filter(t,
+              x -> list_contains(['a','the','value','table','row'], x)))
+              AS stop_hits
+          FROM (SELECT doc_id, text,
+                  string_split_regex(trim(text), '\s+') AS t
+                FROM documents)))
+      ORDER BY doc_id"""))
 
   /** Corpus-frequency rare-word counts (LM-surprisal core, integer-
     * valued so fully oracle-checkable). */
@@ -1248,7 +1391,8 @@ object TrainingData {
   def all: Seq[GraftQuery] = Seq(
     td_text_stats, td_lang_id, td_fingerprint, td_dedup_exact,
     td_char_jaccard, td_cosine_topk, td_minhash_neardup,
-    td_incremental_neardup, td_source_neardup, td_ngram_jaccard, td_tfidf,
+    td_incremental_neardup, td_source_neardup, td_ngram_jaccard,
+    td_dup_spans, td_lm_bigram, td_gopher_quality, td_tfidf,
     td_dedup_components, td_dedup_survivors, td_dedup_best,
     td_dedup_canonical, td_simhash,
     td_simhash_md5, td_ann_lsh, td_embedding_neardup, td_ann_ivf,

@@ -426,4 +426,68 @@ class OpsSpec extends SparkSpec {
     assert(out(1) == ("no pii here at all", 0))
     assert(out(2) == ("two mails <EMAIL> and <EMAIL>", 2))
   }
+
+  test("bigramLmScore: exact scaled conditional probabilities") {
+    val docs = Seq(
+      (1L, "a b a b c"), // bigrams: ab ba ab bc
+      (2L, "a b x"),     // bigrams: ab bx
+      (3L, "solo")).toDF("doc_id", "text")
+    // corpus: c(a b)=3 c(b a)=1 c(b c)=1 c(b x)=1; c(a·)=3 c(b·)=3
+    val out = TextAnalysis.bigramLmScore(docs, "doc_id", "text")
+      .orderBy("id")
+      .select("id", "n_bigrams", "mean_cond_ppm", "singleton_ppm")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 4L, 666666L, 500000L), // (1e6+333333+1e6+333333) div 4
+      (2L, 2L, 666666L, 500000L), // (1e6+333333) div 2; bx singleton
+      (3L, 0L, 0L, 0L)))
+  }
+
+  test("gopherQualityFlags: each rule is an exact integer comparison") {
+    val flags = TextAnalysis.gopherQualityFlags(col("text"), Seq("the"),
+      minWords = 3, minStopHits = 1)
+    val df = Seq(
+      "the cats sat onto the mat", // all rules pass
+      "# # # ... x1",              // symbols, alpha, mean-len fail
+      "ab cd"                      // word count fails
+    ).toDF("text").select(flags: _*)
+    val rows = df.collect()
+    assert(rows(0).toSeq == Seq(true, true, true, true, true))
+    assert(rows(1).toSeq == Seq(true, false, false, false, false))
+    assert(rows(2).toSeq(0) == false)
+  }
+
+  test("duplicatedSpans merges overlapping spans and counts each word once") {
+    // docs 1 and 2 share the 7-gram "s1..s7" (three overlapping 5-gram
+    // spans → one merged island of 7 words); doc 3 additionally shares
+    // a disjoint 5-gram "t1..t5" with doc 1; doc 4 is unique; doc 5 is
+    // below the n-gram size; doc 6 is empty.
+    val docs = Seq(
+      (1L, "s1 s2 s3 s4 s5 s6 s7 u1 u2 u3 t1 t2 t3 t4 t5"),
+      (2L, "x1 s1 s2 s3 s4 s5 s6 s7 x2"),
+      (3L, "t1 t2 t3 t4 t5 y1 y2 y3 y4 y5"),
+      (4L, "z1 z2 z3 z4 z5 z6 z7 z8"),
+      (5L, "w1 w2"),
+      (6L, "")).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpans(docs, "doc_id", "text", n = 5)
+      .orderBy("id")
+      .select("id", "n_tokens", "dup_tokens", "dup_ppm")
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 15, 12L, 800000L), // 7-word island + disjoint 5-word island
+      (2L, 9, 7L, 777777L),
+      (3L, 10, 5L, 500000L),
+      (4L, 8, 0L, 0L),
+      (5L, 2, 0L, 0L),
+      (6L, 0, 0L, 0L)))
+  }
+
+  test("duplicatedSpans covers a full near-copy end to end") {
+    val base = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"
+    val docs = Seq((1L, base), (2L, base), (3L, "q1 q2 q3 q4 q5 q6"))
+      .toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpans(docs, "doc_id", "text", n = 5)
+      .orderBy("id").select("id", "dup_ppm").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 1000000L), (2L, 1000000L), (3L, 0L)))
+  }
 }
