@@ -803,6 +803,47 @@ object Relational {
              COUNT(*) AS chain_len, CAST(SUM(anc) AS BIGINT) AS anc_sum
       FROM anc GROUP BY node ORDER BY node"""))
 
+  /** Z-order (Morton) 2-D clustered layout: part staged into z-prefix
+    * cell directories over (p_size, p_retailprice) rank buckets, then
+    * a 2-D box query reads ONLY the intersecting cells (dir pruning at
+    * planning time, asserted in BucketingSpec) with the exact
+    * predicate as residual. Linear layouts prune one dimension and
+    * scan the other's full stripe — at 100 TB this cell-count
+    * difference is the read-amplification story of Delta/Iceberg
+    * OPTIMIZE ZORDER, built here from partitioned dirs + range sort.
+    */
+  val q34_zorder = GraftQuery(
+    "q34_zorder",
+    (s, dir) => {
+      val stage = s"${System.getProperty("java.io.tmpdir")}/graft_zo_" +
+        s"${s.sparkContext.applicationId}_${Integer.toHexString(dir.hashCode)}"
+      val bits = 5; val prefix = 2
+      val zdf = graft.ops.Bucketing.writeZOrdered(
+        s, Tables.part(s, dir), stage,
+        graft.ops.Bucketing.rangeBucket(col("p_size"), 1, 50, bits),
+        graft.ops.Bucketing.rangeBucket(col("p_retailprice"), 900, 1000, bits),
+        bits, prefix)
+      def xb(v: Double) = graft.ops.Bucketing.rangeBucketValue(v, 1, 50, bits)
+      def yb(v: Double) = graft.ops.Bucketing.rangeBucketValue(v, 900, 1000, bits)
+      val cells = graft.ops.Bucketing.zCellsForBox(
+        (xb(10), xb(20)), (yb(920), yb(960)), bits, prefix)
+      zdf
+        .filter(col("z_cell").isin(cells: _*)) // dir pruning (superset)
+        .filter(col("p_size").between(10, 20) &&
+          col("p_retailprice") >= 920 && col("p_retailprice") < 960)
+        .groupBy(col("p_brand"))
+        .agg(
+          count(lit(1)).as("n_parts"),
+          sum(col("p_retailprice").cast(D4)).cast("double").as("total_price"))
+        .orderBy(col("p_brand"))
+    },
+    Some("""SELECT p_brand, COUNT(*) AS n_parts,
+      CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+      FROM part
+      WHERE p_size BETWEEN 10 AND 20
+        AND p_retailprice >= 920 AND p_retailprice < 960
+      GROUP BY p_brand ORDER BY p_brand"""))
+
   def all: Seq[GraftQuery] = Seq(
     q1_agg, q2_join_agg, q3_multi_join, q4_topk, q5_distinct,
     q6_anti_join, q7_semi_join, q8_min_window, q9_event_batches,
@@ -811,5 +852,5 @@ object Relational {
     q19_bucketed_join, q20_partition_prune, q21_asof_join,
     q22_range_join, q23_rollup, q24_pivot, q25_rolling, q26_cube,
     q27_intersect, q28_window_funcs, q29_exists, q30_grouping_sets,
-    q31_lateral, q32_percentiles, q33_recursive)
+    q31_lateral, q32_percentiles, q33_recursive, q34_zorder)
 }

@@ -69,4 +69,50 @@ class BucketingSpec extends SparkSpec {
         s"scan selected non-matching partitions: ${chosen.mkString(", ")}")
     }
   }
+
+  test("zValue interleaves bits; driver and column twins agree") {
+    val df = Seq((0, 0), (1, 0), (0, 1), (1, 1), (3, 5), (7, 7))
+      .toDF("x", "y")
+      .select(Bucketing.zValue(col("x"), col("y"), 3).as("z"))
+    // interleave(x,y): x even bits, y odd bits
+    assert(df.as[Long].collect().toSeq == Seq(0L, 1L, 2L, 3L,
+      // x=011,y=101 → z = y2 x2 y1 x1 y0 x0 = 1 0 0 1 1 1 = 39
+      39L,
+      63L))
+  }
+
+  test("z-ordered box read prunes to intersecting cells only") {
+    withConf("spark.sql.adaptive.enabled" -> "false") {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_zo_spec"
+      val bits = 4; val prefix = 2
+      // full 16×16 bucket grid, one row per (x, y) bucket pair
+      val df = (for { x <- 0 until 16; y <- 0 until 16 }
+        yield (x, y, x * 16 + y)).toDF("x", "y", "v")
+      val back = Bucketing.writeZOrdered(spark, df, dir,
+        col("x"), col("y"), bits, prefix)
+      // box: x ∈ [1,2], y ∈ [9,10] → 1 x-prefix (0) × 1 y-prefix (2)
+      val cells = Bucketing.zCellsForBox((1, 2), (9, 10), bits, prefix)
+      assert(cells == Seq(8), s"expected single cell, got $cells")
+      val boxed = back
+        .filter(col("z_cell").isin(cells: _*))
+        .filter(col("x").between(1, 2) && col("y").between(9, 10))
+      val expected = df.filter(col("x").between(1, 2) &&
+        col("y").between(9, 10))
+        .select("x", "y", "v").collect().map(_.toSeq).toSet
+      assert(boxed.select("x", "y", "v").collect().map(_.toSeq).toSet
+        == expected)
+      val scan = boxed.queryExecution.executedPlan
+        .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+        .getOrElse(fail("no file scan in plan"))
+      assert(scan.partitionFilters.nonEmpty, "isin not pushed to partitioning")
+      val chosen = scan.relation.location
+        .listFiles(scan.partitionFilters, scan.dataFilters)
+        .flatMap(_.files.map(_.getPath.toString))
+      assert(chosen.nonEmpty && chosen.forall(_.contains("z_cell=8")),
+        s"scan selected non-matching cells: ${chosen.mkString(", ")}")
+      // a wider box still reads a strict subset of the 16 cells
+      val wide = Bucketing.zCellsForBox((1, 10), (2, 13), bits, prefix)
+      assert(wide.size == 12 && wide.size < 16) // 3 x-prefixes × 4 y-prefixes
+    }
+  }
 }

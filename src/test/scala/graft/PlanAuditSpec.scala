@@ -169,4 +169,40 @@ class PlanAuditSpec extends SparkSpec {
       }.isEmpty, s"lateral regressed to a nested loop:\n$plan")
     }
   }
+
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // The 100 TB join-pruning story when neither bucketing nor
+    // broadcast applies: a selective dimension filter is converted by
+    // Spark's InjectRuntimeFilter into a bloom filter evaluated on the
+    // fact scan, cutting shuffle input before the exchange. Thresholds
+    // are lowered so the toy-scale fixture takes the same plan shape a
+    // 1000-executor cluster would.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val old = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import org.apache.spark.sql.functions._
+      val orders = Tables.orders(spark, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val li = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_quantity"))
+      val joined = li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain"),
+        s"no runtime bloom filter injected:\n$optimized")
+      // semantics unchanged by the filter
+      val expected = Tables.lineitem(spark, dir)
+        .join(Tables.orders(spark, dir)
+          .filter(col("o_orderpriority") === "1-URGENT"),
+          col("l_orderkey") === col("o_orderkey")).count()
+      assert(joined.count() == expected)
+    } finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
