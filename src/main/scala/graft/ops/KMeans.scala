@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lloyd's k-means codebook training over an embedding column — the
+  * trained-centroid upgrade to [[Similarity]]'s deterministic IVF
+  * stand-in codebook (reference provenance: the engine's ANN surface;
+  * the coarse quantizer of an IVF index is exactly a k-means codebook,
+  * Jégou et al. 2011).
+  *
+  * Everything is EXACT integer arithmetic so training is reproducible
+  * bit-for-bit across engines and cluster sizes:
+  *  - vectors quantize by `floor(x·scale)` (float multiply + floor are
+  *    deterministic IEEE ops — no round-half ambiguity);
+  *  - a centroid is represented as (component-sum vector S, count n),
+  *    never as a float mean;
+  *  - the argmin compares dist²(x, S/n) via the integer
+  *    f = |S|² − 2·n·(x·S) (the Σx² term is constant per x and drops
+  *    out), ordered as the exact double f/n² — every |f| here is far
+  *    below 2^53, so the int→double conversion and one division are
+  *    correctly rounded and identical everywhere; ties break on the
+  *    cluster id.
+  *
+  * Scale shape: the codebook (k·dim longs) broadcasts; assignment is a
+  * narrow map over the corpus (k codegen'd dot products per row, then
+  * a per-id window over k rows); the update is one shuffle keyed by
+  * (cluster, component). Nothing is O(n²) and no step collects the
+  * corpus to the driver.
+  */
+object KMeans {
+
+  /** `floor(x·scale)` integer quantization of a float vector. */
+  def quantize(vec: Column, scale: Int = 1000): Column =
+    transform(vec, x => floor(x.cast("double") * scale).cast("long"))
+
+  private def dotL(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Assign each (id, qv) row to its nearest centroid in (cell, s, n)
+    * representation; exact argmin, ties on cell. */
+  private def assign(q: DataFrame, centroids: DataFrame): DataFrame = {
+    val byId = Window.partitionBy("id")
+      .orderBy(col("g"), col("cell"))
+    q.crossJoin(broadcast(centroids))
+      .withColumn("f",
+        dotL(col("s"), col("s")) - lit(2L) * col("n") * dotL(col("qv"), col("s")))
+      .withColumn("g",
+        col("f").cast("double") / (col("n") * col("n")).cast("double"))
+      .withColumn("rn", row_number().over(byId))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("qv"), col("cell"))
+  }
+
+  /** Train `k` clusters for `iters` Lloyd iterations and return the
+    * final assignment (id, cluster). Initial codebook: per cell
+    * `id % k`, the vector of the smallest id. A cluster that loses all
+    * members keeps its previous centroid (deterministic, mirrors the
+    * SQL oracle's LEFT JOIN + COALESCE).
+    */
+  def train(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, scale: Int = 1000): DataFrame = {
+    val q = corpus
+      .select(col(idCol).as("id"), quantize(col(vecCol), scale).as("qv"))
+      .localCheckpoint(eager = false) // scanned once per iteration
+    val initW = Window.partitionBy("cell").orderBy("id")
+    var centroids = q
+      .withColumn("cell", pmod(col("id"), lit(k)).cast("int"))
+      .withColumn("rn", row_number().over(initW))
+      .filter(col("rn") === 1)
+      .select(col("cell"), col("qv").as("s"), lit(1L).as("n"))
+      .localCheckpoint() // k rows — truncate lineage each iteration
+    for (_ <- 1 to iters) {
+      val assigned = assign(q, centroids)
+      val sums = assigned
+        .select(col("cell"), posexplode(col("qv")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("v")).as("sv"))
+        .groupBy(col("cell"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("sv")))),
+          s => s.getField("sv")).as("s_new"))
+      val cnt = assigned.groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_new"))
+      centroids = centroids.as("old")
+        .join(sums.join(cnt, Seq("cell")), Seq("cell"), "left")
+        .select(col("cell"),
+          coalesce(col("s_new"), col("s")).as("s"),
+          coalesce(col("n_new"), col("n")).as("n"))
+        .localCheckpoint()
+    }
+    assign(q, centroids).select(col("id"), col("cell").as("cluster"))
+  }
+
+  /** The trained codebook itself as float-mean centroids (cell,
+    * centroid: array<double>) — pluggable where a coarse quantizer is
+    * needed (IVF cell assignment, SemDeDup cells). */
+  def codebook(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, scale: Int = 1000): DataFrame = {
+    val assigned = train(corpus, idCol, vecCol, k, iters, scale)
+    corpus
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .join(assigned, Seq("id"))
+      .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("cluster"), col("pos"))
+      .agg(avg(col("x")).as("m"))
+      .groupBy(col("cluster"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("centroid"))
+  }
+}

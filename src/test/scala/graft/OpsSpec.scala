@@ -482,6 +482,43 @@ class OpsSpec extends SparkSpec {
       (6L, 0, 0L, 0L)))
   }
 
+  test("kmeans separates two obvious clusters and is deterministic") {
+    // two tight 2-D blobs; the id%2 init seeds one centroid in each
+    // blob (min even id 0 → blob A, min odd id 1 → blob B), and the
+    // Lloyd iterations pull every member to its blob
+    val pts = Seq(
+      (0L, Seq(0.0f, 0.1f)), (2L, Seq(0.1f, 0.0f)), (4L, Seq(0.05f, 0.05f)),
+      (1L, Seq(5.0f, 5.1f)), (3L, Seq(5.1f, 5.0f)), (5L, Seq(5.05f, 5.05f)))
+      .toDF("vec_id", "embedding")
+    val out = graft.ops.KMeans
+      .train(pts, "vec_id", "embedding", k = 2, iters = 3)
+      .orderBy("id").as[(Long, Int)].collect().toSeq
+    val byCluster = out.groupBy(_._2).values.map(_.map(_._1).toSet).toSet
+    assert(byCluster == Set(Set(0L, 2L, 4L), Set(1L, 3L, 5L)),
+      s"clusters wrong: $out")
+    val again = graft.ops.KMeans
+      .train(pts, "vec_id", "embedding", k = 2, iters = 3)
+      .orderBy("id").as[(Long, Int)].collect().toSeq
+    assert(out == again, "training is not deterministic")
+    // k > distinct init cells with members: empty cluster keeps its
+    // previous centroid and training still completes
+    val sparse = graft.ops.KMeans
+      .train(pts, "vec_id", "embedding", k = 5, iters = 2)
+      .orderBy("id").as[(Long, Int)].collect().toSeq
+    assert(sparse.size == 6)
+  }
+
+  test("kmeans codebook returns per-cluster float means") {
+    val pts = Seq(
+      (0L, Seq(0.0f, 2.0f)), (2L, Seq(2.0f, 0.0f)),
+      (1L, Seq(10.0f, 10.0f))).toDF("vec_id", "embedding")
+    val cb = graft.ops.KMeans
+      .codebook(pts, "vec_id", "embedding", k = 2, iters = 2)
+      .orderBy("cluster")
+      .as[(Int, Seq[Double])].collect().toSeq
+    assert(cb.map(_._2).toSet == Set(Seq(1.0, 1.0), Seq(10.0, 10.0)))
+  }
+
   test("duplicatedSpans covers a full near-copy end to end") {
     val base = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"
     val docs = Seq((1L, base), (2L, base), (3L, "q1 q2 q3 q4 q5 q6"))
