@@ -60,7 +60,15 @@ object KMeans {
     * SQL oracle's LEFT JOIN + COALESCE).
     */
   def train(corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int, scale: Int = 1000): DataFrame = {
+      k: Int, iters: Int, scale: Int = 1000): DataFrame =
+    trainWithCentroids(corpus, idCol, vecCol, k, iters, scale)._1
+
+  /** [[train]] plus the trained codebook in its exact (cell,
+    * component-sum vector, count) representation — what the IVF probe
+    * path needs to assign queries to cells with the same arithmetic
+    * that trained them. */
+  def trainWithCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, scale: Int = 1000): (DataFrame, DataFrame) = {
     val q = corpus
       .select(col(idCol).as("id"), quantize(col(vecCol), scale).as("qv"))
       .localCheckpoint(eager = false) // scanned once per iteration
@@ -90,7 +98,48 @@ object KMeans {
           coalesce(col("n_new"), col("n")).as("n"))
         .localCheckpoint()
     }
-    assign(q, centroids).select(col("id"), col("cell").as("cluster"))
+    (assign(q, centroids).select(col("id"), col("cell").as("cluster")),
+      centroids)
+  }
+
+  /** IVF ANN with the TRAINED codebook: corpus rows live in their
+    * final k-means cell; each query probes its `nProbe` nearest cells
+    * (same exact integer metric that trained the codebook), and
+    * candidates within probed cells rank by true cosine. Same plan
+    * family as [[Similarity.ivfTopK]] — codebook broadcasts, the
+    * candidate join is keyed by cell, each query touches ~nProbe/k of
+    * the corpus — but the cells are learned, so recall per probed cell
+    * is what an IVF index actually delivers in production.
+    */
+  def ivfTrainedTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, topK: Int, kCells: Int, iters: Int,
+      nProbe: Int, scale: Int = 1000): DataFrame = {
+    val (assigned, cents) =
+      trainWithCentroids(corpus, idCol, vecCol, kCells, iters, scale)
+    val qq = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qvec"), quantize(col(vecCol), scale).as("qv"))
+    val byQuery = Window.partitionBy("query_id").orderBy(col("g"), col("cell"))
+    val probes = qq.crossJoin(broadcast(cents))
+      .withColumn("f",
+        dotL(col("s"), col("s")) - lit(2L) * col("n") * dotL(col("qv"), col("s")))
+      .withColumn("g",
+        col("f").cast("double") / (col("n") * col("n")).cast("double"))
+      .withColumn("rn", row_number().over(byQuery))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("qvec"), col("cell"))
+    val corpusVecs = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+      .join(assigned.select(col("id").as("neighbor_id"),
+        col("cluster").as("cell")), Seq("neighbor_id"))
+    // a corpus row lives in exactly one cell → no duplicate pairs
+    val byRank = Window.partitionBy("query_id")
+      .orderBy(col("csim").desc, col("neighbor_id"))
+    probes.join(corpusVecs, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("csim", Similarity.cosine(col("qvec"), col("cvec")))
+      .withColumn("rank", row_number().over(byRank))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
 
   /** The trained codebook itself as float-mean centroids (cell,

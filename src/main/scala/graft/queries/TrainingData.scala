@@ -772,6 +772,115 @@ object TrainingData {
       SELECT id AS vec_id, CAST(cell AS INTEGER) AS cluster
       FROM a3 ORDER BY vec_id"""))
 
+  /** IVF ANN over the TRAINED k-means codebook ([[td_kmeans]]'s exact
+    * training loop feeding [[graft.ops.KMeans.ivfTrainedTopK]]) — the
+    * full production ANN path (train → assign → probe → rank) is
+    * value-checked end to end. */
+  val td_ann_ivf_trained = GraftQuery(
+    "td_ann_ivf_trained",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      graft.ops.KMeans.ivfTrainedTopK(e.filter(col("vec_id") < 20), e,
+        "vec_id", "embedding", topK = 5, kCells = 8, iters = 2, nProbe = 3)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some("""WITH q AS (
+        SELECT vec_id AS id,
+          list_transform(embedding,
+            x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        FROM embeddings),
+      c0 AS (
+        SELECT CAST(id % 8 AS INTEGER) AS cell, arg_min(qv, id) AS s,
+          CAST(1 AS BIGINT) AS n
+        FROM q GROUP BY 1),
+      a1 AS (
+        SELECT id, qv, cell FROM (
+          SELECT q.id, q.qv, c.cell,
+            row_number() OVER (PARTITION BY q.id ORDER BY
+              CAST(list_sum(list_transform(range(1, len(c.s)+1),
+                     i -> c.s[i] * c.s[i]))
+                - 2 * c.n * list_sum(list_transform(range(1, len(c.s)+1),
+                     i -> q.qv[i] * c.s[i])) AS DOUBLE)
+                / CAST(c.n * c.n AS DOUBLE),
+              c.cell) AS rn
+          FROM q CROSS JOIN c0 c) WHERE rn = 1),
+      s1 AS (
+        SELECT cell, list(sv ORDER BY pos) AS s_new FROM (
+          SELECT cell, kv.pos AS pos, CAST(SUM(kv.v) AS BIGINT) AS sv
+          FROM (SELECT cell, unnest(list_transform(range(1, len(qv)+1),
+                  i -> {'pos': i, 'v': qv[i]})) AS kv FROM a1) t
+          GROUP BY cell, kv.pos) t2
+        GROUP BY cell),
+      n1 AS (SELECT cell, COUNT(*) AS n_new FROM a1 GROUP BY cell),
+      c1 AS (
+        SELECT c0.cell, COALESCE(s1.s_new, c0.s) AS s,
+          CAST(COALESCE(n1.n_new, c0.n) AS BIGINT) AS n
+        FROM c0 LEFT JOIN s1 USING (cell) LEFT JOIN n1 USING (cell)),
+      a2 AS (
+        SELECT id, qv, cell FROM (
+          SELECT q.id, q.qv, c.cell,
+            row_number() OVER (PARTITION BY q.id ORDER BY
+              CAST(list_sum(list_transform(range(1, len(c.s)+1),
+                     i -> c.s[i] * c.s[i]))
+                - 2 * c.n * list_sum(list_transform(range(1, len(c.s)+1),
+                     i -> q.qv[i] * c.s[i])) AS DOUBLE)
+                / CAST(c.n * c.n AS DOUBLE),
+              c.cell) AS rn
+          FROM q CROSS JOIN c1 c) WHERE rn = 1),
+      s2 AS (
+        SELECT cell, list(sv ORDER BY pos) AS s_new FROM (
+          SELECT cell, kv.pos AS pos, CAST(SUM(kv.v) AS BIGINT) AS sv
+          FROM (SELECT cell, unnest(list_transform(range(1, len(qv)+1),
+                  i -> {'pos': i, 'v': qv[i]})) AS kv FROM a2) t
+          GROUP BY cell, kv.pos) t2
+        GROUP BY cell),
+      n2 AS (SELECT cell, COUNT(*) AS n_new FROM a2 GROUP BY cell),
+      c2 AS (
+        SELECT c1.cell, COALESCE(s2.s_new, c1.s) AS s,
+          CAST(COALESCE(n2.n_new, c1.n) AS BIGINT) AS n
+        FROM c1 LEFT JOIN s2 USING (cell) LEFT JOIN n2 USING (cell)),
+      a3 AS (
+        SELECT id, cell FROM (
+          SELECT q.id, c.cell,
+            row_number() OVER (PARTITION BY q.id ORDER BY
+              CAST(list_sum(list_transform(range(1, len(c.s)+1),
+                     i -> c.s[i] * c.s[i]))
+                - 2 * c.n * list_sum(list_transform(range(1, len(c.s)+1),
+                     i -> q.qv[i] * c.s[i])) AS DOUBLE)
+                / CAST(c.n * c.n AS DOUBLE),
+              c.cell) AS rn
+          FROM q CROSS JOIN c2 c) WHERE rn = 1),
+      qs AS (
+        SELECT vec_id AS query_id, embedding AS qvec,
+          list_transform(embedding,
+            x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qqv
+        FROM embeddings WHERE vec_id < 20),
+      probes AS (
+        SELECT query_id, qvec, cell FROM (
+          SELECT qs.query_id, qs.qvec, c.cell,
+            row_number() OVER (PARTITION BY qs.query_id ORDER BY
+              CAST(list_sum(list_transform(range(1, len(c.s)+1),
+                     i -> c.s[i] * c.s[i]))
+                - 2 * c.n * list_sum(list_transform(range(1, len(c.s)+1),
+                     i -> qs.qqv[i] * c.s[i])) AS DOUBLE)
+                / CAST(c.n * c.n AS DOUBLE),
+              c.cell) AS rn
+          FROM qs CROSS JOIN c2 c) WHERE rn <= 3),
+      cvecs AS (
+        SELECT a3.id AS neighbor_id, e.embedding AS cvec, a3.cell
+        FROM a3 JOIN embeddings e ON e.vec_id = a3.id),
+      cand AS (
+        SELECT query_id, qvec, neighbor_id, cvec
+        FROM probes JOIN cvecs USING (cell)
+        WHERE query_id <> neighbor_id)
+      SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY list_cosine_similarity(qvec, cvec) DESC, neighbor_id)
+            AS rank
+        FROM cand)
+      WHERE rank <= 5 ORDER BY query_id, rank"""))
+
   /** LSH ANN (approximate, hash-defined buckets — rows-only). */
   val td_ann_lsh = GraftQuery(
     "td_ann_lsh",
@@ -1478,7 +1587,7 @@ object TrainingData {
     td_dedup_components, td_dedup_survivors, td_dedup_best,
     td_dedup_canonical, td_simhash,
     td_simhash_md5, td_ann_lsh, td_embedding_neardup, td_ann_ivf,
-    td_kmeans,
+    td_kmeans, td_ann_ivf_trained,
     td_rare_words, td_chunk_dedup,
     td_sample_hash, td_sample_stratified, td_sample_weighted,
     td_token_quantiles, td_pack_sequences, td_decontam,

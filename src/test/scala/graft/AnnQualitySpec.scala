@@ -34,6 +34,16 @@ class AnnQualitySpec extends SparkSpec {
     // test below, where neighbors actually exist.
     assert(lshRecall >= 0.25, f"LSH recall $lshRecall%.3f under floor")
     assert(ivfRecall >= 0.70, f"IVF recall $ivfRecall%.3f under floor")
+    // trained codebook: same probe budget must clear the same floor as
+    // the deterministic stand-in codebook (it should cluster at least
+    // as coherently as id-modulo seeds)
+    val trained = pairs(graft.ops.KMeans.ivfTrainedTopK(
+      q, e, "vec_id", "embedding", topK = 5, kCells = 16, iters = 2,
+      nProbe = 4))
+    val trainedRecall = (exact & trained).size.toDouble / exact.size
+    info(f"trained-IVF recall vs exact: $trainedRecall%.3f")
+    assert(trainedRecall >= 0.70,
+      f"trained-IVF recall $trainedRecall%.3f under floor")
   }
 
   test("LSH recalls planted near-duplicate neighbors") {
