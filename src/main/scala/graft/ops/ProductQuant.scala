@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou et al. 2011, "Product Quantization for
+  * Nearest Neighbor Search"): the memory-compression path for ANN at
+  * 100 TB — a d-dim float vector becomes M small codes (one byte each
+  * at k ≤ 256), and query scoring reads the codes plus a broadcast
+  * codebook instead of the raw vectors. A 64-float embedding (256 B)
+  * compresses to M=4 codes (4 B): a 100 TB embedding corpus's index
+  * fits in ~1.6 TB of codes, and scoring is M lookups per candidate.
+  *
+  * Everything here is EXACT integer arithmetic (same discipline as
+  * [[KMeans]]): vectors quantize by `floor(x·scale)`; the per-subspace
+  * codebook is the deterministic id-modulo stand-in (the [[KMeans]]
+  * trained codebook plugs in the same way the IVF one does); encoding
+  * argmins compare `|c|² − 2·x·c` (the |x|² term drops out per row);
+  * ADC scores are integer dot products summed over subspaces. The
+  * whole encode → score → rank pipeline is value-checkable in ANSI
+  * SQL.
+  *
+  * Scale shape: codebooks are M·k subvectors (tiny — broadcast);
+  * encoding is a narrow map (M·k dot products per row, then a window
+  * over M·k rows per id); ADC candidate scoring is one keyed join of
+  * queries × codes with a per-query top-k window. Nothing is O(n²) on
+  * the corpus.
+  */
+object ProductQuant {
+
+  private def dotL(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Split a quantized vector into M contiguous subvectors:
+    * (sub m, subvector) rows. `dim` must be divisible by `m`. */
+  private def subvectors(qv: Column, dim: Int, m: Int): Column = {
+    val w = dim / m
+    posexplode(transform(sequence(lit(0), lit(m - 1)),
+      i => slice(qv, i * w + 1, lit(w))))
+  }
+
+  /** Deterministic per-subspace codebook: for each subspace m, code c
+    * is the subvector of the smallest id with id % k == c.
+    * @return (sub, code, cvec) */
+  def standInCodebook(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, k: Int, scale: Int = 1000): DataFrame = {
+    val byCell = Window.partitionBy("sub", "code").orderBy("id")
+    corpus
+      .select(col(idCol).as("id"),
+        KMeans.quantize(col(vecCol), scale).as("qv"))
+      .select(col("id"), pmod(col("id"), lit(k)).cast("int").as("code"),
+        subvectors(col("qv"), dim, m).as(Seq("sub", "cvec")))
+      .withColumn("rn", row_number().over(byCell))
+      .filter(col("rn") === 1)
+      .select(col("sub"), col("code"), col("cvec"))
+  }
+
+  /** Encode each vector as M codes: per subspace, the code whose
+    * centroid minimizes exact L2 (compared as the integer
+    * |c|² − 2·x·c; ties on code).
+    * @return (id, sub, code) — M rows per vector */
+  def encode(corpus: DataFrame, codebook: DataFrame, idCol: String,
+      vecCol: String, dim: Int, m: Int, scale: Int = 1000): DataFrame = {
+    val bySub = Window.partitionBy("id", "sub")
+      .orderBy(col("f"), col("code"))
+    corpus
+      .select(col(idCol).as("id"),
+        KMeans.quantize(col(vecCol), scale).as("qv"))
+      .select(col("id"), subvectors(col("qv"), dim, m).as(Seq("sub", "xvec")))
+      .join(broadcast(codebook), Seq("sub"))
+      .withColumn("f",
+        dotL(col("cvec"), col("cvec")) - lit(2L) * dotL(col("xvec"), col("cvec")))
+      .withColumn("rn", row_number().over(bySub))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("sub"), col("code"))
+  }
+
+  /** ADC (asymmetric distance computation) top-k: queries keep their
+    * full quantized vectors, candidates are only their codes; the
+    * score is the integer inner product Σ_m q_m · centroid[m][code_m],
+    * ranked per query (ties on neighbor id).
+    *
+    * @return (query_id, rank, neighbor_id, adc_score)
+    */
+  def adcTopK(queries: DataFrame, codes: DataFrame, codebook: DataFrame,
+      idCol: String, vecCol: String, dim: Int, m: Int, topK: Int,
+      scale: Int = 1000): DataFrame = {
+    val q = queries
+      .select(col(idCol).as("query_id"),
+        KMeans.quantize(col(vecCol), scale).as("qv"))
+      .select(col("query_id"), subvectors(col("qv"), dim, m).as(Seq("sub", "xvec")))
+    // per (query, subspace, code): the partial lookup-table entry;
+    // join codes on (sub, code) and sum the M partials per pair
+    val partial = q.join(broadcast(codebook), Seq("sub"))
+      .withColumn("p", dotL(col("xvec"), col("cvec")))
+      .select(col("query_id"), col("sub"), col("code"), col("p"))
+    val byQuery = Window.partitionBy("query_id")
+      .orderBy(col("adc_score").desc, col("neighbor_id"))
+    codes.withColumnRenamed("id", "neighbor_id")
+      .join(partial, Seq("sub", "code"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("p")).as("adc_score"))
+      // only pairs with all M subspaces scored (inner join keeps M)
+      .withColumn("rank", row_number().over(byQuery))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("adc_score"))
+  }
+}

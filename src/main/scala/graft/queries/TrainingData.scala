@@ -881,6 +881,68 @@ object TrainingData {
         FROM cand)
       WHERE rank <= 5 ORDER BY query_id, rank"""))
 
+  /** Product-quantization ADC top-k ([[graft.ops.ProductQuant]]):
+    * encode 64-dim vectors as M=4 one-byte codes, score candidates via
+    * the asymmetric-distance lookup table — all integer arithmetic, so
+    * the full encode → score → rank pipeline is value-checked. */
+  val td_pq_adc = GraftQuery(
+    "td_pq_adc",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val cb = graft.ops.ProductQuant.standInCodebook(
+        e, "vec_id", "embedding", dim = 64, m = 4, k = 8)
+      val codes = graft.ops.ProductQuant.encode(
+        e, cb, "vec_id", "embedding", dim = 64, m = 4)
+      graft.ops.ProductQuant.adcTopK(
+        e.filter(col("vec_id") < 20), codes, cb,
+        "vec_id", "embedding", dim = 64, m = 4, topK = 5)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some("""WITH q AS (
+        SELECT vec_id AS id,
+          list_transform(embedding,
+            x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        FROM embeddings),
+      subs AS (
+        SELECT id, s.sub AS sub, s.v AS xvec FROM (
+          SELECT id, unnest(list_transform(range(0, 4),
+            i -> {'sub': i, 'v': list_slice(qv, i*16 + 1, i*16 + 16)})) AS s
+          FROM q) t),
+      cb AS (
+        SELECT sub, code, cvec FROM (
+          SELECT sub, CAST(id % 8 AS INTEGER) AS code, xvec AS cvec,
+            row_number() OVER (PARTITION BY sub, id % 8 ORDER BY id) AS rn
+          FROM subs) WHERE rn = 1),
+      enc AS (
+        SELECT id, sub, code FROM (
+          SELECT s.id, s.sub, c.code,
+            row_number() OVER (PARTITION BY s.id, s.sub ORDER BY
+              list_sum(list_transform(range(1, len(c.cvec)+1),
+                i -> c.cvec[i] * c.cvec[i]))
+              - 2 * list_sum(list_transform(range(1, len(c.cvec)+1),
+                i -> s.xvec[i] * c.cvec[i])),
+              c.code) AS rn
+          FROM subs s JOIN cb c USING (sub)) WHERE rn = 1),
+      partial AS (
+        SELECT qs.id AS query_id, qs.sub, c.code,
+          list_sum(list_transform(range(1, len(c.cvec)+1),
+            i -> qs.xvec[i] * c.cvec[i])) AS p
+        FROM (SELECT * FROM subs WHERE id < 20) qs
+        JOIN cb c USING (sub)),
+      scored AS (
+        SELECT p.query_id, e.id AS neighbor_id,
+          CAST(SUM(p.p) AS BIGINT) AS adc_score
+        FROM enc e JOIN partial p ON p.sub = e.sub AND p.code = e.code
+        WHERE p.query_id <> e.id
+        GROUP BY 1, 2)
+      SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+        adc_score FROM (
+        SELECT query_id, neighbor_id, adc_score,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY adc_score DESC, neighbor_id) AS rank
+        FROM scored) WHERE rank <= 5
+      ORDER BY query_id, rank"""))
+
   /** LSH ANN (approximate, hash-defined buckets — rows-only). */
   val td_ann_lsh = GraftQuery(
     "td_ann_lsh",
@@ -1587,7 +1649,7 @@ object TrainingData {
     td_dedup_components, td_dedup_survivors, td_dedup_best,
     td_dedup_canonical, td_simhash,
     td_simhash_md5, td_ann_lsh, td_embedding_neardup, td_ann_ivf,
-    td_kmeans, td_ann_ivf_trained,
+    td_kmeans, td_ann_ivf_trained, td_pq_adc,
     td_rare_words, td_chunk_dedup,
     td_sample_hash, td_sample_stratified, td_sample_weighted,
     td_token_quantiles, td_pack_sequences, td_decontam,

@@ -44,6 +44,20 @@ class AnnQualitySpec extends SparkSpec {
     info(f"trained-IVF recall vs exact: $trainedRecall%.3f")
     assert(trainedRecall >= 0.70,
       f"trained-IVF recall $trainedRecall%.3f under floor")
+    // PQ/ADC: 64 floats → 4 codes is a 64× compression; on
+    // uniform-random vectors (no cluster structure for the codebook
+    // to exploit) recall is necessarily modest — the floor just pins
+    // that scoring is better than chance (random top-5 of ~500:
+    // expected recall ≈ 0.01)
+    val cb = graft.ops.ProductQuant.standInCodebook(
+      e, "vec_id", "embedding", dim = 64, m = 4, k = 8)
+    val codes = graft.ops.ProductQuant.encode(
+      e, cb, "vec_id", "embedding", dim = 64, m = 4)
+    val pq = pairs(graft.ops.ProductQuant.adcTopK(
+      q, codes, cb, "vec_id", "embedding", dim = 64, m = 4, topK = 5))
+    val pqRecall = (exact & pq).size.toDouble / exact.size
+    info(f"PQ/ADC recall vs exact: $pqRecall%.3f")
+    assert(pqRecall >= 0.10, f"PQ recall $pqRecall%.3f under floor")
   }
 
   test("LSH recalls planted near-duplicate neighbors") {

@@ -519,6 +519,29 @@ class OpsSpec extends SparkSpec {
     assert(cb.map(_._2).toSet == Set(Seq(1.0, 1.0), Seq(10.0, 10.0)))
   }
 
+  test("product quantization: codebook vectors encode to their own code") {
+    // 4-dim vectors, m=2 subspaces of 2, k=2 codes: ids 0,1 define the
+    // codebook (id%2); every vector must encode to its nearest
+    // centroid in each subspace independently
+    val vecs = Seq(
+      (0L, Seq(0.0f, 0.0f, 9.0f, 9.0f)),
+      (1L, Seq(5.0f, 5.0f, 1.0f, 1.0f)),
+      (2L, Seq(0.1f, 0.1f, 1.2f, 0.9f)), // sub0 → code 0, sub1 → code 1
+      (3L, Seq(4.9f, 5.2f, 8.8f, 9.1f))) // sub0 → code 1, sub1 → code 0
+      .toDF("vec_id", "embedding")
+    val cb = graft.ops.ProductQuant.standInCodebook(
+      vecs, "vec_id", "embedding", dim = 4, m = 2, k = 2)
+    val codes = graft.ops.ProductQuant.encode(
+      vecs, cb, "vec_id", "embedding", dim = 4, m = 2)
+      .orderBy("id", "sub")
+      .as[(Long, Int, Int)].collect().toSeq
+    assert(codes == Seq(
+      (0L, 0, 0), (0L, 1, 0), // own codebook rows
+      (1L, 0, 1), (1L, 1, 1),
+      (2L, 0, 0), (2L, 1, 1),
+      (3L, 0, 1), (3L, 1, 0)))
+  }
+
   test("duplicatedSpans covers a full near-copy end to end") {
     val base = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"
     val docs = Seq((1L, base), (2L, base), (3L, "q1 q2 q3 q4 q5 q6"))
