@@ -66,6 +66,22 @@ object Pipeline {
       .select(col(strataCol), col(orderCol), col("n_tokens"), col("cum_tokens"))
   }
 
+  /** Per-stratum document cap: keep the top `n` rows of each stratum
+    * ranked by (`scoreCol` desc, `tieCol` asc) — the per-domain cap a
+    * web-scale pipeline applies so no single domain dominates the
+    * mix. One shuffle on the stratum key; Spark plans the per-key
+    * limit as a partial+final WindowGroupLimit, so each map task
+    * keeps only its local top-n before the exchange.
+    */
+  def capPerStratum(docs: DataFrame, strataCol: String, scoreCol: String,
+                    tieCol: String, n: Int): DataFrame = {
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(col(scoreCol).desc, col(tieCol).asc)
+    docs
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= n)
+  }
+
   /** Sequence packing: concatenate docs in `orderCol` order within a
     * stratum and cut the stream into fixed `window`-token context
     * windows (split-allowed packing — a doc may straddle a boundary,

@@ -46,4 +46,42 @@ object RangeJoin {
       .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
       .drop("__bucket")
   }
+
+  /** Interval × interval OVERLAP join: pair rows of the same key whose
+    * [start, end] ranges intersect (inclusive bounds) — the
+    * session-vs-incident shape. Same bucket-replication idea as
+    * [[byBucket]], but BOTH sides replicate, so a pair can share many
+    * buckets; instead of a dedup pass, each pair is emitted only in
+    * the FIRST bucket the two ranges share —
+    * max(bucket(a.start), bucket(b.start)) — which costs one integer
+    * comparison per candidate instead of a distinct over the result.
+    *
+    * Callers pre-project disjoint non-key column names; bounds
+    * columns are (aStart, aEnd) on `left` and (bStart, bEnd) on
+    * `right`. Replication factor per row = range length /
+    * bucketSeconds.
+    */
+  def overlapByBucket(left: DataFrame, right: DataFrame, keys: Seq[String],
+      aStart: String, aEnd: String, bStart: String, bEnd: String,
+      bucketSeconds: Long = 60): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    val reserved = Seq("__bucket", "__astart_b", "__bstart_b")
+    reserved.foreach(c => require(
+      !left.columns.contains(c) && !right.columns.contains(c),
+      s"input already has a column named '$c' (reserved temp name)"))
+    def b(c: String) = floor(unix_timestamp(col(c)) / bucketSeconds)
+    val l = left
+      .withColumn("__astart_b", b(aStart))
+      .withColumn("__bucket", explode(sequence(b(aStart), b(aEnd))))
+    val r = right
+      .withColumn("__bstart_b", b(bStart))
+      .withColumn("__bucket", explode(sequence(b(bStart), b(bEnd))))
+    l.join(r, keys :+ "__bucket")
+      // overlap test (inclusive): a.start <= b.end AND b.start <= a.end
+      .filter(col(aStart) <= col(bEnd) && col(bStart) <= col(aEnd))
+      // emit each pair exactly once: in the first shared bucket
+      .filter(col("__bucket") ===
+        greatest(col("__astart_b"), col("__bstart_b")))
+      .drop("__bucket", "__astart_b", "__bstart_b")
+  }
 }

@@ -844,6 +844,87 @@ object Relational {
         AND p_retailprice >= 920 AND p_retailprice < 960
       GROUP BY p_brand ORDER BY p_brand"""))
 
+  /** Forward as-of join with tolerance (the other half of pandas
+    * merge_asof): each purchase gets the EARLIEST view at-or-after it
+    * within 1 hour, per user — same single keyed window merge-scan as
+    * q21, mirrored, with the tolerance applied as a post-mask on the
+    * nearest match (correct because the carried row is the nearest:
+    * if it is out of tolerance, nothing in tolerance exists). */
+  val q35_asof_forward = GraftQuery(
+    "q35_asof_forward",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .drop("event_type")
+      val views = ev.filter(col("event_type") === "view")
+        .drop("event_type")
+      graft.ops.AsOfJoin.asOf(purchases, views,
+        keys = Seq("user_id"), tsCol = "ts", tieCol = "event_id",
+        rightVals = Seq("event_id", "value"), suffix = "_next",
+        forward = true,
+        tolerance = Some((l, r) =>
+          unix_micros(r) - unix_micros(l) <= 3600L * 1000000L))
+        .select(
+          col("event_id"), col("user_id"),
+          col("event_id_next"), col("value_next"))
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH l AS (
+        SELECT event_id, ts, user_id, value FROM events
+        WHERE event_type = 'purchase'),
+      r AS (
+        SELECT event_id AS r_event_id, ts AS r_ts, user_id, value AS r_value
+        FROM events WHERE event_type = 'view'),
+      j AS (
+        SELECT l.event_id, l.user_id, r.r_event_id, r.r_value,
+          row_number() OVER (PARTITION BY l.event_id
+            ORDER BY r.r_ts ASC, r.r_event_id DESC) AS rn
+        FROM l LEFT JOIN r
+          ON l.user_id = r.user_id AND r.r_ts >= l.ts
+            AND r.r_ts - l.ts <= INTERVAL 1 HOUR)
+      SELECT event_id, user_id, r_event_id AS event_id_next,
+        r_value AS value_next
+      FROM j WHERE rn = 1 ORDER BY event_id"""))
+
+  /** Interval-overlap join ([[graft.ops.RangeJoin.overlapByBucket]]):
+    * error windows (±30 min) × purchase windows (±10 min) per user —
+    * both sides bucket-replicate, pairs emit once in their first
+    * shared bucket, never a nested-loop θ-join. */
+  val q36_overlap_join = GraftQuery(
+    "q36_overlap_join",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("user_id"),
+          (col("ts") - expr("INTERVAL 30 MINUTES")).as("a_start"),
+          (col("ts") + expr("INTERVAL 30 MINUTES")).as("a_end"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("buy_id"), col("user_id"),
+          (col("ts") - expr("INTERVAL 10 MINUTES")).as("b_start"),
+          (col("ts") + expr("INTERVAL 10 MINUTES")).as("b_end"))
+      graft.ops.RangeJoin.overlapByBucket(errors, buys, Seq("user_id"),
+        "a_start", "a_end", "b_start", "b_end", bucketSeconds = 3600)
+        .groupBy(col("err_id"))
+        .agg(count(lit(1)).as("n_overlaps"), min(col("buy_id")).as("first_buy"))
+        .orderBy(col("err_id"))
+    },
+    Some("""WITH e AS (
+        SELECT event_id AS err_id, user_id,
+          ts - INTERVAL 30 MINUTE AS a_start,
+          ts + INTERVAL 30 MINUTE AS a_end
+        FROM events WHERE event_type = 'error'),
+      p AS (
+        SELECT event_id AS buy_id, user_id,
+          ts - INTERVAL 10 MINUTE AS b_start,
+          ts + INTERVAL 10 MINUTE AS b_end
+        FROM events WHERE event_type = 'purchase')
+      SELECT err_id, COUNT(*) AS n_overlaps, MIN(buy_id) AS first_buy
+      FROM e JOIN p ON e.user_id = p.user_id
+        AND e.a_start <= p.b_end AND p.b_start <= e.a_end
+      GROUP BY err_id ORDER BY err_id"""))
+
   def all: Seq[GraftQuery] = Seq(
     q1_agg, q2_join_agg, q3_multi_join, q4_topk, q5_distinct,
     q6_anti_join, q7_semi_join, q8_min_window, q9_event_batches,
@@ -852,5 +933,6 @@ object Relational {
     q19_bucketed_join, q20_partition_prune, q21_asof_join,
     q22_range_join, q23_rollup, q24_pivot, q25_rolling, q26_cube,
     q27_intersect, q28_window_funcs, q29_exists, q30_grouping_sets,
-    q31_lateral, q32_percentiles, q33_recursive, q34_zorder)
+    q31_lateral, q32_percentiles, q33_recursive, q34_zorder,
+    q35_asof_forward, q36_overlap_join)
 }

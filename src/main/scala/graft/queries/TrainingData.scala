@@ -1165,6 +1165,25 @@ object TrainingData {
                 FROM documents)))
       ORDER BY doc_id"""))
 
+  /** Per-source document cap ([[graft.ops.Pipeline.capPerStratum]]):
+    * top-10 docs per source by length — plans as partial+final
+    * WindowGroupLimit, so map tasks pre-prune before the shuffle. */
+  val td_source_cap = GraftQuery(
+    "td_source_cap",
+    (s, dir) => {
+      graft.ops.Pipeline.capPerStratum(
+        Tables.documents(s, dir).select("doc_id", "source", "n_chars"),
+        "source", "n_chars", "doc_id", n = 10)
+        .orderBy(col("source"), col("rank"))
+    },
+    Some("""SELECT doc_id, source, n_chars, CAST(rank AS INTEGER) AS rank
+      FROM (
+        SELECT doc_id, source, n_chars,
+          row_number() OVER (PARTITION BY source
+            ORDER BY n_chars DESC, doc_id) AS rank
+        FROM documents)
+      WHERE rank <= 10 ORDER BY source, rank"""))
+
   /** Corpus-frequency rare-word counts (LM-surprisal core, integer-
     * valued so fully oracle-checkable). */
   val td_rare_words = GraftQuery(
@@ -1645,7 +1664,8 @@ object TrainingData {
     td_text_stats, td_lang_id, td_fingerprint, td_dedup_exact,
     td_char_jaccard, td_cosine_topk, td_minhash_neardup,
     td_incremental_neardup, td_source_neardup, td_ngram_jaccard,
-    td_dup_spans, td_lm_bigram, td_gopher_quality, td_tfidf,
+    td_dup_spans, td_lm_bigram, td_gopher_quality, td_source_cap,
+    td_tfidf,
     td_dedup_components, td_dedup_survivors, td_dedup_best,
     td_dedup_canonical, td_simhash,
     td_simhash_md5, td_ann_lsh, td_embedding_neardup, td_ann_ivf,

@@ -77,4 +77,48 @@ class AsOfJoinSpec extends SparkSpec {
       AsOfJoin.asOf(left, right, Seq("k"), "ts", "event_id", Seq("value"))
     }
   }
+
+  test("asOf forward: earliest right at-or-after; tolerance masks far matches") {
+    val left = side((10L, "a", 100L, 1.0), (11L, "a", 200L, 2.0),
+      (12L, "a", 500L, 3.0))
+    val right = side((1L, "a", 100L, 0.9), (2L, "a", 260L, 1.5))
+    val out = AsOfJoin.asOf(left, right, Seq("k"), "ts", "event_id",
+      Seq("event_id"), forward = true,
+      tolerance = Some((l, r) =>
+        unix_micros(r) - unix_micros(l) <= 100L * 1000000L))
+      .select("event_id", "event_id_asof")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(out(10L).contains(1L)) // coincident right is eligible
+    assert(out(11L).contains(2L)) // 260 within 200+100
+    assert(out(12L).isEmpty)      // nothing at or after 500
+    // without tolerance, 11 still matches 2; 10 prefers the
+    // coincident row over the later one
+    val free = AsOfJoin.asOf(left, right, Seq("k"), "ts", "event_id",
+      Seq("event_id"), forward = true)
+      .select("event_id", "event_id_asof")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(free(10L).contains(1L) && free(11L).contains(2L)
+      && free(12L).isEmpty)
+  }
+
+  test("asOf forward ≡ θ-join + earliest-per-left on random data") {
+    val rnd = new scala.util.Random(7)
+    val keys = Seq("a", "b", "c")
+    val left = (1L to 120L).map(i =>
+      (i, keys(rnd.nextInt(3)), rnd.nextInt(1000).toLong, 0.0))
+    val right = (1001L to 1200L).map(i =>
+      (i, keys(rnd.nextInt(3)), rnd.nextInt(1000).toLong, 0.0))
+    val l = side(left: _*); val r = side(right: _*)
+    val got = AsOfJoin.asOf(l, r, Seq("k"), "ts", "event_id",
+      Seq("event_id"), forward = true)
+      .select("event_id", "event_id_asof")
+      .as[(Long, Option[Long])].collect().toMap
+    val theta = l.as("l").join(r.as("r"),
+        col("l.k") === col("r.k") && col("r.ts") >= col("l.ts"), "left")
+      .groupBy(col("l.event_id"))
+      .agg(min_by(col("r.event_id"),
+        struct(col("r.ts"), -col("r.event_id"))).as("want"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got == theta)
+  }
 }

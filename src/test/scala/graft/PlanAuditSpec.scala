@@ -170,6 +170,17 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("td_source_cap: per-source cap plans as partial+final group-limit") {
+    audited(graft.queries.TrainingData.td_source_cap.fn(spark, dir)) { df =>
+      val modes = df.queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec =>
+          w.mode.toString
+      }
+      assert(modes.contains("Partial") && modes.contains("Final"),
+        s"cap not planned as partial+final group-limit: $modes")
+    }
+  }
+
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
     // The 100 TB join-pruning story when neither bucketing nor
     // broadcast applies: a selective dimension filter is converted by

@@ -27,6 +27,32 @@ class RangeJoinSpec extends SparkSpec {
     assert(got == Set((1L, 11L), (1L, 12L), (1L, 13L), (3L, 15L)))
   }
 
+  test("overlapByBucket ≡ theta join, each pair emitted exactly once") {
+    val rnd = new scala.util.Random(13)
+    val keys = Seq("a", "b")
+    def ivs(idBase: Long, n: Int) = (1 to n).map { i =>
+      val s = rnd.nextInt(1000).toLong
+      (idBase + i, keys(rnd.nextInt(2)), s, s + rnd.nextInt(300).toLong)
+    }
+    val left = ivs(0L, 60).toDF("a_id", "k", "s", "e")
+      .withColumn("a_start", timestamp_seconds(col("s")))
+      .withColumn("a_end", timestamp_seconds(col("e"))).drop("s", "e")
+    val right = ivs(1000L, 60).toDF("b_id", "k", "s", "e")
+      .withColumn("b_start", timestamp_seconds(col("s")))
+      .withColumn("b_end", timestamp_seconds(col("e"))).drop("s", "e")
+    for (bucket <- Seq(7L, 60L, 500L)) {
+      val got = RangeJoin.overlapByBucket(left, right, Seq("k"),
+        "a_start", "a_end", "b_start", "b_end", bucket)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSeq
+      val expected = left.as("l").join(right.as("r"),
+        $"l.k" === $"r.k" && $"l.a_start" <= $"r.b_end" &&
+          $"r.b_start" <= $"l.a_end")
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSeq
+      // multiset equality: no pair may be emitted twice
+      assert(got.sorted == expected.sorted, s"bucket=$bucket")
+    }
+  }
+
   test("byBucket ≡ theta join on random data across bucket widths") {
     for (seed <- 1 to 3) {
       val rnd = new scala.util.Random(seed)
