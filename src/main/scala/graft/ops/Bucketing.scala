@@ -139,6 +139,30 @@ object Bucketing {
     } yield zValueInt(a, b, prefixBitsPerDim)
   }
 
+  /** Small-file compaction (the OPTIMIZE-compact maintenance op): a
+    * staging dir accumulated by many micro-batches is rewritten into
+    * `ceil(totalBytes / targetFileBytes)` files. At 100 TB the
+    * small-file problem is a planner/namenode killer — every file is
+    * a task and a listing entry; CDC sinks in particular append one
+    * file per batch per bucket ([[graft.stream.BucketedPublish]])
+    * and need periodic compaction to keep scans wide and listings
+    * short. Coalesce (no shuffle) when shrinking file count.
+    */
+  def compact(spark: SparkSession, dir: String, outDir: String,
+      targetFileBytes: Long): DataFrame = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(p).getLength
+    val nFiles = math.max(1L,
+      (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    spark.read.parquet(dir)
+      .coalesce(nFiles)
+      .write.mode("overwrite").parquet(outDir)
+    cleanupOnExit(outDir)
+    spark.read.parquet(outDir)
+  }
+
   private val exitCleanup =
     scala.collection.mutable.LinkedHashSet.empty[String]
   /** Register a session-scoped staging dir for removal at JVM exit. */

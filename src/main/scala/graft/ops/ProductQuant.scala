@@ -76,6 +76,57 @@ object ProductQuant {
       .select(col("id"), col("sub"), col("code"))
   }
 
+  /** IVF + PQ: the two 100 TB ANN techniques composed the way a
+    * production index (FAISS IVFPQ) deploys them — the trained
+    * k-means coarse quantizer restricts each query to `nProbe` cells,
+    * and candidates inside probed cells are scored from their PQ
+    * codes via ADC (no raw vectors on the scoring path). Simplified
+    * vs. the paper: codes quantize the raw vectors, not the
+    * per-cell residuals (residuals are float-centroid differences —
+    * they would give up the exact-arithmetic discipline).
+    *
+    * Per-query work: k cell scores + nProbe/k of the corpus scored at
+    * M lookups each; corpus storage touched: codes only.
+    */
+  def ivfAdcTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, dim: Int, m: Int, k: Int, topK: Int, kCells: Int,
+      iters: Int, nProbe: Int, scale: Int = 1000): DataFrame = {
+    val (assigned, cents) =
+      KMeans.trainWithCentroids(corpus, idCol, vecCol, kCells, iters, scale)
+    val cb = standInCodebook(corpus, idCol, vecCol, dim, m, k, scale)
+    val codes = encode(corpus, cb, idCol, vecCol, dim, m, scale)
+      .join(assigned.select(col("id"), col("cluster").as("cell")), Seq("id"))
+    val qq = queries.select(col(idCol).as("query_id"),
+      KMeans.quantize(col(vecCol), scale).as("qv"))
+    // probe cells with the same exact metric that trained the codebook
+    val byQuery = Window.partitionBy("query_id").orderBy(col("g"), col("cell"))
+    val probes = qq.crossJoin(broadcast(cents))
+      .withColumn("f",
+        dotL(col("s"), col("s")) - lit(2L) * col("n") * dotL(col("qv"), col("s")))
+      .withColumn("g",
+        col("f").cast("double") / (col("n") * col("n")).cast("double"))
+      .withColumn("rn", row_number().over(byQuery))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cell"))
+    // ADC lookup tables per (query, sub, code)
+    val qsubs = probes.select(col("query_id"), col("cell"),
+      subvectors(col("qv"), dim, m).as(Seq("sub", "xvec")))
+    val partial = qsubs.join(broadcast(cb), Seq("sub"))
+      .withColumn("p", dotL(col("xvec"), col("cvec")))
+      .select(col("query_id"), col("cell"), col("sub"), col("code"), col("p"))
+    val byRank = Window.partitionBy("query_id")
+      .orderBy(col("adc_score").desc, col("neighbor_id"))
+    codes.withColumnRenamed("id", "neighbor_id")
+      .join(partial, Seq("cell", "sub", "code"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("p")).as("adc_score"))
+      .withColumn("rank", row_number().over(byRank))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("adc_score"))
+  }
+
   /** ADC (asymmetric distance computation) top-k: queries keep their
     * full quantized vectors, candidates are only their codes; the
     * score is the integer inner product Σ_m q_m · centroid[m][code_m],

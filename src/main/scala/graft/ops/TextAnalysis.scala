@@ -167,6 +167,22 @@ object TextAnalysis {
         sum(when(col("freq") < rareThreshold, 1).otherwise(0)).as("n_rare"))
   }
 
+  /** Latin accent folding (the Unicode-normalization step of a
+    * multilingual dedup/canonicalization pass): one `translate` —
+    * a codegen'd per-char table lookup, no regex, no UDF. Covers the
+    * Latin-1/Latin-Extended letters; characters outside the table
+    * pass through unchanged. */
+  private val accentGroups = Seq(
+    "áàâäãåā" -> 'a', "éèêëē" -> 'e', "íìîïī" -> 'i', "óòôöõøō" -> 'o',
+    "úùûüū" -> 'u', "ýÿ" -> 'y', "ñ" -> 'n', "çćč" -> 'c',
+    "ÁÀÂÄÃÅĀ" -> 'A', "ÉÈÊËĒ" -> 'E', "ÍÌÎÏĪ" -> 'I', "ÓÒÔÖÕØŌ" -> 'O',
+    "ÚÙÛÜŪ" -> 'U', "ÝŸ" -> 'Y', "Ñ" -> 'N', "ÇĆČ" -> 'C')
+  private val accented = accentGroups.map(_._1).mkString
+  private val folded =
+    accentGroups.map { case (g, t) => t.toString * g.length }.mkString
+  def foldAccents(text: Column): Column =
+    translate(text, accented, folded)
+
   /** Bigram-LM document fluency score (the CCNet-style perplexity
     * filter, made exact): the corpus itself is the LM; each bigram
     * contributes its MLE conditional probability P(w₂|w₁) =

@@ -943,6 +943,22 @@ object TrainingData {
         FROM scored) WHERE rank <= 5
       ORDER BY query_id, rank"""))
 
+  /** IVF+PQ composed index ([[graft.ops.ProductQuant.ivfAdcTopK]]) —
+    * rows-only by design: both components are individually oracled
+    * (td_kmeans / td_ann_ivf_trained cover the coarse quantizer,
+    * td_pq_adc the code path); the composition's quality is pinned by
+    * an AnnQualitySpec recall floor. */
+  val td_ann_ivfpq = GraftQuery(
+    "td_ann_ivfpq",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      graft.ops.ProductQuant.ivfAdcTopK(e.filter(col("vec_id") < 20), e,
+        "vec_id", "embedding", dim = 64, m = 4, k = 8, topK = 5,
+        kCells = 8, iters = 2, nProbe = 3)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    None)
+
   /** LSH ANN (approximate, hash-defined buckets — rows-only). */
   val td_ann_lsh = GraftQuery(
     "td_ann_lsh",
@@ -1164,6 +1180,28 @@ object TrainingData {
                   string_split_regex(trim(text), '\s+') AS t
                 FROM documents)))
       ORDER BY doc_id"""))
+
+  /** Accent folding round-trip ([[graft.ops.TextAnalysis.foldAccents]]):
+    * plant accents on every vowel, fold them back, and hash — checked
+    * against DuckDB's ICU strip_accents. Full doc values pinned by
+    * md5 (same device as td_pii_scrub). */
+  val td_fold_accents = GraftQuery(
+    "td_fold_accents",
+    (s, dir) => {
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        md5(graft.ops.TextAnalysis.foldAccents(
+          translate(col("text"), "aeiou", "áéíóú"))).as("folded_md5"),
+        md5(col("text")).as("orig_md5"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+        md5(strip_accents(
+          replace(replace(replace(replace(replace(
+            text, 'a', 'á'), 'e', 'é'), 'i', 'í'), 'o', 'ó'), 'u', 'ú')))
+          AS folded_md5,
+        md5(text) AS orig_md5
+      FROM documents ORDER BY doc_id"""))
 
   /** Per-source document cap ([[graft.ops.Pipeline.capPerStratum]]):
     * top-10 docs per source by length — plans as partial+final
@@ -1665,11 +1703,11 @@ object TrainingData {
     td_char_jaccard, td_cosine_topk, td_minhash_neardup,
     td_incremental_neardup, td_source_neardup, td_ngram_jaccard,
     td_dup_spans, td_lm_bigram, td_gopher_quality, td_source_cap,
-    td_tfidf,
+    td_fold_accents, td_tfidf,
     td_dedup_components, td_dedup_survivors, td_dedup_best,
     td_dedup_canonical, td_simhash,
     td_simhash_md5, td_ann_lsh, td_embedding_neardup, td_ann_ivf,
-    td_kmeans, td_ann_ivf_trained, td_pq_adc,
+    td_kmeans, td_ann_ivf_trained, td_pq_adc, td_ann_ivfpq,
     td_rare_words, td_chunk_dedup,
     td_sample_hash, td_sample_stratified, td_sample_weighted,
     td_token_quantiles, td_pack_sequences, td_decontam,

@@ -58,6 +58,16 @@ class AnnQualitySpec extends SparkSpec {
     val pqRecall = (exact & pq).size.toDouble / exact.size
     info(f"PQ/ADC recall vs exact: $pqRecall%.3f")
     assert(pqRecall >= 0.10, f"PQ recall $pqRecall%.3f under floor")
+    // IVF+PQ composition: probing restricts candidates, so its recall
+    // is bounded by PQ's — it must stay within reach of full-corpus
+    // ADC while touching ~nProbe/kCells of the codes
+    val ivfpq = pairs(graft.ops.ProductQuant.ivfAdcTopK(
+      q, e, "vec_id", "embedding", dim = 64, m = 4, k = 8, topK = 5,
+      kCells = 8, iters = 2, nProbe = 3))
+    val ivfpqRecall = (exact & ivfpq).size.toDouble / exact.size
+    info(f"IVF+PQ recall vs exact: $ivfpqRecall%.3f")
+    assert(ivfpqRecall >= 0.05,
+      f"IVF+PQ recall $ivfpqRecall%.3f under floor")
   }
 
   test("LSH recalls planted near-duplicate neighbors") {

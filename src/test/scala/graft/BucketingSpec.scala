@@ -70,6 +70,20 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("compact rewrites a many-file dir into few files, data intact") {
+    val tmp = System.getProperty("java.io.tmpdir")
+    val dir = s"$tmp/graft_compact_in"; val out = s"$tmp/graft_compact_out"
+    val df = (1L to 1000L).map(i => (i, s"v$i")).toDF("id", "v")
+    df.repartition(40).write.mode("overwrite").parquet(dir)
+    Bucketing.cleanupOnExit(dir)
+    assert(spark.read.parquet(dir).inputFiles.length == 40)
+    val compacted = Bucketing.compact(spark, dir, out, 1L << 20)
+    assert(compacted.inputFiles.length < 10,
+      s"still ${compacted.inputFiles.length} files")
+    assert(compacted.orderBy("id").as[(Long, String)].collect().toSeq
+      == (1L to 1000L).map(i => (i, s"v$i")))
+  }
+
   test("zValue interleaves bits; driver and column twins agree") {
     val df = Seq((0, 0), (1, 0), (0, 1), (1, 1), (3, 5), (7, 7))
       .toDF("x", "y")
