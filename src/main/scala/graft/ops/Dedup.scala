@@ -684,6 +684,8 @@ object Dedup {
       .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("toks"))
       .withColumn("n_tokens", size(col("toks")))
 
+    // grams feeds BOTH the corpus-wide count and the span probe —
+    // materialize once (the two-branch recompute landmine)
     val grams = base
       .filter(col("n_tokens") >= n)
       .select(col("id"),
@@ -691,6 +693,7 @@ object Dedup {
           sequence(lit(0), col("n_tokens") - n),
           i => concat_ws(" ", slice(col("toks"), i + 1, lit(n)))))
           .as(Seq("pos", "gram")))
+      .localCheckpoint(eager = false)
 
     val dupGrams = grams
       .groupBy(col("gram"))
@@ -721,6 +724,64 @@ object Dedup {
       .withColumn("dup_ppm",
         when(col("n_tokens") === 0, lit(0L))
           .otherwise(expr("dup_tokens * 1000000L div n_tokens")))
+  }
+
+  /** The TRANSFORM counterpart of [[duplicatedSpans]]: rewrite each
+    * document with its cross-document duplicated spans removed (the
+    * actual cleaning step of Lee et al.'s substring dedup). A word
+    * survives iff no corpus-duplicated n-gram covers its position.
+    * Same plan shape as the signal — one extra keyed join from
+    * positions back to covered intervals and an ordered per-doc
+    * rebuild (collect_list is bounded by the document length, the
+    * same bound `tokens` itself carries).
+    *
+    * @return (id, clean_text, n_tokens, n_kept)
+    */
+  def removeDuplicatedSpans(docs: DataFrame, idCol: String,
+      textCol: String, n: Int = 5, minDocs: Int = 2): DataFrame = {
+    val base = docs
+      .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .withColumn("n_tokens", size(col("toks")))
+    val grams = base
+      .filter(col("n_tokens") >= n)
+      .select(col("id"),
+        posexplode(transform(
+          sequence(lit(0), col("n_tokens") - n),
+          i => concat_ws(" ", slice(col("toks"), i + 1, lit(n)))))
+          .as(Seq("pos", "gram")))
+      .localCheckpoint(eager = false)
+    val dupGrams = grams
+      .groupBy(col("gram"))
+      .agg(countDistinct(col("id")).as("ndocs"))
+      .filter(col("ndocs") >= minDocs)
+      .select(col("gram"))
+    // per doc: the set of covered word positions, as merged intervals
+    val spans = grams.join(dupGrams, Seq("gram"))
+      .select(col("id"), col("pos"), (col("pos") + lit(n - 1)).as("e"))
+    val byDoc = Window.partitionBy("id").orderBy("pos")
+    val prevMax = byDoc.rowsBetween(Window.unboundedPreceding, -1)
+    val islands = spans
+      .withColumn("pme", max(col("e")).over(prevMax))
+      .withColumn("isl", sum(
+        when(col("pme").isNull || col("pos") > col("pme"), 1L)
+          .otherwise(0L)).over(byDoc))
+      .groupBy(col("id"), col("isl"))
+      .agg(min(col("pos")).as("s"), max(col("e")).as("e"))
+      .groupBy(col("id"))
+      .agg(collect_list(struct(col("s"), col("e"))).as("cut"))
+    base
+      .join(islands, Seq("id"), "left")
+      .withColumn("cut", coalesce(col("cut"),
+        array().cast("array<struct<s:int,e:int>>")))
+      .withColumn("kept", filter(
+        transform(col("toks"), (t, i) => struct(t.as("t"), i.as("i"))),
+        w => !exists(col("cut"), c =>
+          w.getField("i") >= c.getField("s") &&
+            w.getField("i") <= c.getField("e"))))
+      .select(col("id"),
+        concat_ws(" ", transform(col("kept"), _.getField("t")))
+          .as("clean_text"),
+        col("n_tokens"), size(col("kept")).as("n_kept"))
   }
 
   /** Jaccard over two [[charMask]] bitmaps (exact ASCII char-set

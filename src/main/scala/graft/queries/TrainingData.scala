@@ -1078,6 +1078,81 @@ object TrainingData {
       FROM base b LEFT JOIN dc USING (doc_id)
       ORDER BY doc_id"""))
 
+  /** The transform counterpart of [[td_dup_spans]]: documents
+    * rewritten with duplicated spans removed, full values pinned by
+    * md5; full copies collapse to empty text. */
+  val td_dup_span_removal = GraftQuery(
+    "td_dup_span_removal",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val corpus = d.unionByName(
+        d.filter(pmod(col("doc_id"), lit(7)) === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      val aug = corpus.withColumn("text",
+        when(pmod(col("doc_id"), lit(10)) === 0,
+          concat(col("text"), lit(" zz yy xx ww vv uu tt ss")))
+          .otherwise(col("text")))
+      Dedup.removeDuplicatedSpans(aug, "doc_id", "text", n = 5)
+        .select(col("id").as("doc_id"),
+          md5(col("clean_text")).as("clean_md5"),
+          col("n_tokens"), col("n_kept"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0),
+      aug AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 10 = 0
+               THEN text || ' zz yy xx ww vv uu tt ss' ELSE text END AS text
+        FROM corpus),
+      base AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t,
+          CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+        FROM aug),
+      grams AS (
+        SELECT doc_id, pos,
+          t[pos]||' '||t[pos+1]||' '||t[pos+2]||' '||t[pos+3]||' '||t[pos+4] AS gram
+        FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS pos
+              FROM base WHERE n_tokens >= 5)),
+      dup AS (
+        SELECT gram FROM grams GROUP BY gram
+        HAVING COUNT(DISTINCT doc_id) >= 2),
+      spans AS (
+        SELECT doc_id, pos, pos + 4 AS e FROM grams JOIN dup USING (gram)),
+      isl AS (
+        SELECT doc_id, pos, e,
+          MAX(e) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        FROM spans),
+      isl2 AS (
+        SELECT doc_id, pos, e,
+          SUM(CASE WHEN pme IS NULL OR pos > pme THEN 1 ELSE 0 END)
+            OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM isl),
+      ivl AS (
+        SELECT doc_id, island, MIN(pos) AS s, MAX(e) AS e
+        FROM isl2 GROUP BY 1, 2),
+      toks AS (
+        SELECT doc_id, pos, t[pos] AS tok
+        FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS pos
+              FROM base WHERE n_tokens > 0)),
+      kept AS (
+        SELECT tk.doc_id, tk.pos, tk.tok FROM toks tk
+        WHERE NOT EXISTS (SELECT 1 FROM ivl v
+          WHERE v.doc_id = tk.doc_id AND tk.pos >= v.s AND tk.pos <= v.e)),
+      rebuilt AS (
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+          COUNT(*) AS n_kept
+        FROM kept GROUP BY doc_id)
+      SELECT b.doc_id, md5(COALESCE(r.clean_text, '')) AS clean_md5,
+        CAST(b.n_tokens AS INTEGER) AS n_tokens,
+        CAST(COALESCE(r.n_kept, 0) AS INTEGER) AS n_kept
+      FROM base b LEFT JOIN rebuilt r USING (doc_id)
+      ORDER BY b.doc_id"""))
+
   /** Per-doc top-3 TF-IDF terms with integer-scaled idf
     * ([[TextAnalysis.tfIdfTopTerms]]): `log`-free so every value is
     * exact cross-engine — tf, df, and score are integers; ranking
@@ -1702,8 +1777,8 @@ object TrainingData {
     td_text_stats, td_lang_id, td_fingerprint, td_dedup_exact,
     td_char_jaccard, td_cosine_topk, td_minhash_neardup,
     td_incremental_neardup, td_source_neardup, td_ngram_jaccard,
-    td_dup_spans, td_lm_bigram, td_gopher_quality, td_source_cap,
-    td_fold_accents, td_tfidf,
+    td_dup_spans, td_dup_span_removal, td_lm_bigram, td_gopher_quality,
+    td_source_cap, td_fold_accents, td_tfidf,
     td_dedup_components, td_dedup_survivors, td_dedup_best,
     td_dedup_canonical, td_simhash,
     td_simhash_md5, td_ann_lsh, td_embedding_neardup, td_ann_ivf,

@@ -542,6 +542,23 @@ class OpsSpec extends SparkSpec {
       (3L, 0, 1), (3L, 1, 0)))
   }
 
+  test("removeDuplicatedSpans rewrites docs without their shared spans") {
+    val docs = Seq(
+      (1L, "s1 s2 s3 s4 s5 s6 s7 u1 u2 u3"), // shares s1..s7 with doc 2
+      (2L, "x1 s1 s2 s3 s4 s5 s6 s7 x2"),
+      (3L, "q1 q2 q3 q4 q5 q6"),             // unique — untouched
+      (4L, "")).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedSpans(docs, "doc_id", "text", n = 5)
+      .orderBy("id")
+      .select("id", "clean_text", "n_tokens", "n_kept")
+      .as[(Long, String, Int, Int)].collect().toSeq
+    assert(out == Seq(
+      (1L, "u1 u2 u3", 10, 3),
+      (2L, "x1 x2", 9, 2),
+      (3L, "q1 q2 q3 q4 q5 q6", 6, 6),
+      (4L, "", 0, 0)))
+  }
+
   test("duplicatedSpans covers a full near-copy end to end") {
     val base = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"
     val docs = Seq((1L, base), (2L, base), (3L, "q1 q2 q3 q4 q5 q6"))
