@@ -784,6 +784,39 @@ object Dedup {
         col("n_tokens"), size(col("kept")).as("n_kept"))
   }
 
+  /** Edit-distance near-duplicates: shingle-Jaccard candidate
+    * blocking + exact `levenshtein` verification.
+    *
+    * The blocking is RECALL-COMPLETE for the target pairs, not a
+    * heuristic: one edit (insert/delete/substitute a word) destroys
+    * at most `shingleN` of a document's word n-gram shingles, so any
+    * pair within `maxDist` WORD edits has shingle Jaccard ≥
+    * (L − maxDist·shingleN) / (L + maxDist·shingleN) for shingle-set
+    * size L — pass a `jaccardFloor` at or below that bound for the
+    * shortest documents you care about and no qualifying pair can be
+    * missed. Candidates come from [[ngramJaccardSimilar]] (prefix-
+    * filtered, ≡-all-pairs proven by spec), the residual is one
+    * `levenshtein` call per candidate — never per cross-pair.
+    *
+    * @return (id_a, id_b, edit_dist) with id_a < id_b,
+    *         edit_dist ≤ maxDist (CHARACTER-level distance, the
+    *         standard levenshtein both engines implement)
+    */
+  def editDistanceNearDuplicates(docs: DataFrame, idCol: String,
+      textCol: String, maxDist: Int, shingleN: Int = 3,
+      jaccardFloor: Double = 0.5): DataFrame = {
+    val texts = docs.select(col(idCol).as("__eid"), col(textCol).as("__etext"))
+    ngramJaccardSimilar(docs, idCol, textCol, shingleN, jaccardFloor)
+      .select(col("id_a"), col("id_b"))
+      .join(texts.withColumnRenamed("__eid", "id_a")
+        .withColumnRenamed("__etext", "__ta"), Seq("id_a"))
+      .join(texts.withColumnRenamed("__eid", "id_b")
+        .withColumnRenamed("__etext", "__tb"), Seq("id_b"))
+      .withColumn("edit_dist", levenshtein(col("__ta"), col("__tb")))
+      .filter(col("edit_dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("edit_dist"))
+  }
+
   /** Jaccard over two [[charMask]] bitmaps (exact ASCII char-set
     * Jaccard, bit-parallel). */
   def maskJaccard(ma: Column, mb: Column): Column = {

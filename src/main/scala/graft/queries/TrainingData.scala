@@ -1153,6 +1153,51 @@ object TrainingData {
       FROM base b LEFT JOIN rebuilt r USING (doc_id)
       ORDER BY b.doc_id"""))
 
+  /** Edit-distance near-dup ([[graft.ops.Dedup
+    * .editDistanceNearDuplicates]]): shingle-Jaccard blocking
+    * (recall-complete for the edit bound, see the op's scaladoc) +
+    * exact levenshtein residual, over planted 5-char-suffix twins on
+    * a bounded subset. */
+  val td_edit_neardup = GraftQuery(
+    "td_edit_neardup",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).filter(col("doc_id") < 150)
+        .select(col("doc_id"), col("text"))
+      val corpus = d.unionByName(
+        d.filter(pmod(col("doc_id"), lit(5)) === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L)
+          .withColumn("text", concat(col("text"), lit(" ver2"))))
+      Dedup.editDistanceNearDuplicates(corpus, "doc_id", "text",
+        maxDist = 10, shingleN = 3, jaccardFloor = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""WITH base AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 150),
+      corpus AS (
+        SELECT doc_id, text FROM base
+        UNION ALL
+        SELECT doc_id + 1000000, text || ' ver2' FROM base
+        WHERE doc_id % 5 = 0),
+      sh AS (
+        SELECT doc_id, text,
+          CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+               ELSE list_distinct(list_transform(range(1, len(t)-1),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS s
+        FROM (SELECT doc_id, text,
+                string_split_regex(trim(text), '\s+') AS t
+              FROM corpus)),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          a.text AS ta, b.text AS tb,
+          CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)
+            / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      SELECT id_a, id_b,
+        CAST(levenshtein(ta, tb) AS INTEGER) AS edit_dist
+      FROM pairs
+      WHERE jaccard >= 0.5 AND levenshtein(ta, tb) <= 10
+      ORDER BY id_a, id_b"""))
+
   /** Per-doc top-3 TF-IDF terms with integer-scaled idf
     * ([[TextAnalysis.tfIdfTopTerms]]): `log`-free so every value is
     * exact cross-engine — tf, df, and score are integers; ranking
@@ -1778,7 +1823,7 @@ object TrainingData {
     td_char_jaccard, td_cosine_topk, td_minhash_neardup,
     td_incremental_neardup, td_source_neardup, td_ngram_jaccard,
     td_dup_spans, td_dup_span_removal, td_lm_bigram, td_gopher_quality,
-    td_source_cap, td_fold_accents, td_tfidf,
+    td_source_cap, td_fold_accents, td_edit_neardup, td_tfidf,
     td_dedup_components, td_dedup_survivors, td_dedup_best,
     td_dedup_canonical, td_simhash,
     td_simhash_md5, td_ann_lsh, td_embedding_neardup, td_ann_ivf,

@@ -542,6 +542,21 @@ class OpsSpec extends SparkSpec {
       (3L, 0, 1), (3L, 1, 0)))
   }
 
+  test("editDistanceNearDuplicates: blocking + levenshtein residual") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zetaX"), // 1 char edit
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (4L, "one two three four five six seven")).toDF("doc_id", "text")
+    val out = Dedup.editDistanceNearDuplicates(docs, "doc_id", "text",
+      maxDist = 5, shingleN = 3, jaccardFloor = 0.5)
+      .select("id_a", "id_b", "edit_dist")
+      .as[(Long, Long, Int)].collect().toSeq
+    // 1↔2 is one substitution; 1↔3 shares shingles but is 24 chars
+    // apart; 4 shares nothing
+    assert(out == Seq((1L, 2L, 1)))
+  }
+
   test("removeDuplicatedSpans rewrites docs without their shared spans") {
     val docs = Seq(
       (1L, "s1 s2 s3 s4 s5 s6 s7 u1 u2 u3"), // shares s1..s7 with doc 2
