@@ -42,7 +42,17 @@ object PlanDump {
     "td_incremental_neardup" ->
       "Incremental LSH: signatures computed for the NEW batch only; the persisted index enters as a plain scan probed by a (band, bucket) equi-join — the corpus is never rescanned and its text never reopened.",
     "td_source_neardup" ->
-      "Collection-level near-dup: group signatures are 32 min() aggregates over the exploded (group, shingle) relation — partial aggregation before one shuffle; the exact verify join is restricted to candidate groups before touching shingle keys.")
+      "Collection-level near-dup: group signatures are 32 min() aggregates over the exploded (group, shingle) relation — partial aggregation before one shuffle; the exact verify join is restricted to candidate groups before touching shingle keys.",
+    "td_dup_spans" ->
+      "Substring-dedup signal: positioned n-grams explode in a narrow map; the corpus-wide distinct-doc count is one shuffle keyed by gram (partial count before the exchange); spans join back keyed by gram; the interval merge is one per-doc window — never O(n^2).",
+    "td_kmeans" ->
+      "Lloyd training: the codebook (k rows) broadcasts into every assignment; assignment is a narrow map + per-id window over k rows; the centroid update is one shuffle keyed by (cluster, component). No stage collects the corpus.",
+    "td_pq_adc" ->
+      "PQ/ADC: codebook broadcasts; encoding is a narrow map + per-(id, subspace) window; candidate scoring joins the (query, sub, code) lookup table against codes keyed by (sub, code) — raw vectors never reach the scoring join.",
+    "q34_zorder" ->
+      "Z-order box read: the cell isin() becomes a PartitionFilter (only intersecting z-cell dirs are listed); the exact box predicate remains as the data filter pushed to the parquet scan.",
+    "q36_overlap_join" ->
+      "Interval-overlap join: both sides explode bucket sequences in narrow maps, then ONE hash equi-join on (key, bucket); the first-shared-bucket filter dedups pairs with an integer comparison — no nested loop, no distinct over the result.")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
