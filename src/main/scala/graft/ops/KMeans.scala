@@ -39,19 +39,20 @@ object KMeans {
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
   /** Assign each (id, qv) row to its nearest centroid in (cell, s, n)
-    * representation; exact argmin, ties on cell. */
-  private def assign(q: DataFrame, centroids: DataFrame): DataFrame = {
-    val byId = Window.partitionBy("id")
-      .orderBy(col("g"), col("cell"))
+    * representation; exact argmin, ties on cell. Top-1 is a min_by
+    * aggregation (map-side combinable: the shuffle carries one row
+    * per id, not k sorted rows) — ordering by struct(g, cell) is
+    * exactly the (g asc, cell asc) tiebreak a window would apply. */
+  private def assign(q: DataFrame, centroids: DataFrame): DataFrame =
     q.crossJoin(broadcast(centroids))
       .withColumn("f",
         dotL(col("s"), col("s")) - lit(2L) * col("n") * dotL(col("qv"), col("s")))
       .withColumn("g",
         col("f").cast("double") / (col("n") * col("n")).cast("double"))
-      .withColumn("rn", row_number().over(byId))
-      .filter(col("rn") === 1)
-      .select(col("id"), col("qv"), col("cell"))
-  }
+      .groupBy(col("id"))
+      .agg(min_by(struct(col("cell"), col("qv")), struct(col("g"), col("cell")))
+        .as("w"))
+      .select(col("id"), col("w.qv").as("qv"), col("w.cell").as("cell"))
 
   /** Train `k` clusters for `iters` Lloyd iterations and return the
     * final assignment (id, cluster). Initial codebook: per cell

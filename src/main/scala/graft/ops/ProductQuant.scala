@@ -61,9 +61,7 @@ object ProductQuant {
     * |c|² − 2·x·c; ties on code).
     * @return (id, sub, code) — M rows per vector */
   def encode(corpus: DataFrame, codebook: DataFrame, idCol: String,
-      vecCol: String, dim: Int, m: Int, scale: Int = 1000): DataFrame = {
-    val bySub = Window.partitionBy("id", "sub")
-      .orderBy(col("f"), col("code"))
+      vecCol: String, dim: Int, m: Int, scale: Int = 1000): DataFrame =
     corpus
       .select(col(idCol).as("id"),
         KMeans.quantize(col(vecCol), scale).as("qv"))
@@ -71,10 +69,13 @@ object ProductQuant {
       .join(broadcast(codebook), Seq("sub"))
       .withColumn("f",
         dotL(col("cvec"), col("cvec")) - lit(2L) * dotL(col("xvec"), col("cvec")))
-      .withColumn("rn", row_number().over(bySub))
-      .filter(col("rn") === 1)
+      // top-1 as a min_by aggregation, not a window: the argmin is
+      // map-side combinable, so the shuffle carries one row per
+      // (id, sub) instead of sorting k rows per group. Ordering by
+      // struct(f, code) = exactly the (f asc, code asc) tiebreak.
+      .groupBy(col("id"), col("sub"))
+      .agg(min_by(col("code"), struct(col("f"), col("code"))).as("code"))
       .select(col("id"), col("sub"), col("code"))
-  }
 
   /** IVF + PQ: the two 100 TB ANN techniques composed the way a
     * production index (FAISS IVFPQ) deploys them — the trained
