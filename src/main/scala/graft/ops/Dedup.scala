@@ -812,8 +812,12 @@ object Dedup {
         .withColumnRenamed("__etext", "__ta"), Seq("id_a"))
       .join(texts.withColumnRenamed("__eid", "id_b")
         .withColumnRenamed("__etext", "__tb"), Seq("id_b"))
-      .withColumn("edit_dist", levenshtein(col("__ta"), col("__tb")))
-      .filter(col("edit_dist") <= maxDist)
+      // bounded variant: the DP early-exits once a row of the matrix
+      // exceeds maxDist (returns -1) — for far-apart candidates this
+      // is O(len·maxDist) instead of O(len²)
+      .withColumn("edit_dist",
+        levenshtein(col("__ta"), col("__tb"), maxDist))
+      .filter(col("edit_dist") >= 0 && col("edit_dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("edit_dist"))
   }
 
