@@ -535,6 +535,48 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** FUZZY benchmark decontamination: corpus docs whose shingle-set
+    * Jaccard against ANY benchmark document clears `threshold`,
+    * reporting the best-matching benchmark doc — catches paraphrased
+    * or lightly-edited eval contamination that exact shared-shingle
+    * counting ([[contaminatedDocs]]) understates.
+    *
+    * Blocking is LOSSLESS (not LSH): jaccard ≥ t > 0 implies at least
+    * one shared shingle, so the candidate set "corpus doc shares ≥ 1
+    * shingle with benchmark doc" cannot miss a qualifying pair. The
+    * benchmark side is tiny next to a 100 TB corpus and broadcasts;
+    * the exact Jaccard verify runs once per candidate pair.
+    *
+    * @return (id, bench_id, jaccard) — one row per contaminated
+    *         corpus doc, best benchmark match (ties → lowest id)
+    */
+  def fuzzyContaminatedDocs(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val c = corpus
+      .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+      .localCheckpoint(eager = false) // feeds blocking AND verify
+    val b = benchmark
+      .select(col(idCol).as("bench_id"), shingles(col(textCol), n).as("bsh"))
+    val cand = c.select(col("id"), explode(col("sh")).as("shingle"))
+      .join(broadcast(
+        b.select(col("bench_id"), explode(col("bsh")).as("shingle"))),
+        Seq("shingle"))
+      .select(col("id"), col("bench_id")).distinct()
+    cand
+      .join(c, Seq("id"))
+      .join(broadcast(b), Seq("bench_id"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh"), col("bsh"))).cast("double") /
+          size(array_union(col("sh"), col("bsh"))))
+      .filter(col("jaccard") >= threshold)
+      .groupBy(col("id"))
+      .agg(max_by(struct(col("bench_id"), col("jaccard")),
+        struct(col("jaccard"), -col("bench_id"))).as("w"))
+      .select(col("id"), col("w.bench_id").as("bench_id"),
+        col("w.jaccard").as("jaccard"))
+  }
+
   /** Scale-safe exact char-set similarity self-join: every pair
     * (id_a < id_b) within a `partCol` group whose ASCII char-set
     * Jaccard ≥ `threshold` — WITHOUT an all-pairs join.

@@ -1198,6 +1198,52 @@ object TrainingData {
       WHERE jaccard >= 0.5 AND levenshtein(ta, tb) <= 10
       ORDER BY id_a, id_b"""))
 
+  /** Fuzzy decontamination ([[graft.ops.Dedup.fuzzyContaminatedDocs]]):
+    * the benchmark is every doc_id<25 text with a 1-token suffix, so
+    * the contaminated docs match fuzzily (jaccard < 1) — exactly the
+    * paraphrase case exact shingle-counting understates. Blocking is
+    * lossless, so the brute-force oracle matches exactly. */
+  val td_fuzzy_decontam = GraftQuery(
+    "td_fuzzy_decontam",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val bench = d.filter(col("doc_id") < 25)
+        .select((col("doc_id") + 5000000L).as("doc_id"),
+          concat(col("text"), lit(" bm")).as("text"))
+      Dedup.fuzzyContaminatedDocs(d, bench, "doc_id", "text",
+        n = 3, threshold = 0.7)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH bench AS (
+        SELECT doc_id + 5000000 AS bench_id, text || ' bm' AS text
+        FROM documents WHERE doc_id < 25),
+      csh AS (
+        SELECT doc_id,
+          CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+               ELSE list_distinct(list_transform(range(1, len(t)-1),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS s
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+              FROM documents)),
+      bsh AS (
+        SELECT bench_id,
+          CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+               ELSE list_distinct(list_transform(range(1, len(t)-1),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS s
+        FROM (SELECT bench_id, string_split_regex(trim(text), '\s+') AS t
+              FROM bench)),
+      pairs AS (
+        SELECT c.doc_id, b.bench_id,
+          CAST(len(list_filter(c.s, x -> list_contains(b.s, x))) AS DOUBLE)
+            / len(list_distinct(list_concat(c.s, b.s))) AS jaccard
+        FROM csh c CROSS JOIN bsh b)
+      SELECT doc_id, bench_id, jaccard FROM (
+        SELECT doc_id, bench_id, jaccard,
+          row_number() OVER (PARTITION BY doc_id
+            ORDER BY jaccard DESC, bench_id) AS rn
+        FROM pairs WHERE jaccard >= 0.7)
+      WHERE rn = 1 ORDER BY doc_id"""))
+
   /** Per-doc top-3 TF-IDF terms with integer-scaled idf
     * ([[TextAnalysis.tfIdfTopTerms]]): `log`-free so every value is
     * exact cross-engine — tf, df, and score are integers; ranking
@@ -1823,7 +1869,8 @@ object TrainingData {
     td_char_jaccard, td_cosine_topk, td_minhash_neardup,
     td_incremental_neardup, td_source_neardup, td_ngram_jaccard,
     td_dup_spans, td_dup_span_removal, td_lm_bigram, td_gopher_quality,
-    td_source_cap, td_fold_accents, td_edit_neardup, td_tfidf,
+    td_source_cap, td_fold_accents, td_edit_neardup, td_fuzzy_decontam,
+    td_tfidf,
     td_dedup_components, td_dedup_survivors, td_dedup_best,
     td_dedup_canonical, td_simhash,
     td_simhash_md5, td_ann_lsh, td_embedding_neardup, td_ann_ivf,

@@ -574,6 +574,57 @@ class OpsSpec extends SparkSpec {
       (4L, "", 0, 0)))
   }
 
+  test("fuzzyContaminatedDocs flags paraphrased benchmark overlap, best match wins") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different words entirely here now"),
+      (3L, "the quick brown fox jumps over a sleepy cat")).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog indeed"),
+      (101L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val out = Dedup.fuzzyContaminatedDocs(corpus, bench, "doc_id", "text",
+      n = 3, threshold = 0.6)
+      .orderBy("id").select("id", "bench_id")
+      .as[(Long, Long)].collect().toSeq
+    // doc 1 matches bench 101 exactly (jaccard 1 beats 100's subset);
+    // doc 2 shares nothing; doc 3's overlap is below the threshold
+    assert(out == Seq((1L, 101L)))
+  }
+
+  test("duplicatedSpans ≡ brute-force reference on random corpora") {
+    val rnd = new scala.util.Random(99)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val n = 4
+    val docs = (1L to 40L).map { i =>
+      i -> Seq.fill(3 + rnd.nextInt(15))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+    }
+    // independent reference: mark positions covered by any n-gram
+    // that appears in ≥2 distinct docs, count marked positions
+    val grams = docs.flatMap { case (id, text) =>
+      val t = text.split("\\s+").toSeq
+      if (t.size < n) Seq.empty
+      else (0 to t.size - n).map(p => (t.slice(p, p + n).mkString(" "), id, p))
+    }
+    val dupSet = grams.groupBy(_._1).filter(_._2.map(_._2).distinct.size >= 2)
+      .keySet
+    val want = docs.map { case (id, text) =>
+      val t = text.split("\\s+").toSeq
+      val covered = Array.fill(t.size)(false)
+      if (t.size >= n)
+        for (p <- 0 to t.size - n
+             if dupSet(t.slice(p, p + n).mkString(" "));
+             q <- p until p + n) covered(q) = true
+      (id, t.size, covered.count(identity).toLong)
+    }.sortBy(_._1)
+    val got = Dedup.duplicatedSpans(
+        docs.toDF("doc_id", "text"), "doc_id", "text", n = n)
+      .orderBy("id").select("id", "n_tokens", "dup_tokens")
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(got == want)
+  }
+
   test("duplicatedSpans covers a full near-copy end to end") {
     val base = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"
     val docs = Seq((1L, base), (2L, base), (3L, "q1 q2 q3 q4 q5 q6"))
