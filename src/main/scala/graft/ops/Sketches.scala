@@ -1,0 +1,147 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Frequency sketches for token streams whose vocabulary is too
+  * large to aggregate exactly (URLs, code identifiers, n-grams at
+  * 100 TB: the vocabulary shuffle of a plain `groupBy(token)` can
+  * rival the corpus; a count-min sketch's aggregation state is a
+  * fixed d×w table no matter the corpus). Hashes are md5-derived so
+  * every bucket — and therefore every sketch cell — is deterministic
+  * and identical cross-engine, which is what makes the sketch itself
+  * oracle-checkable, not just the final answers.
+  *
+  * The heavy-hitter path follows the same discipline as
+  * [[BloomJoin]]: the sketch can only OVERestimate, so thresholding
+  * estimates yields a candidate superset with no false negatives;
+  * an exact count over only the candidate occurrences removes the
+  * false positives. Results are exact, never approximate.
+  */
+object Sketches {
+
+  /** Row-r bucket of a token: md5 of "r:token", first 15 hex chars
+    * (60 bits, exact in a long) mod `width`. Codegen'd built-ins. */
+  def cmBucket(token: Column, row: Int, width: Int): Column =
+    pmod(conv(substring(md5(concat_ws(":", lit(row.toString), token)),
+      1, 15), 16, 10).cast("long"), lit(width.toLong))
+
+  /** Count-min sketch of token frequencies: `depth` rows × `width`
+    * buckets as (r, b, cnt) — at most d·w output rows regardless of
+    * corpus size, via one narrow explode (d cells per occurrence)
+    * and one map-side-combinable aggregation. Cells never present
+    * have count 0 implicitly. */
+  def countMin(tokens: DataFrame, tokenCol: String, depth: Int,
+      width: Int): DataFrame =
+    tokens
+      .select(explode(array((0 until depth).map(r =>
+        struct(lit(r).as("r"),
+          cmBucket(col(tokenCol), r, width).as("b"))): _*)).as("rb"))
+      .select(col("rb.r").as("r"), col("rb.b").as("b"))
+      .groupBy(col("r"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Exact φ-heavy hitters (tokens with 100·count ≥ phiPct·N, N =
+    * total occurrences — cross-multiplied, no division) without a
+    * full-vocabulary aggregation. The CMS estimate min_r cnt[r][h_r]
+    * prefilters occurrences to a candidate superset (CMS never
+    * underestimates); only candidate occurrences are shuffled for
+    * the exact count. The sketch is d·w longs on the driver and
+    * broadcasts; the estimate probe is a deserialized predicate
+    * (same trade as [[BloomJoin]]: a per-row probe before the
+    * exchange is noise next to the vocabulary shuffle it avoids).
+    *
+    * The token stream is scanned twice (sketch build + probe) —
+    * narrow both times; at scale the exchange, not the rescan, is
+    * the bottleneck.
+    *
+    * @return (w, cnt) for every token with 100·cnt ≥ phiPct·N
+    */
+  def heavyHitters(tokens: DataFrame, tokenCol: String, phiPct: Int,
+      depth: Int = 4, width: Int = 8192): DataFrame = {
+    val spark = tokens.sparkSession
+    val total = tokens.count()
+    val cells = countMin(tokens, tokenCol, depth, width).collect()
+    val table = Array.fill(depth, width)(0L)
+    cells.foreach(r =>
+      table(r.getAs[Int]("r"))(r.getAs[Long]("b").toInt) =
+        r.getAs[Long]("cnt"))
+    val bc = spark.sparkContext.broadcast(table)
+    // the probe recomputes the SAME md5 buckets as the sketch build
+    val est = udf { (w: String) =>
+      if (w == null) 0L
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        var minC = Long.MaxValue
+        var r = 0
+        while (r < depth) {
+          val hex = md.digest(s"$r:$w".getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString.substring(0, 15)
+          minC = math.min(minC,
+            bc.value(r)((java.lang.Long.parseLong(hex, 16) % width).toInt))
+          md.reset()
+          r += 1
+        }
+        minC
+      }
+    }
+    tokens
+      .filter(est(col(tokenCol)) * 100 >= total * phiPct.toLong)
+      .groupBy(col(tokenCol).as("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * 100 >= total * phiPct.toLong)
+      .select(col("w"), col("cnt"))
+  }
+
+  /** HyperLogLog register table (Flajolet et al. 2007) over
+    * md5-derived 60-bit hashes: top `p` bits pick the register j,
+    * the rank is the leading-zero count of the remaining 60−p bits
+    * plus one. The registers themselves are DETERMINISTIC and
+    * oracle-checkable exactly — only [[hllEstimate]] is approximate.
+    * Aggregation state is ≤ 2^p (j, max rank) pairs, max-combinable
+    * map-side, regardless of input size — THE distinct-count sketch
+    * for a 100 TB column where exact `count(distinct)` would shuffle
+    * the full value set. Registers with no element are absent (rank
+    * 0 implicitly). All codegen'd built-ins: md5/conv/shiftright/
+    * bin — no UDF anywhere. */
+  def hllRegisters(tokens: DataFrame, tokenCol: String,
+      p: Int): DataFrame = {
+    require(p >= 4 && p <= 16, s"p=$p outside [4,16]")
+    val k = 60 - p
+    val h = conv(substring(md5(col(tokenCol)), 1, 15), 16, 10)
+      .cast("long")
+    val rem = h.bitwiseAND(lit((1L << k) - 1))
+    val rank = when(rem === 0L, lit(k + 1))
+      .otherwise(lit(k + 1) - length(ltrim(bin(rem), "0")))
+    tokens
+      .select(shiftright(h, k).as("j"), rank.as("rank"))
+      .groupBy(col("j"))
+      .agg(max(col("rank")).as("rank"))
+  }
+
+  /** Merge register tables of disjoint scans: elementwise max — the
+    * property that makes HLL state unionable across partitions,
+    * files, or days without rescanning. */
+  def hllMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("j")).agg(max(col("rank")).as("rank"))
+
+  /** Bias-corrected cardinality estimate from a register table —
+    * the standard harmonic mean with the linear-counting small-range
+    * correction. Approximate BY DESIGN (±1.04/√m): the registers are
+    * exact and oracled; the estimate is spec-checked against exact
+    * distinct within the published bound. */
+  def hllEstimate(registers: DataFrame, p: Int): Double = {
+    val m = 1 << p
+    val arr = Array.fill(m)(0)
+    registers.collect().foreach { r =>
+      arr(r.getLong(0).toInt) = r.getInt(1)
+    }
+    val alpha =
+      if (m == 16) 0.673 else if (m == 32) 0.697
+      else if (m == 64) 0.709 else 0.7213 / (1 + 1.079 / m)
+    val e = alpha * m * m / arr.map(r => math.pow(2.0, -r)).sum
+    val zeros = arr.count(_ == 0)
+    if (e <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros)
+    else e
+  }
+}

@@ -266,4 +266,77 @@ object TextAnalysis {
       (n > 0 && nAlpha * 5 >= n * 4).as("ok_alpha_words"),
       (stopHits >= minStopHits).as("ok_stopwords"))
   }
+
+  /** Non-empty lines of a document, each trimmed. */
+  def docLines(text: Column): Column =
+    transform(filter(split(text, "\n"), l => length(trim(l)) > 0),
+      l => trim(l))
+
+  /** Gopher line-level repetition signals (Rae et al. 2021 §A1.1):
+    * the "duplicate line fraction" / "duplicate line character
+    * fraction" rules — how many non-empty lines repeat within the
+    * document, and how many characters sit inside repeated lines.
+    * The n-gram half of the Gopher repetition rule set is
+    * [[graft.plans.NativeCols.repetitionStats]]; together they form
+    * the full repetition filter. Outputs are integers only — callers
+    * derive the fractions — so every value is exact cross-engine.
+    * A narrow per-row map (the per-line membership scan is O(L²) in
+    * the LINE count of one document, never across documents): no
+    * shuffle, scales as a linear pass over the corpus.
+    */
+  def lineRepetitionSignals(text: Column): Seq[Column] = {
+    val lines = docLines(text)
+    val nLines = size(lines)
+    val dupLines = nLines - size(array_distinct(lines))
+    val dupLineChars = coalesce(aggregate(
+      filter(lines, l => size(filter(lines, m => m === l)) >= 2),
+      lit(0), (acc, l) => acc + length(l)), lit(0))
+    val lineChars = coalesce(
+      aggregate(lines, lit(0), (acc, l) => acc + length(l)), lit(0))
+    Seq(nLines.as("n_lines"), dupLines.as("dup_lines"),
+      dupLineChars.as("dup_line_chars"), lineChars.as("line_chars"))
+  }
+
+  /** Keep-first-occurrence dedup of an array, order preserved —
+    * the within-document repeated-line cleanup. */
+  def dedupKeepFirst(arr: Column): Column =
+    filter(arr, (x, i) => array_position(arr, x) === i + 1)
+
+  /** C4 line filter (Raffel et al. 2020 §2.2): lines kept iff they
+    * end in a terminal punctuation mark, have at least `minWords`
+    * words, and contain no banned phrase (case-insensitive). */
+  def c4KeptLines(text: Column, minWords: Int = 5,
+      banned: Seq[String] = Seq("javascript")): Column =
+    filter(docLines(text), l => {
+      val low = lower(l)
+      banned.foldLeft(
+        l.rlike("[.!?\"']$") && size(split(l, "\\s+")) >= minWords) {
+        (acc, b) => acc && !low.contains(b)
+      }
+    })
+
+  /** C4-style document cleaning (Raffel et al. 2020 §2.2) as one
+    * narrow transform: per document, the kept-line count after the
+    * [[c4KeptLines]] filter, the page-level keep decision (≥
+    * `minKeptLines` retained lines, no "lorem ipsum", no curly
+    * brace), and the cleaned text both as-is and with repeated lines
+    * collapsed to their first occurrence ([[dedupKeepFirst]]) —
+    * values pinned by md5 so the whole rewritten document is
+    * oracle-checkable. Zero shuffle; scales as a linear scan.
+    */
+  def c4Clean(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 5, minKeptLines: Int = 3,
+      banned: Seq[String] = Seq("javascript")): DataFrame = {
+    df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("kept", c4KeptLines(col("text"), minWords, banned))
+      .withColumn("dedup", dedupKeepFirst(col("kept")))
+      .select(col("id"),
+        size(docLines(col("text"))).as("n_lines"),
+        size(col("kept")).as("n_kept"),
+        (size(col("kept")) >= minKeptLines &&
+          !lower(col("text")).contains("lorem ipsum") &&
+          !col("text").contains("{")).as("keep_doc"),
+        md5(concat_ws("\n", col("kept"))).as("clean_md5"),
+        md5(concat_ws("\n", col("dedup"))).as("dedup_md5"))
+  }
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{GraftQuery, Tables}
-import graft.ops.{Dedup, Multimodal, Profiling, Sampling, Similarity, TextAnalysis}
+import graft.ops.{BloomJoin, Dedup, Multimodal, Profiling, Sampling, Similarity, Sketches, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1244,6 +1244,175 @@ object TrainingData {
         FROM pairs WHERE jaccard >= 0.7)
       WHERE rn = 1 ORDER BY doc_id"""))
 
+  /** Gopher line-level repetition
+    * ([[graft.ops.TextAnalysis.lineRepetitionSignals]]): documents
+    * get newline structure planted from substrings — the third line
+    * repeats the first — so duplicate-line counts are nonzero.
+    * Integer outputs only (fractions are numerator/denominator),
+    * exact cross-engine. */
+  val td_line_repetition = GraftQuery(
+    "td_line_repetition",
+    (s, dir) => {
+      val planted = concat(
+        substring(col("text"), 1, 40), lit("\n"),
+        substring(col("text"), 41, 40), lit("\n"),
+        substring(col("text"), 1, 40), lit("\n"),
+        substring(col("text"), 81, 40))
+      Tables.documents(s, dir)
+        .select((col("doc_id") +:
+          TextAnalysis.lineRepetitionSignals(planted)): _*)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH base AS (
+        SELECT doc_id,
+          substr(text,1,40) || chr(10) || substr(text,41,40) || chr(10) ||
+          substr(text,1,40) || chr(10) || substr(text,81,40) AS text
+        FROM documents),
+      l AS (
+        SELECT doc_id,
+          list_transform(list_filter(string_split(text, chr(10)),
+            x -> length(trim(x)) > 0), x -> trim(x)) AS lines
+        FROM base)
+      SELECT doc_id,
+        CAST(len(lines) AS BIGINT) AS n_lines,
+        CAST(len(lines) - len(list_distinct(lines)) AS BIGINT) AS dup_lines,
+        CAST(coalesce(list_sum(list_transform(
+          list_filter(lines, x -> len(list_filter(lines, m -> m = x)) >= 2),
+          x -> length(x))), 0) AS BIGINT) AS dup_line_chars,
+        CAST(coalesce(list_sum(list_transform(lines, x -> length(x))), 0)
+          AS BIGINT) AS line_chars
+      FROM l ORDER BY doc_id"""))
+
+  /** C4 document cleaning ([[graft.ops.TextAnalysis.c4Clean]]):
+    * planted pages mix keepable lines (substring + terminal
+    * punctuation), a JavaScript line, an unterminated line, an exact
+    * repeat, and — on doc_id strides — a curly-brace template line
+    * and a "lorem ipsum" line, exercising every C4 rule. The cleaned
+    * and line-deduped rewrites are pinned by md5. */
+  val td_c4_clean = GraftQuery(
+    "td_c4_clean",
+    (s, dir) => {
+      val l1 = concat(substring(col("text"), 1, 40), lit("."))
+      val planted = concat_ws("\n", l1,
+        lit("This page requires JavaScript to render correctly."),
+        substring(col("text"), 41, 40), l1,
+        concat(substring(col("text"), 81, 40), lit(" ok!")),
+        when(col("doc_id") % 7 === 0, lit("template { display none }"))
+          .otherwise(lit("A short tail line here yes.")),
+        when(col("doc_id") % 11 === 0,
+          lit("Lorem ipsum dolor sit amet consectetur.")).otherwise(lit("")))
+      TextAnalysis.c4Clean(
+        Tables.documents(s, dir).select(col("doc_id"), planted.as("text")),
+        "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH base AS (
+        SELECT doc_id,
+          concat_ws(chr(10),
+            substr(text,1,40) || '.',
+            'This page requires JavaScript to render correctly.',
+            substr(text,41,40),
+            substr(text,1,40) || '.',
+            substr(text,81,40) || ' ok!',
+            CASE WHEN doc_id % 7 = 0 THEN 'template { display none }'
+                 ELSE 'A short tail line here yes.' END,
+            CASE WHEN doc_id % 11 = 0
+                 THEN 'Lorem ipsum dolor sit amet consectetur.' ELSE '' END
+          ) AS text
+        FROM documents),
+      l AS (
+        SELECT doc_id, text,
+          list_transform(list_filter(string_split(text, chr(10)),
+            x -> length(trim(x)) > 0), x -> trim(x)) AS lines
+        FROM base),
+      k AS (
+        SELECT doc_id, text, lines,
+          list_filter(lines, x -> regexp_matches(x, '[.!?"'']$')
+            AND len(string_split_regex(x, '\s+')) >= 5
+            AND NOT contains(lower(x), 'javascript')) AS kept
+        FROM l),
+      d AS (
+        SELECT doc_id, text, lines, kept,
+          list_filter(kept, (x, i) -> list_position(kept, x) = i) AS dedup
+        FROM k)
+      SELECT doc_id,
+        CAST(len(lines) AS BIGINT) AS n_lines,
+        CAST(len(kept) AS BIGINT) AS n_kept,
+        (len(kept) >= 3 AND NOT contains(lower(text), 'lorem ipsum')
+          AND NOT contains(text, '{')) AS keep_doc,
+        md5(array_to_string(kept, chr(10))) AS clean_md5,
+        md5(array_to_string(dedup, chr(10))) AS dedup_md5
+      FROM d ORDER BY doc_id"""))
+
+  /** Opt-out blocklist scrub ([[graft.ops.BloomJoin.antiJoin]]):
+    * remove every document whose content fingerprint appears in a
+    * blocklist (here: the fingerprints of doc_id < 40), via a
+    * broadcast bloom sketch that lets non-blocked rows bypass the
+    * join — only the might-contain sliver is shuffled. Bloom false
+    * positives are removed by the exact residual anti-join, so the
+    * result is EXACT and the oracle is a plain NOT IN. */
+  val td_blocklist_scrub = GraftQuery(
+    "td_blocklist_scrub",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val corpus = d.select(col("doc_id"), md5(col("text")).as("fp"))
+      val blocklist = d.filter(col("doc_id") < 40)
+        .select(md5(col("text")).as("fp"))
+      BloomJoin.antiJoin(corpus, blocklist, "fp", "fp",
+        expectedItems = 1000L, fpp = 0.05)
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, md5(text) AS fp FROM documents
+      WHERE md5(text) NOT IN
+        (SELECT md5(text) FROM documents WHERE doc_id < 40)
+      ORDER BY doc_id"""))
+
+  /** Exact φ-heavy hitters via count-min prefilter
+    * ([[graft.ops.Sketches.heavyHitters]]): tokens holding ≥ 2% of
+    * all occurrences, found WITHOUT a full-vocabulary shuffle — the
+    * deliberately narrow width (512) forces sketch collisions, and
+    * the result is still exact because thresholded estimates are a
+    * candidate superset resolved by exact counting. The oracle is the
+    * plain GROUP BY / HAVING it replaces. */
+  val td_heavy_hitters = GraftQuery(
+    "td_heavy_hitters",
+    (s, dir) => {
+      val words = Tables.documents(s, dir)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      Sketches.heavyHitters(words, "w", phiPct = 2, depth = 4,
+        width = 512)
+        .orderBy(col("w"))
+    },
+    Some("""WITH words AS (
+        SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+        FROM documents WHERE length(trim(text)) > 0),
+      tot AS (SELECT COUNT(*) AS n FROM words)
+      SELECT w, COUNT(*) AS cnt FROM words, tot
+      GROUP BY w, tot.n HAVING COUNT(*) * 100 >= tot.n * 2
+      ORDER BY w"""))
+
+  /** HyperLogLog register table ([[graft.ops.Sketches.hllRegisters]],
+    * p=8) over the corpus token stream: the sketch STATE is exact and
+    * hash-matched cross-engine — the estimate layered on it is the
+    * only approximate part and is spec-bounded (SketchesSpec). */
+  val td_hll_registers = GraftQuery(
+    "td_hll_registers",
+    (s, dir) => {
+      val words = Tables.documents(s, dir)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      Sketches.hllRegisters(words, "w", p = 8).orderBy(col("j"))
+    },
+    Some("""WITH words AS (
+        SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+        FROM documents WHERE length(trim(text)) > 0),
+      h AS (SELECT ('0x'||substr(md5(w),1,15))::BIGINT AS h FROM words)
+      SELECT h >> 52 AS j,
+        max(CASE WHEN (h & ((1::BIGINT << 52) - 1)) = 0 THEN 53
+              ELSE 53 - length(ltrim(bin(h & ((1::BIGINT << 52) - 1)),
+                '0')) END) AS rank
+      FROM h GROUP BY j ORDER BY j"""))
+
   /** Per-doc top-3 TF-IDF terms with integer-scaled idf
     * ([[TextAnalysis.tfIdfTopTerms]]): `log`-free so every value is
     * exact cross-engine — tf, df, and score are integers; ranking
@@ -1870,7 +2039,8 @@ object TrainingData {
     td_incremental_neardup, td_source_neardup, td_ngram_jaccard,
     td_dup_spans, td_dup_span_removal, td_lm_bigram, td_gopher_quality,
     td_source_cap, td_fold_accents, td_edit_neardup, td_fuzzy_decontam,
-    td_tfidf,
+    td_line_repetition, td_c4_clean, td_blocklist_scrub,
+    td_heavy_hitters, td_hll_registers, td_tfidf,
     td_dedup_components, td_dedup_survivors, td_dedup_best,
     td_dedup_canonical, td_simhash,
     td_simhash_md5, td_ann_lsh, td_embedding_neardup, td_ann_ivf,

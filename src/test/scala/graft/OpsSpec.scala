@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{BloomJoin, Dedup, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 class OpsSpec extends SparkSpec {
@@ -455,6 +455,155 @@ class OpsSpec extends SparkSpec {
     assert(rows(0).toSeq == Seq(true, true, true, true, true))
     assert(rows(1).toSeq == Seq(true, false, false, false, false))
     assert(rows(2).toSeq(0) == false)
+  }
+
+  test("lineRepetitionSignals counts repeated lines and their characters") {
+    val sig = TextAnalysis.lineRepetitionSignals(col("text"))
+    val df = Seq(
+      (1L, "aaa\nbbbb\naaa\n\n  \ncc"), // aaa repeats: 2 dup lines, 6 chars
+      (2L, "one\ntwo\nthree"),           // no repeats
+      (3L, "")                           // empty doc
+    ).toDF("doc_id", "text").select((col("doc_id") +: sig): _*)
+    val out = df.orderBy("doc_id").as[(Long, Int, Int, Int, Int)]
+      .collect().toSeq
+    assert(out == Seq(
+      (1L, 4, 1, 6, 12), // 4 non-empty lines, 4-3 distinct, 3+3 dup chars
+      (2L, 3, 0, 0, 11),
+      (3L, 0, 0, 0, 0)))
+  }
+
+  test("c4Clean applies every C4 rule and pins the rewrites") {
+    val doc1 = Seq( // 3 kept lines (one repeated), junk dropped
+      "This first line has five good words.",
+      "short line.",                       // < 5 words
+      "no terminal punctuation on this line",
+      "Enable JavaScript to use this site.", // banned word
+      "This first line has five good words.", // dup of kept line 1
+      "Another closing line with enough words!").mkString("\n")
+    val doc2 = "Too few surviving lines here honestly." // 1 kept < 3
+    val doc3 = doc1 + "\ntemplate { x }"   // curly brace kills the page
+    val out = TextAnalysis.c4Clean(
+      Seq((1L, doc1), (2L, doc2), (3L, doc3)).toDF("doc_id", "text"),
+      "doc_id", "text")
+      .orderBy("id")
+      .select("id", "n_lines", "n_kept", "keep_doc", "clean_md5",
+        "dedup_md5")
+      .as[(Long, Int, Int, Boolean, String, String)].collect().toSeq
+    val kept1 = Seq(
+      "This first line has five good words.",
+      "This first line has five good words.",
+      "Another closing line with enough words!")
+    def m(s: Seq[String]) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(out(0) == (1L, 6, 3, true, m(kept1), m(kept1.distinct)))
+    assert(out(1) == (2L, 1, 1, false, m(Seq(doc2)), m(Seq(doc2))))
+    assert(out(2)._4 == false) // brace page dropped, lines unchanged
+    assert(out(2)._3 == 3)
+  }
+
+  test("BloomJoin semi/anti ≡ plain joins even with a high-fpp sketch") {
+    val rnd = new scala.util.Random(7)
+    val fact = (1 to 400).map(i => (i.toLong, rnd.nextInt(60).toLong))
+      .toDF("row_id", "k")
+    val keys = (1 to 25).map(_ => rnd.nextInt(60).toLong).distinct
+      .toDF("key")
+    // fpp 0.5 forces false positives through the residual join
+    val semi = BloomJoin.semiJoin(fact, keys, "k", "key", 100L, 0.5)
+      .orderBy("row_id").select("row_id", "k")
+      .as[(Long, Long)].collect().toSeq
+    val wantSemi = fact.join(keys.withColumnRenamed("key", "k"),
+        Seq("k"), "left_semi")
+      .orderBy("row_id").select("row_id", "k")
+      .as[(Long, Long)].collect().toSeq
+    assert(semi == wantSemi)
+    val anti = BloomJoin.antiJoin(fact, keys, "k", "key", 100L, 0.5)
+      .orderBy("row_id").select("row_id", "k")
+      .as[(Long, Long)].collect().toSeq
+    val wantAnti = fact.join(keys.withColumnRenamed("key", "k"),
+        Seq("k"), "left_anti")
+      .orderBy("row_id").select("row_id", "k")
+      .as[(Long, Long)].collect().toSeq
+    assert(anti == wantAnti)
+    assert(anti.nonEmpty && semi.nonEmpty)
+  }
+
+  test("BloomJoin string keys and null keys behave like the plain joins") {
+    val fact = Seq((1L, "aa"), (2L, "bb"), (3L, null.asInstanceOf[String]),
+      (4L, "cc"), (5L, "aa")).toDF("row_id", "k")
+    val keys = Seq("aa", "zz").toDF("key")
+    val semi = BloomJoin.semiJoin(fact, keys, "k", "key", 10L, 0.01)
+      .orderBy("row_id").select("row_id").as[Long].collect().toSeq
+    assert(semi == Seq(1L, 5L))
+    val anti = BloomJoin.antiJoin(fact, keys, "k", "key", 10L, 0.01)
+      .orderBy("row_id").select("row_id").as[Long].collect().toSeq
+    assert(anti == Seq(2L, 3L, 4L)) // null kept, like left_anti
+  }
+
+  test("countMin cells match a brute-force sketch of the same stream") {
+    import graft.ops.Sketches
+    val rnd = new scala.util.Random(11)
+    val words = Seq.fill(300)(s"w${rnd.nextInt(40)}")
+    val depth = 3; val width = 16
+    val got = Sketches.countMin(words.toDF("w"), "w", depth, width)
+      .orderBy("r", "b").as[(Int, Long, Long)].collect().toSeq
+    def bucket(w: String, r: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$r:$w".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16) % width
+    }
+    val want = (for { w <- words; r <- 0 until depth }
+      yield (r, bucket(w, r)))
+      .groupBy(identity).map { case ((r, b), g) => (r, b, g.size.toLong) }
+      .toSeq.sorted
+    assert(got == want)
+  }
+
+  test("heavyHitters ≡ plain groupBy-having even with heavy collisions") {
+    import graft.ops.Sketches
+    val rnd = new scala.util.Random(23)
+    // skewed stream: a few hot tokens + a long tail
+    val words = (Seq.fill(120)("hot1") ++ Seq.fill(80)("hot2") ++
+      Seq.fill(800)(s"tail${rnd.nextInt(300)}"))
+    val df = words.toDF("w")
+    // width 8 → constant collisions → many false candidates, zero misses
+    val got = Sketches.heavyHitters(df, "w", phiPct = 5, depth = 2,
+        width = 8)
+      .orderBy("w").as[(String, Long)].collect().toSeq
+    val n = words.size
+    val want = words.groupBy(identity).view
+      .mapValues(_.size.toLong).toSeq
+      .filter { case (_, c) => c * 100 >= n.toLong * 5 }
+      .sortBy(_._1)
+    assert(got == want)
+    assert(got.map(_._1).contains("hot1"))
+  }
+
+  test("hllEstimate lands within the published bound of exact distinct") {
+    import graft.ops.Sketches
+    val rnd = new scala.util.Random(31)
+    val words = Seq.fill(20000)(s"t${rnd.nextInt(5000)}")
+    val p = 8 // m=256 → σ ≈ 6.5%; deterministic data, assert 4σ
+    val regs = Sketches.hllRegisters(words.toDF("w"), "w", p)
+    val est = Sketches.hllEstimate(regs, p)
+    val exact = words.distinct.size.toDouble
+    assert(math.abs(est - exact) / exact < 0.26,
+      s"est=$est exact=$exact")
+  }
+
+  test("hllMerge of split scans ≡ registers of the union") {
+    import graft.ops.Sketches
+    val rnd = new scala.util.Random(37)
+    val a = Seq.fill(500)(s"a${rnd.nextInt(300)}")
+    val b = Seq.fill(500)(s"b${rnd.nextInt(300)}")
+    val merged = Sketches.hllMerge(
+        Sketches.hllRegisters(a.toDF("w"), "w", 6),
+        Sketches.hllRegisters(b.toDF("w"), "w", 6))
+      .orderBy("j").as[(Long, Int)].collect().toSeq
+    val whole = Sketches.hllRegisters((a ++ b).toDF("w"), "w", 6)
+      .orderBy("j").as[(Long, Int)].collect().toSeq
+    assert(merged == whole)
   }
 
   test("duplicatedSpans merges overlapping spans and counts each word once") {
