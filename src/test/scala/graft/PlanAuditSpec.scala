@@ -181,6 +181,42 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("countMin/hllRegisters: sketch aggregations are map-side partial") {
+    // the whole point of a fixed-size sketch is that the combine
+    // happens before the exchange — state per task is ≤ d·w / 2^p
+    // cells no matter how many tokens the task scanned
+    import org.apache.spark.sql.functions._
+    val words = Tables.documents(spark, dir)
+      .select(explode(graft.ops.TextAnalysis.tokens(col("text"))).as("w"))
+    for (mk <- Seq(() => graft.ops.Sketches.countMin(words, "w", 4, 512),
+                   () => graft.ops.Sketches.hllRegisters(words, "w", 8))) {
+      audited(mk()) { df =>
+        val plan = df.queryExecution.executedPlan
+        val partial = plan.collect {
+          case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+            if a.aggregateExpressions.exists(_.mode.toString == "Partial") =>
+            a
+        }
+        assert(partial.nonEmpty, s"no map-side partial aggregation:\n$plan")
+      }
+    }
+  }
+
+  test("td_blocklist_scrub: only the residual branch joins, broadcast") {
+    // the bypass branch (bloom says definitely-absent) must reach the
+    // output with no join at all; the residual branch's anti-join
+    // broadcasts the blocklist — the corpus side never shuffles
+    audited(graft.queries.TrainingData.td_blocklist_scrub.fn(spark, dir)) {
+      df =>
+        val plan = df.queryExecution.executedPlan
+        val joins = plan.collect {
+          case j if j.nodeName.contains("Join") => j.nodeName
+        }
+        assert(joins == Seq("BroadcastHashJoin"),
+          s"expected exactly one broadcast residual join, got $joins\n$plan")
+    }
+  }
+
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
     // The 100 TB join-pruning story when neither bucketing nor
     // broadcast applies: a selective dimension filter is converted by
