@@ -52,7 +52,11 @@ object PlanDump {
     "q34_zorder" ->
       "Z-order box read: the cell isin() becomes a PartitionFilter (only intersecting z-cell dirs are listed); the exact box predicate remains as the data filter pushed to the parquet scan.",
     "q36_overlap_join" ->
-      "Interval-overlap join: both sides explode bucket sequences in narrow maps, then ONE hash equi-join on (key, bucket); the first-shared-bucket filter dedups pairs with an integer comparison — no nested loop, no distinct over the result.")
+      "Interval-overlap join: both sides explode bucket sequences in narrow maps, then ONE hash equi-join on (key, bucket); the first-shared-bucket filter dedups pairs with an integer comparison — no nested loop, no distinct over the result.",
+    "td_blocklist_scrub" ->
+      "Bloom-prefiltered scrub: the bypass branch (bloom-negative rows, the overwhelming majority at scale) reaches the union with NO join node at all; the residual branch broadcasts the blocklist into one BroadcastHashJoin LeftAnti — the corpus side never shuffles.",
+    "td_heavy_hitters" ->
+      "Exact heavy hitters: the count-min build aggregates map-side partial into at most d*w cells per task before one tiny exchange; the exact count then aggregates only estimate-thresholded candidate occurrences — the full vocabulary never shuffles.")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")

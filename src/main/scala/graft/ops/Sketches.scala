@@ -20,11 +20,19 @@ import org.apache.spark.sql.functions._
   */
 object Sketches {
 
-  /** Row-r bucket of a token: md5 of "r:token", first 15 hex chars
-    * (60 bits, exact in a long) mod `width`. Codegen'd built-ins. */
-  def cmBucket(token: Column, row: Int, width: Int): Column =
-    pmod(conv(substring(md5(concat_ws(":", lit(row.toString), token)),
-      1, 15), 16, 10).cast("long"), lit(width.toLong))
+  /** Row-r bucket of a token via Kirsch–Mitzenmacher double hashing
+    * (h1 + r·h2 mod width): ONE md5 per token supplies both 60-bit
+    * halves (hex chars 1–15 and 17–31 — each exact in a long; the
+    * sum stays < 2^62). `h1`/`h2` are columns so the md5 is computed
+    * once per occurrence, not once per sketch row. */
+  def cmBucket(h1: Column, h2: Column, row: Int, width: Int): Column =
+    pmod(h1 + lit(row.toLong) * h2, lit(width.toLong))
+
+  private def cmHalves(token: Column): (Column, Column) = {
+    val hx = md5(token)
+    (conv(substring(hx, 1, 15), 16, 10).cast("long"),
+      conv(substring(hx, 17, 15), 16, 10).cast("long"))
+  }
 
   /** Count-min sketch of token frequencies: `depth` rows × `width`
     * buckets as (r, b, cnt) — at most d·w output rows regardless of
@@ -32,14 +40,17 @@ object Sketches {
     * and one map-side-combinable aggregation. Cells never present
     * have count 0 implicitly. */
   def countMin(tokens: DataFrame, tokenCol: String, depth: Int,
-      width: Int): DataFrame =
+      width: Int): DataFrame = {
+    val (h1, h2) = cmHalves(col(tokenCol))
     tokens
+      .select(h1.as("h1"), h2.as("h2"))
       .select(explode(array((0 until depth).map(r =>
         struct(lit(r).as("r"),
-          cmBucket(col(tokenCol), r, width).as("b"))): _*)).as("rb"))
+          cmBucket(col("h1"), col("h2"), r, width).as("b"))): _*)).as("rb"))
       .select(col("rb.r").as("r"), col("rb.b").as("b"))
       .groupBy(col("r"), col("b"))
       .agg(count(lit(1)).as("cnt"))
+  }
 
   /** Exact φ-heavy hitters (tokens with 100·count ≥ phiPct·N, N =
     * total occurrences — cross-multiplied, no division) without a
@@ -60,26 +71,30 @@ object Sketches {
   def heavyHitters(tokens: DataFrame, tokenCol: String, phiPct: Int,
       depth: Int = 4, width: Int = 8192): DataFrame = {
     val spark = tokens.sparkSession
-    val total = tokens.count()
     val cells = countMin(tokens, tokenCol, depth, width).collect()
     val table = Array.fill(depth, width)(0L)
     cells.foreach(r =>
       table(r.getAs[Int]("r"))(r.getAs[Long]("b").toInt) =
         r.getAs[Long]("cnt"))
+    // every occurrence lands in exactly one cell per row, so row 0
+    // already holds the total — no separate count() pass
+    val total = table(0).sum
     val bc = spark.sparkContext.broadcast(table)
-    // the probe recomputes the SAME md5 buckets as the sketch build
+    // the probe recomputes the SAME md5 halves as the sketch build:
+    // hex chars 1-15 = bytes 0-7 >>> 4, chars 17-31 = bytes 8-15 >>> 4
     val est = udf { (w: String) =>
       if (w == null) 0L
       else {
-        val md = java.security.MessageDigest.getInstance("MD5")
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(w.getBytes("UTF-8"))
+        val bb = java.nio.ByteBuffer.wrap(d)
+        val h1 = bb.getLong(0) >>> 4
+        val h2 = bb.getLong(8) >>> 4
         var minC = Long.MaxValue
         var r = 0
         while (r < depth) {
-          val hex = md.digest(s"$r:$w".getBytes("UTF-8"))
-            .map("%02x".format(_)).mkString.substring(0, 15)
           minC = math.min(minC,
-            bc.value(r)((java.lang.Long.parseLong(hex, 16) % width).toInt))
-          md.reset()
+            bc.value(r)(((h1 + r * h2) % width).toInt))
           r += 1
         }
         minC

@@ -547,11 +547,14 @@ class OpsSpec extends SparkSpec {
     val depth = 3; val width = 16
     val got = Sketches.countMin(words.toDF("w"), "w", depth, width)
       .orderBy("r", "b").as[(Int, Long, Long)].collect().toSeq
+    // byte-route derivation of the same Kirsch-Mitzenmacher buckets
+    // the Spark side computes via hex substrings — proves the two
+    // routes agree as well as the sketch counts
     def bucket(w: String, r: Int): Long = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest(s"$r:$w".getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.substring(0, 15)
-      java.lang.Long.parseLong(hex, 16) % width
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8"))
+      val bb = java.nio.ByteBuffer.wrap(d)
+      ((bb.getLong(0) >>> 4) + r.toLong * (bb.getLong(8) >>> 4)) % width
     }
     val want = (for { w <- words; r <- 0 until depth }
       yield (r, bucket(w, r)))
