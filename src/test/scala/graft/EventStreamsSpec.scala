@@ -41,6 +41,33 @@ class EventStreamsSpec extends SparkSpec {
     assert(rows.contains((30L, "view", 1L, 5.0)))
   }
 
+  test("streaming HLL: register table aggregates across batches, bounded state") {
+    // distinct-tracking over an unbounded keyspace with ≤ 2^p rows of
+    // state: hllRegisters composes with a streaming source unchanged —
+    // the groupBy(j).max(rank) is a plain streaming aggregation
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val p = 6
+    val q = graft.ops.Sketches.hllRegisters(
+        mem.toDF().withColumnRenamed("value", "w"), "w", p)
+      .writeStream.format("memory").queryName("hllregs")
+      .outputMode(OutputMode.Complete()).start()
+    val batch1 = (1 to 400).map(i => s"tok${i % 150}")
+    val batch2 = (1 to 400).map(i => s"tok${100 + i % 150}")
+    mem.addData(batch1: _*)
+    q.processAllAvailable()
+    mem.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("hllregs").orderBy("j")
+      .as[(Long, Int)].collect().toSeq
+    val batch = graft.ops.Sketches.hllRegisters(
+        (batch1 ++ batch2).toDF("w"), "w", p)
+      .orderBy("j").as[(Long, Int)].collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.size <= (1 << p))
+  }
+
   test("dedupStream: re-delivered keys dropped within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
