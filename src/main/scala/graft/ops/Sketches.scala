@@ -120,7 +120,23 @@ object Sketches {
     * 0 implicitly). All codegen'd built-ins: md5/conv/shiftright/
     * bin — no UDF anywhere. */
   def hllRegisters(tokens: DataFrame, tokenCol: String,
-      p: Int): DataFrame = {
+      p: Int): DataFrame =
+    hllRegistersBy(tokens, Seq.empty, tokenCol, p)
+
+  /** Merge register tables of disjoint scans: elementwise max — the
+    * property that makes HLL state unionable across partitions,
+    * files, or days without rescanning. */
+  def hllMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("j")).agg(max(col("rank")).as("rank"))
+
+  /** Per-group HLL register tables: one bounded sketch per key in
+    * `groupCols` (distinct fingerprints per source, per language,
+    * per day…) — ≤ 2^p rows per group, one map-side-combinable
+    * aggregation, where an exact per-group `count(distinct)` would
+    * shuffle every distinct value. Group sketches merge across runs
+    * with the same max-by-(group, j) device as [[hllMerge]]. */
+  def hllRegistersBy(tokens: DataFrame, groupCols: Seq[String],
+      tokenCol: String, p: Int): DataFrame = {
     require(p >= 4 && p <= 16, s"p=$p outside [4,16]")
     val k = 60 - p
     val h = conv(substring(md5(col(tokenCol)), 1, 15), 16, 10)
@@ -129,16 +145,11 @@ object Sketches {
     val rank = when(rem === 0L, lit(k + 1))
       .otherwise(lit(k + 1) - length(ltrim(bin(rem), "0")))
     tokens
-      .select(shiftright(h, k).as("j"), rank.as("rank"))
-      .groupBy(col("j"))
+      .select((groupCols.map(col) :+ shiftright(h, k).as("j")
+        :+ rank.as("rank")): _*)
+      .groupBy(groupCols.map(col) :+ col("j"): _*)
       .agg(max(col("rank")).as("rank"))
   }
-
-  /** Merge register tables of disjoint scans: elementwise max — the
-    * property that makes HLL state unionable across partitions,
-    * files, or days without rescanning. */
-  def hllMerge(a: DataFrame, b: DataFrame): DataFrame =
-    a.unionByName(b).groupBy(col("j")).agg(max(col("rank")).as("rank"))
 
   /** Bias-corrected cardinality estimate from a register table —
     * the standard harmonic mean with the linear-counting small-range

@@ -1413,6 +1413,32 @@ object TrainingData {
                 '0')) END) AS rank
       FROM h GROUP BY j ORDER BY j"""))
 
+  /** Per-source HLL sketches ([[graft.ops.Sketches.hllRegistersBy]],
+    * p=6): one bounded register table per source — the live
+    * per-partition distinct-tracking shape (≤ 2^p rows per group,
+    * merge-by-max across runs) where exact per-group count(distinct)
+    * would shuffle every distinct token. Registers exact and
+    * hash-matched cross-engine. */
+  val td_hll_by_source = GraftQuery(
+    "td_hll_by_source",
+    (s, dir) => {
+      val words = Tables.documents(s, dir)
+        .select(col("source"),
+          explode(TextAnalysis.tokens(col("text"))).as("w"))
+      Sketches.hllRegistersBy(words, Seq("source"), "w", p = 6)
+        .orderBy(col("source"), col("j"))
+    },
+    Some("""WITH words AS (
+        SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS w
+        FROM documents WHERE length(trim(text)) > 0),
+      h AS (SELECT source,
+              ('0x'||substr(md5(w),1,15))::BIGINT AS h FROM words)
+      SELECT source, h >> 54 AS j,
+        max(CASE WHEN (h & ((1::BIGINT << 54) - 1)) = 0 THEN 55
+              ELSE 55 - length(ltrim(bin(h & ((1::BIGINT << 54) - 1)),
+                '0')) END) AS rank
+      FROM h GROUP BY source, j ORDER BY source, j"""))
+
   /** Per-doc top-3 TF-IDF terms with integer-scaled idf
     * ([[TextAnalysis.tfIdfTopTerms]]): `log`-free so every value is
     * exact cross-engine — tf, df, and score are integers; ranking
@@ -2040,7 +2066,7 @@ object TrainingData {
     td_dup_spans, td_dup_span_removal, td_lm_bigram, td_gopher_quality,
     td_source_cap, td_fold_accents, td_edit_neardup, td_fuzzy_decontam,
     td_line_repetition, td_c4_clean, td_blocklist_scrub,
-    td_heavy_hitters, td_hll_registers, td_tfidf,
+    td_heavy_hitters, td_hll_registers, td_hll_by_source, td_tfidf,
     td_dedup_components, td_dedup_survivors, td_dedup_best,
     td_dedup_canonical, td_simhash,
     td_simhash_md5, td_ann_lsh, td_embedding_neardup, td_ann_ivf,

@@ -595,6 +595,34 @@ class OpsSpec extends SparkSpec {
       s"est=$est exact=$exact")
   }
 
+  test("hllRegistersBy ≡ hllRegisters run on each group separately") {
+    import graft.ops.Sketches
+    val rnd = new scala.util.Random(41)
+    val rows = Seq.fill(600)((s"g${rnd.nextInt(3)}", s"t${rnd.nextInt(200)}"))
+    val df = rows.toDF("g", "w")
+    val grouped = Sketches.hllRegistersBy(df, Seq("g"), "w", 5)
+      .orderBy("g", "j").as[(String, Long, Int)].collect().toSeq
+    val separate = rows.map(_._1).distinct.sorted.flatMap { g =>
+      Sketches.hllRegisters(
+          rows.filter(_._1 == g).map(_._2).toDF("w"), "w", 5)
+        .orderBy("j").as[(Long, Int)].collect().toSeq
+        .map { case (j, r) => (g, j, r) }
+    }
+    assert(grouped == separate)
+  }
+
+  test("BloomJoin integer keys hash consistently between build and probe") {
+    val fact = Seq((1L, 10), (2L, 20), (3L, 30), (4L, 10))
+      .toDF("row_id", "k")
+    val keys = Seq(10, 99).toDF("key")
+    val semi = BloomJoin.semiJoin(fact, keys, "k", "key", 10L, 0.01)
+      .orderBy("row_id").select("row_id").as[Long].collect().toSeq
+    assert(semi == Seq(1L, 4L))
+    val anti = BloomJoin.antiJoin(fact, keys, "k", "key", 10L, 0.01)
+      .orderBy("row_id").select("row_id").as[Long].collect().toSeq
+    assert(anti == Seq(2L, 3L))
+  }
+
   test("hllMerge of split scans ≡ registers of the union") {
     import graft.ops.Sketches
     val rnd = new scala.util.Random(37)
