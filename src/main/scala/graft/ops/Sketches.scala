@@ -43,6 +43,7 @@ object Sketches {
       width: Int): DataFrame = {
     val (h1, h2) = cmHalves(col(tokenCol))
     tokens
+      .filter(col(tokenCol).isNotNull)
       .select(h1.as("h1"), h2.as("h2"))
       .select(explode(array((0 until depth).map(r =>
         struct(lit(r).as("r"),
@@ -66,10 +67,15 @@ object Sketches {
     * narrow both times; at scale the exchange, not the rescan, is
     * the bottleneck.
     *
+    * Null tokens are ignored entirely: excluded from the sketch,
+    * from N, and from the reported hitters.
+    *
     * @return (w, cnt) for every token with 100·cnt ≥ phiPct·N
     */
   def heavyHitters(tokens: DataFrame, tokenCol: String, phiPct: Int,
       depth: Int = 4, width: Int = 8192): DataFrame = {
+    require(depth >= 1 && width >= 1 && phiPct >= 1,
+      s"depth=$depth width=$width phiPct=$phiPct must be positive")
     val spark = tokens.sparkSession
     val cells = countMin(tokens, tokenCol, depth, width).collect()
     val table = Array.fill(depth, width)(0L)

@@ -1439,6 +1439,80 @@ object TrainingData {
                 '0')) END) AS rank
       FROM h GROUP BY source, j ORDER BY source, j"""))
 
+  /** End-to-end corpus-prep pipeline COMPOSED from the library ops —
+    * Gopher quality gate → exact dedup on the canonical fingerprint
+    * (keep lowest id) → per-source cap → per-source token budget —
+    * oracled as ONE SQL pipeline. The shape a real pretraining mix
+    * job runs; every stage keeps its scale properties (narrow flag
+    * maps, one dedup shuffle, partial+final group-limit, one keyed
+    * window). */
+  val td_pipeline_e2e = GraftQuery(
+    "td_pipeline_e2e",
+    (s, dir) => {
+      val stop = Seq("a", "the", "value", "table", "row")
+      val flags = TextAnalysis.gopherQualityFlags(col("text"), stop,
+        minWords = 30)
+      val quality = Tables.documents(s, dir)
+        .filter(flags.reduce(_ && _))
+      val keep = Dedup.exact(quality, "doc_id", "text",
+        t => md5(TextAnalysis.canonicalize(t)))
+      val deduped = quality.join(keep.select(col("doc_id")), Seq("doc_id"))
+      val capped = graft.ops.Pipeline.capPerStratum(
+        deduped.withColumn("neg_id", -col("doc_id")),
+        "source", "neg_id", "doc_id", 40)
+      graft.ops.Pipeline.tokenBudget(capped, "source", "doc_id",
+        "text", budget = 2000L)
+        .orderBy(col("source"), col("doc_id"))
+    },
+    Some("""WITH f AS (
+        SELECT doc_id, source, text,
+          CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(t) END AS n,
+          CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE CAST(list_sum(list_transform(t, x -> length(x)))
+                         AS BIGINT) END AS sum_len,
+          len(regexp_extract_all(text, '#|\.\.\.')) AS nsym,
+          len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]')))
+            AS nalpha,
+          len(list_filter(t,
+            x -> list_contains(['a','the','value','table','row'], x)))
+            AS stop_hits
+        FROM (SELECT doc_id, source, text,
+                string_split_regex(trim(text), '\s+') AS t
+              FROM documents)),
+      q AS (
+        SELECT doc_id, source, text FROM f
+        WHERE n >= 30 AND n <= 100000
+          AND n > 0 AND sum_len >= n * 3 AND sum_len <= n * 10
+          AND nsym * 10 <= n
+          AND nalpha * 5 >= n * 4
+          AND stop_hits >= 2),
+      keep AS (
+        SELECT min(doc_id) AS doc_id
+        FROM q
+        GROUP BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))),
+      dedup AS (SELECT q.* FROM q JOIN keep USING (doc_id)),
+      capped AS (
+        SELECT * FROM (
+          SELECT doc_id, source, text,
+            row_number() OVER (PARTITION BY source ORDER BY doc_id)
+              AS rn
+          FROM dedup)
+        WHERE rn <= 40),
+      counted AS (
+        SELECT source, doc_id,
+          CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(trim(text), '\s+')) END
+            AS n_tokens
+        FROM capped),
+      budget AS (
+        SELECT source, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+          CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        FROM counted)
+      SELECT source, doc_id, n_tokens, cum_tokens FROM budget
+      WHERE cum_tokens <= 2000
+      ORDER BY source, doc_id"""))
+
   /** Per-doc top-3 TF-IDF terms with integer-scaled idf
     * ([[TextAnalysis.tfIdfTopTerms]]): `log`-free so every value is
     * exact cross-engine — tf, df, and score are integers; ranking
@@ -2066,7 +2140,8 @@ object TrainingData {
     td_dup_spans, td_dup_span_removal, td_lm_bigram, td_gopher_quality,
     td_source_cap, td_fold_accents, td_edit_neardup, td_fuzzy_decontam,
     td_line_repetition, td_c4_clean, td_blocklist_scrub,
-    td_heavy_hitters, td_hll_registers, td_hll_by_source, td_tfidf,
+    td_heavy_hitters, td_hll_registers, td_hll_by_source,
+    td_pipeline_e2e, td_tfidf,
     td_dedup_components, td_dedup_survivors, td_dedup_best,
     td_dedup_canonical, td_simhash,
     td_simhash_md5, td_ann_lsh, td_embedding_neardup, td_ann_ivf,
