@@ -925,6 +925,41 @@ object Relational {
         AND e.a_start <= p.b_end AND p.b_start <= e.a_end
       GROUP BY err_id ORDER BY err_id"""))
 
+  /** File-level min/max data skipping: orders staged range-clustered
+    * on o_orderdate with a footer-stats manifest; a one-year predicate
+    * then opens only the files whose [min,max] intersects the range
+    * (DataSkippingSpec asserts the file count). The exact filter stays
+    * on top — pruning is a superset guarantee, so semantics never
+    * depend on the manifest ([[graft.ops.DataSkipping]]). */
+  val q37_skip_scan = GraftQuery(
+    "q37_skip_scan",
+    (s, dir) => {
+      val stage = s"${System.getProperty("java.io.tmpdir")}/graft_ds_" +
+        s"${s.sparkContext.applicationId}_${Integer.toHexString(dir.hashCode)}"
+      val lo = java.sql.Timestamp.from(
+        java.time.Instant.parse("1996-01-01T00:00:00Z"))
+      val hi = java.sql.Timestamp.from(
+        java.time.Instant.parse("1996-12-31T23:59:59Z"))
+      graft.ops.DataSkipping.writeWithStats(s, Tables.orders(s, dir),
+        stage, nFiles = 12, layoutCols = Seq("o_orderdate"),
+        statsCols = Seq("o_orderdate"))
+      graft.ops.DataSkipping.prunedRead(s, stage, "o_orderdate",
+        Some(lo), Some(hi))
+        .filter(col("o_orderdate") >= lit(lo) && col("o_orderdate") <= lit(hi))
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(D4)).cast("double").as("revenue"))
+        .orderBy(col("month"))
+    },
+    Some("""SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+      COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <= TIMESTAMP '1996-12-31 23:59:59'
+      GROUP BY 1 ORDER BY 1"""))
+
   def all: Seq[GraftQuery] = Seq(
     q1_agg, q2_join_agg, q3_multi_join, q4_topk, q5_distinct,
     q6_anti_join, q7_semi_join, q8_min_window, q9_event_batches,
@@ -934,5 +969,5 @@ object Relational {
     q22_range_join, q23_rollup, q24_pivot, q25_rolling, q26_cube,
     q27_intersect, q28_window_funcs, q29_exists, q30_grouping_sets,
     q31_lateral, q32_percentiles, q33_recursive, q34_zorder,
-    q35_asof_forward, q36_overlap_join)
+    q35_asof_forward, q36_overlap_join, q37_skip_scan)
 }
