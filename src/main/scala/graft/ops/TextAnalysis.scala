@@ -339,4 +339,71 @@ object TextAnalysis {
         md5(concat_ws("\n", col("kept"))).as("clean_md5"),
         md5(concat_ws("\n", col("dedup"))).as("dedup_md5"))
   }
+
+  /** Train a hashed-feature linear text classifier from labeled seed
+    * documents — the fastText/CCNet quality-filter shape (Joulin et
+    * al. 2016; CCNet's LM/quality classifiers), trained in-engine and
+    * exactly reproducible cross-engine.
+    *
+    * Features are the hashing trick: token → md5 bucket in
+    * [0, buckets) ([[graft.ops.Pipeline.hashBucket]], the
+    * oracle-portable hash). The weight table is therefore BOUNDED at
+    * `buckets` rows no matter how large the corpus vocabulary grows —
+    * at 100 TB it still broadcasts. Training is one map-side-
+    * combinable count aggregation over seed tokens (≤ `buckets`
+    * groups) plus a broadcast of the 1-row class totals; no driver
+    * collect, no iteration.
+    *
+    * Weights are Laplace-smoothed class-conditional token-rate
+    * differences in scaled-INTEGER arithmetic (`div`, not `log` —
+    * libm log differs in the last ulp across engines, integer ratios
+    * are exact):
+    *   weight(b) = (posCnt+1)·scale div (posTot+buckets)
+    *             - (negCnt+1)·scale div (negTot+buckets)
+    * Buckets never seen in the seed get no row: absent features score
+    * 0 (neutral), matching the smoothing's symmetric prior.
+    *
+    * `labelCol` must be boolean; NULL labels contribute to neither
+    * class (unlabeled seeds are ignored, not misread as negatives).
+    */
+  def trainHashedClassifier(seed: DataFrame, textCol: String,
+      labelCol: String, buckets: Int = 4096,
+      scale: Long = 1000000L): DataFrame = {
+    require(buckets > 0 && scale > 0, "buckets and scale must be positive")
+    val toks = seed.select(col(labelCol).as("_pos"),
+      explode(tokens(col(textCol))).as("_tok"))
+    val counts = toks
+      .select(col("_pos"), Pipeline.hashBucket(col("_tok"), buckets).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(
+        sum(when(col("_pos"), 1L).otherwise(0L)).as("pos_cnt"),
+        sum(when(!col("_pos"), 1L).otherwise(0L)).as("neg_cnt"))
+    val totals = counts.agg(
+      sum(col("pos_cnt")).as("pos_tot"), sum(col("neg_cnt")).as("neg_tot"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        (expr(s"(pos_cnt + 1) * ${scale}L div (pos_tot + $buckets)") -
+          expr(s"(neg_cnt + 1) * ${scale}L div (neg_tot + $buckets)"))
+          .as("weight"))
+  }
+
+  /** Score documents with a [[trainHashedClassifier]] weight table:
+    * per-document sum of bucket weights over its tokens (token
+    * multiplicity counts). One narrow map (tokenize + bucket), one
+    * BROADCAST join against the bounded weight table, one keyed
+    * aggregation — a single shuffle over the corpus regardless of
+    * scale. Documents with no tokens (or only unseen buckets) score
+    * 0 via the left join, never drop out. */
+  def scoreHashedClassifier(docs: DataFrame, idCol: String,
+      textCol: String, weights: DataFrame,
+      buckets: Int = 4096): DataFrame = {
+    val scored = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("_tok"))
+      .select(col(idCol), Pipeline.hashBucket(col("_tok"), buckets).as("bucket"))
+      .join(broadcast(weights), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(sum(col("weight")).as("score"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("score"), lit(0L)).as("score"))
+  }
 }

@@ -2133,7 +2133,65 @@ object TrainingData {
         doc_id
       FROM h ORDER BY shard, pos"""))
 
+  /** Seed-trained hashed linear classifier, end to end in one plan:
+    * half the corpus (deterministic md5 split) becomes labeled seeds
+    * (label = the lang metadata column), a bounded 4096-bucket weight
+    * table is trained from their tokens
+    * ([[graft.ops.TextAnalysis.trainHashedClassifier]] — one
+    * map-side-combinable aggregation), and EVERY document is scored
+    * through a broadcast join. The fastText-style distill-a-label
+    * workflow (train on the labeled slice, apply corpus-wide), exact
+    * in scaled-integer arithmetic so the whole thing oracles. */
+  val td_lang_classifier = GraftQuery(
+    "td_lang_classifier",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val seed = docs
+        .filter(graft.ops.Pipeline.hashBucket(col("doc_id"), 100) < 50)
+        .withColumn("is_en", col("lang") === "en")
+      val w = TextAnalysis.trainHashedClassifier(seed, "text", "is_en",
+        buckets = 4096)
+      TextAnalysis.scoreHashedClassifier(docs, "doc_id", "text", w,
+        buckets = 4096)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("doc_id"), col("score"),
+          (col("score") > 0).as("pred_en"),
+          (col("lang") === "en").as("is_en"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH b AS (
+        SELECT doc_id, lang = 'en' AS is_en,
+          ('0x'||substr(md5(tok),1,8))::BIGINT % 4096 AS bucket
+        FROM (SELECT doc_id, lang,
+                unnest(string_split_regex(trim(text), '\s+')) AS tok
+              FROM documents WHERE length(trim(text)) > 0)),
+      counts AS (
+        SELECT bucket,
+          SUM(CASE WHEN is_en THEN 1 ELSE 0 END) AS pos_cnt,
+          SUM(CASE WHEN NOT is_en THEN 1 ELSE 0 END) AS neg_cnt
+        FROM b
+        WHERE ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT
+              % 100 < 50
+        GROUP BY bucket),
+      tot AS (
+        SELECT SUM(pos_cnt) AS pos_tot, SUM(neg_cnt) AS neg_tot
+        FROM counts),
+      w AS (
+        SELECT bucket, CAST(
+            (pos_cnt + 1) * 1000000 // (pos_tot + 4096)
+          - (neg_cnt + 1) * 1000000 // (neg_tot + 4096) AS BIGINT)
+          AS weight
+        FROM counts, tot),
+      scores AS (
+        SELECT b.doc_id, CAST(SUM(w.weight) AS BIGINT) AS score
+        FROM b JOIN w USING (bucket) GROUP BY b.doc_id)
+      SELECT d.doc_id, COALESCE(s.score, 0) AS score,
+        COALESCE(s.score, 0) > 0 AS pred_en, d.lang = 'en' AS is_en
+      FROM documents d LEFT JOIN scores s USING (doc_id)
+      ORDER BY doc_id"""))
+
   def all: Seq[GraftQuery] = Seq(
+    td_lang_classifier,
     td_text_stats, td_lang_id, td_fingerprint, td_dedup_exact,
     td_char_jaccard, td_cosine_topk, td_minhash_neardup,
     td_incremental_neardup, td_source_neardup, td_ngram_jaccard,
