@@ -217,6 +217,41 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q37: data-skipping scan opens only the pruned file subset") {
+    // the manifest prunes BEFORE the scan is planned — the final plan's
+    // file list (not just its row count) is the evidence that a 100 TB
+    // corpus would pay only the selective slice
+    audited(Relational.q37_skip_scan.fn(spark, dir)) { df =>
+      val staged = scans(df).filter(_.metadata("Location").contains("graft_ds_"))
+      assert(staged.nonEmpty, "no staged data-skipping scan in the plan")
+      val files = df.inputFiles.filter(_.contains("graft_ds_"))
+      assert(files.nonEmpty && files.length < 12,
+        s"expected a pruned subset of the 12 staged files, scan reads ${files.length}")
+      // the exact predicate still reaches the surviving files' scan
+      val pushed = staged.head.metadata("PushedFilters")
+      assert(pushed.contains("o_orderdate"),
+        s"exact residual filter not pushed into the pruned scan: $pushed")
+    }
+  }
+
+  test("td_lang_classifier: bounded weight table broadcasts, aggs are partial") {
+    // the hashing trick caps the weight table at `buckets` rows, so
+    // the corpus-side score join must be broadcast (never a corpus
+    // shuffle), and both the train and score aggregations must
+    // combine map-side
+    audited(graft.queries.TrainingData.td_lang_classifier.fn(spark, dir)) {
+      df =>
+        val plan = df.queryExecution.executedPlan
+        val bhj = plan.collect { case b: BroadcastHashJoinExec => b }
+        assert(bhj.nonEmpty, s"weight join not broadcast:\n$plan")
+        val partial = plan.collect {
+          case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+            if a.aggregateExpressions.exists(_.mode.toString == "Partial") => a
+        }
+        assert(partial.nonEmpty, s"no map-side partial aggregation:\n$plan")
+    }
+  }
+
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
     // The 100 TB join-pruning story when neither bucketing nor
     // broadcast applies: a selective dimension filter is converted by
