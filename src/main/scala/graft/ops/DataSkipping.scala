@@ -152,6 +152,71 @@ object DataSkipping {
     else spark.read.parquet(kept: _*)
   }
 
+  /** Point-lookup pruning: files that may contain ANY of `keys` in
+    * `column` — the CDC-refetch / needle-lookup shape. With a
+    * range-clustered layout a batch of K keys touches O(K) files out
+    * of the fleet; the check is binary search of the sorted key set
+    * against each file's [min,max], O(files·log K) driver work on the
+    * tiny manifest. Callers re-apply the exact `isin`/join. */
+  def prunedFilesForKeys(spark: SparkSession, dir: String, column: String,
+      keys: Seq[Any]): (Seq[String], Int) = {
+    val m = statsManifest(spark, dir)
+      .filter(col("column") === column)
+      .as[FileColumnStats](fileColumnStatsEncoder(spark))
+      .collect().toSeq
+    if (keys.isEmpty) return (Seq.empty, m.size)
+    // canonicalize once; kinds are uniform across files of one column
+    val kinds = m.map(_.kind).filterNot(_ == "none").distinct
+    val kept = kinds match {
+      case Seq("long") =>
+        val ks = keys.map(longBound(_, m.head.logical)).sorted.toIndexedSeq
+        m.filter(s => s.kind == "none" || anyKeyInRange(ks,
+          s.minLong, s.maxLong, s))
+      case Seq("double") =>
+        val ks = keys.map(doubleBound).sorted.toIndexedSeq
+        m.filter(s => s.kind == "none" || anyKeyInRange(ks,
+          s.minDouble, s.maxDouble, s))
+      case Seq("string") =>
+        val ks = keys.map(_.toString).sorted.toIndexedSeq
+        m.filter(s => s.kind == "none" || anyKeyInRange(ks,
+          s.minString, s.maxString, s))
+      case _ => m // mixed or stats-less manifest: keep everything
+    }
+    (kept.map(_.file), m.size)
+  }
+
+  /** Read only the files that may contain any of `keys` in `column`.
+    * The caller MUST still apply the exact membership predicate. */
+  def prunedReadForKeys(spark: SparkSession, dir: String, column: String,
+      keys: Seq[Any]): DataFrame = {
+    val (kept, _) = prunedFilesForKeys(spark, dir, column, keys)
+    if (kept.isEmpty) spark.read.parquet(dir).limit(0)
+    else spark.read.parquet(kept: _*)
+  }
+
+  /** Binary-search `sortedKeys` for a member of [min, max]. Missing
+    * bounds (all-null file) exclude unless the file is stats-less. */
+  private def anyKeyInRange[T](sortedKeys: IndexedSeq[T],
+      min: Option[T], max: Option[T], s: FileColumnStats)
+      (implicit ord: Ordering[T]): Boolean = (min, max) match {
+    case (Some(lo), Some(hi)) =>
+      val i = lowerBound(sortedKeys, lo)
+      i < sortedKeys.size && ord.lteq(sortedKeys(i), hi)
+    case _ => s.nullCount < s.rowCount // no recorded values: only keep
+      // if the file could hold something other than nulls
+  }
+
+  /** Index of the first element ≥ `target` (sortedKeys.size if none). */
+  private def lowerBound[T](xs: IndexedSeq[T], target: T)
+      (implicit ord: Ordering[T]): Int = {
+    var lo = 0; var hi = xs.size
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (ord.lt(xs(mid), target)) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
   // ---- pruning decision ----------------------------------------------
 
   /** True unless the stats PROVE no row of the file can fall in

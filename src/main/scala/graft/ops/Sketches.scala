@@ -157,6 +157,53 @@ object Sketches {
       .agg(max(col("rank")).as("rank"))
   }
 
+  /** Bottom-k (KMV) sketch: the `k` rows whose md5 key hash is
+    * smallest — a DETERMINISTIC uniform sample of the key population
+    * that doubles as a distinct-count estimator ([[kmvEstimate]]).
+    * `keyCol` must uniquely identify rows (a doc id); for
+    * duplicate-laden columns, `dropDuplicates` first — the sketch
+    * contract is over distinct keys.
+    *
+    * Plan shape: `orderBy(hash).limit(k)` compiles to
+    * TakeOrderedAndProject — each task keeps a k-row heap and the
+    * driver merges, so state is O(k) per partition and NO full
+    * shuffle happens regardless of corpus size. The sketch is
+    * MERGEABLE ([[mergeBottomK]]): bottom-k of a union ≡ merge of
+    * per-shard bottom-ks — per-day/per-shard sketches union into the
+    * corpus sketch without rescanning, the same discipline as
+    * [[hllMerge]]. Being a true uniform sample, ANY downstream
+    * statistic (quantiles, means, ratios) can be read off it, and
+    * because membership is a pure hash function the sample — and
+    * every statistic over it — is exactly reproducible cross-engine.
+    * `payload` columns ride along for those statistics. */
+  def bottomK(df: DataFrame, keyCol: String, k: Int,
+      payload: Seq[String] = Seq.empty): DataFrame = {
+    require(k >= 1, s"k=$k must be positive")
+    df.filter(col(keyCol).isNotNull)
+      .select((col(keyCol) +: payload.map(col)) :+
+        Pipeline.hashHex(col(keyCol), 15).as("hv"): _*)
+      .orderBy(col("hv"), col(keyCol))
+      .limit(k)
+  }
+
+  /** Merge bottom-k sketches of (possibly overlapping) scans: union,
+    * dedup identical keys, keep the k smallest. ≤ 2k rows in flight. */
+  def mergeBottomK(a: DataFrame, b: DataFrame, k: Int,
+      keyCol: String): DataFrame =
+    a.unionByName(b).dropDuplicates(keyCol)
+      .orderBy(col("hv"), col(keyCol)).limit(k)
+
+  /** KMV distinct-count estimate: (k−1) · 2^60 / h_(k) with hashes
+    * uniform in [0, 2^60). If the sketch holds fewer than k rows it
+    * saw the whole population — the count is exact. Relative error
+    * ~1/√(k−2); the sketch rows are exact and oracled, only this
+    * estimate is approximate (same split as [[hllEstimate]]). */
+  def kmvEstimate(sketch: DataFrame, k: Int): Double = {
+    val hvs = sketch.select(col("hv")).collect().map(_.getLong(0)).sorted
+    if (hvs.length < k) hvs.length.toDouble
+    else (k - 1).toDouble * math.pow(2.0, 60) / hvs.last.toDouble
+  }
+
   /** Bias-corrected cardinality estimate from a register table —
     * the standard harmonic mean with the linear-counting small-range
     * correction. Approximate BY DESIGN (±1.04/√m): the registers are

@@ -2190,8 +2190,50 @@ object TrainingData {
       FROM documents d LEFT JOIN scores s USING (doc_id)
       ORDER BY doc_id"""))
 
+  /** Bottom-k (KMV) sketch statistics: a deterministic 200-doc
+    * uniform sample (k smallest md5(doc_id) hashes — membership is a
+    * pure hash function, so the SAMPLE ITSELF is cross-engine exact)
+    * and discrete quantiles of n_chars read off it. The 100 TB
+    * shape: the sketch is TakeOrdered (O(k) state per task, no full
+    * shuffle — OpsSpec asserts the plan), mergeable across shards
+    * (OpsSpec: merge ≡ whole), and any later statistic costs k rows,
+    * not a corpus rescan. */
+  val td_kmv_quantiles = GraftQuery(
+    "td_kmv_quantiles",
+    (s, dir) => {
+      val sample = Sketches.bottomK(
+        Tables.documents(s, dir), "doc_id", 200, payload = Seq("n_chars"))
+      Sampling.discreteQuantiles(
+        sample.withColumn("scope", lit("all")), "scope", "doc_id",
+        col("n_chars"),
+        Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "p90" -> 0.9))
+        .orderBy(col("scope"))
+    },
+    Some("""WITH h AS (
+        SELECT doc_id, n_chars,
+          row_number() OVER (ORDER BY
+            ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT,
+            doc_id) AS hrn
+        FROM documents),
+      samp AS (SELECT doc_id, n_chars FROM h WHERE hrn <= 200),
+      r AS (
+        SELECT doc_id, n_chars,
+          row_number() OVER (ORDER BY n_chars, doc_id) AS rn,
+          COUNT(*) OVER () AS cnt
+        FROM samp)
+      SELECT 'all' AS scope,
+        MAX(CASE WHEN rn = CAST(ceil(cnt * 0.25) AS BIGINT)
+          THEN n_chars END) AS p25,
+        MAX(CASE WHEN rn = CAST(ceil(cnt * 0.5) AS BIGINT)
+          THEN n_chars END) AS p50,
+        MAX(CASE WHEN rn = CAST(ceil(cnt * 0.75) AS BIGINT)
+          THEN n_chars END) AS p75,
+        MAX(CASE WHEN rn = CAST(ceil(cnt * 0.9) AS BIGINT)
+          THEN n_chars END) AS p90
+      FROM r ORDER BY scope"""))
+
   def all: Seq[GraftQuery] = Seq(
-    td_lang_classifier,
+    td_lang_classifier, td_kmv_quantiles,
     td_text_stats, td_lang_id, td_fingerprint, td_dedup_exact,
     td_char_jaccard, td_cosine_topk, td_minhash_neardup,
     td_incremental_neardup, td_source_neardup, td_ngram_jaccard,

@@ -90,6 +90,26 @@ class DataSkippingSpec extends SparkSpec {
     assert(n === 24)
   }
 
+  test("key-lookup pruning touches O(keys) files, not the fleet") {
+    val dir = stage("keys")
+    val df = (1 to 10000).map(i => (i.toLong, i % 5)).toDF("k", "m")
+    DataSkipping.writeWithStats(spark, df, dir,
+      nFiles = 20, layoutCols = Seq("k"), statsCols = Seq("k"))
+    // three keys spread across the domain → at most 3 files survive
+    val keys = Seq(17L, 5003L, 9999L)
+    val (kept, total) = DataSkipping.prunedFilesForKeys(spark, dir, "k", keys)
+    assert(total === 20)
+    assert(kept.size <= 3, s"3 point keys should touch ≤3 files, got ${kept.size}")
+    val got = DataSkipping.prunedReadForKeys(spark, dir, "k", keys)
+      .filter(col("k").isin(keys: _*))
+      .select("k").as[Long].collect().sorted.toSeq
+    assert(got === keys.sorted)
+    // keys that fall in inter-file gaps match nothing and keep nothing
+    val (keptMiss, _) = DataSkipping.prunedFilesForKeys(spark, dir, "k",
+      Seq(-5L, 999999L))
+    assert(keptMiss.isEmpty)
+  }
+
   test("open-ended bounds and unknown-stats columns stay correct") {
     val dir = stage("open")
     val df = (1 to 100).map(i => (i, i * 1.5)).toDF("k", "x")

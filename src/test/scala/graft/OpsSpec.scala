@@ -611,6 +611,42 @@ class OpsSpec extends SparkSpec {
     assert(grouped == separate)
   }
 
+  test("bottomK merge of split scans ≡ sketch of the union; estimate in bound") {
+    import graft.ops.Sketches
+    val ids = (1L to 8000L)
+    val (a, b) = ids.partition(_ % 3 == 0) // uneven, disjoint shards
+    val k = 256
+    val merged = Sketches.mergeBottomK(
+        Sketches.bottomK(a.toDF("id"), "id", k),
+        Sketches.bottomK(b.toDF("id"), "id", k), k, "id")
+      .orderBy("hv", "id").as[(Long, Long)].collect().toSeq
+    val whole = Sketches.bottomK(ids.toDF("id"), "id", k)
+      .orderBy("hv", "id").as[(Long, Long)].collect().toSeq
+    assert(merged == whole)
+    // overlapping shards: shared keys dedup, never double-fill slots
+    val overlap = Sketches.mergeBottomK(
+        Sketches.bottomK(ids.take(5000).toDF("id"), "id", k),
+        Sketches.bottomK(ids.drop(3000).toDF("id"), "id", k), k, "id")
+      .orderBy("hv", "id").as[(Long, Long)].collect().toSeq
+    assert(overlap == whole)
+    // KMV estimate: σ ≈ 1/√(k−2) ≈ 6.3% at k=256; deterministic
+    // data, assert 4σ
+    val est = Sketches.kmvEstimate(Sketches.bottomK(ids.toDF("id"), "id", k), k)
+    assert(math.abs(est - 8000.0) / 8000.0 < 0.25, s"est=$est")
+    // under-full sketch = exact count
+    assert(Sketches.kmvEstimate(
+      Sketches.bottomK((1L to 57L).toDF("id"), "id", k), k) == 57.0)
+  }
+
+  test("bottomK plans as TakeOrdered, never a full sort-shuffle") {
+    import graft.ops.Sketches
+    val df = Sketches.bottomK(
+      (1L to 1000L).toDF("id").repartition(7), "id", 64)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"bottom-k lost its bounded-state plan:\n$plan")
+  }
+
   test("BloomJoin integer keys hash consistently between build and probe") {
     val fact = Seq((1L, 10), (2L, 20), (3L, 30), (4L, 10))
       .toDF("row_id", "k")
