@@ -49,6 +49,38 @@ object Pipeline {
         .otherwise("test"))
   }
 
+  /** Leakage-safe train/val/test split: a test document with a
+    * near-copy in train leaks the answer, so near-duplicates must
+    * never straddle a split boundary. Documents are split by their
+    * near-dup CLUSTER, not their own id: connected components over
+    * the `pairs` graph label each clustered doc with its component's
+    * min id, every member hashes that shared label (so the whole
+    * cluster lands in one split), and unclustered docs — the vast
+    * majority — hash their own id, identical to plain
+    * [[assignSplit]]. Adding docs to the corpus never moves an
+    * existing unclustered doc between splits.
+    *
+    * Scale shape: components run on the pair graph only (edges exist
+    * only between near-duplicates, ≪ corpus); the label join is one
+    * keyed equi-join of the corpus against the clustered-id set (the
+    * planner broadcasts it when small); the split itself is a narrow
+    * map. The corpus is touched by exactly one join, no other
+    * shuffle.
+    *
+    * @param pairs near-duplicate pairs with columns `id_a`, `id_b`
+    *              (e.g. [[Dedup.minhashNearDuplicates]] output)
+    */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+                       trainPct: Int, valPct: Int): DataFrame = {
+    val comps = Dedup.connectedComponents(pairs)
+      .select(col("id").as(idCol), col("comp").as("__split_comp"))
+    docs.join(comps, Seq(idCol), "left")
+      .withColumn("split",
+        assignSplit(coalesce(col("__split_comp"), col(idCol)),
+          trainPct, valPct))
+      .drop("__split_comp")
+  }
+
   /** Per-stratum token budget: walk docs in `orderCol` order within
     * each stratum, keep while the running token total stays ≤
     * `budget`. One shuffle on the stratum key; the window is a single

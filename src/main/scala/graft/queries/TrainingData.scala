@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{GraftQuery, Tables}
-import graft.ops.{BloomJoin, Dedup, Multimodal, Profiling, Sampling, Similarity, Sketches, TextAnalysis}
+import graft.ops.{BloomJoin, Dedup, Multimodal, Pipeline, Profiling, Sampling, Similarity, Sketches, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1887,6 +1887,71 @@ object TrainingData {
         COUNT(*) AS n_docs
       FROM b GROUP BY 1, 2 ORDER BY source, split"""))
 
+  /** Leakage-safe split ([[graft.ops.Pipeline.leakageSafeSplit]])
+    * over the planted near-dup corpus of [[td_dedup_components]]:
+    * every doc is split by its dedup cluster's min-id label, so a
+    * near-duplicate can never land in test while its copy sits in
+    * train; unclustered docs hash their own id, identical to
+    * [[td_train_split]]'s plain split. The oracle recomputes the
+    * clusters with brute-force Jaccard + a recursive reachability
+    * CTE, then applies the same md5 split arithmetic to
+    * COALESCE(component, doc_id). */
+  val td_split_leakage_safe = GraftQuery(
+    "td_split_leakage_safe",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).filter(col("doc_id") < 150)
+      val corpus = d.unionByName(
+        d.filter(pmod(col("doc_id"), lit(5)) === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L)
+          .withColumn("text", concat(col("text"), lit(" xtra wrds"))))
+      val pairs = Dedup.minhashNearDuplicates(corpus, "doc_id", "text",
+        numHashes = 32, bands = 16, threshold = 0.8)
+      Pipeline.leakageSafeSplit(corpus, "doc_id", pairs, 80, 10)
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH RECURSIVE base AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 150),
+      corpus AS (
+        SELECT doc_id, text FROM base
+        UNION ALL
+        SELECT doc_id + 1000000, text || ' xtra wrds' FROM base WHERE doc_id % 5 = 0),
+      tok AS (
+        SELECT doc_id, string_split_regex(trim(text),'\s+') AS t FROM corpus),
+      sh AS (
+        SELECT doc_id,
+          CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+               ELSE list_distinct(list_transform(range(1, len(t)-1),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS s
+        FROM tok),
+      pairs AS (
+        SELECT id_a, id_b FROM (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)
+              / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        WHERE jaccard >= 0.8),
+      edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+      reach AS (
+        SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges) t
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      comps AS (
+        SELECT u AS doc_id, MIN(v) AS comp FROM reach GROUP BY u),
+      keyed AS (
+        SELECT c.doc_id, COALESCE(m.comp, c.doc_id) AS k
+        FROM corpus c LEFT JOIN comps m ON c.doc_id = m.doc_id),
+      b AS (
+        SELECT doc_id,
+          ('0x'||substr(md5(CAST(k AS VARCHAR)),1,8))::BIGINT % 100 AS bkt
+        FROM keyed)
+      SELECT doc_id,
+        CASE WHEN bkt < 80 THEN 'train'
+             WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split
+      FROM b ORDER BY doc_id"""))
+
   /** Benchmark decontamination: corpus docs sharing any word 3-gram
     * with the "benchmark" subset (doc_id % 97 = 0), with the count of
     * distinct shared shingles. */
@@ -2249,7 +2314,8 @@ object TrainingData {
     td_rare_words, td_chunk_dedup,
     td_sample_hash, td_sample_stratified, td_sample_weighted,
     td_token_quantiles, td_pack_sequences, td_decontam,
-    td_token_budget, td_interleave, td_train_split, td_pii_scrub,
+    td_token_budget, td_interleave, td_train_split,
+    td_split_leakage_safe, td_pii_scrub,
     td_media_meta, td_media_frames, td_media_features,
     td_quality_repetition, td_semdedup, td_epoch_shuffle, td_profile,
     td_chunk_embed, td_mean_pool)

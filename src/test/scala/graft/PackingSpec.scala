@@ -79,4 +79,43 @@ class PackingSpec extends SparkSpec {
       .orderBy("doc_id").as[(Long, Long)].collect().toSeq
     assert(out == Seq((1L, 2L), (3L, 1L)))
   }
+
+  test("leakageSafeSplit: no pair straddles; singletons match assignSplit") {
+    // 200 originals + 200 near-dup partners, pair i ↔ i+1000
+    val ids = (1L to 200L) ++ (1001L to 1200L)
+    val d = ids.map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = (1L to 200L).map(i => (i, i + 1000L)).toDF("id_a", "id_b")
+
+    val plain = d.select($"doc_id",
+      Pipeline.assignSplit($"doc_id", 80, 10).as("split"))
+      .as[(Long, String)].collect().toMap
+    // the property is non-vacuous only if plain hashing WOULD straddle
+    val straddlers = (1L to 200L).count(i => plain(i) != plain(i + 1000L))
+    assert(straddlers > 0, "test corpus never straddles under plain split")
+
+    val safe = Pipeline.leakageSafeSplit(d, "doc_id", pairs, 80, 10)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    (1L to 200L).foreach { i =>
+      assert(safe(i) == safe(i + 1000L), s"pair ($i, ${i + 1000L}) straddles")
+      // cluster label is min(id) = i, so both sides carry plain(i)
+      assert(safe(i) == plain(i), s"cluster $i not split by its min id")
+    }
+  }
+
+  test("leakageSafeSplit: transitive cluster shares one split; empty pairs = assignSplit") {
+    val d = (1L to 50L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val chain = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val out = Pipeline.leakageSafeSplit(d, "doc_id", chain, 80, 10)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    val plain = d.select($"doc_id",
+      Pipeline.assignSplit($"doc_id", 80, 10).as("split"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == plain(1L) && out(2L) == plain(1L) && out(3L) == plain(1L))
+    (4L to 50L).foreach(i => assert(out(i) == plain(i)))
+
+    val none = spark.emptyDataset[(Long, Long)].toDF("id_a", "id_b")
+    val same = Pipeline.leakageSafeSplit(d, "doc_id", none, 80, 10)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    (1L to 50L).foreach(i => assert(same(i) == plain(i)))
+  }
 }
