@@ -24,6 +24,7 @@ object QueryRegistry {
   /** All registered queries, in SURVEY §2 inventory order. */
   def all: Seq[GraftQuery] =
     queries.Relational.all ++
+      queries.Events.all ++
       queries.Cdc.all ++
       queries.Catalog.all ++
       queries.Snap.all ++

@@ -1,0 +1,156 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-log analytics beyond sessionization: ordered-funnel
+  * progression, cohort retention, and time-grid gap filling — the
+  * query shapes a user points an analytics engine at an append-only
+  * event table for (the reference's events surface is its 30 s
+  * replay cadence, `replayer/connemara_replay.pl:474-478`; these are
+  * the reader-side analytics that table exists to serve).
+  *
+  * Scale discipline shared by all three: every op shuffles on the
+  * entity key exactly once (funnel and gap-fill: one window
+  * partition; retention: one agg + one keyed join), per-key state is
+  * bounded by that key's own history, and nothing ever collects to
+  * the driver.
+  */
+object EventAnalytics {
+
+  /** Earliest strictly-ordered progression through `steps` per user:
+    * step k's timestamp is the MIN event time of `steps(k)` that is
+    * strictly after the user's step k-1 timestamp (greedy earliest
+    * matching — the standard funnel semantics: matching the earliest
+    * occurrence of each step never excludes a user that any other
+    * matching would admit). A `windowSec` bound drops progressions
+    * whose step-k time exceeds step-1 time + window (conversion
+    * window).
+    *
+    * Plan shape: all step columns are unordered aggregates over ONE
+    * window partitioned by `userCol` — a single Exchange + Sort
+    * feeds every cascaded `min(when(...))`, then one row per user
+    * survives a distinct. No self-joins, no per-step scans.
+    *
+    * @return one row per user that completed step 1: `userCol`,
+    *         `step_1_ts .. step_n_ts` (null once progression stops)
+    */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+             typeCol: String, steps: Seq[String],
+             windowSec: Option[Long] = None): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val w = Window.partitionBy(col(userCol))
+    // only step events feed the window — the filter reaches the scan
+    val relevant = events.filter(col(typeCol).isin(steps: _*))
+    val stepped = steps.zipWithIndex.foldLeft(relevant) {
+      case (df, (step, i)) =>
+        val prev = if (i == 0) lit(null) else col(s"step_${i}_ts")
+        val after =
+          if (i == 0) col(typeCol) === step
+          else col(typeCol) === step && col(tsCol) > prev
+        val bounded = windowSec match {
+          case Some(sec) if i > 0 =>
+            after && unix_micros(col(tsCol)) <=
+              unix_micros(col("step_1_ts")) + sec * 1000000L
+          case _ => after
+        }
+        df.withColumn(s"step_${i + 1}_ts",
+          min(when(bounded, col(tsCol))).over(w))
+    }
+    stepped
+      .select(col(userCol) +: steps.indices.map(i => col(s"step_${i + 1}_ts")): _*)
+      .distinct()
+      .filter(col("step_1_ts").isNotNull)
+  }
+
+  /** Funnel conversion summary: users reaching each step (a user
+    * "reaches" step k when all of steps 1..k matched). Output is
+    * `steps.length` rows — broadcast-small whatever the corpus. */
+  def funnelCounts(events: DataFrame, userCol: String, tsCol: String,
+                   typeCol: String, steps: Seq[String],
+                   windowSec: Option[Long] = None): DataFrame = {
+    val per = funnel(events, userCol, tsCol, typeCol, steps, windowSec)
+    val counts = per.agg(
+      count(lit(1)).as("c1"),
+      steps.indices.drop(1).map(i =>
+        count(col(s"step_${i + 1}_ts")).as(s"c${i + 1}")): _*)
+    // unpivot the single summary row into (step, step_name, n_users)
+    val stacked = steps.indices.map(i =>
+      struct(lit(i + 1).as("step"), lit(steps(i)).as("step_name"),
+        col(s"c${i + 1}").as("n_users")))
+    counts.select(explode(array(stacked: _*)).as("s"))
+      .select(col("s.step"), col("s.step_name"), col("s.n_users"))
+  }
+
+  /** Cohort retention: users grouped by the period of their FIRST
+    * event (cohort), counted as retained in each later period they
+    * were active in. Periods are `periodSec`-wide buckets of event
+    * time (exact integer arithmetic on epoch micros — floor division,
+    * no calendar ambiguity cross-engine).
+    *
+    * Plan shape: first-event per user is one map-side-combinable MIN
+    * agg; activity pairs are one keyed equi-join of events against
+    * that per-user row (both sides hash on `userCol` — at 100 TB the
+    * per-user side is |users| ≪ |events| and AQE may broadcast it);
+    * the final distinct-count shuffles (cohort, offset, user) once.
+    *
+    * @return (cohort_period, period_offset, n_users) — offset 0 row
+    *         is the cohort size
+    */
+  def retentionCohorts(events: DataFrame, userCol: String, tsCol: String,
+                       periodSec: Long): DataFrame = {
+    val us = periodSec * 1000000L
+    val period = (c: Column) => floor(unix_micros(c) / us)
+    val firstByUser = events.groupBy(col(userCol))
+      .agg(min(period(col(tsCol))).as("cohort_period"))
+    events
+      .select(col(userCol), period(col(tsCol)).as("p"))
+      .join(firstByUser, userCol)
+      .groupBy(col("cohort_period"),
+        (col("p") - col("cohort_period")).as("period_offset"))
+      .agg(countDistinct(col(userCol)).as("n_users"))
+  }
+
+  /** Gap-fill a per-key time series onto a regular `stepSec` grid,
+    * carrying the last observation forward into empty slots. Each key
+    * gets every grid slot between its own first and last event;
+    * `fill` is the value of that key's most recent event at or before
+    * the slot end (ties on event time broken by `tieCol`, so the
+    * carried value is deterministic).
+    *
+    * Plan shape: the grid is built from one per-key MIN/MAX agg and
+    * exploded (narrow after the agg — rows ≈ keys × slots, never
+    * events × slots); observed last-values-per-slot come from one
+    * `max_by` agg on (key, slot); the fill itself is a `last(...,
+    * ignoreNulls)` running window over the SAME (key, slot-ordered)
+    * partitioning the grid join just produced — one Exchange end to
+    * end on the grid side.
+    *
+    * @return (key, slot_start timestamp, n_events in slot, fill)
+    */
+  def gapFillForwardFill(events: DataFrame, keyCol: String, tsCol: String,
+                         valueCol: String, tieCol: String,
+                         stepSec: Long): DataFrame = {
+    val us = stepSec * 1000000L
+    val slot = (c: Column) => floor(unix_micros(c) / us)
+    val grid = events.groupBy(col(keyCol))
+      .agg(min(slot(col(tsCol))).as("s0"), max(slot(col(tsCol))).as("s1"))
+      .select(col(keyCol),
+        explode(sequence(col("s0"), col("s1"))).as("slot"))
+    val observed = events
+      .groupBy(col(keyCol), slot(col(tsCol)).as("slot"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        max_by(col(valueCol),
+          struct(col(tsCol), col(tieCol))).as("slot_last"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("slot"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(observed, Seq(keyCol, "slot"), "left")
+      .select(
+        col(keyCol),
+        timestamp_micros(col("slot") * us).as("slot_start"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        last(col("slot_last"), ignoreNulls = true).over(w).as("fill"))
+  }
+}

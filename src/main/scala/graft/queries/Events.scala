@@ -1,0 +1,144 @@
+package graft.queries
+
+import graft.{GraftQuery, Tables}
+import graft.ops.EventAnalytics
+import org.apache.spark.sql.functions._
+
+/** Event-log analytics queries over the `events` fixture: funnel
+  * progression, cohort retention, gap-filled time series
+  * ([[graft.ops.EventAnalytics]]). Timestamps are compared as epoch
+  * microseconds (BIGINT) — the engines agree on integer µs (Spark
+  * truncates the fixture's nanos, DuckDB's EPOCH_US does the same),
+  * so no float or sub-µs representation can split the hash. */
+object Events {
+
+  private val funnelSteps = Seq("view", "click", "purchase")
+
+  /** Ordered funnel per user: earliest view → first click strictly
+    * after it → first purchase strictly after that, the purchase
+    * bounded to 7 days from the view (conversion window). One window
+    * Exchange total; see [[EventAnalytics.funnel]]. */
+  val ev_funnel = GraftQuery(
+    "ev_funnel",
+    (s, dir) => {
+      EventAnalytics.funnel(Tables.events(s, dir), "user_id", "ts",
+        "event_type", funnelSteps, windowSec = Some(7L * 86400))
+        .select(col("user_id"),
+          unix_micros(col("step_1_ts")).as("step_1_us"),
+          unix_micros(col("step_2_ts")).as("step_2_us"),
+          unix_micros(col("step_3_ts")).as("step_3_us"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH f AS (
+        SELECT user_id, ts, event_type FROM events
+        WHERE event_type IN ('view', 'click', 'purchase')),
+      s1 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts END)
+          OVER (PARTITION BY user_id) AS t1 FROM f),
+      s2 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t1
+            AND EPOCH_US(ts) <= EPOCH_US(t1) + 604800000000 THEN ts END)
+          OVER (PARTITION BY user_id) AS t2 FROM s1),
+      s3 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t2
+            AND EPOCH_US(ts) <= EPOCH_US(t1) + 604800000000 THEN ts END)
+          OVER (PARTITION BY user_id) AS t3 FROM s2)
+      SELECT DISTINCT user_id,
+        EPOCH_US(t1) AS step_1_us, EPOCH_US(t2) AS step_2_us,
+        EPOCH_US(t3) AS step_3_us
+      FROM s3 WHERE t1 IS NOT NULL ORDER BY user_id"""))
+
+  /** Funnel conversion summary — one row per step with the count of
+    * users whose progression reached it. */
+  val ev_funnel_counts = GraftQuery(
+    "ev_funnel_counts",
+    (s, dir) => {
+      EventAnalytics.funnelCounts(Tables.events(s, dir), "user_id", "ts",
+        "event_type", funnelSteps, windowSec = Some(7L * 86400))
+        .orderBy(col("step"))
+    },
+    Some("""WITH f AS (
+        SELECT user_id, ts, event_type FROM events
+        WHERE event_type IN ('view', 'click', 'purchase')),
+      s1 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts END)
+          OVER (PARTITION BY user_id) AS t1 FROM f),
+      s2 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t1
+            AND EPOCH_US(ts) <= EPOCH_US(t1) + 604800000000 THEN ts END)
+          OVER (PARTITION BY user_id) AS t2 FROM s1),
+      s3 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t2
+            AND EPOCH_US(ts) <= EPOCH_US(t1) + 604800000000 THEN ts END)
+          OVER (PARTITION BY user_id) AS t3 FROM s2),
+      per AS (
+        SELECT DISTINCT user_id, t1, t2, t3 FROM s3 WHERE t1 IS NOT NULL)
+      SELECT 1 AS step, 'view' AS step_name, COUNT(t1) AS n_users FROM per
+      UNION ALL
+      SELECT 2, 'click', COUNT(t2) FROM per
+      UNION ALL
+      SELECT 3, 'purchase', COUNT(t3) FROM per
+      ORDER BY step"""))
+
+  /** Weekly cohort retention: users bucketed by the week (exact
+    * 7-day epoch buckets) of their first event, counted distinct in
+    * each later week of activity. */
+  val ev_retention = GraftQuery(
+    "ev_retention",
+    (s, dir) => {
+      EventAnalytics.retentionCohorts(Tables.events(s, dir), "user_id",
+        "ts", periodSec = 7L * 86400)
+        .orderBy(col("cohort_period"), col("period_offset"))
+    },
+    Some("""WITH fb AS (
+        SELECT user_id,
+          MIN(EPOCH_US(ts) // 604800000000) AS cohort_period
+        FROM events GROUP BY user_id),
+      act AS (
+        SELECT e.user_id, fb.cohort_period,
+          EPOCH_US(e.ts) // 604800000000 AS p
+        FROM events e JOIN fb USING (user_id))
+      SELECT cohort_period, p - cohort_period AS period_offset,
+        COUNT(DISTINCT user_id) AS n_users
+      FROM act GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** 6-hour-grid gap fill per user with forward-filled last observed
+    * value (ties on event time broken by event_id — both engines
+    * compare at integer µs). */
+  val ev_gapfill = GraftQuery(
+    "ev_gapfill",
+    (s, dir) => {
+      EventAnalytics.gapFillForwardFill(Tables.events(s, dir), "user_id",
+        "ts", "value", "event_id", stepSec = 6L * 3600)
+        .select(col("user_id"), unix_micros(col("slot_start")).as("slot_us"),
+          col("n_events"), col("fill"))
+        .orderBy(col("user_id"), col("slot_us"))
+    },
+    Some("""WITH ranked AS (
+        SELECT user_id, EPOCH_US(ts) // 21600000000 AS slot, value,
+          row_number() OVER (
+            PARTITION BY user_id, EPOCH_US(ts) // 21600000000
+            ORDER BY EPOCH_US(ts) DESC, event_id DESC) AS rn
+        FROM events),
+      obs AS (
+        SELECT user_id, slot, COUNT(*) AS n_events,
+          MAX(CASE WHEN rn = 1 THEN value END) AS slot_last
+        FROM ranked GROUP BY 1, 2),
+      bounds AS (
+        SELECT user_id, MIN(slot) AS s0, MAX(slot) AS s1
+        FROM obs GROUP BY user_id),
+      grid AS (
+        SELECT user_id, unnest(generate_series(s0, s1)) AS slot
+        FROM bounds)
+      SELECT g.user_id, g.slot * 21600000000 AS slot_us,
+        COALESCE(o.n_events, 0) AS n_events,
+        last_value(o.slot_last IGNORE NULLS) OVER (
+          PARTITION BY g.user_id ORDER BY g.slot
+          ROWS UNBOUNDED PRECEDING) AS fill
+      FROM grid g LEFT JOIN obs o
+        ON g.user_id = o.user_id AND g.slot = o.slot
+      ORDER BY g.user_id, slot_us"""))
+
+  def all: Seq[GraftQuery] = Seq(
+    ev_funnel, ev_funnel_counts, ev_retention, ev_gapfill)
+}

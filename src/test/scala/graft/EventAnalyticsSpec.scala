@@ -1,0 +1,132 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.ops.EventAnalytics
+import org.apache.spark.sql.functions._
+import org.scalatest.prop.TableDrivenPropertyChecks
+
+class EventAnalyticsSpec extends SparkSpec with TableDrivenPropertyChecks {
+  import spark.implicits._
+
+  private val base = 1700000000000L
+  private def ts(sec: Long) = new Timestamp(base + sec * 1000)
+
+  private def ev(rows: (Long, Long, String, Double)*) =
+    rows.map { case (u, sec, t, v) => (u, ts(sec), t, v) }
+      .toDF("user_id", "ts", "event_type", "value")
+
+  test("funnel: strict ordering gates each step; unordered events don't advance") {
+    val df = ev(
+      (1, 0, "view", 0), (1, 10, "click", 0), (1, 20, "purchase", 0),
+      // user 2 clicked BEFORE viewing: click must not count
+      (2, 5, "click", 0), (2, 10, "view", 0), (2, 50, "purchase", 0),
+      // user 3 never clicks
+      (3, 0, "view", 0), (3, 99, "purchase", 0),
+      // user 4 has no view at all → excluded entirely
+      (4, 0, "purchase", 0))
+    val out = EventAnalytics.funnel(df, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"))
+      .select($"user_id", unix_micros($"step_1_ts"),
+        unix_micros($"step_2_ts"), unix_micros($"step_3_ts"))
+      .as[(Long, Option[Long], Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    def us(sec: Long) = Some((base + sec * 1000) * 1000)
+    assert(out(1L) == ((us(0), us(10), us(20))))
+    assert(out(2L) == ((us(10), None, None))) // click pre-view ignored
+    assert(out(3L) == ((us(0), None, None)))
+    assert(!out.contains(4L))
+  }
+
+  test("funnel: conversion window bounds later steps relative to step 1") {
+    val df = ev(
+      (1, 0, "view", 0), (1, 5, "click", 0), (1, 30, "purchase", 0),
+      (2, 0, "view", 0), (2, 5, "click", 0), (2, 120, "purchase", 0))
+    val out = EventAnalytics.funnel(df, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"), windowSec = Some(60))
+      .select($"user_id", unix_micros($"step_3_ts"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(out(1L).isDefined)
+    assert(out(2L).isEmpty) // purchase at +120 s falls outside the 60 s window
+  }
+
+  test("funnel: greedy earliest matching admits every user any matching admits") {
+    // brute force: user reaches step k iff the steps appear as a
+    // strictly-time-increasing subsequence — greedy earliest is optimal
+    val rnd = new scala.util.Random(7)
+    val types = Vector("view", "click", "purchase", "other")
+    val rows = for {
+      u <- 1L to 40L
+      i <- 1 to 8
+    } yield (u, rnd.nextInt(1000).toLong, types(rnd.nextInt(types.size)), 0.0)
+    val df = ev(rows: _*)
+    val reach = EventAnalytics.funnel(df, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"))
+      .select($"user_id", unix_micros($"step_2_ts"), unix_micros($"step_3_ts"))
+      .as[(Long, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2.isDefined, r._3.isDefined))).toMap
+
+    def exists(seq: Seq[(Long, String)], steps: List[String], after: Long): Boolean =
+      steps match {
+        case Nil => true
+        case s :: rest =>
+          seq.filter(e => e._2 == s && e._1 > after)
+            .exists(e => exists(seq, rest, e._1))
+      }
+    val byUser = rows.groupBy(_._1)
+    byUser.foreach { case (u, evs) =>
+      val seq = evs.map(e => (e._2, e._3)).sortBy(_._1)
+      val views = seq.filter(_._2 == "view")
+      if (views.nonEmpty) {
+        val start = views.map(_._1).min
+        val c2 = exists(seq, List("click"), start)
+        val c3 = exists(seq, List("click", "purchase"), start)
+        assert(reach(u)._1 == c2, s"user $u step2: got ${reach(u)._1} want $c2")
+        assert(reach(u)._2 == c3, s"user $u step3: got ${reach(u)._2} want $c3")
+      } else assert(!reach.contains(u))
+    }
+  }
+
+  test("retentionCohorts: first-period cohorts, offset-0 equals cohort size") {
+    val p = 100L // 100 s periods
+    val df = ev(
+      (1, 10, "a", 0), (1, 150, "a", 0), (1, 350, "a", 0), // cohort 17*... period of base
+      (2, 120, "a", 0), (2, 130, "a", 0),
+      (3, 20, "a", 0), (3, 250, "a", 0))
+    val out = EventAnalytics.retentionCohorts(df, "user_id", "ts", p)
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val p0 = (base / 1000 + 10) / p // users 1 and 3 first-period bucket
+    val p1 = (base / 1000 + 120) / p
+    assert(p1 == p0 + 1)
+    assert(out((p0, 0L)) == 2)      // users 1, 3 active in their cohort period
+    assert(out((p0, 1L)) == 1)      // user 1 at +150 s
+    assert(out((p0, 2L)) == 1)      // user 3 at +250 s
+    assert(out((p0, 3L)) == 1)      // user 1 at +350 s
+    assert(out((p1, 0L)) == 1)      // user 2's own cohort
+    assert(!out.contains((p1, 1L)))
+  }
+
+  test("gapFillForwardFill: empty slots carry the last observation; ties break on tieCol") {
+    val df = Seq(
+      (1L, ts(0), "a", 10.0, 100L),
+      (1L, ts(5), "a", 20.0, 101L),  // same slot as prior, later ts wins
+      (1L, ts(95), "a", 40.0, 103L), // slot 3 (one empty slot gap at 1,2)
+      (2L, ts(35), "a", 7.0, 104L),
+      (2L, ts(35), "a", 9.0, 105L))  // identical ts: higher event_id wins
+      .toDF("user_id", "ts", "event_type", "value", "event_id")
+    val out = EventAnalytics.gapFillForwardFill(df, "user_id", "ts",
+      "value", "event_id", stepSec = 30)
+      .select($"user_id", unix_micros($"slot_start"), $"n_events", $"fill")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    val slot0 = (base * 1000) / 30000000L * 30000000L
+    def s(i: Long) = slot0 + i * 30000000L
+    assert(out((1L, s(0))) == ((2L, 20.0)))
+    assert(out((1L, s(1))) == ((0L, 20.0))) // gap: forward-filled
+    assert(out((1L, s(2))) == ((0L, 20.0)))
+    assert(out((1L, s(3))) == ((1L, 40.0)))
+    assert(out((2L, s(1))) == ((2L, 9.0))) // tie on ts → event_id decides
+    assert(out.size == 5)                  // each key spans only its own range
+  }
+}
