@@ -91,4 +91,46 @@ object Sampling {
     }
     ranked.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** [[discreteQuantiles]] by value counting — the 100-TB plan for
+    * the same answer. percentile-disc depends only on each group's
+    * value MULTISET, so instead of ranking every row (a full sort of
+    * the corpus inside each group partition), aggregate exact counts
+    * per (group, value) — map-side combinable, output bounded by the
+    * measure's distinct values — and walk the cumulative counts of
+    * that small table to find the value whose cumulative range
+    * contains rank ceil(p·count). The window sees |distinct values|
+    * rows per group, never |rows|; null measures keep their
+    * rank-last semantics via the null count bucket.
+    */
+  def discreteQuantilesByValue(df: DataFrame, groupCol: String,
+                               measure: Column,
+                               ps: Seq[(String, Double)]): DataFrame = {
+    require(ps.nonEmpty, "ps must name at least one quantile")
+    ps.foreach { case (name, p) =>
+      require(p > 0.0 && p <= 1.0, s"quantile $name: p=$p outside (0, 1]")
+    }
+    val counts = df
+      .select(col(groupCol), measure.as("__m"))
+      .groupBy(col(groupCol), col("__m"))
+      .agg(count(lit(1)).as("__c"))
+    val part = Window.partitionBy(col(groupCol))
+    val cum = counts
+      .withColumn("__cum", sum(col("__c")).over(
+        part.orderBy(col("__m").asc_nulls_last)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__tot", sum(col("__c")).over(part))
+    val aggs = ps.map { case (name, p) =>
+      require(BigDecimal(p.toString).scale <= 4,
+        s"quantile $p needs more than 4 decimal digits; widen the cast")
+      val pDec = lit(new java.math.BigDecimal(p.toString)).cast("decimal(10,4)")
+      val rank = ceil(col("__tot").cast("decimal(20,0)") * pDec)
+      // rank falls in this value's cumulative range [cum-c+1, cum];
+      // if that range belongs to the null bucket the result is null —
+      // max(when) never matches and returns null, same as the oracle
+      max(when(rank > col("__cum") - col("__c") && rank <= col("__cum"),
+        col("__m"))).as(name)
+    }
+    cum.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+  }
 }

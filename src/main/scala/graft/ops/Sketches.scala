@@ -223,4 +223,90 @@ object Sketches {
     if (e <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros)
     else e
   }
+
+  /** Log-histogram quantile sketch over a non-negative integer
+    * measure (the DDSketch idea with radix-2 integer buckets): values
+    * below 2^`subBits` get exact unit buckets; larger values bucket by
+    * (exponent, top `subBits` mantissa bits), so bucket width / bucket
+    * lower bound ≤ 2^-subBits — a guaranteed RELATIVE error, constant
+    * across the whole value range. Completes the sketch set (HLL =
+    * distinct, CMS = frequency, Bloom = membership, this = quantiles).
+    *
+    * The whole bucket map is integer arithmetic (`bin` length for the
+    * exponent, dynamic `shiftright` for the mantissa) — no log/float
+    * anywhere — so the register table is bit-identical cross-engine
+    * and ORACLED, like the other sketches; only the quantile readout
+    * carries the (bounded) approximation. State is ≤ (65−subBits) ·
+    * 2^subBits rows per group however large the corpus or the value
+    * domain: map-side combinable, mergeable by adding counts, and
+    * runnable unchanged as a bounded-state streaming aggregation.
+    *
+    * @return (groupCols*, bucket, count); null/negative measures are
+    *         excluded (count them separately if they matter)
+    */
+  def logHistogram(df: DataFrame, groupCols: Seq[String], measure: Column,
+                   subBits: Int): DataFrame = {
+    require(subBits >= 1 && subBits <= 16, s"subBits=$subBits outside [1,16]")
+    val cap = 1L << subBits
+    val bucket =
+      s"""CASE WHEN __v < $cap THEN __v
+         |ELSE (CAST(length(bin(__v)) AS BIGINT) - 1 - $subBits) * $cap
+         |  + shiftright(__v, CAST(length(bin(__v)) AS INT) - 1 - $subBits)
+         |END""".stripMargin
+    df.select(groupCols.map(col) :+ measure.cast("long").as("__v"): _*)
+      .filter(col("__v").isNotNull && col("__v") >= 0)
+      .selectExpr(groupCols :+ s"$bucket AS bucket": _*)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(count(lit(1)).as("count"))
+  }
+
+  /** Merge two log-histogram sketches of the same shape: counts add.
+    * (Union-then-reaggregate — associative, commutative, exactly the
+    * partial-aggregation monoid Spark already runs map-side.) */
+  def logHistMerge(a: DataFrame, b: DataFrame, groupCols: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(sum(col("count")).as("count"))
+
+  /** Inclusive lower bound of a bucket id — the deterministic
+    * quantile readout value. Exact (= the original value) below
+    * 2^subBits; otherwise within a factor (1 + 2^-subBits). */
+  def logHistBucketLower(bucket: Column, subBits: Int): Column = {
+    val cap = 1L << subBits
+    // k = e - subBits + 1; bucket ids are small ints so the floor
+    // division is exact
+    val k = floor(bucket / cap).cast("long")
+    val t = (bucket - (k - 1) * cap).cast("long")
+    when(bucket < cap, bucket)
+      // t · 2^(k-1): power-of-two scaling never touches the mantissa,
+      // so the double product and the long round-trip are both exact
+      .otherwise((t * pow(lit(2.0), (k - 1).cast("double"))).cast("long"))
+  }
+
+  /** Discrete quantiles read from a (per-group) sketch: rank `ceil(p ·
+    * total)` in bucket order — the bucket holding that rank is chosen
+    * EXACTLY (counts are exact; only the value is coarsened), so the
+    * returned lower bound L brackets the true percentile-disc value v
+    * as L ≤ v < L · (1 + 2^-subBits). Runs on the sketch table, which
+    * is bounded — the corpus is long gone by now. */
+  def logHistQuantiles(sketch: DataFrame, groupCols: Seq[String],
+                       subBits: Int, ps: Seq[(String, Double)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(ps.nonEmpty, "ps must name at least one quantile")
+    val part = Window.partitionBy(groupCols.map(col): _*)
+    val cum = sketch
+      .withColumn("__cum", sum(col("count")).over(
+        part.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__tot", sum(col("count")).over(part))
+    val aggs = ps.map { case (name, p) =>
+      require(BigDecimal(p.toString).scale <= 4,
+        s"quantile $p needs more than 4 decimal digits; widen the cast")
+      val pDec = lit(new java.math.BigDecimal(p.toString)).cast("decimal(10,4)")
+      val rank = ceil(col("__tot").cast("decimal(20,0)") * pDec)
+      max(when(rank > col("__cum") - col("count") && rank <= col("__cum"),
+        logHistBucketLower(col("bucket"), subBits))).as(name)
+    }
+    cum.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
 }

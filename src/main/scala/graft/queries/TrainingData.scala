@@ -1770,6 +1770,50 @@ object TrainingData {
         MAX(CASE WHEN rn = CAST(ceil(cnt * 0.99) AS BIGINT) THEN n_tokens END) AS p99
       FROM r GROUP BY source ORDER BY source"""))
 
+  /** The same per-source token-length percentiles computed the
+    * 100-TB way ([[graft.ops.Sampling.discreteQuantilesByValue]]):
+    * exact counts per (source, n_tokens) — map-side combinable,
+    * output bounded by the distinct token counts — then a cumulative
+    * walk of that small table. Same oracle SQL as
+    * [[td_token_quantiles]]: identical answers, no corpus-wide sort. */
+  val td_quantiles_by_value = GraftQuery(
+    "td_quantiles_by_value",
+    (s, dir) => {
+      Sampling.discreteQuantilesByValue(
+        Tables.documents(s, dir), "source",
+        TextAnalysis.tokenCount(col("text")),
+        Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+        .orderBy(col("source"))
+    },
+    td_token_quantiles.oracle)
+
+  /** Per-source log-histogram quantile sketch registers
+    * ([[graft.ops.Sketches.logHistogram]], subBits=4): radix-2
+    * integer buckets — exact below 16, (exponent, top-4 mantissa
+    * bits) above, all `bin`-length and shift arithmetic both engines
+    * compute identically. The register TABLE is the oracled object
+    * (the estimate's ≤ 2^-4 relative-error readout is spec-bounded),
+    * exactly the CMS/HLL discipline. */
+  val td_quantile_sketch = GraftQuery(
+    "td_quantile_sketch",
+    (s, dir) => {
+      Sketches.logHistogram(Tables.documents(s, dir), Seq("source"),
+        TextAnalysis.tokenCount(col("text")), subBits = 4)
+        .orderBy(col("source"), col("bucket"))
+    },
+    Some("""WITH t AS (
+        SELECT source,
+          CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(trim(text),'\s+')) END AS v
+        FROM documents)
+      SELECT source,
+        CASE WHEN v < 16 THEN v
+             ELSE (length(bin(v)) - 1 - 4) * 16
+               + (v >> CAST(length(bin(v)) - 1 - 4 AS INT))
+        END AS bucket,
+        COUNT(*) AS count
+      FROM t GROUP BY 1, 2 ORDER BY source, bucket"""))
+
   /** Domain-mixing weighted sample: per-source keep fractions (the
     * curated/up-weighted vs crawl/down-weighted split every training
     * mix needs), same md5-membership determinism as td_sample_hash. */
@@ -2313,7 +2357,8 @@ object TrainingData {
     td_kmeans, td_ann_ivf_trained, td_pq_adc, td_ann_ivfpq,
     td_rare_words, td_chunk_dedup,
     td_sample_hash, td_sample_stratified, td_sample_weighted,
-    td_token_quantiles, td_pack_sequences, td_decontam,
+    td_token_quantiles, td_quantiles_by_value, td_quantile_sketch,
+    td_pack_sequences, td_decontam,
     td_token_budget, td_interleave, td_train_split,
     td_split_leakage_safe, td_pii_scrub,
     td_media_meta, td_media_frames, td_media_features,

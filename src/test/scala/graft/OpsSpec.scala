@@ -849,4 +849,68 @@ class OpsSpec extends SparkSpec {
       .orderBy("id").select("id", "dup_ppm").as[(Long, Long)].collect().toSeq
     assert(out == Seq((1L, 1000000L), (2L, 1000000L), (3L, 0L)))
   }
+
+  test("logHistogram: small values exact, bucket lower bound within 2^-subBits") {
+    import graft.ops.Sketches
+    val m = 4
+    val vals = (0L to 15L) ++ Seq(16L, 17L, 100L, 1000L, 123456L, (1L << 40) + 12345L)
+    val df = vals.map(v => ("g", v)).toDF("g", "v")
+    val sk = Sketches.logHistogram(df, Seq("g"), col("v"), m)
+    // readback: every value's bucket lower bound brackets it
+    val lows = Sketches.logHistogram(df.withColumn("orig", col("v")), Seq("orig"),
+        col("v"), m)
+      .select(col("orig"),
+        Sketches.logHistBucketLower(col("bucket"), m).as("low"))
+      .as[(Long, Long)].collect()
+    lows.foreach { case (v, low) =>
+      assert(low <= v, s"v=$v low=$low")
+      assert(v.toDouble < (low.toDouble + 1.0) * (1.0 + math.pow(2.0, -m)) + 1,
+        s"v=$v low=$low outside relative bound")
+      if (v < 16) assert(low == v, s"small value $v not exact (low=$low)")
+    }
+    // total count preserved
+    assert(sk.agg(sum("count")).as[Long].collect()(0) == vals.size)
+  }
+
+  test("logHistMerge of split scans ≡ sketch of the union") {
+    import graft.ops.Sketches
+    val rnd = new scala.util.Random(53)
+    val a = Seq.fill(800)(("g" + rnd.nextInt(3), rnd.nextInt(100000).toLong))
+    val b = Seq.fill(700)(("g" + rnd.nextInt(3), rnd.nextInt(1000).toLong))
+    val sa = Sketches.logHistogram(a.toDF("g", "v"), Seq("g"), col("v"), 4)
+    val sb = Sketches.logHistogram(b.toDF("g", "v"), Seq("g"), col("v"), 4)
+    val merged = Sketches.logHistMerge(sa, sb, Seq("g"))
+      .orderBy("g", "bucket").as[(String, Long, Long)].collect().toSeq
+    val union = Sketches.logHistogram((a ++ b).toDF("g", "v"), Seq("g"),
+        col("v"), 4)
+      .orderBy("g", "bucket").as[(String, Long, Long)].collect().toSeq
+    assert(merged == union)
+  }
+
+  test("logHistQuantiles: readout brackets the exact percentile-disc value") {
+    import graft.ops.{Sampling, Sketches}
+    val m = 5 // 2^-5 ≈ 3.1% relative error
+    val rnd = new scala.util.Random(67)
+    // mixed magnitudes: uniform small + log-uniform large
+    val rows = (1L to 3000L).map { i =>
+      val v = if (i % 3 == 0) rnd.nextInt(30).toLong
+              else math.round(math.pow(10.0, rnd.nextDouble() * 6))
+      (i, s"g${i % 4}", v)
+    }
+    val df = rows.toDF("id", "g", "v")
+    val ps = Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)
+    val exact = Sampling.discreteQuantiles(df, "g", "id", col("v"), ps)
+      .orderBy("g").as[(String, Long, Long, Long)].collect()
+    val sk = Sketches.logHistogram(df, Seq("g"), col("v"), m)
+    val est = Sketches.logHistQuantiles(sk, Seq("g"), m, ps)
+      .orderBy("g").as[(String, Long, Long, Long)].collect()
+    exact.zip(est).foreach { case ((g1, e50, e90, e99), (g2, s50, s90, s99)) =>
+      assert(g1 == g2)
+      Seq((e50, s50), (e90, s90), (e99, s99)).foreach { case (e, s) =>
+        assert(s <= e, s"group $g1: est $s above exact $e")
+        assert(e < (s + 1) * (1.0 + math.pow(2.0, -m)),
+          s"group $g1: exact $e outside bucket of est $s")
+      }
+    }
+  }
 }

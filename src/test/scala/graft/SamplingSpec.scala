@@ -47,6 +47,23 @@ class SamplingSpec extends SparkSpec {
     assert(row.getAs[Int]("p50") == 50 && row.getAs[Int]("p99") == 99)
   }
 
+  test("discreteQuantilesByValue ≡ discreteQuantiles with ties and null measures") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1L to 1500L).map { i =>
+      val m: Integer =
+        if (rnd.nextInt(20) == 0) null // null measures rank last
+        else Int.box(rnd.nextInt(40))  // heavy ties
+      (i, s"g${i % 5}", m)
+    }
+    val df = rows.toDF("id", "grp", "m")
+    val ps = Seq("p25" -> 0.25, "p50" -> 0.5, "p90" -> 0.9, "p100" -> 1.0)
+    val byRank = Sampling.discreteQuantiles(df, "grp", "id", col("m"), ps)
+      .orderBy("grp").collect().map(_.toSeq).toSeq
+    val byValue = Sampling.discreteQuantilesByValue(df, "grp", col("m"), ps)
+      .orderBy("grp").collect().map(_.toSeq).toSeq
+    assert(byValue == byRank)
+  }
+
   test("epochShuffle: stable per epoch, dense per-shard positions, epochs differ") {
     import graft.ops.Pipeline
     val a = Pipeline.epochShuffle(ids, "id", epoch = 3, nShards = 8)
