@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{GraftQuery, Tables}
-import graft.apply.ApplyEngine
+import graft.apply.{ApplyEngine, IncrementalAgg}
 import graft.decode.Wal2Json
 import graft.fixtures.SyntheticCdc
 import graft.model.{TableId, TableMeta}
@@ -282,7 +282,58 @@ object Cdc {
         WHERE NOT (l_orderkey % 10 = 0 AND l_linenumber = 1))
       GROUP BY 1 ORDER BY okmod"""))
 
+  /** Incremental materialized-aggregate maintenance
+    * ([[graft.apply.IncrementalAgg]]): a per-nation COUNT/SUM(acctbal)
+    * aggregate is seeded from the base table, then kept current by
+    * folding the batch's per-group DELTA — pre-images retracted via
+    * one PK join, post-images added with merge semantics — WITHOUT
+    * recomputing the aggregate over the applied table. The oracle IS
+    * that recomputation (DuckDB aggregates the fully-applied final
+    * state), so a hash match proves incremental ≡ recompute. */
+  val cdc_incr_agg = GraftQuery(
+    "cdc_incr_agg",
+    (s, dir) => {
+      val c = Tables.customer(s, dir)
+      val meta = customerMeta(c)
+      val collapsed = ApplyEngine.collapse(
+        Wal2Json.decodeEvents(
+          Wal2Json.parse(SyntheticCdc.customerLog(s, dir)), meta))
+      val acct = (r: String => org.apache.spark.sql.Column) =>
+        r("c_acctbal").cast("decimal(18,6)")
+      val state0 = IncrementalAgg.groupState(c, "c_nationkey",
+        col("c_acctbal").cast("decimal(18,6)"))
+      val d = IncrementalAgg.delta(c, collapsed, meta, "c_nationkey", acct)
+      IncrementalAgg.applyDelta(state0, d, "c_nationkey")
+        .select(col("c_nationkey"), col("cnt"),
+          col("total").cast("double").as("total_acctbal"))
+        .orderBy(col("c_nationkey"))
+    },
+    Some("""WITH final(c_custkey, c_nationkey, c_acctbal) AS (
+      SELECT c_custkey, c_nationkey, c_acctbal
+        FROM customer WHERE c_custkey % 10 IN (4,5,6,7,8,9)
+      UNION ALL
+      SELECT c_custkey, c_nationkey, c_acctbal + 100
+        FROM customer WHERE c_custkey % 10 = 2
+      UNION ALL
+      SELECT c_custkey, c_nationkey, c_acctbal + 100
+        FROM customer WHERE c_custkey % 10 = 1
+      UNION ALL
+      SELECT c_custkey + 5000000, c_nationkey, c_acctbal
+        FROM customer WHERE c_custkey % 10 = 3
+      UNION ALL
+      SELECT c_custkey + 9000000, c_nationkey,
+             CASE WHEN c_custkey % 20 = 4 THEN 50.0 ELSE 0.0 END
+        FROM customer WHERE c_custkey % 10 = 4
+      UNION ALL
+      SELECT c_custkey, c_nationkey, 1.0
+        FROM customer WHERE c_custkey % 20 = 10
+      )
+      SELECT c_nationkey, COUNT(*) AS cnt,
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_acctbal
+      FROM final GROUP BY 1 ORDER BY 1"""))
+
   def all: Seq[GraftQuery] = Seq(
     cdc_apply, cdc_apply_bucketed, cdc_apply_skewed, cdc_time_travel,
-    cdc_decode_counts, cdc_collapse_counts, cdc_apply_lineitem)
+    cdc_decode_counts, cdc_collapse_counts, cdc_apply_lineitem,
+    cdc_incr_agg)
 }
