@@ -68,6 +68,34 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed.size <= (1 << p))
   }
 
+  test("streaming log-histogram: quantile sketch aggregates across batches, bounded state") {
+    // live latency/size percentiles over an unbounded stream with ≤
+    // (65−subBits)·2^subBits rows of state: the register aggregation
+    // is a plain streaming groupBy, same discipline as streaming HLL
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val m = 4
+    val q = graft.ops.Sketches.logHistogram(
+        mem.toDF().withColumnRenamed("value", "v"), Seq.empty, col("v"), m)
+      .writeStream.format("memory").queryName("loghist")
+      .outputMode(OutputMode.Complete()).start()
+    val rnd = new scala.util.Random(73)
+    val batch1 = Seq.fill(500)(rnd.nextInt(100000).toLong)
+    val batch2 = Seq.fill(500)(rnd.nextInt(500).toLong)
+    mem.addData(batch1: _*)
+    q.processAllAvailable()
+    mem.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("loghist").orderBy("bucket")
+      .as[(Long, Long)].collect().toSeq
+    val batch = graft.ops.Sketches.logHistogram(
+        (batch1 ++ batch2).toDF("v"), Seq.empty, col("v"), m)
+      .orderBy("bucket").as[(Long, Long)].collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.size <= (65 - m) * (1 << m))
+  }
+
   test("dedupStream: re-delivered keys dropped within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]

@@ -287,4 +287,85 @@ class PlanAuditSpec extends SparkSpec {
       case (k, None)    => spark.conf.unset(k)
     }
   }
+
+  test("ev_funnel: cascaded step minimums share ONE exchange; step filter pushed") {
+    audited(graft.queries.Events.ev_funnel.fn(spark, dir)) { df =>
+      val plan = df.queryExecution.executedPlan
+      // every min(when(...)) window agg runs over the same user_id
+      // hash partitioning — a funnel of N steps must not shuffle N times
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      // one exchange for the window partition + one for the final
+      // distinct + the ordered output exchange; the window itself
+      // contributes exactly one
+      val windowPartitions = exchanges.count(
+        _.outputPartitioning.toString.contains("user_id"))
+      assert(windowPartitions <= 2,
+        s"funnel reshuffles per step:\n$plan")
+      val scan = scans(df).headOption.getOrElse(fail("no scan"))
+      assert(scan.metadata("PushedFilters").contains("event_type"),
+        "step-type filter not pushed to the events scan")
+    }
+  }
+
+  test("logHistogram / discreteQuantilesByValue: aggregations are map-side partial") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, dir)
+    val mks = Seq(
+      () => graft.ops.Sketches.logHistogram(docs, Seq("source"),
+        graft.ops.TextAnalysis.tokenCount(col("text")), 4),
+      () => graft.ops.Sampling.discreteQuantilesByValue(docs, "source",
+        graft.ops.TextAnalysis.tokenCount(col("text")),
+        Seq("p50" -> 0.5)))
+    for (mk <- mks) audited(mk()) { df =>
+      val plan = df.queryExecution.executedPlan
+      val partial = plan.collect {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+          if a.aggregateExpressions.exists(_.mode.toString == "Partial") => a
+      }
+      assert(partial.nonEmpty, s"no map-side partial aggregation:\n$plan")
+    }
+  }
+
+  test("IncrementalAgg: maintenance touches the table twice — seed agg + pre-image join") {
+    // (the registered cdc_incr_agg adds fixture scans because
+    // SyntheticCdc fabricates its change log FROM the customer table;
+    // auditing the op directly isolates the engine's own plan)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val c = Tables.customer(spark, dir)
+    val meta = graft.model.TableMeta(
+      graft.model.TableId("db", "public", "customer"), c.schema,
+      Seq("c_custkey"))
+    val collapsed = Seq(
+      (Seq("1"), "patch", Map("c_acctbal" -> "5.0"), 0),
+      (Seq("99991"), "row", Map("c_custkey" -> "99991",
+        "c_name" -> "X", "c_nationkey" -> "3", "c_acctbal" -> "1.0",
+        "c_mktsegment" -> "S"), 0))
+      .toDF("key", "st", "vals", "viol")
+    val acct = (r: String => org.apache.spark.sql.Column) =>
+      r("c_acctbal").cast("decimal(18,6)")
+    val out = graft.apply.IncrementalAgg.applyDelta(
+      graft.apply.IncrementalAgg.groupState(c, "c_nationkey",
+        col("c_acctbal").cast("decimal(18,6)")),
+      graft.apply.IncrementalAgg.delta(c, collapsed, meta,
+        "c_nationkey", acct),
+      "c_nationkey")
+    audited(out) { df =>
+      val plan = df.queryExecution.executedPlan
+      // a recompute-per-batch plan would scan the table once more
+      // per batch; maintenance is exactly seed + pre-image fetch
+      val customerScans = scans(df)
+        .count(_.metadata("Location").contains("customer"))
+      assert(customerScans == 2,
+        s"expected 2 customer scans (seed agg + pre-image join), " +
+          s"got $customerScans:\n$plan")
+      val partial = plan.collect {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+          if a.aggregateExpressions.exists(_.mode.toString == "Partial") => a
+      }
+      assert(partial.nonEmpty, s"delta agg not map-side partial:\n$plan")
+    }
+  }
 }
