@@ -40,6 +40,50 @@ object Sampling {
     df.filter(hash60(col(idCol)) < cut)
   }
 
+  /** Target-proportion domain mix: given target shares of the FINAL
+    * corpus (ppm, summing to 1,000,000), derive each domain's keep
+    * rate from its actual size and Bernoulli-sample to the largest
+    * total at which every listed domain can meet its share WITHOUT
+    * upsampling: `T = min_d floor(n_d·10^6 / f_d)`, per-domain keep
+    * target `k_d = floor(T·f_d / 10^6)`, membership
+    * `pmod(hash60(id), 10^6) < floor(k_d·10^6 / n_d)`. All arithmetic
+    * is 64-bit integer (the `T·f_d` product is split q/r so nothing
+    * overflows at trillion-row domains) — bit-identical cross-engine,
+    * like every sampler here.
+    *
+    * Unlike [[weightedSample]] (caller-fixed fractions), the rates
+    * are DERIVED in-engine from the live counts: one
+    * map-side-combinable count agg (|domains| rows), a 1-row global
+    * min, and a broadcast rate join — the corpus itself sees one
+    * narrow filter. Domains absent from `targetsPpm` are dropped.
+    */
+  def domainMix(df: DataFrame, idCol: String, sourceCol: String,
+                targetsPpm: Map[String, Long]): DataFrame = {
+    require(targetsPpm.values.sum == 1000000L,
+      s"targets must sum to 1,000,000 ppm, got ${targetsPpm.values.sum}")
+    require(targetsPpm.values.forall(_ > 0), "every target share must be > 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tgt = targetsPpm.toSeq.toDF("__src", "__f_ppm")
+    val counts = df.groupBy(col(sourceCol).as("__src"))
+      .agg(count(lit(1)).as("__n"))
+      .join(broadcast(tgt), "__src")
+    // largest feasible total, then per-domain keep rate — tiny frames,
+    // exact integer division throughout (`div`, never `/`→double)
+    val totalRow = counts
+      .selectExpr("min(__n * 1000000 div __f_ppm) AS __t")
+    val rates = counts.crossJoin(broadcast(totalRow))
+      .selectExpr("__src",
+        // k = floor(T·f/10^6), split to dodge the T·f overflow
+        "(__t div 1000000) * __f_ppm + ((__t % 1000000) * __f_ppm) div 1000000 AS __k",
+        "__n")
+      .selectExpr("__src",
+        "least(CAST(1000000 AS BIGINT), __k * 1000000 div __n) AS __keep_ppm")
+    df.join(broadcast(rates), col(sourceCol) === col("__src"))
+      .filter(pmod(hash60(col(idCol)), lit(1000000L)) < col("__keep_ppm"))
+      .drop("__src", "__keep_ppm")
+  }
+
   /** Stratified fixed-size sample: the `n` rows of each stratum whose
     * ids hash lowest (ties broken by id). Equivalent to a per-stratum
     * uniform draw, but deterministic; one shuffle on the stratum key.

@@ -1725,6 +1725,39 @@ object TrainingData {
             < ${Sampling.cutoff(0.1)}
       ORDER BY doc_id"""))
 
+  /** Target-proportion domain mix ([[graft.ops.Sampling.domainMix]]):
+    * keep rates DERIVED from the live domain counts so the surviving
+    * corpus approaches 50/30/20 shares of src0/src1/src2 at the
+    * largest feasible total — the knob every pretraining mix turns.
+    * The oracle recomputes T, k_d, and keep_ppm with the identical
+    * 64-bit integer arithmetic and the same md5 membership. */
+  val td_domain_mix = GraftQuery(
+    "td_domain_mix",
+    (s, dir) => {
+      Sampling.domainMix(Tables.documents(s, dir), "doc_id", "source",
+        Map("src0" -> 500000L, "src1" -> 300000L, "src2" -> 200000L))
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH tgt(source, f) AS (
+        VALUES ('src0', 500000), ('src1', 300000), ('src2', 200000)),
+      j AS (
+        SELECT d.source, COUNT(*) AS n, MAX(t.f) AS f
+        FROM documents d JOIN tgt t ON d.source = t.source
+        GROUP BY d.source),
+      tot AS (SELECT MIN(n * 1000000 // f) AS t FROM j),
+      rates AS (
+        SELECT source,
+          LEAST(1000000,
+            ((tot.t // 1000000) * f + ((tot.t % 1000000) * f) // 1000000)
+              * 1000000 // n) AS keep_ppm
+        FROM j, tot)
+      SELECT d.doc_id, d.source
+      FROM documents d JOIN rates r ON d.source = r.source
+      WHERE ('0x'||substr(md5(CAST(d.doc_id AS VARCHAR)),1,15))::BIGINT
+              % 1000000 < r.keep_ppm
+      ORDER BY d.doc_id"""))
+
   /** Stratified fixed-size sample: 10 docs per source, chosen by
     * lowest id-hash within the stratum. */
   val td_sample_stratified = GraftQuery(
@@ -2357,6 +2390,7 @@ object TrainingData {
     td_kmeans, td_ann_ivf_trained, td_pq_adc, td_ann_ivfpq,
     td_rare_words, td_chunk_dedup,
     td_sample_hash, td_sample_stratified, td_sample_weighted,
+    td_domain_mix,
     td_token_quantiles, td_quantiles_by_value, td_quantile_sketch,
     td_pack_sequences, td_decontam,
     td_token_budget, td_interleave, td_train_split,

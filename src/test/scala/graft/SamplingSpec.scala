@@ -47,6 +47,37 @@ class SamplingSpec extends SparkSpec {
     assert(row.getAs[Int]("p50") == 50 && row.getAs[Int]("p99") == 99)
   }
 
+  test("domainMix: rates derived from live counts hit the targets; unlisted domains drop") {
+    // a:1000, b:500, c:200 rows; targets 50/30/20 → T bounded by c
+    // (200·10^6/200000 = 1,000,000 → 1M? no: T = min(1000·1e6/5e5,
+    // 500·1e6/3e5, 200·1e6/2e5) = min(2000, 1666, 1000)·10^3 = 10^6)
+    val rows = (1L to 1000L).map(i => (i, "a")) ++
+      (1001L to 1500L).map(i => (i, "b")) ++
+      (1501L to 1700L).map(i => (i, "c")) ++
+      (1701L to 1800L).map(i => (i, "unlisted"))
+    val df = rows.toDF("id", "src")
+    val out = Sampling.domainMix(df, "id", "src",
+      Map("a" -> 500000L, "b" -> 300000L, "c" -> 200000L))
+      .select("id", "src").as[(Long, String)].collect()
+    val bySrc = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(!bySrc.contains("unlisted"))
+    // expected keep targets: T = 10^6 µ-rows → k = 500, 300, 200;
+    // keep_ppm = 500000, 600000, 1000000. Bernoulli noise on a/b,
+    // exact on c (ppm = 10^6 keeps everything)
+    assert(bySrc("c") == 200)
+    assert(math.abs(bySrc("a") - 500) < 80, s"a=${bySrc("a")}")
+    assert(math.abs(bySrc("b") - 300) < 80, s"b=${bySrc("b")}")
+    // membership is a pure function of the id — repartitioning changes nothing
+    val out2 = Sampling.domainMix(df.repartition(7, col("src")), "id", "src",
+      Map("a" -> 500000L, "b" -> 300000L, "c" -> 200000L))
+      .select("id", "src").as[(Long, String)].collect()
+    assert(out.toSet == out2.toSet)
+    // realized shares approach the targets
+    val total = out.length.toDouble
+    assert(math.abs(bySrc("a") / total - 0.5) < 0.06)
+    assert(math.abs(bySrc("b") / total - 0.3) < 0.06)
+  }
+
   test("discreteQuantilesByValue ≡ discreteQuantiles with ties and null measures") {
     val rnd = new scala.util.Random(11)
     val rows = (1L to 1500L).map { i =>
