@@ -1725,6 +1725,66 @@ object TrainingData {
             < ${Sampling.cutoff(0.1)}
       ORDER BY doc_id"""))
 
+  /** Merge list shared by the BPE queries: common English
+    * char-bigram merges, applied in rank order. Fixed literals so the
+    * DuckDB oracle can replay the identical replace chain. */
+  private val bpeFixedMerges = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n",
+    "an" -> "d", "e" -> "r", "o" -> "n", "r" -> "e")
+
+  /** BPE ENCODING cross-engine ([[graft.ops.Bpe.encode]] semantics):
+    * token counts under a fixed merge list. The oracle replays the
+    * exact same boundary-safe wrapped-symbol replace chain with
+    * DuckDB string functions — a hash match proves the greedy
+    * left-to-right merge semantics agree engine-for-engine. */
+  val td_bpe_encode = GraftQuery(
+    "td_bpe_encode",
+    (s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          graft.ops.Bpe.tokenCount(col("text"), bpeFixedMerges).as("n_bpe"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val S = "chr(1)"
+      val symbolized =
+        s"$S || array_to_string(string_split_regex(w, ''), $S||$S) || $S"
+      val chain = bpeFixedMerges.foldLeft(symbolized) { case (acc, (l, r)) =>
+        s"replace($acc, $S||'$l'||$S||$S||'$r'||$S, $S||'$l$r'||$S)"
+      }
+      s"""WITH words AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+        FROM documents WHERE length(trim(text)) > 0),
+      enc AS (SELECT doc_id, $chain AS s2 FROM words),
+      cnt AS (
+        SELECT doc_id,
+          (length(s2) - length(replace(s2, $S||$S, ''))) // 2 + 1 AS n
+        FROM enc),
+      agg AS (SELECT doc_id, SUM(n) AS n_bpe FROM cnt GROUP BY doc_id)
+      SELECT d.doc_id, CAST(COALESCE(a.n_bpe, 0) AS INTEGER) AS n_bpe
+      FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+      ORDER BY d.doc_id"""
+    })
+
+  /** BPE TRAINING in-engine ([[graft.ops.Bpe.trainMerges]]): the 12
+    * highest-frequency merges learned from the corpus' word-count
+    * table (rows-only — the greedy loop has no single-query SQL
+    * equivalent; BpeSpec proves the trainer ≡ an independent
+    * reference implementation, and td_bpe_encode oracles the merge
+    * semantics the trainer is built on). */
+  val td_bpe_train = GraftQuery(
+    "td_bpe_train",
+    (s, dir) => {
+      val merges = graft.ops.Bpe.trainMerges(
+        Tables.documents(s, dir), "text", numMerges = 12)
+      import s.implicits._
+      merges.zipWithIndex
+        .map { case ((l, r), i) => (i + 1, l, r) }
+        .toDF("rank", "left_sym", "right_sym")
+        .orderBy(col("rank"))
+    },
+    None)
+
   /** Target-proportion domain mix ([[graft.ops.Sampling.domainMix]]):
     * keep rates DERIVED from the live domain counts so the surviving
     * corpus approaches 50/30/20 shares of src0/src1/src2 at the
@@ -2390,7 +2450,7 @@ object TrainingData {
     td_kmeans, td_ann_ivf_trained, td_pq_adc, td_ann_ivfpq,
     td_rare_words, td_chunk_dedup,
     td_sample_hash, td_sample_stratified, td_sample_weighted,
-    td_domain_mix,
+    td_domain_mix, td_bpe_encode, td_bpe_train,
     td_token_quantiles, td_quantiles_by_value, td_quantile_sketch,
     td_pack_sequences, td_decontam,
     td_token_budget, td_interleave, td_train_split,
