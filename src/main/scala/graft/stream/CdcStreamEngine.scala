@@ -1,8 +1,8 @@
 package graft.stream
 
-import graft.apply.ApplyEngine
+import graft.apply.{ApplyEngine, IncrementalAgg}
 import graft.decode.Wal2Json
-import graft.model.{ChangeRecord, SchemaRegistry, TableId}
+import graft.model.{ChangeRecord, SchemaRegistry, TableId, TableMeta}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -36,12 +36,17 @@ final class CdcStreamEngine(
     archiveDir: Option[String] = None,
     quarantineDir: Option[String] = None,
     startLsn: Option[Long] = None,
-    tableParallelism: Int = 4) {
+    tableParallelism: Int = 4,
+    aggViews: Seq[CdcStreamEngine.AggView] = Seq.empty) {
 
   // per-batch chained table states; a field so the DDL interpreter's
   // rename hook can rewrite in-flight results (processBatch is the
   // stream's single-threaded driver loop — not reentrant)
   private val working =
+    scala.collection.mutable.LinkedHashMap.empty[TableId, DataFrame]
+  // live materialized aggregates maintained this batch (keyed by the
+  // view's TableId) — committed atomically WITH their source tables
+  private val viewWorking =
     scala.collection.mutable.LinkedHashMap.empty[TableId, DataFrame]
   // bucketed tables merged incrementally this batch: the PK buckets
   // their working entry covers (absence = the entry is full-table)
@@ -122,6 +127,28 @@ final class CdcStreamEngine(
     * Segment merges chain lazily per table; everything is staged and
     * committed once at the end of the batch.
     */
+  /** Fold one segment's collapsed change set into every registered
+    * materialized aggregate of this table ([[IncrementalAgg]]): the
+    * view is seeded from the pre-batch table on first touch, then
+    * kept current by retract-and-add deltas — never recomputed.
+    * `preImages` may be bucket-restricted (it must cover the batch's
+    * change keys, which the changed-bucket set does by construction);
+    * `seed` must be the FULL pre-batch table. Views bind to the
+    * source's TableId — maintain views across DDL renames by
+    * re-registering under the new id (DDL batches also disable the
+    * delta path, so the common case is untouched). */
+  private def maintainViews(meta: TableMeta, preImages: DataFrame,
+                            seed: => DataFrame, collapsed: DataFrame): Unit =
+    aggViews.filter(_.source == meta.id).foreach { v =>
+      val prior = viewWorking.get(v.view)
+        .orElse(if (store.exists(v.view)) Some(store.read(v.view)) else None)
+        .getOrElse(IncrementalAgg.groupState(seed, v.groupCol,
+          v.value(c => col(c))))
+      val d = IncrementalAgg.delta(preImages, collapsed, meta, v.groupCol, v.value)
+      viewWorking(v.view) = IncrementalAgg.applyDelta(prior, d, v.groupCol)
+        .localCheckpoint(eager = false)
+    }
+
   def processBatch(batch0: DataFrame, batchId: Long): Unit = {
     // basebackup→stream handoff: the snapshot already contains every
     // effect up to its pinned LSN (Snapshot.readStartLsn), so events
@@ -187,6 +214,7 @@ final class CdcStreamEngine(
       committedAtBatchStart = committed
 
       working.clear() // chained working state per table across segments
+      viewWorking.clear()
       workingBuckets.clear()
       pendingRenames.clear()
 
@@ -239,21 +267,28 @@ final class CdcStreamEngine(
                     if (nViol > 0) throw new IllegalStateException(
                       s"batch $batchId: $nViol apply violations on ${meta.id.qualified}")
                   }
+                  // views: pre-images from the restricted buckets
+                  // (they cover every change key); seed, if first
+                  // touch, from the full committed table
+                  maintainViews(meta, target, store.read(meta.id), collapsed)
                   working(meta.id) =
                     ApplyEngine.merge(target, collapsed, meta, broadcastChanges = true)
                   workingBuckets(meta.id) = changed
                 case None =>
                   val target = working.getOrElse(meta.id, store.read(meta.id))
                   val collapsed0 = ApplyEngine.collapse(Wal2Json.decodeEvents(segDml, meta))
-                  // strict runs TWO consumers of the collapsed plan (the
-                  // violations count and the merge) — materialize once
+                  // strict and view maintenance each add a consumer of
+                  // the collapsed plan beyond the merge — materialize once
                   val collapsed =
-                    if (strict) collapsed0.localCheckpoint(eager = false) else collapsed0
+                    if (strict || aggViews.nonEmpty)
+                      collapsed0.localCheckpoint(eager = false)
+                    else collapsed0
                   if (strict) {
                     val nViol = ApplyEngine.violations(target, collapsed, meta).count()
                     if (nViol > 0) throw new IllegalStateException(
                       s"batch $batchId: $nViol apply violations on ${meta.id.qualified}")
                   }
+                  maintainViews(meta, target, target, collapsed)
                   working(meta.id) = ApplyEngine.merge(target, collapsed, meta)
               }
             }
@@ -283,7 +318,11 @@ final class CdcStreamEngine(
         val entries = working.toSeq.flatMap { case (tid, df) =>
           registry.get(tid).map(meta =>
             (tid, ApplyEngine.conform(df, meta.schema)))
-        }
+        } ++
+          // maintained aggregates publish in the SAME atomic commit as
+          // their source tables — a reader never sees a view ahead of
+          // or behind the table it summarizes
+          viewWorking.toSeq
         // delta entries write only their changed buckets; bucketed
         // tables touched any other way (DDL batch, hooks) keep the
         // bucketed layout via a full bucket rewrite
@@ -386,6 +425,15 @@ final class CdcStreamEngine(
 }
 
 object CdcStreamEngine {
+  /** A live materialized aggregate over a replicated table: GROUP BY
+    * `groupCol` with COUNT + SUM(`value`), maintained per micro-batch
+    * by [[graft.apply.IncrementalAgg]] deltas and published
+    * atomically with the source table's version. `value` receives a
+    * column resolver (see [[IncrementalAgg.delta]]). */
+  final case class AggView(
+      source: TableId, view: TableId, groupCol: String,
+      value: (String => org.apache.spark.sql.Column) => org.apache.spark.sql.Column)
+
   /** Engine with the full in-stream DDL interpreter wired in (A8). */
   def withDdl(spark: SparkSession, registry: SchemaRegistry, store: TableStore,
               ignoredSchemas: Set[String] = Set.empty,

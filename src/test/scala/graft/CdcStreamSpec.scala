@@ -338,4 +338,66 @@ class CdcStreamSpec extends SparkSpec {
     run(engine, spool, ckpt)
     assert(state(store).collect { case Row(1L, _, b) => b } == Seq(11.0))
   }
+
+  test("maintained aggregate view tracks the stream and commits with its table") {
+    // own store: the view test needs a grouping column
+    val schema = StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("seg", StringType),
+      StructField("c_acctbal", DoubleType)))
+    val root = Files.createTempDirectory("graft-store-").toString
+    val spool = Files.createTempDirectory("graft-spool-").toString
+    val ckpt = Files.createTempDirectory("graft-ckpt-").toString
+    val registry = new SchemaRegistry
+    registry.register(TableMeta(tid, schema, Seq("c_custkey")))
+    val store = new TableStore(spark, root)
+    store.stage(tid, Seq(
+      (1L, "A", 10.0), (2L, "A", 20.0), (3L, "B", 30.0), (4L, "B", 40.0))
+      .toDF("c_custkey", "seg", "c_acctbal"), 0L)
+    store.commit(Map(tid -> 0L))
+    val viewId = TableId("srcdb", "public", "customer_by_seg")
+    val engine = new CdcStreamEngine(spark, registry, store,
+      aggViews = Seq(CdcStreamEngine.AggView(tid, viewId, "seg",
+        r => r("c_acctbal").cast("decimal(18,6)"))))
+
+    def viewState: Seq[(String, Long, BigDecimal)] =
+      store.read(viewId).orderBy("seg")
+        .select(col("seg"), col("cnt"), col("total").cast("decimal(18,6)"))
+        .as[(String, Long, BigDecimal)].collect().toSeq
+    def recomputed: Seq[(String, Long, BigDecimal)] =
+      store.read(tid).groupBy(col("seg"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("c_acctbal").cast("decimal(18,6)")).cast("decimal(18,6)").as("total"))
+        .orderBy("seg")
+        .as[(String, Long, BigDecimal)].collect().toSeq
+
+    // batch 1: patch, insert into a NEW group, delete
+    spoolBatch(
+      (1L, """{"kind":"update","schema":"public","table":"customer",
+        "columnnames":["c_custkey","c_acctbal"],"columnvalues":[1,15.0],
+        "oldkeys":{"keynames":["c_custkey"],"keyvalues":[1]}}"""),
+      (2L, """{"kind":"insert","schema":"public","table":"customer",
+        "columnnames":["c_custkey","seg","c_acctbal"],
+        "columnvalues":[9,"C",5.0]}"""),
+      (3L, """{"kind":"delete","schema":"public","table":"customer",
+        "oldkeys":{"keynames":["c_custkey"],"keyvalues":[4]}}"""))
+      .coalesce(1).write.mode("append").parquet(spool)
+    run(engine, spool, ckpt)
+    assert(viewState == recomputed)
+    assert(viewState.map(_._1) == Seq("A", "B", "C"))
+
+    // batch 2: group MIGRATION (seg A -> B) + a group-emptying delete
+    spoolBatch(
+      (4L, """{"kind":"update","schema":"public","table":"customer",
+        "columnnames":["c_custkey","seg"],"columnvalues":[2,"B"],
+        "oldkeys":{"keynames":["c_custkey"],"keyvalues":[2]}}"""),
+      (5L, """{"kind":"delete","schema":"public","table":"customer",
+        "oldkeys":{"keynames":["c_custkey"],"keyvalues":[9]}}"""))
+      .coalesce(1).write.mode("append").parquet(spool)
+    run(engine, spool, ckpt)
+    assert(viewState == recomputed)
+    assert(!viewState.map(_._1).contains("C"), "emptied group must vanish")
+    // the view's version advances with its source table's commits
+    assert(store.manifest()(viewId.qualified) == store.manifest()(tid.qualified))
+  }
 }
