@@ -654,6 +654,58 @@ object Relational {
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       ORDER BY o_custkey, o_orderkey"""))
 
+  /** Data-expectation report ([[graft.ops.Validation]]): five
+    * row-level checks in ONE partial-aggregable scan plus a
+    * key-uniqueness row (one keyed shuffle) — the pre-publish sanity
+    * gate of any ingest path, N checks ≠ N scans. The uniqueness
+    * check counts both the planted duplicate rows AND the fixture's
+    * own (l_orderkey, l_linenumber) collisions — exactly the kind of
+    * silent assumption-breaker the report exists to surface. */
+  val q38_validate = GraftQuery(
+    "q38_validate",
+    (s, dir) => {
+      import graft.ops.Validation
+      import graft.ops.Validation.Check
+      val li = Tables.lineitem(s, dir)
+      // plant duplicates so the uniqueness row is non-trivial
+      val corpus = li.unionByName(li.filter(pmod(col("l_orderkey"), lit(100)) === 0))
+      val checks = Seq(
+        Check("discount_max_5pct", col("l_discount") <= 0.05),
+        Check("quantity_in_range", col("l_quantity").between(1, 50)),
+        Check("quantity_under_25", col("l_quantity") <= 25),
+        Check("returnflag_domain", col("l_returnflag").isin("A", "N", "R")),
+        Check("shipdate_not_null", col("l_shipdate").isNotNull))
+      Validation.report(corpus, checks)
+        .unionByName(Validation.duplicateSurplus(corpus,
+          Seq("l_orderkey", "l_linenumber"), "pk_unique"))
+        .orderBy(col("check_name"))
+    },
+    Some("""WITH corpus AS (
+        SELECT * FROM lineitem
+        UNION ALL
+        SELECT * FROM lineitem WHERE l_orderkey % 100 = 0),
+      rowchecks AS (
+        SELECT 'discount_max_5pct' AS check_name, SUM(CASE WHEN NOT COALESCE(l_discount <= 0.05, FALSE) THEN 1 ELSE 0 END) AS n_violations, COUNT(*) AS n_rows FROM corpus
+        UNION ALL
+        SELECT 'quantity_in_range', SUM(CASE WHEN NOT COALESCE(l_quantity BETWEEN 1 AND 50, FALSE) THEN 1 ELSE 0 END), COUNT(*) FROM corpus
+        UNION ALL
+        SELECT 'quantity_under_25', SUM(CASE WHEN NOT COALESCE(l_quantity <= 25, FALSE) THEN 1 ELSE 0 END), COUNT(*) FROM corpus
+        UNION ALL
+        SELECT 'returnflag_domain', SUM(CASE WHEN NOT COALESCE(l_returnflag IN ('A','N','R'), FALSE) THEN 1 ELSE 0 END), COUNT(*) FROM corpus
+        UNION ALL
+        SELECT 'shipdate_not_null', SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END), COUNT(*) FROM corpus),
+      grouped AS (
+        SELECT l_orderkey, l_linenumber, COUNT(*) AS k FROM corpus GROUP BY 1, 2),
+      pk AS (
+        SELECT 'pk_unique' AS check_name,
+          COALESCE(SUM(k - 1), 0) AS n_violations,
+          COALESCE(SUM(k), 0) AS n_rows
+        FROM grouped)
+      SELECT check_name, CAST(n_violations AS BIGINT) AS n_violations,
+             CAST(n_rows AS BIGINT) AS n_rows
+      FROM (SELECT * FROM rowchecks UNION ALL SELECT * FROM pk)
+      ORDER BY check_name"""))
+
   /** Correlated-subquery surface, run through `spark.sql` so Catalyst's
     * subquery decorrelation does the planning: EXISTS and NOT EXISTS
     * (rewritten to semi/anti joins) plus a correlated scalar COUNT
@@ -969,5 +1021,5 @@ object Relational {
     q22_range_join, q23_rollup, q24_pivot, q25_rolling, q26_cube,
     q27_intersect, q28_window_funcs, q29_exists, q30_grouping_sets,
     q31_lateral, q32_percentiles, q33_recursive, q34_zorder,
-    q35_asof_forward, q36_overlap_join, q37_skip_scan)
+    q35_asof_forward, q36_overlap_join, q37_skip_scan, q38_validate)
 }

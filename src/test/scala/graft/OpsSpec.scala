@@ -850,6 +850,27 @@ class OpsSpec extends SparkSpec {
     assert(out == Seq((1L, 1000000L), (2L, 1000000L), (3L, 0L)))
   }
 
+  test("Validation.report: one pass, null verdicts are violations; surplus counts dups") {
+    import graft.ops.Validation
+    import graft.ops.Validation.Check
+    val df = Seq[(java.lang.Long, java.lang.Double)](
+      (1L, 5.0), (2L, 50.0), (3L, null), (3L, 2.0), (1L, 1.0))
+      .toDF("k", "v")
+    val rep = Validation.report(df, Seq(
+      Check("v_small", col("v") <= 10),   // 50.0 fails, null fails → 2
+      Check("v_notnull", col("v").isNotNull))) // 1 violation
+      .orderBy("check_name")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(rep == Seq(("v_notnull", 1L, 5L), ("v_small", 2L, 5L)))
+    val surplus = Validation.duplicateSurplus(df, Seq("k"), "k_unique")
+      .as[(String, Long, Long)].collect().head
+    assert(surplus == (("k_unique", 2L, 5L))) // keys 1 and 3 doubled
+    // empty input: zero rows, zero violations, no null sums
+    val empty = Validation.duplicateSurplus(df.filter(col("k") > 99), Seq("k"), "e")
+      .as[(String, Long, Long)].collect().head
+    assert(empty == (("e", 0L, 0L)))
+  }
+
   test("logHistogram: small values exact, bucket lower bound within 2^-subBits") {
     import graft.ops.Sketches
     val m = 4
