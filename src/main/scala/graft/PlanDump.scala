@@ -56,7 +56,19 @@ object PlanDump {
     "td_blocklist_scrub" ->
       "Bloom-prefiltered scrub: the bypass branch (bloom-negative rows, the overwhelming majority at scale) reaches the union with NO join node at all; the residual branch broadcasts the blocklist into one BroadcastHashJoin LeftAnti — the corpus side never shuffles.",
     "td_heavy_hitters" ->
-      "Exact heavy hitters: the count-min build aggregates map-side partial into at most d*w cells per task before one tiny exchange; the exact count then aggregates only estimate-thresholded candidate occurrences — the full vocabulary never shuffles.")
+      "Exact heavy hitters: the count-min build aggregates map-side partial into at most d*w cells per task before one tiny exchange; the exact count then aggregates only estimate-thresholded candidate occurrences — the full vocabulary never shuffles.",
+    "ev_funnel" ->
+      "N-step funnel over ONE user-keyed window exchange: every cascaded min(when(step)) aggregate shares the same partitioning (a funnel must not shuffle once per step); the step-type IN filter is pushed into the events parquet scan.",
+    "cdc_incr_agg" ->
+      "Incremental materialized-aggregate maintenance: the ENGINE's work is the seed aggregate plus the pre-image join (cost proportional to the BATCH, not the table) — PlanAuditSpec pins the op in isolation to exactly 2 table scans; the extra scans visible in THIS dump all belong to SyntheticCdc fabricating the change log out of the customer table (fixture, not engine). The per-group delta aggregates map-side partial; the state merge is a null-safe join on the handful of group rows. The recompute this replaces (a full-table GROUP BY per batch) is what the DuckDB oracle runs.",
+    "td_quantiles_by_value" ->
+      "Exact percentile-disc without a corpus sort: counts per (group, value) aggregate map-side partial (output bounded by distinct values), and the rank walk runs on that small table's cumulative window — the per-group full row sort of the rank formulation never happens.",
+    "td_quantile_sketch" ->
+      "Log-histogram quantile sketch registers: radix-2 integer bucket map in a narrow projection, then one map-side-combinable count aggregation into at most (65-subBits)*2^subBits cells per group — fixed state at any corpus size, mergeable by adding counts, streamable unchanged.",
+    "td_domain_mix" ->
+      "Target-proportion mix: domain counts aggregate map-side into |domains| rows, the feasible-total min is a 1-row frame, and the derived keep rates broadcast back — the corpus itself sees a single narrow hash filter, no shuffle.",
+    "q38_validate" ->
+      "Data-expectation gate: all five row-level checks evaluate in ONE partial-aggregable scan (conditional sums in the same aggregate); only the key-uniqueness surplus pays a keyed shuffle, map-side combined.")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
