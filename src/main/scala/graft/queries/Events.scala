@@ -139,6 +139,70 @@ object Events {
         ON g.user_id = o.user_id AND g.slot = o.slot
       ORDER BY g.user_id, slot_us"""))
 
+  /** Funnel WITHIN gap-based sessions — the two operators composed:
+    * sessions assigned over the user's FULL activity (2-hour
+    * gaps, q15's lag+cumsum shape), then the ordered
+    * view→click→purchase progression evaluated per (user, session)
+    * by the same cascaded-window funnel. Output: sessions per funnel
+    * depth. One user-keyed exchange drives both the session
+    * numbering and (after re-keying by session) the funnel windows. */
+  val ev_session_funnel = GraftQuery(
+    "ev_session_funnel",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wOrder = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val sess = Tables.events(s, dir)
+        .withColumn("new_session",
+          when(unix_micros(col("ts")) -
+            unix_micros(lag(col("ts"), 1).over(wOrder)) > 7200000000L, 1)
+            .otherwise(0))
+        .withColumn("sk",
+          concat(col("user_id").cast("string"), lit("#"),
+            sum(col("new_session")).over(
+              wOrder.rowsBetween(Window.unboundedPreceding,
+                Window.currentRow)).cast("string")))
+      val per = EventAnalytics.funnel(sess, "sk", "ts", "event_type",
+        funnelSteps)
+      per.select(
+        when(col("step_3_ts").isNotNull, 3)
+          .when(col("step_2_ts").isNotNull, 2).otherwise(1).as("depth"))
+        .groupBy(col("depth"))
+        .agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("depth"))
+    },
+    Some("""WITH flagged AS (
+        SELECT user_id, event_id, ts, event_type,
+          CASE WHEN EPOCH_US(ts) - EPOCH_US(lag(ts, 1) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id)) > 7200000000
+               THEN 1 ELSE 0 END AS new_session
+        FROM events),
+      sess AS (
+        SELECT user_id, ts, event_type,
+          CAST(user_id AS VARCHAR) || '#' || CAST(
+            SUM(new_session) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS VARCHAR)
+            AS sk
+        FROM flagged),
+      f AS (SELECT * FROM sess
+            WHERE event_type IN ('view', 'click', 'purchase')),
+      s1 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts END)
+          OVER (PARTITION BY sk) AS t1 FROM f),
+      s2 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+          OVER (PARTITION BY sk) AS t2 FROM s1),
+      s3 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+          OVER (PARTITION BY sk) AS t3 FROM s2),
+      per AS (
+        SELECT DISTINCT sk, t1, t2, t3 FROM s3 WHERE t1 IS NOT NULL)
+      SELECT CASE WHEN t3 IS NOT NULL THEN 3
+                  WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS depth,
+        COUNT(*) AS n_sessions
+      FROM per GROUP BY 1 ORDER BY depth"""))
+
   def all: Seq[GraftQuery] = Seq(
-    ev_funnel, ev_funnel_counts, ev_retention, ev_gapfill)
+    ev_funnel, ev_funnel_counts, ev_retention, ev_gapfill,
+    ev_session_funnel)
 }
