@@ -112,6 +112,66 @@ object EventAnalytics {
       .agg(countDistinct(col(userCol)).as("n_users"))
   }
 
+  /** Exact trailing-window distinct keys per period (daily active
+    * users over a rolling week, etc.). The input collapses FIRST to
+    * distinct (period, key) pairs — one map-side-combinable dedup,
+    * |periods·keys| ≪ |events| — then each pair fans out to the
+    * `windowPeriods` window-ends it belongs to (narrow ×w explode)
+    * and one distinct-count shuffle finishes. Periods absent from
+    * the data get no row (a window end is only reported where
+    * activity exists).
+    *
+    * At true 100 TB key cardinality even the pair grid can dominate —
+    * that is what [[rollingDistinctHll]] is for: same window
+    * semantics, fixed 2^p state per period.
+    */
+  def rollingDistinct(events: DataFrame, keyCol: String, tsCol: String,
+                      periodSec: Long, windowPeriods: Int): DataFrame = {
+    val us = periodSec * 1000000L
+    val pairs = events
+      .select(floor(unix_micros(col(tsCol)) / us).as("__p"),
+        col(keyCol).as("__k"))
+      .distinct()
+    val present = pairs.select(col("__p").as("period")).distinct()
+    pairs
+      .select(explode(sequence(col("__p"),
+        col("__p") + (windowPeriods - 1))).as("period"), col("__k"))
+      .join(present, Seq("period"), "left_semi")
+      .groupBy(col("period"))
+      .agg(countDistinct(col("__k")).as("n_distinct"))
+  }
+
+  /** Trailing-window distinct via per-period HLL registers: each
+    * period keeps a ≤ 2^p register table (map-side-combinable,
+    * [[Sketches.hllRegistersBy]]), and a window's sketch is the
+    * element-wise MAX of its periods' registers — the unionability
+    * that makes rolling distinct O(periods · 2^p) state instead of
+    * O(periods · keys). Registers are md5-derived and deterministic,
+    * so the OUTPUT of this op is exact and cross-engine oracled; only
+    * the final cardinality readout ([[Sketches.hllEstimate]]) is
+    * approximate, within the published 1.04/√m.
+    *
+    * @return (period, j, rank) — the merged register table per
+    *         window-end period
+    */
+  def rollingDistinctHll(events: DataFrame, keyCol: String, tsCol: String,
+                         periodSec: Long, windowPeriods: Int,
+                         p: Int): DataFrame = {
+    val us = periodSec * 1000000L
+    val keyed = events.select(
+      floor(unix_micros(col(tsCol)) / us).as("__p"),
+      col(keyCol).cast("string").as("__k"))
+    val regs = Sketches.hllRegistersBy(keyed, Seq("__p"), "__k", p)
+    val present = regs.select(col("__p").as("period")).distinct()
+    regs
+      .select(explode(sequence(col("__p"),
+        col("__p") + (windowPeriods - 1))).as("period"),
+        col("j"), col("rank"))
+      .join(present, Seq("period"), "left_semi")
+      .groupBy(col("period"), col("j"))
+      .agg(max(col("rank")).as("rank"))
+  }
+
   /** Gap-fill a per-key time series onto a regular `stepSec` grid,
     * carrying the last observation forward into empty slots. Each key
     * gets every grid slot between its own first and last event;

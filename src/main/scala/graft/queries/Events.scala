@@ -202,7 +202,60 @@ object Events {
         COUNT(*) AS n_sessions
       FROM per GROUP BY 1 ORDER BY depth"""))
 
+  /** Rolling 7-day distinct users per day, EXACT
+    * ([[EventAnalytics.rollingDistinct]]): distinct (day, user)
+    * pairs fan out to the window-ends they cover — never a
+    * per-window rescan of the events. */
+  val ev_rolling_distinct = GraftQuery(
+    "ev_rolling_distinct",
+    (s, dir) => {
+      EventAnalytics.rollingDistinct(Tables.events(s, dir), "user_id",
+        "ts", periodSec = 86400L, windowPeriods = 7)
+        .orderBy(col("period"))
+    },
+    Some("""WITH pairs AS (
+        SELECT DISTINCT EPOCH_US(ts) // 86400000000 AS p, user_id
+        FROM events),
+      present AS (SELECT DISTINCT p FROM pairs),
+      fanned AS (
+        SELECT p + x AS period, user_id
+        FROM pairs CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS x))
+      SELECT f.period, COUNT(DISTINCT f.user_id) AS n_distinct
+      FROM fanned f JOIN present ON f.period = present.p
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** The same rolling window as mergeable HLL state
+    * ([[EventAnalytics.rollingDistinctHll]], p=6): per-day register
+    * tables merged by element-wise max across the trailing week —
+    * O(days·2^p) state instead of O(days·users). The register table
+    * itself is deterministic and hash-matched cross-engine; the
+    * approximate part (the cardinality readout) is spec-bounded. */
+  val ev_rolling_distinct_hll = GraftQuery(
+    "ev_rolling_distinct_hll",
+    (s, dir) => {
+      EventAnalytics.rollingDistinctHll(Tables.events(s, dir), "user_id",
+        "ts", periodSec = 86400L, windowPeriods = 7, p = 6)
+        .orderBy(col("period"), col("j"))
+    },
+    Some("""WITH d AS (
+        SELECT EPOCH_US(ts) // 86400000000 AS p,
+          ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15))::BIGINT AS h
+        FROM events),
+      regs AS (
+        SELECT p, h >> 54 AS j,
+          MAX(CASE WHEN (h & ((1::BIGINT << 54) - 1)) = 0 THEN 55
+                ELSE 55 - length(ltrim(bin(h & ((1::BIGINT << 54) - 1)),
+                  '0')) END) AS rank
+        FROM d GROUP BY 1, 2),
+      present AS (SELECT DISTINCT p FROM regs),
+      fanned AS (
+        SELECT p + x AS period, j, rank
+        FROM regs CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS x))
+      SELECT f.period, f.j, MAX(f.rank) AS rank
+      FROM fanned f JOIN present ON f.period = present.p
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   def all: Seq[GraftQuery] = Seq(
     ev_funnel, ev_funnel_counts, ev_retention, ev_gapfill,
-    ev_session_funnel)
+    ev_session_funnel, ev_rolling_distinct, ev_rolling_distinct_hll)
 }

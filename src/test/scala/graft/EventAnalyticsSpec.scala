@@ -107,6 +107,44 @@ class EventAnalyticsSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(!out.contains((p1, 1L)))
   }
 
+  test("rollingDistinct ≡ brute force; HLL rolling registers ≡ merged per-day sketches") {
+    import graft.ops.Sketches
+    val rnd = new scala.util.Random(23)
+    val day = 86400L
+    // 40 users active on random days over 3 weeks
+    val rows = (1 to 400).map { _ =>
+      (rnd.nextInt(40).toLong + 1, rnd.nextInt(21).toLong * day + rnd.nextInt(1000), "e", 0.0)
+    }
+    val df = ev(rows: _*)
+    val w = 7
+    val exact = EventAnalytics.rollingDistinct(df, "user_id", "ts", day, w)
+      .as[(Long, Long)].collect().toMap
+    // brute force over the same integer day arithmetic
+    val dayOf = (sec: Long) => (base / 1000 + sec) / day
+    val pairs = rows.map(r => (dayOf(r._2), r._1)).distinct
+    val present = pairs.map(_._1).distinct
+    present.foreach { p =>
+      val want = pairs.filter(x => x._1 >= p - (w - 1) && x._1 <= p).map(_._2).distinct.size
+      assert(exact(p) == want.toLong, s"period $p")
+    }
+    assert(exact.keySet == present.toSet)
+
+    val hll = EventAnalytics.rollingDistinctHll(df, "user_id", "ts", day, w, p = 6)
+    val oneDay = present.max
+    val mergedRows = hll.filter(col("period") === oneDay)
+      .select("j", "rank").as[(Long, Int)].collect().toSeq.sorted
+    val direct = Sketches.hllRegisters(
+      pairs.filter(x => x._1 >= oneDay - (w - 1) && x._1 <= oneDay)
+        .map(_._2.toString).distinct.toDF("k"), "k", 6)
+      .as[(Long, Int)].collect().toSeq.sorted
+    assert(mergedRows == direct)
+    // the readout lands near the exact count (m=64 → σ≈13%; data is fixed)
+    val est = Sketches.hllEstimate(
+      hll.filter(col("period") === oneDay).select("j", "rank"), 6)
+    val ex = exact(oneDay).toDouble
+    assert(math.abs(est - ex) / ex < 0.5, s"est=$est exact=$ex")
+  }
+
   test("gapFillForwardFill: empty slots carry the last observation; ties break on tieCol") {
     val df = Seq(
       (1L, ts(0), "a", 10.0, 100L),
