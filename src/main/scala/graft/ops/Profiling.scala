@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** One-pass data profiling — the pipeline-health scan a 100 TB ingest
@@ -46,4 +46,52 @@ object Profiling {
     * the wide-profile / full-scale variant. */
   def profileApprox(df: DataFrame, cols: Seq[String]): DataFrame =
     stacked(df, cols, exact = false)
+
+  /** Mergeable sufficient statistics for simple linear regression of
+    * `yCol` on `xCol`, per group: (n, Σx, Σy, Σx², Σxy, Σy²) plus the
+    * derived slope, intercept, and Pearson r.
+    *
+    * Scale shape: the six statistics are all sums/counts — map-side
+    * combinable monoids — so the whole fit is ONE streaming pass and
+    * one partial-aggregated shuffle, no matter the table size; and
+    * because sums merge, per-partition (or per-day) stats roll up into
+    * global ones without revisiting the data. The sums are exact
+    * DECIMAL arithmetic (cross-engine deterministic); the derived
+    * coefficients are IEEE-double expressions over those exact sums,
+    * so they too are bit-identical wherever the expression order
+    * matches. Rows with a NULL x or y are excluded (the SQL
+    * regr_slope convention). */
+  def sufficientStats(df: DataFrame, groupCols: Seq[String],
+                      xCol: String, yCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "sufficientStats needs group columns")
+    val x = col(xCol).cast("decimal(18,6)")
+    val y = col(yCol).cast("decimal(18,6)")
+    def prod(a: Column, b: Column) =
+      (a * b).cast("decimal(38,12)")
+    def sumProd(a: Column, b: Column) =
+      sum(prod(a, b)).cast("decimal(30,6)").cast("double")
+    val stats = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).cast("double").as("sum_x"),
+        sum(y).cast("double").as("sum_y"),
+        sumProd(x, x).as("sum_xx"),
+        sumProd(x, y).as("sum_xy"),
+        sumProd(y, y).as("sum_yy"))
+    // covariance/variance numerators, scaled by n (no division yet).
+    // Degenerate groups (zero variance — e.g. a single point) get NULL
+    // coefficients, the SQL regr_slope convention; the guard also keeps
+    // ANSI mode from raising on the 0/0.
+    val covXY = col("n") * col("sum_xy") - col("sum_x") * col("sum_y")
+    val varX = col("n") * col("sum_xx") - col("sum_x") * col("sum_x")
+    val varY = col("n") * col("sum_yy") - col("sum_y") * col("sum_y")
+    stats
+      .withColumn("slope", when(varX =!= 0.0, covXY / varX))
+      .withColumn("intercept",
+        (col("sum_y") - col("slope") * col("sum_x")) / col("n"))
+      .withColumn("r", when(varX =!= 0.0 && varY =!= 0.0,
+        covXY / (sqrt(varX) * sqrt(varY))))
+  }
 }

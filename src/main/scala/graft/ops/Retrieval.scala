@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sparse text retrieval — inverted index, BM25 top-k, and
+  * reciprocal-rank fusion for hybrid (sparse + dense) search. The
+  * training-data uses: "more-like-this" retrieval for targeted
+  * dedup/decontamination sweeps, and quality-weighted selection of
+  * documents matching a seed set.
+  *
+  * Scale shape: the inverted index is one explode + one keyed agg;
+  * scoring equi-joins the (small, broadcast) query-term list against
+  * the posting table, so only documents sharing at least one query
+  * term are ever touched — candidate set ≪ corpus, never a scan per
+  * query. Corpus-level constants (N docs, total tokens) are a 1-row
+  * aggregate cross-joined (broadcast) into the scoring expression.
+  * Per-query top-k is a window over scored candidates only.
+  *
+  * Determinism: scores are integer ppm. BM25's k1=1.2, b=0.75 are
+  * rationals, so with idf in its log-free "probabilistic" form
+  * ((N - df + ½)/(df + ½), Robertson-Sparck-Jones without the log)
+  * the whole per-term contribution is a ratio of exact integers; it
+  * is evaluated in IEEE doubles (every operand integer-exact below
+  * 2^53, every op correctly rounded, same expression order both
+  * engines) and floored to ppm. Summing the per-term BIGINT ppm is
+  * then order-free — cross-engine hash-identical, the td_tfidf
+  * discipline.
+  */
+object Retrieval {
+
+  /** Posting table: one row per (term, id) with term frequency `tf`
+    * and the document's token length `dl`. Whitespace tokenization —
+    * the same `\s+` split as [[TextAnalysis]] / the DuckDB oracles.
+    * Empty documents are dropped (they can never match a query). */
+  def invertedIndex(docs: DataFrame, idCol: String,
+                    textCol: String): DataFrame =
+    docs.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("id"),
+        split(trim(col(textCol)), "\\s+").as("toks"))
+      .select(col("id"), size(col("toks")).as("dl"),
+        explode(col("toks")).as("term"))
+      .groupBy("term", "id", "dl").agg(count(lit(1)).as("tf"))
+
+  /** BM25 per-term contribution in integer ppm, k1 = 1.2, b = 0.75.
+    * With T = total corpus tokens and N = doc count (so avgdl = T/N):
+    *
+    *   tfNorm = tf·(k1+1) / (tf + k1·(1 − b + b·dl·N/T))
+    *          = 44·T·tf / (20·T·tf + 6·T + 18·dl·N)   (×20T/20T)
+    *   idf    = (N − df + ½)/(df + ½) = (2N − 2df + 1)/(2df + 1)
+    *
+    * Mirrored verbatim (operand order included) in the SQL oracle. */
+  private def contributionPpm: Column = {
+    val idf = (lit(2.0) * col("n_docs") - lit(2.0) * col("df") + lit(1.0)) /
+      (lit(2.0) * col("df") + lit(1.0))
+    val tfNorm = (lit(44.0) * col("t_tokens") * col("tf")) /
+      (lit(20.0) * col("t_tokens") * col("tf") +
+        lit(6.0) * col("t_tokens") + lit(18.0) * col("dl") * col("n_docs"))
+    floor(lit(1000000.0) * idf * tfNorm).cast("long")
+  }
+
+  /** BM25 top-k: score every corpus document sharing a term with the
+    * query, rank per query by (score desc, id asc), keep `k`.
+    * Query term frequency is ignored (binary query model — the
+    * standard simplification); a query matching nothing returns no
+    * rows for that query id.
+    *
+    * @return (query_id, rank, id, score_ppm) */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queries: DataFrame, qidCol: String, qtextCol: String,
+               k: Int, excludeSelf: Boolean = false): DataFrame = {
+    val idx = invertedIndex(docs, idCol, textCol)
+    val consts = idx.groupBy("id").agg(first(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_tokens"))
+    val df_ = idx.groupBy("term").agg(count(lit(1)).as("df"))
+    val qTerms = broadcast(
+      queries.filter(length(trim(col(qtextCol))) > 0)
+        .select(col(qidCol).as("query_id"),
+          explode(split(trim(col(qtextCol)), "\\s+")).as("term"))
+        .distinct())
+    val cand = qTerms.join(idx, "term").join(df_, "term")
+      .crossJoin(broadcast(consts))
+    val scored0 = cand.withColumn("c_ppm", contributionPpm)
+    val scored =
+      (if (excludeSelf) scored0.filter(col("id") =!= col("query_id"))
+       else scored0)
+        .groupBy(col("query_id"), col("id"))
+        .agg(sum(col("c_ppm")).as("score_ppm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_ppm").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id"), col("score_ppm"))
+  }
+
+  /** Reciprocal-rank fusion: each input is a per-query ranking
+    * (query_id, id, rank); a document's fused score is
+    * Σ 1000000 ÷ (rrfK + rank) over the lists it appears in (integer
+    * division — exact cross-engine), missing-from-a-list contributes
+    * nothing. The standard hybrid-search merge (Cormack et al. 2009):
+    * rank-based, so the sparse and dense scores never need to be on
+    * comparable scales. One union + one keyed agg + one window.
+    *
+    * @return (query_id, rank, id, rrf_score) — top `k` per query */
+  def reciprocalRankFusion(rankings: Seq[DataFrame], k: Int,
+                           rrfK: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    val contrib = rankings
+      .map(_.select(col("query_id"), col("id"),
+        (lit(1000000L) / (lit(rrfK.toLong) + col("rank").cast("long")))
+          .cast("long").as("c")))
+      .reduce(_ unionByName _)
+    val fused = contrib.groupBy(col("query_id"), col("id"))
+      .agg(sum(col("c")).as("rrf_score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_score").desc, col("id"))
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id"), col("rrf_score"))
+  }
+}

@@ -255,7 +255,68 @@ object Events {
       FROM fanned f JOIN present ON f.period = present.p
       GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** Last-touch attribution: each purchase is credited to the latest
+    * view/click by the same user within a 3-day lookback — the as-of
+    * join ([[graft.ops.AsOfJoin]], one union + keyed window scan, no
+    * θ-join blowup) with its tolerance mask doing the lookback;
+    * purchases with no in-window touch land in channel 'none'.
+    * Tolerance-as-post-mask is exact here because lookback eligibility
+    * is monotone in the touch timestamp: if the NEAREST touch is
+    * outside the window, every older one is too. Output per channel:
+    * conversions, exact-decimal revenue, and total touch→purchase lag
+    * (integer µs, so the hash can't split on float formatting). */
+  val ev_attribution = GraftQuery(
+    "ev_attribution",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val conv = ev.filter(col("event_type") === "purchase")
+        .drop("event_type")
+      val touch = ev.filter(col("event_type").isin("view", "click"))
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+      val lookbackUs = 3L * 86400 * 1000000
+      graft.ops.AsOfJoin.asOf(conv, touch,
+        keys = Seq("user_id"), tsCol = "ts", tieCol = "event_id",
+        rightVals = Seq("event_type", "ts"),
+        tolerance = Some((l, r) =>
+          unix_micros(l) - unix_micros(r) <= lookbackUs))
+        .select(
+          coalesce(col("event_type_asof"), lit("none")).as("channel"),
+          col("value"),
+          (unix_micros(col("ts")) - unix_micros(col("ts_asof")))
+            .as("lag_us"))
+        .groupBy(col("channel"))
+        .agg(
+          count(lit(1)).as("conversions"),
+          sum(col("value").cast("decimal(18,6)")).cast("double")
+            .as("revenue"),
+          sum(col("lag_us")).as("total_lag_us"))
+        .orderBy(col("channel"))
+    },
+    Some("""WITH c AS (
+        SELECT event_id, ts, user_id, value FROM events
+        WHERE event_type = 'purchase'),
+      t AS (
+        SELECT user_id, ts AS t_ts, event_id AS t_id,
+          event_type AS t_type
+        FROM events WHERE event_type IN ('view', 'click')),
+      j AS (
+        SELECT c.event_id, c.value, c.ts, t.t_type, t.t_ts,
+          row_number() OVER (PARTITION BY c.event_id
+            ORDER BY t.t_ts DESC, t.t_id DESC) AS rn
+        FROM c LEFT JOIN t
+          ON c.user_id = t.user_id AND t.t_ts <= c.ts
+          AND EPOCH_US(c.ts) - EPOCH_US(t.t_ts) <= 259200000000)
+      SELECT COALESCE(t_type, 'none') AS channel,
+        COUNT(*) AS conversions,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        CAST(SUM(EPOCH_US(ts) - EPOCH_US(t_ts)) AS BIGINT) AS total_lag_us
+      FROM j WHERE rn = 1 GROUP BY 1 ORDER BY 1"""))
+
   def all: Seq[GraftQuery] = Seq(
     ev_funnel, ev_funnel_counts, ev_retention, ev_gapfill,
-    ev_session_funnel, ev_rolling_distinct, ev_rolling_distinct_hll)
+    ev_session_funnel, ev_rolling_distinct, ev_rolling_distinct_hll,
+    ev_attribution)
 }

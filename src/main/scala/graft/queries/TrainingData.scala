@@ -473,6 +473,46 @@ object TrainingData {
         CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR) FROM documents
       ORDER BY col_name"""))
 
+  /** Grouped linear-regression sufficient statistics
+    * ([[graft.ops.Profiling.sufficientStats]]): per return flag, fit
+    * extendedprice on quantity in ONE map-side-combinable pass —
+    * exact-decimal (n, Σx, Σy, Σx², Σxy, Σy²) plus IEEE-double
+    * slope/intercept/r derived from those sums. The mergeable-sums
+    * shape is what lets per-shard stats roll up at 100 TB. */
+  val td_sufficient_stats = GraftQuery(
+    "td_sufficient_stats",
+    (s, dir) => {
+      Profiling.sufficientStats(Tables.lineitem(s, dir),
+        Seq("l_returnflag"), "l_quantity", "l_extendedprice")
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""WITH s AS (
+        SELECT l_returnflag,
+          COUNT(*) AS n,
+          CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))) AS VARCHAR) AS DOUBLE) AS sum_x,
+          CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6))) AS VARCHAR) AS DOUBLE) AS sum_y,
+          CAST(CAST(CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(19,6)) *
+              CAST(l_quantity AS DECIMAL(19,6)) AS DECIMAL(38,12)))
+            AS DECIMAL(30,6)) AS VARCHAR) AS DOUBLE) AS sum_xx,
+          CAST(CAST(CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(19,6)) *
+              CAST(l_extendedprice AS DECIMAL(19,6)) AS DECIMAL(38,12)))
+            AS DECIMAL(30,6)) AS VARCHAR) AS DOUBLE) AS sum_xy,
+          CAST(CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(19,6)) *
+              CAST(l_extendedprice AS DECIMAL(19,6)) AS DECIMAL(38,12)))
+            AS DECIMAL(30,6)) AS VARCHAR) AS DOUBLE) AS sum_yy
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        GROUP BY l_returnflag)
+      SELECT l_returnflag, n, sum_x, sum_y, sum_xx, sum_xy, sum_yy,
+        (n * sum_xy - sum_x * sum_y) /
+          (n * sum_xx - sum_x * sum_x) AS slope,
+        (sum_y - ((n * sum_xy - sum_x * sum_y) /
+          (n * sum_xx - sum_x * sum_x)) * sum_x) / n AS intercept,
+        (n * sum_xy - sum_x * sum_y) /
+          (sqrt(n * sum_xx - sum_x * sum_x) *
+           sqrt(n * sum_yy - sum_y * sum_y)) AS r
+      FROM s ORDER BY l_returnflag"""))
+
   /** Quality-aware dedup ([[graft.ops.Dedup.dedupCorpusBy]]): same
     * planted corpus as [[td_dedup_survivors]], but the cluster
     * winner is the LONGEST member (score = text length), so the
@@ -2457,5 +2497,5 @@ object TrainingData {
     td_split_leakage_safe, td_pii_scrub,
     td_media_meta, td_media_frames, td_media_features,
     td_quality_repetition, td_semdedup, td_epoch_shuffle, td_profile,
-    td_chunk_embed, td_mean_pool)
+    td_sufficient_stats, td_chunk_embed, td_mean_pool)
 }

@@ -121,4 +121,25 @@ class AsOfJoinSpec extends SparkSpec {
       .as[(Long, Option[Long])].collect().toMap
     assert(got == theta)
   }
+
+  test("last-touch attribution shape: in-window nearest wins, tie by id, " +
+    "out-of-window masks to none") {
+    // touches (right): user a has a view@100 and click@200 (equal-ts
+    // pair at 200 tie-breaks to the larger id); user b's only touch is
+    // far outside the 50 s lookback
+    val conv = side((90L, "a", 210L, 9.0), (91L, "b", 500L, 5.0))
+    val touch = Seq(
+      (1L, "a", 100L, "view"), (2L, "a", 200L, "view"),
+      (3L, "a", 200L, "click"), (4L, "b", 100L, "view"))
+      .toDF("event_id", "k", "sec", "event_type")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+    val out = AsOfJoin.asOf(conv, touch, Seq("k"), "ts", "event_id",
+      Seq("event_type"),
+      tolerance = Some((l, r) => unix_micros(l) - unix_micros(r) <= 50000000L))
+      .select(col("event_id"),
+        coalesce(col("event_type_asof"), lit("none")).as("channel"))
+      .as[(Long, String)].collect().toMap
+    assert(out(90L) == "click") // nearest ts 200, tie → id 3 (click)
+    assert(out(91L) == "none")  // touch@100 is 400 s back — masked
+  }
 }

@@ -934,4 +934,39 @@ class OpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("sufficientStats: exact fit on a planted line; shard sums merge") {
+    val df = Seq(
+      ("a", Some(1.0), 3.0), ("a", Some(2.0), 5.0),
+      ("a", Some(3.0), 7.0),                       // y = 2x + 1
+      ("b", Some(1.0), 4.0), ("b", Some(2.0), 4.0), // flat: slope 0
+      ("b", None, 9.0))                             // null x dropped
+      .toDF("g", "x", "y")
+    val r = graft.ops.Profiling.sufficientStats(df, Seq("g"), "x", "y")
+      .orderBy("g").collect()
+    val a = r(0)
+    assert(a.getLong(1) == 3 && a.getDouble(2) == 6.0 && a.getDouble(3) == 15.0)
+    assert(a.getDouble(7) == 2.0, "slope")        // exact: integer arithmetic
+    assert(a.getDouble(8) == 1.0, "intercept")
+    assert(math.abs(a.getDouble(9) - 1.0) < 1e-12, "r on a perfect line")
+    val b = r(1)
+    assert(b.getLong(1) == 2, "null x excluded")
+    assert(b.getDouble(7) == 0.0 && b.getDouble(8) == 4.0)
+    assert(b.isNullAt(9), "r undefined when y has zero variance")
+
+    // mergeability: shard-level sums combine to the full-table sums
+    val full = graft.ops.Profiling
+      .sufficientStats(df.filter(col("g") === "a"), Seq("g"), "x", "y")
+      .select("n", "sum_x", "sum_y", "sum_xx", "sum_xy", "sum_yy")
+      .as[(Long, Double, Double, Double, Double, Double)].head()
+    val shards = Seq(
+      df.filter(col("g") === "a" && col("x") <= 1.5),
+      df.filter(col("g") === "a" && col("x") > 1.5))
+      .map(graft.ops.Profiling.sufficientStats(_, Seq("g"), "x", "y")
+        .select("n", "sum_x", "sum_y", "sum_xx", "sum_xy", "sum_yy")
+        .as[(Long, Double, Double, Double, Double, Double)].head())
+    val merged = shards.reduce((p, q) => (p._1 + q._1, p._2 + q._2,
+      p._3 + q._3, p._4 + q._4, p._5 + q._5, p._6 + q._6))
+    assert(merged == full)
+  }
 }
