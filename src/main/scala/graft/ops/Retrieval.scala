@@ -69,8 +69,13 @@ object Retrieval {
     * @return (query_id, rank, id, score_ppm) */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                queries: DataFrame, qidCol: String, qtextCol: String,
-               k: Int, excludeSelf: Boolean = false): DataFrame = {
-    val idx = invertedIndex(docs, idCol, textCol)
+               k: Int, excludeSelf: Boolean = false,
+               index: Option[DataFrame] = None): DataFrame = {
+    // the index feeds both df-counting and scoring — materialize once
+    // (a production pipeline builds it once with [[invertedIndex]],
+    // writes it bucketed by term, and passes it via `index`)
+    val idx = index.getOrElse(
+      invertedIndex(docs, idCol, textCol).localCheckpoint())
     val consts = idx.groupBy("id").agg(first(col("dl")).as("dl"))
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_tokens"))
     val df_ = idx.groupBy("term").agg(count(lit(1)).as("df"))

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{GraftQuery, Tables}
-import graft.ops.{BloomJoin, Dedup, Multimodal, Pipeline, Profiling, Sampling, Similarity, Sketches, TextAnalysis}
+import graft.ops.{BloomJoin, Dedup, Multimodal, Pipeline, Profiling, Retrieval, Sampling, Similarity, Sketches, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1580,6 +1580,135 @@ object TrainingData {
         FROM tf JOIN df USING (term) CROSS JOIN nd)
       WHERE rank <= 3 ORDER BY doc_id, rank"""))
 
+  /** BM25 top-k retrieval ([[Retrieval.bm25TopK]]): posting-list
+    * equi-join on query terms (candidates ≪ corpus), log-free
+    * rational idf so every score is an exact integer ppm — fully
+    * cross-engine oracled including the scores, not just the ranks. */
+  val td_bm25 = GraftQuery(
+    "td_bm25",
+    (s, dir) => {
+      import s.implicits._
+      val queries = Seq(
+        (1L, "hash join merge"), (2L, "stream window agg"),
+        (3L, "customer order query table")).toDF("query_id", "qtext")
+      Retrieval.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
+        queries, "query_id", "qtext", k = 10)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some("""WITH d AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        FROM documents WHERE length(trim(text)) > 0),
+      idx AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM d),
+      p AS (SELECT term, doc_id, dl, COUNT(*) AS tf
+            FROM idx GROUP BY 1, 2, 3),
+      dfreq AS (SELECT term, COUNT(*) AS df FROM p GROUP BY 1),
+      nd AS (SELECT COUNT(*) AS n_docs,
+               CAST(SUM(len(t)) AS BIGINT) AS t_tokens FROM d),
+      q AS (SELECT * FROM (VALUES (1, 'hash join merge'),
+              (2, 'stream window agg'),
+              (3, 'customer order query table')) AS v(query_id, qtext)),
+      qt AS (SELECT DISTINCT query_id, term FROM (
+              SELECT query_id,
+                unnest(string_split_regex(trim(qtext), '\s+')) AS term
+              FROM q)),
+      sc AS (
+        SELECT qt.query_id, p.doc_id,
+          CAST(SUM(CAST(FLOOR(1000000.0 *
+            ((2.0 * nd.n_docs - 2.0 * dfreq.df + 1.0) /
+             (2.0 * dfreq.df + 1.0)) *
+            ((44.0 * nd.t_tokens * p.tf) /
+             (20.0 * nd.t_tokens * p.tf + 6.0 * nd.t_tokens +
+              18.0 * p.dl * nd.n_docs))) AS BIGINT)) AS BIGINT)
+            AS score_ppm
+        FROM qt JOIN p USING (term) JOIN dfreq USING (term)
+        CROSS JOIN nd GROUP BY 1, 2)
+      SELECT CAST(query_id AS BIGINT) AS query_id,
+        CAST(rank AS INTEGER) AS rank, doc_id, score_ppm FROM (
+        SELECT query_id, doc_id, score_ppm,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY score_ppm DESC, doc_id) AS rank
+        FROM sc)
+      WHERE rank <= 10 ORDER BY query_id, rank"""))
+
+  /** Hybrid retrieval: BM25 (sparse, doc-as-query "more like this")
+    * and brute-force cosine (dense) rankings merged by reciprocal-
+    * rank fusion ([[Retrieval.reciprocalRankFusion]]) — integer-
+    * division RRF scores, so the fused ranking is exact cross-engine
+    * even though the dense side's cosine is float (only its RANKS
+    * enter the fusion, the td_cosine_topk discipline). */
+  val td_hybrid_rrf = GraftQuery(
+    "td_hybrid_rrf",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val qdocs = docs.filter(col("doc_id").isin(10L, 20L, 30L))
+        .select(col("doc_id").as("query_id"), col("text").as("qtext"))
+      val sparse = Retrieval.bm25TopK(docs, "doc_id", "text",
+        qdocs, "query_id", "qtext", k = 10, excludeSelf = true)
+      val e = Tables.embeddings(s, dir)
+      val dense = Similarity.bruteForceTopK(
+        e.filter(col("vec_id").isin(10L, 20L, 30L)), e,
+        "vec_id", "embedding", 10)
+        .withColumnRenamed("neighbor_id", "id")
+      Retrieval.reciprocalRankFusion(Seq(
+        sparse.select("query_id", "id", "rank"),
+        dense.select("query_id", "id", "rank")), k = 5)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some("""WITH d AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        FROM documents WHERE length(trim(text)) > 0),
+      idx AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM d),
+      p AS (SELECT term, doc_id, dl, COUNT(*) AS tf
+            FROM idx GROUP BY 1, 2, 3),
+      dfreq AS (SELECT term, COUNT(*) AS df FROM p GROUP BY 1),
+      nd AS (SELECT COUNT(*) AS n_docs,
+               CAST(SUM(len(t)) AS BIGINT) AS t_tokens FROM d),
+      q AS (SELECT doc_id AS query_id, text AS qtext FROM documents
+            WHERE doc_id IN (10, 20, 30) AND length(trim(text)) > 0),
+      qt AS (SELECT DISTINCT query_id, term FROM (
+              SELECT query_id,
+                unnest(string_split_regex(trim(qtext), '\s+')) AS term
+              FROM q)),
+      sc AS (
+        SELECT qt.query_id, p.doc_id,
+          CAST(SUM(CAST(FLOOR(1000000.0 *
+            ((2.0 * nd.n_docs - 2.0 * dfreq.df + 1.0) /
+             (2.0 * dfreq.df + 1.0)) *
+            ((44.0 * nd.t_tokens * p.tf) /
+             (20.0 * nd.t_tokens * p.tf + 6.0 * nd.t_tokens +
+              18.0 * p.dl * nd.n_docs))) AS BIGINT)) AS BIGINT)
+            AS score_ppm
+        FROM qt JOIN p USING (term) JOIN dfreq USING (term)
+        CROSS JOIN nd
+        WHERE p.doc_id <> qt.query_id GROUP BY 1, 2),
+      sparse AS (SELECT query_id, doc_id, rank FROM (
+        SELECT query_id, doc_id,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY score_ppm DESC, doc_id) AS rank
+        FROM sc) WHERE rank <= 10),
+      dense AS (SELECT query_id, doc_id, rank FROM (
+        SELECT qe.vec_id AS query_id, c.vec_id AS doc_id,
+          row_number() OVER (PARTITION BY qe.vec_id
+            ORDER BY list_cosine_similarity(qe.embedding, c.embedding)
+              DESC, c.vec_id) AS rank
+        FROM embeddings qe, embeddings c
+        WHERE qe.vec_id IN (10, 20, 30) AND c.vec_id <> qe.vec_id)
+        WHERE rank <= 10),
+      fused AS (
+        SELECT query_id, doc_id,
+          CAST(SUM(1000000 // (60 + rank)) AS BIGINT) AS rrf_score
+        FROM (SELECT * FROM sparse UNION ALL SELECT * FROM dense)
+        GROUP BY 1, 2)
+      SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, rrf_score
+      FROM (
+        SELECT query_id, doc_id, rrf_score,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY rrf_score DESC, doc_id) AS rank
+        FROM fused)
+      WHERE rank <= 5 ORDER BY query_id, rank"""))
+
   /** Bigram-LM fluency scoring (CCNet-style perplexity filter, exact):
     * the corpus is the LM, each bigram contributes its scaled-integer
     * MLE conditional probability. */
@@ -2483,7 +2612,7 @@ object TrainingData {
     td_source_cap, td_fold_accents, td_edit_neardup, td_fuzzy_decontam,
     td_line_repetition, td_c4_clean, td_blocklist_scrub,
     td_heavy_hitters, td_hll_registers, td_hll_by_source,
-    td_pipeline_e2e, td_tfidf,
+    td_pipeline_e2e, td_tfidf, td_bm25, td_hybrid_rrf,
     td_dedup_components, td_dedup_survivors, td_dedup_best,
     td_dedup_canonical, td_simhash,
     td_simhash_md5, td_ann_lsh, td_embedding_neardup, td_ann_ivf,
