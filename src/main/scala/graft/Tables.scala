@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated test tables (TESTDATA.md).
   *
@@ -25,16 +25,24 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame = load(spark, d, "part")
   def orders(spark: SparkSession, d: String): DataFrame = load(spark, d, "orders")
   def lineitem(spark: SparkSession, d: String): DataFrame = load(spark, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS); Spark reads it as Long
-    * nanos under `spark.sql.legacy.parquet.nanosAsLong`. The data is
-    * µs-precision, so `div 1000` is a lossless ns→µs conversion
-    * (integer division — a double roundtrip would corrupt int64 nanos).
+  /** Normalizes `events.ts` to `TimestampType` regardless of fixture
+    * encoding. The driver has shipped two encodings so far:
+    *   - parquet TIMESTAMP(NANOS) → Spark reads a Long (nanos) under
+    *     `spark.sql.legacy.parquet.nanosAsLong`; the data is µs-precision,
+    *     so `div 1000` is a lossless ns→µs conversion (integer division —
+    *     a double roundtrip would corrupt int64 nanos).
+    *   - parquet timestamp[us] with no UTC adjustment → Spark reads
+    *     `TIMESTAMP_NTZ`; under the engine's UTC session timezone a cast
+    *     to `TimestampType` is a lossless reinterpretation of the same
+    *     µs value.
+    * Downstream queries can then use `unix_micros(ts)` uniformly.
     */
   def events(spark: SparkSession, d: String): DataFrame = {
     val df = load(spark, d, "events")
     df.schema("ts").dataType match {
-      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _        => df
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
     }
   }
   def documents(spark: SparkSession, d: String): DataFrame = load(spark, d, "documents")
