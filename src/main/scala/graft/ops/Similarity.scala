@@ -143,22 +143,37 @@ object Similarity {
                                      vecCol: String, nCells: Int): DataFrame =
     broadcast(
       corpus.withColumn("cell", pmod(col(idCol), lit(nCells)).cast("int"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("cell")).orderBy(col(idCol))))
-        .filter(col("rn") === 1)
-        .select(col("cell"), col(vecCol).as("centroid")))
+        .groupBy(col("cell"))
+        .agg(min_by(col(vecCol), col(idCol)).as("centroid")))
 
   /** Rank cells by cosine to each vector, keep the top n — the
     * cell-assignment stage shared by [[ivfTopK]] and
-    * [[semanticNearDuplicates]]. */
+    * [[semanticNearDuplicates]].
+    *
+    * Scale shape: the codebook (nCells rows) is collapsed to ONE
+    * broadcast array row, so scoring + top-n happen entirely inside
+    * each row's own task (transform → array_sort → slice → explode) —
+    * a narrow map with NO exchange. The previous form (crossJoin to
+    * nCells scored rows + row_number window over id) re-shuffled the
+    * full corpus nCells-wide through a sort; at 100 TB that 16×
+    * exchange is the assignment-stage scale-killer. Tiebreak matches
+    * the window form exactly — csim desc, then cell asc (struct sort
+    * on (negated sim, cell)); NULL csim (zero-norm vectors) ranks
+    * last via the Double.MaxValue sentinel, same as NULLS LAST under
+    * a descending window order. */
   private def assignCells(df: DataFrame, centroids: DataFrame,
                           idCol: String, vec: String, n: Int): DataFrame = {
-    val scored = df.crossJoin(centroids)
-      .withColumn("csim", cosine(col(vec), col("centroid")))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("cell"))
-    scored.withColumn("crank", row_number().over(w))
-      .filter(col("crank") <= n)
-      .drop("centroid", "csim", "crank")
+    val centArr = broadcast(centroids.agg(
+      collect_list(struct(col("cell"), col("centroid"))).as("cents")))
+    df.crossJoin(centArr)
+      .withColumn("top", slice(array_sort(transform(col("cents"), c =>
+        struct(
+          coalesce(-cosine(col(vec), c.getField("centroid")),
+            lit(Double.MaxValue)).as("negsim"),
+          c.getField("cell").as("cell")))), 1, n))
+      .drop("cents")
+      .withColumn("cell", explode(col("top").getField("cell")))
+      .drop("top")
   }
 
   def ivfTopK(queries: DataFrame, corpus: DataFrame,

@@ -425,8 +425,11 @@ object TrainingData {
   /** Mean-pooling per group ([[graft.ops.Similarity.meanPoolVectors]])
     * over deterministic integer-valued vectors (exact sums at any
     * aggregation order, so the double means hash-match cross-engine —
-    * real float embeddings would diverge in the sum). The pooled
-    * array reassembles strictly by position. */
+    * real float embeddings would diverge in the sum). The library op
+    * returns the pooled ARRAY per group; the registered query
+    * posexplodes it back to (label, pos, value) SCALARS so the
+    * driver's oracle comparator (which cannot hash array cells) gets
+    * a verifiable row shape — same information, exploded. */
   val td_mean_pool = GraftQuery(
     "td_mean_pool",
     (s, dir) => {
@@ -436,7 +439,8 @@ object TrainingData {
           i => pmod(col("vec_id") * (i + 1), lit(97)).cast("double"))
           .as("v"))
       Similarity.meanPoolVectors(corpus, "label", "v")
-        .orderBy(col("label"))
+        .select(col("label"), posexplode(col("pooled")).as(Seq("pos", "m")))
+        .orderBy(col("label"), col("pos"))
     },
     Some("""WITH v AS (
         SELECT label,
@@ -445,10 +449,9 @@ object TrainingData {
         FROM embeddings),
       e AS (
         SELECT label, CAST(i AS INT) AS pos, v[CAST(i AS INT) + 1] AS x
-        FROM v, unnest(range(0, 8)) AS t(i)),
-      p AS (SELECT label, pos, AVG(x) AS m FROM e GROUP BY 1, 2)
-      SELECT label, list(m ORDER BY pos) AS pooled
-      FROM p GROUP BY label ORDER BY label"""))
+        FROM v, unnest(range(0, 8)) AS t(i))
+      SELECT label, pos, AVG(x) AS m FROM e GROUP BY 1, 2
+      ORDER BY label, pos"""))
 
   /** One-pass per-column data profile ([[graft.ops.Profiling]]):
     * null/distinct/min/max per column in a single scan — the ingest

@@ -368,4 +368,41 @@ class PlanAuditSpec extends SparkSpec {
       assert(partial.nonEmpty, s"delta agg not map-side partial:\n$plan")
     }
   }
+
+  test("td_semdedup: cell assignment is a narrow map — no window exchange at all") {
+    audited(graft.queries.TrainingData.td_semdedup.fn(spark, dir)) { df =>
+      val plan = df.queryExecution.executedPlan
+      // the assignment stage must NOT re-shuffle the corpus nCells-wide
+      // through a per-id window; the only windows anywhere in the
+      // semdedup plan would be that regression, so assert zero
+      val windows = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+        case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+      }
+      assert(windows.isEmpty,
+        s"cell assignment regressed to a window exchange:\n$plan")
+      // centroid selection is a map-side-combinable min_by aggregate
+      val partial = plan.collect {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+          if a.aggregateExpressions.exists(_.mode.toString == "Partial") => a
+      }
+      assert(partial.nonEmpty, s"centroid pick not map-side partial:\n$plan")
+    }
+  }
+
+  test("td_ann_ivf: the only window is the final per-query top-k") {
+    audited(graft.queries.TrainingData.td_ann_ivf.fn(spark, dir)) { df =>
+      val plan = df.queryExecution.executedPlan
+      // corpus/query cell assignment is narrow (broadcast codebook
+      // array, per-row sort+slice); windows over the corpus id would
+      // mean the 16x assignment exchange came back
+      val windows = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.forall(
+        _.partitionSpec.map(_.toString).exists(_.contains("query_id"))),
+        s"window partitioned on something other than query_id " +
+          s"(assignment exchange is back):\n$plan")
+    }
+  }
 }
