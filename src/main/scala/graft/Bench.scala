@@ -63,11 +63,22 @@ object Bench {
     val warmFloor = sys.env.get("SPARK_GRAFT_WARM")
       .flatMap(_.toDoubleOption).getOrElse(1.0)
     System.gc() // take the big collection between passes, not mid-query
+    // Warm integrity: a heap full of garbage from 130+ cold queries
+    // means collections roam into whichever warm query is unlucky —
+    // rounds 6/7 both recorded warm ≫ cold on UNCHANGED code
+    // (cdc_apply_lineitem 12.3 s warm vs 6.1 cold; both measure
+    // 2.8 s warm in isolation). Two defenses: a full GC immediately
+    // before each warm measurement (the pause lands outside the timed
+    // region), and min-of-2 — GC/scheduler noise only ever ADDS time,
+    // so the min is the faithful "what can this plan do" statistic.
     val warm =
       if (warmFloor < 0) Seq.empty
       else SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (n, _) => results.toMap.get(n).exists(c => c >= warmFloor) }
-        .map { case (name, fn) => name -> run(name, fn) }
+        .map { case (name, fn) =>
+          val times = (1 to 2).map { _ => System.gc(); run(name, fn) }
+          name -> (if (times.forall(_ < 0)) -1.0 else times.filter(_ >= 0).min)
+        }
     def js(m: Seq[(String, Double)]) =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
@@ -77,8 +88,14 @@ object Bench {
     // line whose opening brace scrolls past that window is recorded as
     // unparseable (rounds 1/3/4/5 all lost their bench numbers this
     // way — only the shorter round-2 line survived).
+    // BENCH_DETAIL keeps timings and failures SEPARATE: a -1.0 mixed
+    // into the queries map poisons any consumer that sums or averages
+    // it; failures go to an explicit "failed" list instead. (The
+    // compact stdout line below keeps the -1 markers — the driver's
+    // grader expects them there.)
+    val failed = results.collect { case (n, v) if v < 0 => "\"" + n + "\"" }
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},"warm":${js(warm)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results.filter(_._2 >= 0))},"warm":${js(warm.filter(_._2 >= 0))},"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       detail.getBytes("UTF-8"))
     println(detail)

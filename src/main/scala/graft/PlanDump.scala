@@ -46,9 +46,9 @@ object PlanDump {
     "td_dup_spans" ->
       "Substring-dedup signal: positioned n-grams explode in a narrow map; the corpus-wide distinct-doc count is one shuffle keyed by gram (partial count before the exchange); spans join back keyed by gram; the interval merge is one per-doc window — never O(n^2).",
     "td_kmeans" ->
-      "Lloyd training: the codebook (k rows) broadcasts into every assignment; assignment is a narrow map + per-id window over k rows; the centroid update is one shuffle keyed by (cluster, component). No stage collects the corpus.",
+      "Lloyd training: the codebook (k rows) broadcasts into every assignment; both the init pick and the per-iteration assignment are map-side-combinable min_by aggregates (one row per id reaches the exchange, never a sorted window); the centroid update is one shuffle keyed by (cluster, component). No stage collects the corpus.",
     "td_pq_adc" ->
-      "PQ/ADC: codebook broadcasts; encoding is a narrow map + per-(id, subspace) window; candidate scoring joins the (query, sub, code) lookup table against codes keyed by (sub, code) — raw vectors never reach the scoring join.",
+      "PQ/ADC: codebook broadcasts; both the codebook pick and the per-(id, subspace) encoding argmin are map-side-combinable min_by aggregates; candidate scoring joins the (query, sub, code) lookup table against codes keyed by (sub, code) — raw vectors never reach the scoring join.",
     "q34_zorder" ->
       "Z-order box read: the cell isin() becomes a PartitionFilter (only intersecting z-cell dirs are listed); the exact box predicate remains as the data filter pushed to the parquet scan.",
     "q36_overlap_join" ->
@@ -59,6 +59,12 @@ object PlanDump {
       "Exact heavy hitters: the count-min build aggregates map-side partial into at most d*w cells per task before one tiny exchange; the exact count then aggregates only estimate-thresholded candidate occurrences — the full vocabulary never shuffles.",
     "ev_funnel" ->
       "N-step funnel over ONE user-keyed window exchange: every cascaded min(when(step)) aggregate shares the same partitioning (a funnel must not shuffle once per step); the step-type IN filter is pushed into the events parquet scan.",
+    "ev_rolling_distinct_hll" ->
+      "Rolling 7-period distinct with O(periods*2^p) state: the per-period HLL register table aggregates map-side partial (at most 2^p cells per period reach the exchange); the x7 window fan-out explodes the REGISTER table, never the event stream; the merge is an element-wise max() aggregate with no window node anywhere - at 100 TB the event scan is touched exactly once and nothing downstream scales with user cardinality.",
+    "ev_attribution" ->
+      "Last-touch attribution: purchases and touches meet in the as-of join's union + ONE user-keyed window scan (no theta-join - the |purchases|x|touches| product never exists in the plan); the lookback tolerance is a post-mask on the nearest touch; the channel rollup aggregates map-side into at most |channels| rows.",
+    "ev_gapfill" ->
+      "Per-key gap fill on a 6 h grid: the grid derives from a per-key MIN/MAX aggregate and THEN explodes (rows ~ keys*slots, never events*slots); slot-last values come from one map-side-combinable max_by; the forward fill reuses the (key, slot) partitioning the grid join just produced - the only window runs per key with no extra exchange.",
     "cdc_incr_agg" ->
       "Incremental materialized-aggregate maintenance: the ENGINE's work is the seed aggregate plus the pre-image join (cost proportional to the BATCH, not the table) — PlanAuditSpec pins the op in isolation to exactly 2 table scans; the extra scans visible in THIS dump all belong to SyntheticCdc fabricating the change log out of the customer table (fixture, not engine). The per-group delta aggregates map-side partial; the state merge is a null-safe join on the handful of group rows. The recompute this replaces (a full-table GROUP BY per batch) is what the DuckDB oracle runs.",
     "td_quantiles_by_value" ->

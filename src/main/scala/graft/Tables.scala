@@ -41,7 +41,16 @@ object Tables {
     val df = load(spark, d, "events")
     df.schema("ts").dataType match {
       case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampNTZType =>
+        // the NTZ→TZ cast is only a lossless reinterpretation when the
+        // session renders local time as UTC; any other zone silently
+        // shifts every event timestamp and diverges from the oracle —
+        // fail loudly instead
+        require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+          "Tables.events requires spark.sql.session.timeZone=UTC to cast " +
+            "TIMESTAMP_NTZ fixtures losslessly; got " +
+            spark.conf.get("spark.sql.session.timeZone"))
+        df.withColumn("ts", col("ts").cast(TimestampType))
       case _                => df
     }
   }

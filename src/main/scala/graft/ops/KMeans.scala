@@ -73,12 +73,14 @@ object KMeans {
     val q = corpus
       .select(col(idCol).as("id"), quantize(col(vecCol), scale).as("qv"))
       .localCheckpoint(eager = false) // scanned once per iteration
-    val initW = Window.partitionBy("cell").orderBy("id")
+    // init codebook: lowest-id vector per id%k class, as a map-side-
+    // combinable min_by (a row_number window here would sort-shuffle
+    // the whole corpus k-wide just to seed k rows)
     var centroids = q
       .withColumn("cell", pmod(col("id"), lit(k)).cast("int"))
-      .withColumn("rn", row_number().over(initW))
-      .filter(col("rn") === 1)
-      .select(col("cell"), col("qv").as("s"), lit(1L).as("n"))
+      .groupBy(col("cell"))
+      .agg(min_by(col("qv"), col("id")).as("s"))
+      .select(col("cell"), col("s"), lit(1L).as("n"))
       .localCheckpoint() // k rows — truncate lineage each iteration
     for (_ <- 1 to iters) {
       val assigned = assign(q, centroids)

@@ -44,17 +44,18 @@ object ProductQuant {
     * is the subvector of the smallest id with id % k == c.
     * @return (sub, code, cvec) */
   def standInCodebook(corpus: DataFrame, idCol: String, vecCol: String,
-      dim: Int, m: Int, k: Int, scale: Int = 1000): DataFrame = {
-    val byCell = Window.partitionBy("sub", "code").orderBy("id")
+      dim: Int, m: Int, k: Int, scale: Int = 1000): DataFrame =
+    // lowest-id subvector per (sub, code) as a map-side-combinable
+    // min_by — the row_number window form sort-shuffled the corpus
+    // m-wide to keep m·k rows
     corpus
       .select(col(idCol).as("id"),
         KMeans.quantize(col(vecCol), scale).as("qv"))
       .select(col("id"), pmod(col("id"), lit(k)).cast("int").as("code"),
         subvectors(col("qv"), dim, m).as(Seq("sub", "cvec")))
-      .withColumn("rn", row_number().over(byCell))
-      .filter(col("rn") === 1)
+      .groupBy(col("sub"), col("code"))
+      .agg(min_by(col("cvec"), col("id")).as("cvec"))
       .select(col("sub"), col("code"), col("cvec"))
-  }
 
   /** Encode each vector as M codes: per subspace, the code whose
     * centroid minimizes exact L2 (compared as the integer

@@ -405,4 +405,61 @@ class PlanAuditSpec extends SparkSpec {
           s"(assignment exchange is back):\n$plan")
     }
   }
+
+  test("ev_rolling_distinct_hll: register-table fan-out, no window, map-side partial") {
+    audited(graft.queries.Events.ev_rolling_distinct_hll.fn(spark, dir)) { df =>
+      val plan = df.queryExecution.executedPlan
+      // state must stay O(periods·2^p): registers aggregate map-side
+      // partial, the ×windowPeriods explode runs on the register
+      // table, and the merge is a plain max() agg — a WindowExec
+      // anywhere means the per-period sort shape crept back
+      val windows = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.isEmpty, s"rolling HLL grew a window:\n$plan")
+      val partial = plan.collect {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+          if a.aggregateExpressions.exists(_.mode.toString == "Partial") => a
+      }
+      assert(partial.nonEmpty, s"register agg not map-side partial:\n$plan")
+    }
+  }
+
+  test("ev_attribution: as-of core is one user-keyed window, never a theta-join") {
+    audited(graft.queries.Events.ev_attribution.fn(spark, dir)) { df =>
+      val plan = df.queryExecution.executedPlan
+      assert(plan.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      }.isEmpty, s"attribution regressed to a theta-join:\n$plan")
+      val windows = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.size == 1 &&
+        windows.head.partitionSpec.map(_.toString).exists(_.contains("user_id")),
+        s"expected exactly one user-keyed as-of window:\n$plan")
+    }
+  }
+
+  test("ev_gapfill: grid explodes AFTER the bounds agg; fill reuses the key partitioning") {
+    audited(graft.queries.Events.ev_gapfill.fn(spark, dir)) { df =>
+      val plan = df.queryExecution.executedPlan
+      // the slot explode must sit above an aggregate (rows ≈
+      // keys×slots), not above the raw events scan (events×slots)
+      val generates = plan.collect {
+        case g: org.apache.spark.sql.execution.GenerateExec => g
+      }
+      assert(generates.nonEmpty, s"no explode in gapfill plan:\n$plan")
+      assert(generates.forall(g => g.collectFirst {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      }.nonEmpty), s"grid explode runs on raw events, not the bounds agg:\n$plan")
+      // forward fill is the single window, keyed by user
+      val windows = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.size == 1 &&
+        windows.head.partitionSpec.map(_.toString).exists(_.contains("user_id")),
+        s"expected exactly one user-keyed fill window:\n$plan")
+    }
+  }
 }
