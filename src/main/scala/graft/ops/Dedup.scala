@@ -438,8 +438,17 @@ object Dedup {
     * pipelines, applied to fixed token windows since the fixture has
     * no newlines): explode each doc into `chunkTokens`-sized chunks,
     * keep each distinct chunk only for the lowest (doc_id, chunk_idx),
-    * report per-doc retention. Scales as one explode + one shuffle on
-    * the chunk hash.
+    * report per-doc retention.
+    *
+    * Scale shape: the keep/drop winner per distinct chunk is a
+    * map-side-combinable `min(struct(id, chunk_idx))` aggregate —
+    * duplicate chunks collapse within each task BEFORE the exchange,
+    * so the chunk-keyed shuffle carries one row per distinct chunk
+    * per task, and nothing sorts (the previous row_number window
+    * sort-shuffled every chunk occurrence corpus-wide). The per-doc
+    * chunk count never needs the exploded relation at all: tokens
+    * are non-empty by construction, so it is `ceil(n_tokens /
+    * chunkTokens)` computed in a narrow projection.
     */
   def chunkDedup(docs: DataFrame, idCol: String, textCol: String,
                  chunkTokens: Int = 20): DataFrame = {
@@ -453,20 +462,22 @@ object Dedup {
         i => concat_ws(" ", slice(toks, i * chunkTokens + 1, lit(chunkTokens)))))
         .as(Seq("chunk_idx", "chunk")))
       .filter(length(col("chunk")) > 0)
-    val w = Window.partitionBy(col("chunk")).orderBy(col("id"), col("chunk_idx"))
-    val counted = chunks
-      .withColumn("keep", row_number().over(w) === 1)
-      .groupBy(col("id"))
-      .agg(
-        count(lit(1)).as("n_chunks"),
-        sum(when(col("keep"), 1).otherwise(0)).as("n_kept"))
-    // empty/whitespace-only docs produce no non-empty chunks; report
-    // them as 0-chunk rows instead of silently omitting them from the
-    // retention accounting
-    docs.select(col(idCol).as("id"))
-      .join(counted, Seq("id"), "left")
-      .select(col("id"),
-        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+    // lexicographic min(struct) = (lowest id, then chunk_idx) — the
+    // same winner the ordered window picked
+    val kept = chunks
+      .groupBy(col("chunk"))
+      .agg(min(struct(col("id"), col("chunk_idx"))).as("w"))
+      .groupBy(col("w.id").as("id"))
+      .agg(count(lit(1)).as("n_kept"))
+    // empty/whitespace-only docs produce no non-empty chunks (0-chunk
+    // rows, not omitted); non-empty docs have ceil(tokens/chunkTokens)
+    // non-empty chunks — tokens() never yields "" so no chunk in
+    // range is empty
+    docs.select(col(idCol).as("id"),
+      ((size(toks) + lit(chunkTokens - 1)) / lit(chunkTokens))
+        .cast("long").as("n_chunks"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id"), col("n_chunks"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 

@@ -406,6 +406,24 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("td_chunk_dedup: chunk winners via map-side min(struct), no sorted window") {
+    audited(graft.queries.TrainingData.td_chunk_dedup.fn(spark, dir)) { df =>
+      val plan = df.queryExecution.executedPlan
+      // duplicate chunks must collapse within each task before the
+      // chunk-keyed exchange; a WindowExec means the corpus-wide
+      // sort-shuffle of every chunk occurrence came back
+      val windows = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.isEmpty, s"chunk dedup regressed to a window:\n$plan")
+      val partial = plan.collect {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+          if a.aggregateExpressions.exists(_.mode.toString == "Partial") => a
+      }
+      assert(partial.nonEmpty, s"winner pick not map-side partial:\n$plan")
+    }
+  }
+
   test("ev_rolling_distinct_hll: register-table fan-out, no window, map-side partial") {
     audited(graft.queries.Events.ev_rolling_distinct_hll.fn(spark, dir)) { df =>
       val plan = df.queryExecution.executedPlan
