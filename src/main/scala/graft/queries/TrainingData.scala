@@ -987,10 +987,12 @@ object TrainingData {
       ORDER BY query_id, rank"""))
 
   /** IVF+PQ composed index ([[graft.ops.ProductQuant.ivfAdcTopK]]) —
-    * rows-only by design: both components are individually oracled
-    * (td_kmeans / td_ann_ivf_trained cover the coarse quantizer,
-    * td_pq_adc the code path); the composition's quality is pinned by
-    * an AnnQualitySpec recall floor. */
+    * oracled END TO END: the SQL chains td_ann_ivf_trained's exact
+    * 2-iteration k-means (coarse quantizer + probes) into td_pq_adc's
+    * codebook/encode/ADC scoring, all in the same exact integer
+    * arithmetic, so the full production composition (train → assign →
+    * probe → code → ADC-rank) is value-checked, not just its parts.
+    * AnnQualitySpec additionally pins a recall floor. */
   val td_ann_ivfpq = GraftQuery(
     "td_ann_ivfpq",
     (s, dir) => {
@@ -1000,7 +1002,135 @@ object TrainingData {
         kCells = 8, iters = 2, nProbe = 3)
         .orderBy(col("query_id"), col("rank"))
     },
-    None)
+    Some("""WITH q AS (
+        SELECT vec_id AS id,
+          list_transform(embedding,
+            x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        FROM embeddings),
+      c0 AS (
+        SELECT CAST(id % 8 AS INTEGER) AS cell, arg_min(qv, id) AS s,
+          CAST(1 AS BIGINT) AS n
+        FROM q GROUP BY 1),
+      a1 AS (
+        SELECT id, qv, cell FROM (
+          SELECT q.id, q.qv, c.cell,
+            row_number() OVER (PARTITION BY q.id ORDER BY
+              CAST(list_sum(list_transform(range(1, len(c.s)+1),
+                     i -> c.s[i] * c.s[i]))
+                - 2 * c.n * list_sum(list_transform(range(1, len(c.s)+1),
+                     i -> q.qv[i] * c.s[i])) AS DOUBLE)
+                / CAST(c.n * c.n AS DOUBLE),
+              c.cell) AS rn
+          FROM q CROSS JOIN c0 c) WHERE rn = 1),
+      s1 AS (
+        SELECT cell, list(sv ORDER BY pos) AS s_new FROM (
+          SELECT cell, kv.pos AS pos, CAST(SUM(kv.v) AS BIGINT) AS sv
+          FROM (SELECT cell, unnest(list_transform(range(1, len(qv)+1),
+                  i -> {'pos': i, 'v': qv[i]})) AS kv FROM a1) t
+          GROUP BY cell, kv.pos) t2
+        GROUP BY cell),
+      n1 AS (SELECT cell, COUNT(*) AS n_new FROM a1 GROUP BY cell),
+      c1 AS (
+        SELECT c0.cell, COALESCE(s1.s_new, c0.s) AS s,
+          CAST(COALESCE(n1.n_new, c0.n) AS BIGINT) AS n
+        FROM c0 LEFT JOIN s1 USING (cell) LEFT JOIN n1 USING (cell)),
+      a2 AS (
+        SELECT id, qv, cell FROM (
+          SELECT q.id, q.qv, c.cell,
+            row_number() OVER (PARTITION BY q.id ORDER BY
+              CAST(list_sum(list_transform(range(1, len(c.s)+1),
+                     i -> c.s[i] * c.s[i]))
+                - 2 * c.n * list_sum(list_transform(range(1, len(c.s)+1),
+                     i -> q.qv[i] * c.s[i])) AS DOUBLE)
+                / CAST(c.n * c.n AS DOUBLE),
+              c.cell) AS rn
+          FROM q CROSS JOIN c1 c) WHERE rn = 1),
+      s2 AS (
+        SELECT cell, list(sv ORDER BY pos) AS s_new FROM (
+          SELECT cell, kv.pos AS pos, CAST(SUM(kv.v) AS BIGINT) AS sv
+          FROM (SELECT cell, unnest(list_transform(range(1, len(qv)+1),
+                  i -> {'pos': i, 'v': qv[i]})) AS kv FROM a2) t
+          GROUP BY cell, kv.pos) t2
+        GROUP BY cell),
+      n2 AS (SELECT cell, COUNT(*) AS n_new FROM a2 GROUP BY cell),
+      c2 AS (
+        SELECT c1.cell, COALESCE(s2.s_new, c1.s) AS s,
+          CAST(COALESCE(n2.n_new, c1.n) AS BIGINT) AS n
+        FROM c1 LEFT JOIN s2 USING (cell) LEFT JOIN n2 USING (cell)),
+      a3 AS (
+        SELECT id, cell FROM (
+          SELECT q.id, c.cell,
+            row_number() OVER (PARTITION BY q.id ORDER BY
+              CAST(list_sum(list_transform(range(1, len(c.s)+1),
+                     i -> c.s[i] * c.s[i]))
+                - 2 * c.n * list_sum(list_transform(range(1, len(c.s)+1),
+                     i -> q.qv[i] * c.s[i])) AS DOUBLE)
+                / CAST(c.n * c.n AS DOUBLE),
+              c.cell) AS rn
+          FROM q CROSS JOIN c2 c) WHERE rn = 1),
+      subs AS (
+        SELECT id, s.sub AS sub, s.v AS xvec FROM (
+          SELECT id, unnest(list_transform(range(0, 4),
+            i -> {'sub': i, 'v': list_slice(qv, i*16 + 1, i*16 + 16)})) AS s
+          FROM q) t),
+      cb AS (
+        SELECT sub, code, cvec FROM (
+          SELECT sub, CAST(id % 8 AS INTEGER) AS code, xvec AS cvec,
+            row_number() OVER (PARTITION BY sub, id % 8 ORDER BY id) AS rn
+          FROM subs) WHERE rn = 1),
+      enc AS (
+        SELECT id, sub, code FROM (
+          SELECT s.id, s.sub, c.code,
+            row_number() OVER (PARTITION BY s.id, s.sub ORDER BY
+              list_sum(list_transform(range(1, len(c.cvec)+1),
+                i -> c.cvec[i] * c.cvec[i]))
+              - 2 * list_sum(list_transform(range(1, len(c.cvec)+1),
+                i -> s.xvec[i] * c.cvec[i])),
+              c.code) AS rn
+          FROM subs s JOIN cb c USING (sub)) WHERE rn = 1),
+      codes AS (
+        SELECT e.id, e.sub, e.code, a3.cell
+        FROM enc e JOIN a3 ON a3.id = e.id),
+      qs AS (
+        SELECT vec_id AS query_id,
+          list_transform(embedding,
+            x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qqv
+        FROM embeddings WHERE vec_id < 20),
+      probes AS (
+        SELECT query_id, qqv, cell FROM (
+          SELECT qs.query_id, qs.qqv, c.cell,
+            row_number() OVER (PARTITION BY qs.query_id ORDER BY
+              CAST(list_sum(list_transform(range(1, len(c.s)+1),
+                     i -> c.s[i] * c.s[i]))
+                - 2 * c.n * list_sum(list_transform(range(1, len(c.s)+1),
+                     i -> qs.qqv[i] * c.s[i])) AS DOUBLE)
+                / CAST(c.n * c.n AS DOUBLE),
+              c.cell) AS rn
+          FROM qs CROSS JOIN c2 c) WHERE rn <= 3),
+      qsubs AS (
+        SELECT query_id, cell, s.sub AS sub, s.v AS xvec FROM (
+          SELECT query_id, cell, unnest(list_transform(range(0, 4),
+            i -> {'sub': i, 'v': list_slice(qqv, i*16 + 1, i*16 + 16)})) AS s
+          FROM probes) t),
+      partial AS (
+        SELECT p.query_id, p.cell, p.sub, c.code,
+          list_sum(list_transform(range(1, len(c.cvec)+1),
+            i -> p.xvec[i] * c.cvec[i])) AS p
+        FROM qsubs p JOIN cb c USING (sub)),
+      scored AS (
+        SELECT p.query_id, k.id AS neighbor_id,
+          CAST(SUM(p.p) AS BIGINT) AS adc_score
+        FROM codes k JOIN partial p
+          ON p.cell = k.cell AND p.sub = k.sub AND p.code = k.code
+        WHERE p.query_id <> k.id
+        GROUP BY 1, 2)
+      SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+        adc_score FROM (
+        SELECT query_id, neighbor_id, adc_score,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY adc_score DESC, neighbor_id) AS rank
+        FROM scored) WHERE rank <= 5
+      ORDER BY query_id, rank"""))
 
   /** LSH ANN (approximate, hash-defined buckets — rows-only). */
   val td_ann_lsh = GraftQuery(
