@@ -285,4 +285,76 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
+
+  /** Plane component (t, p, j) of the md5-derived LSH family: the
+    * first 15 hex chars of md5("t,p,j") mod 1000001, recentred to
+    * [-500000, 500000]. Integer-valued so the sign of a plane dot
+    * against a ×1000-quantized vector is EXACT at any summation
+    * order — the property that lets a SQL engine recompute the same
+    * buckets bit-for-bit (a float plane would make near-zero dots
+    * engine-dependent). */
+  private def md5PlaneComp(t: Int, p: Int, j: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$t,$p,$j".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16) % 1000001L - 500000L
+  }
+
+  /** Multi-table sign-LSH ANN with md5-derived planes — the
+    * cross-engine-checkable sibling of [[lshTopK]] (whose xxhash64
+    * plane chain has no SQL equivalent). Same candidate structure —
+    * `numTables` independent tables of `numPlanes` sign bits, a
+    * candidate = a collision in ANY table, exact cosine + top-k over
+    * deduped candidates — but each plane is a CONSTANT integer vector
+    * derived from md5("t,p,j"), folded into the plan as literals, and
+    * the sign test runs on ×1000-quantized vectors in exact integer
+    * arithmetic. A DuckDB oracle recomputes the identical buckets
+    * from its own md5, making the whole LSH pipeline (bucketing →
+    * collision join → ranking) value-checkable, not just
+    * recall-bounded.
+    *
+    * Scale shape: identical to [[lshTopK]] — bucketing is a narrow
+    * map (planes are literals, no join to fetch them), candidates
+    * come from a keyed (table, bucket) equi-join, top-k windows only
+    * over per-query candidates.
+    */
+  def lshTopKMd5(queries: DataFrame, corpus: DataFrame,
+                 idCol: String, vecCol: String, k: Int, dim: Int,
+                 numPlanes: Int = 8, numTables: Int = 4): DataFrame = {
+    require(numPlanes < 63, "bucket bits must fit a long")
+    val qv = transform(col(vecCol),
+      x => floor(x.cast("double") * 1000).cast("long"))
+
+    def tableKeys(quant: Column): Column =
+      array((0 until numTables).map { t =>
+        val bits = (0 until numPlanes).map { p =>
+          val plane = typedlit((0 until dim).map(j => md5PlaneComp(t, p, j)))
+          val dot = aggregate(
+            zip_with(quant, plane, (x, y) => x * y), lit(0L), _ + _)
+          when(dot > 0, lit(1L << p)).otherwise(lit(0L))
+        }.reduce(_ + _)
+        struct(lit(t).as("t"), bits.as("b"))
+      }: _*)
+
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("cvec"), explode(tableKeys(qv)).as("tk"))
+      .select(col("tk.t").as("t"), col("tk.b").as("bucket"),
+        col("neighbor_id"), col("cvec"))
+    val q = queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("qvec"), explode(tableKeys(qv)).as("tk"))
+      .select(col("tk.t").as("t"), col("tk.b").as("bucket"),
+        col("query_id"), col("qvec"))
+
+    val scored = q.join(c, Seq("t", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("qvec"), col("neighbor_id"), col("cvec"))
+      .distinct()
+      .withColumn("cos", cosine(col("qvec"), col("cvec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
 }

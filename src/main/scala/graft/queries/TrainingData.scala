@@ -1132,7 +1132,9 @@ object TrainingData {
         FROM scored) WHERE rank <= 5
       ORDER BY query_id, rank"""))
 
-  /** LSH ANN (approximate, hash-defined buckets — rows-only). */
+  /** LSH ANN (approximate, xxhash64-defined buckets — rows-only;
+    * [[td_ann_lsh_md5]] is the oracled sibling that value-checks the
+    * same bucketing/collision/ranking pipeline cross-engine). */
   val td_ann_lsh = GraftQuery(
     "td_ann_lsh",
     (s, dir) => {
@@ -1143,6 +1145,59 @@ object TrainingData {
         .orderBy(col("query_id"), col("rank"))
     },
     None)
+
+  /** Multi-table sign-LSH with md5-derived integer planes
+    * ([[graft.ops.Similarity.lshTopKMd5]]): the oracled sibling of
+    * [[td_ann_lsh]] — the DuckDB side recomputes the identical plane
+    * matrix from its own md5 and the sign dots are exact integer
+    * arithmetic, so buckets, collisions, and ranks all hash-match. */
+  val td_ann_lsh_md5 = GraftQuery(
+    "td_ann_lsh_md5",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.lshTopKMd5(e.filter(col("vec_id") < 20), e,
+        "vec_id", "embedding", k = 5, dim = 64,
+        numPlanes = 8, numTables = 4)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some("""WITH q AS (
+        SELECT vec_id AS id, embedding AS v,
+          list_transform(embedding,
+            x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        FROM embeddings),
+      planes AS (
+        SELECT t, p, j,
+          ('0x' || substr(md5(CAST(t AS VARCHAR) || ',' ||
+              CAST(p AS VARCHAR) || ',' || CAST(j AS VARCHAR)), 1, 15))::BIGINT
+            % 1000001 - 500000 AS c
+        FROM range(4) tt(t), range(8) pp(p), range(64) jj(j)),
+      dots AS (
+        SELECT q.id, pl.t, pl.p,
+          SUM(q.qv[CAST(pl.j AS INT) + 1] * pl.c) AS d
+        FROM q CROSS JOIN planes pl
+        GROUP BY 1, 2, 3),
+      buckets AS (
+        SELECT id, t,
+          SUM(CASE WHEN d > 0 THEN (1::BIGINT << CAST(p AS INT))
+              ELSE 0 END) AS bucket
+        FROM dots GROUP BY 1, 2),
+      cand AS (
+        SELECT DISTINCT qb.id AS query_id, cb.id AS neighbor_id
+        FROM buckets qb JOIN buckets cb
+          ON qb.t = cb.t AND qb.bucket = cb.bucket
+        WHERE qb.id < 20 AND qb.id <> cb.id),
+      scored AS (
+        SELECT c.query_id, c.neighbor_id,
+          list_cosine_similarity(a.v, b.v) AS cos
+        FROM cand c
+        JOIN q a ON a.id = c.query_id
+        JOIN q b ON b.id = c.neighbor_id)
+      SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored) WHERE rank <= 5
+      ORDER BY query_id, rank"""))
 
   /** EXACT n-gram Jaccard near-dup pairs via prefix-filtered
     * candidates ([[Dedup.ngramJaccardSimilar]]) — the deterministic
@@ -2748,7 +2803,7 @@ object TrainingData {
     td_pipeline_e2e, td_tfidf, td_bm25, td_hybrid_rrf,
     td_dedup_components, td_dedup_survivors, td_dedup_best,
     td_dedup_canonical, td_simhash,
-    td_simhash_md5, td_ann_lsh, td_embedding_neardup, td_ann_ivf,
+    td_simhash_md5, td_ann_lsh, td_ann_lsh_md5, td_embedding_neardup, td_ann_ivf,
     td_kmeans, td_ann_ivf_trained, td_pq_adc, td_ann_ivfpq,
     td_rare_words, td_chunk_dedup,
     td_sample_hash, td_sample_stratified, td_sample_weighted,
