@@ -2129,6 +2129,63 @@ object TrainingData {
     * equivalent; BpeSpec proves the trainer ≡ an independent
     * reference implementation, and td_bpe_encode oracles the merge
     * semantics the trainer is built on). */
+  /** SQL for one unrolled BPE training round over vocab CTE v{i-1}:
+    * weighted adjacent-pair count → single best pair by (count desc,
+    * left, right) → merge applied via DuckDB's literal `replace` (the
+    * same boundary-safe SEP-wrapped form the engine uses,
+    * [[graft.ops.Bpe]]). The `n >= 2` gate reproduces the engine's
+    * minCount early-stop EXACTLY: if the best pair's count falls
+    * under 2, no merge applies, the vocab stops changing, and every
+    * later round recomputes the same sub-threshold best — so the gate
+    * is false for all subsequent rounds too, and the final UNION
+    * keeps precisely the merges the engine's loop appended. */
+  private def bpeRoundSql(i: Int): String = {
+    val sep = "chr(1)"
+    val syms = s"string_split(substr(s, 2, length(s) - 2), $sep||$sep)"
+    s"""
+      p$i AS (
+        SELECT pp.l AS l, pp.r AS r, SUM(cnt) AS n FROM (
+          SELECT unnest(list_transform(range(1, len($syms)),
+              k -> {'l': $syms[CAST(k AS INT)],
+                    'r': $syms[CAST(k AS INT) + 1]})) AS pp, cnt
+          FROM v${i - 1}) t
+        GROUP BY 1, 2),
+      b$i AS (SELECT l, r, n FROM p$i ORDER BY n DESC, l, r LIMIT 1),
+      v$i AS (
+        SELECT CASE WHEN b.n >= 2
+            THEN replace(v.s, $sep||b.l||$sep||$sep||b.r||$sep,
+                         $sep||b.l||b.r||$sep)
+            ELSE v.s END AS s, v.cnt
+        FROM v${i - 1} v LEFT JOIN b$i b ON TRUE)"""
+  }
+
+  private def bpeTrainOracleSql(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map(bpeRoundSql).mkString(",")
+    val out = (1 to rounds).map(i =>
+      s"SELECT CAST($i AS INTEGER) AS rank, l AS left_sym, " +
+        s"r AS right_sym FROM b$i WHERE n >= 2")
+      .mkString("\n      UNION ALL ")
+    s"""WITH w AS (
+        SELECT word, COUNT(*) AS cnt FROM (
+          SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+          FROM documents WHERE length(trim(text)) > 0) t
+        GROUP BY word),
+      v0 AS (
+        SELECT chr(1) || array_to_string(
+            list_transform(range(1, length(word) + 1),
+              i -> substr(word, CAST(i AS INT), 1)), chr(1)||chr(1))
+          || chr(1) AS s, cnt
+        FROM w),$roundCtes
+      SELECT rank, left_sym, right_sym FROM (
+      $out) ORDER BY rank"""
+  }
+
+  /** BPE merge training ([[graft.ops.Bpe.trainMerges]]) — oracled by
+    * a fully UNROLLED 12-round SQL training loop (the k-means-oracle
+    * technique applied to the merge loop): each round recomputes the
+    * weighted pair counts, picks the same (count desc, left, right)
+    * best pair, and applies the same literal boundary-safe replace,
+    * so the learned merge table hash-matches engine-for-engine. */
   val td_bpe_train = GraftQuery(
     "td_bpe_train",
     (s, dir) => {
@@ -2140,7 +2197,7 @@ object TrainingData {
         .toDF("rank", "left_sym", "right_sym")
         .orderBy(col("rank"))
     },
-    None)
+    Some(bpeTrainOracleSql(12)))
 
   /** Target-proportion domain mix ([[graft.ops.Sampling.domainMix]]):
     * keep rates DERIVED from the live domain counts so the surviving
