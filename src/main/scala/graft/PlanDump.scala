@@ -53,6 +53,8 @@ object PlanDump {
       "Z-order box read: the cell isin() becomes a PartitionFilter (only intersecting z-cell dirs are listed); the exact box predicate remains as the data filter pushed to the parquet scan.",
     "q36_overlap_join" ->
       "Interval-overlap join: both sides explode bucket sequences in narrow maps, then ONE hash equi-join on (key, bucket); the first-shared-bucket filter dedups pairs with an integer comparison — no nested loop, no distinct over the result.",
+    "td_ann_lsh_md5" ->
+      "Multi-table sign-LSH with md5-derived constant planes: bucketing is a NARROW map (the plane matrix folds into the plan as integer literals - no join, no shuffle to fetch planes); candidates come from one keyed (table, bucket) equi-join; the only window ranks per-query candidates. Exact integer sign dots make the buckets bit-identical cross-engine - this is the oracled sibling of the xxhash64 form.",
     "td_blocklist_scrub" ->
       "Bloom-prefiltered scrub: the bypass branch (bloom-negative rows, the overwhelming majority at scale) reaches the union with NO join node at all; the residual branch broadcasts the blocklist into one BroadcastHashJoin LeftAnti — the corpus side never shuffles.",
     "td_heavy_hitters" ->

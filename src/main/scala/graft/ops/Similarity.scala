@@ -320,7 +320,8 @@ object Similarity {
     */
   def lshTopKMd5(queries: DataFrame, corpus: DataFrame,
                  idCol: String, vecCol: String, k: Int, dim: Int,
-                 numPlanes: Int = 8, numTables: Int = 4): DataFrame = {
+                 numPlanes: Int = 8, numTables: Int = 8,
+                 probes: Int = 2): DataFrame = {
     require(numPlanes < 63, "bucket bits must fit a long")
     val qv = transform(col(vecCol),
       x => floor(x.cast("double") * 1000).cast("long"))
@@ -340,9 +341,15 @@ object Similarity {
         col(vecCol).as("cvec"), explode(tableKeys(qv)).as("tk"))
       .select(col("tk.t").as("t"), col("tk.b").as("bucket"),
         col("neighbor_id"), col("cvec"))
+    // multi-probe: each query also looks in the single-bit-flip
+    // buckets of its own — same recall lever as [[lshTopK]]'s probes
     val q = queries.select(col(idCol).as("query_id"),
         col(vecCol).as("qvec"), explode(tableKeys(qv)).as("tk"))
-      .select(col("tk.t").as("t"), col("tk.b").as("bucket"),
+      .withColumn("bucket", explode(array_distinct(array(
+        (col("tk.b") +:
+          (0 until probes).map(p =>
+            col("tk.b").bitwiseXOR(shiftleft(lit(1L), p)))): _*))))
+      .select(col("tk.t").as("t"), col("bucket"),
         col("query_id"), col("qvec"))
 
     val scored = q.join(c, Seq("t", "bucket"))

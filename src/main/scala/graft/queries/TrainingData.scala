@@ -1157,7 +1157,7 @@ object TrainingData {
       val e = Tables.embeddings(s, dir)
       Similarity.lshTopKMd5(e.filter(col("vec_id") < 20), e,
         "vec_id", "embedding", k = 5, dim = 64,
-        numPlanes = 8, numTables = 4)
+        numPlanes = 8, numTables = 8)
         .orderBy(col("query_id"), col("rank"))
     },
     Some("""WITH q AS (
@@ -1170,7 +1170,7 @@ object TrainingData {
           ('0x' || substr(md5(CAST(t AS VARCHAR) || ',' ||
               CAST(p AS VARCHAR) || ',' || CAST(j AS VARCHAR)), 1, 15))::BIGINT
             % 1000001 - 500000 AS c
-        FROM range(4) tt(t), range(8) pp(p), range(64) jj(j)),
+        FROM range(8) tt(t), range(8) pp(p), range(64) jj(j)),
       dots AS (
         SELECT q.id, pl.t, pl.p,
           SUM(q.qv[CAST(pl.j AS INT) + 1] * pl.c) AS d
@@ -1184,7 +1184,8 @@ object TrainingData {
       cand AS (
         SELECT DISTINCT qb.id AS query_id, cb.id AS neighbor_id
         FROM buckets qb JOIN buckets cb
-          ON qb.t = cb.t AND qb.bucket = cb.bucket
+          ON qb.t = cb.t AND cb.bucket IN
+            (qb.bucket, xor(qb.bucket, 1), xor(qb.bucket, 2))
         WHERE qb.id < 20 AND qb.id <> cb.id),
       scored AS (
         SELECT c.query_id, c.neighbor_id,

@@ -68,6 +68,14 @@ class AnnQualitySpec extends SparkSpec {
     info(f"IVF+PQ recall vs exact: $ivfpqRecall%.3f")
     assert(ivfpqRecall >= 0.05,
       f"IVF+PQ recall $ivfpqRecall%.3f under floor")
+    // md5-plane sibling (the oracled form): same table/plane budget as
+    // the xxhash64 form, so it must clear the same recall floor — the
+    // plane DERIVATION changes, the geometry doesn't
+    val lshMd5 = pairs(Similarity.lshTopKMd5(q, e, "vec_id", "embedding",
+      k = 5, dim = 64, numPlanes = 8, numTables = 8))
+    val md5Recall = (exact & lshMd5).size.toDouble / exact.size
+    info(f"md5-LSH recall vs exact: $md5Recall%.3f  (pairs ${lshMd5.size})")
+    assert(md5Recall >= 0.25, f"md5-LSH recall $md5Recall%.3f under floor")
   }
 
   test("LSH recalls planted near-duplicate neighbors") {

@@ -406,6 +406,25 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("td_ann_lsh_md5: literal planes (no plane join), keyed candidate join only") {
+    audited(graft.queries.TrainingData.td_ann_lsh_md5.fn(spark, dir)) { df =>
+      val plan = df.queryExecution.executedPlan
+      // planes are plan literals: candidate generation must be the
+      // (table, bucket) equi-join — never a nested loop over planes
+      // or an all-pairs product
+      assert(plan.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      }.isEmpty, s"LSH candidates regressed to a product:\n$plan")
+      val windows = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.forall(
+        _.partitionSpec.map(_.toString).exists(_.contains("query_id"))),
+        s"window not per-query:\n$plan")
+    }
+  }
+
   test("td_chunk_dedup: chunk winners via map-side min(struct), no sorted window") {
     audited(graft.queries.TrainingData.td_chunk_dedup.fn(spark, dir)) { df =>
       val plan = df.queryExecution.executedPlan
