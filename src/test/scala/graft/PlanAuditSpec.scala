@@ -478,6 +478,70 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("ev_retention: first-event lookup + offset count, no window, partial aggs") {
+    audited(graft.queries.Events.ev_retention.fn(spark, dir)) { df =>
+      val plan = df.queryExecution.executedPlan
+      assert(plan.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      }.isEmpty, s"retention regressed to a product:\n$plan")
+      val windows = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.isEmpty, s"retention grew a window:\n$plan")
+      val partial = plan.collect {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+          if a.aggregateExpressions.exists(_.mode.toString == "Partial") => a
+      }
+      assert(partial.nonEmpty, s"cohort aggs not map-side partial:\n$plan")
+    }
+  }
+
+  test("ev_rolling_distinct: pair collapse before the fan-out, windows absent") {
+    audited(graft.queries.Events.ev_rolling_distinct.fn(spark, dir)) { df =>
+      val plan = df.queryExecution.executedPlan
+      // the ×windowPeriods explode must run on the DEDUPED (period,
+      // key) pair grid, never the raw event stream: every explode in
+      // the plan sits above an aggregate
+      val generates = plan.collect {
+        case g: org.apache.spark.sql.execution.GenerateExec => g
+      }
+      assert(generates.nonEmpty, s"no fan-out found:\n$plan")
+      assert(generates.forall(g => g.collectFirst {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      }.nonEmpty), s"fan-out runs on raw events, not the pair grid:\n$plan")
+      val windows = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.isEmpty, s"rolling distinct grew a window:\n$plan")
+    }
+  }
+
+  test("ev_session_funnel: windows keyed by user or session, never re-shuffled per step") {
+    audited(graft.queries.Events.ev_session_funnel.fn(spark, dir)) { df =>
+      val plan = df.queryExecution.executedPlan
+      // sessionization windows run per user; the funnel windows run
+      // per derived session key (sk = user#n) — nothing else
+      val windows = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.nonEmpty, s"sessionization window missing:\n$plan")
+      assert(windows.forall(_.partitionSpec.map(_.toString)
+          .exists(s => s.contains("user_id") || s.contains("sk"))),
+        s"window partitioned off the user/session key:\n$plan")
+      // the cascaded funnel minimums share ONE sk hash partitioning
+      // and sessionization ONE user_id partitioning — the funnel must
+      // not shuffle once per step
+      val keyedExchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.outputPartitioning
+            .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+      }
+      assert(keyedExchanges.size <= 3,
+        s"session funnel reshuffles per step:\n$plan")
+    }
+  }
+
   test("ev_gapfill: grid explodes AFTER the bounds agg; fill reuses the key partitioning") {
     audited(graft.queries.Events.ev_gapfill.fn(spark, dir)) { df =>
       val plan = df.queryExecution.executedPlan
