@@ -125,4 +125,31 @@ class FixtureEncodingSpec extends SparkSpec {
     try intercept[IllegalArgumentException](Tables.events(spark, ntzDir))
     finally spark.conf.set("spark.sql.session.timeZone", "UTC")
   }
+
+  test("embeddings shipped as array<double> still drive the ANN ops") {
+    // the other fixture-drift candidate: every embedding op must
+    // tolerate a float→double element-type change in the parquet
+    // (the native expressions accept both; quantization casts) — the
+    // same "unit suite green, every query broken" class the events
+    // encoding caught in round 6
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_dbl_emb").toString
+    val rnd = new scala.util.Random(5)
+    (0L until 60L).map { i =>
+      (i, Seq.fill(64)(rnd.nextDouble() - 0.5), s"l${i % 3}")
+    }.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val e = Tables.embeddings(spark, dir)
+    val topk = graft.ops.Similarity.bruteForceTopK(
+      e.filter(col("vec_id") < 5), e, "vec_id", "embedding", 3)
+    assert(topk.count() == 15)
+    val ivfpq = graft.ops.ProductQuant.ivfAdcTopK(
+      e.filter(col("vec_id") < 5), e, "vec_id", "embedding",
+      dim = 64, m = 4, k = 4, topK = 3, kCells = 4, iters = 1, nProbe = 2)
+    assert(ivfpq.count() > 0)
+    val lsh = graft.ops.Similarity.lshTopKMd5(
+      e.filter(col("vec_id") < 5), e, "vec_id", "embedding",
+      k = 3, dim = 64)
+    assert(lsh.count() > 0)
+  }
 }

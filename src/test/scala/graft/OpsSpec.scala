@@ -969,4 +969,60 @@ class OpsSpec extends SparkSpec {
       p._3 + q._3, p._4 + q._4, p._5 + q._5, p._6 + q._6))
     assert(merged == full)
   }
+
+  test("chunkDedup ≡ brute-force reference on random corpora") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("w1", "w2", "w3")
+    val ct = 4 // chunkTokens
+    // short docs, tiny vocab: many cross-doc duplicate chunks, plus
+    // empty and whitespace-only docs to pin the 0-chunk rows
+    val docs = (1L to 60L).map { i =>
+      val body =
+        if (i % 17 == 0) ""
+        else if (i % 19 == 0) "   "
+        else Seq.fill(1 + rnd.nextInt(11))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" ")
+      i -> body
+    }
+    // reference: explode every doc into ct-token chunks, winner per
+    // distinct chunk = lexicographically smallest (id, chunk_idx)
+    val chunks = docs.flatMap { case (id, text) =>
+      val t = text.trim
+      if (t.isEmpty) Seq.empty
+      else t.split("\\s+").toSeq.grouped(ct).zipWithIndex
+        .map { case (c, idx) => (c.mkString(" "), id, idx) }.toSeq
+    }
+    val winner = chunks.groupBy(_._1)
+      .map { case (c, occ) => c -> occ.map(o => (o._2, o._3)).min }
+    val want = docs.map { case (id, text) =>
+      val mine = chunks.filter(_._2 == id)
+      (id, mine.size.toLong,
+        mine.count(o => winner(o._1) == ((o._2, o._3))).toLong)
+    }.sortBy(_._1)
+    val got = Dedup.chunkDedup(docs.toDF("doc_id", "text"),
+        "doc_id", "text", chunkTokens = ct)
+      .orderBy("id").select("id", "n_chunks", "n_kept")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == want)
+  }
+
+  test("meanPoolVectors ≡ naive per-group mean on random ragged groups") {
+    val rnd = new scala.util.Random(31)
+    val rows = (1 to 200).map { i =>
+      val g = s"g${rnd.nextInt(7)}"
+      // exact integer-valued doubles: sums are order-independent
+      val v: Seq[Double] =
+        if (i % 23 == 0) null
+        else Seq.fill(6)(rnd.nextInt(1000).toDouble)
+      (g, v)
+    }
+    val want = rows.filter(_._2 != null).groupBy(_._1).map { case (g, rs) =>
+      g -> (0 until 6).map(j => rs.map(_._2(j)).sum / rs.size)
+    }
+    val got = Similarity.meanPoolVectors(
+        rows.toDF("grp", "v"), "grp", "v")
+      .as[(String, Seq[Double])].collect().toMap
+    assert(got.keySet == want.keySet)
+    for ((g, exp) <- want) assert(got(g) == exp, s"group $g")
+  }
 }
