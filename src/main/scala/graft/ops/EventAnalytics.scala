@@ -213,4 +213,40 @@ object EventAnalytics {
         coalesce(col("n_events"), lit(0L)).as("n_events"),
         last(col("slot_last"), ignoreNulls = true).over(w).as("fill"))
   }
+
+  /** Top event-type paths of length `n`: the DISCOVERY sibling of
+    * [[funnel]] — a funnel measures one fixed step sequence, this
+    * surfaces which consecutive sequences actually occur. A path is
+    * `n` consecutive events of the same entity in event-time order
+    * (ties on `tieCol`, so the sequence is deterministic under equal
+    * timestamps).
+    *
+    * Plan shape: all `lead` columns share ONE window partitioned by
+    * the entity (single Exchange + Sort), incomplete tails drop with
+    * a null check on the furthest lead, and the path count is a
+    * map-side-combinable aggregate over at most |types|^n keys. The
+    * per-entity event list is never materialized (no collect_list —
+    * the shape that OOMs on a hot entity at 100 TB).
+    *
+    * @return top `k` rows of (path, n_paths), count desc / path asc
+    */
+  def topPaths(events: DataFrame, entityCol: String, tsCol: String,
+               typeCol: String, tieCol: String, n: Int,
+               k: Int): DataFrame = {
+    require(n >= 2, "a path needs at least two steps")
+    val w = Window.partitionBy(col(entityCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val steps = (1 until n).map(i => lead(col(typeCol), i).over(w))
+    events
+      .withColumn("__path",
+        concat_ws(" > ", (col(typeCol) +: steps): _*))
+      // the furthest lead is null iff the window runs off the
+      // entity's tail; nearer leads cannot be null when it isn't
+      .withColumn("__last", steps.last)
+      .filter(col("__last").isNotNull)
+      .groupBy(col("__path").as("path"))
+      .agg(count(lit(1)).as("n_paths"))
+      .orderBy(col("n_paths").desc, col("path"))
+      .limit(k)
+  }
 }

@@ -315,8 +315,30 @@ object Events {
         CAST(SUM(EPOCH_US(ts) - EPOCH_US(t_ts)) AS BIGINT) AS total_lag_us
       FROM j WHERE rn = 1 GROUP BY 1 ORDER BY 1"""))
 
+  /** Top 3-step event paths ([[EventAnalytics.topPaths]]) — which
+    * consecutive event-type sequences actually occur, the discovery
+    * complement of the fixed-sequence funnel. Ties on event_id keep
+    * the per-user ordering deterministic at equal timestamps. */
+  val ev_paths = GraftQuery(
+    "ev_paths",
+    (s, dir) => {
+      EventAnalytics.topPaths(Tables.events(s, dir), "user_id", "ts",
+        "event_type", "event_id", n = 3, k = 10)
+        .orderBy(col("n_paths").desc, col("path"))
+    },
+    Some("""WITH seq AS (
+        SELECT event_type || ' > ' ||
+            lead(event_type, 1) OVER w || ' > ' ||
+            lead(event_type, 2) OVER w AS path,
+          lead(event_type, 2) OVER w AS last2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      SELECT path, COUNT(*) AS n_paths FROM seq
+      WHERE last2 IS NOT NULL
+      GROUP BY path ORDER BY n_paths DESC, path LIMIT 10"""))
+
   def all: Seq[GraftQuery] = Seq(
     ev_funnel, ev_funnel_counts, ev_retention, ev_gapfill,
     ev_session_funnel, ev_rolling_distinct, ev_rolling_distinct_hll,
-    ev_attribution)
+    ev_attribution, ev_paths)
 }

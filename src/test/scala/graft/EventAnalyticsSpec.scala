@@ -145,6 +145,23 @@ class EventAnalyticsSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(math.abs(est - ex) / ex < 0.5, s"est=$est exact=$ex")
   }
 
+  test("topPaths: consecutive per-user sequences, incomplete tails dropped, ties on tieCol") {
+    val df = Seq(
+      // user 1: a → b → c → b  ⇒ trigrams "a>b>c", "b>c>b"
+      (1L, 0L, 101L, "a"), (1L, 10L, 102L, "b"),
+      (1L, 20L, 103L, "c"), (1L, 30L, 104L, "b"),
+      // user 2: equal timestamps — event_id orders them: a → b → c
+      (2L, 5L, 201L, "a"), (2L, 5L, 202L, "b"), (2L, 5L, 203L, "c"),
+      // user 3: too short for any trigram
+      (3L, 0L, 301L, "a"), (3L, 1L, 302L, "b"))
+      .map { case (u, sec, id, t) => (u, ts(sec), id, t) }
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = EventAnalytics.topPaths(df, "user_id", "ts",
+      "event_type", "event_id", n = 3, k = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("a > b > c", 2L), ("b > c > b", 1L)))
+  }
+
   test("gapFillForwardFill: empty slots carry the last observation; ties break on tieCol") {
     val df = Seq(
       (1L, ts(0), "a", 10.0, 100L),

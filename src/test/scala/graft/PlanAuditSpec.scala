@@ -478,6 +478,23 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("ev_paths: all lead columns share ONE user-keyed window; path count partial") {
+    audited(graft.queries.Events.ev_paths.fn(spark, dir)) { df =>
+      val plan = df.queryExecution.executedPlan
+      val windows = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.size == 1 &&
+        windows.head.partitionSpec.map(_.toString).exists(_.contains("user_id")),
+        s"path leads split across windows (shuffle per step):\n$plan")
+      val partial = plan.collect {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+          if a.aggregateExpressions.exists(_.mode.toString == "Partial") => a
+      }
+      assert(partial.nonEmpty, s"path count not map-side partial:\n$plan")
+    }
+  }
+
   test("ev_retention: first-event lookup + offset count, no window, partial aggs") {
     audited(graft.queries.Events.ev_retention.fn(spark, dir)) { df =>
       val plan = df.queryExecution.executedPlan
