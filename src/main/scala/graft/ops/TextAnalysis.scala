@@ -406,4 +406,48 @@ object TextAnalysis {
     docs.select(col(idCol)).join(scored, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("score"), lit(0L)).as("score"))
   }
+
+  /** md5 feature-hash bucket of a token: first 15 hex chars as a
+    * 60-bit integer, mod `dim`. Portable (every engine has md5), so
+    * hashed-TF features are cross-engine value-checkable — the same
+    * portability/speed trade as [[graft.ops.Dedup.simhashMd5Df]]. */
+  def md5Bucket(token: Column, dim: Int): Column =
+    pmod(conv(substring(md5(token), 1, 15), 16, 10).cast("long"),
+      lit(dim.toLong)).cast("int")
+
+  /** Feature hashing (the hashing trick, HashingVectorizer): each
+    * document becomes a fixed `dim`-bucket term-frequency table with
+    * NO vocabulary pass — token t counts into bucket md5(t) mod dim.
+    * The no-model bridge from the text pipeline to the vector/ANN
+    * pipeline: downstream cosine/LSH/IVF run on these exactly as on
+    * learned embeddings, and the integer counts keep every comparison
+    * exact.
+    *
+    * Returns the SPARSE (id, pos, tf) relation — one keyed shuffle
+    * with map-side combine, never a dim-wide dense row. Use
+    * [[hashedTfVectors]] for the dense array form.
+    */
+  def hashedTf(docs: DataFrame, idCol: String, textCol: String,
+               dim: Int): DataFrame =
+    docs.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("id"),
+        explode(tokens(col(textCol))).as("t"))
+      .select(col("id"), md5Bucket(col("t"), dim).as("pos"))
+      .groupBy(col("id"), col("pos"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Dense-vector form of [[hashedTf]]: the per-doc buckets
+    * reassemble into an `array<double>` of length `dim` (absent
+    * buckets 0.0) — the shape [[Similarity]]'s cosine/LSH/IVF ops
+    * consume. Per-doc state is bounded by `dim`, never vocabulary. */
+  def hashedTfVectors(docs: DataFrame, idCol: String, textCol: String,
+                      dim: Int): DataFrame =
+    hashedTf(docs, idCol, textCol, dim)
+      .groupBy(col("id"))
+      .agg(map_from_entries(
+        collect_list(struct(col("pos"), col("tf")))).as("m"))
+      .select(col("id").as(idCol),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => coalesce(element_at(col("m"), i), lit(0L)).cast("double"))
+          .as("tf_vec"))
 }

@@ -1742,6 +1742,29 @@ object TrainingData {
       WHERE cum_tokens <= 2000
       ORDER BY source, doc_id"""))
 
+  /** Feature hashing ([[TextAnalysis.hashedTf]]): fixed 32-bucket
+    * hashed term frequencies per document — the vocabulary-free
+    * text→vector bridge (HashingVectorizer). md5 bucketing makes the
+    * whole relation cross-engine exact; the dense array form
+    * ([[TextAnalysis.hashedTfVectors]]) feeds the ANN ops and is
+    * spec-pinned consistent with this sparse relation. */
+  val td_hashed_tf = GraftQuery(
+    "td_hashed_tf",
+    (s, dir) => {
+      TextAnalysis.hashedTf(
+        Tables.documents(s, dir).filter(col("doc_id") < 200),
+        "doc_id", "text", dim = 32)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"), col("pos"))
+    },
+    Some("""WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+        FROM documents WHERE doc_id < 200 AND length(trim(text)) > 0)
+      SELECT doc_id,
+        CAST(('0x' || substr(md5(t), 1, 15))::BIGINT % 32 AS INT) AS pos,
+        COUNT(*) AS tf
+      FROM tok GROUP BY 1, 2 ORDER BY doc_id, pos"""))
+
   /** Per-doc top-3 TF-IDF terms with integer-scaled idf
     * ([[TextAnalysis.tfIdfTopTerms]]): `log`-free so every value is
     * exact cross-engine — tf, df, and score are integers; ranking
@@ -2858,7 +2881,7 @@ object TrainingData {
     td_source_cap, td_fold_accents, td_edit_neardup, td_fuzzy_decontam,
     td_line_repetition, td_c4_clean, td_blocklist_scrub,
     td_heavy_hitters, td_hll_registers, td_hll_by_source,
-    td_pipeline_e2e, td_tfidf, td_bm25, td_hybrid_rrf,
+    td_pipeline_e2e, td_hashed_tf, td_tfidf, td_bm25, td_hybrid_rrf,
     td_dedup_components, td_dedup_survivors, td_dedup_best,
     td_dedup_canonical, td_simhash,
     td_simhash_md5, td_ann_lsh, td_ann_lsh_md5, td_embedding_neardup, td_ann_ivf,

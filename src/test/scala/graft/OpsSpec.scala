@@ -1025,4 +1025,35 @@ class OpsSpec extends SparkSpec {
     assert(got.keySet == want.keySet)
     for ((g, exp) <- want) assert(got(g) == exp, s"group $g")
   }
+
+  test("hashedTfVectors ≡ sparse hashedTf; cosine of a doc with itself = 1") {
+    val docs = Seq(
+      (1L, "alpha beta alpha gamma"),
+      (2L, "beta beta delta"),
+      (3L, "   "), // whitespace-only: no vector row
+      (4L, "alpha beta alpha gamma")) // duplicate of doc 1
+      .toDF("doc_id", "text")
+    val dim = 16
+    val sparse = TextAnalysis.hashedTf(docs, "doc_id", "text", dim)
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    val dense = TextAnalysis.hashedTfVectors(docs, "doc_id", "text", dim)
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(dense.keySet == Set(1L, 2L, 4L))
+    for ((id, vec) <- dense; (pos, tf) <- sparse(id))
+      assert(vec(pos) == tf.toDouble, s"doc $id pos $pos")
+    for ((id, vec) <- dense)
+      assert(vec.sum == sparse(id).values.sum.toDouble)
+    // the dense form drives the similarity ops: identical docs at
+    // cosine 1, and a doc against itself likewise
+    val v = TextAnalysis.hashedTfVectors(docs, "doc_id", "text", dim)
+    val cos = v.as("a").crossJoin(v.as("b"))
+      .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"),
+        Similarity.cosine(col("a.tf_vec"), col("b.tf_vec")).as("c"))
+      .as[(Long, Long, Double)].collect()
+    assert(cos.filter(r => r._1 == r._2)
+      .forall(r => math.abs(r._3 - 1.0) < 1e-12))
+    assert(math.abs(cos.find(r => r._1 == 1L && r._2 == 4L).get._3 - 1.0)
+      < 1e-12)
+  }
 }
