@@ -76,7 +76,9 @@ object PlanDump {
     "td_domain_mix" ->
       "Target-proportion mix: domain counts aggregate map-side into |domains| rows, the feasible-total min is a 1-row frame, and the derived keep rates broadcast back — the corpus itself sees a single narrow hash filter, no shuffle.",
     "q38_validate" ->
-      "Data-expectation gate: all five row-level checks evaluate in ONE partial-aggregable scan (conditional sums in the same aggregate); only the key-uniqueness surplus pays a keyed shuffle, map-side combined.")
+      "Data-expectation gate: all five row-level checks evaluate in ONE partial-aggregable scan (conditional sums in the same aggregate); only the key-uniqueness surplus pays a keyed shuffle, map-side combined.",
+    "td_dsir_select" ->
+      "DSIR importance resampling: both corpora collapse to dim-bounded hashed-ngram bucket counts with map-side partial aggregation; the dim-row weight table BROADCASTS into the raw-side feature join (the corpus never re-shuffles to meet the weights); top-k plans as TakeOrderedAndProject — per-partition heaps, no global sort anywhere.")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")

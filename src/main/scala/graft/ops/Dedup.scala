@@ -379,6 +379,86 @@ object Dedup {
     labels
   }
 
+  /** Connected components by alternating large-star / small-star
+    * (Kiveris et al. 2014, "Connected Components in MapReduce and
+    * Beyond") — the round-count-safe alternative to
+    * [[connectedComponents]]. Min-label propagation needs O(graph
+    * diameter) rounds: fine for near-dup clusters (near-cliques),
+    * quadratic-feeling on chain-shaped graphs (shared-boilerplate
+    * chains A~B~C~… that real corpora do produce). The alternating
+    * star rounds rewire every vertex's neighbors to the minimum of
+    * its closed neighborhood — large-star the strictly-larger
+    * neighbors, small-star the smaller ones — and the edge set
+    * provably flattens into a star forest rooted at each component's
+    * minimum in O(log n) rounds, independent of diameter.
+    *
+    * Scale shape per round: two groupBy(min) + join pairs, all
+    * edge-list-sized (edges only ever re-point at smaller ids; the
+    * set never grows beyond the undirected closure), min-aggregates
+    * map-side combinable, lineage cut per round with localCheckpoint.
+    *
+    * Same contract as [[connectedComponents]]: `pairs` has
+    * `id_a`/`id_b` (one row per undirected pair); returns (id, comp)
+    * for every vertex appearing in `pairs`, comp = min id of its
+    * component. Verified equivalent to label propagation by property
+    * spec, and by the shared oracle of `td_cc_largestar` /
+    * `td_dedup_components`.
+    */
+  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val vertices = pairs.select(col("id_a").as("id"))
+      .unionByName(pairs.select(col("id_b").as("id")))
+      .distinct()
+      .localCheckpoint(eager = false)
+    // canonical (u = larger, v = smaller); self-pairs contribute nothing
+    var edges = pairs
+      .select(greatest(col("id_a"), col("id_b")).as("u"),
+        least(col("id_a"), col("id_b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // large-star: u's neighbors v > u re-link to m = min(N(u) ∪ {u})
+      val und = edges.unionByName(
+        edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = und.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val ls = und.join(mins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")) // v > u ≥ m, so u > v
+        .distinct()
+      // small-star: u's smaller neighbors (ls is already (larger u,
+      // smaller v)) and u itself re-link to m = min of that set
+      val mins2 = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val linked = ls.join(mins2, Seq("u"))
+      val next = linked
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(linked.select(col("u"), col("m").as("v")))
+        .distinct()
+        .localCheckpoint(eager = false)
+      // fixed point = star forest; both anti-join probes are
+      // limit-1 short-circuits on edge-sized inputs
+      val changed =
+        next.join(edges, Seq("u", "v"), "left_anti").limit(1).count() +
+          edges.join(next, Seq("u", "v"), "left_anti").limit(1).count()
+      converged = changed == 0
+      edges = next
+      iter += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponentsStar: not converged after $maxIter rounds")
+    // star forest: every non-root has exactly one (id, root) edge;
+    // roots (and any vertex whose component collapsed onto it) label
+    // themselves
+    val nonRoots = edges.select(col("u").as("id"), col("v").as("comp"))
+    val roots = vertices
+      .join(nonRoots.select(col("id")), Seq("id"), "left_anti")
+      .withColumn("comp", col("id"))
+    nonRoots.unionByName(roots)
+  }
+
   /** End-to-end near-duplicate removal: LSH candidate pairs →
     * connected components over the verified-pair graph → keep only
     * the lowest-id member of each duplicate cluster. Returns the

@@ -177,4 +177,84 @@ object Sampling {
     }
     cum.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Hashed unigram+bigram term frequencies per document — the
+    * feature map of DSIR-style importance weighting (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"
+    * §2 uses exactly hashed n-grams). md5 buckets
+    * ([[TextAnalysis.md5Bucket]]) keep the relation cross-engine
+    * exact; one keyed shuffle with map-side combine, bounded by `dim`
+    * buckets per doc. Docs with no tokens produce no rows (callers
+    * left-join them back). */
+  def hashedNgramTf(docs: DataFrame, idCol: String, textCol: String,
+                    dim: Int): DataFrame =
+    docs
+      .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= 1)
+      .select(col("id"), explode(concat(col("toks"),
+        coalesce(
+          when(size(col("toks")) >= 2,
+            transform(sequence(lit(0), size(col("toks")) - 2),
+              i => concat_ws(" ", slice(col("toks"), i + 1, lit(2))))),
+          array().cast("array<string>")))).as("g"))
+      .select(col("id"), TextAnalysis.md5Bucket(col("g"), dim).as("pos"))
+      .groupBy(col("id"), col("pos"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** DSIR-style importance weights: score each raw document by how
+    * target-like its hashed n-gram profile is. Per bucket f, the
+    * add-1-smoothed target/raw frequency ratio as a SCALED INTEGER
+    * `(tgt_f + 1)·scale div (raw_f + 1)` — the repo's exactness idiom
+    * (the paper's log-ratio sums floats, which differ in the last ulp
+    * across engines; per-bucket scaled ratios never do). A document's
+    * score is Σ tf_f · ratio_f: a linear-space surrogate for the
+    * paper's Naive-Bayes log discriminant that prefers the same
+    * target-heavy buckets while staying bit-identical cross-engine.
+    * (The shared normalizers the paper divides by are constant across
+    * buckets, so dropping them rescales every doc equally.)
+    *
+    * Scale shape: both corpora aggregate to ≤`dim` bucket counts with
+    * map-side combine; the dim-row weight table BROADCASTS into the
+    * raw-side feature join; the per-doc score is one keyed agg. The
+    * raw corpus is touched twice (features + the score-preserving
+    * left join), never joined to the target corpus row-wise.
+    *
+    * @return every raw doc: (id, score) — score 0 for token-less docs
+    */
+  def importanceWeights(raw: DataFrame, target: DataFrame,
+                        idCol: String, textCol: String,
+                        dim: Int = 64, scale: Long = 1000000L): DataFrame = {
+    val rawTf = hashedNgramTf(raw, idCol, textCol, dim)
+    val tgtTf = hashedNgramTf(target, idCol, textCol, dim)
+    val rawTot = rawTf.groupBy(col("pos")).agg(sum(col("tf")).as("raw_tf"))
+    val tgtTot = tgtTf.groupBy(col("pos")).agg(sum(col("tf")).as("tgt_tf"))
+    val buckets = raw.sparkSession.range(0, dim)
+      .select(col("id").cast("int").as("pos"))
+    val weights = buckets
+      .join(tgtTot, Seq("pos"), "left")
+      .join(rawTot, Seq("pos"), "left")
+      .select(col("pos"), expr(
+        s"(coalesce(tgt_tf, 0L) + 1L) * ${scale}L div (coalesce(raw_tf, 0L) + 1L)")
+        .as("ratio"))
+    val scored = rawTf
+      .join(broadcast(weights), Seq("pos"))
+      .groupBy(col("id"))
+      .agg(sum(col("tf") * col("ratio")).as("score"))
+    raw.select(col(idCol).as("id"))
+      .join(scored, Seq("id"), "left")
+      .select(col("id"), coalesce(col("score"), lit(0L)).as("score"))
+  }
+
+  /** Importance resampling: the top-`k` raw documents by
+    * [[importanceWeights]] (ties break on lowest id — deterministic).
+    * The deterministic top-k form of the paper's Gumbel-top-k
+    * resample (seeded noise is just a tie-spreader; rank-by-weight is
+    * the reproducible, oracle-checkable core). orderBy+limit plans as
+    * TakeOrdered — per-partition heaps, never a global sort. */
+  def importanceSelect(raw: DataFrame, target: DataFrame,
+                       idCol: String, textCol: String, k: Int,
+                       dim: Int = 64, scale: Long = 1000000L): DataFrame =
+    importanceWeights(raw, target, idCol, textCol, dim, scale)
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
 }

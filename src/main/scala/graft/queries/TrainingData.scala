@@ -336,6 +336,59 @@ object TrainingData {
       SELECT u AS doc_id, MIN(v) AS component
       FROM reach GROUP BY u ORDER BY doc_id"""))
 
+  /** [[td_dedup_components]] recomputed with the alternating
+    * large-star/small-star algorithm
+    * ([[graft.ops.Dedup.connectedComponentsStar]], Kiveris et al.
+    * 2014) instead of min-label propagation — O(log n) rounds
+    * independent of graph diameter, the shape that survives
+    * chain-shaped dup graphs at corpus scale. Same pair graph, same
+    * oracle: both algorithms must converge to the identical
+    * min-id-per-component labeling. */
+  val td_cc_largestar = GraftQuery(
+    "td_cc_largestar",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).filter(col("doc_id") < 150)
+      val corpus = d.unionByName(
+        d.filter(pmod(col("doc_id"), lit(5)) === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L)
+          .withColumn("text", concat(col("text"), lit(" xtra wrds"))))
+      val pairs = Dedup.minhashNearDuplicates(corpus, "doc_id", "text",
+        numHashes = 32, bands = 16, threshold = 0.8)
+      Dedup.connectedComponentsStar(pairs)
+        .select(col("id").as("doc_id"), col("comp").as("component"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH RECURSIVE base AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 150),
+      corpus AS (
+        SELECT doc_id, text FROM base
+        UNION ALL
+        SELECT doc_id + 1000000, text || ' xtra wrds' FROM base WHERE doc_id % 5 = 0),
+      tok AS (
+        SELECT doc_id, string_split_regex(trim(text),'\s+') AS t FROM corpus),
+      sh AS (
+        SELECT doc_id,
+          CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+               ELSE list_distinct(list_transform(range(1, len(t)-1),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS s
+        FROM tok),
+      pairs AS (
+        SELECT id_a, id_b FROM (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)
+              / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        WHERE jaccard >= 0.8),
+      edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+      reach AS (
+        SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges) t
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+      SELECT u AS doc_id, MIN(v) AS component
+      FROM reach GROUP BY u ORDER BY doc_id"""))
+
   /** End-to-end dedup ([[graft.ops.Dedup.dedupCorpus]]): the full
     * remove-near-duplicates pipeline over the same planted corpus as
     * [[td_dedup_components]] — LSH pairs → components → keep the
@@ -2363,6 +2416,68 @@ object TrainingData {
                    ELSE ${Sampling.cutoff(0.05)} END
       ORDER BY doc_id"""))
 
+  /** DSIR-style importance resampling
+    * ([[graft.ops.Sampling.importanceSelect]], Xie et al. 2023):
+    * sources src0/src1 act as the high-quality TARGET, the other 18
+    * sources as the RAW pool; every raw doc is scored by its hashed
+    * unigram+bigram profile's smoothed target/raw bucket ratios
+    * (scaled-integer, so the whole ranking is cross-engine exact) and
+    * the top 50 are kept. The oracle recomputes features, ratios and
+    * the rank in SQL with the same md5 buckets. */
+  val td_dsir_select = GraftQuery(
+    "td_dsir_select",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val raw = docs.filter(!col("source").isin("src0", "src1"))
+      val target = docs.filter(col("source").isin("src0", "src1"))
+      Sampling.importanceSelect(raw, target, "doc_id", "text",
+        k = 50, dim = 64)
+        .withColumnRenamed("id", "doc_id")
+    },
+    Some("""WITH rawd AS (
+        SELECT doc_id, text FROM documents WHERE source NOT IN ('src0','src1')),
+      tgtd AS (
+        SELECT doc_id, text FROM documents WHERE source IN ('src0','src1')),
+      rtok AS (
+        SELECT doc_id, string_split_regex(trim(text),'\s+') AS t
+        FROM rawd WHERE length(trim(text)) > 0),
+      ttok AS (
+        SELECT doc_id, string_split_regex(trim(text),'\s+') AS t
+        FROM tgtd WHERE length(trim(text)) > 0),
+      rg AS (
+        SELECT doc_id, unnest(t) AS g FROM rtok
+        UNION ALL
+        SELECT doc_id, unnest(list_transform(range(1, len(t)),
+          i -> t[i] || ' ' || t[i+1])) FROM rtok WHERE len(t) >= 2),
+      tg AS (
+        SELECT doc_id, unnest(t) AS g FROM ttok
+        UNION ALL
+        SELECT doc_id, unnest(list_transform(range(1, len(t)),
+          i -> t[i] || ' ' || t[i+1])) FROM ttok WHERE len(t) >= 2),
+      rf AS (
+        SELECT doc_id,
+          CAST(('0x' || substr(md5(g), 1, 15))::BIGINT % 64 AS INT) AS pos,
+          COUNT(*) AS tf
+        FROM rg GROUP BY 1, 2),
+      rtot AS (SELECT pos, SUM(tf) AS raw_tf FROM rf GROUP BY pos),
+      ttot AS (
+        SELECT CAST(('0x' || substr(md5(g), 1, 15))::BIGINT % 64 AS INT) AS pos,
+          COUNT(*) AS tgt_tf
+        FROM tg GROUP BY 1),
+      w AS (
+        SELECT CAST(b.pos AS INT) AS pos,
+          (COALESCE(ttot.tgt_tf, 0) + 1) * 1000000 // (COALESCE(rtot.raw_tf, 0) + 1)
+            AS ratio
+        FROM (SELECT unnest(range(0, 64)) AS pos) b
+        LEFT JOIN ttot ON b.pos = ttot.pos
+        LEFT JOIN rtot ON b.pos = rtot.pos),
+      scored AS (
+        SELECT rf.doc_id, SUM(rf.tf * w.ratio) AS score
+        FROM rf JOIN w ON rf.pos = w.pos GROUP BY 1)
+      SELECT rawd.doc_id, CAST(COALESCE(scored.score, 0) AS BIGINT) AS score
+      FROM rawd LEFT JOIN scored ON rawd.doc_id = scored.doc_id
+      ORDER BY score DESC, rawd.doc_id LIMIT 50"""))
+
   /** Sequence packing: docs → fixed-token-budget training sequences
     * by per-source offset binning (window cumsum, integer-exact). */
   val td_pack_sequences = GraftQuery(
@@ -2882,12 +2997,13 @@ object TrainingData {
     td_line_repetition, td_c4_clean, td_blocklist_scrub,
     td_heavy_hitters, td_hll_registers, td_hll_by_source,
     td_pipeline_e2e, td_hashed_tf, td_tfidf, td_bm25, td_hybrid_rrf,
-    td_dedup_components, td_dedup_survivors, td_dedup_best,
+    td_dedup_components, td_cc_largestar, td_dedup_survivors, td_dedup_best,
     td_dedup_canonical, td_simhash,
     td_simhash_md5, td_ann_lsh, td_ann_lsh_md5, td_embedding_neardup, td_ann_ivf,
     td_kmeans, td_ann_ivf_trained, td_pq_adc, td_ann_ivfpq,
     td_rare_words, td_chunk_dedup,
     td_sample_hash, td_sample_stratified, td_sample_weighted,
+    td_dsir_select,
     td_domain_mix, td_bpe_encode, td_bpe_train,
     td_token_quantiles, td_quantiles_by_value, td_quantile_sketch,
     td_pack_sequences, td_decontam,

@@ -258,6 +258,35 @@ class OpsSpec extends SparkSpec {
     assert(r == Seq((10L, "s0"), (20L, "s1"), (30L, "s1")))
   }
 
+  test("connectedComponentsStar ≡ label propagation on seeded random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 5) {
+      val n = 30 + rnd.nextInt(40)
+      val pairs = Seq.fill(n) {
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }.filter { case (a, b) => a != b }
+      val df = pairs.toDF("id_a", "id_b")
+      val star = Dedup.connectedComponentsStar(df)
+        .as[(Long, Long)].collect().toSeq.sorted
+      val prop = Dedup.connectedComponents(df)
+        .as[(Long, Long)].collect().toSeq.sorted
+      assert(star == prop, s"pairs=$pairs")
+    }
+  }
+
+  test("connectedComponentsStar converges on a chain past propagation's horizon") {
+    // a 120-vertex path has diameter 119: min-label propagation needs
+    // ~119 rounds (its default budget of 20 throws), the alternating
+    // star rounds collapse it in O(log n)
+    val chain = (0L until 119L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain)
+    }
+    val r = Dedup.connectedComponentsStar(chain)
+      .as[(Long, Long)].collect().toSeq
+    assert(r.size == 120 && r.forall(_._2 == 0L), r.sorted.take(5).toString)
+  }
+
   test("dedupCorpusBy keeps the highest-scoring member, ties break on id") {
     val docs = Seq(
       (10L, "w1 w2 w3 w4 w5 w6 w7 w8", 5),  // cluster {10, 11, 12}

@@ -580,4 +580,30 @@ class PlanAuditSpec extends SparkSpec {
         s"expected exactly one user-keyed fill window:\n$plan")
     }
   }
+
+  test("td_dsir_select: weight table broadcasts, top-k is TakeOrdered, aggs partial") {
+    audited(graft.queries.TrainingData.td_dsir_select.fn(spark, dir)) { df =>
+      val plan = df.queryExecution.executedPlan
+      // the dim-row ratio table must broadcast into the corpus-side
+      // feature join — a shuffle join here re-exchanges every
+      // (doc, bucket) feature row at 100 TB
+      val bhj = plan.collect { case b: BroadcastHashJoinExec => b }
+      assert(bhj.nonEmpty, s"weight join not broadcast:\n$plan")
+      // top-k must plan as per-partition heaps, never a global sort
+      val takeOrdered = plan.collect {
+        case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+      }
+      assert(takeOrdered.nonEmpty, s"top-k is not TakeOrdered:\n$plan")
+      val globalSorts = plan.collect {
+        case s: org.apache.spark.sql.execution.SortExec if s.global => s
+      }
+      assert(globalSorts.isEmpty, s"global sort in DSIR plan:\n$plan")
+      // feature counts and per-doc scores combine map-side
+      val partial = plan.collect {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+          if a.aggregateExpressions.exists(_.mode.toString == "Partial") => a
+      }
+      assert(partial.nonEmpty, s"feature/score aggs not map-side partial:\n$plan")
+    }
+  }
 }

@@ -136,6 +136,53 @@ class SamplingSpec extends SparkSpec {
     assert(reread == direct)
   }
 
+  test("importanceWeights: target-like docs outrank off-target, zero-token scores 0") {
+    // target speaks "alpha beta"; raw docs range from pure-target
+    // vocabulary to disjoint; a hand-run of the same integer formula
+    // must agree exactly
+    val target = Seq((100L, "alpha beta alpha beta"), (101L, "alpha beta"))
+      .toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "alpha beta alpha"), // pure target vocab
+      (2L, "alpha zulu"),       // half
+      (3L, "zulu yankee xray"), // disjoint
+      (4L, "   "))              // token-less
+      .toDF("doc_id", "text")
+    val got = Sampling.importanceWeights(raw, target, "doc_id", "text", dim = 16)
+      .as[(Long, Long)].collect().toMap
+
+    // driver-side re-run of the same formula (md5 buckets, add-1
+    // smoothing, scaled integer div)
+    def grams(t: String): Seq[String] = {
+      val toks = t.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+      toks ++ toks.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+    }
+    def bucket(g: String): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      (java.lang.Long.parseLong(hex, 16) % 16).toInt
+    }
+    val rawDocs = Map(1L -> "alpha beta alpha", 2L -> "alpha zulu",
+      3L -> "zulu yankee xray")
+    val rawCnt = rawDocs.values.flatMap(grams).groupBy(bucket)
+      .map { case (p, g) => p -> g.size.toLong }
+    val tgtCnt = Seq("alpha beta alpha beta", "alpha beta").flatMap(grams)
+      .groupBy(bucket).map { case (p, g) => p -> g.size.toLong }
+    val expected = rawDocs.map { case (id, t) =>
+      id -> grams(t).groupBy(bucket).map { case (p, gs) =>
+        gs.size.toLong *
+          ((tgtCnt.getOrElse(p, 0L) + 1L) * 1000000L /
+            (rawCnt.getOrElse(p, 0L) + 1L))
+      }.sum
+    } + (4L -> 0L)
+    assert(got == expected, s"got=$got expected=$expected")
+    assert(got(1L) > got(3L), "pure-target vocab must outrank disjoint")
+    val top = Sampling.importanceSelect(raw, target, "doc_id", "text",
+      k = 2, dim = 16).as[(Long, Long)].collect().map(_._1).toSeq
+    assert(top == expected.toSeq.sortBy { case (id, s) => (-s, id) }
+      .take(2).map(_._1))
+  }
+
   test("saltedJoin: identical result to the plain join, incl. dup keys") {
     val big = Seq((1, "x"), (1, "y"), (2, "z"), (3, "w")).toDF("k", "v")
     val small = Seq((1, "A"), (1, "B"), (2, "C")).toDF("k", "d")
