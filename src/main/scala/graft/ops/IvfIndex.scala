@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF index — the production shape of the ANN surface.
+  * [[KMeans.ivfTrainedTopK]] retrains the codebook and reassigns the
+  * whole corpus on every call; at 100 TB an IVF index is built ONCE,
+  * stored as inverted lists, probed incrementally, and extended with
+  * new vectors WITHOUT retraining (Jégou et al. 2011 — the quantizer
+  * is frozen after training; only the lists grow). This module is
+  * that lifecycle over parquet:
+  *
+  *  - `build`: train ([[KMeans.trainWithCentroids]], exact integer
+  *    Lloyd), persist `centroids/` (cell, component-sum s, count n —
+  *    the exact representation, so later assignments use the SAME
+  *    arithmetic that trained it) and `postings/` (id, vec)
+  *    PARTITIONED BY cell — the directory layout IS the inverted
+  *    list: a probe lists only its cells' directories.
+  *  - `append`: assign a new batch against the frozen codebook (one
+  *    broadcast crossJoin + map-side-combinable min_by argmin — the
+  *    [[KMeans]] assignment shape) and append its postings
+  *    partitions; nothing existing is read or rewritten.
+  *  - `query`: probe each query's `nProbe` nearest cells, then scan
+  *    ONLY those partitions (the probed-cell set is ≤ kCells ints —
+  *    bounded control plane, same discipline as the sketch-register
+  *    collects) and rank candidates by exact cosine.
+  *
+  * `build` + `query` is plan-for-plan the same math as
+  * [[KMeans.ivfTrainedTopK]] — IvfIndexSpec asserts result equality,
+  * and the registered `td_ann_ivf_indexed` shares
+  * `td_ann_ivf_trained`'s oracle SQL, so the parquet round-trip
+  * itself (partition-column typing included) is hash-checked.
+  */
+object IvfIndex {
+
+  /** Train a `kCells`-cell codebook on `corpus` and persist the index
+    * under `dir`: `centroids/` + cell-partitioned `postings/`. */
+  def build(corpus: DataFrame, idCol: String, vecCol: String, dir: String,
+            kCells: Int, iters: Int, scale: Int = 1000): Unit = {
+    val (assigned, cents) =
+      KMeans.trainWithCentroids(corpus, idCol, vecCol, kCells, iters, scale)
+    cents.write.mode("overwrite").parquet(s"$dir/centroids")
+    corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .join(assigned.withColumnRenamed("cluster", "cell"), Seq("id"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/postings")
+  }
+
+  /** Nearest frozen cell per (id, vec) row — broadcast codebook,
+    * map-side-combinable argmin, exact integer metric (the
+    * [[KMeans.assign]] shape, carrying the raw vector through). */
+  private def nearestCell(rows: DataFrame, cents: DataFrame,
+                          scale: Int): DataFrame =
+    rows
+      .withColumn("qv", KMeans.quantize(col("vec"), scale))
+      .crossJoin(broadcast(cents))
+      .withColumn("f", KMeans.dotL(col("s"), col("s")) -
+        lit(2L) * col("n") * KMeans.dotL(col("qv"), col("s")))
+      .withColumn("g",
+        col("f").cast("double") / (col("n") * col("n")).cast("double"))
+      .groupBy(col("id"))
+      .agg(min_by(struct(col("cell"), col("vec")),
+        struct(col("g"), col("cell"))).as("w"))
+      .select(col("id"), col("w.vec").as("vec"), col("w.cell").as("cell"))
+
+  /** Add a batch of new vectors to an existing index WITHOUT
+    * retraining: assignment against the persisted codebook, postings
+    * appended partition-wise. Cost ∝ the batch, never the corpus. */
+  def append(newRows: DataFrame, idCol: String, vecCol: String,
+             dir: String, scale: Int = 1000): Unit = {
+    val cents = newRows.sparkSession.read.parquet(s"$dir/centroids")
+    nearestCell(
+      newRows.select(col(idCol).as("id"), col(vecCol).as("vec")),
+      cents, scale)
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/postings")
+  }
+
+  /** Top-`topK` neighbors per query from the persisted index: each
+    * query probes its `nProbe` nearest cells (same exact metric that
+    * trained the codebook), the postings scan is PRUNED to the probed
+    * cells' directories, and candidates rank by true cosine.
+    * Output (query_id, rank, neighbor_id) — identical contract (and,
+    * given the same build params, identical values) to
+    * [[KMeans.ivfTrainedTopK]]. */
+  def query(queries: DataFrame, idCol: String, vecCol: String, dir: String,
+            topK: Int, nProbe: Int, scale: Int = 1000): DataFrame = {
+    val spark = queries.sparkSession
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val byQuery = Window.partitionBy("query_id").orderBy(col("g"), col("cell"))
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+        KMeans.quantize(col(vecCol), scale).as("qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("f", KMeans.dotL(col("s"), col("s")) -
+        lit(2L) * col("n") * KMeans.dotL(col("qv"), col("s")))
+      .withColumn("g",
+        col("f").cast("double") / (col("n") * col("n")).cast("double"))
+      .withColumn("rn", row_number().over(byQuery))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("qvec"), col("cell"))
+      .localCheckpoint(eager = false) // feeds the cell collect AND the join
+    // bounded control plane (≤ kCells ints): turning the probed cells
+    // into a partition-column isin is what makes the postings read
+    // list ONLY those directories — the disk analog of an IVF probe
+    val cells = probes.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val postings = spark.read.parquet(s"$dir/postings")
+      .filter(col("cell").isin(cells: _*))
+      .select(col("cell"), col("id").as("neighbor_id"), col("vec").as("cvec"))
+    val byRank = Window.partitionBy("query_id")
+      .orderBy(col("csim").desc, col("neighbor_id"))
+    probes.join(postings, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("csim", Similarity.cosine(col("qvec"), col("cvec")))
+      .withColumn("rank", row_number().over(byRank))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+}

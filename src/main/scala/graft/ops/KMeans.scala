@@ -35,7 +35,7 @@ object KMeans {
   def quantize(vec: Column, scale: Int = 1000): Column =
     transform(vec, x => floor(x.cast("double") * scale).cast("long"))
 
-  private def dotL(a: Column, b: Column): Column =
+  private[ops] def dotL(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
   /** Assign each (id, qv) row to its nearest centroid in (cell, s, n)
@@ -43,7 +43,7 @@ object KMeans {
     * aggregation (map-side combinable: the shuffle carries one row
     * per id, not k sorted rows) — ordering by struct(g, cell) is
     * exactly the (g asc, cell asc) tiebreak a window would apply. */
-  private def assign(q: DataFrame, centroids: DataFrame): DataFrame =
+  private[ops] def assign(q: DataFrame, centroids: DataFrame): DataFrame =
     q.crossJoin(broadcast(centroids))
       .withColumn("f",
         dotL(col("s"), col("s")) - lit(2L) * col("n") * dotL(col("qv"), col("s")))

@@ -977,6 +977,29 @@ object TrainingData {
         FROM cand)
       WHERE rank <= 5 ORDER BY query_id, rank"""))
 
+  /** The PERSISTED-index form of [[td_ann_ivf_trained]]
+    * ([[graft.ops.IvfIndex]]): train → write centroids + cell-
+    * partitioned postings to parquet → probe the stored index. Same
+    * params, same math, so it shares td_ann_ivf_trained's oracle —
+    * which makes the round-trip itself (partition-column typing,
+    * inverted-list layout, frozen-codebook probe) hash-checked. The
+    * staging dir is keyed by applicationId + data dir so concurrent
+    * sessions and scale factors never collide (the same staging
+    * discipline as q20_partition_prune). */
+  val td_ann_ivf_indexed = GraftQuery(
+    "td_ann_ivf_indexed",
+    (s, dir) => {
+      val stage = s"${System.getProperty("java.io.tmpdir")}/graft_ivfidx_" +
+        s"${s.sparkContext.applicationId}_${Integer.toHexString(dir.hashCode)}"
+      val e = Tables.embeddings(s, dir)
+      graft.ops.IvfIndex.build(e, "vec_id", "embedding", stage,
+        kCells = 8, iters = 2)
+      graft.ops.IvfIndex.query(e.filter(col("vec_id") < 20),
+        "vec_id", "embedding", stage, topK = 5, nProbe = 3)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    td_ann_ivf_trained.oracle)
+
   /** Product-quantization ADC top-k ([[graft.ops.ProductQuant]]):
     * encode 64-dim vectors as M=4 one-byte codes, score candidates via
     * the asymmetric-distance lookup table — all integer arithmetic, so
@@ -3000,7 +3023,7 @@ object TrainingData {
     td_dedup_components, td_cc_largestar, td_dedup_survivors, td_dedup_best,
     td_dedup_canonical, td_simhash,
     td_simhash_md5, td_ann_lsh, td_ann_lsh_md5, td_embedding_neardup, td_ann_ivf,
-    td_kmeans, td_ann_ivf_trained, td_pq_adc, td_ann_ivfpq,
+    td_kmeans, td_ann_ivf_trained, td_ann_ivf_indexed, td_pq_adc, td_ann_ivfpq,
     td_rare_words, td_chunk_dedup,
     td_sample_hash, td_sample_stratified, td_sample_weighted,
     td_dsir_select,

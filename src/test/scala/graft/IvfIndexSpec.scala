@@ -1,0 +1,93 @@
+package graft
+
+import graft.ops.{IvfIndex, KMeans}
+import org.apache.spark.sql.functions._
+
+/** Persisted-IVF lifecycle: build ≡ the direct trained path, appends
+  * are frozen-codebook and findable, and the probe prunes the
+  * postings read to the probed cells' directories.
+  */
+class IvfIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withConf[T](pairs: (String, String)*)(body: => T): T = {
+    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  // deterministic 8-dim vectors, enough spread for 8 distinct cells
+  private def vec(id: Long): Seq[Double] =
+    Seq.tabulate(8)(j => ((id * (j + 3)) % 17).toDouble / 4.0)
+
+  private lazy val corpus = (0L until 60L).map(i => (i, vec(i)))
+    .toDF("vec_id", "embedding")
+
+  private def tmpDir(tag: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_ivfidx_${tag}_" +
+      spark.sparkContext.applicationId
+
+  test("build + query ≡ ivfTrainedTopK on the same corpus and params") {
+    val dir = tmpDir("eq")
+    IvfIndex.build(corpus, "vec_id", "embedding", dir,
+      kCells = 8, iters = 2)
+    val queries = corpus.filter(col("vec_id") < 10)
+    val fromIndex = IvfIndex.query(queries, "vec_id", "embedding", dir,
+      topK = 3, nProbe = 2)
+      .as[(Long, Int, Long)].collect().toSeq.sorted
+    val direct = KMeans.ivfTrainedTopK(queries, corpus,
+      "vec_id", "embedding", topK = 3, kCells = 8, iters = 2, nProbe = 2)
+      .as[(Long, Int, Long)].collect().toSeq.sorted
+    assert(fromIndex.nonEmpty && fromIndex == direct)
+  }
+
+  test("append: new vectors enter the frozen index and are findable") {
+    val dir = tmpDir("app")
+    IvfIndex.build(corpus, "vec_id", "embedding", dir,
+      kCells = 8, iters = 2)
+    // a distinctive direction no corpus vector has
+    val newVec = Seq(9.0, 0.0, 9.0, 0.0, 9.0, 0.0, 9.0, 0.0)
+    IvfIndex.append(Seq((1000L, newVec)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dir)
+    // postings grew by exactly the batch
+    assert(spark.read.parquet(s"$dir/postings").count() == 61L)
+    // querying the same direction finds the appended doc first
+    // (cosine 1.0 beats every corpus vector)
+    val q = Seq((2000L, newVec.map(_ * 0.5))).toDF("vec_id", "embedding")
+    val top = IvfIndex.query(q, "vec_id", "embedding", dir,
+      topK = 1, nProbe = 2).as[(Long, Int, Long)].collect().toSeq
+    assert(top == Seq((2000L, 1, 1000L)), top.toString)
+  }
+
+  test("query prunes the postings scan to the probed cells' directories") {
+    withConf("spark.sql.adaptive.enabled" -> "false") {
+      val dir = tmpDir("prune")
+      IvfIndex.build(corpus, "vec_id", "embedding", dir,
+        kCells = 8, iters = 2)
+      val q = corpus.filter(col("vec_id") === 0L)
+      val res = IvfIndex.query(q, "vec_id", "embedding", dir,
+        topK = 3, nProbe = 2)
+      res.collect()
+      val scan = res.queryExecution.executedPlan
+        .collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }
+        .find(_.metadata("Location").contains("postings"))
+        .getOrElse(fail("no postings scan in plan"))
+      assert(scan.partitionFilters.nonEmpty,
+        "probed-cell isin not pushed to partitioning")
+      val chosen = scan.relation.location
+        .listFiles(scan.partitionFilters, scan.dataFilters)
+        .flatMap(_.files.map(_.getPath.toString))
+      // one query with nProbe=2 must touch exactly its 2 cells' dirs
+      val cells = chosen.flatMap(
+        "cell=(\\d+)".r.findFirstMatchIn(_).map(_.group(1))).distinct
+      assert(chosen.nonEmpty && cells.size == 2,
+        s"scan touched cells $cells: ${chosen.mkString(", ")}")
+    }
+  }
+}
