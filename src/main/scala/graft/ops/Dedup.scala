@@ -438,17 +438,26 @@ object Dedup {
         .unionByName(linked.select(col("u"), col("m").as("v")))
         .distinct()
         .localCheckpoint(eager = false)
-      // fixed point = star forest; both anti-join probes are
-      // limit-1 short-circuits on edge-sized inputs
-      val changed =
-        next.join(edges, Seq("u", "v"), "left_anti").limit(1).count() +
-          edges.join(next, Seq("u", "v"), "left_anti").limit(1).count()
+      // fixed point = star forest; one limit-1 short-circuit job over
+      // the union of both anti-join directions, edge-sized inputs
+      val changed = next.join(edges, Seq("u", "v"), "left_anti")
+        .unionByName(edges.join(next, Seq("u", "v"), "left_anti"))
+        .limit(1).count()
       converged = changed == 0
       edges = next
       iter += 1
     }
     if (!converged) throw new IllegalStateException(
       s"connectedComponentsStar: not converged after $maxIter rounds")
+    // post-condition: the composition fixed point must be a star
+    // forest (≤1 out-edge per vertex); a spurious fixed point would
+    // otherwise silently emit multiple comp rows per vertex below.
+    // Limit-1 probe on edge-sized input — one cheap job, runs once.
+    val multi = edges.groupBy(col("u")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).limit(1).count()
+    if (multi != 0) throw new IllegalStateException(
+      "connectedComponentsStar: converged state is not a star forest " +
+        "(a vertex has more than one out-edge) — labels would be corrupt")
     // star forest: every non-root has exactly one (id, root) edge;
     // roots (and any vertex whose component collapsed onto it) label
     // themselves

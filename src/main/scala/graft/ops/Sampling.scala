@@ -219,6 +219,18 @@ object Sampling {
     * raw corpus is touched twice (features + the score-preserving
     * left join), never joined to the target corpus row-wise.
     *
+    * Integer-range bound (all arithmetic is exact Long): the ratio
+    * `(tgt_f+1)·scale` overflows past 2^63 when a single target bucket
+    * holds > 2^63/scale − 1 grams (≈9.2e12 at the default scale=1e6 —
+    * a ~10-trillion-gram TARGET set concentrated in one of `dim`
+    * buckets; targets are small by construction, raw-corpus size is
+    * unbounded). A per-doc score term `tf·ratio` stays exact while
+    * `doc_grams · max_ratio < 2^63`. Rather than trust the bound
+    * silently, the dim-row weight table carries an `assert_true`
+    * guard, so an out-of-range target fails loudly instead of
+    * corrupting the ranking; shrink `scale` (any value keeps
+    * cross-engine exactness) to extend the range.
+    *
     * @return every raw doc: (id, score) — score 0 for token-less docs
     */
   def importanceWeights(raw: DataFrame, target: DataFrame,
@@ -230,11 +242,22 @@ object Sampling {
     val tgtTot = tgtTf.groupBy(col("pos")).agg(sum(col("tf")).as("tgt_tf"))
     val buckets = raw.sparkSession.range(0, dim)
       .select(col("id").cast("int").as("pos"))
+    // overflow guard: woven into the ratio via coalesce(assert_true…)
+    // (a separate pruned-away column would be optimized out) —
+    // evaluates on the dim-row table only, so it is cost-free, and an
+    // out-of-range target fails loudly instead of corrupting the
+    // ranking. assert_true returns NULL on success, so coalesce falls
+    // through to the ratio.
+    val maxTgt = Long.MaxValue / scale - 1L
     val weights = buckets
       .join(tgtTot, Seq("pos"), "left")
       .join(rawTot, Seq("pos"), "left")
       .select(col("pos"), expr(
-        s"(coalesce(tgt_tf, 0L) + 1L) * ${scale}L div (coalesce(raw_tf, 0L) + 1L)")
+        s"""coalesce(
+           |  cast(assert_true(coalesce(tgt_tf, 0L) <= ${maxTgt}L,
+           |    'importanceWeights: target bucket count exceeds 2^63/scale - 1; shrink scale') as bigint),
+           |  (coalesce(tgt_tf, 0L) + 1L) * ${scale}L div (coalesce(raw_tf, 0L) + 1L))
+           |""".stripMargin)
         .as("ratio"))
     val scored = rawTf
       .join(broadcast(weights), Seq("pos"))

@@ -343,7 +343,16 @@ object TrainingData {
     * independent of graph diameter, the shape that survives
     * chain-shaped dup graphs at corpus scale. Same pair graph, same
     * oracle: both algorithms must converge to the identical
-    * min-id-per-component labeling. */
+    * min-id-per-component labeling.
+    *
+    * Oracle assumption (shared with [[td_dedup_components]]): the
+    * DuckDB side enumerates ALL pairs with jaccard ≥ 0.8 exhaustively,
+    * while the Spark side goes through LSH banding (32 hashes /
+    * 16 bands), which can probabilistically miss a true ≥0.8 pair
+    * (P[no band collides] = (1−s²)¹⁶ ≈ 2% at s = 0.8). The planted
+    * near-dup corpus collides in every band today; if a fixture change
+    * ever breaks this hash match with correct code, check banding
+    * false-negatives before suspecting the component algorithms. */
   val td_cc_largestar = GraftQuery(
     "td_cc_largestar",
     (s, dir) => {
@@ -663,20 +672,16 @@ object TrainingData {
       SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
       FROM keyed GROUP BY ck ORDER BY doc_id"""))
 
-  /** SimHash per doc (xxhash64 bits: fast path, hash-defined —
-    * rows-only check; [[td_simhash_md5]] is the oracled variant). */
-  val td_simhash = GraftQuery(
-    "td_simhash",
-    (s, dir) => {
-      Dedup.simhashDf(Tables.documents(s, dir), "doc_id", "text")
-        .withColumnRenamed("id", "doc_id")
-        .orderBy(col("doc_id"))
-    },
-    None)
-
   /** SimHash with md5-derived 60-bit token hashes — same explode +
-    * grouped-bit-count plan as [[td_simhash]], but md5 exists in both
-    * engines so the full hash value is oracle-checkable.
+    * grouped-bit-count plan as the xxhash64 production path
+    * ([[graft.ops.Dedup.simhashDf]]), but md5 exists in both engines so
+    * the full hash value is oracle-checkable. The production xxhash64
+    * form is intentionally NOT registered as a driver query: its bit
+    * values are engine-defined (no DuckDB xxhash64), so a value oracle
+    * is impossible by construction; it stays covered by OpsSpec
+    * ("simhashDf agrees with the column-expression simhash") and
+    * AnnQualitySpec, and this query hash-checks the identical plan
+    * shape end-to-end.
     */
   val td_simhash_md5 = GraftQuery(
     "td_simhash_md5",
@@ -1208,25 +1213,18 @@ object TrainingData {
         FROM scored) WHERE rank <= 5
       ORDER BY query_id, rank"""))
 
-  /** LSH ANN (approximate, xxhash64-defined buckets — rows-only;
-    * [[td_ann_lsh_md5]] is the oracled sibling that value-checks the
-    * same bucketing/collision/ranking pipeline cross-engine). */
-  val td_ann_lsh = GraftQuery(
-    "td_ann_lsh",
-    (s, dir) => {
-      val e = Tables.embeddings(s, dir)
-      Similarity.lshTopK(e.filter(col("vec_id") < 20), e,
-        "vec_id", "embedding", 5, numPlanes = 8, probes = 2)
-        .select(col("query_id"), col("rank"), col("neighbor_id"))
-        .orderBy(col("query_id"), col("rank"))
-    },
-    None)
-
   /** Multi-table sign-LSH with md5-derived integer planes
-    * ([[graft.ops.Similarity.lshTopKMd5]]): the oracled sibling of
-    * [[td_ann_lsh]] — the DuckDB side recomputes the identical plane
-    * matrix from its own md5 and the sign dots are exact integer
-    * arithmetic, so buckets, collisions, and ranks all hash-match. */
+    * ([[graft.ops.Similarity.lshTopKMd5]]): the oracled form of LSH
+    * ANN — the DuckDB side recomputes the identical plane matrix from
+    * its own md5 and the sign dots are exact integer arithmetic, so
+    * buckets, collisions, and ranks all hash-match. The production
+    * path ([[graft.ops.Similarity.lshTopK]], xxhash64-seeded Gaussian
+    * planes) is intentionally NOT registered as a driver query: its
+    * buckets are engine-defined, so a value oracle is impossible by
+    * construction; it stays covered by OpsSpec ("lshTopK cosines agree
+    * with the exhaustive ranking") and AnnQualitySpec's recall floor
+    * (0.33 at the same table/probe budget as this query's 0.36), and
+    * this query hash-checks the same bucket/collision/rank pipeline. */
   val td_ann_lsh_md5 = GraftQuery(
     "td_ann_lsh_md5",
     (s, dir) => {
@@ -3021,8 +3019,8 @@ object TrainingData {
     td_heavy_hitters, td_hll_registers, td_hll_by_source,
     td_pipeline_e2e, td_hashed_tf, td_tfidf, td_bm25, td_hybrid_rrf,
     td_dedup_components, td_cc_largestar, td_dedup_survivors, td_dedup_best,
-    td_dedup_canonical, td_simhash,
-    td_simhash_md5, td_ann_lsh, td_ann_lsh_md5, td_embedding_neardup, td_ann_ivf,
+    td_dedup_canonical,
+    td_simhash_md5, td_ann_lsh_md5, td_embedding_neardup, td_ann_ivf,
     td_kmeans, td_ann_ivf_trained, td_ann_ivf_indexed, td_pq_adc, td_ann_ivfpq,
     td_rare_words, td_chunk_dedup,
     td_sample_hash, td_sample_stratified, td_sample_weighted,
