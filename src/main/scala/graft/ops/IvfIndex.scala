@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -66,14 +67,79 @@ object IvfIndex {
 
   /** Add a batch of new vectors to an existing index WITHOUT
     * retraining: assignment against the persisted codebook, postings
-    * appended partition-wise. Cost ∝ the batch, never the corpus. */
+    * appended partition-wise. Cost ∝ the batch, never the corpus.
+    *
+    * Every append adds at least one file per touched cell, so a
+    * long-lived index degrades into small-file soup (each probe then
+    * pays per-file open cost instead of sequential reads). Pass
+    * `compactTargetBytes` to fold the touched cells back into
+    * target-sized files after the append ([[compact]]) — cost ∝ the
+    * touched cells' list size, never the whole index. */
   def append(newRows: DataFrame, idCol: String, vecCol: String,
-             dir: String, scale: Int = 1000): Unit = {
+             dir: String, scale: Int = 1000,
+             compactTargetBytes: Option[Long] = None): Unit = {
     val cents = newRows.sparkSession.read.parquet(s"$dir/centroids")
-    nearestCell(
+    val assigned = nearestCell(
       newRows.select(col(idCol).as("id"), col(vecCol).as("vec")),
       cents, scale)
-      .write.mode("append").partitionBy("cell").parquet(s"$dir/postings")
+      .localCheckpoint(eager = false) // feeds the write AND the cell collect
+    assigned.write.mode("append").partitionBy("cell").parquet(s"$dir/postings")
+    compactTargetBytes.foreach { target =>
+      // bounded control plane: the batch's touched-cell set is ≤ kCells
+      // ints, same discipline as query's probed-cell collect
+      val touched = assigned.select(col("cell")).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      compact(newRows.sparkSession, dir, touched, target)
+    }
+  }
+
+  /** Rewrite the given cells' inverted lists as ⌈bytes/target⌉
+    * files each — the maintenance pass that keeps a frequently
+    * appended index probe-efficient. One pruned scan + one shuffle
+    * over ONLY the named cells (per-cell file counts come from the
+    * driver-side directory listing — metadata, no data read), staged
+    * to `.compact_staging` and swapped in per cell. The swap is a
+    * delete+rename per cell directory, not atomic across the index:
+    * run it as a maintenance window op (the same contract as any
+    * parquet-level compaction without a table format — concurrent
+    * probes of a cell mid-swap can observe a partial list). */
+  def compact(spark: SparkSession, dir: String, cells: Seq[Int],
+              targetFileBytes: Long = 128L << 20): Unit = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val postings = new Path(s"$dir/postings")
+    val fs = postings.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val present = cells.distinct.filter(c =>
+      fs.exists(new Path(postings, s"cell=$c")))
+    if (present.isEmpty) return
+    val nFilesByCell = present.map { c =>
+      val bytes = fs.getContentSummary(new Path(postings, s"cell=$c")).getLength
+      c -> math.max(1L,
+        (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    }.toMap
+    val staging = new Path(s"$dir/.compact_staging")
+    fs.delete(staging, true)
+    // one job for all touched cells: partition-pruned scan, shuffle on
+    // (cell, slice) so each cell lands in its computed file count, the
+    // partitioned write splits files per cell
+    val slices = typedlit(nFilesByCell)
+    spark.read.parquet(postings.toString)
+      .filter(col("cell").isin(present: _*))
+      .withColumn("slice",
+        pmod(hash(col("id")), element_at(slices, col("cell"))))
+      .repartition(col("cell"), col("slice"))
+      .drop("slice")
+      .write.mode("overwrite").partitionBy("cell").parquet(staging.toString)
+    present.foreach { c =>
+      val live = new Path(postings, s"cell=$c")
+      val staged = new Path(staging, s"cell=$c")
+      if (fs.exists(staged)) {
+        fs.delete(live, true)
+        if (!fs.rename(staged, live)) throw new IllegalStateException(
+          s"IvfIndex.compact: failed to swap in compacted cell=$c")
+      }
+    }
+    fs.delete(staging, true)
+    ()
   }
 
   /** Top-`topK` neighbors per query from the persisted index: each

@@ -63,6 +63,37 @@ class IvfIndexSpec extends SparkSpec {
     assert(top == Seq((2000L, 1, 1000L)), top.toString)
   }
 
+  test("compaction: 20 appends stay bounded per cell, results unchanged") {
+    val dirA = tmpDir("cmpA") // appends only
+    val dirB = tmpDir("cmpB") // appends + per-append compaction
+    IvfIndex.build(corpus, "vec_id", "embedding", dirA, kCells = 8, iters = 2)
+    IvfIndex.build(corpus, "vec_id", "embedding", dirB, kCells = 8, iters = 2)
+    (0 until 20).foreach { b =>
+      val batch = Seq((10000L + b, vec(100L + b))).toDF("vec_id", "embedding")
+      IvfIndex.append(batch, "vec_id", "embedding", dirA)
+      IvfIndex.append(batch, "vec_id", "embedding", dirB,
+        compactTargetBytes = Some(128L << 20))
+    }
+    def cellFiles(dir: String): Map[String, Int] = {
+      val root = new java.io.File(s"$dir/postings")
+      root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("cell="))
+        .map(d => d.getName ->
+          d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    }
+    // uncompacted: every append grew some cell; compacted: each cell is
+    // one target-sized file (all data ≪ 128 MiB)
+    assert(cellFiles(dirA).values.sum > cellFiles(dirB).values.sum)
+    assert(cellFiles(dirB).values.forall(_ == 1),
+      s"compacted cells not bounded: ${cellFiles(dirB)}")
+    // identical content and identical query results either way
+    val q = corpus.filter(col("vec_id") < 10)
+    def res(dir: String) = IvfIndex.query(q, "vec_id", "embedding", dir,
+      topK = 3, nProbe = 2).as[(Long, Int, Long)].collect().toSeq.sorted
+    assert(spark.read.parquet(s"$dirA/postings").count() == 80L)
+    assert(spark.read.parquet(s"$dirB/postings").count() == 80L)
+    assert(res(dirA) == res(dirB) && res(dirB).nonEmpty)
+  }
+
   test("query prunes the postings scan to the probed cells' directories") {
     withConf("spark.sql.adaptive.enabled" -> "false") {
       val dir = tmpDir("prune")
