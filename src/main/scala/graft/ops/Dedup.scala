@@ -342,29 +342,31 @@ object Dedup {
     * diameter) rounds (tiny for dup clusters — they are
     * near-cliques). Each round is one keyed join + one map-side-
     * combinable min-aggregate, both shuffling only the (pairs-sized,
-    * ≪ corpus) edge list; lineage is cut per round with
-    * localCheckpoint so plans don't grow with iteration count.
+    * ≪ corpus) edge list; lineage is cut per round via `strategy`
+    * ([[Lineage.Local]] default; pass [[Lineage.Reliable]] on
+    * preemptible clusters) so plans don't grow with iteration count.
     *
     * @param pairs columns `id_a`, `id_b` (one row per undirected pair)
     * @return (id, comp) for every vertex that appears in `pairs`,
     *         comp = min vertex id of its component
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
-      .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
-      .distinct()
-      .localCheckpoint(eager = false)
-    var labels = edges.select(col("u").as("id")).distinct()
-      .withColumn("comp", col("id"))
-      .localCheckpoint(eager = false)
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+                          strategy: Lineage.Strategy = Lineage.Local): DataFrame = {
+    val edges = Lineage.cut(
+      pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+        .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+        .distinct(), strategy)
+    var labels = Lineage.cut(
+      edges.select(col("u").as("id")).distinct()
+        .withColumn("comp", col("id")), strategy)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       val prop = edges.join(labels.withColumnRenamed("id", "u"), Seq("u"))
         .select(col("v").as("id"), col("comp"))
-      val next = labels.unionByName(prop)
-        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
-        .localCheckpoint(eager = false)
+      val next = Lineage.cut(
+        labels.unionByName(prop)
+          .groupBy(col("id")).agg(min(col("comp")).as("comp")), strategy)
       // one tiny driver-side count per round IS the convergence test —
       // it reads only the diff join, never collects the labels
       val changed = next
@@ -395,7 +397,9 @@ object Dedup {
     * Scale shape per round: two groupBy(min) + join pairs, all
     * edge-list-sized (edges only ever re-point at smaller ids; the
     * set never grows beyond the undirected closure), min-aggregates
-    * map-side combinable, lineage cut per round with localCheckpoint.
+    * map-side combinable, lineage cut per round via `strategy`
+    * ([[Lineage.Local]] default; [[Lineage.Reliable]] for
+    * preemptible clusters).
     *
     * Same contract as [[connectedComponents]]: `pairs` has
     * `id_a`/`id_b` (one row per undirected pair); returns (id, comp)
@@ -404,18 +408,19 @@ object Dedup {
     * spec, and by the shared oracle of `td_cc_largestar` /
     * `td_dedup_components`.
     */
-  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
-    val vertices = pairs.select(col("id_a").as("id"))
-      .unionByName(pairs.select(col("id_b").as("id")))
-      .distinct()
-      .localCheckpoint(eager = false)
+  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 25,
+                              strategy: Lineage.Strategy = Lineage.Local): DataFrame = {
+    val vertices = Lineage.cut(
+      pairs.select(col("id_a").as("id"))
+        .unionByName(pairs.select(col("id_b").as("id")))
+        .distinct(), strategy)
     // canonical (u = larger, v = smaller); self-pairs contribute nothing
-    var edges = pairs
-      .select(greatest(col("id_a"), col("id_b")).as("u"),
-        least(col("id_a"), col("id_b")).as("v"))
-      .filter(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint(eager = false)
+    var edges = Lineage.cut(
+      pairs
+        .select(greatest(col("id_a"), col("id_b")).as("u"),
+          least(col("id_a"), col("id_b")).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct(), strategy)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -432,12 +437,12 @@ object Dedup {
       // smaller v)) and u itself re-link to m = min of that set
       val mins2 = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
       val linked = ls.join(mins2, Seq("u"))
-      val next = linked
-        .filter(col("v") =!= col("m"))
-        .select(col("v").as("u"), col("m").as("v"))
-        .unionByName(linked.select(col("u"), col("m").as("v")))
-        .distinct()
-        .localCheckpoint(eager = false)
+      val next = Lineage.cut(
+        linked
+          .filter(col("v") =!= col("m"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .unionByName(linked.select(col("u"), col("m").as("v")))
+          .distinct(), strategy)
       // fixed point = star forest; one limit-1 short-circuit job over
       // the union of both anti-join directions, edge-sized inputs
       val changed = next.join(edges, Seq("u", "v"), "left_anti")

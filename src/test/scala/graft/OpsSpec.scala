@@ -287,6 +287,37 @@ class OpsSpec extends SparkSpec {
     assert(r.size == 120 && r.forall(_._2 == 0L), r.sorted.take(5).toString)
   }
 
+  test("component loops with a reliable checkpoint dir match localCheckpoint") {
+    import graft.ops.Lineage
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_lineage").toString
+    try {
+      // chain + a separate triangle — exercises multi-round convergence
+      val pairs = ((0L until 40L).map(i => (i, i + 1)) ++
+        Seq((100L, 101L), (101L, 102L), (102L, 100L))).toDF("id_a", "id_b")
+      val local = Dedup.connectedComponentsStar(pairs)
+        .as[(Long, Long)].collect().toSeq.sorted
+      val reliable = Dedup.connectedComponentsStar(pairs,
+        strategy = Lineage.Reliable(s"$dir/star"))
+        .as[(Long, Long)].collect().toSeq.sorted
+      assert(reliable == local && local.nonEmpty)
+      val localP = Dedup.connectedComponents(pairs, maxIter = 60)
+        .as[(Long, Long)].collect().toSeq.sorted
+      val reliableP = Dedup.connectedComponents(pairs, maxIter = 60,
+        strategy = Lineage.Reliable(s"$dir/prop"))
+        .as[(Long, Long)].collect().toSeq.sorted
+      assert(reliableP == localP && localP == local)
+      // the reliable run actually re-rooted state on disk
+      assert(new java.io.File(s"$dir/star").listFiles()
+        .count(_.getName.startsWith("state_")) > 2)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("dedupCorpusBy keeps the highest-scoring member, ties break on id") {
     val docs = Seq(
       (10L, "w1 w2 w3 w4 w5 w6 w7 w8", 5),  // cluster {10, 11, 12}
