@@ -43,6 +43,15 @@ object Bench {
       spark.catalog.clearCache()
     }
     def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      // GC barrier before EVERY measurement (not just warm ones): in
+      // the round-8 driver sweep the un-barriered cold pass charged
+      // cdc_apply_skewed 13.3 s on an unchanged code path — an
+      // isolated fresh-JVM probe measures 5.9 s cold / 1.3-1.9 s warm,
+      // so ~7 s was garbage from the preceding ~70 queries collected
+      // inside this query's timed region. Taking the full collection
+      // here lands the pause outside the timing, same defense the warm
+      // pass already had.
+      System.gc()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9 }
@@ -76,7 +85,8 @@ object Bench {
       else SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (n, _) => results.toMap.get(n).exists(c => c >= warmFloor) }
         .map { case (name, fn) =>
-          val times = (1 to 2).map { _ => System.gc(); run(name, fn) }
+          // run() takes its own GC barrier before each measurement
+          val times = (1 to 2).map(_ => run(name, fn))
           name -> (if (times.forall(_ < 0)) -1.0 else times.filter(_ >= 0).min)
         }
     def js(m: Seq[(String, Double)]) =

@@ -1,0 +1,154 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+
+import graft.fixtures.SyntheticCdc
+import graft.model.{SchemaRegistry, TableId, TableMeta}
+import graft.stream.{CdcStreamEngine, TableStore}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Streaming-replay benchmark: the decode→collapse→merge→manifest-
+  * commit micro-batch loop that IS the reference's production path
+  * (dispatcher FETCH + 30 s commit cadence,
+  * `replayer/connemara_replay.pl:841,853`). [[Bench]] times one-shot
+  * batch queries; this main times the [[CdcStreamEngine]] loop under
+  * sustained load and prints ONE JSON line:
+  *
+  *   {"metric":"stream_rows_per_sec","value":…,"batches":…,
+  *    "rows":…,"total_sec":…,"p50_ms":…,"p95_ms":…,"sf":…}
+  *
+  * Workload: N micro-batches (SPARK_GRAFT_STREAM_BATCHES, default 20)
+  * of [[SyntheticCdc.rollingLog]] over the sf customer table — every
+  * batch updates ~90% of keys, inserts ~10% new ones and deletes the
+  * previous batch's inserts, so volume ≈ 1.1×|customer| per batch and
+  * the target table stays constant-size (steady-state replay, not
+  * growth). Spool files are written BEFORE the timed region, one file
+  * per batch with strictly increasing mtimes; the engine runs the
+  * real Structured Streaming loop (file source, maxFilesPerTrigger=1,
+  * Trigger.AvailableNow, checkpointed offsets, atomic manifest commit
+  * per batch). Per-batch latency comes from the query's own progress
+  * records (`triggerExecution`), so it includes offset/commit
+  * bookkeeping, not just the plan.
+  *
+  * A final-state sanity gate (expected row count + last batch's
+  * acctbal everywhere) guards against benchmarking a broken loop:
+  * on mismatch the JSON carries "failed":true and the process exits
+  * nonzero.
+  */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val nBatches = sys.env.get("SPARK_GRAFT_STREAM_BATCHES")
+      .flatMap(_.toIntOption).getOrElse(20)
+    val defaultCpus = math.min(Runtime.getRuntime.availableProcessors(), 32)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", defaultCpus.toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      // keep every batch's progress record (default 100 would be
+      // enough at N=20, but the env knob can push past it)
+      .config("spark.sql.streaming.numRecentProgressUpdates",
+        (nBatches + 10).toString)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val tid = TableId("srcdb", "public", "customer")
+    val schema = StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("c_name", StringType),
+      StructField("c_nationkey", IntegerType),
+      StructField("c_acctbal", DoubleType),
+      StructField("c_mktsegment", StringType)))
+
+    val root = Files.createTempDirectory("graft-sbench-store-").toString
+    val spool = Files.createTempDirectory("graft-sbench-spool-").toString
+    val ckpt = Files.createTempDirectory("graft-sbench-ckpt-").toString
+
+    // ---- untimed setup: seed the target, pre-write the spool ----
+    val registry = new SchemaRegistry
+    registry.register(TableMeta(tid, schema, Seq("c_custkey")))
+    val store = new TableStore(spark, root)
+    store.stage(tid, Tables.customer(spark, sfDir), 0L)
+    store.commit(Map(tid -> 0L))
+    val custRows = Tables.customer(spark, sfDir).count()
+
+    // one file per batch; mtimes force the file source to replay them
+    // in batch order (ties in mtime would otherwise be unordered)
+    (1 to nBatches).foreach { b =>
+      val dir = s"$spool/b$b"
+      SyntheticCdc.rollingLog(spark, sfDir, b)
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+      val part = Files.list(Paths.get(dir)).toArray.map(_.asInstanceOf[Path])
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(s"no part file in $dir"))
+      val target = Paths.get(s"$spool/batch_$b.parquet")
+      Files.move(part, target)
+      Files.setLastModifiedTime(target,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + b * 60000L))
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+
+    // session warmup outside the timed region (codegen, shuffle machinery)
+    spark.range(1 << 20).selectExpr("sum(id) as s")
+      .write.format("noop").mode("overwrite").save()
+    System.gc()
+
+    // ---- timed region: the streaming replay loop ----
+    val engine = new CdcStreamEngine(spark, registry, store)
+    val t0 = System.nanoTime()
+    val q = engine.start(spool, ckpt,
+      maxFilesPerTrigger = 1)
+    q.awaitTermination()
+    val wallSec = (System.nanoTime() - t0) / 1e9
+    q.exception.foreach(throw _)
+
+    // per-batch latency from the query's own progress records. Row
+    // count comes from the spool files, NOT progress.numInputRows:
+    // the source metric counts every source scan in the trigger, and
+    // processBatch's isEmpty probe re-scans one columnar batch
+    // (columnarReaderBatchSize = 4096 rows), inflating each trigger's
+    // number by exactly that.
+    val progress = q.recentProgress.toSeq.filter(_.numInputRows > 0)
+    val durs = progress.map(_.durationMs.get("triggerExecution").toLong).sorted
+    def pct(p: Double): Long =
+      if (durs.isEmpty) -1L
+      else durs(math.min(durs.size - 1, math.ceil(p * durs.size).toInt - 1).max(0))
+    val rows = spark.read.parquet(s"$spool/*.parquet").count()
+    val totalSec = durs.sum / 1e3
+
+    // sanity gate: N batches leave |customer| + |%10=4| rows (the last
+    // batch's inserts haven't been retired) and acctbal = N on every
+    // non-insert key
+    val fin = store.read(tid)
+    val finCount = fin.count()
+    val expCount = custRows + custRows / 10
+    val balOk = fin.filter(col("c_custkey") < 10000000L &&
+        pmod(col("c_custkey"), lit(10)) =!= 4 &&
+        col("c_acctbal") =!= nBatches.toDouble)
+      .limit(1).count() == 0L
+    val ok = finCount == expCount && balOk && progress.size == nBatches
+
+    def fmt(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val line =
+      s"""{"metric":"stream_rows_per_sec","value":${fmt(rows / totalSec)},""" +
+        s""""unit":"rows/sec","batches":${progress.size},"rows":$rows,""" +
+        s""""total_sec":${fmt(totalSec)},"wall_sec":${fmt(wallSec)},""" +
+        s""""p50_ms":${pct(0.5)},"p95_ms":${pct(0.95)},""" +
+        s""""failed":${!ok},"sf":"$sfDir"}"""
+    java.nio.file.Files.write(Paths.get("STREAMBENCH_DETAIL.json"),
+      line.getBytes("UTF-8"))
+    println(line)
+    spark.stop()
+    if (!ok) sys.exit(1)
+  }
+}

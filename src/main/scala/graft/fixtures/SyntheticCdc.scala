@@ -176,6 +176,53 @@ object SyntheticCdc {
     hotBal.unionByName(hotSeg).unionByName(spread)
   }
 
+  /** One micro-batch of a ROLLING change log over `customer` — the
+    * sustained-replay workload for the streaming benchmark
+    * ([[graft.StreamBench]]). Batch `b` touches every customer key:
+    *  - %10 ≠ 4 : partial UPDATE  acctbal = b      (~90% of events)
+    *  - %10 = 4 : INSERT   key  b·10⁷ + key        (~10%)
+    *  - %10 = 4 : DELETE of batch b−1's insert     (~10%, b > 1)
+    * so per-batch volume ≈ 1.1×|customer| and the table size stays
+    * constant across batches (each batch's inserts retire in the
+    * next) — steady state, not unbounded growth, like the reference's
+    * continuous replay. Ordering clock: one xid_timestamp per batch,
+    * lsn unique per row (batch-prefixed so batches never collide). */
+  def rollingLog(spark: SparkSession, sfDir: String, batch: Int): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val k = col("c_custkey")
+    val ks = k.cast("string")
+    val b = batch.toLong
+
+    def rows(df: DataFrame, sub: Int, payload: Column): DataFrame =
+      df.select(
+        timestamp_seconds(lit(tsBase + b * 60)).as("insert_timestamp"),
+        lit("srcdb").as("database"),
+        (lit(b * 100000000L + sub.toLong * 10000000L) + k).as("lsn_start"),
+        (lit(b * 1000000L) + k).as("xid"),
+        payload.as("payload"),
+        timestamp_seconds(lit(tsBase + b * 60)).as("xid_timestamp"),
+        lit("slot1").as("source_slotname"))
+
+    val updates = rows(
+      c.filter(pmod(k, lit(10)) =!= 4), 1,
+      updatePayload(
+        Seq("c_custkey", "c_acctbal"),
+        Seq(ks, lit(b.toDouble).cast("string")), ks))
+    val inserts = rows(
+      c.filter(pmod(k, lit(10)) === 4), 2,
+      insertPayload(Seq(
+        (k + b * 10000000L).cast("string"),
+        concat(lit(s"B$batch#"), ks),
+        col("c_nationkey").cast("string"),
+        lit("0.0"), lit("NEWSEG"))))
+    val deletes =
+      if (batch <= 1) None
+      else Some(rows(
+        c.filter(pmod(k, lit(10)) === 4), 3,
+        deletePayload((k + (b - 1) * 10000000L).cast("string"))))
+    deletes.foldLeft(updates.unionByName(inserts))(_ unionByName _)
+  }
+
   /** Composite-key change log over a lineitem-shaped target
     * (PK = l_orderkey, l_linenumber — the fixture's raw table has
     * duplicate pairs, so callers pass a key-unique projection).
