@@ -21,7 +21,16 @@ object Verify {
       Option(f.listFiles).foreach(_.foreach(deleteRecursively))
       f.delete(); ()
     }
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q1,q2 restricts the dump to named queries —
+    // local iteration on a new oracle without a full 140-query sweep.
+    // The driver never sets it, so the gate always runs everything.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.view.filterKeys(names).toMap
+      case None        => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -193,6 +193,87 @@ object Sketches {
     a.unionByName(b).dropDuplicates(keyCol)
       .orderBy(col("hv"), col(keyCol)).limit(k)
 
+  /** Per-group bottom-k sketches in ONE pass: for every value of
+    * `groupCol`, the `k` distinct keys with the smallest md5 hash —
+    * [[bottomK]] generalized to a keyed sketch table (one KMV sample
+    * per source/day/shard).
+    *
+    * Plan shape: the distinct is a hash aggregate (map-side partial,
+    * so duplicate mass collapses before the one keyed shuffle), and
+    * the `row_number ≤ k` filter compiles to a WindowGroupLimit —
+    * Spark inserts a PER-PARTITION partial top-k BEFORE the window's
+    * exchange, so the group shuffle carries at most k rows per group
+    * per map task, never a whole source's keys onto one task. That is
+    * what keeps a 10-source 100 TB corpus from serializing through 10
+    * window tasks. (PlanAuditSpec asserts the WindowGroupLimit.)
+    * @return (groupCol, key, hv)
+    */
+  def bottomKByGroup(df: DataFrame, groupCol: String, key: Column,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k=$k must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("hv"), col("key"))
+    df.select(col(groupCol), key.as("key"))
+      .filter(col("key").isNotNull)
+      .dropDuplicates(groupCol, "key")
+      .withColumn("hv", Pipeline.hashHex(col("key"), 15))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+
+  /** KMV set-operation estimates between every pair of groups (the
+    * k-minimum-values θ-sketch algebra, Beyer et al. 2007 "On synopses
+    * for distinct-value estimation under multiset operations"): for a
+    * pair (A, B), the k smallest union hashes form an exact uniform
+    * sample of A∪B, and the fraction of them present in BOTH sketches
+    * estimates the Jaccard similarity |A∩B| / |A∪B|. This is the
+    * dedup-planning primitive at 100 TB — "how much of source A is
+    * already in source B" costs two k-row sketches per source, not a
+    * cross-source content join.
+    *
+    * Everything reported is exact integer arithmetic over the
+    * deterministic sketches (`union_k` = rows kept, `inter_count` =
+    * rows in both, `jaccard_ppm` = inter·10⁶ div union_k), so the
+    * whole pipeline is value-checkable cross-engine; only the
+    * INTERPRETATION as a cardinality ratio is approximate (±1/√k,
+    * exact whenever k covers the union — spec-pinned).
+    *
+    * Scale shape: `sketches` is already ≤ k·|groups| rows, so every
+    * join here is broadcast-sized; the pair fan-out is |groups|²/2 ×
+    * 2k rows, driver-bounded by construction.
+    * @param sketches output of [[bottomKByGroup]]
+    * @return (group_a, group_b, union_k, inter_count, jaccard_ppm)
+    */
+  def kmvPairOverlap(sketches: DataFrame, groupCol: String,
+      k: Int): DataFrame = {
+    val groups = sketches.select(col(groupCol).as("g")).distinct()
+    val pairs = broadcast(
+      groups.select(col("g").as("group_a"))
+        .crossJoin(groups.select(col("g").as("group_b")))
+        .filter(col("group_a") < col("group_b")))
+    val tagged = sketches
+      .join(pairs, col(groupCol) === col("group_a"))
+      .unionByName(sketches.join(pairs, col(groupCol) === col("group_b")))
+    val merged = tagged
+      .groupBy(col("group_a"), col("group_b"), col("key"))
+      .agg(min(col("hv")).as("hv"),
+        max(when(col(groupCol) === col("group_a"), 1).otherwise(0)).as("in_a"),
+        max(when(col(groupCol) === col("group_b"), 1).otherwise(0)).as("in_b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("group_a"), col("group_b"))
+      .orderBy(col("hv"), col("key"))
+    merged
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .groupBy(col("group_a"), col("group_b"))
+      .agg(count(lit(1)).as("union_k"),
+        sum(when(col("in_a") + col("in_b") === 2, 1L).otherwise(0L))
+          .as("inter_count"))
+      .withColumn("jaccard_ppm",
+        call_function("div", col("inter_count") * 1000000L, col("union_k")))
+  }
+
   /** KMV distinct-count estimate: (k−1) · 2^60 / h_(k) with hashes
     * uniform in [0, 2^60). If the sketch holds fewer than k rows it
     * saw the whole population — the count is exact. Relative error

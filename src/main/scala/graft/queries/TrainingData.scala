@@ -3008,6 +3008,112 @@ object TrainingData {
           THEN n_chars END) AS p90
       FROM r ORDER BY scope"""))
 
+  /** SQ8 scalar-quantized ANN ([[graft.ops.ScalarQuant]]): per-
+    * dimension int8 affine codes (4× compression at 64 dims), scored
+    * asymmetrically — the query keeps its full quantized vector, the
+    * corpus contributes one byte per dimension. Stats, codes, and
+    * scores are exact integer arithmetic, so the full stats → encode
+    * → score → rank pipeline hash-matches the SQL oracle. */
+  val td_ann_sq8 = GraftQuery(
+    "td_ann_sq8",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val stats = graft.ops.ScalarQuant.dimStats(e, "embedding")
+      val codes = graft.ops.ScalarQuant.encode(e, stats, "vec_id", "embedding")
+      graft.ops.ScalarQuant.adcTopK(
+        e.filter(col("vec_id") < 20), codes, stats,
+        "vec_id", "embedding", topK = 5)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some("""WITH q AS (
+        SELECT vec_id AS id,
+          list_transform(embedding,
+            x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        FROM embeddings),
+      dims AS (
+        SELECT i, MIN(qv[i]) AS mn, MAX(qv[i]) AS mx
+        FROM q CROSS JOIN range(1, 65) t(i) GROUP BY i),
+      codes AS (
+        SELECT q.id, d.i,
+          LEAST(255, GREATEST(0,
+            ((qv[d.i] - d.mn) * 255) // GREATEST(d.mx - d.mn, 1))) AS code
+        FROM q CROSS JOIN dims d),
+      scored AS (
+        SELECT p.id AS query_id, c.id AS neighbor_id,
+          CAST(SUM(p.qv[c.i] * (d.mn * 255 + c.code * (d.mx - d.mn)))
+            AS BIGINT) AS score
+        FROM codes c
+        JOIN dims d USING (i)
+        CROSS JOIN (SELECT * FROM q WHERE id < 20) p
+        WHERE p.id <> c.id
+        GROUP BY 1, 2)
+      SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, score
+      FROM (
+        SELECT query_id, neighbor_id, score,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, neighbor_id) AS rank
+        FROM scored) WHERE rank <= 5
+      ORDER BY query_id, rank"""))
+
+  /** Cross-source duplication profile via per-source KMV sketches
+    * ([[graft.ops.Sketches.bottomKByGroup]] / [[graft.ops.Sketches.kmvPairOverlap]]):
+    * for every source pair, the Jaccard of their content-fingerprint
+    * sets estimated from two 16-row sketches — the dedup-PLANNING
+    * primitive ("which source pairs share mass, in what order do we
+    * dedup") that costs k rows per source instead of a cross-source
+    * content join. All reported columns are exact integers over the
+    * deterministic sketches; only their interpretation as a
+    * cardinality ratio is approximate (spec-pinned vs exact Jaccard). */
+  val td_kmv_overlap = GraftQuery(
+    "td_kmv_overlap",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val sk = Sketches.bottomKByGroup(
+        d, "source", TextAnalysis.fingerprint(col("text")), k = 16)
+      Sketches.kmvPairOverlap(sk, "source", k = 16)
+        .select(col("group_a").as("source_a"), col("group_b").as("source_b"),
+          col("union_k"), col("inter_count"), col("jaccard_ppm"))
+        .orderBy(col("source_a"), col("source_b"))
+    },
+    Some("""WITH keys AS (
+        SELECT DISTINCT source AS g,
+          md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS key
+        FROM documents),
+      hashed AS (
+        SELECT g, key,
+          ('0x'||substr(md5(key),1,15))::BIGINT AS hv
+        FROM keys),
+      sk AS (
+        SELECT g, key, hv FROM (
+          SELECT g, key, hv,
+            row_number() OVER (PARTITION BY g ORDER BY hv, key) AS rn
+          FROM hashed) WHERE rn <= 16),
+      grps AS (SELECT DISTINCT g FROM sk),
+      pairs AS (
+        SELECT a.g AS ga, b.g AS gb
+        FROM grps a CROSS JOIN grps b WHERE a.g < b.g),
+      tagged AS (
+        SELECT p.ga, p.gb, s.g, s.key, s.hv
+        FROM pairs p JOIN sk s ON s.g = p.ga OR s.g = p.gb),
+      merged AS (
+        SELECT ga, gb, key, MIN(hv) AS hv,
+          MAX(CASE WHEN g = ga THEN 1 ELSE 0 END) AS in_a,
+          MAX(CASE WHEN g = gb THEN 1 ELSE 0 END) AS in_b
+        FROM tagged GROUP BY 1, 2, 3),
+      kept AS (
+        SELECT * FROM (
+          SELECT *, row_number() OVER (PARTITION BY ga, gb
+            ORDER BY hv, key) AS rn
+          FROM merged) WHERE rn <= 16)
+      SELECT ga AS source_a, gb AS source_b,
+        COUNT(*) AS union_k,
+        CAST(SUM(CASE WHEN in_a + in_b = 2 THEN 1 ELSE 0 END)
+          AS BIGINT) AS inter_count,
+        (CAST(SUM(CASE WHEN in_a + in_b = 2 THEN 1 ELSE 0 END)
+          AS BIGINT) * 1000000) // COUNT(*) AS jaccard_ppm
+      FROM kept GROUP BY 1, 2
+      ORDER BY source_a, source_b"""))
+
   def all: Seq[GraftQuery] = Seq(
     td_lang_classifier, td_kmv_quantiles,
     td_text_stats, td_lang_id, td_fingerprint, td_dedup_exact,
@@ -3022,6 +3128,7 @@ object TrainingData {
     td_dedup_canonical,
     td_simhash_md5, td_ann_lsh_md5, td_embedding_neardup, td_ann_ivf,
     td_kmeans, td_ann_ivf_trained, td_ann_ivf_indexed, td_pq_adc, td_ann_ivfpq,
+    td_ann_sq8, td_kmv_overlap,
     td_rare_words, td_chunk_dedup,
     td_sample_hash, td_sample_stratified, td_sample_weighted,
     td_dsir_select,

@@ -606,4 +606,54 @@ class PlanAuditSpec extends SparkSpec {
       assert(partial.nonEmpty, s"feature/score aggs not map-side partial:\n$plan")
     }
   }
+
+  test("td_ann_sq8: dim stats bounded + broadcast, top-k is a group-limit") {
+    audited(graft.queries.TrainingData.td_ann_sq8.fn(spark, dir)) { df =>
+      val plan = df.queryExecution.executedPlan
+      // the per-dimension min/max must combine map-side — its state is
+      // dim cells per task; a final-only agg would shuffle every
+      // (row × dim) exploded cell at 100 TB
+      val partial = plan.collect {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+          if a.aggregateExpressions.exists(_.mode.toString == "Partial") => a
+      }
+      assert(partial.nonEmpty, s"dim stats agg not map-side partial:\n$plan")
+      // per-query top-k: partial group-limit before the exchange
+      val modes = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec =>
+          w.mode.toString
+      }
+      assert(modes.contains("Partial") && modes.contains("Final"),
+        s"SQ8 top-k not planned as partial+final group-limit: $modes\n$plan")
+      // the only nested-loop join allowed is the broadcast of the tiny
+      // query batch across the codes scan — never a cartesian product
+      assert(plan.collect {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      }.isEmpty, s"SQ8 scoring regressed to a cartesian product:\n$plan")
+    }
+  }
+
+  test("td_kmv_overlap: sketch stage is a partial group-limit over a partial distinct") {
+    audited(graft.queries.TrainingData.td_kmv_overlap.fn(spark, dir)) { df =>
+      val plan = df.queryExecution.executedPlan
+      // the per-source bottom-k must keep ≤ k rows per group per map
+      // task BEFORE the group exchange — without the partial
+      // WindowGroupLimit, a whole source's fingerprints serialize
+      // through one window task
+      val modes = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec =>
+          w.mode.toString
+      }
+      assert(modes.contains("Partial") && modes.contains("Final"),
+        s"per-source sketch not planned as partial+final group-limit: $modes\n$plan")
+      // pair fan-out joins run against k-row sketches: broadcast, and
+      // the duplicate-mass distinct combines map-side
+      val partial = plan.collect {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+          if a.aggregateExpressions.isEmpty ||
+            a.aggregateExpressions.exists(_.mode.toString == "Partial") => a
+      }
+      assert(partial.nonEmpty, s"fingerprint distinct not map-side partial:\n$plan")
+    }
+  }
 }

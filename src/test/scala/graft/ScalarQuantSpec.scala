@@ -1,0 +1,113 @@
+package graft
+
+import graft.ops.{ScalarQuant, Sketches, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+class ScalarQuantSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("encode: codes stay in [0, levels]; corpus round-trips within one step") {
+    val e = Tables.embeddings(spark, dir)
+    val stats = ScalarQuant.dimStats(e, "embedding")
+    val codes = ScalarQuant.encode(e, stats, "vec_id", "embedding")
+
+    val bad = codes.select(explode(col("codes")).as("c"))
+      .filter(col("c") < 0 || col("c") > 255).count()
+    assert(bad == 0, "codes escaped [0, 255]")
+
+    // de-quantize (×255 scaled): |recon − 255·q| ≤ (mx − mn) per dim —
+    // the affine map's one-step error bound, which is what makes SQ8 a
+    // fidelity-preserving compression rather than a lossy hash
+    val st = stats.crossJoin(
+      e.select(col("vec_id"),
+        graft.ops.KMeans.quantize(col("embedding")).as("qv")))
+    val viol = st.select(
+      explode(zip_with(col("qv"), col("st"), (x, s) => {
+        val span = s.getField("mx") - s.getField("mn")
+        val code = greatest(lit(0L), least(lit(255L),
+          call_function("div", (x - s.getField("mn")) * 255,
+            greatest(span, lit(1L)))))
+        val recon = s.getField("mn") * 255 + code * span
+        abs(recon - x * 255) > greatest(span, lit(255L))
+      })).as("v")).filter(col("v")).count()
+    assert(viol == 0, "reconstruction error exceeded one quantization step")
+  }
+
+  test("adcTopK ranks cluster-mates first on separable synthetic vectors") {
+    // 3 well-separated clusters of 8 vectors; each query's top-5 must
+    // come entirely from its own cluster — the property SQ8 must keep
+    // after compressing floats to bytes
+    val dim = 16
+    val rows = for {
+      c <- 0 until 3
+      i <- 0 until 8
+    } yield {
+      val base = Array.tabulate(dim)(j => if (j % 3 == c) 1.0f else 0.05f)
+      val v = base.zipWithIndex.map { case (x, j) =>
+        x + 0.01f * ((i + j) % 5)
+      }
+      (c * 100L + i, v.toSeq)
+    }
+    val e = rows.toDF("vec_id", "embedding")
+    val stats = ScalarQuant.dimStats(e, "embedding")
+    val codes = ScalarQuant.encode(e, stats, "vec_id", "embedding")
+    val top = ScalarQuant.adcTopK(
+      e.filter(col("vec_id").isin(3L, 103L, 203L)), codes, stats,
+      "vec_id", "embedding", topK = 5)
+    val offCluster = top.filter(
+      call_function("div", col("query_id"), lit(100L)) =!=
+        call_function("div", col("neighbor_id"), lit(100L))).count()
+    assert(offCluster == 0, "SQ8 ranking leaked across separated clusters")
+  }
+
+  test("bottomKByGroup ≡ independent per-group bottomK") {
+    val d = Tables.documents(spark, dir)
+    val grouped = Sketches.bottomKByGroup(
+      d, "source", TextAnalysis.fingerprint(col("text")), k = 8)
+    val sources = d.select(col("source")).distinct().as[String].collect()
+    sources.foreach { src =>
+      val solo = Sketches.bottomK(
+        d.filter(col("source") === src)
+          .select(TextAnalysis.fingerprint(col("text")).as("key"))
+          .distinct(),
+        "key", 8)
+        .select(col("key"), col("hv"))
+      val fromGrouped = grouped.filter(col("source") === src)
+        .select(col("key"), col("hv"))
+      assert(fromGrouped.exceptAll(solo).isEmpty &&
+        solo.exceptAll(fromGrouped).isEmpty,
+        s"grouped sketch diverged from solo bottomK for $src")
+    }
+  }
+
+  test("kmvPairOverlap is exact when k covers the union") {
+    // |A| = 30, |B| = 30, |A∩B| = 10 → union 50, jaccard = 10/50
+    val a = (0 until 30).map(i => ("A", s"key$i"))
+    val b = (20 until 50).map(i => ("B", s"key$i"))
+    val df = (a ++ b).toDF("g", "k")
+    val sk = Sketches.bottomKByGroup(df, "g", col("k"), k = 100)
+    val r = Sketches.kmvPairOverlap(sk, "g", k = 100).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("union_k") == 50L)
+    assert(row.getAs[Long]("inter_count") == 10L)
+    assert(row.getAs[Long]("jaccard_ppm") == 200000L)
+  }
+
+  test("kmvPairOverlap estimate lands near truth at k ≪ union") {
+    // 400-key universe, 50% pairwise overlap; k = 64 → σ ≈ 1/8, and
+    // the md5 sample is a fixed function so this asserts THE value,
+    // not a distribution: deterministic forever
+    val a = (0 until 300).map(i => ("A", s"doc$i"))
+    val b = (100 until 400).map(i => ("B", s"doc$i"))
+    val df = (a ++ b).toDF("g", "k")
+    val sk = Sketches.bottomKByGroup(df, "g", col("k"), k = 64)
+    val row = Sketches.kmvPairOverlap(sk, "g", k = 64).collect().head
+    val est = row.getAs[Long]("jaccard_ppm").toDouble / 1e6
+    val truth = 200.0 / 400.0
+    assert(math.abs(est - truth) < 0.25,
+      s"KMV Jaccard estimate $est too far from $truth")
+  }
+}
