@@ -42,6 +42,15 @@ object StreamBench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val nBatches = sys.env.get("SPARK_GRAFT_STREAM_BATCHES")
       .flatMap(_.toIntOption).getOrElse(20)
+    // batch-volume lever: the seeded table (and so every batch's
+    // events) becomes `scale` disjoint key-shifted copies of the
+    // customer fixture — per-trigger fixed cost amortizes over
+    // scale× the rows, which is the property the reference's 30 s
+    // commit cadence exists for. Key shift 10⁹ keeps copies disjoint
+    // from insert keys (key + batch·10⁷) for any batch count < 100.
+    val scale = sys.env.get("SPARK_GRAFT_STREAM_SCALE")
+      .flatMap(_.toIntOption).getOrElse(1)
+    require(nBatches < 100, "insert-key space exhausted at 100 batches")
     val defaultCpus = math.min(Runtime.getRuntime.availableProcessors(), 32)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", defaultCpus.toString)
     val spark = SparkSession.builder()
@@ -74,15 +83,19 @@ object StreamBench {
     val registry = new SchemaRegistry
     registry.register(TableMeta(tid, schema, Seq("c_custkey")))
     val store = new TableStore(spark, root)
-    store.stage(tid, Tables.customer(spark, sfDir), 0L)
+    val cust = (0 until scale).map { s =>
+      Tables.customer(spark, sfDir)
+        .withColumn("c_custkey", col("c_custkey") + s * 1000000000L)
+    }.reduce(_ unionByName _)
+    store.stage(tid, cust, 0L)
     store.commit(Map(tid -> 0L))
-    val custRows = Tables.customer(spark, sfDir).count()
+    val custRows = cust.count()
 
     // one file per batch; mtimes force the file source to replay them
     // in batch order (ties in mtime would otherwise be unordered)
     (1 to nBatches).foreach { b =>
       val dir = s"$spool/b$b"
-      SyntheticCdc.rollingLog(spark, sfDir, b)
+      SyntheticCdc.rollingLogOf(cust, b)
         .coalesce(1).write.mode("overwrite").parquet(dir)
       val part = Files.list(Paths.get(dir)).toArray.map(_.asInstanceOf[Path])
         .find(_.getFileName.toString.endsWith(".parquet"))
@@ -131,7 +144,10 @@ object StreamBench {
     val fin = store.read(tid)
     val finCount = fin.count()
     val expCount = custRows + custRows / 10
-    val balOk = fin.filter(col("c_custkey") < 10000000L &&
+    // base keys (any copy) satisfy key mod 10⁹ < 10⁷; insert keys
+    // carry + batch·10⁷ and fall outside
+    val balOk = fin.filter(
+        pmod(col("c_custkey"), lit(1000000000L)) < 10000000L &&
         pmod(col("c_custkey"), lit(10)) =!= 4 &&
         col("c_acctbal") =!= nBatches.toDouble)
       .limit(1).count() == 0L
@@ -144,7 +160,7 @@ object StreamBench {
         s""""unit":"rows/sec","batches":${progress.size},"rows":$rows,""" +
         s""""total_sec":${fmt(totalSec)},"wall_sec":${fmt(wallSec)},""" +
         s""""p50_ms":${pct(0.5)},"p95_ms":${pct(0.95)},""" +
-        s""""failed":${!ok},"sf":"$sfDir"}"""
+        s""""failed":${!ok},"scale":$scale,"sf":"$sfDir"}"""
     java.nio.file.Files.write(Paths.get("STREAMBENCH_DETAIL.json"),
       line.getBytes("UTF-8"))
     println(line)

@@ -187,8 +187,16 @@ object SyntheticCdc {
     * next) — steady state, not unbounded growth, like the reference's
     * continuous replay. Ordering clock: one xid_timestamp per batch,
     * lsn unique per row (batch-prefixed so batches never collide). */
-  def rollingLog(spark: SparkSession, sfDir: String, batch: Int): DataFrame = {
-    val c = Tables.customer(spark, sfDir)
+  def rollingLog(spark: SparkSession, sfDir: String, batch: Int): DataFrame =
+    rollingLogOf(Tables.customer(spark, sfDir), batch)
+
+  /** [[rollingLog]] over an arbitrary customer-shaped table — the
+    * batch-volume lever for [[graft.StreamBench]]: an amplified key
+    * space (shifted copies of the fixture) scales events-per-batch
+    * without changing the loop under test. Insert keys are
+    * `key + batch·10⁷`, so key spaces shifted by ≥ 10⁹ stay disjoint
+    * for any batch count < 100. */
+  def rollingLogOf(c: DataFrame, batch: Int): DataFrame = {
     val k = col("c_custkey")
     val ks = k.cast("string")
     val b = batch.toLong
