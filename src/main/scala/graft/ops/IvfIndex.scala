@@ -153,26 +153,9 @@ object IvfIndex {
             topK: Int, nProbe: Int, scale: Int = 1000): DataFrame = {
     val spark = queries.sparkSession
     val cents = spark.read.parquet(s"$dir/centroids")
-    val byQuery = Window.partitionBy("query_id").orderBy(col("g"), col("cell"))
-    val probes = queries
-      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
-        KMeans.quantize(col(vecCol), scale).as("qv"))
-      .crossJoin(broadcast(cents))
-      .withColumn("f", KMeans.dotL(col("s"), col("s")) -
-        lit(2L) * col("n") * KMeans.dotL(col("qv"), col("s")))
-      .withColumn("g",
-        col("f").cast("double") / (col("n") * col("n")).cast("double"))
-      .withColumn("rn", row_number().over(byQuery))
-      .filter(col("rn") <= nProbe)
-      .select(col("query_id"), col("qvec"), col("cell"))
-      .localCheckpoint(eager = false) // feeds the cell collect AND the join
-    // bounded control plane (≤ kCells ints): turning the probed cells
-    // into a partition-column isin is what makes the postings read
-    // list ONLY those directories — the disk analog of an IVF probe
-    val cells = probes.select(col("cell")).distinct()
-      .collect().map(_.getInt(0)).toSeq
+    val probes = probeCells(queries, idCol, vecCol, cents, nProbe, scale)
     val postings = spark.read.parquet(s"$dir/postings")
-      .filter(col("cell").isin(cells: _*))
+      .filter(col("cell").isin(probedCellIds(probes): _*))
       .select(col("cell"), col("id").as("neighbor_id"), col("vec").as("cvec"))
     val byRank = Window.partitionBy("query_id")
       .orderBy(col("csim").desc, col("neighbor_id"))
@@ -182,5 +165,84 @@ object IvfIndex {
       .withColumn("rank", row_number().over(byRank))
       .filter(col("rank") <= topK)
       .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
+  /** Each query's `nProbe` nearest frozen cells (same exact metric
+    * that trained the codebook). Carries both the raw vector (for
+    * exact-cosine ranking) and its quantized form (for ADC ranking);
+    * localCheckpointed because it feeds the probed-cell collect AND
+    * the candidate join.
+    * @return (query_id, qvec, qv, cell) */
+  private def probeCells(queries: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame, nProbe: Int, scale: Int): DataFrame = {
+    val byQuery = Window.partitionBy("query_id").orderBy(col("g"), col("cell"))
+    queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+        KMeans.quantize(col(vecCol), scale).as("qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("f", KMeans.dotL(col("s"), col("s")) -
+        lit(2L) * col("n") * KMeans.dotL(col("qv"), col("s")))
+      .withColumn("g",
+        col("f").cast("double") / (col("n") * col("n")).cast("double"))
+      .withColumn("rn", row_number().over(byQuery))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("qvec"), col("qv"), col("cell"))
+      .localCheckpoint(eager = false)
+  }
+
+  /** Bounded control plane (≤ kCells ints): turning the probed cells
+    * into a partition-column isin is what makes the postings read
+    * list ONLY those directories — the disk analog of an IVF probe. */
+  private def probedCellIds(probes: DataFrame): Seq[Int] =
+    probes.select(col("cell")).distinct().collect().map(_.getInt(0)).toSeq
+
+  /** [[build]] with SQ8-compressed postings ([[ScalarQuant]]): the
+    * inverted lists store one byte per dimension (codes) instead of a
+    * raw float vector — a 4× smaller index whose probe path reads
+    * codes plus two dim-sized broadcast rows (stats + centroids) and
+    * ranks by the exact-integer ADC score. The production trade
+    * (FAISS `IVF…,SQ8`): same cell pruning, same frozen-codebook
+    * lifecycle, a quarter of the bytes per candidate, recall bounded
+    * by the one-step quantization error instead of PQ's subspace
+    * collapse. */
+  def buildSq8(corpus: DataFrame, idCol: String, vecCol: String, dir: String,
+               kCells: Int, iters: Int, levels: Int = 255,
+               scale: Int = 1000): Unit = {
+    val (assigned, cents) =
+      KMeans.trainWithCentroids(corpus, idCol, vecCol, kCells, iters, scale)
+    cents.write.mode("overwrite").parquet(s"$dir/centroids")
+    val stats = ScalarQuant.dimStats(corpus, vecCol, scale)
+    stats.write.mode("overwrite").parquet(s"$dir/stats")
+    ScalarQuant.encode(corpus, stats, idCol, vecCol, levels, scale)
+      .join(assigned.withColumnRenamed("cluster", "cell"), Seq("id"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/postings")
+  }
+
+  /** Probe a [[buildSq8]] index: same directory-pruned cell scan as
+    * [[query]], candidates ranked by the ADC score of their byte
+    * codes against the query's full quantized vector (exact integer
+    * arithmetic end to end — the whole persisted pipeline is
+    * SQL-oracle-checkable).
+    * @return (query_id, rank, neighbor_id, score) */
+  def querySq8(queries: DataFrame, idCol: String, vecCol: String, dir: String,
+               topK: Int, nProbe: Int, levels: Int = 255,
+               scale: Int = 1000): DataFrame = {
+    val spark = queries.sparkSession
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val stats = spark.read.parquet(s"$dir/stats")
+    val probes = probeCells(queries, idCol, vecCol, cents, nProbe, scale)
+    val postings = spark.read.parquet(s"$dir/postings")
+      .filter(col("cell").isin(probedCellIds(probes): _*))
+      .crossJoin(broadcast(stats))
+      .select(col("cell"), col("id").as("neighbor_id"),
+        ScalarQuant.reconstruct(col("codes"), col("st"), levels).as("rv"))
+    val byRank = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id"))
+    probes.join(postings, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", KMeans.dotL(col("qv"), col("rv")))
+      .withColumn("rank", row_number().over(byRank))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
   }
 }

@@ -72,6 +72,16 @@ object ScalarQuant {
               greatest(s.getField("mx") - s.getField("mn"), lit(1L)))))
             .cast("int")).as("codes"))
 
+  /** Integer reconstruction of a code array against the broadcast
+    * stats row: element j = `mn[j]·levels + code[j]·(mx[j]−mn[j])` —
+    * `levels ×` the affine de-quantization, kept scaled so the ADC
+    * dot stays in exact integer arithmetic. */
+  private[ops] def reconstruct(codes: Column, st: Column,
+      levels: Int): Column =
+    zip_with(codes, st, (c, s) =>
+      s.getField("mn") * levels +
+        c.cast("long") * (s.getField("mx") - s.getField("mn")))
+
   /** Asymmetric top-k over SQ8 codes: queries keep their full
     * quantized vectors, candidates contribute only their byte codes;
     * the score is the exact integer dot product of the query with the
@@ -87,10 +97,7 @@ object ScalarQuant {
       KMeans.quantize(col(vecCol), scale).as("qv")))
     val recon = codes.crossJoin(broadcast(stats))
       .select(col("id").as("neighbor_id"),
-        zip_with(col("codes"), col("st"), (c, s) =>
-          s.getField("mn") * levels +
-            c.cast("long") * (s.getField("mx") - s.getField("mn")))
-          .as("rv"))
+        reconstruct(col("codes"), col("st"), levels).as("rv"))
     val scored = q.join(recon, col("query_id") =!= col("neighbor_id"))
       .withColumn("score", KMeans.dotL(col("qv"), col("rv")))
     val w = Window.partitionBy(col("query_id"))

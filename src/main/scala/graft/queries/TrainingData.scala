@@ -3055,6 +3055,132 @@ object TrainingData {
         FROM scored) WHERE rank <= 5
       ORDER BY query_id, rank"""))
 
+  /** Persisted IVF index with SQ8-compressed postings
+    * ([[graft.ops.IvfIndex.buildSq8]]/[[graft.ops.IvfIndex.querySq8]]):
+    * the FAISS `IVF…,SQ8` production trade — inverted lists hold one
+    * byte per dimension, probes prune to cell directories and rank by
+    * the exact-integer ADC score. Oracled END TO END: the SQL chains
+    * td_ann_ivf_trained's unrolled 2-iteration k-means into
+    * td_ann_sq8's stats/encode/score pipeline with the candidate set
+    * restricted to each query's 3 probed cells, so training,
+    * assignment, compression, the parquet round-trip, pruning, and
+    * ranking are all value-checked in one hash. */
+  val td_ann_ivf_sq8 = GraftQuery(
+    "td_ann_ivf_sq8",
+    (s, dir) => {
+      val stage = s"${System.getProperty("java.io.tmpdir")}/graft_ivfsq8_" +
+        s"${s.sparkContext.applicationId}_${Integer.toHexString(dir.hashCode)}"
+      val e = Tables.embeddings(s, dir)
+      graft.ops.IvfIndex.buildSq8(e, "vec_id", "embedding", stage,
+        kCells = 8, iters = 2)
+      graft.ops.IvfIndex.querySq8(e.filter(col("vec_id") < 20),
+        "vec_id", "embedding", stage, topK = 5, nProbe = 3)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some("""WITH q AS (
+        SELECT vec_id AS id,
+          list_transform(embedding,
+            x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        FROM embeddings),
+      c0 AS (
+        SELECT CAST(id % 8 AS INTEGER) AS cell, arg_min(qv, id) AS s,
+          CAST(1 AS BIGINT) AS n
+        FROM q GROUP BY 1),
+      a1 AS (
+        SELECT id, qv, cell FROM (
+          SELECT q.id, q.qv, c.cell,
+            row_number() OVER (PARTITION BY q.id ORDER BY
+              CAST(list_sum(list_transform(range(1, len(c.s)+1),
+                     i -> c.s[i] * c.s[i]))
+                - 2 * c.n * list_sum(list_transform(range(1, len(c.s)+1),
+                     i -> q.qv[i] * c.s[i])) AS DOUBLE)
+                / CAST(c.n * c.n AS DOUBLE),
+              c.cell) AS rn
+          FROM q CROSS JOIN c0 c) WHERE rn = 1),
+      s1 AS (
+        SELECT cell, list(sv ORDER BY pos) AS s_new FROM (
+          SELECT cell, kv.pos AS pos, CAST(SUM(kv.v) AS BIGINT) AS sv
+          FROM (SELECT cell, unnest(list_transform(range(1, len(qv)+1),
+                  i -> {'pos': i, 'v': qv[i]})) AS kv FROM a1) t
+          GROUP BY cell, kv.pos) t2
+        GROUP BY cell),
+      n1 AS (SELECT cell, COUNT(*) AS n_new FROM a1 GROUP BY cell),
+      c1 AS (
+        SELECT c0.cell, COALESCE(s1.s_new, c0.s) AS s,
+          CAST(COALESCE(n1.n_new, c0.n) AS BIGINT) AS n
+        FROM c0 LEFT JOIN s1 USING (cell) LEFT JOIN n1 USING (cell)),
+      a2 AS (
+        SELECT id, qv, cell FROM (
+          SELECT q.id, q.qv, c.cell,
+            row_number() OVER (PARTITION BY q.id ORDER BY
+              CAST(list_sum(list_transform(range(1, len(c.s)+1),
+                     i -> c.s[i] * c.s[i]))
+                - 2 * c.n * list_sum(list_transform(range(1, len(c.s)+1),
+                     i -> q.qv[i] * c.s[i])) AS DOUBLE)
+                / CAST(c.n * c.n AS DOUBLE),
+              c.cell) AS rn
+          FROM q CROSS JOIN c1 c) WHERE rn = 1),
+      s2 AS (
+        SELECT cell, list(sv ORDER BY pos) AS s_new FROM (
+          SELECT cell, kv.pos AS pos, CAST(SUM(kv.v) AS BIGINT) AS sv
+          FROM (SELECT cell, unnest(list_transform(range(1, len(qv)+1),
+                  i -> {'pos': i, 'v': qv[i]})) AS kv FROM a2) t
+          GROUP BY cell, kv.pos) t2
+        GROUP BY cell),
+      n2 AS (SELECT cell, COUNT(*) AS n_new FROM a2 GROUP BY cell),
+      c2 AS (
+        SELECT c1.cell, COALESCE(s2.s_new, c1.s) AS s,
+          CAST(COALESCE(n2.n_new, c1.n) AS BIGINT) AS n
+        FROM c1 LEFT JOIN s2 USING (cell) LEFT JOIN n2 USING (cell)),
+      a3 AS (
+        SELECT id, cell FROM (
+          SELECT q.id, c.cell,
+            row_number() OVER (PARTITION BY q.id ORDER BY
+              CAST(list_sum(list_transform(range(1, len(c.s)+1),
+                     i -> c.s[i] * c.s[i]))
+                - 2 * c.n * list_sum(list_transform(range(1, len(c.s)+1),
+                     i -> q.qv[i] * c.s[i])) AS DOUBLE)
+                / CAST(c.n * c.n AS DOUBLE),
+              c.cell) AS rn
+          FROM q CROSS JOIN c2 c) WHERE rn = 1),
+      dims AS (
+        SELECT i, MIN(qv[i]) AS mn, MAX(qv[i]) AS mx
+        FROM q CROSS JOIN range(1, 65) t(i) GROUP BY i),
+      codes AS (
+        SELECT q.id, d.i,
+          LEAST(255, GREATEST(0,
+            ((qv[d.i] - d.mn) * 255) // GREATEST(d.mx - d.mn, 1))) AS code,
+          a3.cell
+        FROM q CROSS JOIN dims d JOIN a3 ON a3.id = q.id),
+      probes AS (
+        SELECT query_id, qqv, cell FROM (
+          SELECT qs.id AS query_id, qs.qv AS qqv, c.cell,
+            row_number() OVER (PARTITION BY qs.id ORDER BY
+              CAST(list_sum(list_transform(range(1, len(c.s)+1),
+                     i -> c.s[i] * c.s[i]))
+                - 2 * c.n * list_sum(list_transform(range(1, len(c.s)+1),
+                     i -> qs.qv[i] * c.s[i])) AS DOUBLE)
+                / CAST(c.n * c.n AS DOUBLE),
+              c.cell) AS rn
+          FROM (SELECT * FROM q WHERE id < 20) qs
+          CROSS JOIN c2 c) WHERE rn <= 3),
+      scored AS (
+        SELECT p.query_id, k.id AS neighbor_id,
+          CAST(SUM(p.qqv[k.i] * (d.mn * 255 + k.code * (d.mx - d.mn)))
+            AS BIGINT) AS score
+        FROM codes k
+        JOIN dims d USING (i)
+        JOIN probes p ON p.cell = k.cell
+        WHERE p.query_id <> k.id
+        GROUP BY 1, 2)
+      SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, score
+      FROM (
+        SELECT query_id, neighbor_id, score,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, neighbor_id) AS rank
+        FROM scored) WHERE rank <= 5
+      ORDER BY query_id, rank"""))
+
   /** Cross-source duplication profile via per-source KMV sketches
     * ([[graft.ops.Sketches.bottomKByGroup]] / [[graft.ops.Sketches.kmvPairOverlap]]):
     * for every source pair, the Jaccard of their content-fingerprint
@@ -3128,7 +3254,7 @@ object TrainingData {
     td_dedup_canonical,
     td_simhash_md5, td_ann_lsh_md5, td_embedding_neardup, td_ann_ivf,
     td_kmeans, td_ann_ivf_trained, td_ann_ivf_indexed, td_pq_adc, td_ann_ivfpq,
-    td_ann_sq8, td_kmv_overlap,
+    td_ann_sq8, td_ann_ivf_sq8, td_kmv_overlap,
     td_rare_words, td_chunk_dedup,
     td_sample_hash, td_sample_stratified, td_sample_weighted,
     td_dsir_select,

@@ -94,6 +94,56 @@ class IvfIndexSpec extends SparkSpec {
     assert(res(dirA) == res(dirB) && res(dirB).nonEmpty)
   }
 
+  test("buildSq8 + querySq8 ≡ ADC over in-memory codes restricted to probed cells") {
+    val dir = tmpDir("sq8")
+    IvfIndex.buildSq8(corpus, "vec_id", "embedding", dir,
+      kCells = 8, iters = 2)
+    val queries = corpus.filter(col("vec_id") < 10)
+    val fromIndex = IvfIndex.querySq8(queries, "vec_id", "embedding", dir,
+      topK = 3, nProbe = 8) // nProbe = kCells → candidate set = whole corpus
+      .as[(Long, Int, Long, Long)].collect().toSeq.sorted
+    // with every cell probed, the persisted path must equal the flat
+    // in-memory SQ8 ADC ranking — isolates the parquet round-trip +
+    // pruning machinery from the scoring math
+    val stats = graft.ops.ScalarQuant.dimStats(corpus, "embedding")
+    val codes = graft.ops.ScalarQuant.encode(corpus, stats, "vec_id", "embedding")
+    val direct = graft.ops.ScalarQuant.adcTopK(queries, codes, stats,
+      "vec_id", "embedding", topK = 3)
+      .as[(Long, Int, Long, Long)].collect().toSeq.sorted
+    assert(fromIndex.nonEmpty && fromIndex == direct)
+  }
+
+  test("querySq8 prunes the postings scan and stores codes, not vectors") {
+    withConf("spark.sql.adaptive.enabled" -> "false") {
+      val dir = tmpDir("sq8prune")
+      IvfIndex.buildSq8(corpus, "vec_id", "embedding", dir,
+        kCells = 8, iters = 2)
+      // the compressed postings carry int codes only — no float column
+      val postingsSchema = spark.read.parquet(s"$dir/postings").schema
+      assert(postingsSchema.fieldNames.toSet == Set("id", "codes", "cell"),
+        postingsSchema.treeString)
+      val q = corpus.filter(col("vec_id") === 0L)
+      val res = IvfIndex.querySq8(q, "vec_id", "embedding", dir,
+        topK = 3, nProbe = 2)
+      res.collect()
+      val scan = res.queryExecution.executedPlan
+        .collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }
+        .find(_.metadata("Location").contains("postings"))
+        .getOrElse(fail("no postings scan in plan"))
+      assert(scan.partitionFilters.nonEmpty,
+        "probed-cell isin not pushed to partitioning")
+      val chosen = scan.relation.location
+        .listFiles(scan.partitionFilters, scan.dataFilters)
+        .flatMap(_.files.map(_.getPath.toString))
+      val cells = chosen.flatMap(
+        "cell=(\\d+)".r.findFirstMatchIn(_).map(_.group(1))).distinct
+      assert(chosen.nonEmpty && cells.size == 2,
+        s"scan touched cells $cells: ${chosen.mkString(", ")}")
+    }
+  }
+
   test("query prunes the postings scan to the probed cells' directories") {
     withConf("spark.sql.adaptive.enabled" -> "false") {
       val dir = tmpDir("prune")
