@@ -77,6 +77,12 @@ object PlanDump {
       "Target-proportion mix: domain counts aggregate map-side into |domains| rows, the feasible-total min is a 1-row frame, and the derived keep rates broadcast back — the corpus itself sees a single narrow hash filter, no shuffle.",
     "q38_validate" ->
       "Data-expectation gate: all five row-level checks evaluate in ONE partial-aggregable scan (conditional sums in the same aggregate); only the key-uniqueness surplus pays a keyed shuffle, map-side combined.",
+    "td_ann_sq8" ->
+      "SQ8 scalar-quantized ANN: per-dimension stats aggregate map-side into dim cells and collapse to ONE broadcast array row; encoding is a narrow map; scoring broadcasts the tiny query batch over the codes scan (1 B/dim instead of 4) and per-query top-k plans as a partial+final WindowGroupLimit — no cartesian product, no global sort.",
+    "td_ann_ivf_sq8" ->
+      "Persisted IVF index with SQ8 postings (FAISS IVF…,SQ8): probes prune the postings read to probed-cell DIRECTORIES (PartitionFilters), candidates carry byte codes only, and the ADC ranking reads two dim-sized broadcast rows (stats + centroids) — 4x less index I/O per probe than raw-vector postings, same frozen-codebook lifecycle.",
+    "td_kmv_overlap" ->
+      "Cross-source KMV overlap: the per-source bottom-k sketch is a partial+final WindowGroupLimit over a map-side-partial distinct (≤ k rows per group per map task reach the exchange); every pair join downstream runs against k-row sketches — broadcast-sized by construction. Dedup ORDER across a 10-source corpus costs k rows per source, never a cross-source content join.",
     "td_dsir_select" ->
       "DSIR importance resampling: both corpora collapse to dim-bounded hashed-ngram bucket counts with map-side partial aggregation; the dim-row weight table BROADCASTS into the raw-side feature join (the corpus never re-shuffles to meet the weights); top-k plans as TakeOrderedAndProject — per-partition heaps, no global sort anywhere.")
 

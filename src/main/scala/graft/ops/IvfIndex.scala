@@ -78,6 +78,7 @@ object IvfIndex {
   def append(newRows: DataFrame, idCol: String, vecCol: String,
              dir: String, scale: Int = 1000,
              compactTargetBytes: Option[Long] = None): Unit = {
+    requirePostingsColumn(newRows.sparkSession, dir, "vec", "append")
     val cents = newRows.sparkSession.read.parquet(s"$dir/centroids")
     val assigned = nearestCell(
       newRows.select(col(idCol).as("id"), col(vecCol).as("vec")),
@@ -216,6 +217,47 @@ object IvfIndex {
     ScalarQuant.encode(corpus, stats, idCol, vecCol, levels, scale)
       .join(assigned.withColumnRenamed("cluster", "cell"), Seq("id"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/postings")
+  }
+
+  /** Add a batch to a [[buildSq8]] index WITHOUT retraining: cell
+    * assignment against the frozen codebook AND encoding against the
+    * frozen stats row (the standard SQ lifecycle — re-deriving stats
+    * from corpus+batch would silently re-scale every existing code;
+    * out-of-range batch dimensions clamp at the edges instead). Same
+    * cost shape and compaction option as [[append]]. The raw-vector
+    * [[append]] must never target an SQ8 index — the schemas differ
+    * by construction and the write would corrupt the lists, so both
+    * appends verify the postings schema first. */
+  def appendSq8(newRows: DataFrame, idCol: String, vecCol: String,
+                dir: String, levels: Int = 255, scale: Int = 1000,
+                compactTargetBytes: Option[Long] = None): Unit = {
+    val spark = newRows.sparkSession
+    requirePostingsColumn(spark, dir, "codes", "appendSq8")
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val stats = spark.read.parquet(s"$dir/stats")
+    val assigned = nearestCell(
+      newRows.select(col(idCol).as("id"), col(vecCol).as("vec")),
+      cents, scale)
+    val coded = ScalarQuant.encode(
+      assigned.select(col("id"), col("vec")), stats, "id", "vec",
+      levels, scale)
+      .join(assigned.select(col("id"), col("cell")), Seq("id"))
+      .localCheckpoint(eager = false) // feeds the write AND the cell collect
+    coded.write.mode("append").partitionBy("cell").parquet(s"$dir/postings")
+    compactTargetBytes.foreach { target =>
+      val touched = coded.select(col("cell")).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      compact(spark, dir, touched, target)
+    }
+  }
+
+  private def requirePostingsColumn(spark: SparkSession, dir: String,
+      column: String, op: String): Unit = {
+    val fields = spark.read.parquet(s"$dir/postings").schema.fieldNames
+    require(fields.contains(column),
+      s"IvfIndex.$op: postings at $dir carry ${fields.mkString(",")} — " +
+        s"not an index layout with '$column' (raw and SQ8 indexes are " +
+        "not interchangeable)")
   }
 
   /** Probe a [[buildSq8]] index: same directory-pruned cell scan as

@@ -113,6 +113,34 @@ class IvfIndexSpec extends SparkSpec {
     assert(fromIndex.nonEmpty && fromIndex == direct)
   }
 
+  test("appendSq8: frozen stats encode, findable; raw/SQ8 appends don't cross") {
+    val dir = tmpDir("sq8app")
+    IvfIndex.buildSq8(corpus, "vec_id", "embedding", dir,
+      kCells = 8, iters = 2)
+    // a direction past the corpus max on even dims — clamps to the top
+    // code, so its reconstruction dominates every even-dim score term
+    val newVec = Seq(9.0, 0.0, 9.0, 0.0, 9.0, 0.0, 9.0, 0.0)
+    IvfIndex.appendSq8(Seq((1000L, newVec)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dir)
+    assert(spark.read.parquet(s"$dir/postings").count() == 61L)
+    val q = Seq((2000L, newVec.map(_ * 0.5))).toDF("vec_id", "embedding")
+    val top = IvfIndex.querySq8(q, "vec_id", "embedding", dir,
+      topK = 1, nProbe = 8).as[(Long, Int, Long, Long)].collect().toSeq
+    assert(top.map(t => (t._1, t._2, t._3)) == Seq((2000L, 1, 1000L)),
+      top.toString)
+    // layout guard: a raw append into an SQ8 index (or vice versa)
+    // must refuse, not silently mix schemas in the inverted lists
+    val stray = Seq((3000L, newVec)).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      IvfIndex.append(stray, "vec_id", "embedding", dir)
+    }
+    val rawDir = tmpDir("rawguard")
+    IvfIndex.build(corpus, "vec_id", "embedding", rawDir, kCells = 8, iters = 2)
+    intercept[IllegalArgumentException] {
+      IvfIndex.appendSq8(stray, "vec_id", "embedding", rawDir)
+    }
+  }
+
   test("querySq8 prunes the postings scan and stores codes, not vectors") {
     withConf("spark.sql.adaptive.enabled" -> "false") {
       val dir = tmpDir("sq8prune")
