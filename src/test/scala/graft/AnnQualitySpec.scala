@@ -78,6 +78,42 @@ class AnnQualitySpec extends SparkSpec {
     assert(md5Recall >= 0.25, f"md5-LSH recall $md5Recall%.3f under floor")
   }
 
+  test("SQ8 ADC ranking tracks the exact same-metric ranking") {
+    // fidelity of the int8 compression itself: compare against the
+    // exact integer DOT-product top-k (the metric family ADC scores
+    // in), so normalization differences with the cosine baseline
+    // can't masquerade as quantization loss
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 20)
+    def quant(c: org.apache.spark.sql.Column) =
+      transform(c, x => floor(x.cast("double") * 1000).cast("long"))
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, _ * _), lit(0L), _ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("s").desc, col("neighbor_id"))
+    val exact = broadcast(
+      q.select(col("vec_id").as("query_id"), quant(col("embedding")).as("qv")))
+      .join(e.select(col("vec_id").as("neighbor_id"),
+        quant(col("embedding")).as("cv")),
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("s", dot(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val stats = graft.ops.ScalarQuant.dimStats(e, "embedding")
+    val codes = graft.ops.ScalarQuant.encode(e, stats, "vec_id", "embedding")
+    val sq8 = graft.ops.ScalarQuant.adcTopK(q, codes, stats,
+      "vec_id", "embedding", topK = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & sq8).size.toDouble / exact.size
+    info(f"SQ8 recall vs exact dot ranking: $recall%.3f")
+    // 255 levels per dimension leave a one-step-per-dim error — far
+    // finer than PQ's 64x collapse, so the floor is high
+    assert(recall >= 0.70, f"SQ8 recall $recall%.3f under floor")
+  }
+
   test("LSH recalls planted near-duplicate neighbors") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     // plant a near-copy of each query vector (one coordinate nudged:
