@@ -201,6 +201,44 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
+  /** Hard-negative mining — the contrastive-training data-prep op
+    * (DPR / SimCSE pipelines): for each anchor, the `k` most similar
+    * corpus vectors whose LABEL DIFFERS — maximally confusable
+    * negatives, the ones worth a gradient. Candidates come from the
+    * anchor's `nProbe` probed IVF cells ([[ivfTopK]]'s keyed shape —
+    * per anchor only nProbe/nCells of the corpus is touched, never
+    * all-pairs), the label-mismatch filter runs before the exact
+    * cosine, and ranking ties break on neighbor id.
+    * @return (query_id, rank, neighbor_id)
+    */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String, k: Int,
+                    nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val centroids = deterministicCentroids(corpus, idCol, vecCol, nCells)
+    val c = assignCells(
+      corpus.select(col(idCol), col(vecCol), col(labelCol)),
+      centroids, idCol, vecCol, 1)
+      .select(col("cell"), col(idCol).as("neighbor_id"),
+        col(vecCol).as("cvec"), col(labelCol).as("neg_label"))
+    val q = assignCells(
+      queries.select(col(idCol), col(vecCol), col(labelCol)),
+      centroids, idCol, vecCol, nProbe)
+      .select(col("cell"), col(idCol).as("query_id"),
+        col(vecCol).as("qvec"), col(labelCol).as("anchor_label"))
+    val scored = q.join(c, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id") &&
+        col("anchor_label") =!= col("neg_label"))
+      .select(col("query_id"), col("qvec"), col("neighbor_id"), col("cvec"))
+      .distinct()
+      .withColumn("cos", cosine(col("qvec"), col("cvec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
   /** SemDeDup-style semantic near-dup detection: embeddings are
     * assigned to their nearest coarse-quantizer cell
     * ([[deterministicCentroids]] — same codebook as [[ivfTopK]], so

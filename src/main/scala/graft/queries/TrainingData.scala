@@ -791,6 +791,54 @@ object TrainingData {
         FROM cand)
       WHERE rank <= 5 ORDER BY query_id, rank"""))
 
+  /** Hard-negative mining ([[graft.ops.Similarity.hardNegatives]]):
+    * per anchor, the 5 most-similar embeddings with a DIFFERENT label
+    * — contrastive-training data prep over the same IVF candidate
+    * shape as [[td_ann_ivf]] (probed cells, never all-pairs), with
+    * the label-mismatch filter ahead of the exact cosine. Oracled:
+    * the SQL adds the label join + filter to td_ann_ivf's verified
+    * IVF chain, so cell assignment, probing, filtering, and ranking
+    * all hash-match. */
+  val td_hard_negatives = GraftQuery(
+    "td_hard_negatives",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.hardNegatives(e.filter(col("vec_id") < 20), e,
+        "vec_id", "embedding", "label", k = 5, nCells = 16, nProbe = 4)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some("""WITH cent AS (
+        SELECT CAST(vec_id % 16 AS INTEGER) AS cell,
+               arg_min(embedding, vec_id) AS centroid
+        FROM embeddings GROUP BY 1),
+      ca AS (
+        SELECT neighbor_id, cvec, neg_label, cell FROM (
+          SELECT e.vec_id AS neighbor_id, e.embedding AS cvec,
+            e.label AS neg_label, c.cell,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY list_cosine_similarity(e.embedding, c.centroid) DESC, c.cell) AS rn
+          FROM embeddings e CROSS JOIN cent c)
+        WHERE rn = 1),
+      qa AS (
+        SELECT query_id, qvec, anchor_label, cell FROM (
+          SELECT e.vec_id AS query_id, e.embedding AS qvec,
+            e.label AS anchor_label, c.cell,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY list_cosine_similarity(e.embedding, c.centroid) DESC, c.cell) AS rn
+          FROM embeddings e CROSS JOIN cent c
+          WHERE e.vec_id < 20)
+        WHERE rn <= 4),
+      cand AS (
+        SELECT DISTINCT query_id, qvec, neighbor_id, cvec
+        FROM qa JOIN ca USING (cell)
+        WHERE query_id <> neighbor_id AND anchor_label <> neg_label)
+      SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY list_cosine_similarity(qvec, cvec) DESC, neighbor_id) AS rank
+        FROM cand)
+      WHERE rank <= 5 ORDER BY query_id, rank"""))
+
   /** Lloyd k-means codebook training (the trained coarse quantizer an
     * IVF index needs), two iterations, k=8 — EXACT integer-arithmetic
     * centroids so the full training loop (init → assign → update →
@@ -3254,7 +3302,7 @@ object TrainingData {
     td_dedup_canonical,
     td_simhash_md5, td_ann_lsh_md5, td_embedding_neardup, td_ann_ivf,
     td_kmeans, td_ann_ivf_trained, td_ann_ivf_indexed, td_pq_adc, td_ann_ivfpq,
-    td_ann_sq8, td_ann_ivf_sq8, td_kmv_overlap,
+    td_ann_sq8, td_ann_ivf_sq8, td_kmv_overlap, td_hard_negatives,
     td_rare_words, td_chunk_dedup,
     td_sample_hash, td_sample_stratified, td_sample_weighted,
     td_dsir_select,

@@ -62,6 +62,34 @@ class ScalarQuantSpec extends SparkSpec {
     assert(offCluster == 0, "SQ8 ranking leaked across separated clusters")
   }
 
+  test("hardNegatives: same-label twins excluded, different-label twin ranks first") {
+    val e = Tables.embeddings(spark, dir)
+    val anchor = e.filter(col("vec_id") === 3L)
+    // two planted near-copies of the anchor: one SHARES its label (a
+    // positive — must never be mined), one differs (the hardest
+    // possible negative — must rank first)
+    val sameLabel = anchor.select(
+      lit(500000L).as("vec_id"), col("embedding"), col("label"))
+    val diffLabel = anchor.select(
+      lit(600000L).as("vec_id"), col("embedding"),
+      (col("label") + 1).as("label"))
+    val corpus = e.select("vec_id", "embedding", "label")
+      .unionByName(sameLabel).unionByName(diffLabel)
+    val mined = graft.ops.Similarity.hardNegatives(
+      anchor, corpus, "vec_id", "embedding", "label", k = 5)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(!mined.map(_._2).contains(500000L),
+      "a same-label positive leaked into the mined negatives")
+    assert(mined.contains((1, 600000L)),
+      s"identical-vector different-label twin not ranked first: ${mined.toSeq}")
+    // every mined negative really has a different label than the anchor
+    val anchorLabel = anchor.select("label").collect().head.getInt(0)
+    val minedLabels = corpus
+      .filter(col("vec_id").isin(mined.map(_._2): _*))
+      .select("label").collect().map(_.getInt(0))
+    assert(minedLabels.forall(_ != anchorLabel))
+  }
+
   test("bottomKByGroup ≡ independent per-group bottomK") {
     val d = Tables.documents(spark, dir)
     val grouped = Sketches.bottomKByGroup(
