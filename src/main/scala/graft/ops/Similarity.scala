@@ -201,6 +201,32 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
+  /** Recall@k of an approximate ANN ranking against the exact one —
+    * the retrieval-eval primitive that closes the ANN loop: every
+    * index here (IVF, LSH, PQ, SQ8) trades recall for cost, and this
+    * measures the trade IN-ENGINE so index parameters can be tuned on
+    * a sample before committing a 100 TB build. Inputs are any two
+    * (query_id, neighbor_id) rankings; output is per-query hits and
+    * an exact-integer recall (ppm — the repo's exactness idiom, so
+    * the whole evaluation is value-checkable cross-engine).
+    *
+    * Scale shape: one keyed equi-join of two k-row-per-query
+    * rankings + a map-side-combinable count — cost ∝ |queries|·k,
+    * independent of the corpus.
+    * @return (query_id, hits, recall_ppm)
+    */
+  def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k=$k must be positive")
+    exact.select(col("query_id"), col("neighbor_id"))
+      .join(approx.select(col("query_id"), col("neighbor_id"))
+          .withColumn("hit", lit(1L)),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+      .withColumn("recall_ppm",
+        call_function("div", col("hits") * 1000000L, lit(k.toLong)))
+  }
+
   /** Hard-negative mining — the contrastive-training data-prep op
     * (DPR / SimCSE pipelines): for each anchor, the `k` most similar
     * corpus vectors whose LABEL DIFFERS — maximally confusable

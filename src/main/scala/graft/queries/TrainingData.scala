@@ -839,6 +839,71 @@ object TrainingData {
         FROM cand)
       WHERE rank <= 5 ORDER BY query_id, rank"""))
 
+  /** In-engine ANN evaluation ([[graft.ops.Similarity.recallAtK]]):
+    * per-query recall@5 of the IVF index against the exact cosine
+    * ranking, as exact integers (ppm) — the tuning loop that decides
+    * nCells/nProbe on a sample BEFORE a 100 TB index build. Oracled:
+    * the SQL computes both rankings (brute-force window +
+    * td_ann_ivf's verified chain) and the same join/count. */
+  val td_ann_recall = GraftQuery(
+    "td_ann_recall",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < 20)
+      val exact = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 5)
+      val approx = Similarity.ivfTopK(q, e, "vec_id", "embedding", 5,
+        nCells = 16, nProbe = 4)
+      Similarity.recallAtK(exact, approx, 5)
+        .orderBy(col("query_id"))
+    },
+    Some("""WITH exact AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+                       c.vec_id) AS rank
+          FROM embeddings q, embeddings c
+          WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id)
+        WHERE rank <= 5),
+      cent AS (
+        SELECT CAST(vec_id % 16 AS INTEGER) AS cell,
+               arg_min(embedding, vec_id) AS centroid
+        FROM embeddings GROUP BY 1),
+      ca AS (
+        SELECT neighbor_id, cvec, cell FROM (
+          SELECT e.vec_id AS neighbor_id, e.embedding AS cvec, c.cell,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY list_cosine_similarity(e.embedding, c.centroid) DESC, c.cell) AS rn
+          FROM embeddings e CROSS JOIN cent c)
+        WHERE rn = 1),
+      qa AS (
+        SELECT query_id, qvec, cell FROM (
+          SELECT e.vec_id AS query_id, e.embedding AS qvec, c.cell,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY list_cosine_similarity(e.embedding, c.centroid) DESC, c.cell) AS rn
+          FROM embeddings e CROSS JOIN cent c
+          WHERE e.vec_id < 20)
+        WHERE rn <= 4),
+      cand AS (
+        SELECT DISTINCT query_id, qvec, neighbor_id, cvec
+        FROM qa JOIN ca USING (cell)
+        WHERE query_id <> neighbor_id),
+      ivf AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY list_cosine_similarity(qvec, cvec) DESC, neighbor_id) AS rank
+          FROM cand)
+        WHERE rank <= 5)
+      SELECT e.query_id AS query_id,
+        CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+          AS BIGINT) AS hits,
+        (CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+          AS BIGINT) * 1000000) // 5 AS recall_ppm
+      FROM exact e LEFT JOIN ivf i
+        ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+      GROUP BY 1 ORDER BY e.query_id"""))
+
   /** Lloyd k-means codebook training (the trained coarse quantizer an
     * IVF index needs), two iterations, k=8 — EXACT integer-arithmetic
     * centroids so the full training loop (init → assign → update →
@@ -3303,6 +3368,7 @@ object TrainingData {
     td_simhash_md5, td_ann_lsh_md5, td_embedding_neardup, td_ann_ivf,
     td_kmeans, td_ann_ivf_trained, td_ann_ivf_indexed, td_pq_adc, td_ann_ivfpq,
     td_ann_sq8, td_ann_ivf_sq8, td_kmv_overlap, td_hard_negatives,
+    td_ann_recall,
     td_rare_words, td_chunk_dedup,
     td_sample_hash, td_sample_stratified, td_sample_weighted,
     td_dsir_select,

@@ -633,6 +633,40 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("td_hard_negatives: candidates stay cell-keyed, codebook broadcasts") {
+    audited(graft.queries.TrainingData.td_hard_negatives.fn(spark, dir)) { df =>
+      val plan = df.queryExecution.executedPlan
+      // the label filter must not change the candidate structure: the
+      // only corpus×corpus contact is the cell equi-join; an unkeyed
+      // candidate stage is the all-pairs shape that dies at 100 TB
+      assert(plan.collect {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      }.isEmpty, s"hard-negative candidates regressed to a cartesian:\n$plan")
+      // the one-row codebook array reaches both assignment stages as a
+      // broadcast, never an exchange of the corpus against centroids
+      val bnlj = plan.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+      }
+      assert(bnlj.nonEmpty, s"codebook not broadcast into assignment:\n$plan")
+    }
+  }
+
+  test("td_ann_recall: ranking join is hashed, counts combine map-side") {
+    audited(graft.queries.TrainingData.td_ann_recall.fn(spark, dir)) { df =>
+      val plan = df.queryExecution.executedPlan
+      // two k-rows-per-query rankings meet in an equi-join — hash or
+      // sort-merge, never a nested loop over the pair space
+      assert(plan.collect {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      }.isEmpty, s"recall join regressed to a cartesian:\n$plan")
+      val partial = plan.collect {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+          if a.aggregateExpressions.exists(_.mode.toString == "Partial") => a
+      }
+      assert(partial.nonEmpty, s"hit counts not map-side partial:\n$plan")
+    }
+  }
+
   test("td_kmv_overlap: sketch stage is a partial group-limit over a partial distinct") {
     audited(graft.queries.TrainingData.td_kmv_overlap.fn(spark, dir)) { df =>
       val plan = df.queryExecution.executedPlan
