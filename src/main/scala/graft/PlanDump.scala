@@ -83,6 +83,8 @@ object PlanDump {
       "Persisted IVF index with SQ8 postings (FAISS IVF…,SQ8): probes prune the postings read to probed-cell DIRECTORIES (PartitionFilters), candidates carry byte codes only, and the ADC ranking reads two dim-sized broadcast rows (stats + centroids) — 4x less index I/O per probe than raw-vector postings, same frozen-codebook lifecycle.",
     "td_hard_negatives" ->
       "Hard-negative mining: identical IVF candidate shape to td_ann_ivf (broadcast-codebook narrow cell assignment, probed-cell equi-join — per anchor only nProbe/nCells of the corpus is touched); the label-mismatch filter runs BEFORE the exact cosine so positives never reach scoring; the only window ranks per-anchor cell-bounded candidates.",
+    "td_content_chunks" ->
+      "Content-defined chunking: boundary detection and chunk slicing are ONE narrow codegen map per row (filtered sequence + zip_with — no UDF, no join to find boundaries); the only shuffles are the fingerprint-keyed share count and the final per-doc aggregate, both map-side partial.",
     "td_ann_recall" ->
       "In-engine ANN eval: both rankings window over their own candidate sets (exact: broadcast query batch; IVF: probed-cell equi-join), then ONE keyed join of two k-rows-per-query tables + a map-side-combinable count — evaluation cost ∝ queries·k, independent of the corpus.",
     "td_kmv_overlap" ->

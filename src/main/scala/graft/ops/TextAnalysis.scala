@@ -78,6 +78,48 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(trim(text), "\\s+", " ")))
 
+  /** Content-defined chunk edges (rolling-hash boundaries — the
+    * rsync/Borg/substring-dedup chunking family): a boundary lands
+    * after position `i` whenever the hash of the trailing `window`
+    * chars at `i` is ≡ 0 mod `divisor`, so boundaries are anchored to
+    * CONTENT, not offsets — inserting a byte near the front shifts
+    * every fixed-size chunk but leaves all content-defined chunks
+    * after the edit identical. That shift-robustness is what makes
+    * chunk-level dedup survive prepended boilerplate at 100 TB, where
+    * [[graft.ops.Pipeline]]'s fixed windows would see every chunk as
+    * new. Expected chunk length = `divisor` chars (geometric).
+    *
+    * Exactness: the window hash is the md5-derived [[Pipeline.hashHex]]
+    * integer, so edges — and every downstream chunk fingerprint — are
+    * bit-identical cross-engine. A narrow map: per row, `len` window
+    * hashes and one filtered sequence; no shuffle, no UDF.
+    * @return sorted edge positions `0 = e₀ < … = len(text)` as
+    *         `array<long>` (a doc shorter than `window` is one chunk)
+    */
+  def cdcEdges(text: Column, window: Int = 8, divisor: Int = 64): Column = {
+    val len = length(text).cast("long")
+    val boundaries = filter(
+      when(len >= window, sequence(lit(window.toLong), len))
+        .otherwise(array().cast("array<long>")),
+      i => pmod(Pipeline.hashHex(
+        call_function("substr", text,
+          (i - (window - 1)).cast("int"), lit(window)), 15),
+        lit(divisor.toLong)) === 0L)
+    array_distinct(array_sort(concat(array(lit(0L)), boundaries, array(len))))
+  }
+
+  /** Content-defined chunks as (start, chunk) pairs from [[cdcEdges]]
+    * — explode-ready struct array, one chunk per edge gap. */
+  def cdcChunks(text: Column, window: Int = 8, divisor: Int = 64): Column = {
+    val edges = cdcEdges(text, window, divisor)
+    zip_with(
+      slice(edges, lit(1), size(edges) - 1),
+      slice(edges, lit(2), size(edges) - 1),
+      (a, b) => struct(a.as("start"),
+        call_function("substr", text,
+          (a + 1).cast("int"), (b - a).cast("int")).as("chunk")))
+  }
+
   /** Canonical text for punctuation/case-insensitive exact dedup:
     * lowercase, non-alphanumerics → space, whitespace runs collapsed,
     * trimmed. A narrow codegen'd map (regex stays in the

@@ -839,6 +839,69 @@ object TrainingData {
         FROM cand)
       WHERE rank <= 5 ORDER BY query_id, rank"""))
 
+  /** Content-defined chunk dedup ([[graft.ops.TextAnalysis.cdcChunks]]):
+    * rolling-hash boundaries anchor chunks to CONTENT, so a planted
+    * copy with prepended boilerplate still shares every chunk after
+    * the first boundary with its original — the shift-robustness that
+    * fixed windows ([[td_chunk_dedup]]) structurally lack. Per doc:
+    * chunk count and how many of its chunk instances appear in ≥ 2
+    * distinct docs. Edges, chunks, and fingerprints are all
+    * md5-derived integers/strings, so the whole segmentation is
+    * value-checked cross-engine. */
+  val td_content_chunks = GraftQuery(
+    "td_content_chunks",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val planted = d.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("PREFIX-2026 "), col("text")).as("text"))
+      val corpus = d.select(col("doc_id"), col("text")).unionByName(planted)
+      val chunks = corpus
+        .select(col("doc_id"),
+          explode(TextAnalysis.cdcChunks(col("text"))).as("c"))
+        .select(col("doc_id"), md5(col("c.chunk")).as("fp"))
+      val shared = chunks.groupBy(col("fp"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+      chunks.join(shared, Seq("fp"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_shared"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, 'PREFIX-2026 ' || text
+        FROM documents WHERE doc_id % 5 = 0),
+      d AS (SELECT doc_id, text, length(text) AS n FROM corpus),
+      b AS (
+        SELECT doc_id, unnest(bs) AS i FROM (
+          SELECT doc_id,
+            list_filter(range(8, n + 1), i ->
+              ('0x'||substr(md5(substr(text, CAST(i AS INT) - 7, 8)),1,15))::BIGINT
+                % 64 = 0) AS bs
+          FROM d) t),
+      edges AS (
+        SELECT d.doc_id,
+          list_sort(list_distinct(list_append(
+            list_prepend(CAST(0 AS BIGINT), coalesce(lb.l, [])),
+            CAST(d.n AS BIGINT)))) AS e
+        FROM d LEFT JOIN (
+          SELECT doc_id, list(CAST(i AS BIGINT)) AS l FROM b GROUP BY doc_id
+        ) lb USING (doc_id)),
+      chunks AS (
+        SELECT doc_id, unnest(fps) AS fp FROM (
+          SELECT e.doc_id,
+            list_transform(range(1, len(e.e)), j ->
+              md5(substr(d.text, CAST(e.e[j] AS INT) + 1,
+                CAST(e.e[j+1] - e.e[j] AS INT)))) AS fps
+          FROM edges e JOIN d USING (doc_id)) t),
+      sh AS (SELECT fp, COUNT(DISTINCT doc_id) AS nd FROM chunks GROUP BY fp)
+      SELECT c.doc_id, COUNT(*) AS n_chunks,
+        CAST(SUM(CASE WHEN s.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+      FROM chunks c JOIN sh s USING (fp)
+      GROUP BY 1 ORDER BY doc_id"""))
+
   /** In-engine ANN evaluation ([[graft.ops.Similarity.recallAtK]]):
     * per-query recall@5 of the IVF index against the exact cosine
     * ranking, as exact integers (ppm) — the tuning loop that decides
@@ -3368,7 +3431,7 @@ object TrainingData {
     td_simhash_md5, td_ann_lsh_md5, td_embedding_neardup, td_ann_ivf,
     td_kmeans, td_ann_ivf_trained, td_ann_ivf_indexed, td_pq_adc, td_ann_ivfpq,
     td_ann_sq8, td_ann_ivf_sq8, td_kmv_overlap, td_hard_negatives,
-    td_ann_recall,
+    td_ann_recall, td_content_chunks,
     td_rare_words, td_chunk_dedup,
     td_sample_hash, td_sample_stratified, td_sample_weighted,
     td_dsir_select,

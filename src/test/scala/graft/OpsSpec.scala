@@ -1116,4 +1116,36 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(cos.find(r => r._1 == 1L && r._2 == 4L).get._3 - 1.0)
       < 1e-12)
   }
+
+  test("content-defined chunks reassemble and survive a prefix shift") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs far away home"),
+      (2L, "PREFIX-SHIFT the quick brown fox jumps over the lazy dog and runs far away home"),
+      (3L, ""),
+      (4L, "tiny")).toDF("doc_id", "text")
+    val chunks = docs.select(col("doc_id"), col("text"),
+      TextAnalysis.cdcChunks(col("text"), window = 4, divisor = 8).as("cs"))
+    // chunks concatenate back to the original text, in order
+    val reassembled = chunks.select(col("doc_id"),
+      concat_ws("", transform(col("cs"), c => c.getField("chunk"))).as("r"),
+      col("text")).as[(Long, String, String)].collect()
+    reassembled.foreach { case (id, r, t) =>
+      assert(r == t, s"doc $id chunks do not reassemble") }
+    // empty doc -> zero chunks; sub-window doc -> one whole-text chunk
+    val byId = chunks.select(col("doc_id"),
+      transform(col("cs"), c => c.getField("chunk")).as("c"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(byId(3L).isEmpty && byId(4L) == Seq("tiny"))
+    // shift-robustness: the prefixed copy shares most chunk content
+    // with the original (boundaries re-anchor after the edit) --
+    // fixed-size windows at the same granularity share NOTHING
+    val shared = byId(1L).toSet & byId(2L).toSet
+    assert(shared.nonEmpty,
+      s"no shared chunks after prefix shift: ${byId(1L)} vs ${byId(2L)}")
+    val fixedA = byId(1L).mkString.grouped(8).toSet
+    val fixedB = byId(2L).mkString.grouped(8).toSet
+    assert(shared.mkString.length > (fixedA & fixedB).mkString.length,
+      "content-defined chunking no better than fixed windows here")
+  }
 }
