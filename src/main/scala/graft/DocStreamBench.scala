@@ -1,0 +1,151 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+
+import graft.stream.DocIngest
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Streaming document-ingest benchmark: the second production loop of
+  * the engine — [[graft.stream.DocIngest.nearDupIngest]]'s per-batch
+  * minhash → persisted-band-index probe → component admission → index
+  * append pipeline under sustained load. [[StreamBench]] covers the
+  * CDC replay path; this covers the training-data ingest path. Prints
+  * ONE JSON line:
+  *
+  *   {"metric":"doc_ingest_rows_per_sec","value":…,"batches":…,
+  *    "rows":…,"admitted":…,"total_sec":…,"p50_ms":…,"p95_ms":…,…}
+  *
+  * Workload: the documents fixture split into N equal fresh slices,
+  * one micro-batch each; every batch b > 1 additionally re-delivers
+  * the previous slice twice — once verbatim under new ids (exact
+  * duplicates) and once with an appended token (near-duplicates,
+  * 3-gram Jaccard ≈ 0.97) — so ~2/3 of steady-state input is
+  * duplicate mass the admission pipeline must reject against the
+  * persisted index. Batch volume ≈ 3×slice, corpus growth ∝ fresh
+  * docs only.
+  *
+  * Sanity gates (benchmarking a broken loop is worse than no number):
+  *  - the admitted set is exact-duplicate-free (an exact copy of an
+  *    ADMITTED doc always has a direct Jaccard-1 edge into the index,
+  *    so it can never be admitted — structural invariant);
+  *  - every fresh slice id can only be admitted once, and planted
+  *    re-delivery ids (≥ 10⁶) are admitted only when their original's
+  *    content truly left the index via a chain rejection (counted and
+  *    reported as `planted_admitted` — expected ≈ 0);
+  *  - admitted ∈ [40%, 100%] of fresh docs (the fixture carries
+  *    organic near-dups, so admitted < fresh by design).
+  */
+object DocStreamBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val nBatches = sys.env.get("SPARK_GRAFT_STREAM_BATCHES")
+      .flatMap(_.toIntOption).getOrElse(20)
+    val defaultCpus = math.min(Runtime.getRuntime.availableProcessors(), 32)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", defaultCpus.toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.streaming.numRecentProgressUpdates",
+        (nBatches + 10).toString)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val spool = Files.createTempDirectory("graft-dsbench-spool-").toString
+    val idxDir = Files.createTempDirectory("graft-dsbench-idx-").toString + "/ix"
+    val outDir = Files.createTempDirectory("graft-dsbench-out-").toString + "/out"
+    val ckpt = Files.createTempDirectory("graft-dsbench-ckpt-").toString
+
+    // ---- untimed setup: pre-write one spool file per batch ----
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val total = docs.count()
+    val perBatch = math.max(1L, total / nBatches)
+    (1 to nBatches).foreach { b =>
+      val lo = (b - 1).toLong * perBatch
+      val hi = if (b == nBatches) Long.MaxValue else b.toLong * perBatch
+      val fresh = docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+      val prev = docs.filter(
+        col("doc_id") >= lo - perBatch && col("doc_id") < lo)
+      val near = prev.select(
+        (col("doc_id") + 1000000L * b).as("doc_id"),
+        concat(col("text"), lit(" redelivery")).as("text"))
+      val exact = prev.select(
+        (col("doc_id") + 2000000L * b).as("doc_id"), col("text"))
+      val dir = s"$spool/b$b"
+      fresh.unionByName(near).unionByName(exact)
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+      val part = Files.list(Paths.get(dir)).toArray.map(_.asInstanceOf[Path])
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(s"no part file in $dir"))
+      val target = Paths.get(s"$spool/batch_$b.parquet")
+      Files.move(part, target)
+      Files.setLastModifiedTime(target,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + b * 60000L))
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+    val inputRows = spark.read.parquet(s"$spool/batch_*.parquet").count()
+
+    spark.range(1 << 20).selectExpr("sum(id) as s")
+      .write.format("noop").mode("overwrite").save()
+    System.gc()
+
+    // ---- timed region: the streaming admission loop ----
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(spool)
+    val t0 = System.nanoTime()
+    val q = DocIngest.nearDupIngest(stream, "doc_id", "text",
+      idxDir, outDir, ckpt, trigger = Some(Trigger.AvailableNow()))
+    q.awaitTermination()
+    val wallSec = (System.nanoTime() - t0) / 1e9
+    q.exception.foreach(throw _)
+
+    val progress = q.recentProgress.toSeq.filter(_.numInputRows > 0)
+    val durs = progress.map(_.durationMs.get("triggerExecution").toLong).sorted
+    def pct(p: Double): Long =
+      if (durs.isEmpty) -1L
+      else durs(math.min(durs.size - 1, math.ceil(p * durs.size).toInt - 1).max(0))
+    val totalSec = durs.sum / 1e3
+
+    // ---- sanity gates ----
+    val admitted = spark.read.parquet(outDir)
+    val nAdmitted = admitted.count()
+    val dupFps = admitted
+      .groupBy(graft.ops.TextAnalysis.fingerprint(col("text")).as("fp"))
+      .count().filter(col("count") > 1).limit(1).count()
+    val plantedAdmitted =
+      admitted.filter(col("doc_id") >= 1000000L).count()
+    val freshAdmittedDupIds = admitted.filter(col("doc_id") < 1000000L)
+      .groupBy(col("doc_id")).count().filter(col("count") > 1)
+      .limit(1).count()
+    val ok = dupFps == 0L && freshAdmittedDupIds == 0L &&
+      plantedAdmitted == 0L &&
+      nAdmitted >= (total * 2) / 5 && nAdmitted <= total &&
+      progress.size == nBatches
+
+    def fmt(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val line =
+      s"""{"metric":"doc_ingest_rows_per_sec","value":${fmt(inputRows / totalSec)},""" +
+        s""""unit":"rows/sec","batches":${progress.size},"rows":$inputRows,""" +
+        s""""admitted":$nAdmitted,"planted_admitted":$plantedAdmitted,""" +
+        s""""total_sec":${fmt(totalSec)},"wall_sec":${fmt(wallSec)},""" +
+        s""""p50_ms":${pct(0.5)},"p95_ms":${pct(0.95)},""" +
+        s""""failed":${!ok},"sf":"$sfDir"}"""
+    java.nio.file.Files.write(Paths.get("DOCSTREAMBENCH_DETAIL.json"),
+      line.getBytes("UTF-8"))
+    println(line)
+    spark.stop()
+    if (!ok) sys.exit(1)
+  }
+}

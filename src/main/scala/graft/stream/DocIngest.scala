@@ -109,10 +109,13 @@ object DocIngest {
     */
   def nearDupIngest(docs: DataFrame, idCol: String, textCol: String,
       indexDir: String, outDir: String, checkpointDir: String,
-      numHashes: Int = 32, bands: Int = 16, threshold: Double = 0.8)
-      : StreamingQuery =
-    docs.writeStream
+      numHashes: Int = 32, bands: Int = 16, threshold: Double = 0.8,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : StreamingQuery = {
+    val writer = docs.writeStream
       .option("checkpointLocation", checkpointDir)
+    trigger.foreach(writer.trigger)
+    writer
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         // hadoop FS, not java.io.File: indexDir may be hdfs://, s3a://…
@@ -136,4 +139,5 @@ object DocIngest {
         ()
       }
       .start()
+  }
 }
