@@ -192,7 +192,7 @@ object ApplyEngine {
     * DDL-evolved registry schema meets pre-DDL table data (A8).
     */
   def conform(df: DataFrame, schema: StructType): DataFrame =
-    df.select(schema.fields.map { f =>
+    df.select(schema.fields.toIndexedSeq.map { f =>
       if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
       else lit(null).cast(f.dataType).as(f.name)
     }: _*)
@@ -243,7 +243,7 @@ object ApplyEngine {
       .reduce(_ && _)
     val kept = target.join(chg, joinCond, "left_outer")
       .filter(col("__st").isNull || col("__st") === "patch")
-      .select(meta.schema.fieldNames.map { c =>
+      .select(meta.schema.fieldNames.toIndexedSeq.map { c =>
         when(col("__st") === "patch", fromVals(c).otherwise(target(c)))
           .otherwise(target(c))
           .as(c)
@@ -251,7 +251,7 @@ object ApplyEngine {
 
     val replaced = chg
       .filter(col("__st") === "row")
-      .select(meta.schema.fieldNames.map { c =>
+      .select(meta.schema.fieldNames.toIndexedSeq.map { c =>
         val dt = meta.colType(c)
         if (meta.pkCols.contains(c)) col(s"__k_$c").cast(dt).as(c)
         else fromVals(c).otherwise(lit(null).cast(dt)).as(c)

@@ -312,7 +312,8 @@ object DataSkipping {
       .map(_.toString).getOrElse("")
     val rows = chunks.map(_.getValueCount).sum
     val statsOk = chunks.forall { cc =>
-      val st = cc.getStatistics
+      val st: org.apache.parquet.column.statistics.Statistics[_] =
+        cc.getStatistics
       st != null && !st.isEmpty && st.isNumNullsSet
     }
     def none = FileColumnStats(file, name, "none", logical,
