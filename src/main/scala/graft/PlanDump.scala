@@ -89,6 +89,8 @@ object PlanDump {
       "In-engine ANN eval: both rankings window over their own candidate sets (exact: broadcast query batch; IVF: probed-cell equi-join), then ONE keyed join of two k-rows-per-query tables + a map-side-combinable count — evaluation cost ∝ queries·k, independent of the corpus.",
     "td_kmv_overlap" ->
       "Cross-source KMV overlap: the per-source bottom-k sketch is a partial+final WindowGroupLimit over a map-side-partial distinct (≤ k rows per group per map task reach the exchange); every pair join downstream runs against k-row sketches — broadcast-sized by construction. Dedup ORDER across a 10-source corpus costs k rows per source, never a cross-source content join.",
+    "td_temperature_mix" ->
+      "Temperature mixing: per-domain counts aggregate map-side into |domains| rows; the share/feasible-total derivation runs on two broadcast 1-row frames; the corpus itself sees only the broadcast rate join + a narrow hash filter — identical scale shape to td_domain_mix with the target vector computed in-plan.",
     "td_dsir_select" ->
       "DSIR importance resampling: both corpora collapse to dim-bounded hashed-ngram bucket counts with map-side partial aggregation; the dim-row weight table BROADCASTS into the raw-side feature join (the corpus never re-shuffles to meet the weights); top-k plans as TakeOrderedAndProject — per-partition heaps, no global sort anywhere.")
 

@@ -57,6 +57,49 @@ object Sampling {
     * min, and a broadcast rate join — the corpus itself sees one
     * narrow filter. Domains absent from `targetsPpm` are dropped.
     */
+  /** Temperature-smoothed mixing shares at τ = 1/2 (the mT5/XLM-R
+    * multilingual rule p_d ∝ n_d^τ): big domains are damped, small
+    * ones boosted, without hand-written targets — [[domainMix]] with
+    * the target vector DERIVED from the live counts. τ is fixed at
+    * 1/2 because that exponent keeps the whole computation exact
+    * cross-engine: `w_d = floor(sqrt(n_d)·10⁶)` uses only correctly-
+    * rounded IEEE ops (sqrt, one multiply, floor — bit-identical in
+    * any IEEE engine for n < 2⁵³), and everything after is integer
+    * arithmetic (`div`, order-independent integer sums). Shares then
+    * feed the same feasible-total + hash-membership machinery as
+    * [[domainMix]].
+    * @return (domain, n_docs, share_ppm, keep_ppm) — |domains| rows
+    */
+  def temperatureRates(df: DataFrame, domainCol: String): DataFrame = {
+    val counts = df.groupBy(col(domainCol).as("__dom"))
+      .agg(count(lit(1)).as("__n"))
+    val w = counts.selectExpr("__dom", "__n",
+      "CAST(floor(sqrt(CAST(__n AS DOUBLE)) * 1000000) AS BIGINT) AS __w")
+    val tot = w.selectExpr("sum(__w) AS __tw")
+    val shares = w.crossJoin(broadcast(tot))
+      .selectExpr("__dom", "__n", "__w * 1000000 div __tw AS __share_ppm")
+    val totalRow = shares
+      .selectExpr("min(__n * 1000000 div __share_ppm) AS __t")
+    shares.crossJoin(broadcast(totalRow))
+      .selectExpr("__dom", "__n", "__share_ppm",
+        "(__t div 1000000) * __share_ppm + ((__t % 1000000) * __share_ppm) div 1000000 AS __k")
+      .selectExpr("__dom AS domain", "__n AS n_docs",
+        "__share_ppm AS share_ppm",
+        "least(CAST(1000000 AS BIGINT), __k * 1000000 div __n) AS keep_ppm")
+  }
+
+  /** Sample `df` at the [[temperatureRates]] keep rates: the same
+    * pure-hash membership as [[domainMix]], with temperature-derived
+    * shares. One count agg + broadcast rate join + narrow filter. */
+  def temperatureMix(df: DataFrame, idCol: String,
+      domainCol: String): DataFrame = {
+    val rates = temperatureRates(df, domainCol)
+      .select(col("domain").as("__dom"), col("keep_ppm").as("__keep_ppm"))
+    df.join(broadcast(rates), col(domainCol) === col("__dom"))
+      .filter(pmod(hash60(col(idCol)), lit(1000000L)) < col("__keep_ppm"))
+      .drop("__dom", "__keep_ppm")
+  }
+
   def domainMix(df: DataFrame, idCol: String, sourceCol: String,
                 targetsPpm: Map[String, Long]): DataFrame = {
     require(targetsPpm.values.sum == 1000000L,

@@ -2506,6 +2506,59 @@ object TrainingData {
               % 1000000 < r.keep_ppm
       ORDER BY d.doc_id"""))
 
+  /** Temperature-smoothed domain mixing at τ = 1/2
+    * ([[graft.ops.Sampling.temperatureRates]]/[[graft.ops.Sampling.temperatureMix]]):
+    * mixing shares DERIVED from live per-language counts (p ∝ √n —
+    * the mT5/XLM-R rule damping big languages, boosting small ones),
+    * then the same feasible-total + hash-membership sampling as
+    * [[td_domain_mix]]. Report per language: live count, derived
+    * share, keep rate, and the docs actually kept — every column an
+    * exact integer, the whole derivation value-checked. */
+  val td_temperature_mix = GraftQuery(
+    "td_temperature_mix",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val kept = Sampling.temperatureMix(d, "doc_id", "lang")
+        .groupBy(col("lang").as("domain"))
+        .agg(count(lit(1)).as("n_kept"))
+      Sampling.temperatureRates(d, "lang")
+        .join(kept, Seq("domain"), "left")
+        .select(col("domain").as("lang"), col("n_docs"),
+          col("share_ppm"), col("keep_ppm"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        .orderBy(col("lang"))
+    },
+    Some("""WITH c AS (
+        SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+      w AS (
+        SELECT lang, n,
+          CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS w
+        FROM c),
+      s AS (
+        SELECT lang, n,
+          CAST((w * 1000000) // (SELECT CAST(SUM(w) AS BIGINT) FROM w)
+            AS BIGINT) AS share_ppm
+        FROM w),
+      t AS (
+        SELECT CAST(MIN((n * 1000000) // share_ppm) AS BIGINT) AS t FROM s),
+      r AS (
+        SELECT lang, n, share_ppm,
+          CAST(LEAST(1000000,
+            (((t.t // 1000000) * share_ppm
+              + ((t.t % 1000000) * share_ppm) // 1000000) * 1000000) // n)
+            AS BIGINT) AS keep_ppm
+        FROM s, t),
+      k AS (
+        SELECT d.lang, COUNT(*) AS n_kept
+        FROM documents d JOIN r USING (lang)
+        WHERE ('0x'||substr(md5(CAST(d.doc_id AS VARCHAR)),1,15))::BIGINT
+                % 1000000 < r.keep_ppm
+        GROUP BY d.lang)
+      SELECT r.lang, CAST(r.n AS BIGINT) AS n_docs, r.share_ppm,
+        r.keep_ppm, CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+      FROM r LEFT JOIN k USING (lang)
+      ORDER BY lang"""))
+
   /** Stratified fixed-size sample: 10 docs per source, chosen by
     * lowest id-hash within the stratum. */
   val td_sample_stratified = GraftQuery(
@@ -3435,7 +3488,7 @@ object TrainingData {
     td_rare_words, td_chunk_dedup,
     td_sample_hash, td_sample_stratified, td_sample_weighted,
     td_dsir_select,
-    td_domain_mix, td_bpe_encode, td_bpe_train,
+    td_domain_mix, td_temperature_mix, td_bpe_encode, td_bpe_train,
     td_token_quantiles, td_quantiles_by_value, td_quantile_sketch,
     td_pack_sequences, td_decontam,
     td_token_budget, td_interleave, td_train_split,

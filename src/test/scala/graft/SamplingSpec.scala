@@ -183,6 +183,38 @@ class SamplingSpec extends SparkSpec {
       .take(2).map(_._1))
   }
 
+  test("temperatureRates: √n damping boosts small domains, feasibility holds") {
+    import org.apache.spark.sql.functions.col
+    // 900 / 100 / 25 docs: raw shares 878k/98k/24k ppm; √n shares
+    // 30/10/5 → 667k/222k/111k ppm — big damped, small boosted
+    val rows = (0 until 900).map(i => (i.toLong, "big")) ++
+      (1000 until 1100).map(i => (i.toLong, "mid")) ++
+      (2000 until 2025).map(i => (i.toLong, "small"))
+    val df = rows.toDF("doc_id", "dom")
+    val r = Sampling.temperatureRates(df, "dom").collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2), x.getLong(3)))
+      .toMap
+    val total = 1025.0
+    // damping direction: share(big) < count-share(big), small boosted
+    assert(r("big")._2 < (900 / total * 1e6).toLong)
+    assert(r("small")._2 > (25 / total * 1e6).toLong)
+    // shares sum to ~1e6 (integer floor loses < |domains| ppm)
+    val shareSum = r.values.map(_._2).sum
+    assert(shareSum > 999997L && shareSum <= 1000000L, shareSum.toString)
+    // feasibility: every keep rate ≤ 100%, and the binding domain
+    // (largest share-to-count ratio = small) keeps all but at most
+    // one doc (the feasible-total floor can round one away — the
+    // same integer-floor behavior as domainMix)
+    assert(r.values.forall(_._3 <= 1000000L))
+    assert(r("small")._3 >= ((25L - 1) * 1000000L) / 25L, r("small").toString)
+    // the mix respects the rates: kept counts within 1 of n·keep/1e6
+    // is NOT guaranteed (hash membership), but kept ≤ n and the
+    // sampled frame only contains rows from the input
+    val kept = Sampling.temperatureMix(df, "doc_id", "dom")
+    assert(kept.count() <= df.count())
+    assert(kept.join(df, Seq("doc_id", "dom"), "left_anti").isEmpty)
+  }
+
   test("saltedJoin: identical result to the plain join, incl. dup keys") {
     val big = Seq((1, "x"), (1, "y"), (2, "z"), (3, "w")).toDF("k", "v")
     val small = Seq((1, "A"), (1, "B"), (2, "C")).toDF("k", "d")
