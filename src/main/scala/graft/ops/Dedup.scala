@@ -12,6 +12,42 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Cross-document boilerplate removal (the CCNet paragraph-hash
+    * discipline, applied per line): a line whose hash occurs in
+    * ≥ `minDocs` DISTINCT documents is boilerplate — navigation,
+    * headers, footers, cookie banners — and is dropped from every
+    * document; document-unique content is untouched. This is the
+    * cross-corpus complement of the within-doc repetition signals in
+    * [[TextAnalysis]]: boilerplate is invisible inside one doc and
+    * only identifiable against the corpus.
+    *
+    * Scale shape: one line-keyed shuffle for the distinct-doc counts
+    * (map-side partial), one keyed join back, and one per-doc ordered
+    * reassembly whose aggregation state is bounded by the document's
+    * own line count (the G2 ordered-string_agg fold). Never all-pairs,
+    * never a collect of the corpus.
+    * @return (id, n_lines, n_removed, cleaned) — cleaned preserves
+    *         original line order; a fully-boilerplate doc yields ""
+    */
+  def removeBoilerplateLines(docs: DataFrame, idCol: String,
+      textCol: String, minDocs: Long): DataFrame = {
+    require(minDocs >= 2, s"minDocs=$minDocs must be at least 2")
+    val lines = docs.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("lfp", md5(col("line")))
+    val counts = lines.groupBy(col("lfp"))
+      .agg(countDistinct(col("id")).as("nd"))
+    lines.join(counts, Seq("lfp"))
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("nd") >= minDocs, 1L).otherwise(0L)).as("n_removed"),
+        concat_ws("\n", transform(
+          array_sort(collect_list(
+            when(col("nd") < minDocs, struct(col("pos"), col("line"))))),
+          e => e.getField("line"))).as("cleaned"))
+  }
+
   /** Exact dedup: keep the lowest id per content key (default: the
     * whitespace/case-normalized md5 fingerprint; pass e.g.
     * `t => md5(TextAnalysis.canonicalize(t))` for

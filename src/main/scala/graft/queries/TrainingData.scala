@@ -902,6 +902,49 @@ object TrainingData {
       FROM chunks c JOIN sh s USING (fp)
       GROUP BY 1 ORDER BY doc_id"""))
 
+  /** Cross-document boilerplate removal
+    * ([[graft.ops.Dedup.removeBoilerplateLines]]): every doc gets a
+    * planted nav header + footer; lines in ≥ 3 distinct docs are
+    * boilerplate and drop out (the planted lines everywhere, plus
+    * organic lines shared by the fixture's duplicate groups), unique
+    * content survives byte-for-byte. n_removed ≥ 2 on every doc and
+    * the cleaned-text fingerprints are value-checked cross-engine. */
+  val td_boilerplate_removal = GraftQuery(
+    "td_boilerplate_removal",
+    (s, dir) => {
+      val corpus = Tables.documents(s, dir).select(col("doc_id"),
+        concat(lit("NAV-HEADER\n"), col("text"), lit("\nFOOTER-2026"))
+          .as("text"))
+      Dedup.removeBoilerplateLines(corpus, "doc_id", "text", minDocs = 3)
+        .select(col("id").as("doc_id"), col("n_lines"), col("n_removed"),
+          md5(col("cleaned")).as("cleaned_fp"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH corpus AS (
+        SELECT doc_id,
+          'NAV-HEADER' || chr(10) || text || chr(10) || 'FOOTER-2026' AS text
+        FROM documents),
+      l AS (
+        SELECT doc_id, kv.j AS pos, kv.line AS line FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(ls)+1),
+            j -> {'j': j, 'line': ls[j]})) AS kv
+          FROM (
+            SELECT doc_id, string_split(text, chr(10)) AS ls FROM corpus) t
+        ) u),
+      c AS (
+        SELECT md5(line) AS lfp, COUNT(DISTINCT doc_id) AS nd
+        FROM l GROUP BY 1),
+      j AS (
+        SELECT l.doc_id, l.pos, l.line, c.nd
+        FROM l JOIN c ON md5(l.line) = c.lfp)
+      SELECT doc_id, COUNT(*) AS n_lines,
+        CAST(SUM(CASE WHEN nd >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_removed,
+        md5(COALESCE(
+          string_agg(CASE WHEN nd < 3 THEN line END, chr(10) ORDER BY pos),
+          '')) AS cleaned_fp
+      FROM j GROUP BY 1 ORDER BY doc_id"""))
+
   /** In-engine ANN evaluation ([[graft.ops.Similarity.recallAtK]]):
     * per-query recall@5 of the IVF index against the exact cosine
     * ranking, as exact integers (ppm) — the tuning loop that decides
@@ -3484,7 +3527,7 @@ object TrainingData {
     td_simhash_md5, td_ann_lsh_md5, td_embedding_neardup, td_ann_ivf,
     td_kmeans, td_ann_ivf_trained, td_ann_ivf_indexed, td_pq_adc, td_ann_ivfpq,
     td_ann_sq8, td_ann_ivf_sq8, td_kmv_overlap, td_hard_negatives,
-    td_ann_recall, td_content_chunks,
+    td_ann_recall, td_content_chunks, td_boilerplate_removal,
     td_rare_words, td_chunk_dedup,
     td_sample_hash, td_sample_stratified, td_sample_weighted,
     td_dsir_select,

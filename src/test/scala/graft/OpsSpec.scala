@@ -1148,4 +1148,24 @@ class OpsSpec extends SparkSpec {
     assert(shared.mkString.length > (fixedA & fixedB).mkString.length,
       "content-defined chunking no better than fixed windows here")
   }
+
+  test("removeBoilerplateLines: shared lines drop, unique content survives in order") {
+    import org.apache.spark.sql.functions._
+    val nav = "HOME | ABOUT | CONTACT"
+    val docs = Seq(
+      (1L, s"$nav\nalpha one\nalpha two\n(c) 2026"),
+      (2L, s"$nav\nbeta one\n(c) 2026"),
+      (3L, s"$nav\ngamma one\ngamma two\n(c) 2026"),
+      (4L, s"$nav\n(c) 2026")).toDF("doc_id", "text")
+    val out = Dedup.removeBoilerplateLines(docs, "doc_id", "text", minDocs = 3)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // nav + copyright appear in all 4 docs -> removed everywhere;
+    // per-doc content lines survive byte-for-byte, in order
+    assert(out(1L) == ((4L, 2L, "alpha one\nalpha two")))
+    assert(out(2L) == ((3L, 2L, "beta one")))
+    assert(out(3L) == ((4L, 2L, "gamma one\ngamma two")))
+    // a doc that is ALL boilerplate cleans to the empty string
+    assert(out(4L) == ((2L, 2L, "")))
+  }
 }
