@@ -847,11 +847,15 @@ object TrainingData {
     * chunk count and how many of its chunk instances appear in ≥ 2
     * distinct docs. Edges, chunks, and fingerprints are all
     * md5-derived integers/strings, so the whole segmentation is
-    * value-checked cross-engine. */
+    * value-checked cross-engine. Corpus bounded to doc_id < 1000
+    * (the td_minhash_neardup discipline): the op hashes every char
+    * position — linear, but the densest per-char pipeline registered,
+    * so the query form caps its input to keep the bench/oracle cost
+    * proportionate at every sf. */
   val td_content_chunks = GraftQuery(
     "td_content_chunks",
     (s, dir) => {
-      val d = Tables.documents(s, dir)
+      val d = Tables.documents(s, dir).filter(col("doc_id") < 1000)
       val planted = d.filter(pmod(col("doc_id"), lit(5)) === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"),
           concat(lit("PREFIX-2026 "), col("text")).as("text"))
@@ -869,10 +873,10 @@ object TrainingData {
         .orderBy(col("doc_id"))
     },
     Some("""WITH corpus AS (
-        SELECT doc_id, text FROM documents
+        SELECT doc_id, text FROM documents WHERE doc_id < 1000
         UNION ALL
         SELECT doc_id + 1000000, 'PREFIX-2026 ' || text
-        FROM documents WHERE doc_id % 5 = 0),
+        FROM documents WHERE doc_id % 5 = 0 AND doc_id < 1000),
       d AS (SELECT doc_id, text, length(text) AS n FROM corpus),
       b AS (
         SELECT doc_id, unnest(bs) AS i FROM (
