@@ -58,7 +58,16 @@ object Bench {
       catch { case _: Throwable => -1.0 }
       finally release()
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q1,q2 restricts the sweep for local iteration
+    // (the Verify discipline); the driver never sets it, so the
+    // recorded bench always covers every registered query.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.view.filterKeys(names).toMap
+      case None        => SparkEntry.queries
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> run(name, fn)
     }
     // warm pass: cold times are dominated by plan/codegen compilation
@@ -82,7 +91,7 @@ object Bench {
     // so the min is the faithful "what can this plan do" statistic.
     val warm =
       if (warmFloor < 0) Seq.empty
-      else SparkEntry.queries.toSeq.sortBy(_._1)
+      else selected.toSeq.sortBy(_._1)
         .filter { case (n, _) => results.toMap.get(n).exists(c => c >= warmFloor) }
         .map { case (name, fn) =>
           // run() takes its own GC barrier before each measurement

@@ -22,29 +22,48 @@ object Dedup {
     * only identifiable against the corpus.
     *
     * Scale shape: one line-keyed shuffle for the distinct-doc counts
-    * (map-side partial), one keyed join back, and one per-doc ordered
-    * reassembly whose aggregation state is bounded by the document's
-    * own line count (the G2 ordered-string_agg fold). Never all-pairs,
-    * never a collect of the corpus.
+    * (map-side partial — the hot "© footer" key collapses to ONE row
+    * per partition before the exchange), then the verdict flows back
+    * as a BROADCAST of only the boilerplate keys, and one per-doc
+    * ordered reassembly whose aggregation state is bounded by the
+    * document's own line count (the G2 ordered-string_agg fold).
+    * Never all-pairs, never a collect of the corpus.
+    *
+    * The join-back side matters at 100 TB: boilerplate lines are BY
+    * DEFINITION the hottest keys in the corpus (the ones appearing in
+    * millions of documents), so a shuffled `lines ⋈ counts` on lfp
+    * concentrates every copy of the footer into one partition. The
+    * default instead broadcasts the distinct BOILERPLATE keys only —
+    * bounded by the number of distinct repeated lines, not by corpus
+    * size — so `lines` is never re-partitioned by the skewed key. Pass
+    * `broadcastBoilers = false` when that set is too large to ship
+    * (corpora that are mostly duplicates); the fallback is a left join
+    * against the boiler-key sliver where AQE skew-join splitting
+    * applies.
     * @return (id, n_lines, n_removed, cleaned) — cleaned preserves
     *         original line order; a fully-boilerplate doc yields ""
     */
   def removeBoilerplateLines(docs: DataFrame, idCol: String,
-      textCol: String, minDocs: Long): DataFrame = {
+      textCol: String, minDocs: Long,
+      broadcastBoilers: Boolean = true): DataFrame = {
     require(minDocs >= 2, s"minDocs=$minDocs must be at least 2")
     val lines = docs.select(col(idCol).as("id"),
         posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
       .withColumn("lfp", md5(col("line")))
-    val counts = lines.groupBy(col("lfp"))
+    val boilers = lines.groupBy(col("lfp"))
       .agg(countDistinct(col("id")).as("nd"))
-    lines.join(counts, Seq("lfp"))
+      .filter(col("nd") >= minDocs)
+      .select(col("lfp"), lit(true).as("is_boiler"))
+    val verdictSide = if (broadcastBoilers) broadcast(boilers) else boilers
+    lines.join(verdictSide, Seq("lfp"), "left")
+      .withColumn("is_boiler", coalesce(col("is_boiler"), lit(false)))
       .groupBy(col("id"))
       .agg(
         count(lit(1)).as("n_lines"),
-        sum(when(col("nd") >= minDocs, 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("is_boiler"), 1L).otherwise(0L)).as("n_removed"),
         concat_ws("\n", transform(
           array_sort(collect_list(
-            when(col("nd") < minDocs, struct(col("pos"), col("line"))))),
+            when(!col("is_boiler"), struct(col("pos"), col("line"))))),
           e => e.getField("line"))).as("cleaned"))
   }
 

@@ -108,9 +108,13 @@ object TextAnalysis {
     array_distinct(array_sort(concat(array(lit(0L)), boundaries, array(len))))
   }
 
-  /** Content-defined chunks as (start, chunk) pairs from [[cdcEdges]]
-    * — explode-ready struct array, one chunk per edge gap. */
-  def cdcChunks(text: Column, window: Int = 8, divisor: Int = 64): Column = {
+  /** Fold-form (column-DSL) twin of [[cdcChunks]]: (start, chunk)
+    * pairs from [[cdcEdges]] — explode-ready struct array, one chunk
+    * per edge gap. Retained as the spec's equivalence reference
+    * (VectorExprsSpec proves native ≡ fold); the native expression is
+    * the production entry point — this form pays an interpreted
+    * lambda + an md5 Column tree per char position. */
+  def cdcChunksFold(text: Column, window: Int = 8, divisor: Int = 64): Column = {
     val edges = cdcEdges(text, window, divisor)
     zip_with(
       slice(edges, lit(1), size(edges) - 1),
@@ -119,6 +123,25 @@ object TextAnalysis {
         call_function("substr", text,
           (a + 1).cast("int"), (b - a).cast("int")).as("chunk")))
   }
+
+  /** Content-defined chunks as (start, chunk) pairs — ONE compiled
+    * pass per document ([[graft.plans.CdcChunksExpression]]), md5-hex60
+    * boundary hash: bit-identical to [[cdcChunksFold]] and to the
+    * DuckDB oracle's `('0x'||substr(md5(window),1,15))::BIGINT % d`
+    * form, without the interpreted per-char lambda. */
+  def cdcChunks(text: Column, window: Int = 8, divisor: Int = 64): Column =
+    graft.plans.NativeCols.cdcChunks(text, window, divisor, useMd5 = true)
+
+  /** Production-speed content-defined chunks: Rabin–Karp rolling hash
+    * over code points mod 2³¹−1 ([[graft.plans.VectorOps.CdcHashB]]
+    * base) — O(1) per position instead of one md5 per position, the
+    * form to run at 100 TB. Same chunk SEMANTICS (content-anchored
+    * edges, expected length = divisor), different — but still fully
+    * oracle-expressible — boundary set: the window hash is 8 exact
+    * integer multiply-adds, so DuckDB reproduces it term-by-term
+    * (td_content_chunks_fast hash-matches end to end). */
+  def cdcChunksFast(text: Column, window: Int = 8, divisor: Int = 64): Column =
+    graft.plans.NativeCols.cdcChunks(text, window, divisor, useMd5 = false)
 
   /** Canonical text for punctuation/case-insensitive exact dedup:
     * lowercase, non-alphanumerics → space, whitespace runs collapsed,

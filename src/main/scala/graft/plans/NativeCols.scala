@@ -32,4 +32,9 @@ object NativeCols {
   /** Codegen repetition features (see [[RepetitionStatsExpression]]). */
   def repetitionStats(text: Column): Column =
     cl(RepetitionStatsExpression(ex(text)))
+
+  /** Codegen content-defined chunking (see [[CdcChunksExpression]]). */
+  def cdcChunks(text: Column, window: Int, divisor: Int,
+      useMd5: Boolean): Column =
+    cl(CdcChunksExpression(ex(text), window, divisor, useMd5))
 }

@@ -206,6 +206,131 @@ object VectorOps {
     java.lang.Long.valueOf(bucket)
   }
 
+  /** Modulus / base of the production rolling hash in [[cdcChunks]]:
+    * Rabin–Karp over code points mod the Mersenne prime 2³¹−1 with an
+    * odd prime base. Chosen so the per-position window hash is ALSO
+    * expressible in portable 64-bit SQL arithmetic (8 terms of
+    * cp·Bᵏ mod P each < 2⁵², sum < 2⁵⁵ — no overflow in a BIGINT),
+    * which is what lets the fast path carry a full DuckDB oracle
+    * instead of a spec-only twin. */
+  val CdcHashP: Long = 2147483647L
+  val CdcHashB: Long = 1000003L
+
+  /** `CdcHashB^k mod CdcHashP` — exposed so the oracle-SQL builder
+    * interpolates the exact same constants the compiled loop uses. */
+  def cdcPow(k: Int): Long = {
+    var r = 1L
+    var i = 0
+    while (i < k) { r = r * CdcHashB % CdcHashP; i += 1 }
+    r
+  }
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Content-defined chunking (see [[graft.ops.TextAnalysis.cdcChunks]])
+    * as ONE compiled pass per document: returns
+    * `array<struct<start:long, chunk:string>>` — the exact output of
+    * the explode-ready fold form, without materializing the per-char
+    * hash sequence through interpreted higher-order lambdas (the fold
+    * form was the suite's heaviest warm query on exactly that).
+    *
+    * A boundary lands after code-point position `i` (1-based) when the
+    * hash of the trailing `window` code points is ≡ 0 mod `divisor`:
+    *  - `useMd5 = true`: hash = first 15 hex digits of md5 of the
+    *    window's UTF-8 bytes as a long — bit-identical to
+    *    `pmod(Pipeline.hashHex(substr(text,…,window), 15), divisor)`,
+    *    the oracle-portable twin.
+    *  - `useMd5 = false`: Rabin–Karp rolling hash over code points mod
+    *    2³¹−1 (base [[CdcHashB]]) — O(1) per position instead of one
+    *    md5 per position; the production path at 100 TB.
+    * Both index by Unicode code point (Spark's `substr`/`length`
+    * semantics), so multi-byte text chunks identically to the SQL form.
+    */
+  def cdcChunks(s: UTF8String, window: Int, divisor: Int, useMd5: Boolean): ArrayData = {
+    val bytes = s.getBytes
+    val nBytes = bytes.length
+    // code-point byte offsets: off(j) = byte start of code point j
+    val off = new Array[Int](nBytes + 1)
+    var n = 0
+    var i = 0
+    while (i < nBytes) {
+      off(n) = i
+      n += 1
+      val b = bytes(i) & 0xFF
+      i += (if (b < 0x80) 1 else if (b < 0xE0) 2 else if (b < 0xF0) 3 else 4)
+    }
+    off(n) = nBytes
+    // edges: 0, every boundary position, n (dedup'd — a boundary at n
+    // matches the fold form's array_distinct)
+    val edges = new Array[Int](n + 2)
+    edges(0) = 0
+    var ne = 1
+    if (n >= window) {
+      if (useMd5) {
+        val md = md5Local.get()
+        var p = window // 1-based position of the window's last code point
+        while (p <= n) {
+          md.reset()
+          md.update(bytes, off(p - window), off(p) - off(p - window))
+          val d = md.digest()
+          // first 15 hex digits as a long: bytes 0..6 + high nibble of 7
+          var h = 0L
+          var k = 0
+          while (k < 7) { h = (h << 8) | (d(k) & 0xFFL); k += 1 }
+          h = (h << 4) | ((d(7) & 0xFF) >>> 4)
+          if (h % divisor == 0) { edges(ne) = p; ne += 1 }
+          p += 1
+        }
+      } else {
+        // decode code points once; roll h = Σ cp·B^(w-1-j) mod P
+        val cps = new Array[Int](n)
+        var j = 0
+        while (j < n) {
+          val s0 = off(j)
+          val b0 = bytes(s0) & 0xFF
+          cps(j) =
+            if (b0 < 0x80) b0
+            else if (b0 < 0xE0) ((b0 & 0x1F) << 6) | (bytes(s0 + 1) & 0x3F)
+            else if (b0 < 0xF0)
+              ((b0 & 0x0F) << 12) | ((bytes(s0 + 1) & 0x3F) << 6) |
+                (bytes(s0 + 2) & 0x3F)
+            else
+              ((b0 & 0x07) << 18) | ((bytes(s0 + 1) & 0x3F) << 12) |
+                ((bytes(s0 + 2) & 0x3F) << 6) | (bytes(s0 + 3) & 0x3F)
+          j += 1
+        }
+        val bw = cdcPow(window - 1) // B^(w-1) mod P, the outgoing weight
+        var h = 0L
+        var p = 0
+        while (p < window) { h = (h * CdcHashB + cps(p)) % CdcHashP; p += 1 }
+        // p is 0-based index AFTER the first window = 1-based position `window`
+        if (h % divisor == 0) { edges(ne) = window; ne += 1 }
+        while (p < n) {
+          // remove cps(p - window), admit cps(p); keep h in [0, P)
+          h = ((h - cps(p - window) * bw % CdcHashP + CdcHashP) % CdcHashP *
+            CdcHashB + cps(p)) % CdcHashP
+          p += 1
+          if (h % divisor == 0) { edges(ne) = p; ne += 1 }
+        }
+      }
+    }
+    if (edges(ne - 1) != n) { edges(ne) = n; ne += 1 }
+    val out = new Array[Any](ne - 1)
+    var e = 0
+    while (e < ne - 1) {
+      val a = edges(e)
+      val b = edges(e + 1)
+      out(e) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](a.toLong,
+          UTF8String.fromBytes(bytes, off(a), off(b) - off(a))))
+      e += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   private[plans] def elemFloat(dt: DataType, name: String): Boolean = dt match {
     case ArrayType(FloatType, _) => true
     case ArrayType(DoubleType, _) => false
@@ -390,4 +515,40 @@ final case class LshBucketExpression(child: Expression, numPlanes: Int)
     copy(child = newChild)
 
   override def prettyName: String = "lsh_bucket"
+}
+
+/** `cdc_chunks(text, window, divisor, useMd5)`: codegen content-defined
+  * chunking — array<struct<start BIGINT, chunk STRING>>. */
+final case class CdcChunksExpression(child: Expression, window: Int,
+    divisor: Int, useMd5: Boolean) extends UnaryExpression {
+
+  require(window >= 1 && divisor >= 1,
+    s"cdc_chunks requires window >= 1 and divisor >= 1, got $window/$divisor")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cdc_chunks requires STRING input, got ${child.dataType.sql}")
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("start", LongType, nullable = false),
+    StructField("chunk", StringType, nullable = false))),
+    containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    VectorOps.cdcChunks(input.asInstanceOf[UTF8String], window, divisor, useMd5)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.VectorOps.cdcChunks($c, $window, $divisor, $useMd5)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "cdc_chunks"
+}
+
+object CdcChunksExpression {
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[CdcChunksExpression].getName, "cdc_chunks")
 }

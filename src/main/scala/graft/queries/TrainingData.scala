@@ -851,7 +851,13 @@ object TrainingData {
     * (the td_minhash_neardup discipline): the op hashes every char
     * position — linear, but the densest per-char pipeline registered,
     * so the query form caps its input to keep the bench/oracle cost
-    * proportionate at every sf. */
+    * proportionate at every sf.
+    *
+    * `chunks` feeds BOTH the shared-count aggregate and the join back,
+    * so it is localCheckpointed once (the `cdc_apply_lineitem`
+    * discipline for multi-fed subtrees) — without it the plan runs the
+    * per-char segmentation twice, which the round-9 audit measured as
+    * the suite's heaviest warm query. */
   val td_content_chunks = GraftQuery(
     "td_content_chunks",
     (s, dir) => {
@@ -864,6 +870,7 @@ object TrainingData {
         .select(col("doc_id"),
           explode(TextAnalysis.cdcChunks(col("text"))).as("c"))
         .select(col("doc_id"), md5(col("c.chunk")).as("fp"))
+        .localCheckpoint(eager = false)
       val shared = chunks.groupBy(col("fp"))
         .agg(countDistinct(col("doc_id")).as("nd"))
       chunks.join(shared, Seq("fp"))
@@ -884,6 +891,83 @@ object TrainingData {
             list_filter(range(8, n + 1), i ->
               ('0x'||substr(md5(substr(text, CAST(i AS INT) - 7, 8)),1,15))::BIGINT
                 % 64 = 0) AS bs
+          FROM d) t),
+      edges AS (
+        SELECT d.doc_id,
+          list_sort(list_distinct(list_append(
+            list_prepend(CAST(0 AS BIGINT), coalesce(lb.l, [])),
+            CAST(d.n AS BIGINT)))) AS e
+        FROM d LEFT JOIN (
+          SELECT doc_id, list(CAST(i AS BIGINT)) AS l FROM b GROUP BY doc_id
+        ) lb USING (doc_id)),
+      chunks AS (
+        SELECT doc_id, unnest(fps) AS fp FROM (
+          SELECT e.doc_id,
+            list_transform(range(1, len(e.e)), j ->
+              md5(substr(d.text, CAST(e.e[j] AS INT) + 1,
+                CAST(e.e[j+1] - e.e[j] AS INT)))) AS fps
+          FROM edges e JOIN d USING (doc_id)) t),
+      sh AS (SELECT fp, COUNT(DISTINCT doc_id) AS nd FROM chunks GROUP BY fp)
+      SELECT c.doc_id, COUNT(*) AS n_chunks,
+        CAST(SUM(CASE WHEN s.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+      FROM chunks c JOIN sh s USING (fp)
+      GROUP BY 1 ORDER BY doc_id"""))
+
+  /** DuckDB boundary predicate of the PRODUCTION rolling hash
+    * ([[graft.ops.TextAnalysis.cdcChunksFast]]): the window hash at
+    * position `i` is Σⱼ cp(i−7+j)·B^(7−j) mod 2³¹−1 — eight exact
+    * integer multiply-adds (each term < 2⁵², sum < 2⁵⁵, no BIGINT
+    * overflow), with the B^k constants interpolated from the SAME
+    * [[graft.plans.VectorOps.cdcPow]] the compiled loop uses, so the
+    * two sides can never desynchronize. */
+  private val cdcFastBoundary: String = {
+    val terms = (7 to 0 by -1).map { off =>
+      val pos = if (off == 0) "CAST(i AS INT)" else s"CAST(i AS INT) - $off"
+      s"CAST(ord(substr(text, $pos, 1)) AS BIGINT) * ${graft.plans.VectorOps.cdcPow(off)}"
+    }
+    s"(${terms.mkString(" + ")}) % ${graft.plans.VectorOps.CdcHashP} % 64 = 0"
+  }
+
+  /** Production-speed twin of [[td_content_chunks]]: same corpus, same
+    * planted shifted copies, same chunk-sharing report — but boundaries
+    * from the Rabin–Karp rolling hash (O(1) per position) instead of an
+    * md5 per position. Unlike the simhash/LSH xxhash64 twins, this fast
+    * path IS fully oracled: the window hash is plain 64-bit integer
+    * arithmetic, so DuckDB recomputes it term-by-term and the whole
+    * segmentation hash-matches cross-engine. Proves the production path
+    * keeps the shift-robustness property (planted PREFIX copies still
+    * share every post-boundary chunk). */
+  val td_content_chunks_fast = GraftQuery(
+    "td_content_chunks_fast",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).filter(col("doc_id") < 1000)
+      val planted = d.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("PREFIX-2026 "), col("text")).as("text"))
+      val corpus = d.select(col("doc_id"), col("text")).unionByName(planted)
+      val chunks = corpus
+        .select(col("doc_id"),
+          explode(TextAnalysis.cdcChunksFast(col("text"))).as("c"))
+        .select(col("doc_id"), md5(col("c.chunk")).as("fp"))
+        .localCheckpoint(eager = false)
+      val shared = chunks.groupBy(col("fp"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+      chunks.join(shared, Seq("fp"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_shared"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 1000
+        UNION ALL
+        SELECT doc_id + 1000000, 'PREFIX-2026 ' || text
+        FROM documents WHERE doc_id % 5 = 0 AND doc_id < 1000),
+      d AS (SELECT doc_id, text, length(text) AS n FROM corpus),
+      b AS (
+        SELECT doc_id, unnest(bs) AS i FROM (
+          SELECT doc_id,
+            list_filter(range(8, n + 1), i -> $cdcFastBoundary) AS bs
           FROM d) t),
       edges AS (
         SELECT d.doc_id,
@@ -3531,7 +3615,8 @@ object TrainingData {
     td_simhash_md5, td_ann_lsh_md5, td_embedding_neardup, td_ann_ivf,
     td_kmeans, td_ann_ivf_trained, td_ann_ivf_indexed, td_pq_adc, td_ann_ivfpq,
     td_ann_sq8, td_ann_ivf_sq8, td_kmv_overlap, td_hard_negatives,
-    td_ann_recall, td_content_chunks, td_boilerplate_removal,
+    td_ann_recall, td_content_chunks, td_content_chunks_fast,
+    td_boilerplate_removal,
     td_rare_words, td_chunk_dedup,
     td_sample_hash, td_sample_stratified, td_sample_weighted,
     td_dsir_select,

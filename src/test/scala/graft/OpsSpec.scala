@@ -1168,4 +1168,33 @@ class OpsSpec extends SparkSpec {
     // a doc that is ALL boilerplate cleans to the empty string
     assert(out(4L) == ((2L, 2L, "")))
   }
+
+  test("removeBoilerplateLines: adversarial hot key broadcasts, never a skewed shuffle join") {
+    import org.apache.spark.sql.functions._
+    // one line planted in EVERY doc — the by-construction hottest key;
+    // the old lines⋈counts shuffle on lfp would send every copy of it
+    // to a single partition
+    val hot = "(c) 2026 MegaCorp — all rights reserved"
+    val docs = (1L to 400L).map(i => (i, s"$hot\nunique line $i\nbody $i text"))
+      .toDF("doc_id", "text")
+    val out = Dedup.removeBoilerplateLines(docs, "doc_id", "text", minDocs = 3)
+    // default path: the boiler-key verdict arrives via broadcast — the
+    // exploded lines are never re-partitioned by the skewed lfp key
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast verdict join, got:\n$plan")
+    val got = out.as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got.size == 400)
+    got.foreach { case (id, (nLines, nRemoved, cleaned)) =>
+      assert(nLines == 3L && nRemoved == 1L, s"doc $id")
+      assert(cleaned == s"unique line $id\nbody $id text", s"doc $id")
+    }
+    // the shuffle fallback (broadcastBoilers = false) stays value-identical
+    val fb = Dedup.removeBoilerplateLines(docs, "doc_id", "text", minDocs = 3,
+        broadcastBoilers = false)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(fb == got)
+  }
 }

@@ -154,6 +154,76 @@ class VectorExprsSpec extends SparkSpec {
     assert(heavy.getDouble(2) > 0.5)        // trigrams mostly repeats
   }
 
+  test("cdc_chunks (md5) ≡ fold form bit-for-bit, incl multi-byte and degenerates") {
+    import graft.ops.TextAnalysis
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val alpha = "abcdefgh \n.,"
+    val texts = Seq(
+      "", "a", "short", "exactly8", "just over window",
+      "PREFIX-2026 the quick brown fox jumps over the lazy dog",
+      "héllo wörld — çédille über alles",          // 2-byte UTF-8
+      "日本語のテキストでも同じ境界が出ること",        // 3-byte UTF-8
+      "emoji 😀 and more 😀 text here",  // 4-byte UTF-8
+      Array.fill(500)(alpha(rnd.nextInt(alpha.length))).mkString,
+      Array.fill(3000)(alpha(rnd.nextInt(alpha.length))).mkString)
+    for ((w, d) <- Seq((8, 64), (4, 8), (8, 16))) {
+      val df = texts.toDF("t").select(
+        TextAnalysis.cdcChunks(col("t"), w, d).as("native"),
+        TextAnalysis.cdcChunksFold(col("t"), w, d).as("fold"))
+      df.as[(Seq[(Long, String)], Seq[(Long, String)])].collect()
+        .zip(texts).foreach { case ((n, f), t) =>
+          assert(n == f, s"w=$w d=$d text=${t.take(40)}…: $n vs $f")
+        }
+    }
+  }
+
+  test("cdc_chunks fast path ≡ direct window-hash reference, partitions text") {
+    import graft.ops.TextAnalysis
+    import graft.plans.VectorOps
+    import spark.implicits._
+    // reference: per position, recompute the window hash from scratch
+    // (Σ cp·B^k mod P) — no rolling recurrence, so a bug in the
+    // remove-admit step cannot hide in both sides
+    def refEdges(t: String, w: Int, d: Int): Seq[Long] = {
+      val cps = t.codePoints().toArray
+      val bnds = (w to cps.length).filter { i =>
+        val h = (i - w until i).foldLeft(0L) { (acc, j) =>
+          (acc * VectorOps.CdcHashB + cps(j)) % VectorOps.CdcHashP
+        }
+        h % d == 0
+      }.map(_.toLong)
+      (Seq(0L) ++ bnds ++ Seq(cps.length.toLong)).distinct
+    }
+    val rnd = new scala.util.Random(7)
+    val alpha = "abcdefgh \n.,é日😀"
+    val texts = Seq("", "a", "exactly8", "just over window",
+      "héllo wörld — çédille über alles") ++
+      (0 until 10).map(_ =>
+        Array.fill(800)(alpha(rnd.nextInt(alpha.length))).mkString)
+    for ((w, d) <- Seq((8, 64), (5, 16))) {
+      val got = texts.toDF("t").select(col("t"),
+        TextAnalysis.cdcChunksFast(col("t"), w, d).as("cs"))
+        .as[(String, Seq[(Long, String)])].collect()
+      got.foreach { case (t, cs) =>
+        val edges = refEdges(t, w, d)
+        val expStarts = edges.dropRight(1)
+        assert(cs.map(_._1) == expStarts, s"w=$w d=$d text=${t.take(40)}…")
+        assert(cs.map(_._2).mkString == t, "chunks must partition the text")
+      }
+    }
+    // shift-robustness survives in the production hash: every chunk of
+    // the original after its first boundary reappears in the prefixed copy
+    val base = Array.fill(2000)(alpha(rnd.nextInt(alpha.length))).mkString
+    val both = Seq(base, "PREFIX-2026 " + base).toDF("t")
+      .select(TextAnalysis.cdcChunksFast(col("t")).as("cs"))
+      .as[Seq[(Long, String)]].collect()
+    val origTail = both(0).map(_._2).drop(1)
+    val shifted = both(1).map(_._2).toSet
+    assert(origTail.nonEmpty && origTail.forall(shifted.contains),
+      "post-boundary chunks must survive a prefix shift")
+  }
+
   test("native expressions survive whole-stage codegen in a real plan") {
     import spark.implicits._
     // force the codegen path (not interpreted fallback eval) by going
