@@ -409,13 +409,39 @@ final class CdcStreamEngine(
   def startSpool(spoolDir: String, checkpointDir: String,
                  filterTables: Option[String] = None,
                  trigger: Trigger = Trigger.AvailableNow(),
-                 maxFilesPerTrigger: Int = 1000): StreamingQuery = {
-    val reader = spark.readStream.format(graft.sources.SpoolSource.FORMAT)
-      .option("path", spoolDir)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-    val withFilter = filterTables.fold(reader)(p => reader.option("filterTables", p))
-    withFilter.load()
-      .drop("chg_schema", "chg_table")
+                 maxFilesPerTrigger: Int = 1000): StreamingQuery =
+    startSource(graft.sources.SpoolSource.FORMAT,
+      Map("path" -> spoolDir,
+        "maxFilesPerTrigger" -> maxFilesPerTrigger.toString) ++
+        filterTables.map("filterTables" -> _),
+      checkpointDir, trigger)
+
+  /** Start the replay on ANY DataSourceV2 streaming source whose rows
+    * carry the [[graft.model.ChangeRecord]] columns — the "a Kafka
+    * source slots in behind the same row schema" seam, as a tested
+    * contract rather than a comment: the engine depends only on the
+    * row SHAPE, never on the spool layout, offsets, or listing
+    * mechanics (those live behind the source's own checkpointed
+    * offsets). [[startSpool]] itself goes through here, and
+    * SourceContractSpec drives the full decode→collapse→merge→commit
+    * loop through a second, in-memory provider.
+    *
+    * Columns beyond ChangeRecord's (the jsonl source's pushdown pair
+    * `chg_schema`/`chg_table`, a Kafka source's topic/partition/offset)
+    * are dropped before decode; missing columns fail fast here instead
+    * of as a misleading analysis error inside the batch loop. */
+  def startSource(format: String, options: Map[String, String],
+                  checkpointDir: String,
+                  trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val stream = options.foldLeft(spark.readStream.format(format)) {
+      case (r, (k, v)) => r.option(k, v)
+    }.load()
+    val expected = ChangeRecord.schema.fieldNames
+    val missing = expected.filterNot(stream.columns.contains)
+    require(missing.isEmpty,
+      s"source '$format' does not provide ChangeRecord column(s): " +
+        missing.mkString(", "))
+    stream.select(expected.map(col): _*)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

@@ -16,11 +16,32 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *
   * Layout: `root/<db>_<schema>.<table>/v=<version>/…parquet`; the
   * manifest `root/_latest` names one committed version for every
-  * table, written via temp-file + atomic rename. Readers resolve
-  * through the manifest, so they always see one consistent cut even
-  * while a new batch is writing. Re-running a batch (streaming
-  * restart before checkpoint commit) rewrites the same version dir —
-  * idempotent, which is what makes checkpoint-replay exactly-once.
+  * table, written via temp-file + verify + atomic rename. Readers
+  * resolve through the manifest, so they always see one consistent
+  * cut even while a new batch is writing. Re-running a batch
+  * (streaming restart before checkpoint commit) rewrites the same
+  * version dir — idempotent, which is what makes checkpoint-replay
+  * exactly-once.
+  *
+  * == Filesystem requirement (read this before pointing `root` at S3) ==
+  * The cross-table atomicity of `_latest` rests on `Files.move(…,
+  * ATOMIC_MOVE)` being a true atomic rename — POSIX filesystems and
+  * HDFS give that; S3-class object stores do NOT (rename is
+  * copy+delete, and a reader can observe a half-copied object). The
+  * manifest therefore defends in depth rather than trusting the
+  * filesystem blindly:
+  *  - every manifest carries a header `#graft-manifest seq=… entries=…
+  *    crc=…`; [[manifest()]] verifies entry count and CRC32 and
+  *    REFUSES a torn/truncated manifest (`IllegalStateException`)
+  *    instead of serving a partial table cut;
+  *  - `seq` increases by exactly one per publish; after the rename the
+  *    writer reads the manifest back and fails loudly if its publish
+  *    regressed or vanished (the lost-update signature of a
+  *    non-atomic store).
+  * On an object store, replace the rename with a conditional put
+  * (if-match on `seq`) at this one seam — everything else is already
+  * content-addressed version directories, which object stores handle
+  * natively.
   */
 final class TableStore(spark: SparkSession, val root: String) {
 
@@ -35,22 +56,42 @@ final class TableStore(spark: SparkSession, val root: String) {
   private def dir(id: TableId, version: Long): String =
     s"$root/${id.qualified}/v=$version"
 
-  /** table → committed version */
-  def manifest(): Map[String, Long] =
-    if (!Files.exists(manifestPath)) Map.empty
-    else Files.readAllLines(manifestPath).toArray(Array.empty[String])
-      .filter(_.nonEmpty)
-      .map { line =>
-        val Array(t, v) = line.split("=", 2)
-        t -> v.toLong
-      }.toMap
+  /** table → committed version. Throws `IllegalStateException` on a
+    * torn manifest (bad CRC, truncated or surplus entries) — serving a
+    * partial cut would silently break the cross-table barrier. */
+  def manifest(): Map[String, Long] = parseManifest()._2
 
-  private def writeManifest(m: Map[String, Long]): Unit = {
+  /** publish sequence of the current manifest (0 = none yet). */
+  def manifestSeq(): Long = parseManifest()._1
+
+  private def parseManifest(): (Long, Map[String, Long]) = {
+    if (!Files.exists(manifestPath)) return (0L, Map.empty)
+    TableStore.parseManifestContent(Files.readString(manifestPath),
+      manifestPath.toString)
+  }
+
+  private def writeManifest(m: Map[String, Long]): Unit = synchronized {
+    val seq = manifestSeq() + 1
+    val content = TableStore.renderManifest(seq, m)
     val tmp = Paths.get(root, s"_latest.tmp")
-    Files.writeString(tmp,
-      m.toSeq.sorted.map { case (t, v) => s"$t=$v" }.mkString("", "\n", "\n"))
+    Files.writeString(tmp, content)
+    // verify BEFORE publish: the temp copy must parse back to exactly
+    // the intended cut (catches a torn local write / full disk before
+    // it can replace a good manifest)
+    val (tmpSeq, tmpMap) =
+      TableStore.parseManifestContent(Files.readString(tmp), tmp.toString)
+    require(tmpSeq == seq && tmpMap == m,
+      s"manifest temp verify failed at $tmp: wrote seq=$seq ${m.size} entries, " +
+        s"read back seq=$tmpSeq ${tmpMap.size}")
     Files.move(tmp, manifestPath, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+    // monotonic read-back: our publish (or a newer one) must be
+    // visible — a lower seq is the lost-update signature of a
+    // non-atomic store (see the class doc's object-store seam)
+    val back = manifestSeq()
+    if (back < seq) throw new IllegalStateException(
+      s"manifest publish regressed at $manifestPath: wrote seq=$seq, " +
+        s"read back seq=$back — the store's rename is not atomic")
   }
 
   def exists(id: TableId): Boolean = manifest().contains(id.qualified)
@@ -299,4 +340,56 @@ object TableStore {
     * order — both sides of an incremental merge must hash the same
     * typed values in the same column order). */
   final case class BucketSpec(n: Int, pkCols: Seq[String])
+
+  private def crc32(body: String): String = {
+    val c = new java.util.zip.CRC32
+    c.update(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.lang.Long.toHexString(c.getValue)
+  }
+
+  private[stream] def renderManifest(seq: Long, m: Map[String, Long]): String = {
+    val body =
+      m.toSeq.sorted.map { case (t, v) => s"$t=$v" }.mkString("", "\n", "\n")
+    s"#graft-manifest seq=$seq entries=${m.size} crc=${crc32(body)}\n" + body
+  }
+
+  /** Parse + validate a manifest. The header's entry count and CRC32
+    * make a torn write (truncation, half-copied object, interleaved
+    * concurrent writers) DETECTABLE: readers refuse it instead of
+    * resolving tables through a partial cut. Headerless content is
+    * accepted as a legacy manifest (seq 0, no integrity check) so
+    * stores written by older code stay readable. */
+  private[stream] def parseManifestContent(
+      content: String, where: String): (Long, Map[String, Long]) = {
+    def torn(why: String): Nothing = throw new IllegalStateException(
+      s"torn manifest at $where: $why — refusing to serve a partial " +
+        "table cut (was this store written through a non-atomic rename?)")
+    val lines = content.split("\n", -1).toSeq
+    def entriesOf(ls: Seq[String]): Map[String, Long] =
+      ls.filter(_.nonEmpty).map { line =>
+        line.split("=", 2) match {
+          case Array(t, v) if v.nonEmpty && v.forall(_.isDigit) => t -> v.toLong
+          case _ => torn(s"unparseable entry line '$line'")
+        }
+      }.toMap
+    lines.headOption match {
+      case Some(h) if h.startsWith("#graft-manifest ") =>
+        val attrs = h.stripPrefix("#graft-manifest ").split(" ")
+          .flatMap(_.split("=", 2) match {
+            case Array(k, v) => Some(k -> v)
+            case _ => None
+          }).toMap
+        val seq = attrs.get("seq").flatMap(_.toLongOption)
+          .getOrElse(torn("header missing seq"))
+        val n = attrs.get("entries").flatMap(_.toIntOption)
+          .getOrElse(torn("header missing entries"))
+        val crc = attrs.getOrElse("crc", torn("header missing crc"))
+        val body = lines.tail.mkString("\n")
+        if (crc32(body) != crc) torn(s"CRC mismatch (expected $crc)")
+        val m = entriesOf(lines.tail)
+        if (m.size != n) torn(s"expected $n entries, found ${m.size}")
+        (seq, m)
+      case _ => (0L, entriesOf(lines)) // legacy headerless manifest
+    }
+  }
 }

@@ -400,4 +400,49 @@ class CdcStreamSpec extends SparkSpec {
     // the view's version advances with its source table's commits
     assert(store.manifest()(viewId.qualified) == store.manifest()(tid.qualified))
   }
+
+  test("torn manifest is detected and refused, never served as a partial cut") {
+    val root = Files.createTempDirectory("graft-torn-").toString
+    val store = new TableStore(spark, root)
+    store.stage(tid, Seq((1L, "Alice", 10.0))
+      .toDF("c_custkey", "c_name", "c_acctbal"), 0L)
+    store.commit(Map(tid -> 0L))
+    val other = TableId("srcdb", "public", "orders")
+    store.stage(other, Seq((7L, "x", 1.0))
+      .toDF("c_custkey", "c_name", "c_acctbal"), 0L)
+    store.commit(Map(other -> 0L))
+    assert(store.manifest().size == 2 && store.manifestSeq() == 2L)
+
+    val manifest = java.nio.file.Paths.get(root, "_latest")
+    val good = Files.readString(manifest)
+
+    // a half-copied object (the S3 rename-as-copy failure mode): the
+    // header promises 2 entries + a CRC, the body carries only part
+    val torn = good.linesIterator.toSeq.dropRight(1).mkString("\n") + "\n"
+    Files.writeString(manifest, torn)
+    val e1 = intercept[IllegalStateException](store.manifest())
+    assert(e1.getMessage.contains("torn manifest"))
+    // readers refuse too — read() resolves through the manifest
+    intercept[IllegalStateException](store.read(tid))
+
+    // truncation mid-line (torn local write)
+    Files.writeString(manifest, good.take(good.length - 3))
+    assert(intercept[IllegalStateException](store.manifest())
+      .getMessage.contains("torn manifest"))
+
+    // restore the good cut: everything resolves again
+    Files.writeString(manifest, good)
+    assert(store.read(tid).count() == 1L)
+
+    // a commit can never regress the publish sequence: a replayed
+    // commit of an old version advances seq while keeping versions
+    // monotonic (the exactly-once replay contract)
+    store.commit(Map(tid -> 0L))
+    assert(store.manifestSeq() == 3L && store.manifest()(tid.qualified) == 0L)
+
+    // legacy headerless manifests stay readable (no integrity header)
+    Files.writeString(manifest,
+      s"${tid.qualified}=0\n${other.qualified}=0\n")
+    assert(store.manifest().size == 2 && store.manifestSeq() == 0L)
+  }
 }
