@@ -34,7 +34,14 @@ import org.apache.spark.sql.types._
   *  - every fresh slice id can only be admitted once, and planted
   *    re-delivery ids (≥ 10⁶) are admitted only when their original's
   *    content truly left the index via a chain rejection (counted and
-  *    reported as `planted_admitted` — expected ≈ 0);
+  *    reported as `planted_admitted`). The gate requires EXACTLY 0,
+  *    which is a FIXTURE-SPECIFIC invariant, not a general one: here
+  *    every planted doc re-delivers the PREVIOUS batch's slice, whose
+  *    content is always either admitted or rejected against an
+  *    already-indexed near-twin — both leave an index edge the
+  *    redelivery hits. A corpus whose organic rejections chain
+  *    differently can legitimately admit a near-redelivery; loosen
+  *    the gate before pointing this bench at one;
   *  - admitted ∈ [40%, 100%] of fresh docs (the fixture carries
   *    organic near-dups, so admitted < fresh by design).
   */
@@ -63,8 +70,33 @@ object DocStreamBench {
     val ckpt = Files.createTempDirectory("graft-dsbench-ckpt-").toString
 
     // ---- untimed setup: pre-write one spool file per batch ----
-    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    // batch-volume lever (the CDC loop's SPARK_GRAFT_STREAM_SCALE,
+    // here for admission): `scale` id-shifted fixture copies, each
+    // copy's TOKENS prefixed with a copy tag so copies share ZERO
+    // shingles — cross-copy content stays organically independent and
+    // the admission semantics (near-dup structure WITHIN a copy) are
+    // unchanged. Answers whether the recorded rows/sec is fixed-
+    // overhead-bound (throughput rises with batch volume) or
+    // pair-graph-bound (it doesn't).
+    val scale = sys.env.get("SPARK_GRAFT_STREAM_SCALE")
+      .flatMap(_.toIntOption).getOrElse(1)
+    val base = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val baseMax = base.agg(max(col("doc_id"))).head().getLong(0)
+    val docs = (0 until scale).map { s =>
+      if (s == 0) base
+      else base.select((col("doc_id") + s * (baseMax + 1)).as("doc_id"),
+        regexp_replace(col("text"), "\\S+", s"c${s}_$$0").as("text"))
+    }.reduce(_ unionByName _)
     val total = docs.count()
+    // the planted-redelivery id spaces (+10⁶·b exact, +2·10⁶·b near)
+    // and every sanity gate below assume fresh ids < 10⁶; a larger
+    // fixture (or scale) would alias planted ids into the fresh space
+    // and flip the gates' meaning — fail the setup loudly instead
+    val maxDocId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    require(maxDocId < 1000000L,
+      s"DocStreamBench id-space assumption violated: max doc_id $maxDocId " +
+        ">= 1e6 collides with the planted-redelivery offsets; use a smaller " +
+        "fixture/scale or raise the offsets together with the gates")
     val perBatch = math.max(1L, total / nBatches)
     (1 to nBatches).foreach { b =>
       val lo = (b - 1).toLong * perBatch
@@ -141,7 +173,7 @@ object DocStreamBench {
         s""""admitted":$nAdmitted,"planted_admitted":$plantedAdmitted,""" +
         s""""total_sec":${fmt(totalSec)},"wall_sec":${fmt(wallSec)},""" +
         s""""p50_ms":${pct(0.5)},"p95_ms":${pct(0.95)},""" +
-        s""""failed":${!ok},"sf":"$sfDir"}"""
+        s""""failed":${!ok},"scale":$scale,"sf":"$sfDir"}"""
     java.nio.file.Files.write(Paths.get("DOCSTREAMBENCH_DETAIL.json"),
       line.getBytes("UTF-8"))
     println(line)

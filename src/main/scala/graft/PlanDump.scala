@@ -84,7 +84,9 @@ object PlanDump {
     "td_hard_negatives" ->
       "Hard-negative mining: identical IVF candidate shape to td_ann_ivf (broadcast-codebook narrow cell assignment, probed-cell equi-join — per anchor only nProbe/nCells of the corpus is touched); the label-mismatch filter runs BEFORE the exact cosine so positives never reach scoring; the only window ranks per-anchor cell-bounded candidates.",
     "td_content_chunks" ->
-      "Content-defined chunking: boundary detection and chunk slicing are ONE narrow codegen map per row (filtered sequence + zip_with — no UDF, no join to find boundaries); the only shuffles are the fingerprint-keyed share count and the final per-doc aggregate, both map-side partial.",
+      "Content-defined chunking: segmentation is ONE compiled pass per row (native CdcChunksExpression — no interpreted per-char lambda, no UDF, no join to find boundaries); the chunk subtree is localCheckpointed once because it feeds BOTH the share count and the join back (the round-9 audit caught the double-computed plan); the only shuffles are the fingerprint-keyed share count and the final per-doc aggregate, both map-side partial.",
+    "td_content_chunks_fast" ->
+      "Production content-defined chunking: same plan shape as td_content_chunks but boundaries from the Rabin–Karp rolling hash (O(1) per position vs an md5 per position) — still fully oracled because the window hash is exact 64-bit integer arithmetic DuckDB recomputes term-by-term.",
     "td_ann_recall" ->
       "In-engine ANN eval: both rankings window over their own candidate sets (exact: broadcast query batch; IVF: probed-cell equi-join), then ONE keyed join of two k-rows-per-query tables + a map-side-combinable count — evaluation cost ∝ queries·k, independent of the corpus.",
     "td_kmv_overlap" ->

@@ -50,6 +50,19 @@ object StreamBench {
     // from insert keys (key + batch·10⁷) for any batch count < 100.
     val scale = sys.env.get("SPARK_GRAFT_STREAM_SCALE")
       .flatMap(_.toIntOption).getOrElse(1)
+    // DDL-bearing stream: every k-th batch carries an ALTER TABLE ADD
+    // COLUMN through the real DDL barrier (interpreter + registry
+    // evolution + the full rewrite a DDL batch pays where DML-only
+    // batches may publish bucket deltas). 0 = no DDL (the standing
+    // workload).
+    val ddlEvery = sys.env.get("SPARK_GRAFT_STREAM_DDL_EVERY")
+      .flatMap(_.toIntOption).getOrElse(0)
+    // PK-bucketed target layout (TableStore.stageBucketed): DML-only
+    // batches publish only their changed buckets; a DDL batch disables
+    // the delta path (allowDelta) — the cost contrast this bench
+    // exists to record. 0 = plain full-rewrite staging.
+    val nBuckets = sys.env.get("SPARK_GRAFT_STREAM_BUCKETS")
+      .flatMap(_.toIntOption).getOrElse(0)
     require(nBatches < 100, "insert-key space exhausted at 100 batches")
     val defaultCpus = math.min(Runtime.getRuntime.availableProcessors(), 32)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", defaultCpus.toString)
@@ -87,15 +100,53 @@ object StreamBench {
       Tables.customer(spark, sfDir)
         .withColumn("c_custkey", col("c_custkey") + s * 1000000000L)
     }.reduce(_ unionByName _)
-    store.stage(tid, cust, 0L)
+    if (nBuckets > 0)
+      store.stageBucketed(tid, cust, 0L,
+        TableStore.BucketSpec(nBuckets, Seq("c_custkey")))
+    else store.stage(tid, cust, 0L)
     store.commit(Map(tid -> 0L))
     val custRows = cust.count()
+    // rollingLogOf's disjointness contract: insert keys (key + b·10⁷)
+    // must never cross into the next shifted copy's base range
+    // (copies shift by 10⁹) — at sf ≳ 60 the fixture's keys reach 10⁷
+    // and high batch counts would alias. Checked against the OBSERVED
+    // max base key, not an assumed one.
+    val baseMax = Tables.customer(spark, sfDir)
+      .agg(max(col("c_custkey"))).head().getLong(0)
+    require(baseMax + nBatches.toLong * 10000000L < 1000000000L,
+      s"insert-key space would alias across shifted copies: max base key " +
+        s"$baseMax + $nBatches batches x 1e7 >= 1e9; lower the batch count " +
+        "or the scale factor")
+
+    // one DDL record at the head of a DDL-bearing batch: lowest lsn in
+    // the batch (DML subs start at b·10⁸ + 10⁷), same event time — the
+    // barrier runs before the batch's DML, exactly the mid-stream shape
+    def ddlRecord(b: Int): org.apache.spark.sql.DataFrame = {
+      val q = s"ALTER TABLE customer ADD COLUMN extra_b$b integer"
+      val payload =
+        s"""{"kind":"insert","schema":"public","table":"sql_ddl_statements",""" +
+          s""""columnnames":["current_query","search_path","command_tags"],""" +
+          s""""columnvalues":["$q","\\"$$user\\", public","{\\"ALTER TABLE\\"}"]}"""
+      spark.range(1).select(
+        timestamp_seconds(lit(1700000000L + b * 60L)).as("insert_timestamp"),
+        lit("srcdb").as("database"),
+        lit(b * 100000000L).as("lsn_start"),
+        lit(b * 1000000L).as("xid"),
+        lit(payload).as("payload"),
+        timestamp_seconds(lit(1700000000L + b * 60L)).as("xid_timestamp"),
+        lit("slot1").as("source_slotname"))
+    }
 
     // one file per batch; mtimes force the file source to replay them
     // in batch order (ties in mtime would otherwise be unordered)
     (1 to nBatches).foreach { b =>
       val dir = s"$spool/b$b"
-      SyntheticCdc.rollingLogOf(cust, b)
+      val events0 = SyntheticCdc.rollingLogOf(cust, b)
+      val events =
+        if (ddlEvery > 0 && b % ddlEvery == 0)
+          ddlRecord(b).unionByName(events0)
+        else events0
+      events
         .coalesce(1).write.mode("overwrite").parquet(dir)
       val part = Files.list(Paths.get(dir)).toArray.map(_.asInstanceOf[Path])
         .find(_.getFileName.toString.endsWith(".parquet"))
@@ -116,7 +167,9 @@ object StreamBench {
     System.gc()
 
     // ---- timed region: the streaming replay loop ----
-    val engine = new CdcStreamEngine(spark, registry, store)
+    val engine =
+      if (ddlEvery > 0) CdcStreamEngine.withDdl(spark, registry, store)
+      else new CdcStreamEngine(spark, registry, store)
     val t0 = System.nanoTime()
     val q = engine.start(spool, ckpt,
       maxFilesPerTrigger = 1)
@@ -160,7 +213,8 @@ object StreamBench {
         s""""unit":"rows/sec","batches":${progress.size},"rows":$rows,""" +
         s""""total_sec":${fmt(totalSec)},"wall_sec":${fmt(wallSec)},""" +
         s""""p50_ms":${pct(0.5)},"p95_ms":${pct(0.95)},""" +
-        s""""failed":${!ok},"scale":$scale,"sf":"$sfDir"}"""
+        s""""failed":${!ok},"scale":$scale,"ddl_every":$ddlEvery,""" +
+        s""""buckets":$nBuckets,"sf":"$sfDir"}"""
     java.nio.file.Files.write(Paths.get("STREAMBENCH_DETAIL.json"),
       line.getBytes("UTF-8"))
     println(line)

@@ -195,7 +195,11 @@ object SyntheticCdc {
     * space (shifted copies of the fixture) scales events-per-batch
     * without changing the loop under test. Insert keys are
     * `key + batch·10⁷`, so key spaces shifted by ≥ 10⁹ stay disjoint
-    * for any batch count < 100. */
+    * PROVIDED `max base key + nBatches·10⁷ < 10⁹` — at sf ≳ 60 the
+    * customer fixture's keys reach 10⁷ and high-batch insert keys
+    * would cross into the next shifted copy's range. Callers that
+    * amplify must check that bound ([[graft.StreamBench]] requires it
+    * against the observed max key at setup). */
   def rollingLogOf(c: DataFrame, batch: Int): DataFrame = {
     val k = col("c_custkey")
     val ks = k.cast("string")

@@ -407,11 +407,11 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
                           strategy: Lineage.Strategy = Lineage.Local): DataFrame = {
-    val edges = Lineage.cut(
+    val (edges, edgesPath) = Lineage.cutTracked(
       pairs.select(col("id_a").as("u"), col("id_b").as("v"))
         .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
         .distinct(), strategy)
-    var labels = Lineage.cut(
+    var (labels, labelsPath) = Lineage.cutTracked(
       edges.select(col("u").as("id")).distinct()
         .withColumn("comp", col("id")), strategy)
     var converged = false
@@ -419,7 +419,7 @@ object Dedup {
     while (!converged && iter < maxIter) {
       val prop = edges.join(labels.withColumnRenamed("id", "u"), Seq("u"))
         .select(col("v").as("id"), col("comp"))
-      val next = Lineage.cut(
+      val (next, nextPath) = Lineage.cutTracked(
         labels.unionByName(prop)
           .groupBy(col("id")).agg(min(col("comp")).as("comp")), strategy)
       // one tiny driver-side count per round IS the convergence test —
@@ -428,11 +428,19 @@ object Dedup {
         .join(labels.withColumnRenamed("comp", "prev"), Seq("id"))
         .filter(col("comp") =!= col("prev")).limit(1).count()
       converged = changed == 0
+      // the previous round's labels state is dead: `next` is
+      // materialized and the convergence probe above was its last
+      // reader — retire it now so scratch stays O(1) states
+      Lineage.delete(labelsPath)
       labels = next
+      labelsPath = nextPath
       iter += 1
     }
     if (!converged) throw new IllegalStateException(
       s"connectedComponents: not converged after $maxIter rounds")
+    // the returned plan reads only the final labels state; the edge
+    // list has no further reader
+    Lineage.delete(edgesPath)
     labels
   }
 
@@ -470,7 +478,7 @@ object Dedup {
         .unionByName(pairs.select(col("id_b").as("id")))
         .distinct(), strategy)
     // canonical (u = larger, v = smaller); self-pairs contribute nothing
-    var edges = Lineage.cut(
+    var (edges, edgesPath) = Lineage.cutTracked(
       pairs
         .select(greatest(col("id_a"), col("id_b")).as("u"),
           least(col("id_a"), col("id_b")).as("v"))
@@ -492,7 +500,7 @@ object Dedup {
       // smaller v)) and u itself re-link to m = min of that set
       val mins2 = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
       val linked = ls.join(mins2, Seq("u"))
-      val next = Lineage.cut(
+      val (next, nextPath) = Lineage.cutTracked(
         linked
           .filter(col("v") =!= col("m"))
           .select(col("v").as("u"), col("m").as("v"))
@@ -504,7 +512,11 @@ object Dedup {
         .unionByName(edges.join(next, Seq("u", "v"), "left_anti"))
         .limit(1).count()
       converged = changed == 0
+      // previous round's edge state: `next` is materialized and the
+      // anti-join probe was its last reader — retire it eagerly
+      Lineage.delete(edgesPath)
       edges = next
+      edgesPath = nextPath
       iter += 1
     }
     if (!converged) throw new IllegalStateException(

@@ -22,9 +22,13 @@ import org.apache.spark.sql.DataFrame
   *    the 100 TB dedup graphs these loops exist for. Costs one
   *    write+read of the (edge-sized, ≪ corpus) state per round.
   *
-  * The scratch dir accumulates one `state_N` subdir per cut; the
-  * caller owns its lifecycle (delete after the job — states are only
-  * needed while a round that reads them can still be replayed).
+  * Scratch lifecycle: each cut writes one `state_N` subdir. The
+  * iterative loops retire superseded rounds EAGERLY (a round's state
+  * is dead once the next round has materialized and the convergence
+  * probe has run), so scratch usage stays O(1) states instead of
+  * O(rounds); the one or two states backing the RETURNED plan must
+  * outlive its consumption, so the caller finishes with
+  * [[Lineage.cleanup]] once the result has been read or re-rooted.
   */
 object Lineage {
   sealed trait Strategy
@@ -38,11 +42,50 @@ object Lineage {
   /** Truncate `df`'s lineage per `strategy`. Local cuts are lazy
     * (materialize on first use); Reliable cuts materialize now (the
     * write is the checkpoint). */
-  def cut(df: DataFrame, strategy: Strategy): DataFrame = strategy match {
-    case Local => df.localCheckpoint(eager = false)
+  def cut(df: DataFrame, strategy: Strategy): DataFrame =
+    cutTracked(df, strategy)._1
+
+  /** [[cut]] that also reports the scratch path backing the cut
+    * (Reliable only) — the handle loops use to retire a superseded
+    * round's state as soon as nothing can re-read it. */
+  private[ops] def cutTracked(df: DataFrame,
+      strategy: Strategy): (DataFrame, Option[String]) = strategy match {
+    case Local => (df.localCheckpoint(eager = false), None)
     case Reliable(dir) =>
       val path = s"$dir/state_${seq.incrementAndGet()}"
       df.write.mode("overwrite").parquet(path)
-      df.sparkSession.read.parquet(path)
+      (df.sparkSession.read.parquet(path), Some(path))
   }
+
+  /** Delete every `state_N` scratch dir under `dir`. Call AFTER the
+    * loop's result has been consumed (collected, joined-and-written,
+    * or re-rooted through another cut) — the final state(s) back the
+    * returned plan until then. Returns the number of states removed. */
+  def cleanup(dir: String): Int = {
+    val d = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.isDirectory(d)) return 0
+    val s = java.nio.file.Files.list(d)
+    val states =
+      try {
+        val it = s.iterator()
+        val b = Seq.newBuilder[java.nio.file.Path]
+        while (it.hasNext) {
+          val p = it.next()
+          if (p.getFileName.toString.startsWith("state_")) b += p
+        }
+        b.result()
+      } finally s.close()
+    states.foreach(p => delete(Seq(p.toString)))
+    states.size
+  }
+
+  /** Best-effort recursive delete of retired scratch states. */
+  private[ops] def delete(paths: Iterable[String]): Unit =
+    paths.foreach { p =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(p))
+    }
 }

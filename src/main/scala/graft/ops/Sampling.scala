@@ -76,8 +76,15 @@ object Sampling {
     val w = counts.selectExpr("__dom", "__n",
       "CAST(floor(sqrt(CAST(__n AS DOUBLE)) * 1000000) AS BIGINT) AS __w")
     val tot = w.selectExpr("sum(__w) AS __tw")
+    // greatest(…, 1): under extreme skew (Σ√n > 10⁶·√n_min) a small
+    // domain's share would floor to 0 ppm, and the feasible-total
+    // division below would null/ANSI-error on it — silently DROPPING
+    // the domain temperature boosting exists to protect. Clamping to
+    // 1 ppm keeps it sampled (at the floor rate) and keeps the
+    // arithmetic total; the oracle SQL carries the same clamp.
     val shares = w.crossJoin(broadcast(tot))
-      .selectExpr("__dom", "__n", "__w * 1000000 div __tw AS __share_ppm")
+      .selectExpr("__dom", "__n",
+        "greatest(__w * 1000000 div __tw, 1) AS __share_ppm")
     val totalRow = shares
       .selectExpr("min(__n * 1000000 div __share_ppm) AS __t")
     shares.crossJoin(broadcast(totalRow))

@@ -222,9 +222,16 @@ object Similarity {
           .withColumn("hit", lit(1L)),
         Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("query_id"))
-      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"),
+        count(lit(1)).as("__n_exact"))
+      // denominator = least(k, |exact neighbors|): on a corpus smaller
+      // than k+1 a query HAS fewer than k true neighbors, and dividing
+      // by the fixed k would cap its recall below 10⁶ even for a
+      // perfect approximate ranking
       .withColumn("recall_ppm",
-        call_function("div", col("hits") * 1000000L, lit(k.toLong)))
+        call_function("div", col("hits") * 1000000L,
+          least(lit(k.toLong), col("__n_exact"))))
+      .drop("__n_exact")
   }
 
   /** Hard-negative mining — the contrastive-training data-prep op

@@ -241,13 +241,25 @@ object Sketches {
     *
     * Scale shape: `sketches` is already ≤ k·|groups| rows, so every
     * join here is broadcast-sized; the pair fan-out is |groups|²/2 ×
-    * 2k rows, driver-bounded by construction.
+    * 2k rows — QUADRATIC in group count, which is exactly right for
+    * its intended unit (dozens-to-hundreds of SOURCES) and a footgun
+    * for anything finer (10⁴ domains → 5·10⁷ pairs × 2k rows through
+    * a broadcast). `maxGroups` makes that boundary an error with the
+    * cost spelled out instead of an OOM; callers with a genuinely
+    * larger unit raise it explicitly after doing the pair math.
     * @param sketches output of [[bottomKByGroup]]
     * @return (group_a, group_b, union_k, inter_count, jaccard_ppm)
     */
   def kmvPairOverlap(sketches: DataFrame, groupCol: String,
-      k: Int): DataFrame = {
+      k: Int, maxGroups: Int = 1000): DataFrame = {
     val groups = sketches.select(col(groupCol).as("g")).distinct()
+    // one bounded count on the (≤ k·|groups|-row) sketch table — cheap
+    // relative to the pair stage it guards
+    val nGroups = groups.count()
+    require(nGroups <= maxGroups,
+      s"kmvPairOverlap: $nGroups groups would fan out ~${nGroups * nGroups / 2} " +
+        s"pairs (× 2k sketch rows each) through a broadcast — quadratic in " +
+        s"group count. Pass maxGroups >= $nGroups only if that cost is intended.")
     val pairs = broadcast(
       groups.select(col("g").as("group_a"))
         .crossJoin(groups.select(col("g").as("group_b")))

@@ -1093,7 +1093,7 @@ object TrainingData {
         CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
           AS BIGINT) AS hits,
         (CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
-          AS BIGINT) * 1000000) // 5 AS recall_ppm
+          AS BIGINT) * 1000000) // LEAST(5, COUNT(*)) AS recall_ppm
       FROM exact e LEFT JOIN ivf i
         ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
       GROUP BY 1 ORDER BY e.query_id"""))
@@ -2667,8 +2667,8 @@ object TrainingData {
         FROM c),
       s AS (
         SELECT lang, n,
-          CAST((w * 1000000) // (SELECT CAST(SUM(w) AS BIGINT) FROM w)
-            AS BIGINT) AS share_ppm
+          CAST(GREATEST((w * 1000000) // (SELECT CAST(SUM(w) AS BIGINT) FROM w),
+            1) AS BIGINT) AS share_ppm
         FROM w),
       t AS (
         SELECT CAST(MIN((n * 1000000) // share_ppm) AS BIGINT) AS t FROM s),

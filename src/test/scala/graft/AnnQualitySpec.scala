@@ -168,4 +168,22 @@ class AnnQualitySpec extends SparkSpec {
     assert(xxNear.nonEmpty, "fixture should contain simhash near-dups")
     assert(overlap >= 0.5, f"scheme agreement $overlap%.3f under floor")
   }
+
+  test("recallAtK: a query with fewer than k exact neighbors can still reach 10⁶") {
+    import spark.implicits._
+    // query 1 has only 3 true neighbors (corpus smaller than k+1);
+    // a perfect approximate ranking must score recall_ppm = 1e6, not
+    // 3e6/5 — the denominator is least(k, |exact|)
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L),
+      (2L, 10L), (2L, 11L), (2L, 12L), (2L, 13L), (2L, 14L))
+      .toDF("query_id", "neighbor_id")
+    val approx = Seq((1L, 10L), (1L, 11L), (1L, 12L), (1L, 99L), (1L, 98L),
+      (2L, 10L), (2L, 11L), (2L, 12L), (2L, 99L), (2L, 98L))
+      .toDF("query_id", "neighbor_id")
+    val r = Similarity.recallAtK(exact, approx, k = 5)
+      .orderBy("query_id")
+      .select("query_id", "hits", "recall_ppm")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(r == Seq((1L, 3L, 1000000L), (2L, 3L, 600000L)), r.toString)
+  }
 }

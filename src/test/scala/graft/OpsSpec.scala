@@ -307,9 +307,19 @@ class OpsSpec extends SparkSpec {
         strategy = Lineage.Reliable(s"$dir/prop"))
         .as[(Long, Long)].collect().toSeq.sorted
       assert(reliableP == localP && localP == local)
-      // the reliable run actually re-rooted state on disk
-      assert(new java.io.File(s"$dir/star").listFiles()
-        .count(_.getName.startsWith("state_")) > 2)
+      // superseded rounds are retired EAGERLY: after convergence the
+      // scratch holds only the states the returned plan still reads
+      // (star: final edges + vertices; propagation: final labels) —
+      // scratch stays O(1) states however many rounds the loop ran
+      def states(d: String) = new java.io.File(d).listFiles()
+        .count(_.getName.startsWith("state_"))
+      assert(states(s"$dir/star") == 2, s"star scratch: ${states(s"$dir/star")}")
+      assert(states(s"$dir/prop") == 1, s"prop scratch: ${states(s"$dir/prop")}")
+      // results are already collected above, so the final states have
+      // no remaining reader: cleanup empties the scratch dirs
+      assert(Lineage.cleanup(s"$dir/star") == 2)
+      assert(Lineage.cleanup(s"$dir/prop") == 1)
+      assert(states(s"$dir/star") == 0 && states(s"$dir/prop") == 0)
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()

@@ -138,4 +138,20 @@ class ScalarQuantSpec extends SparkSpec {
     assert(math.abs(est - truth) < 0.25,
       s"KMV Jaccard estimate $est too far from $truth")
   }
+
+  test("kmvPairOverlap refuses a quadratic group fan-out, naming the cost") {
+    // 5 "groups" against maxGroups=3: the guard fires at plan time
+    // with the pair count spelled out, instead of an OOM at execution
+    val df = (0 until 5).flatMap(g => (0 until 4).map(i => (s"g$g", s"k$g-$i")))
+      .toDF("g", "k")
+    val sk = Sketches.bottomKByGroup(df, "g", col("k"), k = 8)
+    val e = intercept[IllegalArgumentException] {
+      Sketches.kmvPairOverlap(sk, "g", k = 8, maxGroups = 3)
+    }
+    assert(e.getMessage.contains("5 groups") &&
+      e.getMessage.contains("quadratic"), e.getMessage)
+    // raising the bound explicitly is the sanctioned path
+    assert(Sketches.kmvPairOverlap(sk, "g", k = 8, maxGroups = 5)
+      .count() == 10L)
+  }
 }

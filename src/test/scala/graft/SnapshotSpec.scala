@@ -143,4 +143,59 @@ class SnapshotSpec extends SparkSpec {
     assert(names(1L) == "FRESH", s"post-cut event did not apply: $names")
     assert(names(0L) != "STALE", s"pre-cut event replayed over the snapshot: $names")
   }
+
+  test("JDBC basebackup: partitioned parallel copy from a live database (S5)") {
+    // embedded Derby = a real JDBC database in-process (ships with the
+    // Spark distribution), so the spark.read.jdbc range-partitioned
+    // copy — SURVEY §2.1 S5's promised form, the ctid%P analog — is a
+    // TESTED path, not a doc claim, in a zero-egress sandbox
+    val url = "jdbc:derby:memory:snapjdbc;create=true"
+    val props = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate(
+        "CREATE TABLE customer (c_custkey BIGINT PRIMARY KEY, " +
+          "c_name VARCHAR(30), c_acctbal DOUBLE)")
+      st.executeUpdate(
+        "CREATE TABLE empty_t (e_key BIGINT PRIMARY KEY, e_val VARCHAR(10))")
+      val ins = conn.prepareStatement("INSERT INTO customer VALUES (?, ?, ?)")
+      (1 to 100).foreach { i =>
+        ins.setLong(1, i.toLong); ins.setString(2, s"cust$i")
+        ins.setDouble(3, i * 1.5); ins.addBatch()
+      }
+      ins.executeBatch()
+
+      val cid = TableId("srcdb", "public", "customer")
+      val eid = TableId("srcdb", "public", "empty_t")
+      val cSpec = Snapshot.JdbcTableSpec(cid, Seq("c_custkey"),
+        "customer", "c_custkey", numPartitions = 4)
+      val eSpec = Snapshot.JdbcTableSpec(eid, Seq("e_key"),
+        "empty_t", "e_key", numPartitions = 4)
+
+      // the copy IS parallel: 4 concurrent range scans over the
+      // partition column; an empty table falls back to 1 partition
+      assert(Snapshot.jdbcSource(spark, url, props, cSpec)
+        .rdd.getNumPartitions == 4)
+      assert(Snapshot.jdbcSource(spark, url, props, eSpec)
+        .rdd.getNumPartitions == 1)
+
+      val root = Files.createTempDirectory("snap-jdbc-").toString
+      val store = new TableStore(spark, root)
+      val registry = new SchemaRegistry
+      val report = Snapshot.basebackupJdbc(spark, url, props,
+        Seq(cSpec, eSpec), registry, store, root, 0xB0000000FL,
+        validatePk = true)
+      assert(report.tables.map(t => t.id.table -> t.rows).toMap ==
+        Map("customer" -> 100L, "empty_t" -> 0L))
+      // rows arrived intact through the partitioned copy
+      val got = store.read(cid)
+      assert(got.count() == 100L)
+      assert(got.agg(sum(col("c_acctbal"))).head().getDouble(0) == 7575.0)
+      assert(registry(cid).pkCols == Seq("c_custkey"))
+      // the LSN pin hands off to the stream engine exactly like the
+      // parquet path
+      assert(Snapshot.readStartLsn(root).contains(0xB0000000FL))
+    } finally conn.close()
+  }
 }
