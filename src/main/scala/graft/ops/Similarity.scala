@@ -234,6 +234,43 @@ object Similarity {
       .drop("__n_exact")
   }
 
+  /** Semantic decontamination — the EMBEDDING sibling of the text
+    * decontam ops ([[Dedup]]'s exact shingle containment and fuzzy
+    * Jaccard forms): flag corpus documents whose embedding scores
+    * ≥ `threshold` cosine against ANY benchmark vector. This is the
+    * leakage class n-grams structurally miss — paraphrases,
+    * translations, and format-shuffled copies of eval items share
+    * almost no shingles but sit next to the benchmark in embedding
+    * space.
+    *
+    * Scale shape: benchmark/eval sets are SMALL by construction
+    * (10²–10⁵ items), so the benchmark side BROADCASTS and the corpus
+    * is touched in one narrow pass — no shuffle of the corpus at all;
+    * the per-doc winner is a map-side-combinable min_by aggregate
+    * keyed by the doc id. For a benchmark too large to broadcast,
+    * compose [[assignCells]] probing (the [[hardNegatives]] candidate
+    * shape) instead of this cross-join form.
+    *
+    * @return flagged docs only: (id, bench_id, n_matches) — bench_id
+    *         is the best match (highest cosine, ties → lowest id),
+    *         n_matches the number of benchmark vectors ≥ threshold
+    */
+  def semanticContamination(corpus: DataFrame, idCol: String, vecCol: String,
+      bench: DataFrame, benchIdCol: String, benchVecCol: String,
+      threshold: Double): DataFrame = {
+    val b = broadcast(bench.select(col(benchIdCol).as("bench_id"),
+      col(benchVecCol).as("bvec")))
+    corpus.select(col(idCol).as("id"), col(vecCol).as("cvec"))
+      .crossJoin(b)
+      .withColumn("cos", cosine(col("cvec"), col("bvec")))
+      .filter(col("cos") >= threshold)
+      .groupBy(col("id"))
+      .agg(
+        min_by(col("bench_id"),
+          struct((-col("cos")).as("nc"), col("bench_id"))).as("bench_id"),
+        count(lit(1)).as("n_matches"))
+  }
+
   /** Hard-negative mining — the contrastive-training data-prep op
     * (DPR / SimCSE pipelines): for each anchor, the `k` most similar
     * corpus vectors whose LABEL DIFFERS — maximally confusable

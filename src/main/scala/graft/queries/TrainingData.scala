@@ -1854,6 +1854,48 @@ object TrainingData {
         FROM pairs WHERE jaccard >= 0.7)
       WHERE rn = 1 ORDER BY doc_id"""))
 
+  /** Semantic decontamination
+    * ([[graft.ops.Similarity.semanticContamination]]): the embedding
+    * sibling of td_decontam/td_fuzzy_decontam — catches the leakage
+    * class n-grams structurally miss (paraphrase, translation, format
+    * shuffle). Benchmark = 15 verbatim vector copies re-id'd above
+    * 5000, so every contaminated doc scores cosine ≈ 1.0 against its
+    * copy while the fixture's organic pairs top out ~0.51 — both far
+    * from the 0.8 threshold, immune to cross-engine float divergence
+    * (the td_embedding_neardup disposition; `cos` itself is excluded
+    * from the output). Each flagged doc has exactly one match, so the
+    * best-match tie-break never rides on float ordering. */
+  val td_semantic_decontam = GraftQuery(
+    "td_semantic_decontam",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"))
+      val corpus = e.filter(col("vec_id") < 400)
+      val bench = e.filter(col("vec_id") < 100 &&
+          pmod(col("vec_id"), lit(7)) === 0)
+        .select((col("vec_id") + 5000L).as("bench_id"),
+          col("embedding").as("bvec"))
+      Similarity.semanticContamination(corpus, "vec_id", "embedding",
+          bench, "bench_id", "bvec", threshold = 0.8)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH bench AS (
+        SELECT vec_id + 5000 AS bench_id, embedding FROM embeddings
+        WHERE vec_id < 100 AND vec_id % 7 = 0),
+      m AS (
+        SELECT c.vec_id AS doc_id, b.bench_id,
+          list_cosine_similarity(c.embedding, b.embedding) AS cos
+        FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 400) c
+        CROSS JOIN bench b)
+      SELECT doc_id, bench_id, n_matches FROM (
+        SELECT doc_id, bench_id,
+          CAST(COUNT(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_matches,
+          row_number() OVER (PARTITION BY doc_id
+            ORDER BY cos DESC, bench_id) AS rn
+        FROM m WHERE cos >= 0.8)
+      WHERE rn = 1 ORDER BY doc_id"""))
+
   /** Gopher line-level repetition
     * ([[graft.ops.TextAnalysis.lineRepetitionSignals]]): documents
     * get newline structure planted from substrings — the third line
@@ -3608,6 +3650,7 @@ object TrainingData {
     td_dup_spans, td_dup_span_removal, td_lm_bigram, td_gopher_quality,
     td_source_cap, td_fold_accents, td_edit_neardup, td_fuzzy_decontam,
     td_line_repetition, td_c4_clean, td_blocklist_scrub,
+    td_semantic_decontam,
     td_heavy_hitters, td_hll_registers, td_hll_by_source,
     td_pipeline_e2e, td_hashed_tf, td_tfidf, td_bm25, td_hybrid_rrf,
     td_dedup_components, td_cc_largestar, td_dedup_survivors, td_dedup_best,

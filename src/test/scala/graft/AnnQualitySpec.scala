@@ -169,6 +169,27 @@ class AnnQualitySpec extends SparkSpec {
     assert(overlap >= 0.5, f"scheme agreement $overlap%.3f under floor")
   }
 
+  test("semanticContamination: threshold gates, best match wins, ties break on id") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)),   // matches bench 10/12 at cos 1, 11 at ~.995
+      (2L, Array(0.0f, 1.0f)),   // orthogonal to every bench vector
+      (3L, Array(0.9f, 0.1f))    // near [1,0]: above threshold vs 10/11/12
+    ).toDF("vec_id", "embedding")
+    val bench = Seq(
+      (10L, Array(1.0f, 0.0f)),
+      (11L, Array(0.9f, 0.1f)),
+      (12L, Array(2.0f, 0.0f))   // same DIRECTION as 10 → equal cosine
+    ).toDF("bench_id", "bvec")
+    val r = Similarity.semanticContamination(corpus, "vec_id", "embedding",
+        bench, "bench_id", "bvec", threshold = 0.9)
+      .orderBy("id").as[(Long, Long, Long)].collect().toSeq
+    // doc 1: cos 1.0 vs both 10 and 12 (equal) → lowest id 10, 3 matches
+    // doc 2: nothing ≥ 0.9 → absent
+    // doc 3: best is its own direction (bench 11, cos 1.0), 3 matches
+    assert(r == Seq((1L, 10L, 3L), (3L, 11L, 3L)), r.toString)
+  }
+
   test("recallAtK: a query with fewer than k exact neighbors can still reach 10⁶") {
     import spark.implicits._
     // query 1 has only 3 true neighbors (corpus smaller than k+1);
