@@ -239,6 +239,18 @@ object Sampling {
   def hashedNgramTf(docs: DataFrame, idCol: String, textCol: String,
                     dim: Int): DataFrame =
     docs
+      .select(col(idCol).as("id"),
+        explode(graft.plans.NativeCols.hashedGramBuckets(
+          col(textCol), dim, bigrams = true)).as("pos"))
+      .groupBy(col("id"), col("pos"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Fold-form twin of [[hashedNgramTf]] — the spec's equivalence
+    * reference (the production path is one compiled pass per doc;
+    * this form pays an interpreted `transform` lambda per bigram). */
+  private[graft] def hashedNgramTfFold(docs: DataFrame, idCol: String,
+      textCol: String, dim: Int): DataFrame =
+    docs
       .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= 1)
       .select(col("id"), explode(concat(col("toks"),

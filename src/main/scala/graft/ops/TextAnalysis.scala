@@ -494,6 +494,19 @@ object TextAnalysis {
     */
   def hashedTf(docs: DataFrame, idCol: String, textCol: String,
                dim: Int): DataFrame =
+    docs
+      .select(col(idCol).as("id"),
+        explode(graft.plans.NativeCols.hashedGramBuckets(
+          col(textCol), dim, bigrams = false)).as("pos"))
+      .groupBy(col("id"), col("pos"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Fold-form twin of [[hashedTf]] — the spec's equivalence
+    * reference ([[graft.plans.HashedGramBucketsExpression]] is the
+    * production path: one compiled pass instead of explode-per-token
+    * through the md5 Column chain). */
+  private[graft] def hashedTfFold(docs: DataFrame, idCol: String,
+      textCol: String, dim: Int): DataFrame =
     docs.filter(length(trim(col(textCol))) > 0)
       .select(col(idCol).as("id"),
         explode(tokens(col(textCol))).as("t"))

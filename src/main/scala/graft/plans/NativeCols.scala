@@ -37,4 +37,9 @@ object NativeCols {
   def cdcChunks(text: Column, window: Int, divisor: Int,
       useMd5: Boolean): Column =
     cl(CdcChunksExpression(ex(text), window, divisor, useMd5))
+
+  /** Codegen hashed-gram feature buckets
+    * (see [[HashedGramBucketsExpression]]). */
+  def hashedGramBuckets(text: Column, dim: Int, bigrams: Boolean): Column =
+    cl(HashedGramBucketsExpression(ex(text), dim, bigrams))
 }

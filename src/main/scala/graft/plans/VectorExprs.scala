@@ -331,6 +331,48 @@ object VectorOps {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Hashed-gram feature buckets (see
+    * [[graft.ops.Sampling.hashedNgramTf]] /
+    * [[graft.ops.TextAnalysis.hashedTf]]) as ONE compiled pass per
+    * document: tokenize (the [[wordShingles]] tokenization — SQL
+    * space-only trim, regex split keeping boundary empties), then
+    * emit md5-hex60 mod `dim` bucket ids for every unigram and — when
+    * `bigrams` — every adjacent bigram ("a b"). Bit-identical to the
+    * fold form's `pmod(conv(substring(md5(g),1,15),16,10), dim)`
+    * chain, without the interpreted `transform` lambda that built
+    * bigram strings one slice at a time. Duplicates kept (they ARE
+    * the term frequencies); empty text → empty array (explode drops
+    * the doc, matching the fold's `size >= 1` filter). */
+  def hashedGramBuckets(s: UTF8String, dim: Int, bigrams: Boolean): ArrayData = {
+    val raw = s.toString
+    var b0 = 0
+    var e = raw.length
+    while (b0 < e && raw.charAt(b0) == ' ') b0 += 1
+    while (e > b0 && raw.charAt(e - 1) == ' ') e -= 1
+    val str = raw.substring(b0, e)
+    val toks: Array[String] =
+      if (str.isEmpty) Array.empty else wsPattern.split(str, -1)
+    val n = toks.length
+    val nb = if (bigrams && n >= 2) n - 1 else 0
+    val out = new Array[Any](n + nb)
+    val md = md5Local.get()
+    def bucket(g: String): Integer = {
+      md.reset()
+      md.update(g.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val d = md.digest()
+      var h = 0L
+      var k = 0
+      while (k < 7) { h = (h << 8) | (d(k) & 0xFFL); k += 1 }
+      h = (h << 4) | ((d(7) & 0xFF) >>> 4)
+      Integer.valueOf((h % dim).toInt)
+    }
+    var i = 0
+    while (i < n) { out(i) = bucket(toks(i)); i += 1 }
+    var j = 0
+    while (j < nb) { out(n + j) = bucket(toks(j) + " " + toks(j + 1)); j += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   private[plans] def elemFloat(dt: DataType, name: String): Boolean = dt match {
     case ArrayType(FloatType, _) => true
     case ArrayType(DoubleType, _) => false
@@ -551,4 +593,36 @@ final case class CdcChunksExpression(child: Expression, window: Int,
 object CdcChunksExpression {
   val info: ExpressionInfo = new ExpressionInfo(
     classOf[CdcChunksExpression].getName, "cdc_chunks")
+}
+
+/** `hashed_gram_buckets(text, dim, bigrams)`: codegen hashed-feature
+  * bucket ids — array<int>, duplicates kept (term frequencies). */
+final case class HashedGramBucketsExpression(child: Expression, dim: Int,
+    bigrams: Boolean) extends UnaryExpression {
+
+  require(dim >= 1, s"hashed_gram_buckets requires dim >= 1, got $dim")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"hashed_gram_buckets requires STRING input, got ${child.dataType.sql}")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    VectorOps.hashedGramBuckets(input.asInstanceOf[UTF8String], dim, bigrams)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.VectorOps.hashedGramBuckets($c, $dim, $bigrams)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "hashed_gram_buckets"
+}
+
+object HashedGramBucketsExpression {
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[HashedGramBucketsExpression].getName, "hashed_gram_buckets")
 }

@@ -224,6 +224,29 @@ class VectorExprsSpec extends SparkSpec {
       "post-boundary chunks must survive a prefix shift")
   }
 
+  test("hashed_gram_buckets ≡ fold TF forms, incl whitespace quirks and empty docs") {
+    import graft.ops.{Sampling, TextAnalysis}
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val texts = Seq(
+      "", "   ", "one", "a b", "a b c",
+      "\ta b c\n",                 // boundary non-space whitespace →
+      " \t mixed   runs \n ",      // empty tokens must hash identically
+      "dup dup dup dup",
+      (0 until 300).map(i => s"w${i % 13}").mkString(" "),
+      (0 until 500).map(_ => rnd.alphanumeric.take(5).mkString).mkString(" "))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val docs = texts.toDF("doc_id", "text")
+    for (dim <- Seq(16, 64)) {
+      def rel(df: org.apache.spark.sql.DataFrame) =
+        df.as[(Long, Int, Long)].collect().toSeq.sorted
+      assert(rel(TextAnalysis.hashedTf(docs, "doc_id", "text", dim)) ==
+        rel(TextAnalysis.hashedTfFold(docs, "doc_id", "text", dim)), s"uni dim=$dim")
+      assert(rel(Sampling.hashedNgramTf(docs, "doc_id", "text", dim)) ==
+        rel(Sampling.hashedNgramTfFold(docs, "doc_id", "text", dim)), s"bi dim=$dim")
+    }
+  }
+
   test("native expressions survive whole-stage codegen in a real plan") {
     import spark.implicits._
     // force the codegen path (not interpreted fallback eval) by going
