@@ -125,8 +125,17 @@ object Bpe {
       w => symbols(applyMerges(symbolize(w), merges))))
 
   /** Token count under the trained tokenizer (the number that sizes
-    * a training mix): sum of per-word BPE token counts. */
+    * a training mix): sum of per-word BPE token counts. Native
+    * one-pass expression ([[graft.plans.BpeTokenCountExpression]]) —
+    * the fold form below pays an interpreted lambda per word plus one
+    * per character; BpeSpec proves native ≡ fold. */
   def tokenCount(text: Column, merges: Seq[(String, String)]): Column =
+    graft.plans.NativeCols.bpeTokenCount(text, merges)
+
+  /** Fold-form twin of [[tokenCount]] — the spec's equivalence
+    * reference. */
+  private[graft] def tokenCountFold(text: Column,
+      merges: Seq[(String, String)]): Column =
     aggregate(
       transform(TextAnalysis.tokens(text),
         w => size(symbols(applyMerges(symbolize(w), merges)))),

@@ -42,4 +42,8 @@ object NativeCols {
     * (see [[HashedGramBucketsExpression]]). */
   def hashedGramBuckets(text: Column, dim: Int, bigrams: Boolean): Column =
     cl(HashedGramBucketsExpression(ex(text), dim, bigrams))
+
+  /** Codegen BPE token count (see [[BpeTokenCountExpression]]). */
+  def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column =
+    cl(BpeTokenCountExpression(ex(text), merges))
 }

@@ -626,3 +626,93 @@ object HashedGramBucketsExpression {
   val info: ExpressionInfo = new ExpressionInfo(
     classOf[HashedGramBucketsExpression].getName, "hashed_gram_buckets")
 }
+
+/** `bpe_token_count(text)`: codegen BPE token count under a fixed
+  * merge list — the native form of
+  * `aggregate(transform(tokens, w => size(symbols(applyMerges(…)))))`
+  * ([[graft.ops.Bpe.tokenCount]]), which evaluates an interpreted
+  * lambda per WORD and another per CHARACTER. One compiled pass per
+  * document: tokenize (the shared SQL-trim/split tokenization), wrap
+  * each word's code points in U+0001 separators, run the literal
+  * boundary-safe replace chain (Java `String.replace` = SQL `replace`:
+  * all occurrences, left-to-right non-overlapping), and count symbols
+  * with the same split semantics as the fold form (trailing empties
+  * kept — degenerate empty words count 2, exactly like the fold's
+  * `sequence(1,0)` quirk). The merge list rides on the expression
+  * instance (codegen references it via `addReferenceObj`). */
+final case class BpeTokenCountExpression(child: Expression,
+    merges: Seq[(String, String)]) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bpe_token_count requires STRING input, got ${child.dataType.sql}")
+
+  override def dataType: DataType = IntegerType
+
+  private val SEP = "\u0001"
+  @transient private lazy val pats: Array[String] =
+    merges.map { case (l, r) => SEP + l + SEP + SEP + r + SEP }.toArray
+  @transient private lazy val reps: Array[String] =
+    merges.map { case (l, r) => SEP + l + r + SEP }.toArray
+  @transient private lazy val wsPattern =
+    java.util.regex.Pattern.compile("\\s+")
+  @transient private lazy val sepSep =
+    java.util.regex.Pattern.compile(SEP + SEP)
+
+  /** One document's BPE token count — called from both eval and the
+    * generated code. */
+  def count(s: UTF8String): Int = {
+    val raw = s.toString
+    var b = 0
+    var e = raw.length
+    while (b < e && raw.charAt(b) == ' ') b += 1
+    while (e > b && raw.charAt(e - 1) == ' ') e -= 1
+    val str = raw.substring(b, e)
+    val toks: Array[String] =
+      if (str.isEmpty) Array.empty else wsPattern.split(str, -1)
+    var total = 0
+    var w = 0
+    while (w < toks.length) {
+      val word = toks(w)
+      val sb = new java.lang.StringBuilder(word.length * 3 + 2)
+      sb.append(SEP)
+      if (word.isEmpty) sb.append(SEP).append(SEP) // the sequence(1,0) quirk
+      else {
+        var i = 0
+        var first = true
+        while (i < word.length) {
+          val cp = word.codePointAt(i)
+          if (!first) sb.append(SEP).append(SEP)
+          sb.appendCodePoint(cp)
+          first = false
+          i += Character.charCount(cp)
+        }
+      }
+      sb.append(SEP)
+      var merged = sb.toString
+      var m = 0
+      while (m < pats.length) {
+        merged = merged.replace(pats(m), reps(m))
+        m += 1
+      }
+      total += sepSep.split(merged.substring(1, merged.length - 1), -1).length
+      w += 1
+    }
+    total
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    count(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeTokenCount", this,
+      classOf[BpeTokenCountExpression].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.count($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "bpe_token_count"
+}

@@ -97,4 +97,23 @@ class BpeSpec extends SparkSpec {
       assert(n < chars, "trained merges should compress below char count")
     }
   }
+
+  test("native tokenCount ≡ fold form, incl degenerate whitespace and multi-byte") {
+    import spark.implicits._
+    val merges = Seq("t" -> "h", "th" -> "e", "a" -> "n", "an" -> "a")
+    val texts = Seq(
+      "", "   ", "the theatre is near the lane",
+      "banana anna than", "a", "aa ana anana",
+      "\tthe\nthing",            // boundary non-space whitespace →
+      " \t weird   runs \n ",    // empty tokens hit the sequence(1,0) quirk
+      "héllo thé 日本 😀then")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val got = texts.toDF("id", "text").select(
+      Bpe.tokenCount(col("text"), merges).as("native"),
+      Bpe.tokenCountFold(col("text"), merges).as("fold"))
+      .as[(Int, Int)].collect()
+    got.zip(texts).foreach { case ((n, f), (_, t)) =>
+      assert(n == f, s"text='$t': native=$n fold=$f")
+    }
+  }
 }
