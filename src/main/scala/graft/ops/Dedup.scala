@@ -899,13 +899,12 @@ object Dedup {
       .withColumn("n_tokens", size(col("toks")))
 
     // grams feeds BOTH the corpus-wide count and the span probe —
-    // materialize once (the two-branch recompute landmine)
-    val grams = base
-      .filter(col("n_tokens") >= n)
-      .select(col("id"),
-        posexplode(transform(
-          sequence(lit(0), col("n_tokens") - n),
-          i => concat_ws(" ", slice(col("toks"), i + 1, lit(n)))))
+    // materialize once (the two-branch recompute landmine). Native
+    // one-pass gram builder (a doc under n tokens yields an empty
+    // array → posexplode drops it, ≡ the old n_tokens >= n filter).
+    val grams = docs
+      .select(col(idCol).as("id"),
+        posexplode(graft.plans.NativeCols.positionedGrams(col(textCol), n))
           .as(Seq("pos", "gram")))
       .localCheckpoint(eager = false)
 
@@ -956,12 +955,10 @@ object Dedup {
     val base = docs
       .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("toks"))
       .withColumn("n_tokens", size(col("toks")))
-    val grams = base
-      .filter(col("n_tokens") >= n)
-      .select(col("id"),
-        posexplode(transform(
-          sequence(lit(0), col("n_tokens") - n),
-          i => concat_ws(" ", slice(col("toks"), i + 1, lit(n)))))
+    // native one-pass gram builder (see duplicatedSpans)
+    val grams = docs
+      .select(col(idCol).as("id"),
+        posexplode(graft.plans.NativeCols.positionedGrams(col(textCol), n))
           .as(Seq("pos", "gram")))
       .localCheckpoint(eager = false)
     val dupGrams = grams

@@ -46,4 +46,9 @@ object NativeCols {
   /** Codegen BPE token count (see [[BpeTokenCountExpression]]). */
   def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column =
     cl(BpeTokenCountExpression(ex(text), merges))
+
+  /** Codegen positioned word n-grams
+    * (see [[PositionedGramsExpression]]). */
+  def positionedGrams(text: Column, n: Int): Column =
+    cl(PositionedGramsExpression(ex(text), n))
 }

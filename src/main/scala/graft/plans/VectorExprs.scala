@@ -121,6 +121,35 @@ object VectorOps {
     }
   }
 
+  /** Word n-grams in POSITION order, duplicates kept — one gram per
+    * start position (the [[graft.ops.Dedup.duplicatedSpans]] feed:
+    * `posexplode` over this yields the (pos, gram) pairs the
+    * span-merge needs). Same tokenization as [[wordShingles]]; fewer
+    * than `n` tokens → empty array (callers' `n_tokens >= n` filter
+    * becomes explode-of-empty). One compiled loop instead of an
+    * interpreted `transform` lambda per position. */
+  def positionedGrams(s: UTF8String, n: Int): ArrayData = {
+    val raw = s.toString
+    var b = 0
+    var e = raw.length
+    while (b < e && raw.charAt(b) == ' ') b += 1
+    while (e > b && raw.charAt(e - 1) == ' ') e -= 1
+    val str = raw.substring(b, e)
+    val toks: Array[String] =
+      if (str.isEmpty) Array.empty else wsPattern.split(str, -1)
+    if (toks.length < n) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](toks.length - n + 1)
+    var i = 0
+    while (i <= toks.length - n) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Per-document repetition stats (the Gopher-style repetition
     * filters): `top_bigram_frac` = occurrences of the most frequent
     * word bigram / total bigrams, `dup_trigram_frac` = fraction of
@@ -625,6 +654,37 @@ final case class HashedGramBucketsExpression(child: Expression, dim: Int,
 object HashedGramBucketsExpression {
   val info: ExpressionInfo = new ExpressionInfo(
     classOf[HashedGramBucketsExpression].getName, "hashed_gram_buckets")
+}
+
+/** `positioned_grams(text, n)`: codegen word n-grams in position
+  * order, duplicates kept. */
+final case class PositionedGramsExpression(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  require(n >= 1, s"positioned_grams requires n >= 1, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"positioned_grams requires STRING input, got ${child.dataType.sql}")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    VectorOps.positionedGrams(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.VectorOps.positionedGrams($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "positioned_grams"
+}
+
+object PositionedGramsExpression {
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[PositionedGramsExpression].getName, "positioned_grams")
 }
 
 /** `bpe_token_count(text)`: codegen BPE token count under a fixed

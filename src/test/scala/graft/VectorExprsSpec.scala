@@ -247,6 +247,34 @@ class VectorExprsSpec extends SparkSpec {
     }
   }
 
+  test("positioned_grams ≡ transform-sequence fold, one gram per position") {
+    import graft.ops.TextAnalysis
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val texts = Seq("", "   ", "one two", "a b c d e f",
+      "\tx y z w v\n", " padded   runs  here again ok ",
+      (0 until 400).map(i => s"t${i % 9}").mkString(" "))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) } ++
+      (10L to 15L).map(i =>
+        (i, (0 until 50).map(_ => rnd.alphanumeric.take(4).mkString).mkString(" ")))
+    val docs = texts.toDF("id", "text")
+    for (n <- Seq(3, 5)) {
+      val native = docs.select(col("id"),
+        posexplode(graft.plans.NativeCols.positionedGrams(col("text"), n))
+          .as(Seq("pos", "gram")))
+        .as[(Long, Int, String)].collect().toSeq.sorted
+      val fold = docs
+        .select(col("id"), TextAnalysis.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= n)
+        .select(col("id"), posexplode(transform(
+          sequence(lit(0), size(col("toks")) - n),
+          i => concat_ws(" ", slice(col("toks"), i + 1, lit(n)))))
+          .as(Seq("pos", "gram")))
+        .as[(Long, Int, String)].collect().toSeq.sorted
+      assert(native == fold, s"n=$n")
+    }
+  }
+
   test("native expressions survive whole-stage codegen in a real plan") {
     import spark.implicits._
     // force the codegen path (not interpreted fallback eval) by going
