@@ -331,8 +331,19 @@ object Dedup {
     * of md5 → bigint). Slower to hash than xxhash64, but md5 exists in
     * every engine, so the full simhash value is oracle-checkable —
     * the portability/speed trade both variants document.
-    */
+    *
+    * Native one-pass expression ([[graft.plans.SimHashMd5Expression]]):
+    * a NARROW MAP — the explode + 60-bit-sum groupBy twin below
+    * shuffles one row per token just to compute a per-doc value.
+    * OpsSpec proves native ≡ shuffle form value-for-value. */
   def simhashMd5Df(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+      graft.plans.NativeCols.simhashMd5(col(textCol)).as("simhash"))
+
+  /** Shuffle-form twin of [[simhashMd5Df]] — the spec's equivalence
+    * reference. */
+  private[graft] def simhashMd5DfFold(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
     simhashOver(docs, idCol, textCol,
       t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"), bits = 60)
 

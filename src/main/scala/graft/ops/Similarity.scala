@@ -431,34 +431,25 @@ object Similarity {
                  numPlanes: Int = 8, numTables: Int = 8,
                  probes: Int = 2): DataFrame = {
     require(numPlanes < 63, "bucket bits must fit a long")
-    val qv = transform(col(vecCol),
-      x => floor(x.cast("double") * 1000).cast("long"))
-
-    def tableKeys(quant: Column): Column =
-      array((0 until numTables).map { t =>
-        val bits = (0 until numPlanes).map { p =>
-          val plane = typedlit((0 until dim).map(j => md5PlaneComp(t, p, j)))
-          val dot = aggregate(
-            zip_with(quant, plane, (x, y) => x * y), lit(0L), _ + _)
-          when(dot > 0, lit(1L << p)).otherwise(lit(0L))
-        }.reduce(_ + _)
-        struct(lit(t).as("t"), bits.as("b"))
-      }: _*)
+    // native one-pass bucketing (graft.plans.Md5LshKeysExpression):
+    // the fold form below evaluated numTables×numPlanes interpreted
+    // aggregate(zip_with) folds per vector; VectorExprsSpec proves
+    // native ≡ fold bucket-for-bucket
+    val keys = graft.plans.NativeCols.md5LshKeys(
+      col(vecCol), dim, numPlanes, numTables)
 
     val c = corpus.select(col(idCol).as("neighbor_id"),
-        col(vecCol).as("cvec"), explode(tableKeys(qv)).as("tk"))
-      .select(col("tk.t").as("t"), col("tk.b").as("bucket"),
-        col("neighbor_id"), col("cvec"))
+        col(vecCol).as("cvec"), posexplode(keys).as(Seq("t", "bucket")))
+      .select(col("t"), col("bucket"), col("neighbor_id"), col("cvec"))
     // multi-probe: each query also looks in the single-bit-flip
     // buckets of its own — same recall lever as [[lshTopK]]'s probes
     val q = queries.select(col(idCol).as("query_id"),
-        col(vecCol).as("qvec"), explode(tableKeys(qv)).as("tk"))
+        col(vecCol).as("qvec"), posexplode(keys).as(Seq("t", "b0")))
       .withColumn("bucket", explode(array_distinct(array(
-        (col("tk.b") +:
+        (col("b0") +:
           (0 until probes).map(p =>
-            col("tk.b").bitwiseXOR(shiftleft(lit(1L), p)))): _*))))
-      .select(col("tk.t").as("t"), col("bucket"),
-        col("query_id"), col("qvec"))
+            col("b0").bitwiseXOR(shiftleft(lit(1L), p)))): _*))))
+      .select(col("t"), col("bucket"), col("query_id"), col("qvec"))
 
     val scored = q.join(c, Seq("t", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -471,5 +462,20 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
+  /** Fold-form twin of the native md5-LSH bucketing — the spec's
+    * equivalence reference (array of per-table bucket longs). */
+  private[graft] def lshTableKeysMd5Fold(vec: Column, dim: Int,
+      numPlanes: Int, numTables: Int): Column = {
+    val quant = transform(vec, x => floor(x.cast("double") * 1000).cast("long"))
+    array((0 until numTables).map { t =>
+      (0 until numPlanes).map { p =>
+        val plane = typedlit((0 until dim).map(j => md5PlaneComp(t, p, j)))
+        val dot = aggregate(
+          zip_with(quant, plane, (x, y) => x * y), lit(0L), _ + _)
+        when(dot > 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
   }
 }

@@ -268,18 +268,17 @@ object TextAnalysis {
     */
   def bigramLmScore(docs: org.apache.spark.sql.DataFrame,
                     idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
-    val base = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
-    // (id, w1, bigram) with multiplicity — feeds counts AND the probe
-    val bi = base
-      .filter(size(col("toks")) >= 2)
+    val base = docs.select(col(idCol).as("id"))
+    // (id, w1, bigram) with multiplicity — feeds counts AND the probe.
+    // Native one-pass gram builder; w1 recovers as the prefix before
+    // the gram's separating space (tokens never contain whitespace, so
+    // substring_index is exact — incl. empty boundary tokens).
+    val bi = docs
+      .select(col(idCol).as("id"),
+        explode(graft.plans.NativeCols.positionedGrams(col(textCol), 2))
+          .as("bg"))
       .select(col("id"),
-        explode(transform(
-          sequence(lit(0), size(col("toks")) - 2),
-          i => struct(
-            element_at(col("toks"), i + 1).as("w1"),
-            concat_ws(" ", slice(col("toks"), i + 1, lit(2))).as("bg"))))
-          .as("p"))
-      .select(col("id"), col("p.w1").as("w1"), col("p.bg").as("bg"))
+        substring_index(col("bg"), " ", 1).as("w1"), col("bg"))
       .localCheckpoint(eager = false)
     val bigramCounts = bi.groupBy(col("bg")).agg(count(lit(1)).as("cbg"))
     val firstCounts = bi.groupBy(col("w1")).agg(count(lit(1)).as("cw1"))

@@ -51,4 +51,13 @@ object NativeCols {
     * (see [[PositionedGramsExpression]]). */
   def positionedGrams(text: Column, n: Int): Column =
     cl(PositionedGramsExpression(ex(text), n))
+
+  /** Codegen md5-plane multi-table LSH keys
+    * (see [[Md5LshKeysExpression]]). */
+  def md5LshKeys(vec: Column, dim: Int, numPlanes: Int,
+      numTables: Int): Column =
+    cl(Md5LshKeysExpression(ex(vec), dim, numPlanes, numTables))
+
+  /** Codegen 60-bit md5 SimHash (see [[SimHashMd5Expression]]). */
+  def simhashMd5(text: Column): Column = cl(SimHashMd5Expression(ex(text)))
 }

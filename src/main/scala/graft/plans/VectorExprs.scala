@@ -121,6 +121,50 @@ object VectorOps {
     }
   }
 
+  /** 60-bit md5 SimHash of a document in ONE compiled pass — the
+    * native form of [[graft.ops.Dedup.simhashMd5Df]]'s
+    * explode + 60-bit-sum groupBy, which shuffles one row PER TOKEN
+    * just to compute a per-document value. Same definition exactly:
+    * tokens by the shared tokenization, per-token hash = first 15 hex
+    * chars of md5 as a long, bit i of the result = majority vote of
+    * bit i across token hashes (strict `2·ones > n`). Zero-token docs
+    * → 0 (null text handled at the expression level). A narrow map —
+    * no shuffle — which is the shape that matters when simhashing
+    * 100 TB. */
+  def simhashMd5(s: UTF8String): Long = {
+    val raw = s.toString
+    var b = 0
+    var e = raw.length
+    while (b < e && raw.charAt(b) == ' ') b += 1
+    while (e > b && raw.charAt(e - 1) == ' ') e -= 1
+    val str = raw.substring(b, e)
+    val toks: Array[String] =
+      if (str.isEmpty) Array.empty else wsPattern.split(str, -1)
+    if (toks.length == 0) return 0L
+    val ones = new Array[Int](60)
+    val md = md5Local.get()
+    var t = 0
+    while (t < toks.length) {
+      md.reset()
+      md.update(toks(t).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val d = md.digest()
+      var h = 0L
+      var k = 0
+      while (k < 7) { h = (h << 8) | (d(k) & 0xFFL); k += 1 }
+      h = (h << 4) | ((d(7) & 0xFF) >>> 4)
+      var i = 0
+      while (i < 60) { ones(i) += ((h >>> i) & 1L).toInt; i += 1 }
+      t += 1
+    }
+    var sim = 0L
+    var i = 0
+    while (i < 60) {
+      if (ones(i) * 2 > toks.length) sim |= (1L << i)
+      i += 1
+    }
+    sim
+  }
+
   /** Word n-grams in POSITION order, duplicates kept — one gram per
     * start position (the [[graft.ops.Dedup.duplicatedSpans]] feed:
     * `posexplode` over this yields the (pos, gram) pairs the
@@ -654,6 +698,124 @@ final case class HashedGramBucketsExpression(child: Expression, dim: Int,
 object HashedGramBucketsExpression {
   val info: ExpressionInfo = new ExpressionInfo(
     classOf[HashedGramBucketsExpression].getName, "hashed_gram_buckets")
+}
+
+/** `md5_lsh_keys(vec)`: codegen multi-table sign-LSH bucket keys with
+  * md5-derived integer planes — the native form of
+  * [[graft.ops.Similarity.lshTopKMd5]]'s `tableKeys` fold, which
+  * evaluated numTables × numPlanes interpreted `aggregate(zip_with)`
+  * folds per vector (4 096 lambda evals per row at 8×8×dim64).
+  * Semantics preserved exactly: elements quantize as
+  * `floor(double(x)·1000)`, plane component (t,p,j) is the first 15
+  * hex chars of md5("t,p,j") mod 1000001 − 500000, the dot is exact
+  * integer arithmetic, and a null element or a dim mismatch yields
+  * all-zero buckets (the fold's null-dot → otherwise-0 behavior).
+  * Returns `array<long>` of numTables buckets; `posexplode` supplies
+  * the table index. */
+final case class Md5LshKeysExpression(child: Expression, dim: Int,
+    numPlanes: Int, numTables: Int) extends UnaryExpression {
+
+  require(dim >= 1 && numPlanes >= 1 && numPlanes < 63 && numTables >= 1,
+    s"md5_lsh_keys: bad dims $dim/$numPlanes/$numTables")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"md5_lsh_keys requires array<float|double> input, got ${other.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private lazy val vFloat = VectorOps.elemFloat(child.dataType, "md5_lsh_keys")
+
+  // planes(t)(p)(j) — the md5PlaneComp chain, computed once per instance
+  @transient private lazy val planes: Array[Array[Array[Long]]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(numTables, numPlanes, dim) { (t, p, j) =>
+      val hex = md.digest(s"$t,$p,$j".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16) % 1000001L - 500000L
+    }
+  }
+
+  /** One vector's per-table buckets — called from eval and codegen. */
+  def keys(vec: ArrayData): ArrayData = {
+    val n = vec.numElements()
+    val out = new Array[Any](numTables)
+    var ok = n == dim
+    var j = 0
+    while (ok && j < n) { if (vec.isNullAt(j)) ok = false; j += 1 }
+    if (!ok) {
+      var t = 0
+      while (t < numTables) { out(t) = 0L; t += 1 }
+    } else {
+      val quant = new Array[Long](dim)
+      j = 0
+      while (j < dim) {
+        val x = if (vFloat) vec.getFloat(j).toDouble else vec.getDouble(j)
+        quant(j) = math.floor(x * 1000).toLong
+        j += 1
+      }
+      var t = 0
+      while (t < numTables) {
+        var bucket = 0L
+        var p = 0
+        while (p < numPlanes) {
+          val plane = planes(t)(p)
+          var dot = 0L
+          j = 0
+          while (j < dim) { dot += quant(j) * plane(j); j += 1 }
+          if (dot > 0) bucket |= (1L << p)
+          p += 1
+        }
+        out(t) = bucket
+        t += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    keys(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("md5LshKeys", this,
+      classOf[Md5LshKeysExpression].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.keys($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "md5_lsh_keys"
+}
+
+/** `simhash_md5(text)`: codegen 60-bit md5 SimHash, one pass per doc. */
+final case class SimHashMd5Expression(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"simhash_md5 requires STRING input, got ${child.dataType.sql}")
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    VectorOps.simhashMd5(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.VectorOps.simhashMd5($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "simhash_md5"
+}
+
+object SimHashMd5Expression {
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[SimHashMd5Expression].getName, "simhash_md5")
 }
 
 /** `positioned_grams(text, n)`: codegen word n-grams in position

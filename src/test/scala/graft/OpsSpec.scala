@@ -1179,6 +1179,31 @@ class OpsSpec extends SparkSpec {
     assert(out(4L) == ((2L, 2L, "")))
   }
 
+  test("simhashMd5Df native ≡ shuffle form, incl null/empty/whitespace docs") {
+    val rnd = new scala.util.Random(5)
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, ""), (4L, "   "), (5L, "\ta b\n"),
+      (6L, (0 until 300).map(_ => rnd.alphanumeric.take(6).mkString).mkString(" ")),
+      (7L, "dup dup dup dup dup"))
+      .toDF("doc_id", "text")
+      // a genuinely NULL text row (fold: NULL simhash)
+      .unionByName(Seq(Tuple1(3L)).toDF("doc_id")
+        .withColumn("text", org.apache.spark.sql.functions.lit(null)
+          .cast("string")))
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    val native = m(Dedup.simhashMd5Df(docs, "doc_id", "text"))
+    val fold = m(Dedup.simhashMd5DfFold(docs, "doc_id", "text"))
+    assert(native == fold, s"$native vs $fold")
+    assert(native(3L) == null && native(2L) == 0L)
+    // the native plan is a narrow map: no Exchange anywhere
+    val plan = Dedup.simhashMd5Df(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected shuffle-free plan:\n$plan")
+  }
+
   test("removeBoilerplateLines: adversarial hot key broadcasts, never a skewed shuffle join") {
     import org.apache.spark.sql.functions._
     // one line planted in EVERY doc — the by-construction hottest key;

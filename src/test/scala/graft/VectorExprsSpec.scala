@@ -275,6 +275,30 @@ class VectorExprsSpec extends SparkSpec {
     }
   }
 
+  test("md5_lsh_keys ≡ fold tableKeys bucket-for-bucket") {
+    import spark.implicits._
+    val dim = 16
+    val rows = (0 until 60).map(i => (i.toLong, seededVec(i, dim))) :+
+      (999L, Array.fill(dim)(0.0f)) // all-zero vector: every dot = 0 → bucket 0
+    val df = rows.toDF("id", "v")
+    for ((planes, tables) <- Seq((8, 8), (4, 3))) {
+      val got = df.select(col("id"),
+        graft.plans.NativeCols.md5LshKeys(col("v"), dim, planes, tables).as("n"),
+        graft.ops.Similarity.lshTableKeysMd5Fold(col("v"), dim, planes, tables).as("f"))
+        .as[(Long, Seq[Long], Seq[Long])].collect()
+      got.foreach { case (id, n, f) =>
+        assert(n == f, s"id=$id planes=$planes tables=$tables: $n vs $f")
+      }
+      // buckets actually spread (not degenerate)
+      assert(got.flatMap(_._2).distinct.length > 3)
+    }
+    // dim mismatch → all-zero buckets (the fold's null-dot behavior)
+    val short = Seq(Tuple1(Array(1.0f, 2.0f))).toDF("v")
+      .select(graft.plans.NativeCols.md5LshKeys(col("v"), dim, 8, 8).as("n"))
+      .as[Seq[Long]].collect().head
+    assert(short == Seq.fill(8)(0L))
+  }
+
   test("native expressions survive whole-stage codegen in a real plan") {
     import spark.implicits._
     // force the codegen path (not interpreted fallback eval) by going
