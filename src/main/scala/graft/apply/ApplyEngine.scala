@@ -39,8 +39,27 @@ object ApplyEngine {
     * patch-after-delete sequences — the batch analog of the
     * reference's affected-rows==1 assertion,
     * `replayer/connemara_replay.pl:417-421`).
-    */
-  def collapse(events: DataFrame): DataFrame = {
+    *
+    * The sort + fold run as ONE compiled call per key
+    * ([[graft.plans.CollapseEventsExpression]]) — the lambda form
+    * below evaluated an interpreted comparator per sort comparison
+    * and an interpreted step (with map_filter/map_concat rebuilds)
+    * per EVENT, on the engine's production replay loop.
+    * ApplyPropertySpec proves native ≡ fold on randomized batches. */
+  def collapse(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("key"))
+      .agg(graft.plans.NativeCols.collapseEvents(
+        collect_list(struct(col("ord"), col("op"), col("vals")))).as("fin"))
+      .select(
+        col("key"),
+        col("fin.st").as("st"),
+        col("fin.vals").as("vals"),
+        col("fin.viol").as("viol"))
+
+  /** Lambda-fold twin of [[collapse]] — the spec's equivalence
+    * reference. */
+  private[graft] def collapseFold(events: DataFrame): DataFrame = {
     val init = struct(
       lit("base").as("st"),
       map().cast(valsT).as("vals"),

@@ -60,4 +60,8 @@ object NativeCols {
 
   /** Codegen 60-bit md5 SimHash (see [[SimHashMd5Expression]]). */
   def simhashMd5(text: Column): Column = cl(SimHashMd5Expression(ex(text)))
+
+  /** Codegen per-key CDC event fold (see [[CollapseEventsExpression]]). */
+  def collapseEvents(events: Column): Column =
+    cl(CollapseEventsExpression(ex(events)))
 }

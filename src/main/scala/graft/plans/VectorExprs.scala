@@ -790,6 +790,189 @@ final case class Md5LshKeysExpression(child: Expression, dim: Int,
   override def prettyName: String = "md5_lsh_keys"
 }
 
+/** `collapse_events(events)`: codegen per-key CDC event fold — the
+  * native form of [[graft.apply.ApplyEngine.collapse]]'s
+  * `aggregate(array_sort(collect_list(…)), init, step)`, which
+  * evaluated an interpreted comparator per sort comparison and an
+  * interpreted step lambda (with `map_filter` + `map_concat` map
+  * rebuilds) per EVENT — on the CDC replay loop, the engine's
+  * production path. Semantics preserved exactly:
+  *  - events sort by their `ord` field under the SQL `<` ordering
+  *    with the fold's null-compares-equal quirk (a null ord returned
+  *    0 from the `when` comparator), via a stable sort — tie order is
+  *    collect_list order, same as `array_sort`;
+  *  - fold: `row` replaces, `del` tombstones (patch-after-delete
+  *    increments `viol`), first patch on `base` adopts the event map,
+  *    later patches overlay column-wise in `overwrite`'s exact entry
+  *    order (m1's surviving entries in order, then m2's);
+  *  - SQL null propagation: a null event map nulls the accumulated
+  *    map exactly where `map_filter`/`map_concat` would.
+  * Input: `array<struct<ord: any-orderable, op: string,
+  * vals: map<string,string>>>`; output
+  * `struct<st: string, vals: map<string,string>, viol: int>`. */
+final case class CollapseEventsExpression(child: Expression)
+    extends UnaryExpression {
+
+  private def elemType: StructType =
+    child.dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType]
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(st: StructType, _)
+        if st.length == 3 && st.fieldNames.sameElements(Seq("ord", "op", "vals")) &&
+          st(1).dataType == StringType &&
+          (st(2).dataType match {
+            case MapType(StringType, StringType, _) => true
+            case _ => false
+          }) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      "collapse_events requires array<struct<ord, op: string, " +
+        s"vals: map<string,string>>>, got ${other.sql}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("st", StringType, nullable = false),
+    StructField("vals", MapType(StringType, StringType), nullable = true),
+    StructField("viol", IntegerType, nullable = false)))
+
+  @transient private lazy val ordOrdering: Ordering[Any] =
+    org.apache.spark.sql.catalyst.util.TypeUtils
+      .getInterpretedOrdering(elemType.head.dataType)
+      .asInstanceOf[Ordering[Any]]
+  @transient private lazy val ordType = elemType.head.dataType
+  @transient private lazy val valsType =
+    elemType(2).dataType.asInstanceOf[MapType]
+
+  private val ROW = UTF8String.fromString("row")
+  private val DEL = UTF8String.fromString("del")
+  private val PATCH = UTF8String.fromString("patch")
+  private val BASE = UTF8String.fromString("base")
+
+  /** The fold, on one key's collected events. */
+  def fold(events: ArrayData): InternalRow = {
+    val n = events.numElements()
+    // copy out (ord, op, vals) — the backing UnsafeArrayData reuses
+    // its row cursor, so struct handles must be materialized
+    val ords = new Array[Any](n)
+    val ops = new Array[UTF8String](n)
+    val keys = new Array[Array[UTF8String]](n)   // null array = null map
+    val vals = new Array[Array[UTF8String]](n)
+    var i = 0
+    while (i < n) {
+      val e = events.getStruct(i, 3)
+      ords(i) = if (e.isNullAt(0)) null else e.get(0, ordType)
+      ops(i) = e.getUTF8String(1)
+      if (e.isNullAt(2)) { keys(i) = null; vals(i) = null }
+      else {
+        val m = e.getMap(2)
+        val mn = m.numElements()
+        val ka = new Array[UTF8String](mn)
+        val va = new Array[UTF8String](mn)
+        var j = 0
+        while (j < mn) {
+          // clone: these strings can flow into the RETURNED map, and
+          // unsafe-backed inputs may reuse their buffer after eval
+          ka(j) = m.keyArray().getUTF8String(j).clone()
+          va(j) = if (m.valueArray().isNullAt(j)) null
+            else m.valueArray().getUTF8String(j).clone()
+          j += 1
+        }
+        keys(i) = ka; vals(i) = va
+      }
+      i += 1
+    }
+    // stable sort on ord only; null ords compare equal (the fold's
+    // three-branch `when` comparator returned 0 when either side of
+    // `<` was null)
+    val idx = Array.tabulate[Integer](n)(Integer.valueOf)
+    java.util.Arrays.sort(idx, (a: Integer, b: Integer) => {
+      val (x, y) = (ords(a.intValue), ords(b.intValue))
+      if (x == null || y == null) 0 else ordOrdering.compare(x, y)
+    })
+    var st = BASE
+    // accumulated map as parallel key/value lists; null = SQL null map
+    var accK: java.util.ArrayList[UTF8String] = new java.util.ArrayList()
+    var accV: java.util.ArrayList[UTF8String] = new java.util.ArrayList()
+    var viol = 0
+    i = 0
+    while (i < n) {
+      val e = idx(i).intValue
+      val op = ops(e)
+      if (op == ROW) {
+        st = ROW
+        if (keys(e) == null) { accK = null; accV = null }
+        else {
+          accK = new java.util.ArrayList(); accV = new java.util.ArrayList()
+          var j = 0
+          while (j < keys(e).length) {
+            accK.add(keys(e)(j)); accV.add(vals(e)(j)); j += 1
+          }
+        }
+      } else if (op == DEL) {
+        st = DEL
+        accK = new java.util.ArrayList(); accV = new java.util.ArrayList()
+      } else { // patch
+        if (st == DEL) viol += 1
+        else if (st == BASE) {
+          st = PATCH
+          if (keys(e) == null) { accK = null; accV = null }
+          else {
+            accK = new java.util.ArrayList(); accV = new java.util.ArrayList()
+            var j = 0
+            while (j < keys(e).length) {
+              accK.add(keys(e)(j)); accV.add(vals(e)(j)); j += 1
+            }
+          }
+        } else { // row|patch overlay: overwrite(acc, ev)
+          if (keys(e) == null || accK == null) { accK = null; accV = null }
+          else {
+            val ek = keys(e)
+            val nk = new java.util.ArrayList[UTF8String]()
+            val nv = new java.util.ArrayList[UTF8String]()
+            var j = 0
+            while (j < accK.size()) {
+              val k = accK.get(j)
+              var hit = false
+              var q = 0
+              while (!hit && q < ek.length) { hit = ek(q) == k; q += 1 }
+              if (!hit) { nk.add(k); nv.add(accV.get(j)) }
+              j += 1
+            }
+            j = 0
+            while (j < ek.length) { nk.add(ek(j)); nv.add(vals(e)(j)); j += 1 }
+            accK = nk; accV = nv
+          }
+        }
+      }
+      i += 1
+    }
+    val outMap: Any =
+      if (accK == null) null
+      else new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          accK.toArray(Array.empty[AnyRef])),
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          accV.toArray(Array.empty[AnyRef])))
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](st, outMap, viol))
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    fold(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("collapseEvents", this,
+      classOf[CollapseEventsExpression].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.fold($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "collapse_events"
+}
+
 /** `simhash_md5(text)`: codegen 60-bit md5 SimHash, one pass per doc. */
 final case class SimHashMd5Expression(child: Expression)
     extends UnaryExpression {

@@ -113,6 +113,16 @@ class ApplyPropertySpec extends SparkSpec {
     assert(rows(ApplyEngine.merge(
       target, ApplyEngine.collapseSkewResistant(events, 30), meta)) == expected,
       s"seed=$seed (skew-resistant)")
+    // native single-pass fold ≡ the interpreted lambda fold it replaced,
+    // state-for-state (st, vals map content, viol counter)
+    def states(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getSeq[String](0),
+        r.getString(1),
+        if (r.isNullAt(2)) null else r.getMap[String, String](2),
+        r.getInt(3))).toSeq
+        .sortBy(_._1.mkString("|"))
+    assert(states(ApplyEngine.collapse(events)) ==
+      states(ApplyEngine.collapseFold(events)), s"seed=$seed (native fold)")
   }
 
   test("batch apply ≡ sequential apply (5 seeded random logs × 60 ops)") {
