@@ -784,6 +784,16 @@ object Dedup {
     * whose docs genuinely all match, which is output size, not plan
     * waste.
     */
+  /** Fold-form twin of the native char-bit-set builder — the spec's
+    * equivalence reference. */
+  private[graft] def charBitsFold(text: Column): Column = {
+    val bitId = (c: Column) => {
+      val a = ascii(c)
+      when(a < 64, a).otherwise(lit(64) + pmod(a, lit(64)))
+    }
+    array_distinct(transform(split(text, ""), bitId))
+  }
+
   def charJaccardSimilar(docs: DataFrame, partCol: String, idCol: String,
       textCol: String, threshold: Double = 0.9): DataFrame = {
     // candidate keys live in the SAME folded 128-bit space the mask
@@ -791,15 +801,14 @@ object Dedup {
     // chars as keys, two non-ASCII chars that alias to one mask bit
     // would verify as similar yet never meet in the equi-join —
     // silent misses off the ASCII contract. In mask space the prefix
-    // filter is lossless w.r.t. maskJaccard for ANY input.
-    val bitId = (c: Column) => {
-      val a = ascii(c)
-      when(a < 64, a).otherwise(lit(64) + pmod(a, lit(64)))
-    }
+    // filter is lossless w.r.t. maskJaccard for ANY input. Native
+    // one-pass bit-set builder (graft.plans.CharBitsExpression) — the
+    // split+transform form evaluated an interpreted lambda per char;
+    // VectorExprsSpec proves native ≡ fold.
     val d = docs.select(
       col(partCol).as("part"), col(idCol).as("id"),
       charMask(col(textCol)).as("cm"),
-      array_distinct(transform(split(col(textCol), ""), bitId)).as("cs"))
+      graft.plans.NativeCols.charBits(col(textCol)).as("cs"))
 
     // per-(part,bit) document frequency → the prefix order
     val exploded = d.select(col("part"), col("id"), col("cm"),

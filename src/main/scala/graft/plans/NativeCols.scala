@@ -64,4 +64,7 @@ object NativeCols {
   /** Codegen per-key CDC event fold (see [[CollapseEventsExpression]]). */
   def collapseEvents(events: Column): Column =
     cl(CollapseEventsExpression(ex(events)))
+
+  /** Codegen distinct folded char-bit ids (see [[CharBitsExpression]]). */
+  def charBits(text: Column): Column = cl(CharBitsExpression(ex(text)))
 }

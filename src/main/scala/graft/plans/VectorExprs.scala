@@ -121,6 +121,32 @@ object VectorOps {
     }
   }
 
+  /** Distinct 128-bit-folded char-bit ids of a text, first-occurrence
+    * order — the native form of
+    * `array_distinct(transform(split(text, ""), bitId))` in
+    * [[graft.ops.Dedup.charJaccardSimilar]] (an interpreted lambda per
+    * CHARACTER across the corpus). bit = cp when cp < 64 else
+    * 64 + cp mod 64 — the same fold [[charMask]] verifies in. Keeps
+    * the split quirk: empty text → [""] → ascii("") = 0 → bit 0. */
+  def charBits(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val seen = new java.util.LinkedHashSet[Integer]
+    if (str.isEmpty) seen.add(Integer.valueOf(0))
+    else {
+      var i = 0
+      while (i < str.length) {
+        val cp = str.codePointAt(i)
+        seen.add(Integer.valueOf(if (cp < 64) cp else 64 + cp % 64))
+        i += Character.charCount(cp)
+      }
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next().intValue; k += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** 60-bit md5 SimHash of a document in ONE compiled pass — the
     * native form of [[graft.ops.Dedup.simhashMd5Df]]'s
     * explode + 60-bit-sum groupBy, which shuffles one row PER TOKEN
@@ -971,6 +997,34 @@ final case class CollapseEventsExpression(child: Expression)
     copy(child = newChild)
 
   override def prettyName: String = "collapse_events"
+}
+
+/** `char_bits(text)`: codegen distinct folded char-bit ids. */
+final case class CharBitsExpression(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"char_bits requires STRING input, got ${child.dataType.sql}")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    VectorOps.charBits(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.VectorOps.charBits($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "char_bits"
+}
+
+object CharBitsExpression {
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[CharBitsExpression].getName, "char_bits")
 }
 
 /** `simhash_md5(text)`: codegen 60-bit md5 SimHash, one pass per doc. */

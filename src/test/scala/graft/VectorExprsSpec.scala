@@ -275,6 +275,20 @@ class VectorExprsSpec extends SparkSpec {
     }
   }
 
+  test("char_bits ≡ split+transform fold, incl empty-string quirk") {
+    import spark.implicits._
+    val texts = Seq("", "a", "Hello, World! 42",
+      "zzz \t\n mixed CASE 0189", "~`!@#$%^&*()_+-=[]{}|;':\",./<>?",
+      "héllo日本😀") ++
+      (0 until 20).map(i => new scala.util.Random(i).alphanumeric.take(60).mkString)
+    texts.toDF("t").select(
+      graft.plans.NativeCols.charBits(col("t")).as("n"),
+      Dedup.charBitsFold(col("t")).as("f"))
+      .as[(Seq[Int], Seq[Int])].collect().foreach { case (n, f) =>
+        assert(n == f, s"$n vs $f")
+      }
+  }
+
   test("md5_lsh_keys ≡ fold tableKeys bucket-for-bucket") {
     import spark.implicits._
     val dim = 16
