@@ -31,11 +31,22 @@ import org.apache.spark.sql.functions._
   */
 object KMeans {
 
-  /** `floor(x·scale)` integer quantization of a float vector. */
+  /** `floor(x·scale)` integer quantization of a float vector. Native
+    * single-pass expression; [[quantizeFold]] is the spec twin. */
   def quantize(vec: Column, scale: Int = 1000): Column =
+    graft.plans.NativeCols.quantizeLong(vec, scale)
+
+  private[graft] def quantizeFold(vec: Column, scale: Int = 1000): Column =
     transform(vec, x => floor(x.cast("double") * scale).cast("long"))
 
-  private[ops] def dotL(a: Column, b: Column): Column =
+  /** Exact integer dot — native one-compiled-loop expression (this is
+    * the argmin kernel, run k times per row per Lloyd iteration and
+    * per probe; the interpreted fold twin [[dotLFold]] is the spec
+    * reference). */
+  private[graft] def dotL(a: Column, b: Column): Column =
+    graft.plans.NativeCols.dotLong(a, b)
+
+  private[graft] def dotLFold(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
   /** Assign each (id, qv) row to its nearest centroid in (cell, s, n)

@@ -29,8 +29,10 @@ import org.apache.spark.sql.functions._
   */
 object ProductQuant {
 
+  // native exact-integer dot (see KMeans.dotL — same kernel, M·k
+  // evaluations per row at encode time)
   private def dotL(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    graft.plans.NativeCols.dotLong(a, b)
 
   /** Split a quantized vector into M contiguous subvectors:
     * (sub m, subvector) rows. `dim` must be divisible by `m`. */

@@ -67,4 +67,13 @@ object NativeCols {
 
   /** Codegen distinct folded char-bit ids (see [[CharBitsExpression]]). */
   def charBits(text: Column): Column = cl(CharBitsExpression(ex(text)))
+
+  /** Codegen exact integer dot product (see [[DotLongExpression]]). */
+  def dotLong(a: Column, b: Column): Column =
+    cl(DotLongExpression(ex(a), ex(b)))
+
+  /** Codegen floor(x·scale) quantization
+    * (see [[QuantizeLongExpression]]). */
+  def quantizeLong(vec: Column, scale: Int): Column =
+    cl(QuantizeLongExpression(ex(vec), scale))
 }

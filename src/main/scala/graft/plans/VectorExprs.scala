@@ -121,6 +121,45 @@ object VectorOps {
     }
   }
 
+  /** Exact integer dot product of two long arrays — the native form
+    * of `aggregate(zip_with(a,b,_*_), 0L, _+_)`, the argmin kernel the
+    * k-means / IVF-probe / PQ paths evaluate k times PER ROW per
+    * iteration through interpreted lambdas. Fold semantics preserved:
+    * length mismatch or a null element → null (zip_with's null
+    * padding); arithmetic uses the exact (overflow-throwing) ops the
+    * ANSI fold would. */
+  def dotLong(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc = Math.addExact(acc, Math.multiplyExact(a.getLong(i), b.getLong(i)))
+      i += 1
+    }
+    java.lang.Long.valueOf(acc)
+  }
+
+  /** `floor(double(x)·scale)` integer quantization of a float/double
+    * vector — the native form of the per-element `transform` lambda in
+    * [[graft.ops.KMeans.quantize]]. Null elements stay null. */
+  def quantizeLong(vec: ArrayData, scale: Int, vFloat: Boolean): ArrayData = {
+    val n = vec.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      out(i) =
+        if (vec.isNullAt(i)) null
+        else {
+          val x = if (vFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+          java.lang.Long.valueOf(math.floor(x * scale).toLong)
+        }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Distinct 128-bit-folded char-bit ids of a text, first-occurrence
     * order — the native form of
     * `array_distinct(transform(split(text, ""), bitId))` in
@@ -997,6 +1036,73 @@ final case class CollapseEventsExpression(child: Expression)
     copy(child = newChild)
 
   override def prettyName: String = "collapse_events"
+}
+
+/** `dot_long(a, b)`: codegen exact integer dot product. */
+final case class DotLongExpression(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot_long requires array<bigint> inputs, got " +
+        s"${left.dataType.sql}, ${right.dataType.sql}")
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.dotLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |java.lang.Long ${ev.value}_r = graft.plans.VectorOps.dotLong($a, $b);
+         |if (${ev.value}_r == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ${ev.value}_r.longValue();
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "dot_long"
+}
+
+/** `quantize_long(vec, scale)`: codegen floor(x·scale) quantization. */
+final case class QuantizeLongExpression(child: Expression, scale: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"quantize_long requires array<float|double> input, got ${other.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+
+  private lazy val vFloat = VectorOps.elemFloat(child.dataType, "quantize_long")
+
+  override def nullSafeEval(input: Any): Any =
+    VectorOps.quantizeLong(input.asInstanceOf[ArrayData], scale, vFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.VectorOps.quantizeLong($c, $scale, $vFloat)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "quantize_long"
 }
 
 /** `char_bits(text)`: codegen distinct folded char-bit ids. */

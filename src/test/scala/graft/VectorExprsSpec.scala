@@ -275,6 +275,29 @@ class VectorExprsSpec extends SparkSpec {
     }
   }
 
+  test("dot_long / quantize_long ≡ fold forms, incl null padding semantics") {
+    import graft.ops.KMeans
+    import spark.implicits._
+    val rows = (0 until 40).map(i => (i.toLong, seededVec(i, 32), seededVec(i + 7, 32)))
+    val df = rows.toDF("id", "a", "b")
+      .select(col("id"),
+        KMeans.quantize(col("a")).as("qa"),
+        KMeans.quantizeFold(col("a")).as("fa"),
+        graft.plans.NativeCols.dotLong(
+          KMeans.quantize(col("a")), KMeans.quantize(col("b"))).as("nd"),
+        KMeans.dotLFold(
+          KMeans.quantizeFold(col("a")), KMeans.quantizeFold(col("b"))).as("fd"))
+    df.as[(Long, Seq[Long], Seq[Long], Long, Long)].collect().foreach {
+      case (id, qa, fa, nd, fd) =>
+        assert(qa == fa && nd == fd, s"id=$id")
+    }
+    // length mismatch → null (zip_with's null padding through the fold)
+    val mm = Seq((Seq(1L, 2L), Seq(1L, 2L, 3L))).toDF("a", "b")
+      .select(graft.plans.NativeCols.dotLong(col("a"), col("b")).as("d"))
+      .collect().head
+    assert(mm.isNullAt(0))
+  }
+
   test("char_bits ≡ split+transform fold, incl empty-string quirk") {
     import spark.implicits._
     val texts = Seq("", "a", "Hello, World! 42",
