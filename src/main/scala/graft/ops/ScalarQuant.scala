@@ -66,17 +66,34 @@ object ScalarQuant {
       .select(col(idCol).as("id"), KMeans.quantize(col(vecCol), scale).as("qv"))
       .crossJoin(broadcast(stats))
       .select(col("id"),
-        zip_with(col("qv"), col("st"), (x, s) =>
-          greatest(lit(0L), least(lit(levels.toLong),
-            idiv((x - s.getField("mn")) * levels,
-              greatest(s.getField("mx") - s.getField("mn"), lit(1L)))))
-            .cast("int")).as("codes"))
+        // native one-pass codec (graft.plans.SqEncodeExpression) —
+        // the zip_with form evaluated an interpreted lambda per
+        // dimension over the whole corpus at every index build;
+        // ScalarQuantSpec proves native ≡ fold code-for-code
+        graft.plans.NativeCols.sqEncode(col("qv"), col("st"), levels)
+          .as("codes"))
+
+  /** zip_with twin of the native [[encode]] codec — spec reference. */
+  private[graft] def encodeFoldCodes(qv: Column, st: Column,
+      levels: Int): Column =
+    zip_with(qv, st, (x, s) =>
+      greatest(lit(0L), least(lit(levels.toLong),
+        idiv((x - s.getField("mn")) * levels,
+          greatest(s.getField("mx") - s.getField("mn"), lit(1L)))))
+        .cast("int"))
 
   /** Integer reconstruction of a code array against the broadcast
     * stats row: element j = `mn[j]·levels + code[j]·(mx[j]−mn[j])` —
     * `levels ×` the affine de-quantization, kept scaled so the ADC
     * dot stays in exact integer arithmetic. */
   private[ops] def reconstruct(codes: Column, st: Column,
+      levels: Int): Column =
+    // native (graft.plans.SqReconstructExpression): this runs once per
+    // CANDIDATE on the ADC scoring path
+    graft.plans.NativeCols.sqReconstruct(codes, st, levels)
+
+  /** zip_with twin of the native [[reconstruct]] — spec reference. */
+  private[graft] def reconstructFold(codes: Column, st: Column,
       levels: Int): Column =
     zip_with(codes, st, (c, s) =>
       s.getField("mn") * levels +

@@ -76,4 +76,12 @@ object NativeCols {
     * (see [[QuantizeLongExpression]]). */
   def quantizeLong(vec: Column, scale: Int): Column =
     cl(QuantizeLongExpression(ex(vec), scale))
+
+  /** Codegen SQ encode (see [[SqEncodeExpression]]). */
+  def sqEncode(qv: Column, st: Column, levels: Int): Column =
+    cl(SqEncodeExpression(ex(qv), ex(st), levels))
+
+  /** Codegen SQ reconstruction (see [[SqReconstructExpression]]). */
+  def sqReconstruct(codes: Column, st: Column, levels: Int): Column =
+    cl(SqReconstructExpression(ex(codes), ex(st), levels))
 }

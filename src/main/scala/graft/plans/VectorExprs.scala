@@ -160,6 +160,56 @@ object VectorOps {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** SQ scalar-quantization encode — native form of
+    * [[graft.ops.ScalarQuant.encode]]'s per-element `zip_with` lambda:
+    * code j = clamp(0, levels, ((q_j − mn_j)·levels) div
+    * max(mx_j − mn_j, 1)), run over the corpus at every index build.
+    * `st` is the broadcast stats row (array<struct<pos,mn,mx>> in
+    * position order). zip_with's null padding: length mismatch or a
+    * null element → null code. */
+  def sqEncode(qv: ArrayData, st: ArrayData, levels: Int): ArrayData = {
+    val n = math.max(qv.numElements(), st.numElements())
+    val out = new Array[Any](n)
+    var j = 0
+    while (j < n) {
+      out(j) =
+        if (j >= qv.numElements() || j >= st.numElements() ||
+          qv.isNullAt(j) || st.isNullAt(j)) null
+        else {
+          val s = st.getStruct(j, 3)
+          val mn = s.getLong(1)
+          val mx = s.getLong(2)
+          val raw = (qv.getLong(j) - mn) * levels / math.max(mx - mn, 1L)
+          Integer.valueOf(math.max(0L, math.min(levels.toLong, raw)).toInt)
+        }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** SQ integer reconstruction — native form of
+    * [[graft.ops.ScalarQuant]]'s `reconstruct` zip_with (runs once per
+    * CANDIDATE on the ADC scoring path): element j =
+    * mn_j·levels + code_j·(mx_j − mn_j). Null padding as zip_with. */
+  def sqReconstruct(codes: ArrayData, st: ArrayData, levels: Int): ArrayData = {
+    val n = math.max(codes.numElements(), st.numElements())
+    val out = new Array[Any](n)
+    var j = 0
+    while (j < n) {
+      out(j) =
+        if (j >= codes.numElements() || j >= st.numElements() ||
+          codes.isNullAt(j) || st.isNullAt(j)) null
+        else {
+          val s = st.getStruct(j, 3)
+          val mn = s.getLong(1)
+          val mx = s.getLong(2)
+          java.lang.Long.valueOf(mn * levels + codes.getInt(j).toLong * (mx - mn))
+        }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Distinct 128-bit-folded char-bit ids of a text, first-occurrence
     * order — the native form of
     * `array_distinct(transform(split(text, ""), bitId))` in
@@ -1103,6 +1153,62 @@ final case class QuantizeLongExpression(child: Expression, scale: Int)
     copy(child = newChild)
 
   override def prettyName: String = "quantize_long"
+}
+
+/** `sq_encode(qv, st, levels)`: codegen SQ scalar-quantization codes. */
+final case class SqEncodeExpression(left: Expression, right: Expression,
+    levels: Int) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(_: StructType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"sq_encode requires (array<bigint>, array<struct>), got ${l.sql}, ${r.sql}")
+    }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = true)
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.sqEncode(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], levels)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.plans.VectorOps.sqEncode($a, $b, $levels)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "sq_encode"
+}
+
+/** `sq_reconstruct(codes, st, levels)`: codegen SQ reconstruction. */
+final case class SqReconstructExpression(left: Expression, right: Expression,
+    levels: Int) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(_: StructType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"sq_reconstruct requires (array<int>, array<struct>), got ${l.sql}, ${r.sql}")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.sqReconstruct(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], levels)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.plans.VectorOps.sqReconstruct($a, $b, $levels)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "sq_reconstruct"
 }
 
 /** `char_bits(text)`: codegen distinct folded char-bit ids. */

@@ -8,6 +8,28 @@ class ScalarQuantSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("native sq_encode / sq_reconstruct ≡ zip_with folds element-for-element") {
+    val e = Tables.embeddings(spark, dir)
+    val stats = ScalarQuant.dimStats(e, "embedding")
+    val base = e.select(col("vec_id"),
+        graft.ops.KMeans.quantize(col("embedding")).as("qv"))
+      .crossJoin(broadcast(stats))
+    val enc = base.select(col("vec_id"),
+      graft.plans.NativeCols.sqEncode(col("qv"), col("st"), 255).as("n"),
+      ScalarQuant.encodeFoldCodes(col("qv"), col("st"), 255).as("f"))
+    enc.as[(Long, Seq[Int], Seq[Int])].collect().foreach { case (id, n, f) =>
+      assert(n == f, s"vec $id encode")
+    }
+    val rec = enc.select(col("vec_id"), col("n").as("codes"))
+      .crossJoin(broadcast(stats))
+      .select(col("vec_id"),
+        graft.plans.NativeCols.sqReconstruct(col("codes"), col("st"), 255).as("n"),
+        ScalarQuant.reconstructFold(col("codes"), col("st"), 255).as("f"))
+    rec.as[(Long, Seq[Long], Seq[Long])].collect().foreach { case (id, n, f) =>
+      assert(n == f, s"vec $id reconstruct")
+    }
+  }
+
   test("encode: codes stay in [0, levels]; corpus round-trips within one step") {
     val e = Tables.embeddings(spark, dir)
     val stats = ScalarQuant.dimStats(e, "embedding")
