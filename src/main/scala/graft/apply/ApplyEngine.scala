@@ -121,6 +121,32 @@ object ApplyEngine {
     * thread on exactly that case).
     */
   def collapseSkewResistant(events: DataFrame, bucketSeconds: Long = 30): DataFrame = {
+    // Native two-phase kernels (graft.plans.CollapsePartialExpression /
+    // ComposePartialsExpression) — the interpreted twin below is the
+    // property spec's reference. The hot-key case this op exists for
+    // (one key, very many in-batch events) is exactly where an
+    // interpreted per-event lambda hurt most.
+    val partials = events
+      .withColumn("bucket",
+        floor(unix_timestamp(col("ord.ts")) / bucketSeconds))
+      .groupBy(col("key"), col("bucket"))
+      .agg(graft.plans.NativeCols.collapsePartial(
+        collect_list(struct(col("ord"), col("op"), col("vals")))).as("partial"))
+    partials
+      .groupBy(col("key"))
+      .agg(graft.plans.NativeCols.composePartials(
+        collect_list(struct(col("bucket"), col("partial")))).as("fin"))
+      .select(
+        col("key"),
+        col("fin.st").as("st"),
+        col("fin.vals").as("vals"),
+        col("fin.viol").as("viol"))
+  }
+
+  /** Interpreted-lambda twin of [[collapseSkewResistant]] — the
+    * property spec's equivalence reference. */
+  private[graft] def collapseSkewResistantFold(events: DataFrame,
+      bucketSeconds: Long = 30): DataFrame = {
     // `lead` = number of LEADING patch events in the folded range
     // (patches before its first row/del). Those are the events whose
     // violation status depends on the PRECEDING range's state: if it

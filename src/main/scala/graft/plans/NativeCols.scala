@@ -84,4 +84,14 @@ object NativeCols {
   /** Codegen SQ reconstruction (see [[SqReconstructExpression]]). */
   def sqReconstruct(codes: Column, st: Column, levels: Int): Column =
     cl(SqReconstructExpression(ex(codes), ex(st), levels))
+
+  /** Codegen phase-1 skew-collapse partial
+    * (see [[CollapsePartialExpression]]). */
+  def collapsePartial(events: Column): Column =
+    cl(CollapsePartialExpression(ex(events)))
+
+  /** Codegen phase-2 partial composition
+    * (see [[ComposePartialsExpression]]). */
+  def composePartials(parts: Column): Column =
+    cl(ComposePartialsExpression(ex(parts)))
 }

@@ -561,6 +561,67 @@ object VectorOps {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Mutable map state for the collapse folds: parallel key/value
+    * lists, `null` lists = the SQL null map. */
+  private[plans] final class MapState {
+    var k: java.util.ArrayList[UTF8String] = new java.util.ArrayList()
+    var v: java.util.ArrayList[UTF8String] = new java.util.ArrayList()
+    def setNull(): Unit = { k = null; v = null }
+    def set(keys: Array[UTF8String], vals: Array[UTF8String]): Unit = {
+      if (keys == null) setNull()
+      else {
+        k = new java.util.ArrayList(); v = new java.util.ArrayList()
+        var j = 0
+        while (j < keys.length) { k.add(keys(j)); v.add(vals(j)); j += 1 }
+      }
+    }
+    /** overwrite(this, (keys, vals)) — m1's surviving entries in order,
+      * then all of m2's; SQL null propagation on either side. */
+    def overlay(keys: Array[UTF8String], vals: Array[UTF8String]): Unit = {
+      if (keys == null || k == null) { setNull(); return }
+      val nk = new java.util.ArrayList[UTF8String]()
+      val nv = new java.util.ArrayList[UTF8String]()
+      var j = 0
+      while (j < k.size()) {
+        val key = k.get(j)
+        var hit = false
+        var q = 0
+        while (!hit && q < keys.length) { hit = keys(q) == key; q += 1 }
+        if (!hit) { nk.add(key); nv.add(v.get(j)) }
+        j += 1
+      }
+      j = 0
+      while (j < keys.length) { nk.add(keys(j)); nv.add(vals(j)); j += 1 }
+      k = nk; v = nv
+    }
+    def toMapData: Any =
+      if (k == null) null
+      else new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          k.toArray(Array.empty[AnyRef])),
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          v.toArray(Array.empty[AnyRef])))
+  }
+
+  /** Copy one map column element out of a (possibly buffer-reusing)
+    * array: (keys, values) with cloned strings, or (null, null). */
+  private[plans] def copyMapField(e: InternalRow, ordinal: Int)
+      : (Array[UTF8String], Array[UTF8String]) = {
+    if (e.isNullAt(ordinal)) return (null, null)
+    val m = e.getMap(ordinal)
+    val mn = m.numElements()
+    val ka = new Array[UTF8String](mn)
+    val va = new Array[UTF8String](mn)
+    var j = 0
+    while (j < mn) {
+      ka(j) = m.keyArray().getUTF8String(j).clone()
+      va(j) = if (m.valueArray().isNullAt(j)) null
+        else m.valueArray().getUTF8String(j).clone()
+      j += 1
+    }
+    (ka, va)
+  }
+
   private[plans] def elemFloat(dt: DataType, name: String): Boolean = dt match {
     case ArrayType(FloatType, _) => true
     case ArrayType(DoubleType, _) => false
@@ -1237,6 +1298,206 @@ final case class CharBitsExpression(child: Expression)
 object CharBitsExpression {
   val info: ExpressionInfo = new ExpressionInfo(
     classOf[CharBitsExpression].getName, "char_bits")
+}
+
+/** `collapse_partial(events)`: the PHASE-1 kernel of
+  * [[graft.apply.ApplyEngine.collapseSkewResistant]] — fold one
+  * (key, time-bucket) range's sorted events into the monoid partial
+  * `struct<st, vals, viol, lead>` (`lead` = leading patches whose
+  * violation status depends on the PREVIOUS range). Same input
+  * contract and sort/null semantics as [[CollapseEventsExpression]];
+  * the interpreted fold twin stays as the property spec's reference. */
+final case class CollapsePartialExpression(child: Expression)
+    extends UnaryExpression {
+
+  private def elemType: StructType =
+    child.dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType]
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(st: StructType, _)
+        if st.length == 3 && st.fieldNames.sameElements(Seq("ord", "op", "vals")) &&
+          st(1).dataType == StringType &&
+          (st(2).dataType match {
+            case MapType(StringType, StringType, _) => true
+            case _ => false
+          }) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      "collapse_partial requires array<struct<ord, op: string, " +
+        s"vals: map<string,string>>>, got ${other.sql}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("st", StringType, nullable = false),
+    StructField("vals", MapType(StringType, StringType), nullable = true),
+    StructField("viol", IntegerType, nullable = false),
+    StructField("lead", IntegerType, nullable = false)))
+
+  @transient private lazy val ordOrdering: Ordering[Any] =
+    org.apache.spark.sql.catalyst.util.TypeUtils
+      .getInterpretedOrdering(elemType.head.dataType)
+      .asInstanceOf[Ordering[Any]]
+  @transient private lazy val ordType = elemType.head.dataType
+
+  private val ROW = UTF8String.fromString("row")
+  private val DEL = UTF8String.fromString("del")
+  private val PATCH = UTF8String.fromString("patch")
+  private val BASE = UTF8String.fromString("base")
+
+  def fold(events: ArrayData): InternalRow = {
+    val n = events.numElements()
+    val ords = new Array[Any](n)
+    val ops = new Array[UTF8String](n)
+    val keys = new Array[Array[UTF8String]](n)
+    val vals = new Array[Array[UTF8String]](n)
+    var i = 0
+    while (i < n) {
+      val e = events.getStruct(i, 3)
+      ords(i) = if (e.isNullAt(0)) null else e.get(0, ordType)
+      ops(i) = e.getUTF8String(1)
+      val (ka, va) = VectorOps.copyMapField(e, 2)
+      keys(i) = ka; vals(i) = va
+      i += 1
+    }
+    val idx = Array.tabulate[Integer](n)(Integer.valueOf)
+    java.util.Arrays.sort(idx, (a: Integer, b: Integer) => {
+      val (x, y) = (ords(a.intValue), ords(b.intValue))
+      if (x == null || y == null) 0 else ordOrdering.compare(x, y)
+    })
+    var st = BASE
+    val acc = new VectorOps.MapState
+    var viol = 0
+    var lead = 0
+    i = 0
+    while (i < n) {
+      val e = idx(i).intValue
+      val op = ops(e)
+      if (op == ROW) { st = ROW; acc.set(keys(e), vals(e)) }
+      else if (op == DEL) {
+        st = DEL
+        acc.k = new java.util.ArrayList(); acc.v = new java.util.ArrayList()
+      } else { // patch singleton: lead 1
+        if (st == BASE || st == PATCH) lead += 1
+        if (st == DEL) viol += 1
+        else if (st == BASE) { st = PATCH; acc.set(keys(e), vals(e)) }
+        else acc.overlay(keys(e), vals(e))
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](st, acc.toMapData, viol, lead))
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    fold(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("collapsePartial", this,
+      classOf[CollapsePartialExpression].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.fold($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "collapse_partial"
+}
+
+/** `compose_partials(parts)`: the PHASE-2 kernel of
+  * [[graft.apply.ApplyEngine.collapseSkewResistant]] — compose the
+  * per-bucket monoid partials in bucket order and emit the final
+  * `struct<st, vals, viol>` (lead drops out). Input:
+  * `array<struct<bucket: bigint, partial: struct<st, vals, viol,
+  * lead>>>`; a stable sort on bucket keeps the fold's tie behavior
+  * (buckets are distinct by construction). */
+final case class ComposePartialsExpression(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(st: StructType, _)
+        if st.length == 2 && st.fieldNames.sameElements(Seq("bucket", "partial")) &&
+          st.head.dataType == LongType &&
+          st(1).dataType.isInstanceOf[StructType] &&
+          st(1).dataType.asInstanceOf[StructType].length == 4 =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      "compose_partials requires array<struct<bucket: bigint, " +
+        s"partial: struct<st,vals,viol,lead>>>, got ${other.sql}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("st", StringType, nullable = false),
+    StructField("vals", MapType(StringType, StringType), nullable = true),
+    StructField("viol", IntegerType, nullable = false)))
+
+  private val ROW = UTF8String.fromString("row")
+  private val DEL = UTF8String.fromString("del")
+  private val PATCH = UTF8String.fromString("patch")
+  private val BASE = UTF8String.fromString("base")
+
+  def fold(parts: ArrayData): InternalRow = {
+    val n = parts.numElements()
+    val buckets = new Array[Long](n)
+    val sts = new Array[UTF8String](n)
+    val keys = new Array[Array[UTF8String]](n)
+    val vals = new Array[Array[UTF8String]](n)
+    val viols = new Array[Int](n)
+    val leads = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val e = parts.getStruct(i, 2)
+      buckets(i) = e.getLong(0)
+      val p = e.getStruct(1, 4)
+      sts(i) = p.getUTF8String(0).clone()
+      val (ka, va) = VectorOps.copyMapField(p, 1)
+      keys(i) = ka; vals(i) = va
+      viols(i) = p.getInt(2)
+      leads(i) = p.getInt(3)
+      i += 1
+    }
+    val idx = Array.tabulate[Integer](n)(Integer.valueOf)
+    java.util.Arrays.sort(idx,
+      (a: Integer, b: Integer) =>
+        java.lang.Long.compare(buckets(a.intValue), buckets(b.intValue)))
+    // compose(a, b) over sorted partials — the exact transition table
+    // of the Column `compose`
+    var st = BASE
+    val acc = new VectorOps.MapState
+    var viol = 0
+    var leadA = 0
+    i = 0
+    while (i < n) {
+      val e = idx(i).intValue
+      val bSt = sts(e)
+      viol = viol + viols(e) + (if (st == DEL) leads(e) else 0)
+      leadA = if (st == BASE || st == PATCH) leadA + leads(e) else leadA
+      if (bSt == ROW || bSt == DEL) { st = bSt; acc.set(keys(e), vals(e)) }
+      else if (bSt == BASE) () // a unchanged
+      else { // b is a pure patch range
+        if (st == DEL) () // stays del, keeps a's vals
+        else if (st == BASE) { st = PATCH; acc.set(keys(e), vals(e)) }
+        else acc.overlay(keys(e), vals(e))
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](st, acc.toMapData, viol))
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    fold(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("composePartials", this,
+      classOf[ComposePartialsExpression].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.fold($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "compose_partials"
 }
 
 /** `simhash_md5(text)`: codegen 60-bit md5 SimHash, one pass per doc. */

@@ -123,6 +123,13 @@ class ApplyPropertySpec extends SparkSpec {
         .sortBy(_._1.mkString("|"))
     assert(states(ApplyEngine.collapse(events)) ==
       states(ApplyEngine.collapseFold(events)), s"seed=$seed (native fold)")
+    // native two-phase skew kernels ≡ the interpreted two-phase fold ≡
+    // the single-phase collapse, state-for-state
+    assert(states(ApplyEngine.collapseSkewResistant(events, 30)) ==
+      states(ApplyEngine.collapseSkewResistantFold(events, 30)),
+      s"seed=$seed (native skew fold)")
+    assert(states(ApplyEngine.collapseSkewResistant(events, 30)) ==
+      states(ApplyEngine.collapse(events)), s"seed=$seed (skew ≡ collapse)")
   }
 
   test("batch apply ≡ sequential apply (5 seeded random logs × 60 ops)") {
