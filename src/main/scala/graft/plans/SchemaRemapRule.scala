@@ -72,12 +72,74 @@ final class GraftExtensions extends (SparkSessionExtensions => Unit) {
       WordShinglesExpression.info,
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.length == 2, "word_shingles takes (text, n)")
-        val n = children(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case other => throw new IllegalArgumentException(
-            s"word_shingles n must be an INT literal, got $other")
-        }
-        WordShinglesExpression(children.head, n)
+        WordShinglesExpression(children.head, intLit(children(1), "word_shingles n"))
       }))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("simhash_md5"),
+      SimHashMd5Expression.info,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1, "simhash_md5 takes one argument")
+        SimHashMd5Expression(children.head)
+      }))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("positioned_grams"),
+      PositionedGramsExpression.info,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "positioned_grams takes (text, n)")
+        PositionedGramsExpression(children.head,
+          intLit(children(1), "positioned_grams n"))
+      }))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("hashed_gram_buckets"),
+      HashedGramBucketsExpression.info,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 3,
+          "hashed_gram_buckets takes (text, dim, bigrams)")
+        val bi = children(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Boolean, _) => v
+          case other => throw new IllegalArgumentException(
+            s"hashed_gram_buckets bigrams must be a BOOLEAN literal, got $other")
+        }
+        HashedGramBucketsExpression(children.head,
+          intLit(children(1), "hashed_gram_buckets dim"), bi)
+      }))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("cdc_chunks"),
+      CdcChunksExpression.info,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 4,
+          "cdc_chunks takes (text, window, divisor, useMd5)")
+        val md5 = children(3) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Boolean, _) => v
+          case other => throw new IllegalArgumentException(
+            s"cdc_chunks useMd5 must be a BOOLEAN literal, got $other")
+        }
+        CdcChunksExpression(children.head,
+          intLit(children(1), "cdc_chunks window"),
+          intLit(children(2), "cdc_chunks divisor"), md5)
+      }))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("char_bits"),
+      CharBitsExpression.info,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1, "char_bits takes one argument")
+        CharBitsExpression(children.head)
+      }))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("dot_long"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[DotLongExpression].getName, "dot_long"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "dot_long takes two arguments")
+        DotLongExpression(children.head, children(1))
+      }))
+  }
+
+  private def intLit(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an INT literal, got $other")
   }
 }

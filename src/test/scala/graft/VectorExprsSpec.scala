@@ -371,6 +371,21 @@ class VectorExprsSpec extends SparkSpec {
       val hi = withExt.sql("SELECT char_mask('ab').hi AS hi").collect()(0).getLong(0)
       // 'a'=97 → bit 33 of hi, 'b'=98 → bit 34
       assert(hi == ((1L << 33) | (1L << 34)))
+      // the round-10 natives register too — SQL users get the same
+      // single-pass kernels the Scala API uses
+      val r2 = withExt.sql(
+        """SELECT simhash_md5('') AS sh,
+                  size(positioned_grams('a b c d', 2)) AS ng,
+                  size(hashed_gram_buckets('a b c', 16, true)) AS nb,
+                  size(cdc_chunks('hello world text', 4, 8, true)) AS nc,
+                  char_bits('ab') AS cb,
+                  dot_long(array(1L, 2L), array(3L, 4L)) AS d""").collect()(0)
+      assert(r2.getLong(0) == 0L)   // zero-token doc → 0
+      assert(r2.getInt(1) == 3)     // 3 positioned bigrams of 4 tokens
+      assert(r2.getInt(2) == 5)     // 3 unigrams + 2 bigrams
+      assert(r2.getInt(3) >= 1)     // chunks partition the text
+      assert(r2.getSeq[Int](4) == Seq(64 + 97 % 64, 64 + 98 % 64))
+      assert(r2.getLong(5) == 11L)  // 1·3 + 2·4
     } finally {
       org.apache.spark.sql.SparkSession.clearActiveSession()
       org.apache.spark.sql.SparkSession.clearDefaultSession()
