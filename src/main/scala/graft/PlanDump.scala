@@ -93,6 +93,10 @@ object PlanDump {
       "Cross-source KMV overlap: the per-source bottom-k sketch is a partial+final WindowGroupLimit over a map-side-partial distinct (≤ k rows per group per map task reach the exchange); every pair join downstream runs against k-row sketches — broadcast-sized by construction. Dedup ORDER across a 10-source corpus costs k rows per source, never a cross-source content join.",
     "td_temperature_mix" ->
       "Temperature mixing: per-domain counts aggregate map-side into |domains| rows; the share/feasible-total derivation runs on two broadcast 1-row frames; the corpus itself sees only the broadcast rate join + a narrow hash filter — identical scale shape to td_domain_mix with the target vector computed in-plan.",
+    "td_quality_prune_cutoff" ->
+      "Per-domain quality pruning, cutoff form: score counts aggregate map-side into (domain, score) rows — bounded by distinct scores, never a per-domain row sort like the exact-rank twin; the |domains|-row cutoff table enters the corpus as an explicit BroadcastHashJoin and the keep test is a narrow filter. The corpus is scanned, never re-sorted or re-shuffled.",
+    "td_drift_tvd" ->
+      "Corpus-version drift gate: each version collapses to a map-side-partial count-by-bucket (one streaming pass per side); the full-outer join, the share windows, and the TVD total all run on |buckets| rows — corpus cost is exactly two scans regardless of bucket skew.",
     "td_dsir_select" ->
       "DSIR importance resampling: both corpora collapse to dim-bounded hashed-ngram bucket counts with map-side partial aggregation; the dim-row weight table BROADCASTS into the raw-side feature join (the corpus never re-shuffles to meet the weights); top-k plans as TakeOrderedAndProject — per-partition heaps, no global sort anywhere.")
 

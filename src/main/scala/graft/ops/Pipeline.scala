@@ -134,6 +134,43 @@ object Pipeline {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
   }
 
+  /** Sequence-length bucketing — the padded-batch alternative to
+    * [[packSequences]] (T5/BERT-style batching pads every doc in a
+    * batch to the batch max, so batches are drawn from power-of-two
+    * length buckets; the per-bucket padding waste is the number that
+    * decides bucketed-padding vs packed windows for a corpus). Each
+    * doc lands in the smallest power-of-two bucket ≥ its token count
+    * (floor `minBucket`); per bucket: doc count, real token count,
+    * padded slot count (n_docs·bucket), and waste_ppm — the ppm of
+    * padded slots that are padding. The bucket is computed with
+    * integer bit-length arithmetic (`1 << len(bin(n−1))`, no
+    * float log2) and the waste in integer ppm, so every value is
+    * bit-exact cross-engine.
+    *
+    * Scale shape: a narrow per-row map into ≤ ~40 buckets, then one
+    * map-side-combinable aggregation — one streaming pass, shuffle
+    * bounded by |buckets|.
+    */
+  def lengthBuckets(docs: DataFrame, textCol: String,
+                    minBucket: Int = 16): DataFrame = {
+    require(minBucket >= 2 && (minBucket & (minBucket - 1)) == 0,
+      s"minBucket=$minBucket must be a power of two ≥ 2")
+    docs
+      .withColumn("__n", TextAnalysis.tokenCount(col(textCol)).cast("long"))
+      // smallest power of two ≥ n via the bit length of n−1; guard
+      // n ≤ 1 (bin(-1) is 64 ones) — those docs floor to minBucket
+      .withColumn("bucket", greatest(lit(minBucket.toLong),
+        when(col("__n") <= 1, lit(2L))
+          .otherwise(expr("shiftleft(1L, length(bin(__n - 1)))"))))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__n")).as("n_tokens"))
+      .withColumn("n_padded", col("n_docs") * col("bucket"))
+      .withColumn("waste_ppm",
+        expr("(n_padded - n_tokens) * 1000000 div n_padded"))
+  }
+
   /** Weighted round-robin interleave of strata: doc i (1-based, in
     * `orderCol` order) of a stratum with weight w gets global key
     * (i - 0.5) / w — a stratum with twice the weight appears twice as

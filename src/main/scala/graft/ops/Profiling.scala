@@ -47,6 +47,40 @@ object Profiling {
   def profileApprox(df: DataFrame, cols: Seq[String]): DataFrame =
     stacked(df, cols, exact = false)
 
+  /** Distribution drift between two corpus versions, as total
+    * variation distance over a caller-chosen bucketing (length bucket,
+    * language, source, quality band, …): the per-bucket share gap a
+    * retrain gate checks before swapping in a new crawl.
+    *
+    * TVD = ½·Σ_buckets |share_a − share_b| is exactly representable in
+    * integer ppm arithmetic (unlike KL/PSI, whose log makes the result
+    * float-divergent across engines), so the gate value is bit-exact
+    * anywhere. Returns one row per bucket present in EITHER version
+    * (absent side counts 0) with both shares, the bucket's |gap|, and
+    * the corpus-level `tvd_ppm` repeated on every row.
+    *
+    * Scale shape: each side is one map-side-combinable count-by-bucket
+    * (a streaming pass); the join + global window run on |buckets|
+    * rows, never corpus rows. Both inputs must be non-empty (shares of
+    * an empty corpus are undefined).
+    */
+  def driftTvd(a: DataFrame, b: DataFrame, bucket: Column): DataFrame = {
+    def counts(df: DataFrame, n: String) =
+      df.select(bucket.as("bucket")).groupBy("bucket")
+        .agg(count(lit(1)).as(n))
+    val whole = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+    counts(a, "n_a").join(counts(b, "n_b"), Seq("bucket"), "full_outer")
+      .na.fill(0L, Seq("n_a", "n_b"))
+      .withColumn("__ta", sum(col("n_a")).over(whole))
+      .withColumn("__tb", sum(col("n_b")).over(whole))
+      .withColumn("share_a_ppm", expr("n_a * 1000000 div __ta"))
+      .withColumn("share_b_ppm", expr("n_b * 1000000 div __tb"))
+      .withColumn("gap_ppm", abs(col("share_a_ppm") - col("share_b_ppm")))
+      .withColumn("tvd_ppm", expr("sum(gap_ppm) over () div 2"))
+      .drop("__ta", "__tb")
+  }
+
   /** Mergeable sufficient statistics for simple linear regression of
     * `yCol` on `xCol`, per group: (n, Σx, Σy, Σx², Σxy, Σy²) plus the
     * derived slope, intercept, and Pearson r.

@@ -228,6 +228,71 @@ object Sampling {
     cum.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Per-domain quality pruning (the FineWeb/DCLM move: keep each
+    * domain's best `keepPct`% by a quality score, so pruning never
+    * collapses small domains the way a global cutoff does): rank rows
+    * inside each domain by (`score` desc, `idCol` asc) and keep
+    * rank ≤ max(1, n·keepPct div 100). Integer score + integer rank
+    * arithmetic → bit-exact on any engine.
+    *
+    * This is the ORACLE form: exact, but the per-domain rank is a
+    * full sort of each domain partition — with a handful of domains
+    * over 100 TB one domain's rows serialize through one sort. Use
+    * [[qualityPruneByValue]] at scale; the two agree except for ties
+    * at the cutoff score (spec-pinned superset relation).
+    */
+  def qualityPruneExact(df: DataFrame, domainCol: String, score: Column,
+                        idCol: String, keepPct: Int): DataFrame = {
+    require(keepPct >= 1 && keepPct <= 100, s"keepPct=$keepPct outside [1,100]")
+    val part = Window.partitionBy(col(domainCol))
+    val scored = df.withColumn("score", score)
+    scored
+      .withColumn("rank", row_number().over(
+        part.orderBy(col("score").desc_nulls_last, col(idCol))))
+      .withColumn("__cnt", count(lit(1)).over(part))
+      .filter(col("rank") <= greatest(
+        lit(1L), expr(s"__cnt * $keepPct div 100")))
+      .drop("__cnt")
+  }
+
+  /** [[qualityPruneExact]] the 100-TB way: derive each domain's score
+    * CUTOFF from exact count-by-value aggregation (the
+    * [[discreteQuantilesByValue]] plan — map-side-combinable counts
+    * bounded by |distinct scores|, never a row sort), broadcast the
+    * |domains|-row cutoff table, and keep score ≥ cutoff with a
+    * narrow filter. All rows TIED at the cutoff are kept, so the
+    * result is a superset of the exact form's (equal when the
+    * boundary score is unique); kept count ≥ max(1, n·keepPct/100).
+    * Score nulls rank last in both forms, but `score ≥ cutoff` never
+    * admits a null — pass a non-null score (coalesce upstream) if a
+    * domain could be entirely null-scored.
+    */
+  def qualityPruneByValue(df: DataFrame, domainCol: String, score: Column,
+                          idCol: String, keepPct: Int): DataFrame = {
+    require(keepPct >= 1 && keepPct <= 100, s"keepPct=$keepPct outside [1,100]")
+    val scored = df.withColumn("score", score)
+    val counts = scored
+      .groupBy(col(domainCol), col("score"))
+      .agg(count(lit(1)).as("__c"))
+    val part = Window.partitionBy(col(domainCol))
+    // walk cumulative counts in score-DESC order; the cutoff is the
+    // score whose cumulative range contains the target rank
+    val cutoffs = counts
+      .withColumn("__cum", sum(col("__c")).over(
+        part.orderBy(col("score").desc_nulls_last)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__tot", sum(col("__c")).over(part))
+      .withColumn("__target", greatest(
+        lit(1L), expr(s"__tot * $keepPct div 100")))
+      .filter(col("__target") > col("__cum") - col("__c") &&
+        col("__target") <= col("__cum"))
+      .select(col(domainCol), col("score").as("__cutoff"))
+    scored
+      .join(broadcast(cutoffs), Seq(domainCol))
+      .filter(col("score") >= col("__cutoff"))
+      .drop("__cutoff")
+  }
+
   /** Hashed unigram+bigram term frequencies per document — the
     * feature map of DSIR-style importance weighting (Xie et al. 2023,
     * "Data Selection for Language Models via Importance Resampling"

@@ -2461,6 +2461,159 @@ object TrainingData {
         FROM documents)
       WHERE rank <= 10 ORDER BY source, rank"""))
 
+  /** The shared integer quality score of the pruning pair: type-token
+    * ratio in exact ppm (distinct tokens per million tokens; 0 for
+    * empty docs) — the repetition-quality signal, `div` arithmetic
+    * both sides, so the score, the cutoffs, and the kept sets are
+    * bit-exact. */
+  private def ttrScored(d: DataFrame): DataFrame = d
+    .withColumn("__n", TextAnalysis.tokenCount(col("text")).cast("long"))
+    .withColumn("__nd",
+      size(array_distinct(TextAnalysis.tokens(col("text")))).cast("long"))
+    .withColumn("score_ppm",
+      when(col("__n") === 0L, lit(0L))
+        .otherwise(expr("__nd * 1000000 div __n")))
+    .select("doc_id", "source", "score_ppm")
+
+  private val ttrScoredSql =
+    """t AS (
+        SELECT doc_id, source,
+          CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(trim(text),'\s+')) END AS n,
+          CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(list_distinct(string_split_regex(trim(text),'\s+')))
+            END AS nd
+        FROM documents),
+      s AS (
+        SELECT doc_id, source,
+          CAST(CASE WHEN n = 0 THEN 0 ELSE (nd * 1000000) // n END AS BIGINT)
+            AS score_ppm
+        FROM t)"""
+
+  /** Per-domain quality pruning, exact-rank form
+    * ([[graft.ops.Sampling.qualityPruneExact]]): keep each source's
+    * best 30% by type-token-ratio score — the FineWeb-style prune that
+    * never collapses a small domain. */
+  val td_quality_prune = GraftQuery(
+    "td_quality_prune",
+    (s, dir) => {
+      Sampling.qualityPruneExact(
+        ttrScored(Tables.documents(s, dir)),
+        "source", col("score_ppm"), "doc_id", keepPct = 30)
+        .select(col("doc_id"), col("source"), col("score_ppm"), col("rank"))
+        .orderBy(col("source"), col("rank"))
+    },
+    Some(s"""WITH $ttrScoredSql,
+      r AS (
+        SELECT doc_id, source, score_ppm,
+          row_number() OVER (PARTITION BY source
+            ORDER BY score_ppm DESC, doc_id) AS rank,
+          COUNT(*) OVER (PARTITION BY source) AS cnt
+        FROM s)
+      SELECT doc_id, source, score_ppm, CAST(rank AS INTEGER) AS rank
+      FROM r WHERE rank <= GREATEST(1, (cnt * 30) // 100)
+      ORDER BY source, rank"""))
+
+  /** The same prune the 100-TB way
+    * ([[graft.ops.Sampling.qualityPruneByValue]]): per-source cutoff
+    * from count-by-value aggregation (no row sort anywhere), rows
+    * tied at the cutoff all kept — its own oracle mirrors the
+    * ≥-cutoff semantics exactly. */
+  val td_quality_prune_cutoff = GraftQuery(
+    "td_quality_prune_cutoff",
+    (s, dir) => {
+      Sampling.qualityPruneByValue(
+        ttrScored(Tables.documents(s, dir)),
+        "source", col("score_ppm"), "doc_id", keepPct = 30)
+        .select(col("doc_id"), col("source"), col("score_ppm"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH $ttrScoredSql,
+      c AS (
+        SELECT source, score_ppm, COUNT(*) AS c FROM s GROUP BY 1, 2),
+      w AS (
+        SELECT source, score_ppm, c,
+          SUM(c) OVER (PARTITION BY source ORDER BY score_ppm DESC) AS cum,
+          SUM(c) OVER (PARTITION BY source) AS tot
+        FROM c),
+      cut AS (
+        SELECT source, score_ppm AS cutoff FROM w
+        WHERE GREATEST(1, (tot * 30) // 100) > cum - c
+          AND GREATEST(1, (tot * 30) // 100) <= cum)
+      SELECT s.doc_id, s.source, s.score_ppm
+      FROM s JOIN cut USING (source) WHERE s.score_ppm >= cut.cutoff
+      ORDER BY s.doc_id"""))
+
+  /** Corpus-version drift gate ([[graft.ops.Profiling.driftTvd]]):
+    * language-share total-variation distance between the corpus and a
+    * simulated next crawl (every third English doc dropped) — integer
+    * ppm end to end, so the gate value is bit-exact cross-engine. */
+  val td_drift_tvd = GraftQuery(
+    "td_drift_tvd",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val next = d.filter(
+        !(col("lang") === "en" && pmod(col("doc_id"), lit(3)) === 0))
+      Profiling.driftTvd(d, next, col("lang"))
+        .orderBy(col("bucket"))
+    },
+    Some("""WITH a AS (
+        SELECT lang AS bucket, COUNT(*) AS n_a FROM documents GROUP BY 1),
+      b AS (
+        SELECT lang AS bucket, COUNT(*) AS n_b FROM documents
+        WHERE NOT (lang = 'en' AND doc_id % 3 = 0) GROUP BY 1),
+      j AS (
+        SELECT COALESCE(a.bucket, b.bucket) AS bucket,
+          CAST(COALESCE(n_a, 0) AS BIGINT) AS n_a,
+          CAST(COALESCE(n_b, 0) AS BIGINT) AS n_b
+        FROM a FULL OUTER JOIN b ON a.bucket = b.bucket),
+      sh AS (
+        SELECT bucket, n_a, n_b,
+          CAST((n_a * 1000000) // (SELECT SUM(n_a) FROM j) AS BIGINT)
+            AS share_a_ppm,
+          CAST((n_b * 1000000) // (SELECT SUM(n_b) FROM j) AS BIGINT)
+            AS share_b_ppm
+        FROM j)
+      SELECT bucket, n_a, n_b, share_a_ppm, share_b_ppm,
+        CAST(abs(share_a_ppm - share_b_ppm) AS BIGINT) AS gap_ppm,
+        CAST((SELECT SUM(abs(share_a_ppm - share_b_ppm)) FROM sh) // 2
+          AS BIGINT) AS tvd_ppm
+      FROM sh ORDER BY bucket"""))
+
+  /** Sequence-length power-of-two bucketing with padding-waste ppm
+    * ([[graft.ops.Pipeline.lengthBuckets]]) — the padded-batch
+    * counterpart of [[td_pack_sequences]]; integer bit-length bucket
+    * arithmetic, no float log2. */
+  val td_length_buckets = GraftQuery(
+    "td_length_buckets",
+    (s, dir) => {
+      graft.ops.Pipeline.lengthBuckets(
+        Tables.documents(s, dir).select("doc_id", "text"), "text",
+        minBucket = 16)
+        .orderBy(col("bucket"))
+    },
+    Some("""WITH t AS (
+        SELECT doc_id,
+          CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(trim(text),'\s+')) END AS n
+        FROM documents),
+      bkt AS (
+        SELECT doc_id, n,
+          GREATEST(16, CASE WHEN n <= 1 THEN 2
+            ELSE CAST(1 AS BIGINT) << length(bin(CAST(n - 1 AS BIGINT)))
+            END) AS bucket
+        FROM t),
+      g AS (
+        SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n_docs,
+          SUM(n) AS n_tokens
+        FROM bkt GROUP BY 1)
+      SELECT bucket, CAST(n_docs AS BIGINT) AS n_docs,
+        CAST(n_tokens AS BIGINT) AS n_tokens,
+        CAST(n_docs * bucket AS BIGINT) AS n_padded,
+        CAST(((n_docs * bucket - n_tokens) * 1000000) // (n_docs * bucket)
+          AS BIGINT) AS waste_ppm
+      FROM g ORDER BY bucket"""))
+
   /** Corpus-frequency rare-word counts (LM-surprisal core, integer-
     * valued so fully oracle-checkable). */
   val td_rare_words = GraftQuery(
@@ -3661,6 +3814,8 @@ object TrainingData {
     td_ann_recall, td_content_chunks, td_content_chunks_fast,
     td_boilerplate_removal,
     td_rare_words, td_chunk_dedup,
+    td_quality_prune, td_quality_prune_cutoff, td_drift_tvd,
+    td_length_buckets,
     td_sample_hash, td_sample_stratified, td_sample_weighted,
     td_dsir_select,
     td_domain_mix, td_temperature_mix, td_bpe_encode, td_bpe_train,

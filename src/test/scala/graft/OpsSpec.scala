@@ -168,6 +168,25 @@ class OpsSpec extends SparkSpec {
     assert(exact.getString(4) == approx.getString(4)) // max
   }
 
+  test("driftTvd: 0 for identical corpora, 1e6 for disjoint, exact gap between") {
+    import spark.implicits._
+    val a = Seq("en", "en", "en", "de").toDF("lang")
+    // identical distributions → every gap and the total are 0
+    val same = graft.ops.Profiling.driftTvd(a, a, col("lang"))
+    assert(same.select("gap_ppm").as[Long].collect().forall(_ == 0L))
+    assert(same.select("tvd_ppm").as[Long].head() == 0L)
+    // disjoint bucket sets → TVD = 1e6 (absent side fills n=0)
+    val b = Seq("fr", "es").toDF("lang")
+    val disj = graft.ops.Profiling.driftTvd(a, b, col("lang"))
+    assert(disj.select("tvd_ppm").as[Long].head() == 1000000L)
+    assert(disj.count() == 4L) // buckets from EITHER side survive
+    // a known shift: a = 3/4 en, b = 1/2 en → gap 250000 each side
+    val c = Seq("en", "de").toDF("lang")
+    val r = graft.ops.Profiling.driftTvd(a, c, col("lang"))
+      .select("bucket", "gap_ppm").as[(String, Long)].collect().toMap
+    assert(r == Map("en" -> 250000L, "de" -> 250000L))
+  }
+
   test("incremental near-dup ≡ batch minus within-old, on a planted corpus") {
     // old corpus: 40 docs; new batch: 9 near-copies of old docs (last
     // word dropped → shingle jaccard 9/10, inside the [0.8, 1) band)

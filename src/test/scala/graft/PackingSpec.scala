@@ -118,4 +118,24 @@ class PackingSpec extends SparkSpec {
       .select($"doc_id", $"split").as[(Long, String)].collect().toMap
     (1L to 50L).foreach(i => assert(same(i) == plain(i)))
   }
+
+  test("lengthBuckets: power-of-two buckets, floor, exact waste ppm") {
+    // token counts: 0 ("" after trim), 1, 16, 17, 100 → buckets
+    // 16, 16, 16, 32, 128 (boundary n=16 stays in 16; n=17 jumps)
+    val d = Seq(
+      (1L, "s", ""),
+      (2L, "s", "w"),
+      (3L, "s", (1 to 16).map(_ => "t").mkString(" ")),
+      (4L, "s", (1 to 17).map(_ => "t").mkString(" ")),
+      (5L, "s", (1 to 100).map(_ => "t").mkString(" "))).toDF(
+      "doc_id", "source", "text")
+    val out = Pipeline.lengthBuckets(d, "text", minBucket = 16)
+      .orderBy("bucket")
+      .select("bucket", "n_docs", "n_tokens", "n_padded", "waste_ppm")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (16L, 3L, 17L, 48L, (31L * 1000000L) / 48L),
+      (32L, 1L, 17L, 32L, (15L * 1000000L) / 32L),
+      (128L, 1L, 100L, 128L, (28L * 1000000L) / 128L)))
+  }
 }

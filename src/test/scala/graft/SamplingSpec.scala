@@ -215,6 +215,26 @@ class SamplingSpec extends SparkSpec {
     assert(kept.join(df, Seq("doc_id", "dom"), "left_anti").isEmpty)
   }
 
+  test("qualityPrune: byValue ⊇ exact, equal when the boundary score is unique") {
+    // dom "a": distinct scores — the two forms must agree exactly.
+    // dom "b": five rows ALL tied at one score — exact keeps
+    // max(1, 5*40/100)=2 (by id), byValue keeps the whole tie bucket.
+    val df = (Seq((1L, "a", 90L), (2L, "a", 80L), (3L, "a", 70L),
+      (4L, "a", 60L), (5L, "a", 50L)) ++
+      (11L to 15L).map(i => (i, "b", 42L))).toDF("id", "dom", "s")
+    def kept(d: org.apache.spark.sql.DataFrame) =
+      d.select("id").as[Long].collect().toSet
+    val exact = kept(Sampling.qualityPruneExact(df, "dom", col("s"), "id", 40))
+    val byVal = kept(Sampling.qualityPruneByValue(df, "dom", col("s"), "id", 40))
+    assert(exact == Set(1L, 2L, 11L, 12L))      // 40% of 5 = 2 per dom
+    assert(exact.subsetOf(byVal))
+    assert(byVal == Set(1L, 2L) ++ (11L to 15L)) // tie bucket all kept
+    // a 1-row domain always survives (the max(1, …) floor)
+    val tiny = Seq((1L, "solo", 5L)).toDF("id", "dom", "s")
+    assert(Sampling.qualityPruneExact(tiny, "dom", col("s"), "id", 10).count() == 1L)
+    assert(Sampling.qualityPruneByValue(tiny, "dom", col("s"), "id", 10).count() == 1L)
+  }
+
   test("saltedJoin: identical result to the plain join, incl. dup keys") {
     val big = Seq((1, "x"), (1, "y"), (2, "z"), (3, "w")).toDF("k", "v")
     val small = Seq((1, "A"), (1, "B"), (2, "C")).toDF("k", "d")
