@@ -68,9 +68,21 @@ object Profiling {
     def counts(df: DataFrame, n: String) =
       df.select(bucket.as("bucket")).groupBy("bucket")
         .agg(count(lit(1)).as(n))
+    driftTvdCounts(counts(a, "n_a"), counts(b, "n_b"))
+  }
+
+  /** [[driftTvd]] over pre-aggregated histograms — the form a
+    * STREAMING gate uses, where the reference side is a frozen
+    * `(bucket, n_a)` table and only the batch side is counted live.
+    * Inputs: `(bucket, n_a)` and `(bucket, n_b)`; both totals must be
+    * positive (an empty side has no shares — under ANSI mode the div
+    * raises rather than returning nulls). */
+  def driftTvdCounts(countsA: DataFrame, countsB: DataFrame): DataFrame = {
     val whole = org.apache.spark.sql.expressions.Window
       .partitionBy(lit(1))
-    counts(a, "n_a").join(counts(b, "n_b"), Seq("bucket"), "full_outer")
+    countsA.withColumn("n_a", col("n_a").cast("long"))
+      .join(countsB.withColumn("n_b", col("n_b").cast("long")),
+        Seq("bucket"), "full_outer")
       .na.fill(0L, Seq("n_a", "n_b"))
       .withColumn("__ta", sum(col("n_a")).over(whole))
       .withColumn("__tb", sum(col("n_b")).over(whole))

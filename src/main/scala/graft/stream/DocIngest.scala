@@ -97,6 +97,68 @@ object DocIngest {
       Dedup.minhashBandIndex(survivors, idCol, textCol, numHashes, bands))
   }
 
+  /** Per-batch distribution drift gate: each micro-batch's `bucket`
+    * distribution (language, source, length band, …) is compared to a
+    * frozen reference histogram by total-variation distance
+    * ([[graft.ops.Profiling.driftTvdCounts]] — integer ppm, so the
+    * gate value is deterministic under replay), and a metrics row
+    * `(batch, n_docs, tvd_ppm)` is appended per batch. In `strict`
+    * mode a batch over `maxTvdPpm` throws
+    * [[graft.ddl.KillSwitchException]] AFTER its metrics row lands —
+    * the violation is recorded, then the stream dies (the fail-fast
+    * discipline of the CDC engine's strict mode, applied to corpus
+    * composition: a crawler bug that flips the language mix should
+    * stop ingest, not poison the corpus).
+    *
+    * Metrics go to batch-keyed directories with overwrite, so a
+    * replayed batch rewrites its own row idempotently. Empty batches
+    * are recorded with a NULL tvd (no distribution to compare) and
+    * never trip the gate. `reference` must be a non-empty
+    * `(bucket, n_ref)` histogram — freeze it from a trusted corpus
+    * version with a count-by-bucket aggregate.
+    *
+    * Scale shape: the per-batch cost is one map-side count-by-bucket
+    * over the batch plus a |buckets|-row join against the broadcast
+    * reference; nothing scales with corpus size.
+    */
+  def driftGate(docs: DataFrame, bucket: org.apache.spark.sql.Column,
+      reference: DataFrame, metricsDir: String, checkpointDir: String,
+      maxTvdPpm: Long, strict: Boolean = false,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : StreamingQuery = {
+    require(reference.columns.toSeq == Seq("bucket", "n_ref"),
+      s"reference must have columns (bucket, n_ref), got " +
+        reference.columns.mkString(", "))
+    val refCounts = reference.withColumnRenamed("n_ref", "n_a")
+    val writer = docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+    trigger.foreach(writer.trigger)
+    writer
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val batchCounts = batch.select(bucket.as("bucket"))
+          .groupBy("bucket").agg(count(lit(1)).as("n_b"))
+          .localCheckpoint(eager = false) // feeds the total AND the TVD
+        // bounded control-plane collect: |buckets| rows, never docs
+        val nDocs = batchCounts.agg(coalesce(sum(col("n_b")), lit(0L)))
+          .head().getLong(0)
+        val tvd: Option[Long] =
+          if (nDocs == 0L) None
+          else Some(graft.ops.Profiling
+            .driftTvdCounts(refCounts, batchCounts)
+            .select(col("tvd_ppm")).head().getLong(0))
+        Seq((batchId, nDocs, tvd))
+          .toDF("batch", "n_docs", "tvd_ppm")
+          .write.mode("overwrite").parquet(s"$metricsDir/batch=$batchId")
+        if (strict && tvd.exists(_ > maxTvdPpm))
+          throw new graft.ddl.KillSwitchException(
+            s"drift gate: batch $batchId tvd_ppm=${tvd.get} > $maxTvdPpm")
+        ()
+      }
+      .start()
+  }
+
   /** Streaming cross-batch near-dup ingest: every micro-batch is
     * [[admitBatch]]ed against the persisted band index, survivors land
     * in `outDir`, and their index rows are appended — corpus growth

@@ -111,4 +111,52 @@ class DocIngestSpec extends SparkSpec {
     assert(ids == Set(1L, 2L, 3L),
       s"doc 3 should be re-admitted after state eviction: $ids")
   }
+
+  case class LangDoc(doc_id: Long, lang: String)
+
+  test("driftGate: metrics per batch; strict mode kills AFTER recording the violation") {
+    implicit val sqlCtx = spark.sqlContext
+    val ref = Seq(("en", 3L), ("de", 1L)).toDF("bucket", "n_ref")
+
+    // non-strict: a drifted batch is recorded but the stream survives
+    val dir1 = java.nio.file.Files.createTempDirectory("drift1").toString
+    val mem1 = MemoryStream[LangDoc]
+    val q1 = DocIngest.driftGate(mem1.toDF(), col("lang"), ref,
+      s"$dir1/metrics", s"$dir1/ckpt", maxTvdPpm = 100000L)
+    // batch 0 matches the reference mix exactly; batch 1 is all-French
+    mem1.addData(LangDoc(1, "en"), LangDoc(2, "en"), LangDoc(3, "en"),
+      LangDoc(4, "de"))
+    q1.processAllAvailable()
+    mem1.addData(LangDoc(5, "fr"), LangDoc(6, "fr"))
+    q1.processAllAvailable()
+    assert(q1.isActive, "non-strict gate must not kill the stream")
+    q1.stop()
+    val m1 = spark.read.parquet(s"$dir1/metrics")
+      .select("batch", "n_docs", "tvd_ppm")
+      .as[(Long, Long, Option[Long])].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(m1(0L) == ((4L, Some(0L))), s"matched batch: ${m1(0L)}")
+    assert(m1(1L) == ((2L, Some(1000000L))), s"disjoint batch: ${m1(1L)}")
+
+    // strict: the same drifted batch records its metrics row, THEN dies
+    val dir2 = java.nio.file.Files.createTempDirectory("drift2").toString
+    val mem2 = MemoryStream[LangDoc]
+    val q2 = DocIngest.driftGate(mem2.toDF(), col("lang"), ref,
+      s"$dir2/metrics", s"$dir2/ckpt", maxTvdPpm = 100000L, strict = true)
+    mem2.addData(LangDoc(1, "en"), LangDoc(2, "en"), LangDoc(3, "en"),
+      LangDoc(4, "de"))
+    q2.processAllAvailable()
+    mem2.addData(LangDoc(5, "fr"), LangDoc(6, "fr"))
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    def rootCauses(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: rootCauses(x.getCause))
+    assert(rootCauses(ex).exists(_.isInstanceOf[graft.ddl.KillSwitchException]),
+      s"expected KillSwitchException in the cause chain: $ex")
+    val m2 = spark.read.parquet(s"$dir2/metrics")
+      .select("batch", "tvd_ppm").as[(Long, Option[Long])].collect().toMap
+    assert(m2(1L) == Some(1000000L),
+      s"the killing batch's violation must be recorded first: $m2")
+  }
 }
