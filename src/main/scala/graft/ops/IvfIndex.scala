@@ -103,12 +103,28 @@ object IvfIndex {
     * delete+rename per cell directory, not atomic across the index:
     * run it as a maintenance window op (the same contract as any
     * parquet-level compaction without a table format — concurrent
-    * probes of a cell mid-swap can observe a partial list). */
+    * probes of a cell mid-swap can observe a partial list). A crash
+    * BETWEEN a cell's delete and its rename is rolled forward on the
+    * next call: any staged cell whose live directory is missing is
+    * renamed in before the staging area is cleared, so the staged
+    * copy (which holds the cell's full list) is never discarded while
+    * it is the only copy. */
   def compact(spark: SparkSession, dir: String, cells: Seq[Int],
               targetFileBytes: Long = 128L << 20): Unit = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val postings = new Path(s"$dir/postings")
     val fs = postings.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prevStaging = new Path(s"$dir/.compact_staging")
+    if (fs.exists(prevStaging)) {
+      fs.listStatus(prevStaging)
+        .filter(_.getPath.getName.startsWith("cell="))
+        .foreach { st =>
+          val live = new Path(postings, st.getPath.getName)
+          if (!fs.exists(live) && !fs.rename(st.getPath, live))
+            throw new IllegalStateException(
+              s"IvfIndex.compact: recovery rename to $live failed")
+        }
+    }
     val present = cells.distinct.filter(c =>
       fs.exists(new Path(postings, s"cell=$c")))
     if (present.isEmpty) return

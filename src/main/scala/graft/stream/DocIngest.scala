@@ -97,6 +97,77 @@ object DocIngest {
       Dedup.minhashBandIndex(survivors, idCol, textCol, numHashes, bands))
   }
 
+  /** Compact the [[nearDupIngest]] band index: merge the batch-keyed
+    * directories `batch=K` for K ≤ `upToBatch` into the LOWEST such
+    * directory — without this the index accumulates one small
+    * directory per micro-batch forever (the same small-file decay the
+    * persisted IVF index's append lifecycle compacts away). Probe
+    * correctness is preserved because [[nearDupIngest]]'s replay
+    * filter only excludes the CURRENT batch id: once K is
+    * checkpoint-committed it can never replay, so its rows may live
+    * under any other committed batch id. Callers must therefore pass
+    * an `upToBatch` strictly below the oldest batch that could still
+    * replay (i.e. only checkpoint-committed batches, with the stream
+    * stopped or at least one batch ahead).
+    *
+    * Crash safety is roll-forward: rows are staged to
+    * `.compact_staging_<target>`, then the target dir is deleted
+    * FIRST, the other source dirs after, and the staging renamed in
+    * last — so at every crash point either the sources are intact
+    * (staging discarded on recovery) or the staging holds every row
+    * (recovery completes the rename; stale source dirs merely
+    * duplicate rows, which is admission-invariant — duplicate band
+    * rows make duplicate candidate edges, and connected components
+    * are unchanged by edge duplication — and the next compaction's
+    * `distinct()` heals the layout). Recovery runs automatically at
+    * the start of every call.
+    *
+    * Returns the number of directories merged (0 = nothing to do).
+    */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, upToBatch: Long,
+      targetFileBytes: Long = 128L << 20): Int = {
+    import org.apache.hadoop.fs.Path
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val root = new Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0
+    val stagingPrefix = ".compact_staging_"
+    // roll-forward recovery from a previous crash
+    fs.listStatus(root).filter(_.getPath.getName.startsWith(stagingPrefix))
+      .foreach { st =>
+        val target = new Path(root, st.getPath.getName.stripPrefix(stagingPrefix))
+        if (!fs.exists(target)) {
+          if (!fs.rename(st.getPath, target)) throw new IllegalStateException(
+            s"compactIndex: recovery rename to $target failed")
+        } else fs.delete(st.getPath, true)
+      }
+    val ks = fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch=").toLong)
+      .filter(_ <= upToBatch).sorted
+    if (ks.length < 2) return 0
+    val sources = ks.map(k => new Path(root, s"batch=$k"))
+    val targetName = s"batch=${ks.head}"
+    val staging = new Path(root, s"$stagingPrefix$targetName")
+    fs.delete(staging, true)
+    val bytes = sources.map(fs.getContentSummary(_).getLength).sum
+    val nFiles = math.max(1L,
+      (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    // distinct() both merges and HEALS duplicates a past crash left
+    spark.read.parquet(sources.map(_.toString): _*)
+      .distinct()
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(staging.toString)
+    // delete the target FIRST: once anything is deleted, the staging
+    // (which holds every row) is the recovery source of truth
+    sources.foreach(fs.delete(_, true))
+    if (!fs.rename(staging, new Path(root, targetName)))
+      throw new IllegalStateException(
+        s"compactIndex: failed to swap in $targetName")
+    ks.length
+  }
+
   /** Per-batch distribution drift gate: each micro-batch's `bucket`
     * distribution (language, source, length band, …) is compared to a
     * frozen reference histogram by total-variation distance

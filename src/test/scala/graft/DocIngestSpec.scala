@@ -112,6 +112,49 @@ class DocIngestSpec extends SparkSpec {
       s"doc 3 should be re-admitted after state eviction: $ids")
   }
 
+  test("compactIndex: one dir, same rows, same admissions; crashed swap rolls forward") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString
+    val mem = MemoryStream[RawDoc]
+    val q = DocIngest.nearDupIngest(mem.toDF(), "doc_id", "text",
+      s"$dir/index", s"$dir/out", s"$dir/ckpt")
+    mem.addData(RawDoc(1, "w1 w2 w3 w4 w5 w6 w7 w8"))
+    q.processAllAvailable()
+    mem.addData(RawDoc(2, "z1 z2 z3 z4 z5 z6 z7 z8"))
+    q.processAllAvailable()
+    mem.addData(RawDoc(3, "y1 y2 y3 y4 y5 y6 y7 y8"))
+    q.processAllAvailable()
+    q.stop()
+
+    val before = spark.read.parquet(s"$dir/index").drop("batch")
+      .distinct().collect().toSet
+    assert(DocIngest.compactIndex(spark, s"$dir/index", upToBatch = 2L) == 3)
+    val dirs = new java.io.File(s"$dir/index").listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).toSeq
+    assert(dirs == Seq("batch=0"), s"expected one compacted dir: $dirs")
+    val after = spark.read.parquet(s"$dir/index").drop("batch")
+      .distinct().collect().toSet
+    assert(after == before, "compaction must preserve the row set")
+
+    // probe the compacted index exactly as batch 3 would: a near-dup
+    // of doc 1 (admitted in batch 0) must still be rejected
+    val probe = Seq((10L, "w1 w2 w3 w4 w5 w6 w7 w8 x1")).toDF("doc_id", "text")
+    val ix = spark.read.parquet(s"$dir/index").filter(col("batch") =!= 3L)
+    val (surv, _) = DocIngest.admitBatch(probe, Some(ix), "doc_id", "text")
+    assert(surv.isEmpty, "near-dup of a compacted-index doc must be rejected")
+
+    // crash between target delete and staging rename: roll forward
+    val fs = new org.apache.hadoop.fs.Path(s"$dir/index")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(s"$dir/index/batch=0"),
+      new org.apache.hadoop.fs.Path(s"$dir/index/.compact_staging_batch=0")))
+    assert(DocIngest.compactIndex(spark, s"$dir/index", upToBatch = 2L) == 0)
+    val healed = spark.read.parquet(s"$dir/index").drop("batch")
+      .distinct().collect().toSet
+    assert(healed == before, "recovery must restore the staged rows")
+  }
+
   case class LangDoc(doc_id: Long, lang: String)
 
   test("driftGate: metrics per batch; strict mode kills AFTER recording the violation") {

@@ -94,6 +94,29 @@ class IvfIndexSpec extends SparkSpec {
     assert(res(dirA) == res(dirB) && res(dirB).nonEmpty)
   }
 
+  test("compact: a cell crashed between delete and rename is rolled forward") {
+    val dir = tmpDir("cmpR")
+    IvfIndex.build(corpus, "vec_id", "embedding", dir, kCells = 8, iters = 2)
+    val rowsBefore = spark.read.parquet(s"$dir/postings").drop("cell")
+      .collect().toSet
+    // pick a real cell and simulate the crash window: its list staged,
+    // its live directory already deleted, the rename never happened
+    val postings = new java.io.File(s"$dir/postings")
+    val cellName = postings.listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell=")).head.getName
+    val staging = new java.io.File(s"$dir/.compact_staging")
+    assert(staging.mkdirs())
+    assert(new java.io.File(postings, cellName)
+      .renameTo(new java.io.File(staging, cellName)))
+    // next compaction call (any cell set) must restore it, not discard it
+    IvfIndex.compact(spark, dir,
+      cells = Seq(cellName.stripPrefix("cell=").toInt))
+    val rowsAfter = spark.read.parquet(s"$dir/postings").drop("cell")
+      .collect().toSet
+    assert(rowsAfter == rowsBefore, "recovery must restore the staged cell")
+    assert(!staging.exists(), "staging cleared after recovery + compaction")
+  }
+
   test("buildSq8 + querySq8 ≡ ADC over in-memory codes restricted to probed cells") {
     val dir = tmpDir("sq8")
     IvfIndex.buildSq8(corpus, "vec_id", "embedding", dir,
