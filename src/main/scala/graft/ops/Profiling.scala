@@ -93,6 +93,35 @@ object Profiling {
       .drop("__ta", "__tb")
   }
 
+  /** Corpus snapshot diff — the dataset-versioning primitive: which
+    * documents were `added`, `removed`, `changed`, or `unchanged`
+    * between two corpus versions, decided by content fingerprint
+    * (md5), keyed by document id.
+    *
+    * Scale shape: both sides collapse to (id, 16-byte fingerprint) in
+    * a narrow map BEFORE the full-outer join, so the shuffle moves
+    * hashes, never text — at 100 TB the join weighs |ids|·~25 bytes
+    * per side regardless of document size. One id-keyed exchange per
+    * side, nothing else.
+    */
+  def corpusDiff(a: DataFrame, b: DataFrame, idCol: String,
+                 textCol: String): DataFrame = {
+    // explicit presence flags + null-safe fingerprint compare: a doc
+    // PRESENT with a NULL text must not read as absent (md5(null) is
+    // null), and null-vs-null text is unchanged
+    val fa = a.select(col(idCol).as(idCol), md5(col(textCol)).as("__fa"),
+      lit(true).as("__ina"))
+    val fb = b.select(col(idCol).as(idCol), md5(col(textCol)).as("__fb"),
+      lit(true).as("__inb"))
+    fa.join(fb, Seq(idCol), "full_outer")
+      .withColumn("status",
+        when(col("__ina").isNull, lit("added"))
+          .when(col("__inb").isNull, lit("removed"))
+          .when(col("__fa") <=> col("__fb"), lit("unchanged"))
+          .otherwise(lit("changed")))
+      .select(col(idCol), col("status"))
+  }
+
   /** Mergeable sufficient statistics for simple linear regression of
     * `yCol` on `xCol`, per group: (n, Σx, Σy, Σx², Σxy, Σy²) plus the
     * derived slope, intercept, and Pearson r.

@@ -2614,6 +2614,46 @@ object TrainingData {
           AS BIGINT) AS waste_ppm
       FROM g ORDER BY bucket"""))
 
+  /** Dataset-versioning diff ([[graft.ops.Profiling.corpusDiff]]):
+    * doc-level added/removed/changed between the corpus and a
+    * simulated next version (every 11th doc dropped, every 7th
+    * edited, 5 new ids appended). Fingerprints join, text never
+    * shuffles; `unchanged` filtered from the output so the result is
+    * delta-sized. */
+  val td_corpus_diff = GraftQuery(
+    "td_corpus_diff",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val next = d
+        .filter(pmod(col("doc_id"), lit(11)) =!= 0)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(col("text"), lit(" EDITED"))).otherwise(col("text")))
+        .unionByName(
+          d.filter(col("doc_id") < 5)
+            .withColumn("doc_id", col("doc_id") + 9000000L))
+      Profiling.corpusDiff(d, next, "doc_id", "text")
+        .filter(col("status") =!= "unchanged")
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH next AS (
+        SELECT doc_id, text || ' EDITED' AS text FROM documents
+        WHERE doc_id % 11 <> 0 AND doc_id % 7 = 0
+        UNION ALL
+        SELECT doc_id, text FROM documents
+        WHERE doc_id % 11 <> 0 AND doc_id % 7 <> 0
+        UNION ALL
+        SELECT doc_id + 9000000, text FROM documents WHERE doc_id < 5),
+      d AS (
+        SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+          CASE WHEN a.doc_id IS NULL THEN 'added'
+               WHEN b.doc_id IS NULL THEN 'removed'
+               WHEN md5(a.text) = md5(b.text) THEN 'unchanged'
+               ELSE 'changed' END AS status
+        FROM documents a FULL OUTER JOIN next b ON a.doc_id = b.doc_id)
+      SELECT doc_id, status FROM d
+      WHERE status <> 'unchanged' ORDER BY doc_id"""))
+
   /** Corpus-frequency rare-word counts (LM-surprisal core, integer-
     * valued so fully oracle-checkable). */
   val td_rare_words = GraftQuery(
@@ -3814,7 +3854,7 @@ object TrainingData {
     td_ann_recall, td_content_chunks, td_content_chunks_fast,
     td_boilerplate_removal,
     td_rare_words, td_chunk_dedup,
-    td_quality_prune, td_quality_prune_cutoff, td_drift_tvd,
+    td_quality_prune, td_quality_prune_cutoff, td_drift_tvd, td_corpus_diff,
     td_length_buckets,
     td_sample_hash, td_sample_stratified, td_sample_weighted,
     td_dsir_select,

@@ -187,6 +187,21 @@ class OpsSpec extends SparkSpec {
     assert(r == Map("en" -> 250000L, "de" -> 250000L))
   }
 
+  test("corpusDiff: added/removed/changed/unchanged incl. NULL-text docs") {
+    import spark.implicits._
+    val a = Seq((1L, Some("same")), (2L, Some("old")), (3L, Some("gone")),
+      (4L, None: Option[String]), (5L, Some("was text"))).toDF("id", "text")
+    val b = Seq((1L, Some("same")), (2L, Some("new")),
+      (4L, None: Option[String]), (5L, None: Option[String]),
+      (9L, Some("fresh"))).toDF("id", "text")
+    val r = graft.ops.Profiling.corpusDiff(a, b, "id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(r == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "unchanged",  // null text both sides: present, identical
+      5L -> "changed",    // text → null is a change, not a removal
+      9L -> "added"))
+  }
+
   test("incremental near-dup ≡ batch minus within-old, on a planted corpus") {
     // old corpus: 40 docs; new batch: 9 near-copies of old docs (last
     // word dropped → shingle jaccard 9/10, inside the [0.8, 1) band)
