@@ -165,6 +165,44 @@ object DocStreamBench {
       nAdmitted >= (total * 2) / 5 && nAdmitted <= total &&
       progress.size == nBatches
 
+    // ---- index-maintenance economics (post-run; the stream is done,
+    // so every batch is committed and compaction is safe) ----
+    // One batch dir per micro-batch is the small-file decay compaction
+    // exists for; record its cost and what a probe gains from it.
+    def indexStats(): (Int, Int) = {
+      val root = new java.io.File(idxDir)
+      val ds = Option(root.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      (ds.length, ds.map(d =>
+        d.listFiles().count(_.getName.endsWith(".parquet"))).sum)
+    }
+    // probe: near-dups of the first slice under fresh ids — the
+    // steady-state admission shape (mostly rejections via the index)
+    val probeBatch = docs.filter(col("doc_id") < perBatch)
+      .select((col("doc_id") + 5000000L).as("doc_id"),
+        concat(col("text"), lit(" probetail")).as("text"))
+      .localCheckpoint() // materialize: probe timings measure the PROBE
+    def timeProbe(): (Double, Long) = {
+      System.gc()
+      val t = System.nanoTime()
+      val ix = spark.read.parquet(idxDir).filter(col("batch") =!= 9999999L)
+      val (surv, _) = DocIngest.admitBatch(probeBatch, Some(ix),
+        "doc_id", "text")
+      val n = surv.count()
+      ((System.nanoTime() - t) / 1e9, n)
+    }
+    val (dirsBefore, filesBefore) = indexStats()
+    val (probeBeforeSec, survBefore) = timeProbe()
+    System.gc()
+    val tc = System.nanoTime()
+    val merged = DocIngest.compactIndex(spark, idxDir,
+      upToBatch = progress.map(_.batchId).max)
+    val compactSec = (System.nanoTime() - tc) / 1e9
+    val (dirsAfter, filesAfter) = indexStats()
+    val (probeAfterSec, survAfter) = timeProbe()
+    val compactOk = merged == dirsBefore && dirsAfter == 1 &&
+      survAfter == survBefore
+
     def fmt(v: Double) =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val line =
@@ -173,11 +211,17 @@ object DocStreamBench {
         s""""admitted":$nAdmitted,"planted_admitted":$plantedAdmitted,""" +
         s""""total_sec":${fmt(totalSec)},"wall_sec":${fmt(wallSec)},""" +
         s""""p50_ms":${pct(0.5)},"p95_ms":${pct(0.95)},""" +
-        s""""failed":${!ok},"scale":$scale,"sf":"$sfDir"}"""
+        s""""index_dirs_before":$dirsBefore,"index_files_before":$filesBefore,""" +
+        s""""index_dirs_after":$dirsAfter,"index_files_after":$filesAfter,""" +
+        s""""compact_sec":${fmt(compactSec)},""" +
+        s""""probe_before_sec":${fmt(probeBeforeSec)},""" +
+        s""""probe_after_sec":${fmt(probeAfterSec)},""" +
+        s""""compact_consistent":$compactOk,""" +
+        s""""failed":${!(ok && compactOk)},"scale":$scale,"sf":"$sfDir"}"""
     java.nio.file.Files.write(Paths.get("DOCSTREAMBENCH_DETAIL.json"),
       line.getBytes("UTF-8"))
     println(line)
     spark.stop()
-    if (!ok) sys.exit(1)
+    if (!(ok && compactOk)) sys.exit(1)
   }
 }
