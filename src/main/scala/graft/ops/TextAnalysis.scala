@@ -73,6 +73,63 @@ object TextAnalysis {
     }
   }
 
+  /** Span-level language purity — code-switch detection, the
+    * multilingual-curation signal doc-level [[languageId]] can't see:
+    * a half-English half-German page IDs as one language but trains
+    * badly. Tokens segment into fixed `spanTokens` spans, each span
+    * language-IDs by the same stopword-count argmax (and the same
+    * priority-order tie-break) as [[languageId]], and per doc the
+    * result is the span count, the majority span language, and
+    * `purity_ppm` = majority-span share (integer ppm, bit-exact).
+    * Token-less docs report 0 spans, purity 0, the priority-head
+    * language.
+    *
+    * Scale shape: posexplode is a narrow map; both aggregations (per
+    * (doc, span) marker counts, then per-doc span-language counts)
+    * are map-side-combinable sums — two keyed exchanges, each linear
+    * in the corpus, state bounded by |langs| columns.
+    */
+  def langPuritySpans(docs: DataFrame, idCol: String, textCol: String,
+      langSets: Seq[(String, Seq[String])], spanTokens: Int = 20)
+      : DataFrame = {
+    require(spanTokens >= 1, s"spanTokens=$spanTokens must be ≥ 1")
+    require(langSets.nonEmpty, "langSets must name at least one language")
+    // the shared argmax: first language (in priority order) whose
+    // score is ≥ every other — identical CASE shape to the oracle
+    def argmax(scores: Seq[(String, Column)]): Column =
+      scores.foldRight(lit(langSets.head._1)) { case ((lang, sc), alt) =>
+        val isMax = scores.map(_._2).map(o => sc >= o).reduce(_ && _)
+        when(isMax, lit(lang)).otherwise(alt)
+      }
+    val scoreAggs = langSets.map { case (l, ws) =>
+      sum(when(col("tok").isInCollection(ws), 1L).otherwise(0L)).as(s"s_$l")
+    }
+    val spanScores = docs
+      .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+      .withColumn("span", expr(s"pos div $spanTokens"))
+      .groupBy(col(idCol), col("span"))
+      .agg(scoreAggs.head, scoreAggs.tail: _*)
+    val spanLang = spanScores.withColumn("span_lang",
+      argmax(langSets.map { case (l, _) => l -> col(s"s_$l") }))
+    val perDoc = spanLang
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        langSets.map { case (l, _) =>
+          sum(when(col("span_lang") === l, 1L).otherwise(0L)).as(s"c_$l")
+        }: _*)
+      .withColumn("lang_major",
+        argmax(langSets.map { case (l, _) => l -> col(s"c_$l") }))
+      .withColumn("__cmax",
+        greatest(langSets.map { case (l, _) => col(s"c_$l") }: _*))
+      .withColumn("purity_ppm", expr("__cmax * 1000000 div n_spans"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("lang_major"), lit(langSets.head._1)).as("lang_major"),
+        coalesce(col("purity_ppm"), lit(0L)).as("purity_ppm"))
+  }
+
   /** Document fingerprint: md5 of whitespace-normalized lowercase
     * text — exact-dedup key, portable to any engine. */
   def fingerprint(text: Column): Column =

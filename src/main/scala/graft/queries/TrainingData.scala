@@ -75,6 +75,71 @@ object TrainingData {
         FROM scored)
       GROUP BY lang_pred ORDER BY lang_pred"""))
 
+  /** Span-level language purity ([[graft.ops.TextAnalysis
+    * .langPuritySpans]]): code-switch detection over 20-token spans,
+    * same stopword-argmax discipline (and tie-break priority) as
+    * [[td_lang_id]], integer-ppm purity. */
+  val td_lang_purity = GraftQuery(
+    "td_lang_purity",
+    (s, dir) => {
+      TextAnalysis.langPuritySpans(
+        Tables.documents(s, dir), "doc_id", "text", langSets,
+        spanTokens = 20)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH base AS (
+        SELECT doc_id, string_split_regex(trim(text),'\s+') AS t,
+          CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(trim(text),'\s+')) END AS n
+        FROM documents),
+      tokpos AS (
+        SELECT doc_id, (pos - 1) // 20 AS span, t[pos] AS tok
+        FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS pos
+              FROM base WHERE n > 0)),
+      ss AS (
+        SELECT doc_id, span,
+          SUM(CASE WHEN list_contains(['the','a','of'], tok)
+              THEN 1 ELSE 0 END) AS s_en,
+          SUM(CASE WHEN list_contains(['table','row','column'], tok)
+              THEN 1 ELSE 0 END) AS s_de,
+          SUM(CASE WHEN list_contains(['data','value','query'], tok)
+              THEN 1 ELSE 0 END) AS s_es,
+          SUM(CASE WHEN list_contains(['join','merge','group'], tok)
+              THEN 1 ELSE 0 END) AS s_fr
+        FROM tokpos GROUP BY 1, 2),
+      sl AS (
+        SELECT doc_id, span, CASE
+          WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+          WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+          WHEN s_es >= s_en AND s_es >= s_de AND s_es >= s_fr THEN 'es'
+          WHEN s_fr >= s_en AND s_fr >= s_de AND s_fr >= s_es THEN 'fr'
+          ELSE 'en' END AS span_lang
+        FROM ss),
+      agg AS (
+        SELECT doc_id, COUNT(*) AS n_spans,
+          SUM(CASE WHEN span_lang = 'en' THEN 1 ELSE 0 END) AS c_en,
+          SUM(CASE WHEN span_lang = 'de' THEN 1 ELSE 0 END) AS c_de,
+          SUM(CASE WHEN span_lang = 'es' THEN 1 ELSE 0 END) AS c_es,
+          SUM(CASE WHEN span_lang = 'fr' THEN 1 ELSE 0 END) AS c_fr
+        FROM sl GROUP BY 1),
+      m AS (
+        SELECT doc_id, n_spans,
+          CASE
+            WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr THEN 'en'
+            WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr THEN 'de'
+            WHEN c_es >= c_en AND c_es >= c_de AND c_es >= c_fr THEN 'es'
+            WHEN c_fr >= c_en AND c_fr >= c_de AND c_fr >= c_es THEN 'fr'
+            ELSE 'en' END AS lang_major,
+          GREATEST(c_en, c_de, c_es, c_fr) AS cmax
+        FROM agg)
+      SELECT b.doc_id, CAST(COALESCE(m.n_spans, 0) AS BIGINT) AS n_spans,
+        COALESCE(m.lang_major, 'en') AS lang_major,
+        CAST(CASE WHEN m.n_spans IS NULL THEN 0
+             ELSE (m.cmax * 1000000) // m.n_spans END AS BIGINT)
+          AS purity_ppm
+      FROM base b LEFT JOIN m USING (doc_id)
+      ORDER BY b.doc_id"""))
+
   val td_fingerprint = GraftQuery(
     "td_fingerprint",
     (s, dir) => {
@@ -3837,7 +3902,7 @@ object TrainingData {
 
   def all: Seq[GraftQuery] = Seq(
     td_lang_classifier, td_kmv_quantiles,
-    td_text_stats, td_lang_id, td_fingerprint, td_dedup_exact,
+    td_text_stats, td_lang_id, td_lang_purity, td_fingerprint, td_dedup_exact,
     td_char_jaccard, td_cosine_topk, td_minhash_neardup,
     td_incremental_neardup, td_source_neardup, td_ngram_jaccard,
     td_dup_spans, td_dup_span_removal, td_lm_bigram, td_gopher_quality,

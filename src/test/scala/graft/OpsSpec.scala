@@ -187,6 +187,25 @@ class OpsSpec extends SparkSpec {
     assert(r == Map("en" -> 250000L, "de" -> 250000L))
   }
 
+  test("langPuritySpans: code-switch halves, tie priority, markerless and empty docs") {
+    import spark.implicits._
+    val langs = Seq("en" -> Seq("the"), "de" -> Seq("der"))
+    val switched = (Seq.fill(20)("the") ++ Seq.fill(20)("der")).mkString(" ")
+    val df = Seq(
+      (1L, switched),      // span 0 → en, span 1 → de: purity 50%
+      (2L, ""),            // token-less: 0 spans, priority head, 0
+      (3L, "xx yy zz"))    // markers absent: ties → priority head
+      .toDF("id", "text")
+    val r = graft.ops.TextAnalysis
+      .langPuritySpans(df, "id", "text", langs, spanTokens = 20)
+      .as[(Long, Long, String, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    // doc 1's majority is ALSO a tie (1 en span, 1 de span) → priority
+    assert(r(1L) == ((2L, "en", 500000L)), r(1L).toString)
+    assert(r(2L) == ((0L, "en", 0L)), r(2L).toString)
+    assert(r(3L) == ((1L, "en", 1000000L)), r(3L).toString)
+  }
+
   test("corpusDiff: added/removed/changed/unchanged incl. NULL-text docs") {
     import spark.implicits._
     val a = Seq((1L, Some("same")), (2L, Some("old")), (3L, Some("gone")),
