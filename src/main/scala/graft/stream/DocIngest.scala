@@ -97,6 +97,44 @@ object DocIngest {
       Dedup.minhashBandIndex(survivors, idCol, textCol, numHashes, bands))
   }
 
+  /** Streaming sketch maintenance — the proof of the sketch layer's
+    * "runnable unchanged as a bounded-state streaming aggregation"
+    * contract: each micro-batch's log-histogram registers
+    * ([[graft.ops.Sketches.logHistogram]] of `measure`, grouped by
+    * `groupCols`) land in a batch-keyed directory (overwrite →
+    * replay-idempotent, the [[nearDupIngest]] discipline), and the
+    * corpus-lifetime sketch is merge-on-read: counts ADD, so reading
+    * is one bounded aggregation over ≤ batches·groups·buckets rows —
+    * the corpus itself is long gone. Quantile readout via
+    * [[graft.ops.Sketches.logHistQuantiles]] on [[mergedSketch]] is
+    * IDENTICAL to the batch path on the concatenated corpus (the
+    * merge is the same monoid Spark runs map-side; spec-pinned).
+    */
+  def sketchStream(docs: DataFrame, measure: org.apache.spark.sql.Column,
+      groupCols: Seq[String], sketchDir: String, checkpointDir: String,
+      subBits: Int = 6,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : StreamingQuery = {
+    val writer = docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+    trigger.foreach(writer.trigger)
+    writer
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.Sketches.logHistogram(batch, groupCols, measure, subBits)
+          .write.mode("overwrite").parquet(s"$sketchDir/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
+  /** The corpus-lifetime sketch from a [[sketchStream]] directory:
+    * merge-on-read over the batch-keyed register dirs (counts add). */
+  def mergedSketch(spark: org.apache.spark.sql.SparkSession,
+      sketchDir: String, groupCols: Seq[String]): DataFrame =
+    spark.read.parquet(sketchDir).drop("batch")
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(sum(col("count")).as("count"))
+
   /** Compact the [[nearDupIngest]] band index: merge the batch-keyed
     * directories `batch=K` for K ≤ `upToBatch` into the LOWEST such
     * directory — without this the index accumulates one small

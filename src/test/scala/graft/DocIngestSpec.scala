@@ -155,6 +155,36 @@ class DocIngestSpec extends SparkSpec {
     assert(healed == before, "recovery must restore the staged rows")
   }
 
+  test("sketchStream: merged streaming registers ≡ one-shot batch sketch") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("sketch").toString
+    val mem = MemoryStream[RawDoc]
+    val measure = graft.ops.TextAnalysis.tokenCount(col("text"))
+    val q = DocIngest.sketchStream(mem.toDF(), measure, Seq.empty,
+      s"$dir/sk", s"$dir/ckpt", subBits = 4)
+    val b1 = Seq(RawDoc(1, "a b c"), RawDoc(2, (1 to 40).mkString(" ")))
+    val b2 = Seq(RawDoc(3, "x"), RawDoc(4, (1 to 40).mkString(" ")),
+      RawDoc(5, (1 to 500).mkString(" ")))
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+
+    val merged = DocIngest.mergedSketch(spark, s"$dir/sk", Seq.empty)
+    val oneShot = graft.ops.Sketches.logHistogram(
+      (b1 ++ b2).map(d => (d.doc_id, d.text)).toDF("doc_id", "text"),
+      Seq.empty, measure, subBits = 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("bucket", "count").as[(Long, Long)].collect().toSet
+    assert(rows(merged) == rows(oneShot), "merge-on-read must equal batch")
+    // quantile readout identical through either path
+    val ps = Seq("p50" -> 0.5, "p99" -> 0.99)
+    val qm = graft.ops.Sketches.logHistQuantiles(merged, Seq.empty, 4, ps)
+      .as[(Long, Long)].head()
+    val qb = graft.ops.Sketches.logHistQuantiles(oneShot, Seq.empty, 4, ps)
+      .as[(Long, Long)].head()
+    assert(qm == qb && qm._1 > 0L, s"$qm vs $qb")
+  }
+
   case class LangDoc(doc_id: Long, lang: String)
 
   test("driftGate: metrics per batch; strict mode kills AFTER recording the violation") {
