@@ -97,6 +97,10 @@ object PlanDump {
       "Per-domain quality pruning, cutoff form: score counts aggregate map-side into (domain, score) rows — bounded by distinct scores, never a per-domain row sort like the exact-rank twin; the |domains|-row cutoff table enters the corpus as an explicit BroadcastHashJoin and the keep test is a narrow filter. The corpus is scanned, never re-sorted or re-shuffled.",
     "td_drift_tvd" ->
       "Corpus-version drift gate: each version collapses to a map-side-partial count-by-bucket (one streaming pass per side); the full-outer join, the share windows, and the TVD total all run on |buckets| rows — corpus cost is exactly two scans regardless of bucket skew.",
+    "td_corpus_diff" ->
+      "Corpus snapshot diff: both versions collapse to (id, md5) in narrow maps BEFORE the full-outer join — every Exchange in the plan carries fingerprint rows (~25 bytes), never document text (PlanAuditSpec asserts it); at 100 TB the diff weighs |ids|, not corpus bytes.",
+    "td_lang_purity" ->
+      "Span-level language purity: posexplode is a narrow map; the per-(doc, span) marker counts and the per-doc span-language counts are both map-side-partial sums — two linear keyed exchanges with |langs|-bounded state, no window over tokens anywhere.",
     "td_dsir_select" ->
       "DSIR importance resampling: both corpora collapse to dim-bounded hashed-ngram bucket counts with map-side partial aggregation; the dim-row weight table BROADCASTS into the raw-side feature join (the corpus never re-shuffles to meet the weights); top-k plans as TakeOrderedAndProject — per-partition heaps, no global sort anywhere.")
 

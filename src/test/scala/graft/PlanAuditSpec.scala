@@ -690,4 +690,43 @@ class PlanAuditSpec extends SparkSpec {
       assert(partial.nonEmpty, s"fingerprint distinct not map-side partial:\n$plan")
     }
   }
+
+  test("td_quality_prune_cutoff: cutoff table broadcasts, corpus never sorts") {
+    audited(graft.queries.TrainingData.td_quality_prune_cutoff.fn(spark, dir)) { df =>
+      val plan = df.queryExecution.executedPlan
+      val bhj = plan.collect { case b: BroadcastHashJoinExec => b }
+      assert(bhj.nonEmpty, s"cutoff join not broadcast:\n$plan")
+      // the whole point of the by-value form: score counts aggregate
+      // (partial before the exchange) and only the |distinct scores|
+      // table is sorted for the cumulative walk — the corpus side must
+      // reach the broadcast join with NO sort below it
+      val corpusSorts = bhj.head.left.collect {
+        case s: org.apache.spark.sql.execution.SortExec => s
+      }
+      assert(corpusSorts.isEmpty,
+        s"corpus side sorted before the cutoff join:\n$plan")
+      val partial = plan.collect {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+          if a.aggregateExpressions.exists(_.mode.toString == "Partial") => a
+      }
+      assert(partial.nonEmpty, s"score counts not map-side partial:\n$plan")
+    }
+  }
+
+  test("td_corpus_diff: text collapses to fingerprints BEFORE the id shuffle") {
+    audited(graft.queries.TrainingData.td_corpus_diff.fn(spark, dir)) { df =>
+      val plan = df.queryExecution.executedPlan
+      // every exchange must move (id, md5) rows, never the text column
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.nonEmpty, s"expected a keyed join exchange:\n$plan")
+      exchanges.foreach { e =>
+        val cols = e.output.map(_.name)
+        assert(!cols.contains("text"),
+          s"diff shuffles raw text ($cols) — fingerprints must be " +
+            s"computed in the narrow map:\n$plan")
+      }
+    }
+  }
 }
