@@ -73,6 +73,31 @@ object TextAnalysis {
     }
   }
 
+  /** Text-hygiene report — the encoding-damage signals a crawl
+    * pipeline filters on BEFORE any content op (mojibake docs poison
+    * dedup, quality scoring, and tokenization alike): per document,
+    * counts of U+FFFD replacement chars (decode failures), control
+    * chars (C0 minus tab/LF/CR, plus DEL and C1 — the mojibake
+    * residue of mis-declared charsets), zero-width chars
+    * (ZWSP/ZWNJ/ZWJ/BOM — invisible dedup poison), and whether NFC
+    * canonical composition changes the text (é composed vs
+    * e+combining-acute fingerprint differently but read identically —
+    * [[graft.plans.NativeCols.nfcNormalize]], a native codegen
+    * expression since no Column-DSL form exists). All counts are
+    * exact integers; one narrow map, no shuffle.
+    */
+  def hygieneReport(text: Column): Seq[Column] = Seq(
+    length(text).as("n_chars"),
+    size(regexp_extract_all(text, lit("\uFFFD"), lit(0)))
+      .cast("long").as("n_replacement"),
+    size(regexp_extract_all(text,
+      lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F-\\x9F]"), lit(0)))
+      .cast("long").as("n_control"),
+    size(regexp_extract_all(text,
+      lit("[\u200B\u200C\u200D\uFEFF]"), lit(0)))
+      .cast("long").as("n_zero_width"),
+    (graft.plans.NativeCols.nfcNormalize(text) =!= text).as("nfc_changed"))
+
   /** Span-level language purity — code-switch detection, the
     * multilingual-curation signal doc-level [[languageId]] can't see:
     * a half-English half-German page IDs as one language but trains

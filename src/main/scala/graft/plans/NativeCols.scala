@@ -68,6 +68,10 @@ object NativeCols {
   /** Codegen distinct folded char-bit ids (see [[CharBitsExpression]]). */
   def charBits(text: Column): Column = cl(CharBitsExpression(ex(text)))
 
+  /** Codegen Unicode NFC normalization
+    * (see [[NfcNormalizeExpression]]). */
+  def nfcNormalize(text: Column): Column = cl(NfcNormalizeExpression(ex(text)))
+
   /** Codegen exact integer dot product (see [[DotLongExpression]]). */
   def dotLong(a: Column, b: Column): Column =
     cl(DotLongExpression(ex(a), ex(b)))

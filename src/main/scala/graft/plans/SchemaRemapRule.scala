@@ -119,6 +119,13 @@ final class GraftExtensions extends (SparkSessionExtensions => Unit) {
           intLit(children(2), "cdc_chunks divisor"), md5)
       }))
     ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("nfc_normalize"),
+      NfcNormalizeExpression.info,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1, "nfc_normalize takes one argument")
+        NfcNormalizeExpression(children.head)
+      }))
+    ext.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("char_bits"),
       CharBitsExpression.info,
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {

@@ -236,6 +236,21 @@ object VectorOps {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Unicode NFC normalization (canonical composition) — the text-
+    * hygiene primitive dedup needs BEFORE fingerprinting: `é` as one
+    * code point and `e`+combining-acute md5 differently but are the
+    * same text. No Column-DSL form exists (this is why it's a native
+    * expression, not a lambda replacement); java.text.Normalizer NFC
+    * matches ICU/DuckDB `nfc_normalize` on canonical compositions.
+    * Fast path: pure-ASCII strings (the overwhelming majority at
+    * corpus scale) return the input without copying. */
+  def nfcNormalize(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
   /** 60-bit md5 SimHash of a document in ONE compiled pass — the
     * native form of [[graft.ops.Dedup.simhashMd5Df]]'s
     * explode + 60-bit-sum groupBy, which shuffles one row PER TOKEN
@@ -1298,6 +1313,35 @@ final case class CharBitsExpression(child: Expression)
 object CharBitsExpression {
   val info: ExpressionInfo = new ExpressionInfo(
     classOf[CharBitsExpression].getName, "char_bits")
+}
+
+/** `nfc_normalize(text)`: codegen Unicode NFC canonical composition —
+  * see [[VectorOps.nfcNormalize]]. */
+final case class NfcNormalizeExpression(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"nfc_normalize requires STRING input, got ${child.dataType.sql}")
+
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(input: Any): Any =
+    VectorOps.nfcNormalize(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.VectorOps.nfcNormalize($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "nfc_normalize"
+}
+
+object NfcNormalizeExpression {
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[NfcNormalizeExpression].getName, "nfc_normalize")
 }
 
 /** `collapse_partial(events)`: the PHASE-1 kernel of

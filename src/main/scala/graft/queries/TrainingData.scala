@@ -75,6 +75,45 @@ object TrainingData {
         FROM scored)
       GROUP BY lang_pred ORDER BY lang_pred"""))
 
+  /** Text-hygiene report ([[graft.ops.TextAnalysis.hygieneReport]])
+    * over a corpus with planted encoding damage (every 9th doc gets a
+    * U+FFFD + ZWSP + BEL tail, every 13th a decomposed e+combining-
+    * acute): replacement/control/zero-width counts and the NFC-change
+    * flag — the native [[graft.plans.NfcNormalizeExpression]] vs
+    * DuckDB's `nfc_normalize`, value-checked doc by doc. */
+  val td_text_hygiene = GraftQuery(
+    "td_text_hygiene",
+    (s, dir) => {
+      val aug = Tables.documents(s, dir).withColumn("text",
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(9)) === 0,
+            lit(" x\uFFFD\u200B\u0007")).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(13)) === 0,
+            lit(" e\u0301")).otherwise(lit(""))))
+      aug.select(col("doc_id") +:
+          TextAnalysis.hygieneReport(col("text")): _*)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH aug AS (
+        SELECT doc_id, text ||
+          CASE WHEN doc_id % 9 = 0
+               THEN ' x' || chr(65533) || chr(8203) || chr(7)
+               ELSE '' END ||
+          CASE WHEN doc_id % 13 = 0 THEN ' e' || chr(769) ELSE '' END
+            AS text
+        FROM documents)
+      SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars,
+        CAST(len(regexp_extract_all(text, '\x{FFFD}')) AS BIGINT)
+          AS n_replacement,
+        CAST(len(regexp_extract_all(text,
+          '[\x{00}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}\x{7F}-\x{9F}]'))
+          AS BIGINT) AS n_control,
+        CAST(len(regexp_extract_all(text,
+          '[\x{200B}\x{200C}\x{200D}\x{FEFF}]')) AS BIGINT)
+          AS n_zero_width,
+        nfc_normalize(text) <> text AS nfc_changed
+      FROM aug ORDER BY doc_id"""))
+
   /** Span-level language purity ([[graft.ops.TextAnalysis
     * .langPuritySpans]]): code-switch detection over 20-token spans,
     * same stopword-argmax discipline (and tie-break priority) as
@@ -3902,7 +3941,7 @@ object TrainingData {
 
   def all: Seq[GraftQuery] = Seq(
     td_lang_classifier, td_kmv_quantiles,
-    td_text_stats, td_lang_id, td_lang_purity, td_fingerprint, td_dedup_exact,
+    td_text_stats, td_lang_id, td_lang_purity, td_text_hygiene, td_fingerprint, td_dedup_exact,
     td_char_jaccard, td_cosine_topk, td_minhash_neardup,
     td_incremental_neardup, td_source_neardup, td_ngram_jaccard,
     td_dup_spans, td_dup_span_removal, td_lm_bigram, td_gopher_quality,

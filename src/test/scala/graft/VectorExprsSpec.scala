@@ -336,6 +336,27 @@ class VectorExprsSpec extends SparkSpec {
     assert(short == Seq.fill(8)(0L))
   }
 
+  test("nfc_normalize: composes decomposed forms, ASCII identity, null, codegen") {
+    import spark.implicits._
+    val decomposed = "caf" + "e\u0301" // e + combining acute
+    val composed = "caf\u00e9"
+    val df = Seq((1L, decomposed), (2L, composed), (3L, "plain ascii"),
+      (4L, null.asInstanceOf[String])).toDF("id", "t")
+    val r = df.select(col("id"),
+        graft.plans.NativeCols.nfcNormalize(col("t")).as("n"))
+      .as[(Long, Option[String])].collect().toMap
+    assert(r(1L) == Some(composed), "NFC must compose e+U+0301 into composed form")
+    assert(r(2L) == Some(composed) && r(3L) == Some("plain ascii"))
+    assert(r(4L).isEmpty, "null propagates")
+    // codegen path: run through a row-heavy filter+agg pipeline
+    val n = spark.range(2000)
+      .select(concat(lit("x"), when(pmod(col("id"), lit(2)) === 0,
+        lit("e\u0301")).otherwise(lit("\u00e9"))).as("t"))
+      .filter(graft.plans.NativeCols.nfcNormalize(col("t")) === "x\u00e9")
+      .count()
+    assert(n == 2000L, s"all rows normalize to the same composed form: $n")
+  }
+
   test("native expressions survive whole-stage codegen in a real plan") {
     import spark.implicits._
     // force the codegen path (not interpreted fallback eval) by going
@@ -379,13 +400,15 @@ class VectorExprsSpec extends SparkSpec {
                   size(hashed_gram_buckets('a b c', 16, true)) AS nb,
                   size(cdc_chunks('hello world text', 4, 8, true)) AS nc,
                   char_bits('ab') AS cb,
-                  dot_long(array(1L, 2L), array(3L, 4L)) AS d""").collect()(0)
+                  dot_long(array(1L, 2L), array(3L, 4L)) AS d,
+                  nfc_normalize(decode(unhex('65CC81'), 'UTF-8')) = decode(unhex('C3A9'), 'UTF-8') AS nfc""").collect()(0)
       assert(r2.getLong(0) == 0L)   // zero-token doc → 0
       assert(r2.getInt(1) == 3)     // 3 positioned bigrams of 4 tokens
       assert(r2.getInt(2) == 5)     // 3 unigrams + 2 bigrams
       assert(r2.getInt(3) >= 1)     // chunks partition the text
       assert(r2.getSeq[Int](4) == Seq(64 + 97 % 64, 64 + 98 % 64))
       assert(r2.getLong(5) == 11L)  // 1·3 + 2·4
+      assert(r2.getBoolean(6))      // NFC composes e+U+0301 into é
     } finally {
       org.apache.spark.sql.SparkSession.clearActiveSession()
       org.apache.spark.sql.SparkSession.clearDefaultSession()
