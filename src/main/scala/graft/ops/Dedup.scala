@@ -551,6 +551,33 @@ object Dedup {
     nonRoots.unionByName(roots)
   }
 
+  /** Duplication profile — the dedup-PLANNING statistic run before
+    * committing to a dedup pass over 100 TB: exact-duplicate cluster
+    * sizes ([[graft.ops.TextAnalysis.fingerprint]] groups) bucketed
+    * into powers of two, with per-bucket cluster/doc counts, the doc
+    * count dedup would remove (`extra_docs` = docs − clusters), and
+    * the corpus-level removable mass `dup_ppm` repeated per row. All
+    * integer arithmetic — bit-exact anywhere.
+    *
+    * Scale shape: one md5-keyed shuffle with map-side partial counts
+    * (16-byte keys, text never moves); the histogram and the window
+    * run on |clusters| then |buckets| rows.
+    */
+  def dupProfile(docs: DataFrame, textCol: String): DataFrame = {
+    val clusters = docs
+      .select(TextAnalysis.fingerprint(col(textCol)).as("__fp"))
+      .groupBy(col("__fp")).agg(count(lit(1)).as("__sz"))
+    clusters
+      .withColumn("bucket",
+        when(col("__sz") <= 1L, lit(1L))
+          .otherwise(expr("shiftleft(1L, length(bin(__sz - 1)))")))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("__sz")).as("n_docs"))
+      .withColumn("extra_docs", col("n_docs") - col("n_clusters"))
+      .withColumn("dup_ppm",
+        expr("sum(extra_docs) over () * 1000000 div sum(n_docs) over ()"))
+  }
+
   /** End-to-end near-duplicate removal: LSH candidate pairs →
     * connected components over the verified-pair graph → keep only
     * the lowest-id member of each duplicate cluster. Returns the

@@ -190,6 +190,52 @@ object TrainingData {
       md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
       FROM documents ORDER BY doc_id"""))
 
+  /** Duplication profile ([[graft.ops.Dedup.dupProfile]]) over a
+    * corpus with planted copy clusters: every 7th doc duplicated
+    * once (pairs), every 31st twice more (quads after the 7-overlap)
+    * — the cluster-size histogram + removable-mass ppm a dedup pass
+    * is budgeted from. */
+  val td_dup_profile = GraftQuery(
+    "td_dup_profile",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val corpus = d
+        .unionByName(d.filter(pmod(col("doc_id"), lit(7)) === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+        .unionByName(d.filter(pmod(col("doc_id"), lit(31)) === 0)
+          .withColumn("doc_id", col("doc_id") + 2000000L))
+        .unionByName(d.filter(pmod(col("doc_id"), lit(31)) === 0)
+          .withColumn("doc_id", col("doc_id") + 3000000L))
+      Dedup.dupProfile(corpus, "text").orderBy(col("bucket"))
+    },
+    Some("""WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+        UNION ALL
+        SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 31 = 0
+        UNION ALL
+        SELECT doc_id + 3000000, text FROM documents WHERE doc_id % 31 = 0),
+      cl AS (
+        SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+          COUNT(*) AS sz
+        FROM corpus GROUP BY 1),
+      b AS (
+        SELECT CASE WHEN sz <= 1 THEN 1
+          ELSE CAST(1 AS BIGINT) << length(bin(CAST(sz - 1 AS BIGINT)))
+          END AS bucket, sz
+        FROM cl),
+      g AS (
+        SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n_clusters,
+          SUM(sz) AS n_docs
+        FROM b GROUP BY 1)
+      SELECT bucket, CAST(n_clusters AS BIGINT) AS n_clusters,
+        CAST(n_docs AS BIGINT) AS n_docs,
+        CAST(n_docs - n_clusters AS BIGINT) AS extra_docs,
+        CAST((SELECT SUM(n_docs - n_clusters) FROM g) * 1000000
+          // (SELECT SUM(n_docs) FROM g) AS BIGINT) AS dup_ppm
+      FROM g ORDER BY bucket"""))
+
   /** Exact dedup over a corpus with planted full copies. */
   val td_dedup_exact = GraftQuery(
     "td_dedup_exact",
@@ -3941,7 +3987,7 @@ object TrainingData {
 
   def all: Seq[GraftQuery] = Seq(
     td_lang_classifier, td_kmv_quantiles,
-    td_text_stats, td_lang_id, td_lang_purity, td_text_hygiene, td_fingerprint, td_dedup_exact,
+    td_text_stats, td_lang_id, td_lang_purity, td_text_hygiene, td_fingerprint, td_dedup_exact, td_dup_profile,
     td_char_jaccard, td_cosine_topk, td_minhash_neardup,
     td_incremental_neardup, td_source_neardup, td_ngram_jaccard,
     td_dup_spans, td_dup_span_removal, td_lm_bigram, td_gopher_quality,
