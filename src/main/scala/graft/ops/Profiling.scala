@@ -103,6 +103,11 @@ object Profiling {
     * hashes, never text — at 100 TB the join weighs |ids|·~25 bytes
     * per side regardless of document size. One id-keyed exchange per
     * side, nothing else.
+    *
+    * `idCol` must be unique WITHIN each version (the usual corpus
+    * contract; [[graft.ops.Validation]]'s key-uniqueness check gates
+    * it) — a duplicated id would fan out through the join like any
+    * keyed join would.
     */
   def corpusDiff(a: DataFrame, b: DataFrame, idCol: String,
                  textCol: String): DataFrame = {
