@@ -135,6 +135,99 @@ object DocIngest {
       .groupBy((groupCols :+ "bucket").map(col): _*)
       .agg(sum(col("count")).as("count"))
 
+  /** Compact a [[sketchStream]] register directory: merge the
+    * batch-keyed dirs for batches ≤ `upToBatch` into the lowest one,
+    * ADDING counts (every non-`count` column is a key). This is NOT
+    * [[compactIndex]]: register rows are additive state, so the
+    * row-set heal (`distinct()`) that makes the band index crash-
+    * tolerant would corrupt counts here — instead the staging dir
+    * carries a `_merged_dirs.txt` manifest of its source dirs, and
+    * recovery ROLLS FORWARD by completing the rename and then
+    * deleting exactly the listed sources, so merged counts are never
+    * double-represented. (Files starting with `_` are hidden from
+    * Spark's parquet reader, so the manifest rides inside the data
+    * dir safely.) Like every compaction here: a maintenance-window
+    * op — run with the stream stopped or ≥ 1 batch ahead; concurrent
+    * readers mid-swap can observe a partial merge.
+    *
+    * Returns the number of directories merged (0 = nothing to do).
+    */
+  def compactSketch(spark: org.apache.spark.sql.SparkSession,
+      sketchDir: String, upToBatch: Long): Int = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(sketchDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0
+    val stagingPrefix = ".compact_staging_"
+    val manifestName = "_merged_dirs.txt"
+    // a manifest is only trusted when its END terminator survived the
+    // write — a truncated "batch=12" read as "batch=1" must never
+    // delete the wrong directory
+    def readManifest(dir: Path): Option[Seq[String]] = {
+      val mf = new Path(dir, manifestName)
+      if (!fs.exists(mf)) None
+      else {
+        val in = fs.open(mf)
+        val lines =
+          try scala.io.Source.fromInputStream(in, "UTF-8")
+            .getLines().toList.filter(_.nonEmpty)
+          finally in.close()
+        if (lines.lastOption.contains("END")) Some(lines.init) else None
+      }
+    }
+    // recovery pass, roll-forward order: finish the rename if the
+    // target is missing, then finish the manifest's source deletions
+    fs.listStatus(root).filter(_.getPath.getName.startsWith(stagingPrefix))
+      .foreach { st =>
+        val targetName = st.getPath.getName.stripPrefix(stagingPrefix)
+        val target = new Path(root, targetName)
+        if (!fs.exists(target)) {
+          // the target is only ever deleted AFTER the manifest write
+          // completed, so a missing target implies a trusted manifest
+          if (readManifest(st.getPath).isEmpty) throw new IllegalStateException(
+            s"compactSketch: staging for $targetName has no valid manifest " +
+              "but its target is gone — refusing to guess")
+          if (!fs.rename(st.getPath, target)) throw new IllegalStateException(
+            s"compactSketch: recovery rename to $target failed")
+        } else fs.delete(st.getPath, true) // write never finished; sources intact
+      }
+    fs.listStatus(root).filter(_.getPath.getName.startsWith("batch="))
+      .foreach { d =>
+        readManifest(d.getPath).foreach { merged =>
+          merged.filterNot(_ == d.getPath.getName)
+            .foreach(n => fs.delete(new Path(root, n), true))
+          fs.delete(new Path(d.getPath, manifestName), false)
+        }
+      }
+    val ks = fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch=").toLong)
+      .filter(_ <= upToBatch).sorted
+    if (ks.length < 2) return 0
+    val sources = ks.map(k => new Path(root, s"batch=$k"))
+    val targetName = s"batch=${ks.head}"
+    val staging = new Path(root, s"$stagingPrefix$targetName")
+    fs.delete(staging, true)
+    val df = spark.read.parquet(sources.map(_.toString): _*)
+    val keys = df.columns.filterNot(_ == "count").toSeq
+    df.groupBy(keys.map(col): _*).agg(sum(col("count")).as("count"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(staging.toString)
+    val out = fs.create(new Path(staging, manifestName), true)
+    try out.write((ks.map(k => s"batch=$k") :+ "END")
+      .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    // target first (staging then holds the only copy → roll forward),
+    // rename, then the manifest-driven deletion of the other sources
+    fs.delete(new Path(root, targetName), true)
+    if (!fs.rename(staging, new Path(root, targetName)))
+      throw new IllegalStateException(
+        s"compactSketch: failed to swap in $targetName")
+    ks.tail.foreach(k => fs.delete(new Path(root, s"batch=$k"), true))
+    fs.delete(new Path(root, targetName + "/" + manifestName), false)
+    ks.length
+  }
+
   /** Compact the [[nearDupIngest]] band index: merge the batch-keyed
     * directories `batch=K` for K ≤ `upToBatch` into the LOWEST such
     * directory — without this the index accumulates one small

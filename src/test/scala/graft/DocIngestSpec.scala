@@ -185,6 +185,55 @@ class DocIngestSpec extends SparkSpec {
     assert(qm == qb && qm._1 > 0L, s"$qm vs $qb")
   }
 
+  test("compactSketch: counts add into one dir; torn swaps roll forward without double counts") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("sksum").toString
+    val mem = MemoryStream[RawDoc]
+    val measure = graft.ops.TextAnalysis.tokenCount(col("text"))
+    val q = DocIngest.sketchStream(mem.toDF(), measure, Seq.empty,
+      s"$dir/sk", s"$dir/ckpt", subBits = 4)
+    mem.addData(RawDoc(1, "a b c"), RawDoc(2, (1 to 40).mkString(" ")))
+    q.processAllAvailable()
+    mem.addData(RawDoc(3, "a b c"))
+    q.processAllAvailable()
+    mem.addData(RawDoc(4, (1 to 40).mkString(" ")))
+    q.processAllAvailable()
+    q.stop()
+    def rows() = DocIngest.mergedSketch(spark, s"$dir/sk", Seq.empty)
+      .as[(Long, Long)].collect().toSet
+    val before = rows()
+    assert(DocIngest.compactSketch(spark, s"$dir/sk", upToBatch = 2L) == 3)
+    val dirs = new java.io.File(s"$dir/sk").listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).toSeq
+    assert(dirs == Seq("batch=0"), s"expected one compacted dir: $dirs")
+    assert(rows() == before, "compaction must preserve merged counts")
+
+    // crash after rename, before source deletion: plant a manifest in
+    // the target naming a still-present source — recovery must delete
+    // the source (its counts are already merged) and nothing else
+    val fs = new org.apache.hadoop.fs.Path(s"$dir/sk")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stale = graft.ops.Sketches.logHistogram(
+      Seq((9L, "a b c")).toDF("doc_id", "text"), Seq.empty, measure, 4)
+    stale.write.mode("overwrite").parquet(s"$dir/sk/batch=9")
+    val mf = fs.create(
+      new org.apache.hadoop.fs.Path(s"$dir/sk/batch=0/_merged_dirs.txt"), true)
+    mf.write("batch=0\nbatch=9\nEND".getBytes("UTF-8")); mf.close()
+    assert(DocIngest.compactSketch(spark, s"$dir/sk", upToBatch = 0L) == 0)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/sk/batch=9")),
+      "manifest-listed source must be deleted on recovery")
+    assert(rows() == before, "recovery must not change merged counts")
+
+    // truncated manifest (no END): must be ignored, nothing deleted
+    stale.write.mode("overwrite").parquet(s"$dir/sk/batch=9")
+    val mf2 = fs.create(
+      new org.apache.hadoop.fs.Path(s"$dir/sk/batch=0/_merged_dirs.txt"), true)
+    mf2.write("batch=0\nbatch=9".getBytes("UTF-8")); mf2.close()
+    assert(DocIngest.compactSketch(spark, s"$dir/sk", upToBatch = 0L) == 0)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/sk/batch=9")),
+      "a manifest without END must never drive deletions")
+  }
+
   case class LangDoc(doc_id: Long, lang: String)
 
   test("driftGate: metrics per batch; strict mode kills AFTER recording the violation") {
