@@ -313,7 +313,10 @@ object DocIngest {
     * stop ingest, not poison the corpus).
     *
     * Metrics go to batch-keyed directories with overwrite, so a
-    * replayed batch rewrites its own row idempotently. Empty batches
+    * replayed batch rewrites its own row idempotently (rows carry
+    * their batch id — row-set semantics, so [[compactIndex]] applies
+    * unchanged if the one-dir-per-batch listing ever matters; the
+    * additive-state [[compactSketch]] is NOT needed here). Empty batches
     * are recorded with a NULL tvd (no distribution to compare) and
     * never trip the gate. `reference` must be a non-empty
     * `(bucket, n_ref)` histogram — freeze it from a trusted corpus
