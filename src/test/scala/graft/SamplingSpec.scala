@@ -235,6 +235,31 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.qualityPruneByValue(tiny, "dom", col("s"), "id", 10).count() == 1L)
   }
 
+  test("qualityPrune property: byValue ⊇ exact on tie-heavy random scores; ≡ on distinct") {
+    for (seed <- 1 to 8) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (1L to 120L).map(i =>
+        (i, s"d${i % 3}", rnd.nextInt(6).toLong)) // 6 values → heavy ties
+      val df = rows.toDF("id", "dom", "s")
+      val pct = 10 + rnd.nextInt(81)
+      def kept(d: org.apache.spark.sql.DataFrame) =
+        d.select("id").as[Long].collect().toSet
+      val exact = kept(Sampling.qualityPruneExact(df, "dom", col("s"), "id", pct))
+      val byVal = kept(Sampling.qualityPruneByValue(df, "dom", col("s"), "id", pct))
+      assert(exact.subsetOf(byVal), s"seed=$seed pct=$pct")
+      // exact keeps exactly max(1, n·pct div 100) per domain
+      val perDom = rows.groupBy(_._2).view.mapValues(_.size).toMap
+      val expected = perDom.values.map(n => math.max(1L, n.toLong * pct / 100)).sum
+      assert(exact.size == expected, s"seed=$seed pct=$pct")
+      // distinct scores → the forms agree exactly
+      val uniq = (1L to 120L).map(i => (i, s"d${i % 3}", rnd.nextLong()))
+        .toDF("id", "dom", "s")
+      assert(kept(Sampling.qualityPruneExact(uniq, "dom", col("s"), "id", pct)) ==
+        kept(Sampling.qualityPruneByValue(uniq, "dom", col("s"), "id", pct)),
+        s"seed=$seed pct=$pct distinct-score forms diverged")
+    }
+  }
+
   test("saltedJoin: identical result to the plain join, incl. dup keys") {
     val big = Seq((1, "x"), (1, "y"), (2, "z"), (3, "w")).toDF("k", "v")
     val small = Seq((1, "A"), (1, "B"), (2, "C")).toDF("k", "d")
