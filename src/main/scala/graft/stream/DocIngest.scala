@@ -377,8 +377,11 @@ object DocIngest {
   def nearDupIngest(docs: DataFrame, idCol: String, textCol: String,
       indexDir: String, outDir: String, checkpointDir: String,
       numHashes: Int = 32, bands: Int = 16, threshold: Double = 0.8,
-      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
+      compactEvery: Option[Int] = None)
       : StreamingQuery = {
+    compactEvery.foreach(n => require(n >= 2,
+      s"compactEvery=$n: compacting every batch just rewrites the index"))
     val writer = docs.writeStream
       .option("checkpointLocation", checkpointDir)
     trigger.foreach(writer.trigger)
@@ -403,6 +406,16 @@ object DocIngest {
           .parquet(s"$outDir/batch=$batchId")
         idxRows.write.mode("overwrite")
           .parquet(s"$indexDir/batch=$batchId")
+        // in-loop maintenance: every N batches, fold the COMMITTED
+        // dirs (strictly before this batch — this batch can still
+        // replay, and its probe filter must keep excluding its own
+        // rows by dir) into one. Idempotent under replay: a re-run
+        // batch re-compacts an already-compacted prefix into a no-op,
+        // and a crash mid-compaction rolls forward on the next call.
+        compactEvery.foreach { n =>
+          if (batchId > 0 && batchId % n == 0)
+            compactIndex(spark, indexDir, upToBatch = batchId - 1)
+        }
         ()
       }
       .start()

@@ -185,6 +185,39 @@ class DocIngestSpec extends SparkSpec {
     assert(qm == qb && qm._1 > 0L, s"$qm vs $qb")
   }
 
+  test("nearDupIngest with compactEvery: same admissions, bounded index dirs") {
+    implicit val sqlCtx = spark.sqlContext
+    def run(compactEvery: Option[Int]): (Set[Long], Int) = {
+      val dir = java.nio.file.Files.createTempDirectory("autoc").toString
+      val mem = MemoryStream[RawDoc]
+      val q = DocIngest.nearDupIngest(mem.toDF(), "doc_id", "text",
+        s"$dir/index", s"$dir/out", s"$dir/ckpt",
+        compactEvery = compactEvery)
+      // 5 batches; batch 3 redelivers batch-0 content (near-dup) so a
+      // post-compaction probe decides a real rejection
+      val batches = Seq(
+        Seq(RawDoc(1, "w1 w2 w3 w4 w5 w6 w7 w8")),
+        Seq(RawDoc(2, "z1 z2 z3 z4 z5 z6 z7 z8")),
+        Seq(RawDoc(3, "y1 y2 y3 y4 y5 y6 y7 y8")),
+        Seq(RawDoc(4, "w1 w2 w3 w4 w5 w6 w7 w8 x1"), // ~doc 1: reject
+          RawDoc(5, "v1 v2 v3 v4 v5 v6 v7 v8")),
+        Seq(RawDoc(6, "u1 u2 u3 u4 u5 u6 u7 u8")))
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      val admitted = spark.read.parquet(s"$dir/out")
+        .select("doc_id").as[Long].collect().toSet
+      val nDirs = new java.io.File(s"$dir/index").listFiles()
+        .count(_.getName.startsWith("batch="))
+      (admitted, nDirs)
+    }
+    val (plain, plainDirs) = run(None)
+    val (auto, autoDirs) = run(Some(2))
+    assert(plain == auto, s"compaction changed admissions: $plain vs $auto")
+    assert(plain == Set(1L, 2L, 3L, 5L, 6L), plain.toString)
+    assert(plainDirs == 5 && autoDirs < plainDirs,
+      s"expected fewer dirs with compactEvery: $autoDirs vs $plainDirs")
+  }
+
   test("compactSketch: counts add into one dir; torn swaps roll forward without double counts") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("sksum").toString
