@@ -229,8 +229,11 @@ object DocIngest {
   }
 
   /** Compact the [[nearDupIngest]] band index: merge the batch-keyed
-    * directories `batch=K` for K ≤ `upToBatch` into the LOWEST such
-    * directory — without this the index accumulates one small
+    * directories `batch=K` for `fromBatch` ≤ K ≤ `upToBatch` into the
+    * LOWEST such directory (the default `fromBatch = 0` folds
+    * everything committed — the offline maintenance form; the in-loop
+    * caller passes a trailing window so compaction cost stays ∝ the
+    * window, not the index) — without this the index accumulates one small
     * directory per micro-batch forever (the same small-file decay the
     * persisted IVF index's append lifecycle compacts away). Probe
     * correctness is preserved because [[nearDupIngest]]'s replay
@@ -257,7 +260,8 @@ object DocIngest {
     */
   def compactIndex(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, upToBatch: Long,
-      targetFileBytes: Long = 128L << 20): Int = {
+      targetFileBytes: Long = 128L << 20,
+      fromBatch: Long = 0L): Int = {
     import org.apache.hadoop.fs.Path
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val root = new Path(indexDir)
@@ -276,7 +280,7 @@ object DocIngest {
     val ks = fs.listStatus(root).map(_.getPath.getName)
       .filter(_.startsWith("batch="))
       .map(_.stripPrefix("batch=").toLong)
-      .filter(_ <= upToBatch).sorted
+      .filter(k => k >= fromBatch && k <= upToBatch).sorted
     if (ks.length < 2) return 0
     val sources = ks.map(k => new Path(root, s"batch=$k"))
     val targetName = s"batch=${ks.head}"
@@ -406,15 +410,23 @@ object DocIngest {
           .parquet(s"$outDir/batch=$batchId")
         idxRows.write.mode("overwrite")
           .parquet(s"$indexDir/batch=$batchId")
-        // in-loop maintenance: every N batches, fold the COMMITTED
-        // dirs (strictly before this batch — this batch can still
-        // replay, and its probe filter must keep excluding its own
-        // rows by dir) into one. Idempotent under replay: a re-run
-        // batch re-compacts an already-compacted prefix into a no-op,
-        // and a crash mid-compaction rolls forward on the next call.
+        // in-loop maintenance: every N batches, fold the trailing
+        // WINDOW of committed dirs (strictly before this batch — this
+        // batch can still replay, and its probe filter must keep
+        // excluding its own rows by dir) into the window's lowest id.
+        // Windowed, not from-zero: a full merge would rewrite the
+        // whole index every N batches (O(index) each time — quadratic
+        // over the stream's life); the window keeps compaction cost
+        // ∝ N batches of rows (amortized O(1) per row) and bounds dir
+        // count at ≈ batches/N. Run the unwindowed compactIndex as an
+        // offline maintenance pass when dirs should fold further.
+        // Idempotent under replay (re-merging a merged window is a
+        // no-op); a crash mid-compaction rolls forward on the next
+        // call.
         compactEvery.foreach { n =>
           if (batchId > 0 && batchId % n == 0)
-            compactIndex(spark, indexDir, upToBatch = batchId - 1)
+            compactIndex(spark, indexDir, upToBatch = batchId - 1,
+              fromBatch = batchId - n)
         }
         ()
       }

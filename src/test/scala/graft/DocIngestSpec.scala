@@ -214,8 +214,11 @@ class DocIngestSpec extends SparkSpec {
     val (auto, autoDirs) = run(Some(2))
     assert(plain == auto, s"compaction changed admissions: $plain vs $auto")
     assert(plain == Set(1L, 2L, 3L, 5L, 6L), plain.toString)
-    assert(plainDirs == 5 && autoDirs < plainDirs,
-      s"expected fewer dirs with compactEvery: $autoDirs vs $plainDirs")
+    // windowed merges: batch 2 folds [0,1]→batch=0, batch 4 folds
+    // [2,3]→batch=2, batch=4 stays — ≈ batches/N dirs, and no merge
+    // ever rewrote the whole index
+    assert(plainDirs == 5 && autoDirs == 3,
+      s"expected windowed compaction dirs: $autoDirs vs $plainDirs")
   }
 
   test("compactSketch: counts add into one dir; torn swaps roll forward without double counts") {
