@@ -150,6 +150,12 @@ object DocIngest {
     * op — run with the stream stopped or ≥ 1 batch ahead; concurrent
     * readers mid-swap can observe a partial merge.
     *
+    * No windowed form is needed here (unlike [[compactIndex]]'s
+    * in-loop window): registers are FIXED-STATE sketches — each dir
+    * is ≤ groups·buckets rows regardless of corpus size, so even a
+    * full merge is bounded by batches·groups·buckets, never by data
+    * volume.
+    *
     * Returns the number of directories merged (0 = nothing to do).
     */
   def compactSketch(spark: org.apache.spark.sql.SparkSession,
