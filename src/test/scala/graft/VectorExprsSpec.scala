@@ -355,6 +355,20 @@ class VectorExprsSpec extends SparkSpec {
       .filter(graft.plans.NativeCols.nfcNormalize(col("t")) === "x\u00e9")
       .count()
     assert(n == 2000L, s"all rows normalize to the same composed form: $n")
+    // property: ≡ java.text.Normalizer on random multilingual strings
+    // (combining marks, Hangul jamo, CJK, emoji, compatibility chars)
+    val pool = "ae\u0301\u0308o\u0302 \u00df\u65e5\u672c\u1100\u1161\uac00x\u00e9\u212b"
+    val rnd = new scala.util.Random(7)
+    val texts = (0 until 60).map(_ =>
+      (0 until rnd.nextInt(24)).map(_ => pool(rnd.nextInt(pool.length))).mkString)
+    val got = texts.toDF("t")
+      .select(graft.plans.NativeCols.nfcNormalize(col("t")).as("n"))
+      .as[String].collect().toSeq
+    texts.zip(got).foreach { case (t, g) =>
+      assert(g == java.text.Normalizer.normalize(t,
+        java.text.Normalizer.Form.NFC), s"input codepoints: " +
+        t.map(c => f"\\u$c%04x").mkString)
+    }
   }
 
   test("native expressions survive whole-stage codegen in a real plan") {
