@@ -80,9 +80,16 @@ object Profiling {
   def driftTvdCounts(countsA: DataFrame, countsB: DataFrame): DataFrame = {
     val whole = org.apache.spark.sql.expressions.Window
       .partitionBy(lit(1))
-    countsA.withColumn("n_a", col("n_a").cast("long"))
-      .join(countsB.withColumn("n_b", col("n_b").cast("long")),
-        Seq("bucket"), "full_outer")
+    // null-SAFE join: a null bucket (e.g. unknown language) is a real
+    // category present on both sides — an equality join would keep the
+    // two null rows apart and double-count their share gap
+    val a = countsA.select(col("bucket").as("__ba"),
+      col("n_a").cast("long").as("n_a"))
+    val b = countsB.select(col("bucket").as("__bb"),
+      col("n_b").cast("long").as("n_b"))
+    a.join(b, col("__ba") <=> col("__bb"), "full_outer")
+      .select(coalesce(col("__ba"), col("__bb")).as("bucket"),
+        col("n_a"), col("n_b"))
       .na.fill(0L, Seq("n_a", "n_b"))
       .withColumn("__ta", sum(col("n_a")).over(whole))
       .withColumn("__tb", sum(col("n_b")).over(whole))

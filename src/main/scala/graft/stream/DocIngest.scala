@@ -128,12 +128,68 @@ object DocIngest {
   }
 
   /** The corpus-lifetime sketch from a [[sketchStream]] directory:
-    * merge-on-read over the batch-keyed register dirs (counts add). */
+    * merge-on-read over the batch-keyed register dirs (counts add).
+    * Runs [[compactSketch]]'s crash recovery first — a compaction
+    * that died between its rename and its source deletions would
+    * otherwise leave the merged counts ALSO present in the stale
+    * source dirs, silently doubling them in the sum. */
   def mergedSketch(spark: org.apache.spark.sql.SparkSession,
-      sketchDir: String, groupCols: Seq[String]): DataFrame =
+      sketchDir: String, groupCols: Seq[String]): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(sketchDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) recoverSketchDir(fs, root)
     spark.read.parquet(sketchDir).drop("batch")
       .groupBy((groupCols :+ "bucket").map(col): _*)
       .agg(sum(col("count")).as("count"))
+  }
+
+  private val sketchStagingPrefix = ".compact_staging_"
+  private val sketchManifestName = "_merged_dirs.txt"
+
+  /** [[compactSketch]]'s roll-forward recovery, shared with
+    * [[mergedSketch]]: finish a crashed swap's rename if its target
+    * is missing, then finish the manifest's source deletions. A
+    * manifest is only trusted when its END terminator survived the
+    * write — a truncated "batch=12" read as "batch=1" must never
+    * delete the wrong directory. */
+  private def recoverSketchDir(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Unit = {
+    import org.apache.hadoop.fs.Path
+    def readManifest(dir: Path): Option[Seq[String]] = {
+      val mf = new Path(dir, sketchManifestName)
+      if (!fs.exists(mf)) None
+      else {
+        val in = fs.open(mf)
+        val lines =
+          try scala.io.Source.fromInputStream(in, "UTF-8")
+            .getLines().toList.filter(_.nonEmpty)
+          finally in.close()
+        if (lines.lastOption.contains("END")) Some(lines.init) else None
+      }
+    }
+    fs.listStatus(root).filter(_.getPath.getName.startsWith(sketchStagingPrefix))
+      .foreach { st =>
+        val targetName = st.getPath.getName.stripPrefix(sketchStagingPrefix)
+        val target = new Path(root, targetName)
+        if (!fs.exists(target)) {
+          // the target is only ever deleted AFTER the manifest write
+          // completed, so a missing target implies a trusted manifest
+          if (readManifest(st.getPath).isEmpty) throw new IllegalStateException(
+            s"compactSketch: staging for $targetName has no valid manifest " +
+              "but its target is gone — refusing to guess")
+          if (!fs.rename(st.getPath, target)) throw new IllegalStateException(
+            s"compactSketch: recovery rename to $target failed")
+        } else fs.delete(st.getPath, true) // write never finished; sources intact
+      }
+    fs.listStatus(root).filter(_.getPath.getName.startsWith("batch="))
+      .foreach { d =>
+        readManifest(d.getPath).foreach { merged =>
+          merged.filterNot(_ == d.getPath.getName)
+            .foreach(n => fs.delete(new Path(root, n), true))
+          fs.delete(new Path(d.getPath, sketchManifestName), false)
+        }
+      }
+  }
 
   /** Compact a [[sketchStream]] register directory: merge the
     * batch-keyed dirs for batches ≤ `upToBatch` into the lowest one,
@@ -164,47 +220,9 @@ object DocIngest {
     val root = new Path(sketchDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return 0
-    val stagingPrefix = ".compact_staging_"
-    val manifestName = "_merged_dirs.txt"
-    // a manifest is only trusted when its END terminator survived the
-    // write — a truncated "batch=12" read as "batch=1" must never
-    // delete the wrong directory
-    def readManifest(dir: Path): Option[Seq[String]] = {
-      val mf = new Path(dir, manifestName)
-      if (!fs.exists(mf)) None
-      else {
-        val in = fs.open(mf)
-        val lines =
-          try scala.io.Source.fromInputStream(in, "UTF-8")
-            .getLines().toList.filter(_.nonEmpty)
-          finally in.close()
-        if (lines.lastOption.contains("END")) Some(lines.init) else None
-      }
-    }
-    // recovery pass, roll-forward order: finish the rename if the
-    // target is missing, then finish the manifest's source deletions
-    fs.listStatus(root).filter(_.getPath.getName.startsWith(stagingPrefix))
-      .foreach { st =>
-        val targetName = st.getPath.getName.stripPrefix(stagingPrefix)
-        val target = new Path(root, targetName)
-        if (!fs.exists(target)) {
-          // the target is only ever deleted AFTER the manifest write
-          // completed, so a missing target implies a trusted manifest
-          if (readManifest(st.getPath).isEmpty) throw new IllegalStateException(
-            s"compactSketch: staging for $targetName has no valid manifest " +
-              "but its target is gone — refusing to guess")
-          if (!fs.rename(st.getPath, target)) throw new IllegalStateException(
-            s"compactSketch: recovery rename to $target failed")
-        } else fs.delete(st.getPath, true) // write never finished; sources intact
-      }
-    fs.listStatus(root).filter(_.getPath.getName.startsWith("batch="))
-      .foreach { d =>
-        readManifest(d.getPath).foreach { merged =>
-          merged.filterNot(_ == d.getPath.getName)
-            .foreach(n => fs.delete(new Path(root, n), true))
-          fs.delete(new Path(d.getPath, manifestName), false)
-        }
-      }
+    val stagingPrefix = sketchStagingPrefix
+    val manifestName = sketchManifestName
+    recoverSketchDir(fs, root)
     val ks = fs.listStatus(root).map(_.getPath.getName)
       .filter(_.startsWith("batch="))
       .map(_.stripPrefix("batch=").toLong)
@@ -214,7 +232,7 @@ object DocIngest {
     val targetName = s"batch=${ks.head}"
     val staging = new Path(root, s"$stagingPrefix$targetName")
     fs.delete(staging, true)
-    val df = spark.read.parquet(sources.map(_.toString): _*)
+    val df = spark.read.parquet(sources.map(_.toString).toSeq: _*)
     val keys = df.columns.filterNot(_ == "count").toSeq
     df.groupBy(keys.map(col): _*).agg(sum(col("count")).as("count"))
       .coalesce(1)
@@ -296,7 +314,7 @@ object DocIngest {
     val nFiles = math.max(1L,
       (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     // distinct() both merges and HEALS duplicates a past crash left
-    spark.read.parquet(sources.map(_.toString): _*)
+    spark.read.parquet(sources.map(_.toString).toSeq: _*)
       .distinct()
       .repartition(nFiles)
       .write.mode("overwrite").parquet(staging.toString)
@@ -402,6 +420,13 @@ object DocIngest {
         // — a local-only probe would silently skip the index forever
         val idxPath = new org.apache.hadoop.fs.Path(indexDir)
         val fs = idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // a compaction crash leaves index rows visible ONLY in the
+        // (reader-hidden) staging dir — roll forward BEFORE probing,
+        // or a replayed batch would admit near-dups of every doc whose
+        // rows were mid-swap. compactIndex with an empty range is
+        // exactly the recovery pass (merges nothing).
+        if (compactEvery.isDefined && fs.exists(idxPath))
+          compactIndex(spark, indexDir, upToBatch = -1L)
         val haveIndex = fs.exists(idxPath) &&
           fs.listStatus(idxPath).exists(_.getPath.getName.startsWith("batch="))
         val index =

@@ -221,6 +221,55 @@ class DocIngestSpec extends SparkSpec {
       s"expected windowed compaction dirs: $autoDirs vs $plainDirs")
   }
 
+  test("nearDupIngest heals a torn compaction BEFORE probing — replay can't skip the index") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("tornc").toString
+    val spool = s"$dir/spool"; new java.io.File(spool).mkdirs()
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    def addFile(n: Int, rows: (Long, String)*): Unit = {
+      val stage = s"$dir/stage$n"
+      rows.toSeq.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val target = new java.io.File(spool, f"f$n%03d.parquet")
+      assert(part.renameTo(target))
+      target.setLastModified(1700000000000L + n * 60000L); ()
+    }
+    def run(): Unit = {
+      val q = DocIngest.nearDupIngest(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(spool),
+        "doc_id", "text", s"$dir/index", s"$dir/out", s"$dir/ckpt",
+        trigger = Some(Trigger.AvailableNow()), compactEvery = Some(2))
+      q.awaitTermination()
+      assert(q.exception.isEmpty, q.exception.map(_.toString).getOrElse(""))
+    }
+    addFile(1, 1L -> "w1 w2 w3 w4 w5 w6 w7 w8")
+    addFile(2, 2L -> "z1 z2 z3 z4 z5 z6 z7 z8")
+    addFile(3, 3L -> "y1 y2 y3 y4 y5 y6 y7 y8")
+    run() // batches 0–2; at batch 2 the window [0,1] folded into batch=0
+
+    // crash window: the merged dir staged but never renamed — its rows
+    // (docs 1 and 2) are invisible to a plain reader
+    val fs = new org.apache.hadoop.fs.Path(s"$dir/index")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(s"$dir/index/batch=0"),
+      new org.apache.hadoop.fs.Path(s"$dir/index/.compact_staging_batch=0")))
+
+    // next batch delivers a near-dup of doc 1: without pre-probe
+    // recovery it would sail past the (partial) index
+    addFile(4, 10L -> "w1 w2 w3 w4 w5 w6 w7 w8 x1")
+    run()
+    val admitted = spark.read.parquet(s"$dir/out")
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted == Set(1L, 2L, 3L),
+      s"near-dup 10 must be rejected against the recovered index: $admitted")
+  }
+
   test("compactSketch: counts add into one dir; torn swaps roll forward without double counts") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("sksum").toString
@@ -255,10 +304,11 @@ class DocIngestSpec extends SparkSpec {
     val mf = fs.create(
       new org.apache.hadoop.fs.Path(s"$dir/sk/batch=0/_merged_dirs.txt"), true)
     mf.write("batch=0\nbatch=9\nEND".getBytes("UTF-8")); mf.close()
-    assert(DocIngest.compactSketch(spark, s"$dir/sk", upToBatch = 0L) == 0)
+    // the READ path itself must heal: a consumer calling mergedSketch
+    // right after the crash gets correct (not doubled) counts
+    assert(rows() == before, "mergedSketch must recover before summing")
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/sk/batch=9")),
       "manifest-listed source must be deleted on recovery")
-    assert(rows() == before, "recovery must not change merged counts")
 
     // truncated manifest (no END): must be ignored, nothing deleted
     stale.write.mode("overwrite").parquet(s"$dir/sk/batch=9")

@@ -185,6 +185,14 @@ class OpsSpec extends SparkSpec {
     val r = graft.ops.Profiling.driftTvd(a, c, col("lang"))
       .select("bucket", "gap_ppm").as[(String, Long)].collect().toMap
     assert(r == Map("en" -> 250000L, "de" -> 250000L))
+    // a NULL bucket (unknown language) is one category, not two: the
+    // same null share on both sides must contribute zero drift
+    val withNull = Seq(Some("en"), Some("en"), Some("en"),
+      None: Option[String]).toDF("lang")
+    val nr = graft.ops.Profiling.driftTvd(withNull, withNull, col("lang"))
+    assert(nr.count() == 2L, "en + the null category")
+    assert(nr.select("tvd_ppm").as[Long].head() == 0L,
+      "identical corpora with null buckets must read zero drift")
   }
 
   test("langPuritySpans: code-switch halves, tie priority, markerless and empty docs") {
