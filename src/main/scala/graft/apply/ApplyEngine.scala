@@ -87,10 +87,17 @@ object ApplyEngine {
       .groupBy(col("key"))
       .agg(aggregate(
         // custom comparator: the default one refuses structs that
-        // contain a (non-orderable) map column; ord alone is orderable
+        // contain a (non-orderable) map column; ord alone is orderable.
+        // NULLS FIRST — `l.ord < r.ord` is null (-> otherwise(0)) when
+        // either side is null, which is a non-transitive ordering; the
+        // explicit null branches keep it total and match the native
+        // expression's sort.
         array_sort(
           collect_list(struct(col("ord"), col("op"), col("vals"))),
-          (l, r) => when(l.getField("ord") < r.getField("ord"), -1)
+          (l, r) => when(l.getField("ord").isNull && r.getField("ord").isNull, 0)
+            .when(l.getField("ord").isNull, -1)
+            .when(r.getField("ord").isNull, 1)
+            .when(l.getField("ord") < r.getField("ord"), -1)
             .when(l.getField("ord") > r.getField("ord"), 1)
             .otherwise(0)),
         init,
@@ -200,8 +207,11 @@ object ApplyEngine {
       compose(acc, asPartial)
     }
 
-    val ordCmp = (l: Column, r: Column) =>
-      when(l.getField("ord") < r.getField("ord"), -1)
+    val ordCmp = (l: Column, r: Column) => // nulls-first, total — see collapseFold
+      when(l.getField("ord").isNull && r.getField("ord").isNull, 0)
+        .when(l.getField("ord").isNull, -1)
+        .when(r.getField("ord").isNull, 1)
+        .when(l.getField("ord") < r.getField("ord"), -1)
         .when(l.getField("ord") > r.getField("ord"), 1)
         .otherwise(0)
 

@@ -62,30 +62,35 @@ object Lineage {
     * or re-rooted through another cut) — the final state(s) back the
     * returned plan until then. Returns the number of states removed. */
   def cleanup(dir: String): Int = {
-    val d = java.nio.file.Paths.get(dir)
-    if (!java.nio.file.Files.isDirectory(d)) return 0
-    val s = java.nio.file.Files.list(d)
-    val states =
-      try {
-        val it = s.iterator()
-        val b = Seq.newBuilder[java.nio.file.Path]
-        while (it.hasNext) {
-          val p = it.next()
-          if (p.getFileName.toString.startsWith("state_")) b += p
-        }
-        b.result()
-      } finally s.close()
-    states.foreach(p => delete(Seq(p.toString)))
-    states.size
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(hadoopConf())
+    if (!fs.exists(root) || !fs.getFileStatus(root).isDirectory) return 0
+    val states = fs.listStatus(root)
+      .filter(_.getPath.getName.startsWith("state_"))
+    states.foreach(st => fs.delete(st.getPath, true))
+    states.length
   }
 
-  /** Best-effort recursive delete of retired scratch states. */
-  private[ops] def delete(paths: Iterable[String]): Unit =
+  /** Best-effort recursive delete of retired scratch states.
+    *
+    * Resolved through Hadoop's FileSystem, NOT java.io: Reliable(dir)
+    * state is written via Spark and may live on hdfs:// or s3a://,
+    * where a java.io delete silently no-ops and scratch would grow
+    * O(rounds) again — exactly the leak the eager retirement exists
+    * to prevent. */
+  private[ops] def delete(paths: Iterable[String]): Unit = {
+    val conf = hadoopConf()
     paths.foreach { p =>
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(); ()
-      }
-      rm(new java.io.File(p))
+      val path = new org.apache.hadoop.fs.Path(p)
+      path.getFileSystem(conf).delete(path, true); ()
     }
+  }
+
+  /** The active session's Hadoop conf when one exists (carries
+    * `fs.s3a.*` credentials etc.); a vanilla Configuration otherwise. */
+  private def hadoopConf(): org.apache.hadoop.conf.Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
 }

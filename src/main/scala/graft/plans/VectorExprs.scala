@@ -1073,13 +1073,19 @@ final case class CollapseEventsExpression(child: Expression)
       }
       i += 1
     }
-    // stable sort on ord only; null ords compare equal (the fold's
-    // three-branch `when` comparator returned 0 when either side of
-    // `<` was null)
+    // stable sort on ord only, NULLS FIRST. A "null compares equal to
+    // everything" comparator is non-transitive for mixed null/non-null
+    // ords and TimSort may throw "Comparison method violates its
+    // general contract!" at n >= 32 — nulls-first is total, and the
+    // fold twin's comparator uses the same rule (ApplyPropertySpec
+    // pins the equivalence, mixed-null case included).
     val idx = Array.tabulate[Integer](n)(Integer.valueOf)
     java.util.Arrays.sort(idx, (a: Integer, b: Integer) => {
       val (x, y) = (ords(a.intValue), ords(b.intValue))
-      if (x == null || y == null) 0 else ordOrdering.compare(x, y)
+      if (x == null && y == null) 0
+      else if (x == null) -1
+      else if (y == null) 1
+      else ordOrdering.compare(x, y)
     })
     var st = BASE
     // accumulated map as parallel key/value lists; null = SQL null map
@@ -1404,10 +1410,14 @@ final case class CollapsePartialExpression(child: Expression)
       keys(i) = ka; vals(i) = va
       i += 1
     }
+    // nulls-first total ordering — see CollapseEventsExpression.fold
     val idx = Array.tabulate[Integer](n)(Integer.valueOf)
     java.util.Arrays.sort(idx, (a: Integer, b: Integer) => {
       val (x, y) = (ords(a.intValue), ords(b.intValue))
-      if (x == null || y == null) 0 else ordOrdering.compare(x, y)
+      if (x == null && y == null) 0
+      else if (x == null) -1
+      else if (y == null) 1
+      else ordOrdering.compare(x, y)
     })
     var st = BASE
     val acc = new VectorOps.MapState

@@ -110,13 +110,16 @@ object Snapshot {
     val props = new java.util.Properties()
     connectionProps.foreach { case (k, v) => props.setProperty(k, v) }
     val discovered = spec.bounds.orElse {
-      val pc = spec.partitionColumn
+      // names interpolate into SQL — refuse anything but plain
+      // (optionally schema-qualified) identifiers
+      val pc = requireIdent(spec.partitionColumn, "partitionColumn")
+      val tbl = spec.table.split('.').toSeq
+        .map(requireIdent(_, "table")).mkString(".")
       val row = spark.read.jdbc(url,
-        s"(SELECT MIN($pc) AS lo, MAX($pc) AS hi FROM ${spec.table}) bounds",
+        s"(SELECT MIN($pc) AS lo, MAX($pc) AS hi FROM $tbl) bounds",
         props).head()
       if (row.isNullAt(0)) None // empty table: single-partition read
-      else Some((row.get(0).toString.toDouble.toLong,
-        row.get(1).toString.toDouble.toLong))
+      else Some((boundToLong(row.get(0)), boundToLong(row.get(1))))
     }
     val df = discovered match {
       case Some((lo, hi)) =>
@@ -125,6 +128,32 @@ object Snapshot {
       case None => spark.read.jdbc(url, spec.table, props)
     }
     df.toDF(df.columns.map(_.toLowerCase(java.util.Locale.ROOT)): _*)
+  }
+
+  /** Typed MIN/MAX → Long. The former toString→toDouble round-trip
+    * silently lost precision for BIGINT beyond 2^53 (a rounded stride
+    * boundary misplaces rows between partitions) and failed oddly on
+    * non-integer numerics; integer types convert exactly, DECIMAL
+    * floors (Spark's JDBC range partitioning leaves the first/last
+    * partitions unbounded, so flooring never drops rows), everything
+    * else is rejected with the real reason. */
+  private def boundToLong(v: Any): Long = v match {
+    case n: java.lang.Long    => n.longValue
+    case n: java.lang.Integer => n.longValue
+    case n: java.lang.Short   => n.longValue
+    case n: java.lang.Byte    => n.longValue
+    case d: java.math.BigDecimal =>
+      d.setScale(0, java.math.RoundingMode.FLOOR).longValueExact()
+    case other => throw new IllegalArgumentException(
+      s"partition bound $other (${other.getClass.getName}) is not an " +
+        "integral type; give explicit bounds in JdbcTableSpec.bounds")
+  }
+
+  private val IdentRe = "[A-Za-z_][A-Za-z0-9_$]*".r
+  private def requireIdent(s: String, what: String): String = {
+    require(IdentRe.pattern.matcher(s).matches(),
+      s"""$what "$s" is not a plain SQL identifier""")
+    s
   }
 
   /** Shared staging core: validate everything, stage everything, then

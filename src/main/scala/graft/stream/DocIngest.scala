@@ -424,8 +424,12 @@ object DocIngest {
         // (reader-hidden) staging dir — roll forward BEFORE probing,
         // or a replayed batch would admit near-dups of every doc whose
         // rows were mid-swap. compactIndex with an empty range is
-        // exactly the recovery pass (merges nothing).
-        if (compactEvery.isDefined && fs.exists(idxPath))
+        // exactly the recovery pass (merges nothing). Unconditional,
+        // not gated on compactEvery: an OFFLINE compactIndex
+        // maintenance run can crash too, and a stream restarted
+        // without compactEvery must still heal it — the pass is one
+        // directory listing when no staging dir exists.
+        if (fs.exists(idxPath))
           compactIndex(spark, indexDir, upToBatch = -1L)
         val haveIndex = fs.exists(idxPath) &&
           fs.listStatus(idxPath).exists(_.getPath.getName.startsWith("batch="))

@@ -70,28 +70,64 @@ final class TableStore(spark: SparkSession, val root: String) {
       manifestPath.toString)
   }
 
-  private def writeManifest(m: Map[String, Long]): Unit = synchronized {
-    val seq = manifestSeq() + 1
-    val content = TableStore.renderManifest(seq, m)
-    val tmp = Paths.get(root, s"_latest.tmp")
-    Files.writeString(tmp, content)
-    // verify BEFORE publish: the temp copy must parse back to exactly
-    // the intended cut (catches a torn local write / full disk before
-    // it can replace a good manifest)
-    val (tmpSeq, tmpMap) =
-      TableStore.parseManifestContent(Files.readString(tmp), tmp.toString)
-    require(tmpSeq == seq && tmpMap == m,
-      s"manifest temp verify failed at $tmp: wrote seq=$seq ${m.size} entries, " +
-        s"read back seq=$tmpSeq ${tmpMap.size}")
-    Files.move(tmp, manifestPath, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-    // monotonic read-back: our publish (or a newer one) must be
-    // visible — a lower seq is the lost-update signature of a
-    // non-atomic store (see the class doc's object-store seam)
-    val back = manifestSeq()
-    if (back < seq) throw new IllegalStateException(
-      s"manifest publish regressed at $manifestPath: wrote seq=$seq, " +
-        s"read back seq=$back — the store's rename is not atomic")
+  /** The manifest update is a read-modify-write of the FULL
+    * table→version map, so concurrent committers must serialize — an
+    * interleaved parse→render→rename silently drops the other
+    * writer's just-committed entry while seq still advances (the
+    * 'back < seq' check cannot see it). Three rings of defense:
+    * per-instance `synchronized`, a JVM-global monitor per store root
+    * (two engines in one JVM, separate TableStore instances), and an
+    * OS file lock on the `_latest.lock` sidecar (engines in SEPARATE
+    * JVMs sharing one POSIX/NFSv4 root). Object stores have no lock
+    * primitive — there, single-writer-per-root is part of the
+    * conditional-put seam the class doc describes. */
+  private def updateManifest(
+      f: Map[String, Long] => Map[String, Long]): Unit =
+    jvmRootMonitor.synchronized { withCommitLock {
+      // the READ is inside the lock: a commit computed against a map
+      // read before acquisition would overwrite whatever the lock's
+      // previous holder just published
+      val (curSeq, cur) = parseManifest()
+      val m = f(cur)
+      val seq = curSeq + 1
+      val content = TableStore.renderManifest(seq, m)
+      val tmp = Paths.get(root, s"_latest.tmp")
+      Files.writeString(tmp, content)
+      // verify BEFORE publish: the temp copy must parse back to exactly
+      // the intended cut (catches a torn local write / full disk before
+      // it can replace a good manifest)
+      val (tmpSeq, tmpMap) =
+        TableStore.parseManifestContent(Files.readString(tmp), tmp.toString)
+      require(tmpSeq == seq && tmpMap == m,
+        s"manifest temp verify failed at $tmp: wrote seq=$seq ${m.size} entries, " +
+          s"read back seq=$tmpSeq ${tmpMap.size}")
+      Files.move(tmp, manifestPath, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+      // monotonic read-back: our publish (or a newer one) must be
+      // visible — a lower seq is the lost-update signature of a
+      // non-atomic store (see the class doc's object-store seam)
+      val back = manifestSeq()
+      if (back < seq) throw new IllegalStateException(
+        s"manifest publish regressed at $manifestPath: wrote seq=$seq, " +
+          s"read back seq=$back — the store's rename is not atomic")
+    } }
+
+  private val jvmRootMonitor = TableStore.monitorFor(root)
+
+  /** Exclusive OS lock on `_latest.lock` for the duration of `body`.
+    * FileChannel.lock blocks until the other process releases; the
+    * JVM-level monitors above guarantee no overlapping lock attempt
+    * from THIS JVM (which would throw OverlappingFileLockException
+    * instead of waiting). */
+  private def withCommitLock[A](body: => A): A = {
+    val ch = java.nio.channels.FileChannel.open(
+      Paths.get(root, "_latest.lock"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    try {
+      val lock = ch.lock()
+      try body finally lock.release()
+    } finally ch.close()
   }
 
   def exists(id: TableId): Boolean = manifest().contains(id.qualified)
@@ -222,18 +258,16 @@ final class TableStore(spark: SparkSession, val root: String) {
     * attempt already published v=N+1) — regressing would point readers
     * at stale or empty data.
     */
-  def commit(updates: Map[TableId, Long]): Unit = {
-    val cur = manifest()
-    writeManifest(cur ++ updates.map { case (id, v) =>
+  def commit(updates: Map[TableId, Long]): Unit =
+    updateManifest(cur => cur ++ updates.map { case (id, v) =>
       id.qualified -> math.max(v, cur.getOrElse(id.qualified, Long.MinValue))
     })
-  }
 
   /** Remove a table from the committed manifest (DROP TABLE). Data
     * dirs are left for vacuum — readers can no longer resolve them.
     */
   def drop(id: TableId): Unit =
-    writeManifest(manifest() - id.qualified)
+    updateManifest(_ - id.qualified)
 
   /** Rename a table (ALTER TABLE … RENAME TO): move its directory and
     * its manifest entry in one step; the version is preserved. No-op
@@ -251,20 +285,20 @@ final class TableStore(spark: SparkSession, val root: String) {
       if (Files.exists(to)) deleteRecursively(to) // dropped-table leftover
       if (Files.exists(from)) Files.move(from, to,
         StandardCopyOption.ATOMIC_MOVE)
-      writeManifest(m - oldId.qualified + (newId.qualified -> v))
+      updateManifest(cur => cur - oldId.qualified + (newId.qualified -> v))
     }
   }
 
   /** Atomic commit with removals — the rename barrier: publish the
     * batch's staged versions AND retire re-keyed old names in ONE
     * manifest write, so readers never see both or neither. */
-  def commitWithDrops(updates: Map[TableId, Long], drops: Set[TableId]): Unit = {
-    val cur = manifest()
-    val kept = cur -- drops.map(_.qualified)
-    writeManifest(kept ++ updates.map { case (id, v) =>
-      id.qualified -> math.max(v, kept.getOrElse(id.qualified, Long.MinValue))
-    })
-  }
+  def commitWithDrops(updates: Map[TableId, Long], drops: Set[TableId]): Unit =
+    updateManifest { cur =>
+      val kept = cur -- drops.map(_.qualified)
+      kept ++ updates.map { case (id, v) =>
+        id.qualified -> math.max(v, kept.getOrElse(id.qualified, Long.MinValue))
+      }
+    }
 
   /** Delete version directories below the committed one (keeping the
     * committed version plus `keepHistory` older ones for in-flight
@@ -340,6 +374,17 @@ object TableStore {
     * order — both sides of an incremental merge must hash the same
     * typed values in the same column order). */
   final case class BucketSpec(n: Int, pkCols: Seq[String])
+
+  /** One JVM-global monitor per (normalized) store root: serializes
+    * manifest commits across TableStore INSTANCES in this JVM, so the
+    * cross-process file lock never sees an overlapping same-JVM
+    * attempt. */
+  private val monitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[stream] def monitorFor(root: String): Object =
+    monitors.computeIfAbsent(
+      Paths.get(root).toAbsolutePath.normalize.toString,
+      _ => new Object)
 
   private def crc32(body: String): String = {
     val c = new java.util.zip.CRC32

@@ -135,4 +135,34 @@ class ApplyPropertySpec extends SparkSpec {
   test("batch apply ≡ sequential apply (5 seeded random logs × 60 ops)") {
     Seq(1L, 2L, 3L, 42L, 1337L).foreach(runSeed)
   }
+
+  test("collapse is total under mixed null/non-null ords (nulls first)") {
+    // >= 32 events on one key: TimSort's merge path engages, which is
+    // where a non-transitive comparator ("null compares equal to
+    // everything") blows up with 'Comparison method violates its
+    // general contract!'. The contract now: nulls-first total order,
+    // identical in the native expression and the lambda fold.
+    val rnd = new Random(7L)
+    val rows = (0 until 48).map { i =>
+      val nullOrd = rnd.nextInt(3) == 0
+      val op = Seq("row", "patch", "del")(rnd.nextInt(3))
+      val vals = Map("c" -> s"v$i")
+      (if (nullOrd) None else Some((java.sql.Timestamp.valueOf(
+        s"2024-01-01 00:00:${10 + i % 50}"), i.toLong, 0)),
+        op, Seq("k1"), vals)
+    }
+    val events = rows.toDF("ord0", "op", "key", "vals")
+      .select(
+        when(col("ord0").isNotNull, struct(
+          col("ord0._1").as("ts"), col("ord0._2").as("lsn"),
+          col("ord0._3").as("sub"))).as("ord"),
+        col("op"), col("key"), col("vals"))
+    def states(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getSeq[String](0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getMap[String, String](2),
+        r.getInt(3))).toSeq.sortBy(_._1.mkString("|"))
+    // must not throw, and native ≡ fold on the same mixed-null input
+    assert(states(ApplyEngine.collapse(events)) ==
+      states(ApplyEngine.collapseFold(events)))
+  }
 }

@@ -194,4 +194,24 @@ class BucketedStoreSpec extends SparkSpec {
     assert(got.find(_.getLong(0) == 5L).get.getDouble(2) == 99.0)
     assert(!got.exists(_.getLong(0) == 6L))
   }
+
+  test("concurrent commits from SEPARATE store instances lose no entry") {
+    // the manifest update is a read-modify-write of the FULL map; two
+    // TableStore instances on one root (the two-engines case) must
+    // serialize through the per-root monitor + _latest.lock, or an
+    // interleaved parse->render->rename silently drops entries while
+    // seq still advances
+    val root = Files.createTempDirectory("graft-race-").toString
+    val df = Seq((1L, "v")).toDF("k", "v")
+    val ids = (0 until 8).map(i => TableId("srcdb", "public", s"race$i"))
+    ids.foreach(id => new TableStore(spark, root).stage(id, df, 0L))
+    val threads = ids.map { id =>
+      val st = new TableStore(spark, root) // one instance per "engine"
+      new Thread(() => st.commit(Map(id -> 0L)))
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val m = new TableStore(spark, root).manifest()
+    assert(ids.forall(id => m.get(id.qualified).contains(0L)),
+      s"lost entries: ${ids.map(_.qualified).filterNot(m.contains)}")
+  }
 }
