@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -84,6 +84,74 @@ object Multimodal {
       .withColumn("frame", expr(s"substring(media, i * $frameBytes + 1, $frameBytes)"))
       .filter(octet_length(col("frame")) > 0)
       .select(col("media_id"), col("frame_idx"), col("frame"), col("meta"))
+  }
+
+  /** 63-bit perceptual hash of the media payload — a native one-pass
+    * kernel ([[graft.plans.DHashMd5Expression]]): 64-cell histogram of
+    * md5-hashed byte 4-grams, bit k = gradient `cell[k+1] > cell[k]`
+    * (dHash over a translation-invariant "pixel grid", so a payload
+    * with a few bytes prepended — a header change / re-encode — stays
+    * within a few bits of the original). */
+  def perceptualHash(media: Column): Column =
+    graft.plans.NativeCols.dhashMd5(media)
+
+  /** Column-DSL fold twin of [[perceptualHash]] — the spec's
+    * equivalence reference, never the production path (O(n·cells)
+    * interpreted lambdas per row vs the kernel's one compiled pass).
+    */
+  private[graft] def perceptualHashFold(mediaCol: String): Column = {
+    val buckets = s"""transform(
+      if(octet_length($mediaCol) >= 4,
+         sequence(1, octet_length($mediaCol) - 3), array()),
+      i -> cast(conv(substring(md5(substring($mediaCol, i, 4)), 1, 15),
+               16, 10) as bigint) % 64)"""
+    val counts =
+      s"transform(sequence(0, 63), c -> size(filter($buckets, b -> b = c)))"
+    // explicit null propagation: octet_length(NULL) is NULL, which the
+    // if() below would otherwise coalesce into the empty-payload path
+    expr(s"""if($mediaCol is null, cast(null as bigint),
+      aggregate(sequence(0, 62), 0L,
+      (acc, k) -> acc + if(element_at($counts, cast(k + 2 as int)) >
+                           element_at($counts, cast(k + 1 as int)),
+                          shiftleft(1L, cast(k as int)), 0L)))""")
+  }
+
+  /** Perceptual near-duplicate pairs over a media table: banded LSH on
+    * the 63-bit hash (8 bands of 8 bits) to generate candidates, full
+    * hamming-distance verify `bit_count(a ^ b) <= maxHamming`.
+    *
+    * RECALL-COMPLETE for `maxHamming < bands` by pigeonhole: a pair
+    * within hamming h < 8 differs in at most h bands, so at least one
+    * band matches exactly and the pair IS a candidate — the banding is
+    * pure shuffle-avoidance (each doc emits 8 band keys; only
+    * same-bucket slivers join), never a recall trade-off, which is
+    * what makes the exhaustive oracle an exact match. At 100 TB: one
+    * exchange on (band, bits), candidate volume bounded by bucket
+    * occupancy; no all-pairs anywhere.
+    */
+  def perceptualNearDup(media: DataFrame, idCol: String = "media_id",
+      maxHamming: Int = 7, bands: Int = 8): DataFrame = {
+    require(maxHamming < bands,
+      s"maxHamming=$maxHamming >= bands=$bands loses the pigeonhole " +
+        "recall guarantee; raise bands or lower the threshold")
+    val hashed = media
+      .select(col(idCol).cast("long").as("mid"),
+        perceptualHash(col("media")).as("ph"))
+    val banded = hashed
+      .select(col("mid"), col("ph"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("bits",
+        expr(s"shiftright(ph, band * ${64 / bands}) & ${(1 << (64 / bands)) - 1}"))
+    val a = banded.select(col("band"), col("bits"),
+      col("mid").as("id_a"), col("ph").as("ph_a"))
+    val b = banded.select(col("band"), col("bits"),
+      col("mid").as("id_b"), col("ph").as("ph_b"))
+    a.join(b, Seq("band", "bits"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("bit_count(ph_a ^ ph_b)").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Per-partition batched feature extraction — the `mapInPandas`

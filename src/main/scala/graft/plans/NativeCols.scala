@@ -61,6 +61,10 @@ object NativeCols {
   /** Codegen 60-bit md5 SimHash (see [[SimHashMd5Expression]]). */
   def simhashMd5(text: Column): Column = cl(SimHashMd5Expression(ex(text)))
 
+  /** Codegen 63-bit perceptual media dHash
+    * (see [[DHashMd5Expression]]). */
+  def dhashMd5(media: Column): Column = cl(DHashMd5Expression(ex(media)))
+
   /** Codegen per-key CDC event fold (see [[CollapseEventsExpression]]). */
   def collapseEvents(events: Column): Column =
     cl(CollapseEventsExpression(ex(events)))

@@ -82,6 +82,13 @@ final class GraftExtensions extends (SparkSessionExtensions => Unit) {
         SimHashMd5Expression(children.head)
       }))
     ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("dhash_md5"),
+      DHashMd5Expression.info,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1, "dhash_md5 takes one argument")
+        DHashMd5Expression(children.head)
+      }))
+    ext.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("positioned_grams"),
       PositionedGramsExpression.info,
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {

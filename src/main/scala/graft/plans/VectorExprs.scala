@@ -295,6 +295,48 @@ object VectorOps {
     sim
   }
 
+  /** 63-bit perceptual dHash of a binary media payload, one compiled
+    * pass — the image half of near-dup detection
+    * ([[graft.ops.Multimodal.perceptualNearDup]]).
+    *
+    * The "pixel grid" is a 64-cell histogram of hashed byte 4-grams
+    * (bucket = md5-hex60 of the 4-byte window, mod 64): translation-
+    * invariant (counts carry no position), so a payload with a few
+    * bytes prepended — the re-encode/header-change signature of a
+    * shifted copy — lands within a handful of bits of the original,
+    * while unrelated payloads differ in ~half the bits (measured on
+    * the documents corpus: shifted copies ≤ 3, unrelated ≥ 8, median
+    * 21). Bit k of the hash is the dHash-style gradient
+    * `cell[k+1] > cell[k]` — 63 bits, deliberately NOT 64: DuckDB's
+    * BIGINT `1 << 63` overflows, and the oracle must compute the
+    * identical value. md5 (not xxhash) for the same reason — it
+    * exists in both engines, the td_simhash_md5 discipline. */
+  def dhashMd5(b: Array[Byte]): Long = {
+    val cells = 64
+    if (b.length < 4) return 0L
+    val counts = new Array[Long](cells)
+    val md = md5Local.get()
+    var i = 0
+    while (i <= b.length - 4) {
+      md.reset()
+      md.update(b, i, 4)
+      val d = md.digest()
+      var h = 0L
+      var k = 0
+      while (k < 7) { h = (h << 8) | (d(k) & 0xFFL); k += 1 }
+      h = (h << 4) | ((d(7) & 0xFF) >>> 4)
+      counts((h % cells).toInt) += 1
+      i += 1
+    }
+    var ph = 0L
+    var k = 0
+    while (k < cells - 1) {
+      if (counts(k + 1) > counts(k)) ph |= (1L << k)
+      k += 1
+    }
+    ph
+  }
+
   /** Word n-grams in POSITION order, duplicates kept — one gram per
     * start position (the [[graft.ops.Dedup.duplicatedSpans]] feed:
     * `posexplode` over this yields the (pos, gram) pairs the
@@ -1580,6 +1622,36 @@ final case class SimHashMd5Expression(child: Expression)
 object SimHashMd5Expression {
   val info: ExpressionInfo = new ExpressionInfo(
     classOf[SimHashMd5Expression].getName, "simhash_md5")
+}
+
+/** `dhash_md5(media)`: codegen 63-bit perceptual dHash over a binary
+  * payload (hashed-4-gram histogram gradients — see
+  * [[VectorOps.dhashMd5]]). */
+final case class DHashMd5Expression(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dhash_md5 requires BINARY input, got ${child.dataType.sql}")
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    VectorOps.dhashMd5(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.VectorOps.dhashMd5($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "dhash_md5"
+}
+
+object DHashMd5Expression {
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[DHashMd5Expression].getName, "dhash_md5")
 }
 
 /** `positioned_grams(text, n)`: codegen word n-grams in position

@@ -47,7 +47,7 @@ object TrainingData {
     td_pack_sequences, td_decontam,
     td_token_budget, td_interleave, td_train_split,
     td_split_leakage_safe, td_pii_scrub,
-    td_media_meta, td_media_frames, td_media_features,
+    td_media_meta, td_media_frames, td_media_features, td_media_neardup,
     td_quality_repetition, td_semdedup, td_epoch_shuffle, td_profile,
     td_sufficient_stats, td_chunk_embed, td_mean_pool)
 }

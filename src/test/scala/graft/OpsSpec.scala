@@ -1293,4 +1293,50 @@ class OpsSpec extends SparkSpec {
       .map(r => r._1 -> (r._2, r._3, r._4)).toMap
     assert(fb == got)
   }
+
+  test("perceptualNearDup: shifted copy detected, unrelated payload spared") {
+    import org.apache.spark.sql.functions._
+    val t1 = "the quick brown fox jumps over the lazy dog while the rain " +
+      "in spain falls mainly on the plain and all good men come to the " +
+      "aid of the party"
+    val t3 = "pack my box with five dozen liquor jugs as quartz glyphs " +
+      "vex and the wizard quickly jinxed the gnomes before they " +
+      "vaporized again tonight ok"
+    // id 2 is t1 with two bytes PREPENDED — a header-shifted copy; the
+    // positional byte grid of round-10's stub decode would scramble,
+    // but the translation-invariant gram histogram keeps it 3 bits
+    // from the original (python-pinned). t3 sits 29-30 bits away.
+    val docs = Seq((1L, t1), (2L, "ab" + t1), (3L, t3)).toDF("doc_id", "text")
+    val media = Multimodal.packFromText(docs, "doc_id", "text")
+    val pairs = Multimodal.perceptualNearDup(media)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L, 3L)), s"got $pairs")
+    // the kernel value itself is pinned against an independent
+    // reference implementation (python hashlib)
+    val h1 = media.filter(col("media_id") === 1L)
+      .select(Multimodal.perceptualHash(col("media"))).head().getLong(0)
+    assert(h1 == 5522298681951892877L)
+  }
+
+  test("perceptualHash native ≡ fold twin, incl short/empty/null payloads") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(11)
+    val docs = (Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, ""), (3L, "abc"), (4L, "abcd"),
+      (5L, (0 until 200).map(_ => rnd.alphanumeric.take(5).mkString).mkString(" ")))
+      .toDF("doc_id", "text"))
+      .unionByName(Seq(Tuple1(6L)).toDF("doc_id")
+        .withColumn("text", lit(null).cast("string")))
+    val media = Multimodal.packFromText(docs, "doc_id", "text")
+    def m(c: org.apache.spark.sql.Column) =
+      media.select(col("media_id"), c.as("h")).collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    val native = m(Multimodal.perceptualHash(col("media")))
+    val fold = m(Multimodal.perceptualHashFold("media"))
+    assert(native == fold, s"$native vs $fold")
+    assert(native(2L) == 0L && native(3L) == 0L) // < 4 bytes → no grams
+    assert(native(6L) == null)                   // null payload → null
+  }
 }

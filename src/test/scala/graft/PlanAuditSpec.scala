@@ -116,7 +116,7 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("td_profile: one Expand bounded by the distinct-column count, partial aggregation") {
-    audited(graft.queries.TrainingData.td_profile.fn(spark, dir)) { df =>
+    audited(graft.queries.TrainingDataSketch.td_profile.fn(spark, dir)) { df =>
       val plan = df.queryExecution.executedPlan
       val expands = plan.collect {
         case e: org.apache.spark.sql.execution.ExpandExec => e.projections.size
@@ -137,7 +137,7 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("td_source_neardup: signature agg is partial before the shuffle, no nested loop") {
-    audited(graft.queries.TrainingData.td_source_neardup.fn(spark, dir)) { df =>
+    audited(graft.queries.TrainingDataDedup.td_source_neardup.fn(spark, dir)) { df =>
       val plan = df.queryExecution.executedPlan
       val partial = plan.collect {
         case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
@@ -171,7 +171,7 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("td_source_cap: per-source cap plans as partial+final group-limit") {
-    audited(graft.queries.TrainingData.td_source_cap.fn(spark, dir)) { df =>
+    audited(graft.queries.TrainingDataSampling.td_source_cap.fn(spark, dir)) { df =>
       val modes = df.queryExecution.executedPlan.collect {
         case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec =>
           w.mode.toString
@@ -206,7 +206,7 @@ class PlanAuditSpec extends SparkSpec {
     // the bypass branch (bloom says definitely-absent) must reach the
     // output with no join at all; the residual branch's anti-join
     // broadcasts the blocklist — the corpus side never shuffles
-    audited(graft.queries.TrainingData.td_blocklist_scrub.fn(spark, dir)) {
+    audited(graft.queries.TrainingDataSampling.td_blocklist_scrub.fn(spark, dir)) {
       df =>
         val plan = df.queryExecution.executedPlan
         val joins = plan.collect {
@@ -239,7 +239,7 @@ class PlanAuditSpec extends SparkSpec {
     // the corpus-side score join must be broadcast (never a corpus
     // shuffle), and both the train and score aggregations must
     // combine map-side
-    audited(graft.queries.TrainingData.td_lang_classifier.fn(spark, dir)) {
+    audited(graft.queries.TrainingDataText.td_lang_classifier.fn(spark, dir)) {
       df =>
         val plan = df.queryExecution.executedPlan
         val bhj = plan.collect { case b: BroadcastHashJoinExec => b }
@@ -370,7 +370,7 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("td_semdedup: cell assignment is a narrow map — no window exchange at all") {
-    audited(graft.queries.TrainingData.td_semdedup.fn(spark, dir)) { df =>
+    audited(graft.queries.TrainingDataAnn.td_semdedup.fn(spark, dir)) { df =>
       val plan = df.queryExecution.executedPlan
       // the assignment stage must NOT re-shuffle the corpus nCells-wide
       // through a per-id window; the only windows anywhere in the
@@ -391,7 +391,7 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("td_ann_ivf: the only window is the final per-query top-k") {
-    audited(graft.queries.TrainingData.td_ann_ivf.fn(spark, dir)) { df =>
+    audited(graft.queries.TrainingDataAnn.td_ann_ivf.fn(spark, dir)) { df =>
       val plan = df.queryExecution.executedPlan
       // corpus/query cell assignment is narrow (broadcast codebook
       // array, per-row sort+slice); windows over the corpus id would
@@ -407,7 +407,7 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("td_ann_lsh_md5: literal planes (no plane join), keyed candidate join only") {
-    audited(graft.queries.TrainingData.td_ann_lsh_md5.fn(spark, dir)) { df =>
+    audited(graft.queries.TrainingDataAnn.td_ann_lsh_md5.fn(spark, dir)) { df =>
       val plan = df.queryExecution.executedPlan
       // planes are plan literals: candidate generation must be the
       // (table, bucket) equi-join — never a nested loop over planes
@@ -426,7 +426,7 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("td_chunk_dedup: chunk winners via map-side min(struct), no sorted window") {
-    audited(graft.queries.TrainingData.td_chunk_dedup.fn(spark, dir)) { df =>
+    audited(graft.queries.TrainingDataDedup.td_chunk_dedup.fn(spark, dir)) { df =>
       val plan = df.queryExecution.executedPlan
       // duplicate chunks must collapse within each task before the
       // chunk-keyed exchange; a WindowExec means the corpus-wide
@@ -582,7 +582,7 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("td_dsir_select: weight table broadcasts, top-k is TakeOrdered, aggs partial") {
-    audited(graft.queries.TrainingData.td_dsir_select.fn(spark, dir)) { df =>
+    audited(graft.queries.TrainingDataSampling.td_dsir_select.fn(spark, dir)) { df =>
       val plan = df.queryExecution.executedPlan
       // the dim-row ratio table must broadcast into the corpus-side
       // feature join — a shuffle join here re-exchanges every
@@ -608,7 +608,7 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("td_ann_sq8: dim stats bounded + broadcast, top-k is a group-limit") {
-    audited(graft.queries.TrainingData.td_ann_sq8.fn(spark, dir)) { df =>
+    audited(graft.queries.TrainingDataAnn.td_ann_sq8.fn(spark, dir)) { df =>
       val plan = df.queryExecution.executedPlan
       // the per-dimension min/max must combine map-side — its state is
       // dim cells per task; a final-only agg would shuffle every
@@ -634,7 +634,7 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("td_hard_negatives: candidates stay cell-keyed, codebook broadcasts") {
-    audited(graft.queries.TrainingData.td_hard_negatives.fn(spark, dir)) { df =>
+    audited(graft.queries.TrainingDataAnn.td_hard_negatives.fn(spark, dir)) { df =>
       val plan = df.queryExecution.executedPlan
       // the label filter must not change the candidate structure: the
       // only corpus×corpus contact is the cell equi-join; an unkeyed
@@ -652,7 +652,7 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("td_ann_recall: ranking join is hashed, counts combine map-side") {
-    audited(graft.queries.TrainingData.td_ann_recall.fn(spark, dir)) { df =>
+    audited(graft.queries.TrainingDataAnn.td_ann_recall.fn(spark, dir)) { df =>
       val plan = df.queryExecution.executedPlan
       // two k-rows-per-query rankings meet in an equi-join — hash or
       // sort-merge, never a nested loop over the pair space
@@ -668,7 +668,7 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("td_kmv_overlap: sketch stage is a partial group-limit over a partial distinct") {
-    audited(graft.queries.TrainingData.td_kmv_overlap.fn(spark, dir)) { df =>
+    audited(graft.queries.TrainingDataSketch.td_kmv_overlap.fn(spark, dir)) { df =>
       val plan = df.queryExecution.executedPlan
       // the per-source bottom-k must keep ≤ k rows per group per map
       // task BEFORE the group exchange — without the partial
@@ -692,7 +692,7 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("td_quality_prune_cutoff: cutoff table broadcasts, corpus never sorts") {
-    audited(graft.queries.TrainingData.td_quality_prune_cutoff.fn(spark, dir)) { df =>
+    audited(graft.queries.TrainingDataSampling.td_quality_prune_cutoff.fn(spark, dir)) { df =>
       val plan = df.queryExecution.executedPlan
       val bhj = plan.collect { case b: BroadcastHashJoinExec => b }
       assert(bhj.nonEmpty, s"cutoff join not broadcast:\n$plan")
@@ -714,7 +714,7 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("td_corpus_diff: text collapses to fingerprints BEFORE the id shuffle") {
-    audited(graft.queries.TrainingData.td_corpus_diff.fn(spark, dir)) { df =>
+    audited(graft.queries.TrainingDataSketch.td_corpus_diff.fn(spark, dir)) { df =>
       val plan = df.queryExecution.executedPlan
       // every exchange must move (id, md5) rows, never the text column
       val exchanges = plan.collect {
