@@ -63,6 +63,21 @@ object StreamBench {
     // exists to record. 0 = plain full-rewrite staging.
     val nBuckets = sys.env.get("SPARK_GRAFT_STREAM_BUCKETS")
       .flatMap(_.toIntOption).getOrElse(0)
+    // Crash-recovery measurement: kill the stream at batch k (via the
+    // engine failpoint), restart against the same checkpoint, time
+    // restart-to-caught-up, and verify the recovered final state
+    // row-matches an uninterrupted reference run. The reference's
+    // whole ops model is "die and measure lag"
+    // (replayer/connemara_replay.pl:543-544, docs/architecture.rst:185-186)
+    // — this records the number behind that model.
+    val killAt = sys.env.get("SPARK_GRAFT_STREAM_KILL_AT")
+      .flatMap(_.toLongOption)
+    val killPoint = sys.env.getOrElse("SPARK_GRAFT_STREAM_KILL_POINT",
+      "pre_commit")
+    require(killAt.isEmpty || ddlEvery == 0,
+      "kill-recovery mode assumes a DDL-free run (static registry)")
+    require(Set("pre_commit", "post_commit").contains(killPoint),
+      s"unknown kill point $killPoint")
     require(nBatches < 100, "insert-key space exhausted at 100 batches")
     val defaultCpus = math.min(Runtime.getRuntime.availableProcessors(), 32)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", defaultCpus.toString)
@@ -165,6 +180,75 @@ object StreamBench {
     spark.range(1 << 20).selectExpr("sum(id) as s")
       .write.format("noop").mode("overwrite").save()
     System.gc()
+
+    killAt.foreach { k =>
+      require(k >= 0 && k < nBatches, s"kill batch $k outside 0..${nBatches - 1}")
+      def seedStore(): TableStore = {
+        val r = Files.createTempDirectory("graft-sbench-store-").toString
+        val st = new TableStore(spark, r)
+        if (nBuckets > 0)
+          st.stageBucketed(tid, cust, 0L,
+            TableStore.BucketSpec(nBuckets, Seq("c_custkey")))
+        else st.stage(tid, cust, 0L)
+        st.commit(Map(tid -> 0L))
+        st
+      }
+      // reference: the same workload uninterrupted (state to match)
+      new CdcStreamEngine(spark, registry, store)
+        .start(spool, ckpt, maxFilesPerTrigger = 1).awaitTermination()
+
+      // killed run: fresh store+checkpoint, failpoint at batch k
+      val store2 = seedStore()
+      val ckpt2 = Files.createTempDirectory("graft-sbench-ckpt-").toString
+      val eKill = new CdcStreamEngine(spark, registry, store2)
+      eKill.failpoint = Some((k, killPoint))
+      val qKill = eKill.start(spool, ckpt2, maxFilesPerTrigger = 1)
+      val killed =
+        try { qKill.awaitTermination(); false }
+        catch {
+          case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+            def chain(t: Throwable): Seq[String] =
+              if (t == null) Seq.empty
+              else Option(t.getMessage).toSeq ++ chain(t.getCause)
+            require(chain(e).exists(_.contains("failpoint")),
+              s"stream died for a non-injected reason: ${chain(e)}")
+            true
+        }
+      require(killed, s"failpoint at batch $k never fired")
+
+      // restart: a NEW engine against the same checkpoint + store —
+      // the driver-restart analog. Timed region = restart-to-caught-up
+      // (stream init + replay of batch k + remaining batches).
+      val eRec = new CdcStreamEngine(spark, registry, store2)
+      val t0 = System.nanoTime()
+      val qRec = eRec.start(spool, ckpt2, maxFilesPerTrigger = 1)
+      qRec.awaitTermination()
+      val recoverySec = (System.nanoTime() - t0) / 1e9
+      qRec.exception.foreach(throw _)
+      val replayed = qRec.recentProgress.count(_.numInputRows > 0)
+
+      // the recovered state must ROW-MATCH the uninterrupted run —
+      // exactly-once as an observable, not a spec claim
+      val colsSorted = store.read(tid).columns.sorted.toIndexedSeq
+      def rowsOf(st: TableStore) = st.read(tid)
+        .select(colsSorted.map(col): _*)
+        .orderBy(colsSorted.map(col): _*).collect().toSeq
+      val stateMatch = rowsOf(store) == rowsOf(store2)
+
+      def fmt(v: Double) =
+        String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+      val line =
+        s"""{"metric":"stream_recovery_sec","value":${fmt(recoverySec)},""" +
+          s""""unit":"sec","kill_at":$k,"kill_point":"$killPoint",""" +
+          s""""replayed_batches":$replayed,"batches":$nBatches,""" +
+          s""""state_match":$stateMatch,"scale":$scale,""" +
+          s""""buckets":$nBuckets,"sf":"$sfDir"}"""
+      java.nio.file.Files.write(Paths.get("STREAMBENCH_RECOVERY.json"),
+        line.getBytes("UTF-8"))
+      println(line)
+      spark.stop()
+      sys.exit(if (stateMatch) 0 else 1)
+    }
 
     // ---- timed region: the streaming replay loop ----
     val engine =

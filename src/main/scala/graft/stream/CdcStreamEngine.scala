@@ -58,6 +58,24 @@ final class CdcStreamEngine(
   private var currentTargetVersion: Long = Long.MinValue
   private var committedAtBatchStart: Map[String, Long] = Map.empty
 
+  /** Crash-injection point for recovery measurement (StreamBench
+    * SPARK_GRAFT_STREAM_KILL_AT / CdcStreamSpec): kill the stream at
+    * batch `id`, either `pre_commit` (versions staged, manifest NOT
+    * advanced — the torn-stage crash; replay re-stages and commits) or
+    * `post_commit` (manifest advanced, checkpoint NOT — the
+    * double-apply window; replay takes the versioned-publish skip).
+    * Parquet staging is itself rename-published, so "mid-write" is
+    * not an observable third state — a killed write leaves no visible
+    * partial file, only staged-vs-committed. Never set in production.
+    */
+  private[graft] var failpoint: Option[(Long, String)] = None
+  private def maybeFail(batchId: Long, point: String): Unit =
+    failpoint.foreach { case (b, p) =>
+      if (b == batchId && p == point)
+        throw new IllegalStateException(
+          s"failpoint: injected crash at batch $batchId ($point)")
+    }
+
   /** Rename-hook target for [[graft.ddl.DdlInterpreter]]: renames in
     * the in-flight working chain, loading the committed version into
     * the chain first if the table wasn't touched yet this batch. No
@@ -361,6 +379,7 @@ final class CdcStreamEngine(
       // barrier — no crash window between re-key and publish)
       val dropped = pendingRenames.map(_._1)
         .filterNot(o => updates.contains(o)).toSet
+      maybeFail(batchId, "pre_commit")
       if (updates.nonEmpty || dropped.nonEmpty)
         store.commitWithDrops(updates, dropped)
       // the checkpoint only persists source offsets — DDL-evolved
@@ -380,6 +399,7 @@ final class CdcStreamEngine(
           .partitionBy("batch_id")
           .parquet(dir)
       }
+      maybeFail(batchId, "post_commit")
     } finally parsedAll.unpersist()
   }
 

@@ -86,6 +86,42 @@ class CdcStreamSpec extends SparkSpec {
       Row(1L, "Alice", 11.5), Row(3L, "Carol", 30.0), Row(9L, "Zed", 90.0)))
   }
 
+  test("failpoint kills at both crash points; restart recovers the exact state") {
+    // two spool files -> two batches; kill at batch 1, restart, and
+    // the final state must equal the uninterrupted run's. pre_commit
+    // leaves a staged-but-unreferenced version (replay re-stages and
+    // commits); post_commit leaves the manifest ahead of the
+    // checkpoint (replay takes the versioned-publish skip).
+    Seq("pre_commit", "post_commit").foreach { point =>
+      val (engine, store, registry, spool, ckpt) = freshEngine()
+      spoolBatch(
+        (1L, """{"kind":"update","schema":"public","table":"customer",
+          "columnnames":["c_custkey","c_acctbal"],"columnvalues":[1,11.5],
+          "oldkeys":{"keynames":["c_custkey"],"keyvalues":[1]}}"""))
+        .coalesce(1).write.mode("append").parquet(spool)
+      run(engine, spool, ckpt)
+      spoolBatch(
+        (2L, """{"kind":"insert","schema":"public","table":"customer",
+          "columnnames":["c_custkey","c_name","c_acctbal"],
+          "columnvalues":[9,"Zed",90.0]}"""),
+        (3L, """{"kind":"delete","schema":"public","table":"customer",
+          "oldkeys":{"keynames":["c_custkey"],"keyvalues":[2]}}"""))
+        .coalesce(1).write.mode("append").parquet(spool)
+      engine.failpoint = Some((1L, point))
+      val q = engine.start(spool, ckpt)
+      val died = try { q.awaitTermination(); false } catch {
+        case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+          assert(e.toString.contains("failpoint"), e.toString); true
+      }
+      assert(died, s"$point failpoint never fired")
+      // driver restart: a FRESH engine on the same checkpoint + store
+      run(new CdcStreamEngine(spark, registry, store), spool, ckpt)
+      assert(state(store) == Seq(
+        Row(1L, "Alice", 11.5), Row(3L, "Carol", 30.0), Row(9L, "Zed", 90.0)),
+        s"$point: recovered state diverged")
+    }
+  }
+
   test("DDL records hit the handler in order, before DML merges") {
     val seen = scala.collection.mutable.Buffer.empty[String]
     val (engine, store, _, spool, ckpt) =
