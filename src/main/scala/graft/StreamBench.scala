@@ -70,8 +70,21 @@ object StreamBench {
     // whole ops model is "die and measure lag"
     // (replayer/connemara_replay.pl:543-544, docs/architecture.rst:185-186)
     // — this records the number behind that model.
+    // Multi-source federation: N source databases interleaved in ONE
+    // spool — the reference's production topology (one daemon per
+    // source db, one consolidated target, docs/architecture.rst:146-152).
+    // Each db gets its own slot (P5 restriction wired into the
+    // engine), db1 additionally receives poison updates from a STALE
+    // slot every batch (acctbal=-999) that the restriction must drop,
+    // and with DDL enabled the ALTER lands on db2 ONLY — the other
+    // dbs' tables must commit through the same batches un-barriered
+    // and schema-isolated.
+    val nDbs = sys.env.get("SPARK_GRAFT_STREAM_DBS")
+      .flatMap(_.toIntOption).getOrElse(1)
     val killAt = sys.env.get("SPARK_GRAFT_STREAM_KILL_AT")
       .flatMap(_.toLongOption)
+    require(killAt.isEmpty || nDbs == 1,
+      "kill-recovery mode runs on the single-db topology")
     val killPoint = sys.env.getOrElse("SPARK_GRAFT_STREAM_KILL_POINT",
       "pre_commit")
     require(killAt.isEmpty || ddlEvery == 0,
@@ -95,7 +108,11 @@ object StreamBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val tid = TableId("srcdb", "public", "customer")
+    val dbNames =
+      if (nDbs == 1) Seq("srcdb") else (1 to nDbs).map(i => s"db$i")
+    val tids = dbNames.map(d => TableId(d, "public", "customer"))
+    val tid = tids.head
+    val slotByDb = dbNames.map(d => d -> s"slot_$d").toMap
     val schema = StructType(Seq(
       StructField("c_custkey", LongType),
       StructField("c_name", StringType),
@@ -107,19 +124,21 @@ object StreamBench {
     val spool = Files.createTempDirectory("graft-sbench-spool-").toString
     val ckpt = Files.createTempDirectory("graft-sbench-ckpt-").toString
 
-    // ---- untimed setup: seed the target, pre-write the spool ----
+    // ---- untimed setup: seed the targets, pre-write the spool ----
     val registry = new SchemaRegistry
-    registry.register(TableMeta(tid, schema, Seq("c_custkey")))
+    tids.foreach(t => registry.register(TableMeta(t, schema, Seq("c_custkey"))))
     val store = new TableStore(spark, root)
     val cust = (0 until scale).map { s =>
       Tables.customer(spark, sfDir)
         .withColumn("c_custkey", col("c_custkey") + s * 1000000000L)
     }.reduce(_ unionByName _)
-    if (nBuckets > 0)
-      store.stageBucketed(tid, cust, 0L,
-        TableStore.BucketSpec(nBuckets, Seq("c_custkey")))
-    else store.stage(tid, cust, 0L)
-    store.commit(Map(tid -> 0L))
+    tids.foreach { t =>
+      if (nBuckets > 0)
+        store.stageBucketed(t, cust, 0L,
+          TableStore.BucketSpec(nBuckets, Seq("c_custkey")))
+      else store.stage(t, cust, 0L)
+    }
+    store.commit(tids.map(_ -> 0L).toMap)
     val custRows = cust.count()
     // rollingLogOf's disjointness contract: insert keys (key + b·10⁷)
     // must never cross into the next shifted copy's base range
@@ -136,6 +155,10 @@ object StreamBench {
     // one DDL record at the head of a DDL-bearing batch: lowest lsn in
     // the batch (DML subs start at b·10⁸ + 10⁷), same event time — the
     // barrier runs before the batch's DML, exactly the mid-stream shape
+    // DDL lands on ONE db: the head db in single-db mode, db2 in
+    // federation (the other dbs' tables must commit through the same
+    // batch without schema change)
+    val ddlDb = if (nDbs == 1) dbNames.head else dbNames(1)
     def ddlRecord(b: Int): org.apache.spark.sql.DataFrame = {
       val q = s"ALTER TABLE customer ADD COLUMN extra_b$b integer"
       val payload =
@@ -144,19 +167,45 @@ object StreamBench {
           s""""columnvalues":["$q","\\"$$user\\", public","{\\"ALTER TABLE\\"}"]}"""
       spark.range(1).select(
         timestamp_seconds(lit(1700000000L + b * 60L)).as("insert_timestamp"),
-        lit("srcdb").as("database"),
+        lit(ddlDb).as("database"),
         lit(b * 100000000L).as("lsn_start"),
         lit(b * 1000000L).as("xid"),
         lit(payload).as("payload"),
         timestamp_seconds(lit(1700000000L + b * 60L)).as("xid_timestamp"),
-        lit("slot1").as("source_slotname"))
+        lit(s"slot_$ddlDb").as("source_slotname"))
     }
+
+    // stale-slot poison (federation only): update payloads on db1 keys
+    // 1..5 setting acctbal=-999, stamped with a slot that is NOT db1's
+    // configured one. Their lsn sorts AFTER the batch's legit updates,
+    // so a P5 leak would win the collapse and trip the acctbal gate.
+    def poisonRecords(b: Int): org.apache.spark.sql.DataFrame =
+      spark.range(1, 6).select(
+        timestamp_seconds(lit(1700000000L + b * 60L)).as("insert_timestamp"),
+        lit(dbNames.head).as("database"),
+        (lit(b * 100000000L + 90000000L) + col("id")).as("lsn_start"),
+        (lit(b * 1000000L + 999000L) + col("id")).as("xid"),
+        concat(
+          lit("""{"kind":"update","schema":"public","table":"customer",""" +
+            """"columnnames":["c_custkey","c_acctbal"],"columnvalues":["""),
+          col("id"),
+          lit(""","-999.0"],"oldkeys":{"keynames":["c_custkey"],"keyvalues":["""),
+          col("id"), lit("]}}")).as("payload"),
+        timestamp_seconds(lit(1700000000L + b * 60L)).as("xid_timestamp"),
+        lit("stale_slot").as("source_slotname"))
 
     // one file per batch; mtimes force the file source to replay them
     // in batch order (ties in mtime would otherwise be unordered)
     (1 to nBatches).foreach { b =>
       val dir = s"$spool/b$b"
-      val events0 = SyntheticCdc.rollingLogOf(cust, b)
+      val base = SyntheticCdc.rollingLogOf(cust, b)
+      val events0 =
+        if (nDbs == 1) base
+        else dbNames.map(d => base
+            .withColumn("database", lit(d))
+            .withColumn("source_slotname", lit(s"slot_$d")))
+          .reduce(_ unionByName _)
+          .unionByName(poisonRecords(b))
       val events =
         if (ddlEvery > 0 && b % ddlEvery == 0)
           ddlRecord(b).unionByName(events0)
@@ -251,9 +300,13 @@ object StreamBench {
     }
 
     // ---- timed region: the streaming replay loop ----
+    // the P5 restriction engages only in federation mode — the
+    // single-db workload keeps its historical stamps (srcdb/slot1)
+    val restriction = if (nDbs == 1) Map.empty[String, String] else slotByDb
     val engine =
-      if (ddlEvery > 0) CdcStreamEngine.withDdl(spark, registry, store)
-      else new CdcStreamEngine(spark, registry, store)
+      if (ddlEvery > 0)
+        CdcStreamEngine.withDdl(spark, registry, store, slotByDb = restriction)
+      else new CdcStreamEngine(spark, registry, store, slotByDb = restriction)
     val t0 = System.nanoTime()
     val q = engine.start(spool, ckpt,
       maxFilesPerTrigger = 1)
@@ -275,20 +328,30 @@ object StreamBench {
     val rows = spark.read.parquet(s"$spool/*.parquet").count()
     val totalSec = durs.sum / 1e3
 
-    // sanity gate: N batches leave |customer| + |%10=4| rows (the last
-    // batch's inserts haven't been retired) and acctbal = N on every
-    // non-insert key
-    val fin = store.read(tid)
-    val finCount = fin.count()
+    // sanity gate, per db: N batches leave |customer| + |%10=4| rows
+    // (the last batch's inserts haven't been retired) and acctbal = N
+    // on every non-insert key — which also catches a stale-slot poison
+    // leak (-999 would have won the collapse on keys 1..5).
     val expCount = custRows + custRows / 10
-    // base keys (any copy) satisfy key mod 10⁹ < 10⁷; insert keys
-    // carry + batch·10⁷ and fall outside
-    val balOk = fin.filter(
-        pmod(col("c_custkey"), lit(1000000000L)) < 10000000L &&
-        pmod(col("c_custkey"), lit(10)) =!= 4 &&
-        col("c_acctbal") =!= nBatches.toDouble)
-      .limit(1).count() == 0L
-    val ok = finCount == expCount && balOk && progress.size == nBatches
+    val perDbOk = tids.map { t =>
+      val fin = store.read(t)
+      // base keys (any copy) satisfy key mod 10⁹ < 10⁷; insert keys
+      // carry + batch·10⁷ and fall outside
+      val balOk = fin.filter(
+          pmod(col("c_custkey"), lit(1000000000L)) < 10000000L &&
+          pmod(col("c_custkey"), lit(10)) =!= 4 &&
+          col("c_acctbal") =!= nBatches.toDouble)
+        .limit(1).count() == 0L
+      fin.count() == expCount && balOk
+    }
+    // DDL isolation: the ALTERs land on ddlDb's schema and on NO other
+    // db's (federation: db2 evolves, db1/3/4 stay untouched)
+    val ddlOk = ddlEvery == 0 || tids.forall { t =>
+      val hasExtra = registry.get(t)
+        .exists(_.schema.fieldNames.exists(_.startsWith("extra_b")))
+      if (t.database == ddlDb) hasExtra else !hasExtra
+    }
+    val ok = perDbOk.forall(identity) && ddlOk && progress.size == nBatches
 
     def fmt(v: Double) =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
@@ -298,7 +361,7 @@ object StreamBench {
         s""""total_sec":${fmt(totalSec)},"wall_sec":${fmt(wallSec)},""" +
         s""""p50_ms":${pct(0.5)},"p95_ms":${pct(0.95)},""" +
         s""""failed":${!ok},"scale":$scale,"ddl_every":$ddlEvery,""" +
-        s""""buckets":$nBuckets,"sf":"$sfDir"}"""
+        s""""buckets":$nBuckets,"dbs":$nDbs,"sf":"$sfDir"}"""
     java.nio.file.Files.write(Paths.get("STREAMBENCH_DETAIL.json"),
       line.getBytes("UTF-8"))
     println(line)

@@ -1,5 +1,7 @@
 package graft.queries
 
+import scala.jdk.CollectionConverters._
+
 import graft.{GraftQuery, Tables}
 import graft.apply.{ApplyEngine, IncrementalAgg}
 import graft.decode.Wal2Json
@@ -332,8 +334,165 @@ object Cdc {
         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_acctbal
       FROM final GROUP BY 1 ORDER BY 1"""))
 
+  /** Write `df` as ONE spool file at `$spool/name.parquet` with a
+    * forced mtime — the file source replays files in mtime order, so
+    * deterministic mtimes make batch ids deterministic. */
+  private def writeSpoolFile(df: DataFrame, spool: String, name: String,
+      mtimeMs: Long): Unit = {
+    import java.nio.file.{Files, Paths}
+    val dir = s"$spool/_stage_$name"
+    df.coalesce(1).write.mode("overwrite").parquet(dir)
+    val part = {
+      val s = Files.list(Paths.get(dir))
+      try s.iterator().asScala.toSeq
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(s"no part file in $dir"))
+      finally s.close()
+    }
+    Files.createDirectories(Paths.get(spool))
+    val target = Paths.get(s"$spool/$name.parquet")
+    Files.move(part, target)
+    Files.setLastModifiedTime(target,
+      java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(dir))
+  }
+
+  /** K5 archive mode as an oracled query: the deterministic change
+    * log replays through the REAL engine (one spool file per phase →
+    * one micro-batch per phase), with `archiveDir` set — applied
+    * records move to the batch-partitioned audit table instead of
+    * vanishing (the reference's `WITH deleted AS (DELETE … RETURNING *)
+    * INSERT INTO replication.replayed`,
+    * `replayer/connemara_replay.pl:521-526`). Output: the audit
+    * trail's (batch, kind) histogram; the oracle recomputes each
+    * phase's record count from the customer fixture. */
+  val cdc_archive = GraftQuery(
+    "cdc_archive",
+    (s, dir) => {
+      import java.nio.file.Files
+      val c = Tables.customer(s, dir)
+      val meta = customerMeta(c)
+      val tmp = Files.createTempDirectory("graft-q-arch-").toString
+      val (spool, ckpt, root, arch) =
+        (s"$tmp/spool", s"$tmp/ckpt", s"$tmp/store", s"$tmp/archive")
+      val log = SyntheticCdc.customerLog(s, dir)
+      (1 to 7).foreach { p =>
+        writeSpoolFile(
+          log.filter(col("insert_timestamp") ===
+            timestamp_seconds(lit(1700000000L + p))),
+          spool, s"phase_$p", 1700000000000L + p * 60000L)
+      }
+      val registry = new graft.model.SchemaRegistry
+      registry.register(meta)
+      val store = new graft.stream.TableStore(s, root)
+      store.stage(meta.id, c, 0L)
+      store.commit(Map(meta.id -> 0L))
+      val engine = new graft.stream.CdcStreamEngine(s, registry, store,
+        archiveDir = Some(arch))
+      engine.start(spool, ckpt, maxFilesPerTrigger = 1).awaitTermination()
+      s.read.parquet(arch)
+        .select(col("batch_id").cast("int").as("batch_id"),
+          get_json_object(col("payload"), "$.kind").as("kind"))
+        .groupBy(col("batch_id"), col("kind"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("batch_id"), col("kind"))
+    },
+    Some("""SELECT * FROM (
+      SELECT 0 AS batch_id, 'update' AS kind, COUNT(*) AS n
+        FROM customer WHERE c_custkey % 10 IN (1,2) HAVING COUNT(*) > 0
+      UNION ALL SELECT 1, 'update', COUNT(*)
+        FROM customer WHERE c_custkey % 10 = 1 HAVING COUNT(*) > 0
+      UNION ALL SELECT 2, 'update', COUNT(*)
+        FROM customer WHERE c_custkey % 10 = 3 HAVING COUNT(*) > 0
+      UNION ALL SELECT 3, 'insert', COUNT(*)
+        FROM customer WHERE c_custkey % 10 = 4 HAVING COUNT(*) > 0
+      UNION ALL SELECT 4, 'update', COUNT(*)
+        FROM customer WHERE c_custkey % 20 = 4 HAVING COUNT(*) > 0
+      UNION ALL SELECT 5, 'delete', COUNT(*)
+        FROM customer WHERE c_custkey % 10 = 0 HAVING COUNT(*) > 0
+      UNION ALL SELECT 6, 'insert', COUNT(*)
+        FROM customer WHERE c_custkey % 20 = 10 HAVING COUNT(*) > 0
+      ) t(batch_id, kind, n) ORDER BY batch_id, kind"""))
+
+  /** Quarantine → repair → requeue as an oracled query: %10=2 keys
+    * arrive as valid acctbal updates, %10=1 keys arrive MALFORMED
+    * (kind "upd8") and quarantine instead of stalling the batch; the
+    * operator repair rewrites the kind, [[graft.stream.Quarantine
+    * .requeue]] re-stamps them into the spool, and the next engine
+    * run applies them. Output: the affected slice of the final table
+    * — the oracle is what the table would hold had nothing ever been
+    * malformed (repair+requeue loses no effect). */
+  val cdc_quarantine_requeue = GraftQuery(
+    "cdc_quarantine_requeue",
+    (s, dir) => {
+      import java.nio.file.Files
+      val c = Tables.customer(s, dir)
+      val meta = customerMeta(c)
+      val tmp = Files.createTempDirectory("graft-q-quar-").toString
+      val (spool, ckpt, root, qdir) =
+        (s"$tmp/spool", s"$tmp/ckpt", s"$tmp/store", s"$tmp/quarantine")
+      val k = col("c_custkey")
+      val ks = k.cast("string")
+      def spoolRows(df: DataFrame, payload: org.apache.spark.sql.Column) =
+        df.select(
+          timestamp_seconds(lit(1700000001L)).as("insert_timestamp"),
+          lit("srcdb").as("database"),
+          (lit(10000000L) + k).as("lsn_start"),
+          (lit(100000L) + k).as("xid"),
+          payload.as("payload"),
+          timestamp_seconds(lit(1700000060L)).as("xid_timestamp"),
+          lit("slot1").as("source_slotname"))
+      val valid = spoolRows(c.filter(pmod(k, lit(10)) === 2),
+        concat(
+          lit("""{"kind":"update","schema":"public","table":"customer",""" +
+            """"columnnames":["c_custkey","c_acctbal"],"columnvalues":["""),
+          ks, lit(",\""), (col("c_acctbal") + 100).cast("string"),
+          lit("""\"],"oldkeys":{"keynames":["c_custkey"],"keyvalues":["""),
+          ks, lit("]}}")))
+      val broken = spoolRows(c.filter(pmod(k, lit(10)) === 1),
+        concat(
+          lit("""{"kind":"upd8","schema":"public","table":"customer",""" +
+            """"columnnames":["c_custkey","c_mktsegment"],""" +
+            """"columnvalues":["""),
+          ks,
+          lit(""","HOT"],"oldkeys":{"keynames":["c_custkey"],"keyvalues":["""),
+          ks, lit("]}}")))
+      writeSpoolFile(valid.unionByName(broken), spool, "batch_1",
+        1700000000000L)
+      val registry = new graft.model.SchemaRegistry
+      registry.register(meta)
+      val store = new graft.stream.TableStore(s, root)
+      store.stage(meta.id, c, 0L)
+      store.commit(Map(meta.id -> 0L))
+      val engine = new graft.stream.CdcStreamEngine(s, registry, store,
+        quarantineDir = Some(qdir))
+      engine.start(spool, ckpt).awaitTermination()
+      val (requeued, stillBad) = graft.stream.Quarantine.requeue(
+        s, qdir, spool,
+        q => q.withColumn("payload",
+          regexp_replace(col("payload"), "\"upd8\"", "\"update\"")))
+      require(stillBad == 0, s"unexpected hopeless rows: $stillBad")
+      require(requeued > 0, "nothing quarantined — fixture broke")
+      engine.start(spool, ckpt).awaitTermination()
+      store.read(meta.id)
+        .filter(pmod(col("c_custkey"), lit(10)).isin(1, 2))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""SELECT * FROM (
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100 AS c_acctbal,
+             c_mktsegment
+        FROM customer WHERE c_custkey % 10 = 2
+      UNION ALL
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal, 'HOT'
+        FROM customer WHERE c_custkey % 10 = 1
+      ) t(c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)
+      ORDER BY c_custkey"""))
+
   def all: Seq[GraftQuery] = Seq(
     cdc_apply, cdc_apply_bucketed, cdc_apply_skewed, cdc_time_travel,
     cdc_decode_counts, cdc_collapse_counts, cdc_apply_lineitem,
-    cdc_incr_agg)
+    cdc_incr_agg, cdc_archive, cdc_quarantine_requeue)
 }

@@ -37,7 +37,14 @@ final class CdcStreamEngine(
     quarantineDir: Option[String] = None,
     startLsn: Option[Long] = None,
     tableParallelism: Int = 4,
-    aggViews: Seq[CdcStreamEngine.AggView] = Seq.empty) {
+    aggViews: Seq[CdcStreamEngine.AggView] = Seq.empty,
+    // P5: per-db slot restriction (replayer/connemara_replay.pl:779-799)
+    // — a database with a configured slot only accepts rows from that
+    // slot (a stale/duplicate slot must not double-apply); dbs without
+    // an entry pass freely. The production topology is one daemon per
+    // source db feeding ONE consolidated spool, so the filter runs
+    // in-engine, not per-source.
+    slotByDb: Map[String, String] = Map.empty) {
 
   // per-batch chained table states; a field so the DDL interpreter's
   // rename hook can rewrite in-flight results (processBatch is the
@@ -174,7 +181,12 @@ final class CdcStreamEngine(
     // top of the (newer) snapshotted row would regress it. Mirrors
     // the reference starting replication AT the slot's
     // consistent_point rather than from the WAL's beginning.
-    val batch = startLsn.fold(batch0)(l => batch0.filter(col("lsn_start") >= l))
+    val batchSlotted =
+      if (slotByDb.isEmpty) batch0
+      else batch0.filter(graft.functions.Routing.dbSlotRestriction(
+        slotByDb, col("database"), col("source_slotname")))
+    val batch =
+      startLsn.fold(batchSlotted)(l => batchSlotted.filter(col("lsn_start") >= l))
     if (batch.isEmpty) return
     val parsedAll = Wal2Json.parse(batch).cache()
     try {
@@ -484,7 +496,8 @@ object CdcStreamEngine {
   def withDdl(spark: SparkSession, registry: SchemaRegistry, store: TableStore,
               ignoredSchemas: Set[String] = Set.empty,
               md5Whitelist: Set[String] = Set.empty,
-              strict: Boolean = false): CdcStreamEngine = {
+              strict: Boolean = false,
+              slotByDb: Map[String, String] = Map.empty): CdcStreamEngine = {
     // interpreter and engine reference each other: the engine routes
     // DDL events to the interpreter, the interpreter routes column
     // renames back into the engine's in-flight batch state
@@ -494,7 +507,8 @@ object CdcStreamEngine {
       onRenameData = (id, from, to) => engine.renameTableData(id, from, to),
       onTruncateData = id => engine.truncateTableData(id),
       onRenameTable = (o, n) => engine.renameTableEntry(o, n))
-    engine = new CdcStreamEngine(spark, registry, store, interp.execute, strict)
+    engine = new CdcStreamEngine(spark, registry, store, interp.execute, strict,
+      slotByDb = slotByDb)
     engine
   }
 }
