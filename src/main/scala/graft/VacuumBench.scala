@@ -128,7 +128,7 @@ object VacuumBench {
         s""""dirs_removed":$removedTotal,"max_dirs":$maxDirs,""" +
         s""""dirs_end":${versionDirs()},"failed":${!ok},"sf":"$sfDir"}"""
     Files.write(Paths.get("VACUUMBENCH_DETAIL.json"),
-      (curve.mkString("[", ",", ",") + line + "]").getBytes("UTF-8"))
+      (curve :+ line).mkString("[", ",", "]").getBytes("UTF-8"))
     println(line)
     spark.stop()
     if (!ok) sys.exit(1)

@@ -129,6 +129,14 @@ object Multimodal {
     * exchange on (band, bits), candidate volume bounded by bucket
     * occupancy; no all-pairs anywhere.
     */
+  /** All-ones mask of `width` low bits, in LONG arithmetic: the Int
+    * form overflowed for bands=2 (width 32 → mask 0, every row in one
+    * bucket → the banded join degenerated to all-pairs); width 64
+    * (bands=1) would wrap the Long shift the same way, so it gets the
+    * all-bits mask explicitly. */
+  private[graft] def bandMask(width: Int): Long =
+    if (width >= 64) -1L else (1L << width) - 1
+
   def perceptualNearDup(media: DataFrame, idCol: String = "media_id",
       maxHamming: Int = 7, bands: Int = 8): DataFrame = {
     require(maxHamming < bands,
@@ -137,11 +145,13 @@ object Multimodal {
     val hashed = media
       .select(col(idCol).cast("long").as("mid"),
         perceptualHash(col("media")).as("ph"))
+    val bandWidth = 64 / bands
+    val mask = bandMask(bandWidth)
     val banded = hashed
       .select(col("mid"), col("ph"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("bits",
-        expr(s"shiftright(ph, band * ${64 / bands}) & ${(1 << (64 / bands)) - 1}"))
+        expr(s"shiftright(ph, band * $bandWidth) & $mask"))
     val a = banded.select(col("band"), col("bits"),
       col("mid").as("id_a"), col("ph").as("ph_a"))
     val b = banded.select(col("band"), col("bits"),

@@ -450,7 +450,7 @@ object Cdc {
           lit("""{"kind":"update","schema":"public","table":"customer",""" +
             """"columnnames":["c_custkey","c_acctbal"],"columnvalues":["""),
           ks, lit(",\""), (col("c_acctbal") + 100).cast("string"),
-          lit("""\"],"oldkeys":{"keynames":["c_custkey"],"keyvalues":["""),
+          lit("\"]," + """"oldkeys":{"keynames":["c_custkey"],"keyvalues":["""),
           ks, lit("]}}")))
       val broken = spoolRows(c.filter(pmod(k, lit(10)) === 1),
         concat(

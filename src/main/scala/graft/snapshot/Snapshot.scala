@@ -137,13 +137,15 @@ object Snapshot {
     * floors (Spark's JDBC range partitioning leaves the first/last
     * partitions unbounded, so flooring never drops rows), everything
     * else is rejected with the real reason. */
-  private def boundToLong(v: Any): Long = v match {
+  private[graft] def boundToLong(v: Any): Long = v match {
     case n: java.lang.Long    => n.longValue
     case n: java.lang.Integer => n.longValue
     case n: java.lang.Short   => n.longValue
     case n: java.lang.Byte    => n.longValue
     case d: java.math.BigDecimal =>
       d.setScale(0, java.math.RoundingMode.FLOOR).longValueExact()
+    // MySQL/MariaDB drivers return BigInteger for BIGINT UNSIGNED
+    case n: java.math.BigInteger => n.longValueExact()
     case other => throw new IllegalArgumentException(
       s"partition bound $other (${other.getClass.getName}) is not an " +
         "integral type; give explicit bounds in JdbcTableSpec.bounds")

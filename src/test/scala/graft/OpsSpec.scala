@@ -1318,6 +1318,31 @@ class OpsSpec extends SparkSpec {
     assert(h1 == 5522298681951892877L)
   }
 
+  test("perceptualNearDup band mask is Long-safe for wide bands") {
+    import org.apache.spark.sql.functions._
+    // the Int form returned 0 for width 32 (bands=2) — every row then
+    // hashed to one bucket and candidates degenerated to all-pairs
+    assert(Multimodal.bandMask(8) == 0xFFL)
+    assert(Multimodal.bandMask(16) == 0xFFFFL)
+    assert(Multimodal.bandMask(32) == 0xFFFFFFFFL)
+    assert(Multimodal.bandMask(64) == -1L)
+    // end-to-end at bands=2: identical payloads pair up, distant ones
+    // don't — and the wide-band path yields the same verdicts as the
+    // default 8-band form at the same threshold
+    val t1 = "the quick brown fox jumps over the lazy dog while the rain " +
+      "in spain falls mainly on the plain tonight again"
+    val t3 = "pack my box with five dozen liquor jugs as quartz glyphs " +
+      "vex and the wizard quickly jinxed the gnomes again"
+    val docs = Seq((1L, t1), (2L, t1), (3L, t3)).toDF("doc_id", "text")
+    val media = Multimodal.packFromText(docs, "doc_id", "text")
+    val wide = Multimodal.perceptualNearDup(media, bands = 2, maxHamming = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    val deflt = Multimodal.perceptualNearDup(media, maxHamming = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(wide == Set((1L, 2L, 0L)), s"got $wide")
+    assert(wide == deflt)
+  }
+
   test("perceptualHash native ≡ fold twin, incl short/empty/null payloads") {
     import org.apache.spark.sql.functions._
     val rnd = new scala.util.Random(11)

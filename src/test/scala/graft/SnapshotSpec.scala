@@ -94,6 +94,25 @@ class SnapshotSpec extends SparkSpec {
       Seq((1L, 1, 2L)))
   }
 
+  test("boundToLong accepts every integral driver type, rejects the rest") {
+    import java.math.{BigDecimal => JBigDecimal, BigInteger => JBigInteger}
+    assert(Snapshot.boundToLong(java.lang.Long.valueOf(1L << 60)) == 1L << 60)
+    assert(Snapshot.boundToLong(java.lang.Integer.valueOf(-7)) == -7L)
+    assert(Snapshot.boundToLong(java.lang.Short.valueOf(3.toShort)) == 3L)
+    assert(Snapshot.boundToLong(java.lang.Byte.valueOf(2.toByte)) == 2L)
+    assert(Snapshot.boundToLong(new JBigDecimal("12.9")) == 12L)
+    // MySQL/MariaDB return BigInteger for BIGINT UNSIGNED bounds
+    assert(Snapshot.boundToLong(JBigInteger.valueOf(Long.MaxValue)) ==
+      Long.MaxValue)
+    intercept[ArithmeticException] { // > Long.MaxValue must not truncate
+      Snapshot.boundToLong(
+        JBigInteger.valueOf(Long.MaxValue).add(JBigInteger.ONE))
+    }
+    intercept[IllegalArgumentException] {
+      Snapshot.boundToLong(java.lang.Double.valueOf(1.5))
+    }
+  }
+
   test("validateForeignKey reports orphans, ignores NULL keys") {
     val child = Seq(Some(1L), Some(2L), Some(99L), None).toDF("fk")
     val parent = Seq(1L, 2L, 3L).toDF("pk")
