@@ -249,4 +249,44 @@ object EventAnalytics {
       .orderBy(col("n_paths").desc, col("path"))
       .limit(k)
   }
+
+  /** Event-rate anomaly gate: bucket events per (`typeCol`, period of
+    * `periodSec`), then flag periods whose count sits more than
+    * `kSigma` standard deviations from that type's own mean — the
+    * monitoring query an operator runs over an ingest/event table to
+    * catch a stuck producer (rate collapse) or a runaway one (spike).
+    *
+    * Exact integer arithmetic end to end (the md5-sibling discipline):
+    * with n periods, per-period count x, S = Σx, Q = Σx², the z-test
+    *   (x − S/n)² > k²·(Q/n − (S/n)²)
+    * multiplies through by n² to the integer form
+    *   (n·x − S)² > k²·(n·Q − S²)
+    * so the flag is hash-identical in any engine — no float mean, no
+    * sqrt. Magnitudes: n·x and S are ≤ |events|, so the squares stay
+    * under 2⁶³ for anything < ~3·10⁹ events per type; at 100 TB run it
+    * per partition-window, not over all history (n is the number of
+    * periods either way, and the per-type stats row is 3 integers).
+    *
+    * Plan shape: one shuffle to (type, period) counts, one tiny
+    * per-type agg (rows = |types|) broadcast back onto the counts —
+    * the corpus never shuffles twice and nothing collects.
+    *
+    * @return (`typeCol`, period, cnt, anomalous 1/0)
+    */
+  def rateAnomaly(events: DataFrame, typeCol: String, tsCol: String,
+                  periodSec: Long, kSigma: Int): DataFrame = {
+    val us = periodSec * 1000000L
+    val counts = events
+      .groupBy(col(typeCol), floor(unix_micros(col(tsCol)) / us).as("period"))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = counts.groupBy(col(typeCol))
+      .agg(count(lit(1)).as("n"), sum(col("cnt")).as("s"),
+        sum(col("cnt") * col("cnt")).as("q"))
+    val dev = col("n") * col("cnt") - col("s")
+    counts.join(broadcast(stats), Seq(typeCol))
+      .select(col(typeCol), col("period"), col("cnt"),
+        when(dev * dev > lit(kSigma.toLong * kSigma) *
+          (col("n") * col("q") - col("s") * col("s")), lit(1))
+          .otherwise(lit(0)).as("anomalous"))
+  }
 }

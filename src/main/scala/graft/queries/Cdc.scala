@@ -378,7 +378,10 @@ object Cdc {
       val tmp = Files.createTempDirectory("graft-q-arch-").toString
       val (spool, ckpt, root, arch) =
         (s"$tmp/spool", s"$tmp/ckpt", s"$tmp/store", s"$tmp/archive")
-      val log = SyntheticCdc.customerLog(s, dir)
+      // materialize the 7-phase union ONCE: each per-phase spool write
+      // filters this log, and without the checkpoint every write
+      // re-evaluates all 7 branches (49 scans of customer + to_json)
+      val log = SyntheticCdc.customerLog(s, dir).localCheckpoint()
       (1 to 7).foreach { p =>
         writeSpoolFile(
           log.filter(col("insert_timestamp") ===
@@ -491,8 +494,179 @@ object Cdc {
       ) t(c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)
       ORDER BY c_custkey"""))
 
+  /** In-stream DDL schema evolution (A8) as an oracled query: batch 0
+    * applies plain acctbal patches; batch 1 carries an
+    * `ALTER TABLE customer ADD c_tier text` through the spool's
+    * `sql_ddl_statements` channel (P7 routing) followed IN THE SAME
+    * BATCH by patches that write the new column — the DDL is a
+    * barrier at its stream position, so the post-DDL events decode
+    * against the evolved schema and pre-existing rows read back with
+    * a NULL tier. Previously covered only by DdlSpec/CdcStreamSpec;
+    * this row makes the evolution path value-checked against SQL. */
+  val cdc_ddl_evolution = GraftQuery(
+    "cdc_ddl_evolution",
+    (s, dir) => {
+      import java.nio.file.Files
+      val c = Tables.customer(s, dir)
+      val meta = customerMeta(c)
+      val tmp = Files.createTempDirectory("graft-q-ddl-").toString
+      val (spool, ckpt, root) = (s"$tmp/spool", s"$tmp/ckpt", s"$tmp/store")
+      val k = col("c_custkey")
+      val ks = k.cast("string")
+      def rows(df: DataFrame, phase: Int,
+               payload: org.apache.spark.sql.Column) =
+        df.select(
+          timestamp_seconds(lit(1700000000L + phase)).as("insert_timestamp"),
+          lit("srcdb").as("database"),
+          (lit(phase.toLong * 10000000L) + k).as("lsn_start"),
+          (lit(phase.toLong * 100000L) + k).as("xid"),
+          payload.as("payload"),
+          timestamp_seconds(lit(1700000000L + phase * 60L)).as("xid_timestamp"),
+          lit("slot1").as("source_slotname"))
+      def patch(names: String, colVals: org.apache.spark.sql.Column,
+                oldKey: org.apache.spark.sql.Column) =
+        concat(
+          lit("""{"kind":"update","schema":"public","table":"customer",""" +
+            s""""columnnames":[$names],"columnvalues":["""),
+          colVals,
+          lit("""],"oldkeys":{"keynames":["c_custkey"],"keyvalues":["""),
+          oldKey, lit("]}}"))
+      // batch 0: pre-DDL acctbal patches on %10=1
+      val b0 = rows(c.filter(pmod(k, lit(10)) === 1), 1,
+        patch(""""c_custkey","c_acctbal"""",
+          concat(ks, lit(","), (col("c_acctbal") + 100).cast("string")), ks))
+      // batch 1: the DDL, then patches writing the NEW column on %10=2
+      // (same xid_timestamp, higher lsn → the post-DDL segment)
+      val ddl = s.range(1).select(
+        timestamp_seconds(lit(1700000002L)).as("insert_timestamp"),
+        lit("srcdb").as("database"),
+        lit(20000000L).as("lsn_start"),
+        lit(200000L).as("xid"),
+        lit("""{"kind":"insert","schema":"public","table":"sql_ddl_statements",""" +
+          """"columnnames":["current_query","search_path","command_tags"],""" +
+          """"columnvalues":["ALTER TABLE customer ADD c_tier text",""" +
+          """"public","{\"ALTER TABLE\"}"]}""").as("payload"),
+        timestamp_seconds(lit(1700000120L)).as("xid_timestamp"),
+        lit("slot1").as("source_slotname"))
+      val b1 = rows(c.filter(pmod(k, lit(10)) === 2), 2,
+        patch(""""c_custkey","c_tier"""",
+          concat(ks, lit(""","GOLD"""")), ks))
+      writeSpoolFile(b0, spool, "batch_1", 1700000000000L)
+      writeSpoolFile(ddl.unionByName(b1), spool, "batch_2", 1700000060000L)
+      val registry = new graft.model.SchemaRegistry
+      registry.register(meta)
+      val store = new graft.stream.TableStore(s, root)
+      store.stage(meta.id, c, 0L)
+      store.commit(Map(meta.id -> 0L))
+      val engine = graft.stream.CdcStreamEngine.withDdl(s, registry, store)
+      engine.start(spool, ckpt, maxFilesPerTrigger = 1).awaitTermination()
+      store.read(meta.id)
+        .filter(pmod(col("c_custkey"), lit(10)).isin(1, 2, 3))
+        .select(col("c_custkey"), col("c_acctbal"), col("c_tier"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey,
+      CASE WHEN c_custkey % 10 = 1 THEN c_acctbal + 100
+           ELSE c_acctbal END AS c_acctbal,
+      CASE WHEN c_custkey % 10 = 2 THEN 'GOLD' END AS c_tier
+      FROM customer WHERE c_custkey % 10 IN (1, 2, 3)
+      ORDER BY c_custkey"""))
+
+  /** Multi-source federation (the reference's production topology —
+    * one daemon per source db, ONE consolidated spool/target,
+    * `docs/architecture.rst:146-152`) as an oracled query: four
+    * source databases share one spool batch, each holding a disjoint
+    * customer slice; db1/db2 carry a P5 slot restriction and a STALE
+    * second slot on db2 emits later-LSN poison patches that must be
+    * dropped in-engine (`replayer/connemara_replay.pl:779-799`), while
+    * db3/db4 pass unrestricted. All four tables commit in ONE
+    * manifest cut; output is the per-db final aggregate. */
+  val cdc_federation = GraftQuery(
+    "cdc_federation",
+    (s, dir) => {
+      import java.nio.file.Files
+      val c = Tables.customer(s, dir)
+      val tmp = Files.createTempDirectory("graft-q-fed-").toString
+      val (spool, ckpt, root) = (s"$tmp/spool", s"$tmp/ckpt", s"$tmp/store")
+      val k = col("c_custkey")
+      val ks = k.cast("string")
+      val dbs = Seq("db1", "db2", "db3", "db4")
+      val registry = new graft.model.SchemaRegistry
+      val store = new graft.stream.TableStore(s, root)
+      val ids = dbs.zipWithIndex.map { case (db, i) =>
+        val meta = TableMeta(TableId(db, "public", "customer"),
+          c.schema, Seq("c_custkey"))
+        registry.register(meta)
+        store.stage(meta.id, c.filter(pmod(k, lit(4)) === i), 0L)
+        meta.id
+      }
+      store.commit(ids.map(_ -> 0L).toMap)
+      def upd(df: DataFrame, db: String, slot: String,
+              bal: org.apache.spark.sql.Column, lsnBase: Long) =
+        df.select(
+          timestamp_seconds(lit(1700000001L)).as("insert_timestamp"),
+          lit(db).as("database"),
+          (lit(lsnBase) + k).as("lsn_start"),
+          (lit(100000L) + k).as("xid"),
+          concat(
+            lit("""{"kind":"update","schema":"public","table":"customer",""" +
+              """"columnnames":["c_custkey","c_acctbal"],"columnvalues":["""),
+            ks, lit(","), bal.cast("string"),
+            lit("""],"oldkeys":{"keynames":["c_custkey"],"keyvalues":["""),
+            ks, lit("]}}")).as("payload"),
+          timestamp_seconds(lit(1700000060L)).as("xid_timestamp"),
+          lit(slot).as("source_slotname"))
+      // update class %3=0 intersects every %4 slice (k ≡ 0,9,6,3 mod
+      // 12 respectively) — a %10 class would leave the even slices
+      // updateless and their tables uncommitted
+      val legit = dbs.zipWithIndex.map { case (db, i) =>
+        upd(c.filter(pmod(k, lit(4)) === i && pmod(k, lit(3)) === 0),
+          db, s"slot_$db", col("c_acctbal") + (i + 1) * 100, 10000000L)
+      }.reduce(_ unionByName _)
+      // stale slot on db2: higher LSN, poison value — P5 drops it
+      val stale = upd(c.filter(pmod(k, lit(4)) === 1 && pmod(k, lit(3)) === 0),
+        "db2", "slot_stale", lit(-999.0), 20000000L)
+      writeSpoolFile(legit.unionByName(stale), spool, "batch_1",
+        1700000000000L)
+      val engine = new graft.stream.CdcStreamEngine(s, registry, store,
+        slotByDb = Map("db1" -> "slot_db1", "db2" -> "slot_db2"))
+      engine.start(spool, ckpt).awaitTermination()
+      // one consolidated commit: every table at the same version
+      val m = store.manifest()
+      require(ids.map(id => m(id.qualified)).distinct.size == 1,
+        s"federated tables committed at different versions: $m")
+      dbs.zip(ids).map { case (db, id) =>
+        store.read(id).select(lit(db).as("db"), col("c_acctbal"))
+      }.reduce(_ unionByName _)
+        .groupBy(col("db"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double").as("total_acctbal"))
+        .orderBy(col("db"))
+    },
+    Some("""WITH f AS (
+      SELECT 'db1' AS db, CASE WHEN c_custkey % 3 = 0
+          THEN c_acctbal + 100 ELSE c_acctbal END AS bal
+        FROM customer WHERE c_custkey % 4 = 0
+      UNION ALL
+      SELECT 'db2', CASE WHEN c_custkey % 3 = 0
+          THEN c_acctbal + 200 ELSE c_acctbal END
+        FROM customer WHERE c_custkey % 4 = 1
+      UNION ALL
+      SELECT 'db3', CASE WHEN c_custkey % 3 = 0
+          THEN c_acctbal + 300 ELSE c_acctbal END
+        FROM customer WHERE c_custkey % 4 = 2
+      UNION ALL
+      SELECT 'db4', CASE WHEN c_custkey % 3 = 0
+          THEN c_acctbal + 400 ELSE c_acctbal END
+        FROM customer WHERE c_custkey % 4 = 3)
+      SELECT db, COUNT(*) AS cnt,
+        CAST(SUM(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+      FROM f GROUP BY db ORDER BY db"""))
+
   def all: Seq[GraftQuery] = Seq(
     cdc_apply, cdc_apply_bucketed, cdc_apply_skewed, cdc_time_travel,
     cdc_decode_counts, cdc_collapse_counts, cdc_apply_lineitem,
-    cdc_incr_agg, cdc_archive, cdc_quarantine_requeue)
+    cdc_incr_agg, cdc_archive, cdc_quarantine_requeue,
+    cdc_ddl_evolution, cdc_federation)
 }

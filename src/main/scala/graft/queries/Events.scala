@@ -337,8 +337,32 @@ object Events {
       WHERE last2 IS NOT NULL
       GROUP BY path ORDER BY n_paths DESC, path LIMIT 10"""))
 
+  /** Daily event-rate anomaly flags per event type: integer z-test
+    * (n·x − S)² > k²·(n·Q − S²) over per-day counts — no float mean,
+    * no sqrt, so the flag hash-matches any engine. One shuffle to
+    * (type, day) counts; the 5-row per-type stats broadcast back. */
+  val ev_anomaly = GraftQuery(
+    "ev_anomaly",
+    (s, dir) => {
+      EventAnalytics.rateAnomaly(Tables.events(s, dir), "event_type", "ts",
+        periodSec = 86400L, kSigma = 2)
+        .orderBy(col("event_type"), col("period"))
+    },
+    Some("""WITH d AS (
+        SELECT event_type, EPOCH_US(ts) // 86400000000 AS period,
+               COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2),
+      s AS (
+        SELECT event_type, COUNT(*) AS n, SUM(cnt) AS s, SUM(cnt*cnt) AS q
+        FROM d GROUP BY 1)
+      SELECT d.event_type, d.period, d.cnt,
+        CASE WHEN (s.n*d.cnt - s.s)*(s.n*d.cnt - s.s) >
+                  4*(s.n*s.q - s.s*s.s) THEN 1 ELSE 0 END AS anomalous
+      FROM d JOIN s USING (event_type)
+      ORDER BY event_type, period"""))
+
   def all: Seq[GraftQuery] = Seq(
     ev_funnel, ev_funnel_counts, ev_retention, ev_gapfill,
     ev_session_funnel, ev_rolling_distinct, ev_rolling_distinct_hll,
-    ev_attribution, ev_paths)
+    ev_attribution, ev_paths, ev_anomaly)
 }

@@ -184,4 +184,28 @@ class EventAnalyticsSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(out((2L, s(1))) == ((2L, 9.0))) // tie on ts → event_id decides
     assert(out.size == 5)                  // each key spans only its own range
   }
+
+  test("rateAnomaly: planted spike flagged, steady type stays clean") {
+    // 10-second periods; type A runs 2/period for 9 periods then
+    // spikes to 20 in period 9; type B is a constant 3/period
+    val rows =
+      (0 until 9).flatMap(p => Seq.fill(2)((1L, p * 10L, "A", 0.0))) ++
+        Seq.fill(20)((1L, 90L, "A", 0.0)) ++
+        (0 until 10).flatMap(p => Seq.fill(3)((1L, p * 10L, "B", 0.0)))
+    val out = EventAnalytics.rateAnomaly(
+        ev(rows.zipWithIndex.map { case ((u, sec, t, v), i) =>
+          (u + i, sec, t, v) }: _*),
+        "event_type", "ts", periodSec = 10L, kSigma = 2)
+      .select($"event_type", $"cnt", $"anomalous")
+      .as[(String, Long, Int)].collect()
+    val aFlags = out.filter(_._1 == "A")
+    assert(aFlags.count(_._3 == 1) == 1)
+    assert(aFlags.find(_._3 == 1).get._2 == 20L) // the spike period only
+    assert(out.filter(_._1 == "B").forall(_._3 == 0))
+    // exact-integer form: mean 3.8, var 29.16 for A; the 2σ band is
+    // (n·x−S)² > 4·(n·Q−S²) with n=10, S=38, Q=436 — period 9's
+    // (200−38)² = 26244 > 4·(4360−1444) = 11664; periods at x=2 give
+    // (20−38)² = 324 < 11664
+    assert(aFlags.length == 10)
+  }
 }
