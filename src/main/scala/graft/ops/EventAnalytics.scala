@@ -250,6 +250,36 @@ object EventAnalytics {
       .limit(k)
   }
 
+  /** First-order Markov transition matrix over per-entity event
+    * sequences: count consecutive (from → to) type pairs (ordered by
+    * `tsCol`, ties broken by `tieCol` so the pairing is
+    * deterministic), and report each transition's probability as
+    * integer PPM of its from-type's outgoing total — exact arithmetic
+    * (`1 000 000·n div total`), so the matrix hash-matches any engine.
+    *
+    * Plan shape: ONE entity-keyed exchange feeds the `lead` window;
+    * pair counts collapse to ≤ |types|² rows, and the per-from total
+    * is a window over that tiny set — the event table never shuffles
+    * twice.
+    *
+    * @return (from_type, to_type, n, ppm)
+    */
+  def transitionMatrix(events: DataFrame, entityCol: String, tsCol: String,
+                       typeCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(entityCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val pairs = events
+      .withColumn("__to", lead(col(typeCol), 1).over(w))
+      .filter(col("__to").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("__to").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    pairs
+      .withColumn("__total",
+        sum(col("n")).over(Window.partitionBy(col("from_type"))))
+      .withColumn("ppm", expr("(1000000 * n) div __total"))
+      .drop("__total")
+  }
+
   /** Event-rate anomaly gate: bucket events per (`typeCol`, period of
     * `periodSec`), then flag periods whose count sits more than
     * `kSigma` standard deviations from that type's own mean — the

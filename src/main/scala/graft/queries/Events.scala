@@ -361,8 +361,33 @@ object Events {
       FROM d JOIN s USING (event_type)
       ORDER BY event_type, period"""))
 
+  /** First-order Markov transition matrix over per-user event
+    * sequences, probabilities as exact-integer PPM of each from-type's
+    * outgoing total (`1 000 000·n div total` — hash-identical in any
+    * engine). One entity-keyed exchange; the matrix itself is
+    * ≤ |types|² rows. */
+  val ev_markov = GraftQuery(
+    "ev_markov",
+    (s, dir) => {
+      EventAnalytics.transitionMatrix(Tables.events(s, dir),
+        "user_id", "ts", "event_type", "event_id")
+        .orderBy(col("from_type"), col("to_type"))
+    },
+    Some("""WITH seq AS (
+        SELECT event_type AS from_type,
+               LEAD(event_type) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        FROM events),
+      t AS (
+        SELECT from_type, to_type, COUNT(*) AS n FROM seq
+        WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      SELECT from_type, to_type, n,
+        CAST(1000000 * n // SUM(n) OVER (PARTITION BY from_type)
+             AS BIGINT) AS ppm
+      FROM t ORDER BY from_type, to_type"""))
+
   def all: Seq[GraftQuery] = Seq(
     ev_funnel, ev_funnel_counts, ev_retention, ev_gapfill,
     ev_session_funnel, ev_rolling_distinct, ev_rolling_distinct_hll,
-    ev_attribution, ev_paths, ev_anomaly)
+    ev_attribution, ev_paths, ev_anomaly, ev_markov)
 }
