@@ -102,7 +102,11 @@ object PlanDump {
     "td_lang_purity" ->
       "Span-level language purity: posexplode is a narrow map; the per-(doc, span) marker counts and the per-doc span-language counts are both map-side-partial sums — two linear keyed exchanges with |langs|-bounded state, no window over tokens anywhere.",
     "td_dsir_select" ->
-      "DSIR importance resampling: both corpora collapse to dim-bounded hashed-ngram bucket counts with map-side partial aggregation; the dim-row weight table BROADCASTS into the raw-side feature join (the corpus never re-shuffles to meet the weights); top-k plans as TakeOrderedAndProject — per-partition heaps, no global sort anywhere.")
+      "DSIR importance resampling: both corpora collapse to dim-bounded hashed-ngram bucket counts with map-side partial aggregation; the dim-row weight table BROADCASTS into the raw-side feature join (the corpus never re-shuffles to meet the weights); top-k plans as TakeOrderedAndProject — per-partition heaps, no global sort anywhere.",
+    "ev_anomaly" ->
+      "Event-rate anomaly gate: one map-side-partial agg to (type, period) counts, then the |types|-row stats table BROADCASTS back onto the counts — the event table shuffles once and the integer z-test ((n·x−S)² > k²·(n·Q−S²)) runs as a codegen'd projection; no window over raw events, no float, no sqrt.",
+    "ev_markov" ->
+      "Markov transition matrix: ONE entity-keyed Exchange feeds the lead window; pair counts collapse (map-side partial) to ≤|types|² rows before the per-from-type total window runs over that tiny set — transition PPM is exact integer div, and the event table never shuffles twice.")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
