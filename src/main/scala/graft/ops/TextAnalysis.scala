@@ -314,6 +314,72 @@ object TextAnalysis {
         sum(when(col("freq") < rareThreshold, 1).otherwise(0)).as("n_rare"))
   }
 
+  /** Frequent token co-occurrence mining (the market-basket /
+    * collocation primitive: phrase discovery, stopword-set induction,
+    * template detection): pairs of tokens appearing together in at
+    * least `minDocs` documents, counted at the document level
+    * (within-doc repeats collapse first).
+    *
+    * Scale discipline is the Apriori property: a pair can reach
+    * `minDocs` support only if BOTH tokens do, so the vocab-sized
+    * document-frequency table filters (as a BROADCAST) each doc's
+    * token set BEFORE any pair is generated — the pair fan-out is
+    * C(frequent tokens in doc, 2), not C(all tokens, 2). A
+    * deterministic per-doc cap (`maxDocTokens`, lexicographic — NOT
+    * hash order, so the oracle can reproduce it) bounds the worst-case
+    * doc. The pair generation itself is a doc-keyed self-join: one
+    * exchange on doc id, candidate volume bounded per doc, then a
+    * map-side-partial count per pair. Nothing collects; the pair
+    * table is ≤ C(|frequent vocab|, 2).
+    *
+    * Association strength is reported as integer-PPM lift —
+    * `1 000 000 · n_ab · N div (df_a · df_b)` (= P(a,b)/(P(a)·P(b))
+    * scaled, the exact-arithmetic stand-in for PMI's float log) —
+    * > 10⁶ means the pair co-occurs more than independence predicts.
+    * Long arithmetic holds to ~10¹² docs per partition-window; beyond
+    * that compute the lift in DECIMAL.
+    *
+    * @param totalDocs corpus size N for the lift denominator
+    * @return (token_a, token_b, n_docs, lift_ppm) with
+    *         token_a < token_b and n_docs ≥ minDocs
+    */
+  def cooccurrence(docs: org.apache.spark.sql.DataFrame,
+                   idCol: String, textCol: String,
+                   minDocs: Long, totalDocs: Long,
+                   maxDocTokens: Int = 64):
+      org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col(idCol).as("doc"),
+        explode(array_distinct(tokens(col(textCol)))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val capped = toks
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc")).orderBy(col("tok"))))
+      .filter(col("rn") <= maxDocTokens)
+      .drop("rn")
+      // feeds the df aggregate AND both sides of the pair join
+      .localCheckpoint(eager = false)
+    val freq = capped.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocs)
+    val ft = capped.join(broadcast(freq.select(col("tok"))), Seq("tok"))
+    ft.select(col("doc"), col("tok").as("token_a"))
+      .join(ft.select(col("doc"), col("tok").as("token_b")), Seq("doc"))
+      .filter(col("token_a") < col("token_b"))
+      .groupBy(col("token_a"), col("token_b"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      // vocab-sized df table broadcasts in twice for the lift terms
+      .join(broadcast(freq.select(col("tok").as("token_a"),
+        col("df").as("__dfa"))), Seq("token_a"))
+      .join(broadcast(freq.select(col("tok").as("token_b"),
+        col("df").as("__dfb"))), Seq("token_b"))
+      .withColumn("lift_ppm",
+        expr(s"(1000000L * n_docs * ${totalDocs}L) div (__dfa * __dfb)"))
+      .select(col("token_a"), col("token_b"), col("n_docs"),
+        col("lift_ppm"))
+  }
+
   /** Latin accent folding (the Unicode-normalization step of a
     * multilingual dedup/canonicalization pass): one `translate` —
     * a codegen'd per-char table lookup, no regex, no UDF. Covers the

@@ -37,7 +37,7 @@ object TrainingData {
     td_ann_sq8, td_ann_ivf_sq8, td_kmv_overlap, td_hard_negatives,
     td_ann_recall, td_content_chunks, td_content_chunks_fast,
     td_boilerplate_removal,
-    td_rare_words, td_chunk_dedup,
+    td_rare_words, td_chunk_dedup, td_cooccurrence,
     td_quality_prune, td_quality_prune_cutoff, td_drift_tvd, td_corpus_diff,
     td_length_buckets,
     td_sample_hash, td_sample_stratified, td_sample_weighted,

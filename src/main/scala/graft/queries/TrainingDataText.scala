@@ -851,4 +851,48 @@ object TrainingDataText {
       FROM documents d LEFT JOIN scores s USING (doc_id)
       ORDER BY doc_id"""))
 
+  /** Frequent token co-occurrence (collocation / template mining):
+    * pairs of tokens sharing ≥ 20% of documents, Apriori-prefiltered
+    * so pair generation only sees frequent tokens (the df table
+    * BROADCASTS; the self-join exchanges once on doc id). Support
+    * threshold scales with the corpus (|docs|/5), so the result is a
+    * property of the distribution, not the scale factor. */
+  val td_cooccurrence = GraftQuery(
+    "td_cooccurrence",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val nDocs = docs.count()
+      TextAnalysis.cooccurrence(docs, "doc_id", "text",
+          minDocs = math.max(1L, nDocs / 5), totalDocs = nDocs)
+        .orderBy(col("token_a"), col("token_b"))
+    },
+    Some("""WITH toks AS (
+        SELECT DISTINCT doc_id, tok FROM (
+          SELECT doc_id,
+                 unnest(string_split_regex(trim(text), '\s+')) AS tok
+          FROM documents WHERE length(trim(text)) > 0)
+        WHERE length(tok) > 0),
+      capped AS (
+        SELECT doc_id, tok FROM (
+          SELECT doc_id, tok, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY tok) AS rn FROM toks)
+        WHERE rn <= 64),
+      support AS (
+        SELECT greatest(1, (SELECT COUNT(*) FROM documents) // 5) AS s),
+      freq AS (
+        SELECT tok, COUNT(*) AS df FROM capped GROUP BY tok
+        HAVING COUNT(*) >= (SELECT s FROM support)),
+      ft AS (SELECT c.doc_id, c.tok FROM capped c JOIN freq USING (tok)),
+      pairs AS (
+        SELECT a.tok AS token_a, b.tok AS token_b, COUNT(*) AS n_docs
+        FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        GROUP BY 1, 2 HAVING COUNT(*) >= (SELECT s FROM support))
+      SELECT p.token_a, p.token_b, p.n_docs,
+        CAST(1000000 * p.n_docs * (SELECT COUNT(*) FROM documents)
+             // (fa.df * fb.df) AS BIGINT) AS lift_ppm
+      FROM pairs p
+      JOIN freq fa ON fa.tok = p.token_a
+      JOIN freq fb ON fb.tok = p.token_b
+      ORDER BY token_a, token_b"""))
+
 }

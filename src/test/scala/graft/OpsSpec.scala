@@ -1294,6 +1294,27 @@ class OpsSpec extends SparkSpec {
     assert(fb == got)
   }
 
+  test("cooccurrence: doc-level support, Apriori prefilter, lexicographic cap") {
+    val docs = Seq(
+      (1L, "a b c"), (2L, "a b d"), (3L, "b a"), (4L, "a c"),
+      (5L, "x x x"), // within-doc repeats collapse; x stays infrequent
+      (6L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.cooccurrence(docs, "doc_id", "text",
+        minDocs = 2, totalDocs = 6)
+      .as[(String, String, Long, Long)].collect().toSet
+    // (b,c) share only doc 1 — both tokens ARE frequent but the PAIR
+    // is below support; d/x never reach pair generation. Lift:
+    // (a,b) 1e6·3·6/(4·3) = 1.5e6; (a,c) 1e6·2·6/(4·2) = 1.5e6 —
+    // both above independence (1e6)
+    assert(out == Set(("a", "b", 3L, 1500000L), ("a", "c", 2L, 1500000L)))
+    // deterministic lexicographic cap: with 2 tokens/doc, doc 1 keeps
+    // {a,b} (c truncated) → c's df falls to 1 and every c-pair dies
+    val capped = TextAnalysis.cooccurrence(docs, "doc_id", "text",
+        minDocs = 2, totalDocs = 6, maxDocTokens = 2)
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(capped == Set(("a", "b", 3L, 1500000L)))
+  }
+
   test("perceptualNearDup: shifted copy detected, unrelated payload spared") {
     import org.apache.spark.sql.functions._
     val t1 = "the quick brown fox jumps over the lazy dog while the rain " +

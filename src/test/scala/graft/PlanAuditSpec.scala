@@ -729,4 +729,51 @@ class PlanAuditSpec extends SparkSpec {
       }
     }
   }
+
+  test("ev_anomaly: per-type stats broadcast onto counts, agg is map-side partial") {
+    audited(graft.queries.Events.ev_anomaly.fn(spark, dir)) { df =>
+      val plan = df.queryExecution.executedPlan
+      val bhj = plan.collect { case b: BroadcastHashJoinExec => b }
+      assert(bhj.nonEmpty,
+        s"stats table not broadcast back onto the counts:\n$plan")
+      val partial = plan.collect {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+          if a.aggregateExpressions.exists(_.mode.toString == "Partial") => a
+      }
+      assert(partial.nonEmpty, s"period counts not map-side partial:\n$plan")
+    }
+  }
+
+  test("ev_markov: events shuffle by entity exactly once; later exchanges carry pairs only") {
+    audited(graft.queries.Events.ev_markov.fn(spark, dir)) { df =>
+      val plan = df.queryExecution.executedPlan
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      // exactly one exchange sees event-grain columns (the lead
+      // window's entity partitioning); everything after operates on
+      // the collapsed ≤|types|² pair rows
+      val eventGrain = exchanges.filter(_.output.map(_.name).contains("ts"))
+      assert(eventGrain.size == 1,
+        s"expected ONE entity-keyed event exchange, got " +
+          s"${eventGrain.size}:\n$plan")
+    }
+  }
+
+  test("td_cooccurrence: df filter broadcasts; pairs generate after the doc-keyed join") {
+    audited(graft.queries.TrainingDataText.td_cooccurrence.fn(spark, dir)) { df =>
+      val plan = df.queryExecution.executedPlan
+      val bhj = plan.collect { case b: BroadcastHashJoinExec => b }
+      // Apriori prefilter (x2 sides) + two lift df joins
+      assert(bhj.size >= 3,
+        s"frequent-token/df tables not broadcast:\n$plan")
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      exchanges.foreach { e =>
+        assert(!e.output.map(_.name).contains("text"),
+          s"co-occurrence shuffles raw text:\n$plan")
+      }
+    }
+  }
 }
