@@ -851,6 +851,96 @@ object TrainingDataText {
       FROM documents d LEFT JOIN scores s USING (doc_id)
       ORDER BY doc_id"""))
 
+  /** Classifier calibration report (the eval artifact a
+    * quality-filter rollout needs): sweep fixed score thresholds over
+    * the hash-feature language classifier's scores and report the
+    * confusion counts plus precision/recall in exact integer PPM —
+    * `1 000 000·tp div (tp+fp)` — per threshold. The per-(doc,
+    * threshold) fan-out is |thresholds|×N skinny rows collapsing
+    * map-side to |thresholds| rows; precision guards the empty
+    * prediction set with NULL (both engines). */
+  val td_classifier_calibration = GraftQuery(
+    "td_classifier_calibration",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val seed = docs
+        .filter(graft.ops.Pipeline.hashBucket(col("doc_id"), 100) < 50)
+        .withColumn("is_en", col("lang") === "en")
+      val w = TextAnalysis.trainHashedClassifier(seed, "text", "is_en",
+        buckets = 4096)
+      val scored = docs.select(col("doc_id"), col("lang"))
+        .join(TextAnalysis.scoreHashedClassifier(docs, "doc_id", "text", w,
+          buckets = 4096), Seq("doc_id"), "left")
+        .select(coalesce(col("score"), lit(0L)).as("score"),
+          (col("lang") === "en").as("is_en"))
+      val ts = Seq(-500000L, -200000L, -100000L, -50000L, 0L,
+        50000L, 100000L, 200000L, 500000L)
+      scored
+        .select(col("score"), col("is_en"),
+          explode(array(ts.map(lit): _*)).as("t"))
+        .groupBy(col("t"))
+        .agg(
+          sum(when(col("score") > col("t") && col("is_en"), 1L)
+            .otherwise(0L)).as("tp"),
+          sum(when(col("score") > col("t") && !col("is_en"), 1L)
+            .otherwise(0L)).as("fp"),
+          sum(when(col("score") <= col("t") && col("is_en"), 1L)
+            .otherwise(0L)).as("fn"),
+          sum(when(col("score") <= col("t") && !col("is_en"), 1L)
+            .otherwise(0L)).as("tn"))
+        .select(col("t"), col("tp"), col("fp"), col("fn"), col("tn"),
+          when(col("tp") + col("fp") > 0,
+            expr("(1000000 * tp) div (tp + fp)")).as("precision_ppm"),
+          expr("(1000000 * tp) div (tp + fn)").as("recall_ppm"))
+        .orderBy(col("t"))
+    },
+    Some("""WITH b AS (
+        SELECT doc_id, lang = 'en' AS is_en,
+          ('0x'||substr(md5(tok),1,8))::BIGINT % 4096 AS bucket
+        FROM (SELECT doc_id, lang,
+                unnest(string_split_regex(trim(text), '\s+')) AS tok
+              FROM documents WHERE length(trim(text)) > 0)),
+      counts AS (
+        SELECT bucket,
+          SUM(CASE WHEN is_en THEN 1 ELSE 0 END) AS pos_cnt,
+          SUM(CASE WHEN NOT is_en THEN 1 ELSE 0 END) AS neg_cnt
+        FROM b
+        WHERE ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT
+              % 100 < 50
+        GROUP BY bucket),
+      tot AS (
+        SELECT SUM(pos_cnt) AS pos_tot, SUM(neg_cnt) AS neg_tot
+        FROM counts),
+      w AS (
+        SELECT bucket, CAST(
+            (pos_cnt + 1) * 1000000 // (pos_tot + 4096)
+          - (neg_cnt + 1) * 1000000 // (neg_tot + 4096) AS BIGINT)
+          AS weight
+        FROM counts, tot),
+      scores AS (
+        SELECT b.doc_id, CAST(SUM(w.weight) AS BIGINT) AS score
+        FROM b JOIN w USING (bucket) GROUP BY b.doc_id),
+      scored AS (
+        SELECT COALESCE(s.score, 0) AS score, d.lang = 'en' AS is_en
+        FROM documents d LEFT JOIN scores s USING (doc_id)),
+      th(t) AS (VALUES (-500000), (-200000), (-100000), (-50000), (0),
+        (50000), (100000), (200000), (500000)),
+      conf AS (
+        SELECT t,
+          SUM(CASE WHEN score > t AND is_en THEN 1 ELSE 0 END) AS tp,
+          SUM(CASE WHEN score > t AND NOT is_en THEN 1 ELSE 0 END) AS fp,
+          SUM(CASE WHEN score <= t AND is_en THEN 1 ELSE 0 END) AS fn,
+          SUM(CASE WHEN score <= t AND NOT is_en THEN 1 ELSE 0 END) AS tn
+        FROM scored, th GROUP BY t)
+      SELECT CAST(t AS BIGINT) AS t, CAST(tp AS BIGINT) AS tp,
+        CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+        CAST(tn AS BIGINT) AS tn,
+        CASE WHEN tp + fp > 0
+          THEN CAST(1000000 * tp // (tp + fp) AS BIGINT) END
+          AS precision_ppm,
+        CAST(1000000 * tp // (tp + fn) AS BIGINT) AS recall_ppm
+      FROM conf ORDER BY t"""))
+
   /** Frequent token co-occurrence (collocation / template mining):
     * pairs of tokens sharing ≥ 20% of documents, Apriori-prefiltered
     * so pair generation only sees frequent tokens (the df table
