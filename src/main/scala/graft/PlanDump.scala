@@ -106,7 +106,9 @@ object PlanDump {
     "ev_anomaly" ->
       "Event-rate anomaly gate: one map-side-partial agg to (type, period) counts, then the |types|-row stats table BROADCASTS back onto the counts — the event table shuffles once and the integer z-test ((n·x−S)² > k²·(n·Q−S²)) runs as a codegen'd projection; no window over raw events, no float, no sqrt.",
     "ev_markov" ->
-      "Markov transition matrix: ONE entity-keyed Exchange feeds the lead window; pair counts collapse (map-side partial) to ≤|types|² rows before the per-from-type total window runs over that tiny set — transition PPM is exact integer div, and the event table never shuffles twice.")
+      "Markov transition matrix: ONE entity-keyed Exchange feeds the lead window; pair counts collapse (map-side partial) to ≤|types|² rows before the per-from-type total window runs over that tiny set — transition PPM is exact integer div, and the event table never shuffles twice.",
+    "td_cooccurrence" ->
+      "Frequent co-occurrence mining: the Apriori property as a plan shape — the vocab-sized document-frequency table BROADCASTS to filter each doc's token set BEFORE the doc-keyed pair self-join, so pair fan-out is C(frequent tokens in doc, 2) and no exchange ever carries raw text; pair counts and the lift's df terms are vocab-bounded broadcasts.")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
