@@ -922,6 +922,76 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** EXACT asymmetric near-CONTAINMENT pairs — the dedup signal
+    * Jaccard misses by construction: a short document wholly embedded
+    * in a long one (a quoted article, a wrapped license header, a
+    * template carrying a payload) has jac ≈ |B|/|A| → 0 while
+    * containment C(B,A) = |S(B)∩S(A)| / |S(B)| = 1. Mining C ≥ t is
+    * the quote/subset detector a curation pipeline runs alongside the
+    * symmetric near-dup pass.
+    *
+    * Candidate generation is the prefix-filter lemma applied to the
+    * CONTAINED side only (containment is one-sided, so only B's set
+    * size bounds the overlap): if |S(B)∩S(A)| ≥ t·|S(B)|, then under
+    * any global shingle order A must hit one of B's first
+    * `|S(B)| − ⌈t·|S(B)|⌉ + 1` shingles. Ordering by ascending
+    * document frequency makes those prefix shingles the RAREST ones,
+    * so the candidate equi-join keys on rare shingles and stays
+    * skew-light; the container side indexes ALL its shingles (it must
+    * — nothing bounds |S(A)|), which is the same one
+    * exploded-corpus-keyed-by-shingle exchange the df window already
+    * pays in [[ngramJaccardSimilar]]. Verify is exact
+    * `array_intersect` over the candidate set only.
+    *
+    * `minShingles` drops trivially small contained sides (a 1-shingle
+    * doc is "contained" in anything sharing a phrase) — a report
+    * knob, not a correctness device.
+    *
+    * @return (id_contained, id_container, containment) with
+    *         containment ≥ threshold, ids distinct; near-identical
+    *         pairs legitimately appear in both directions.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8,
+      minShingles: Int = 4): DataFrame = {
+    // d feeds prefix generation AND the verify join — localCheckpoint
+    // or the shingle scan runs twice (two-branch recompute landmine)
+    val d = docs
+      .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .localCheckpoint(eager = false)
+
+    val exploded = d.select(col("id"), size(col("sh")).as("n_sh"),
+      explode(col("sh")).as("g"))
+    val withDf = exploded.withColumn("df",
+      count(lit(1)).over(Window.partitionBy("g")))
+
+    val byDoc = Window.partitionBy("id")
+    val prefix = withDf
+      .filter(col("n_sh") >= minShingles)
+      .withColumn("pos", row_number().over(byDoc.orderBy("df", "g")))
+      .filter(col("pos") <=
+        col("n_sh") - ceil(lit(threshold) * col("n_sh")).cast("int") + 1)
+      .select(col("g"), col("id").as("id_in"))
+
+    val cand = prefix
+      .join(exploded.select(col("g"), col("id").as("id_out")), Seq("g"))
+      .filter(col("id_in") =!= col("id_out"))
+      .select(col("id_in"), col("id_out"))
+      .distinct() // a pair may share several prefix shingles
+
+    cand
+      .join(d.select(col("id").as("id_in"), col("sh").as("si")), Seq("id_in"))
+      .join(d.select(col("id").as("id_out"), col("sh").as("so")), Seq("id_out"))
+      .withColumn("n_inter", size(array_intersect(col("si"), col("so"))))
+      // one division of two small ints — bit-identical across engines
+      .withColumn("containment",
+        col("n_inter").cast("double") / size(col("si")))
+      .filter(col("containment") >= threshold)
+      .select(col("id_in").as("id_contained"),
+        col("id_out").as("id_container"), col("containment"))
+  }
+
   /** Exact duplicated-span coverage per document — the substring-level
     * dedup signal of Lee et al., "Deduplicating Training Data Makes
     * Language Models Better" (2022), at word-n-gram granularity: a

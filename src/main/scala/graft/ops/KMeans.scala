@@ -116,6 +116,39 @@ object KMeans {
       centroids)
   }
 
+  /** IVF index-health report over a cluster assignment ([[train]]'s
+    * output, or the cell column of a persisted
+    * [[graft.ops.IvfIndex]]): per-cell population, corpus share, and
+    * the global imbalance factor — the number an operator tunes k /
+    * re-trains on, because IVF probe latency is bounded by the
+    * LARGEST probed cell, not the average (a 10× hot cell means 10×
+    * worst-case probe cost at any nProbe). All ratios are exact
+    * integer ppm (`div`), so the report is oracle-checkable
+    * bit-for-bit.
+    *
+    * Scale shape: one count-aggregate shuffle keyed by cell (k groups,
+    * map-side combinable); the 1-row total/max then BROADCASTS back —
+    * the corpus is never re-shuffled and nothing is O(k²).
+    *
+    * @return (cluster, n_vectors, share_ppm, imbalance_ppm) —
+    *         share_ppm = n·10⁶ div total; imbalance_ppm =
+    *         max(n)·k·10⁶ div total (10⁶ = perfectly balanced),
+    *         repeated on every row so the report is self-contained.
+    */
+  def clusterBalance(assignments: DataFrame, k: Int,
+      clusterCol: String = "cluster"): DataFrame = {
+    val counts = assignments
+      .groupBy(col(clusterCol).as("cluster"))
+      .agg(count(lit(1)).as("n_vectors"))
+    val tot = counts.agg(
+      sum(col("n_vectors")).as("total"),
+      max(col("n_vectors")).as("mx"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("cluster"), col("n_vectors"),
+        expr("n_vectors * 1000000 div total").as("share_ppm"),
+        expr(s"mx * $k * 1000000 div total").as("imbalance_ppm"))
+  }
+
   /** IVF ANN with the TRAINED codebook: corpus rows live in their
     * final k-means cell; each query probes its `nProbe` nearest cells
     * (same exact integer metric that trained the codebook), and

@@ -24,6 +24,7 @@ object TrainingData {
     td_text_stats, td_lang_id, td_lang_purity, td_text_hygiene, td_fingerprint, td_dedup_exact, td_dup_profile,
     td_char_jaccard, td_cosine_topk, td_minhash_neardup,
     td_incremental_neardup, td_source_neardup, td_ngram_jaccard,
+    td_containment,
     td_dup_spans, td_dup_span_removal, td_lm_bigram, td_gopher_quality,
     td_source_cap, td_fold_accents, td_edit_neardup, td_fuzzy_decontam,
     td_line_repetition, td_c4_clean, td_blocklist_scrub,
@@ -33,7 +34,7 @@ object TrainingData {
     td_dedup_components, td_cc_largestar, td_dedup_survivors, td_dedup_best,
     td_dedup_canonical,
     td_simhash_md5, td_ann_lsh_md5, td_embedding_neardup, td_ann_ivf,
-    td_kmeans, td_ann_ivf_trained, td_ann_ivf_indexed, td_pq_adc, td_ann_ivfpq,
+    td_kmeans, td_ivf_balance, td_ann_ivf_trained, td_ann_ivf_indexed, td_pq_adc, td_ann_ivfpq,
     td_ann_sq8, td_ann_ivf_sq8, td_kmv_overlap, td_hard_negatives,
     td_ann_recall, td_content_chunks, td_content_chunks_fast,
     td_boilerplate_removal,

@@ -380,6 +380,98 @@ object TrainingDataAnn {
       FROM a3 ORDER BY vec_id"""))
 
 
+  /** IVF index-health report ([[graft.ops.KMeans.clusterBalance]])
+    * over [[td_kmeans]]'s exact trained assignment: per-cell
+    * population, corpus share, and the global imbalance factor (max
+    * cell × k / total, ppm) — the tuning signal for k/nProbe, since
+    * probe latency is bounded by the largest cell. The oracle replays
+    * the same two Lloyd iterations and aggregates; all ratios are
+    * integer ppm. */
+  val td_ivf_balance = GraftQuery(
+    "td_ivf_balance",
+    (s, dir) => {
+      val assigned = graft.ops.KMeans.train(Tables.embeddings(s, dir),
+        "vec_id", "embedding", k = 8, iters = 2)
+      graft.ops.KMeans.clusterBalance(assigned, k = 8)
+        .orderBy(col("cluster"))
+    },
+    Some("""WITH q AS (
+        SELECT vec_id AS id,
+          list_transform(embedding,
+            x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        FROM embeddings),
+      c0 AS (
+        SELECT CAST(id % 8 AS INTEGER) AS cell, arg_min(qv, id) AS s,
+          CAST(1 AS BIGINT) AS n
+        FROM q GROUP BY 1),
+      a1 AS (
+        SELECT id, qv, cell FROM (
+          SELECT q.id, q.qv, c.cell,
+            row_number() OVER (PARTITION BY q.id ORDER BY
+              CAST(list_sum(list_transform(range(1, len(c.s)+1),
+                     i -> c.s[i] * c.s[i]))
+                - 2 * c.n * list_sum(list_transform(range(1, len(c.s)+1),
+                     i -> q.qv[i] * c.s[i])) AS DOUBLE)
+                / CAST(c.n * c.n AS DOUBLE),
+              c.cell) AS rn
+          FROM q CROSS JOIN c0 c) WHERE rn = 1),
+      s1 AS (
+        SELECT cell, list(sv ORDER BY pos) AS s_new FROM (
+          SELECT cell, kv.pos AS pos, CAST(SUM(kv.v) AS BIGINT) AS sv
+          FROM (SELECT cell, unnest(list_transform(range(1, len(qv)+1),
+                  i -> {'pos': i, 'v': qv[i]})) AS kv FROM a1) t
+          GROUP BY cell, kv.pos) t2
+        GROUP BY cell),
+      n1 AS (SELECT cell, COUNT(*) AS n_new FROM a1 GROUP BY cell),
+      c1 AS (
+        SELECT c0.cell, COALESCE(s1.s_new, c0.s) AS s,
+          CAST(COALESCE(n1.n_new, c0.n) AS BIGINT) AS n
+        FROM c0 LEFT JOIN s1 USING (cell) LEFT JOIN n1 USING (cell)),
+      a2 AS (
+        SELECT id, qv, cell FROM (
+          SELECT q.id, q.qv, c.cell,
+            row_number() OVER (PARTITION BY q.id ORDER BY
+              CAST(list_sum(list_transform(range(1, len(c.s)+1),
+                     i -> c.s[i] * c.s[i]))
+                - 2 * c.n * list_sum(list_transform(range(1, len(c.s)+1),
+                     i -> q.qv[i] * c.s[i])) AS DOUBLE)
+                / CAST(c.n * c.n AS DOUBLE),
+              c.cell) AS rn
+          FROM q CROSS JOIN c1 c) WHERE rn = 1),
+      s2 AS (
+        SELECT cell, list(sv ORDER BY pos) AS s_new FROM (
+          SELECT cell, kv.pos AS pos, CAST(SUM(kv.v) AS BIGINT) AS sv
+          FROM (SELECT cell, unnest(list_transform(range(1, len(qv)+1),
+                  i -> {'pos': i, 'v': qv[i]})) AS kv FROM a2) t
+          GROUP BY cell, kv.pos) t2
+        GROUP BY cell),
+      n2 AS (SELECT cell, COUNT(*) AS n_new FROM a2 GROUP BY cell),
+      c2 AS (
+        SELECT c1.cell, COALESCE(s2.s_new, c1.s) AS s,
+          CAST(COALESCE(n2.n_new, c1.n) AS BIGINT) AS n
+        FROM c1 LEFT JOIN s2 USING (cell) LEFT JOIN n2 USING (cell)),
+      a3 AS (
+        SELECT id, cell FROM (
+          SELECT q.id, c.cell,
+            row_number() OVER (PARTITION BY q.id ORDER BY
+              CAST(list_sum(list_transform(range(1, len(c.s)+1),
+                     i -> c.s[i] * c.s[i]))
+                - 2 * c.n * list_sum(list_transform(range(1, len(c.s)+1),
+                     i -> q.qv[i] * c.s[i])) AS DOUBLE)
+                / CAST(c.n * c.n AS DOUBLE),
+              c.cell) AS rn
+          FROM q CROSS JOIN c2 c) WHERE rn = 1),
+      counts AS (
+        SELECT CAST(cell AS INTEGER) AS cluster, COUNT(*) AS n_vectors
+        FROM a3 GROUP BY 1),
+      tot AS (
+        SELECT SUM(n_vectors) AS total, MAX(n_vectors) AS mx FROM counts)
+      SELECT cluster, n_vectors,
+        CAST(n_vectors * 1000000 // total AS BIGINT) AS share_ppm,
+        CAST(mx * 8 * 1000000 // total AS BIGINT) AS imbalance_ppm
+      FROM counts, tot ORDER BY cluster"""))
+
+
   /** IVF ANN over the TRAINED k-means codebook ([[td_kmeans]]'s exact
     * training loop feeding [[graft.ops.KMeans.ivfTrainedTopK]]) — the
     * full production ANN path (train → assign → probe → rank) is

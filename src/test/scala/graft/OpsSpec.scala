@@ -124,6 +124,62 @@ class OpsSpec extends SparkSpec {
     assert(fast == brute)
   }
 
+  test("containmentPairs ≡ the all-pairs directional form on random data") {
+    val rnd = new scala.util.Random(13)
+    val vocab = Seq("red", "blue", "green", "dog", "cat", "sun", "sky", "oak")
+    val base = (0 until 25).map { i =>
+      val len = 10 + rnd.nextInt(8)
+      (i.toLong, (0 until len).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    // planted contained slices (prefix halves) + a noisy variant
+    val slices = base.collect { case (i, t) if i % 3 == 0 =>
+      (i + 1000L, t.split(" ").take(t.split(" ").length / 2).mkString(" ")) }
+    val noisy = base.collect { case (i, t) if i % 4 == 0 =>
+      (i + 2000L, t.split(" ").take(t.split(" ").length / 2).mkString(" ") + " zz qq") }
+    val docs = (base ++ slices ++ noisy).toDF("doc_id", "text")
+
+    val fast = Dedup.containmentPairs(docs, "doc_id", "text", 3, 0.7,
+        minShingles = 3)
+      .select("id_contained", "id_container", "containment")
+      .as[(Long, Long, Double)].collect().toSet
+
+    val d = docs.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+    val a = d.select(col("doc_id").as("id_contained"), col("sh").as("si"))
+    val b = d.select(col("doc_id").as("id_container"), col("sh").as("so"))
+    val brute = a.crossJoin(b)
+      .filter(col("id_contained") =!= col("id_container"))
+      .filter(size(col("si")) >= 3)
+      .withColumn("ni", size(array_intersect(col("si"), col("so"))))
+      .withColumn("containment", col("ni").cast("double") / size(col("si")))
+      .filter(col("containment") >= 0.7)
+      .select("id_contained", "id_container", "containment")
+      .as[(Long, Long, Double)].collect().toSet
+
+    assert(brute.nonEmpty, "fixture should contain containment pairs")
+    assert(fast == brute)
+  }
+
+  test("containmentPairs catches the quote-inclusion pair Jaccard misses") {
+    // a 6-token quote embedded verbatim in a 60-token host: containment
+    // = 1.0 but jaccard ≈ 4/58 — invisible to any symmetric threshold
+    val quote = "alpha beta gamma delta epsilon zeta"
+    val host = ("w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 " +
+      "w16 w17 w18 w19 w20 w21 w22 w23 w24 w25 ") + quote +
+      (" v1 v2 v3 v4 v5 v6 v7 v8 v9 v10 v11 v12 v13 v14 v15 " +
+        "v16 v17 v18 v19 v20 v21 v22 v23 v24 v25")
+    val docs = Seq((1L, host), (2L, quote)).toDF("doc_id", "text")
+
+    val jac = Dedup.ngramJaccardSimilar(docs, "doc_id", "text", 3, 0.5)
+      .collect()
+    assert(jac.isEmpty, "jaccard should NOT flag the asymmetric pair")
+
+    val con = Dedup.containmentPairs(docs, "doc_id", "text", 3, 0.99,
+        minShingles = 3)
+      .select("id_contained", "id_container", "containment")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(con == Seq((2L, 1L, 1.0)), s"containment should flag it: $con")
+  }
+
   test("tfIdfTopTerms: rare terms outrank common ones, ties break on term") {
     val docs = Seq(
       (1L, "common rare1 common"),
@@ -853,6 +909,21 @@ class OpsSpec extends SparkSpec {
       .train(pts, "vec_id", "embedding", k = 5, iters = 2)
       .orderBy("id").as[(Long, Int)].collect().toSeq
     assert(sparse.size == 6)
+  }
+
+  test("clusterBalance reports exact shares and the max-cell imbalance") {
+    // 4+2+2 over k=4 (one empty cell): shares 500000/250000/250000,
+    // imbalance = 4·4·10⁶ div 8 = 2000000 (max cell is 2× ideal)
+    val assigned = Seq(
+      (0L, 0), (1L, 0), (2L, 0), (3L, 0),
+      (4L, 1), (5L, 1), (6L, 2), (7L, 2)).toDF("id", "cluster")
+    val r = graft.ops.KMeans.clusterBalance(assigned, k = 4)
+      .orderBy("cluster")
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    assert(r == Seq(
+      (0, 4L, 500000L, 2000000L),
+      (1, 2L, 250000L, 2000000L),
+      (2, 2L, 250000L, 2000000L)))
   }
 
   test("kmeans codebook returns per-cluster float means") {
