@@ -280,4 +280,67 @@ object Pipeline {
     epochShuffle(docs, idCol, epoch, nShards)
       .sortWithinPartitions(col("shard"), col("pos"))
       .write.partitionBy("shard").mode("overwrite").parquet(outDir)
+
+  /** End-to-end curation FUNNEL — the composition proof: quality
+    * floor → exact dedup (canonical = min id per normalized-md5
+    * fingerprint, computed AMONG quality survivors) → benchmark
+    * decontamination (any shared word n-gram, among canonical
+    * survivors), reported per source as stage survivor counts + kept
+    * token volume. This is the report a curation run publishes — each
+    * stage is individually oracled elsewhere (td_gopher_quality /
+    * td_dedup_exact / td_decontam); this op proves they compose into
+    * one plan without driver round-trips.
+    *
+    * Scale shape: one narrow pass computes words + fingerprint; dedup
+    * is one shuffle on the md5 key; the benchmark shingle set
+    * BROADCASTS (benchmarks are small by definition — if yours isn't,
+    * use [[graft.ops.BloomJoin]]); stage counts are per-source
+    * map-side-combinable sums, so the funnel report adds one tiny
+    * aggregate exchange. The corpus is scanned once (localCheckpoint
+    * pins the shared base against multi-branch recompute).
+    *
+    * @return (source, n_input, n_quality, n_canonical, n_kept,
+    *         kept_tokens, kept_ppm) — kept_ppm = n_kept·10⁶ div
+    *         n_input, exact integer arithmetic.
+    */
+  def curationFunnel(train: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, sourceCol: String,
+      minWords: Int = 5, shingleN: Int = 3): DataFrame = {
+    val base = train.select(col(idCol).as("id"),
+        col(sourceCol).as("source"),
+        col(textCol).as("text"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_words"),
+        TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .localCheckpoint(eager = false)
+    val quality = base.filter(col("n_words") >= minWords)
+    val canon = quality.groupBy(col("fp"))
+      .agg(min(col("id")).as("keep_id"))
+    val surv = quality.join(canon, Seq("fp"))
+      .filter(col("id") === col("keep_id"))
+      .drop("keep_id")
+      .localCheckpoint(eager = false) // feeds contamination + counts
+    val bsh = benchmark
+      .select(explode(Dedup.shingles(col(textCol), shingleN)).as("g"))
+      .distinct()
+    val contaminated = surv
+      .select(col("id"), explode(Dedup.shingles(col("text"), shingleN)).as("g"))
+      .join(broadcast(bsh), Seq("g"))
+      .select(col("id")).distinct()
+    val kept = surv.join(contaminated, Seq("id"), "left_anti")
+
+    def stage(df: DataFrame, cnt: String): DataFrame =
+      df.groupBy(col("source")).agg(count(lit(1)).as(cnt))
+    base.groupBy(col("source")).agg(count(lit(1)).as("n_input"))
+      .join(stage(quality, "n_quality"), Seq("source"), "left")
+      .join(stage(surv, "n_canonical"), Seq("source"), "left")
+      .join(kept.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_words")).as("kept_tokens")), Seq("source"), "left")
+      .select(col("source"), col("n_input"),
+        coalesce(col("n_quality"), lit(0L)).as("n_quality"),
+        coalesce(col("n_canonical"), lit(0L)).as("n_canonical"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+      .withColumn("kept_ppm", expr("n_kept * 1000000 div n_input"))
+  }
 }

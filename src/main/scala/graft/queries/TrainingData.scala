@@ -44,8 +44,9 @@ object TrainingData {
     td_sample_hash, td_sample_stratified, td_sample_weighted,
     td_dsir_select,
     td_domain_mix, td_temperature_mix, td_bpe_encode, td_bpe_train,
+    td_token_fertility,
     td_token_quantiles, td_quantiles_by_value, td_quantile_sketch,
-    td_pack_sequences, td_decontam,
+    td_pack_sequences, td_decontam, td_curation_funnel,
     td_token_budget, td_interleave, td_train_split,
     td_split_leakage_safe, td_pii_scrub,
     td_media_meta, td_media_frames, td_media_features, td_media_neardup,

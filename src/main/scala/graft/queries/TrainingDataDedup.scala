@@ -1166,4 +1166,84 @@ object TrainingDataDedup {
       FROM csh JOIN bsh USING (shingle)
       GROUP BY doc_id ORDER BY doc_id"""))
 
+
+  /** End-to-end curation FUNNEL ([[graft.ops.Pipeline.curationFunnel]]):
+    * quality floor → exact dedup → benchmark decontamination composed
+    * into ONE plan, reported per source. Planted exact copies
+    * (doc_id % 11 → +4e6 twins) exercise the dedup stage; the % 97
+    * benchmark split exercises decontamination; short docs fall to
+    * the quality floor. Every ratio is exact integer ppm. */
+  val td_curation_funnel = GraftQuery(
+    "td_curation_funnel",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val train0 = docs.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+      val train = train0.unionByName(
+        train0.filter(pmod(col("doc_id"), lit(11)) === 0)
+          .withColumn("doc_id", col("doc_id") + 4000000L))
+      val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+      Pipeline.curationFunnel(train, bench, "doc_id", "text", "source",
+          minWords = 5, shingleN = 3)
+        .orderBy(col("source"))
+    },
+    Some("""WITH train AS (
+        SELECT doc_id, source, text FROM documents WHERE doc_id % 97 <> 0
+        UNION ALL
+        SELECT doc_id + 4000000, source, text FROM documents
+        WHERE doc_id % 97 <> 0 AND doc_id % 11 = 0),
+      base AS (
+        SELECT doc_id, source,
+          CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(string_split_regex(trim(text), '\s+')) END AS n_words,
+          md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+          text
+        FROM train),
+      quality AS (SELECT * FROM base WHERE n_words >= 5),
+      canon AS (SELECT fp, MIN(doc_id) AS keep_id FROM quality GROUP BY fp),
+      surv AS (
+        SELECT q.* FROM quality q
+        JOIN canon c ON q.fp = c.fp AND q.doc_id = c.keep_id),
+      stok AS (
+        SELECT doc_id, source, n_words,
+          string_split_regex(trim(text), '\s+') AS t FROM surv),
+      ssh AS (
+        SELECT doc_id, source, n_words,
+          CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+               ELSE list_distinct(list_transform(range(1, len(t)-1),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS sh
+        FROM stok),
+      btok AS (
+        SELECT string_split_regex(trim(text), '\s+') AS t
+        FROM documents WHERE doc_id % 97 = 0),
+      bsh AS (
+        SELECT DISTINCT unnest(
+          CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+               ELSE list_distinct(list_transform(range(1, len(t)-1),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END) AS g
+        FROM btok),
+      contam AS (
+        SELECT DISTINCT doc_id
+        FROM (SELECT doc_id, unnest(sh) AS g FROM ssh) j
+        JOIN bsh USING (g)),
+      kept AS (
+        SELECT * FROM ssh WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+      f_in AS (SELECT source, COUNT(*) AS n_input FROM base GROUP BY source),
+      f_q AS (SELECT source, COUNT(*) AS n_quality FROM quality GROUP BY source),
+      f_c AS (SELECT source, COUNT(*) AS n_canonical FROM surv GROUP BY source),
+      f_k AS (
+        SELECT source, COUNT(*) AS n_kept,
+          CAST(SUM(n_words) AS BIGINT) AS kept_tokens
+        FROM kept GROUP BY source)
+      SELECT f_in.source, n_input,
+        COALESCE(n_quality, 0) AS n_quality,
+        COALESCE(n_canonical, 0) AS n_canonical,
+        COALESCE(n_kept, 0) AS n_kept,
+        COALESCE(kept_tokens, 0) AS kept_tokens,
+        CAST(COALESCE(n_kept, 0) * 1000000 // n_input AS BIGINT) AS kept_ppm
+      FROM f_in
+      LEFT JOIN f_q USING (source)
+      LEFT JOIN f_c USING (source)
+      LEFT JOIN f_k USING (source)
+      ORDER BY f_in.source"""))
+
 }

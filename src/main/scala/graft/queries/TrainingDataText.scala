@@ -636,6 +636,74 @@ object TrainingDataText {
     })
 
 
+  /** Tokenizer FERTILITY per (source, lang) — BPE tokens per word and
+    * per character (ppm, exact integer `div`): the mixing diagnostic
+    * that tells you which domains/languages your tokenizer spends
+    * budget on (a high-fertility slice costs more compute per byte of
+    * signal; fertility imbalance is the standard argument for
+    * retraining a tokenizer before scaling a multilingual mix). One
+    * narrow codegen pass per doc (the same [[graft.ops.Bpe.tokenCount]]
+    * expression td_bpe_encode oracles) then one group-by shuffle with
+    * map-side partial sums — nothing per-token crosses the wire. */
+  val td_token_fertility = GraftQuery(
+    "td_token_fertility",
+    (s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("source"), col("lang"),
+          graft.ops.Bpe.tokenCount(col("text"), bpeFixedMerges)
+            .cast("long").as("n_bpe"),
+          graft.ops.TextAnalysis.tokenCount(col("text"))
+            .cast("long").as("n_words"),
+          length(col("text")).cast("long").as("n_chars"))
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_bpe")).as("bpe_tokens"),
+          sum(col("n_words")).as("words"),
+          sum(col("n_chars")).as("chars"))
+        .select(col("source"), col("lang"), col("n_docs"),
+          col("bpe_tokens"), col("words"), col("chars"),
+          expr("bpe_tokens * 1000000 div greatest(words, 1)")
+            .as("bpe_per_word_ppm"),
+          expr("bpe_tokens * 1000000 div greatest(chars, 1)")
+            .as("bpe_per_char_ppm"))
+        .orderBy(col("source"), col("lang"))
+    },
+    Some {
+      val S = "chr(1)"
+      val symbolized =
+        s"$S || array_to_string(string_split_regex(w, ''), $S||$S) || $S"
+      val chain = bpeFixedMerges.foldLeft(symbolized) { case (acc, (l, r)) =>
+        s"replace($acc, $S||'$l'||$S||$S||'$r'||$S, $S||'$l$r'||$S)"
+      }
+      s"""WITH words AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+        FROM documents WHERE length(trim(text)) > 0),
+      enc AS (SELECT doc_id, $chain AS s2 FROM words),
+      cnt AS (
+        SELECT doc_id,
+          (length(s2) - length(replace(s2, $S||$S, ''))) // 2 + 1 AS n
+        FROM enc),
+      perdoc AS (
+        SELECT d.doc_id, d.source, d.lang,
+          CAST(COALESCE(a.n_bpe, 0) AS BIGINT) AS n_bpe,
+          CASE WHEN length(trim(d.text)) = 0 THEN 0
+            ELSE len(string_split_regex(trim(d.text), '\\s+')) END AS n_words,
+          length(d.text) AS n_chars
+        FROM documents d LEFT JOIN
+          (SELECT doc_id, SUM(n) AS n_bpe FROM cnt GROUP BY doc_id) a
+          ON d.doc_id = a.doc_id)
+      SELECT source, lang, COUNT(*) AS n_docs,
+        CAST(SUM(n_bpe) AS BIGINT) AS bpe_tokens,
+        CAST(SUM(n_words) AS BIGINT) AS words,
+        CAST(SUM(n_chars) AS BIGINT) AS chars,
+        CAST(SUM(n_bpe) * 1000000
+          // greatest(SUM(n_words), 1) AS BIGINT) AS bpe_per_word_ppm,
+        CAST(SUM(n_bpe) * 1000000
+          // greatest(SUM(n_chars), 1) AS BIGINT) AS bpe_per_char_ppm
+      FROM perdoc GROUP BY source, lang ORDER BY source, lang"""
+    })
+
+
   /** BPE TRAINING in-engine ([[graft.ops.Bpe.trainMerges]]): the 12
     * highest-frequency merges learned from the corpus' word-count
     * table (rows-only — the greedy loop has no single-query SQL

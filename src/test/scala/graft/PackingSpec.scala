@@ -138,4 +138,29 @@ class PackingSpec extends SparkSpec {
       (32L, 1L, 17L, 32L, (15L * 1000000L) / 32L),
       (128L, 1L, 100L, 128L, (28L * 1000000L) / 128L)))
   }
+
+  test("curationFunnel: each stage drops exactly the right docs") {
+    // src A: doc 1 ok; doc 2 short (quality drop); doc 3 = copy of 1
+    //        (dedup drop); doc 4 contaminated (shares a 3-gram with
+    //        the benchmark)
+    // src B: doc 5 ok, nothing drops
+    val train = Seq(
+      (1L, "A", "one two three four five six"),
+      (2L, "A", "too short"),
+      (3L, "A", "one two three four five six"),
+      (4L, "A", "leak gram here padding pads more"),
+      (5L, "B", "clean words flow along nicely here")).toDF(
+      "doc_id", "source", "text")
+    val bench = Seq((100L, "E", "leak gram here")).toDF(
+      "doc_id", "source", "text")
+    val out = Pipeline.curationFunnel(train, bench,
+        "doc_id", "text", "source", minWords = 5, shingleN = 3)
+      .orderBy("source")
+      .select("source", "n_input", "n_quality", "n_canonical", "n_kept",
+        "kept_tokens", "kept_ppm")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("A", 4L, 3L, 2L, 1L, 6L, 250000L),
+      ("B", 1L, 1L, 1L, 1L, 6L, 1000000L)))
+  }
 }
