@@ -776,4 +776,68 @@ class PlanAuditSpec extends SparkSpec {
       }
     }
   }
+
+  test("td_containment: no cartesian product; raw text never shuffles") {
+    audited(graft.queries.TrainingDataDedup.td_containment.fn(spark, dir)) { df =>
+      val plan = df.queryExecution.executedPlan
+      val cart = plan.collect {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      }
+      assert(cart.isEmpty, s"containment mining degenerated to all-pairs:\n$plan")
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      exchanges.foreach { e =>
+        assert(!e.output.map(_.name).contains("text"),
+          s"containment shuffles raw text (shingle sets should):\n$plan")
+      }
+    }
+  }
+
+  test("td_curation_funnel: benchmark shingles broadcast; no cartesian") {
+    audited(graft.queries.TrainingDataDedup.td_curation_funnel.fn(spark, dir)) { df =>
+      val plan = df.queryExecution.executedPlan
+      val cart = plan.collect {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      }
+      assert(cart.isEmpty, s"funnel has a cartesian stage:\n$plan")
+      val bhj = plan.collect { case b: BroadcastHashJoinExec => b }
+      assert(bhj.nonEmpty,
+        s"benchmark shingle set not broadcast onto the corpus:\n$plan")
+    }
+  }
+
+  test("td_ivf_balance: 1-row totals broadcast; balance agg is map-side partial") {
+    audited(graft.queries.TrainingDataAnn.td_ivf_balance.fn(spark, dir)) { df =>
+      val plan = df.queryExecution.executedPlan
+      val cart = plan.collect {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      }
+      assert(cart.isEmpty,
+        s"totals joined via cartesian instead of broadcast:\n$plan")
+      val bnlj = plan.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+      }
+      assert(bnlj.nonEmpty, s"1-row total/max table not broadcast:\n$plan")
+    }
+  }
+
+  test("td_token_fertility: one corpus aggregate, raw text never shuffles") {
+    audited(graft.queries.TrainingDataText.td_token_fertility.fn(spark, dir)) { df =>
+      val plan = df.queryExecution.executedPlan
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      exchanges.foreach { e =>
+        assert(!e.output.map(_.name).contains("text"),
+          s"fertility shuffles raw text (counts are per-row narrow):\n$plan")
+      }
+      val partials = plan.collect {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec
+          if a.aggregateExpressions.exists(_.mode ==
+            org.apache.spark.sql.catalyst.expressions.aggregate.Partial) => a
+      }
+      assert(partials.nonEmpty, s"fertility aggregate not partial:\n$plan")
+    }
+  }
 }
