@@ -109,6 +109,20 @@ object Dedup {
       array_min(transform(shingleSet, s => xxhash64(s, lit(seed))))
     }: _*)
 
+  /** md5-derived sibling of [[minhashSignature]] (the portable-hash
+    * discipline of td_simhash_md5/td_ann_lsh_md5): hash function j is
+    * the first 60 bits of md5("j|shingle"), so a SQL oracle can
+    * recompute every signature bit-for-bit. Same estimator quality —
+    * the only difference is the hash family. Use the xxhash64 form in
+    * production (one fused codegen call per shingle vs an md5 string
+    * round-trip). */
+  def minhashSignatureMd5(shingleSet: Column, numHashes: Int = 32): Column =
+    array((0 until numHashes).map { j =>
+      array_min(transform(shingleSet, s =>
+        conv(substring(md5(concat_ws("|", lit(j.toString), s)), 1, 15),
+          16, 10).cast("long")))
+    }: _*)
+
   /** (band, bucket) generator for a signature column: one row per
     * band, bucket = xxhash64 of that band's signature slice. The ONE
     * definition of the banding scheme — shared by the doc-level and

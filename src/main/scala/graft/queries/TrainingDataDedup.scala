@@ -761,6 +761,95 @@ object TrainingDataDedup {
       FROM j GROUP BY 1 ORDER BY doc_id"""))
 
 
+  /** MinHash ESTIMATION-ERROR report — "measure, don't guess" for the
+    * sketch itself: on planted (original, tailed-copy) pairs, the
+    * 32-hash md5 minhash estimate of Jaccard vs the exact value, in
+    * ppm. The report quantifies the sketch error an LSH dedup run
+    * actually carries (the number that justifies numHashes/band
+    * choices); signatures use [[Dedup.minhashSignatureMd5]] so DuckDB
+    * recomputes them bit-for-bit. Estimates and exact values are both
+    * integer ppm — hash-green, no float tolerance. */
+  val td_minhash_error = GraftQuery(
+    "td_minhash_error",
+    (s, dir) => {
+      val base = Tables.documents(s, dir)
+        .filter(col("doc_id") < 120 && length(trim(col("text"))) > 0)
+      val orig = base.filter(pmod(col("doc_id"), lit(4)) === 0)
+        .select(col("doc_id").as("id_a"),
+          Dedup.shingles(col("text"), 3).as("sh_a"))
+      val copy = base.filter(pmod(col("doc_id"), lit(4)) === 0)
+        .select(col("doc_id").as("id_a"),
+          Dedup.shingles(
+            concat(col("text"), lit(" xtra tail wrds end")), 3).as("sh_b"))
+      orig.join(copy, Seq("id_a"))
+        .select(col("id_a"), (col("id_a") + 1000000L).as("id_b"),
+          Dedup.minhashSignatureMd5(col("sh_a"), 32).as("sig_a"),
+          Dedup.minhashSignatureMd5(col("sh_b"), 32).as("sig_b"),
+          col("sh_a"), col("sh_b"))
+        .withColumn("matches",
+          size(filter(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => x - y), v => v === 0)).cast("long"))
+        .withColumn("n_inter",
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+        .withColumn("n_union",
+          size(array_union(col("sh_a"), col("sh_b"))).cast("long"))
+        .select(col("id_a"), col("id_b"),
+          expr("matches * 1000000 div 32").as("est_ppm"),
+          expr("n_inter * 1000000 div n_union").as("exact_ppm"),
+          expr("abs(matches * 1000000 div 32 -" +
+            " n_inter * 1000000 div n_union)").as("err_ppm"))
+        .orderBy(col("id_a"))
+    },
+    Some("""WITH base AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id < 120 AND length(trim(text)) > 0 AND doc_id % 4 = 0),
+    v AS (
+      SELECT doc_id, text AS ta, text || ' xtra tail wrds end' AS tb
+      FROM base),
+    sh AS (
+      SELECT doc_id,
+        CASE WHEN len(sa) < 3 THEN [array_to_string(sa, ' ')]
+             ELSE list_distinct(list_transform(range(1, len(sa)-1),
+                    i -> sa[i] || ' ' || sa[i+1] || ' ' || sa[i+2])) END AS s_a,
+        CASE WHEN len(sb) < 3 THEN [array_to_string(sb, ' ')]
+             ELSE list_distinct(list_transform(range(1, len(sb)-1),
+                    i -> sb[i] || ' ' || sb[i+1] || ' ' || sb[i+2])) END AS s_b
+      FROM (SELECT doc_id,
+              string_split_regex(trim(ta), '\s+') AS sa,
+              string_split_regex(trim(tb), '\s+') AS sb FROM v)),
+    sig AS (
+      SELECT doc_id, j,
+        MIN(CAST(('0x' || substring(md5(CAST(j AS VARCHAR) || '|' || ga),
+          1, 15)) AS BIGINT)) AS ha
+      FROM (SELECT doc_id, unnest(s_a) AS ga FROM sh), range(0, 32) r(j)
+      GROUP BY doc_id, j),
+    sigb AS (
+      SELECT doc_id, j,
+        MIN(CAST(('0x' || substring(md5(CAST(j AS VARCHAR) || '|' || gb),
+          1, 15)) AS BIGINT)) AS hb
+      FROM (SELECT doc_id, unnest(s_b) AS gb FROM sh), range(0, 32) r(j)
+      GROUP BY doc_id, j),
+    est AS (
+      SELECT a.doc_id,
+        CAST(SUM(CASE WHEN a.ha = b.hb THEN 1 ELSE 0 END) AS BIGINT)
+          AS matches
+      FROM sig a JOIN sigb b ON a.doc_id = b.doc_id AND a.j = b.j
+      GROUP BY a.doc_id),
+    ex AS (
+      SELECT doc_id,
+        CAST(len(list_filter(s_a, x -> list_contains(s_b, x)))
+          AS BIGINT) AS n_inter,
+        CAST(len(list_distinct(list_concat(s_a, s_b)))
+          AS BIGINT) AS n_union
+      FROM sh)
+    SELECT e.doc_id AS id_a, e.doc_id + 1000000 AS id_b,
+      CAST(matches * 1000000 // 32 AS BIGINT) AS est_ppm,
+      CAST(n_inter * 1000000 // n_union AS BIGINT) AS exact_ppm,
+      CAST(abs(matches * 1000000 // 32 - n_inter * 1000000 // n_union)
+        AS BIGINT) AS err_ppm
+    FROM est e JOIN ex USING (doc_id) ORDER BY id_a"""))
+
+
   /** EXACT n-gram Jaccard near-dup pairs via prefix-filtered
     * candidates ([[Dedup.ngramJaccardSimilar]]) — the deterministic
     * sibling of [[td_minhash_neardup]]: same corpus, same brute-force

@@ -408,4 +408,71 @@ object TrainingDataSketch {
       FROM kept GROUP BY 1, 2
       ORDER BY source_a, source_b"""))
 
+
+  /** Join-size estimation accuracy sweep
+    * ([[graft.ops.Sketches.joinSizeEstimate]]): the
+    * lineitem ⋈ orders cardinality estimated at three histogram
+    * widths vs the exact join count, with the over-estimate error in
+    * ppm — demonstrating the estimator's convergence as buckets grow
+    * (the planner picks a width by error budget). All integer
+    * arithmetic; the md5 bucket is the oracled F1 route. */
+  val td_join_estimate = GraftQuery(
+    "td_join_estimate",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val ord = Tables.orders(s, dir)
+      val ests = Seq(16, 256, 4096)
+        .map(b => Sketches.joinSizeEstimate(
+          li, col("l_orderkey"), ord, col("o_orderkey"), b))
+        .reduce(_ unionByName _)
+      val exact = li.join(ord,
+          col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("exact_rows"))
+      ests.crossJoin(broadcast(exact))
+        .withColumn("err_ppm",
+          expr("(est_rows - exact_rows) * 1000000 div exact_rows"))
+        .orderBy(col("buckets"))
+    },
+    Some("""WITH
+      a16 AS (
+        SELECT CAST(('0x' || substring(md5(CAST(l_orderkey AS VARCHAR)),
+          1, 8)) AS BIGINT) % 16 AS b, COUNT(*) AS na
+        FROM lineitem GROUP BY 1),
+      b16 AS (
+        SELECT CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)),
+          1, 8)) AS BIGINT) % 16 AS b, COUNT(*) AS nb
+        FROM orders GROUP BY 1),
+      a256 AS (
+        SELECT CAST(('0x' || substring(md5(CAST(l_orderkey AS VARCHAR)),
+          1, 8)) AS BIGINT) % 256 AS b, COUNT(*) AS na
+        FROM lineitem GROUP BY 1),
+      b256 AS (
+        SELECT CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)),
+          1, 8)) AS BIGINT) % 256 AS b, COUNT(*) AS nb
+        FROM orders GROUP BY 1),
+      a4096 AS (
+        SELECT CAST(('0x' || substring(md5(CAST(l_orderkey AS VARCHAR)),
+          1, 8)) AS BIGINT) % 4096 AS b, COUNT(*) AS na
+        FROM lineitem GROUP BY 1),
+      b4096 AS (
+        SELECT CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)),
+          1, 8)) AS BIGINT) % 4096 AS b, COUNT(*) AS nb
+        FROM orders GROUP BY 1),
+      u AS (
+        SELECT 16 AS buckets, CAST(SUM(na * nb) AS BIGINT) AS est_rows
+        FROM a16 JOIN b16 USING (b)
+        UNION ALL
+        SELECT 256, CAST(SUM(na * nb) AS BIGINT)
+        FROM a256 JOIN b256 USING (b)
+        UNION ALL
+        SELECT 4096, CAST(SUM(na * nb) AS BIGINT)
+        FROM a4096 JOIN b4096 USING (b)),
+      ex AS (
+        SELECT COUNT(*) AS exact_rows
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+      SELECT buckets, est_rows, exact_rows,
+        CAST((est_rows - exact_rows) * 1000000 // exact_rows AS BIGINT)
+          AS err_ppm
+      FROM u, ex ORDER BY buckets"""))
+
 }

@@ -159,6 +159,26 @@ class OpsSpec extends SparkSpec {
     assert(fast == brute)
   }
 
+  test("minhashSignatureMd5: identical sets match everywhere; estimate tracks Jaccard") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l m n o p"),
+      (2L, "a b c d e f g h i j k l m n o p"), // identical → 32/32
+      (3L, "a b c d e f g h i j k l zz yy xx ww")) // ~asymmetric overlap
+      .toDF("id", "text")
+    val sigs = docs.select(col("id"),
+        Dedup.shingles(col("text"), 3).as("sh"))
+      .withColumn("sig", Dedup.minhashSignatureMd5(col("sh"), 32))
+    val m = sigs.select("id", "sig").as[(Long, Seq[Long])]
+      .collect().map { case (i, s) => i -> s }.toMap
+    assert(m(1L) == m(2L), "identical sets must have identical signatures")
+    val matches13 = m(1L).zip(m(3L)).count { case (x, y) => x == y }
+    // exact jaccard of the 3-gram sets is 10/18 ≈ 0.556; a 32-hash
+    // estimate is deterministic for fixed inputs — assert it lands in
+    // a generous band around the true value
+    assert(matches13 > 6 && matches13 < 26,
+      s"estimate implausibly far from exact: $matches13/32")
+  }
+
   test("containmentPairs catches the quote-inclusion pair Jaccard misses") {
     // a 6-token quote embedded verbatim in a 60-token host: containment
     // = 1.0 but jaccard ≈ 4/58 — invisible to any symmetric threshold
