@@ -108,7 +108,15 @@ object PlanDump {
     "ev_markov" ->
       "Markov transition matrix: ONE entity-keyed Exchange feeds the lead window; pair counts collapse (map-side partial) to ≤|types|² rows before the per-from-type total window runs over that tiny set — transition PPM is exact integer div, and the event table never shuffles twice.",
     "td_cooccurrence" ->
-      "Frequent co-occurrence mining: the Apriori property as a plan shape — the vocab-sized document-frequency table BROADCASTS to filter each doc's token set BEFORE the doc-keyed pair self-join, so pair fan-out is C(frequent tokens in doc, 2) and no exchange ever carries raw text; pair counts and the lift's df terms are vocab-bounded broadcasts.")
+      "Frequent co-occurrence mining: the Apriori property as a plan shape — the vocab-sized document-frequency table BROADCASTS to filter each doc's token set BEFORE the doc-keyed pair self-join, so pair fan-out is C(frequent tokens in doc, 2) and no exchange ever carries raw text; pair counts and the lift's df terms are vocab-bounded broadcasts.",
+    "td_containment" ->
+      "Asymmetric near-containment mining: the prefix filter applies to the CONTAINED side only (containment is one-sided), and ordering the prefix by ascending df makes the candidate equi-join key on the RAREST shingles — the same one exploded-corpus exchange the df window already pays; the verify join is bounded by candidates and shuffles shingle sets, never raw text (PlanAuditSpec asserts no cartesian and no text through exchanges).",
+    "td_curation_funnel" ->
+      "End-to-end curation funnel (quality -> exact dedup -> decontam in ONE plan): the corpus is scanned once (localCheckpoint pins the shared base), dedup is one md5-keyed exchange, the benchmark shingle set BROADCASTS into the contamination probe, and the per-source funnel counts are map-side-partial sums — composition adds no driver round-trips and no second corpus-sized shuffle.",
+    "td_join_estimate" ->
+      "Histogram join-size estimation: each side collapses to `buckets` rows via ONE map-side-combinable count aggregate keyed by the md5 route — the planner learns the join cardinality from two column scans; the bucket-product join and the exact-count comparison (test-scale only) are the only joins in the plan.",
+    "td_token_fertility" ->
+      "Tokenizer fertility by (source, lang): BPE token counts are a narrow codegen pass (the same expression td_bpe_encode oracles), then one partial-aggregate exchange of (source, lang) groups — per-token work never crosses the wire and raw text never shuffles (PlanAuditSpec asserts both).")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")

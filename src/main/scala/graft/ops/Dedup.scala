@@ -1003,7 +1003,37 @@ object Dedup {
         col("n_inter").cast("double") / size(col("si")))
       .filter(col("containment") >= threshold)
       .select(col("id_in").as("id_contained"),
-        col("id_out").as("id_container"), col("containment"))
+        col("id_out").as("id_container"),
+        size(col("si")).as("n_sh_contained"),
+        size(col("so")).as("n_sh_container"),
+        col("containment"))
+  }
+
+  /** The dedup ACTION for [[containmentPairs]]: drop every document
+    * that is ≥ `threshold` contained in a STRICTLY DOMINANT other —
+    * dominant = larger shingle set, tie broken on lower id, so an
+    * identical pair keeps exactly its lowest id (never both, never
+    * neither) and a quote always loses to its host. Deterministic,
+    * order-free, single-pass over the mined pairs: the drop set is
+    * one narrow filter + distinct over pair rows, then one left-anti
+    * join back — no components, no iteration (containment into a
+    * dominant doc is a directed edge into a strictly greater
+    * (size, -id) key, so "drop if any such edge exists" needs no
+    * transitive closure).
+    *
+    * @return the surviving rows of `docs`, all columns intact.
+    */
+  def dropContained(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8,
+      minShingles: Int = 4): DataFrame = {
+    val drops = containmentPairs(docs, idCol, textCol, n, threshold,
+        minShingles)
+      .filter(col("n_sh_container") > col("n_sh_contained") ||
+        (col("n_sh_container") === col("n_sh_contained") &&
+          col("id_container") < col("id_contained")))
+      .select(col("id_contained").as(idCol))
+      .distinct()
+    docs.join(drops, Seq(idCol), "left_anti")
   }
 
   /** Exact duplicated-span coverage per document — the substring-level

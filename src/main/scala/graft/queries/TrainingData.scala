@@ -24,7 +24,7 @@ object TrainingData {
     td_text_stats, td_lang_id, td_lang_purity, td_text_hygiene, td_fingerprint, td_dedup_exact, td_dup_profile,
     td_char_jaccard, td_cosine_topk, td_minhash_neardup,
     td_incremental_neardup, td_source_neardup, td_ngram_jaccard,
-    td_containment, td_minhash_error,
+    td_containment, td_containment_dedup, td_minhash_error,
     td_dup_spans, td_dup_span_removal, td_lm_bigram, td_gopher_quality,
     td_source_cap, td_fold_accents, td_edit_neardup, td_fuzzy_decontam,
     td_line_repetition, td_c4_clean, td_blocklist_scrub,

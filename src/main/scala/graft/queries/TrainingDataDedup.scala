@@ -943,14 +943,82 @@ object TrainingDataDedup {
              ELSE list_distinct(list_transform(range(1, len(t)-1),
                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS s
       FROM tok)
-    SELECT id_contained, id_container, containment FROM (
+    SELECT id_contained, id_container, n_sh_contained, n_sh_container,
+      containment
+    FROM (
       SELECT a.doc_id AS id_contained, b.doc_id AS id_container,
+        CAST(len(a.s) AS INTEGER) AS n_sh_contained,
+        CAST(len(b.s) AS INTEGER) AS n_sh_container,
         CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)
           / len(a.s) AS containment
       FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
       WHERE len(a.s) >= 4)
     WHERE containment >= 0.75
     ORDER BY id_contained, id_container"""))
+
+
+  /** The containment dedup ACTION ([[Dedup.dropContained]]): survivors
+    * after dropping docs ≥ 0.75-contained in a strictly dominant
+    * other (larger shingle set, tie on lower id — an identical pair
+    * keeps exactly its lowest id). Same planted corpus as
+    * td_containment: the +2e6/+3e6 slices must vanish, their hosts
+    * must survive. */
+  val td_containment_dedup = GraftQuery(
+    "td_containment_dedup",
+    (s, dir) => {
+      val base = Tables.documents(s, dir).filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("text"))
+      val toks = split(trim(col("text")), "\\s+")
+      val half = array_join(
+        slice(toks, lit(1), (size(toks) / 2).cast("int")), " ")
+      val plantable = base.filter(
+        length(trim(col("text"))) > 0 && size(toks) >= 8)
+      val full = plantable.filter(pmod(col("doc_id"), lit(6)) === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), half.as("text"))
+      val partial = plantable.filter(pmod(col("doc_id"), lit(9)) === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(half, lit(" qq zz extra tail")).as("text"))
+      val corpus = base.unionByName(full).unionByName(partial)
+      Dedup.dropContained(corpus, "doc_id", "text", n = 3,
+          threshold = 0.75, minShingles = 4)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH base AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 200),
+    tok0 AS (
+      SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS t
+      FROM base WHERE length(trim(text)) > 0),
+    plantable AS (SELECT * FROM tok0 WHERE len(t) >= 8),
+    corpus AS (
+      SELECT doc_id, text FROM base
+      UNION ALL
+      SELECT doc_id + 2000000, array_to_string(t[1:len(t)//2], ' ')
+      FROM plantable WHERE doc_id % 6 = 0
+      UNION ALL
+      SELECT doc_id + 3000000,
+        array_to_string(t[1:len(t)//2], ' ') || ' qq zz extra tail'
+      FROM plantable WHERE doc_id % 9 = 0),
+    tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      FROM corpus),
+    sh AS (
+      SELECT doc_id,
+        CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+             ELSE list_distinct(list_transform(range(1, len(t)-1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS s
+      FROM tok),
+    drops AS (
+      SELECT DISTINCT a.doc_id
+      FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+      WHERE len(a.s) >= 4
+        AND CAST(len(list_filter(a.s, x -> list_contains(b.s, x)))
+              AS DOUBLE) / len(a.s) >= 0.75
+        AND (len(b.s) > len(a.s)
+          OR (len(b.s) = len(a.s) AND b.doc_id < a.doc_id)))
+    SELECT doc_id FROM corpus
+    WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+    ORDER BY doc_id"""))
 
 
   /** Duplicated-n-gram span coverage (word-level substring-dedup

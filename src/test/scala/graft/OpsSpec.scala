@@ -159,6 +159,40 @@ class OpsSpec extends SparkSpec {
     assert(fast == brute)
   }
 
+  test("dropContained: quote dropped, host kept, identical pair keeps lowest id") {
+    val host = "w1 w2 w3 w4 w5 w6 w7 w8 alpha beta gamma delta epsilon zeta " +
+      "v1 v2 v3 v4 v5 v6 v7 v8"
+    val docs = Seq(
+      (1L, host),
+      (2L, "alpha beta gamma delta epsilon zeta"), // quote → dropped
+      (3L, "island text unrelated to all others fully"), // survives
+      (4L, "twin copy of this exact sentence here now"),
+      (5L, "twin copy of this exact sentence here now")) // 4 kept, 5 dropped
+      .toDF("doc_id", "text")
+    val kept = graft.ops.Dedup.dropContained(docs, "doc_id", "text",
+        n = 3, threshold = 0.8, minShingles = 3)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(kept == Seq(1L, 3L, 4L), s"wrong survivors: $kept")
+  }
+
+  test("joinSizeEstimate: upper bound always, exact when buckets dominate keys") {
+    val rnd = new scala.util.Random(31)
+    val left = (0 until 400).map(_ => rnd.nextInt(40).toLong).toDF("k")
+    val right = (0 until 300).map(_ => rnd.nextInt(40).toLong).toDF("k")
+    val exact = left.as("l").join(right.as("r"),
+      col("l.k") === col("r.k")).count()
+    for (b <- Seq(4, 16, 4096)) {
+      val est = graft.ops.Sketches.joinSizeEstimate(
+        left, col("k"), right, col("k"), b)
+        .select("est_rows").as[Long].head()
+      assert(est >= exact, s"buckets=$b: estimate $est below exact $exact")
+      // 4096 buckets over 40 keys: md5 collisions across 40 keys are
+      // possible but did not occur for this fixed seed — the estimate
+      // is exact (pinned: a collision would show as est > exact)
+      if (b == 4096) assert(est == exact, s"est $est != exact $exact")
+    }
+  }
+
   test("minhashSignatureMd5: identical sets match everywhere; estimate tracks Jaccard") {
     val docs = Seq(
       (1L, "a b c d e f g h i j k l m n o p"),
