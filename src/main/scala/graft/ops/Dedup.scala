@@ -67,6 +67,44 @@ object Dedup {
           e => e.getField("line"))).as("cleaned"))
   }
 
+  /** Per-source dedup ROI — "which source do I dedup FIRST?": token
+    * mass each source would shed under global exact dedup (its docs
+    * that are non-canonical copies of anything in the corpus,
+    * including cross-source copies — the canonical owner keeps the
+    * tokens, every other holder counts them as savings). The ranking
+    * signal that orders a 100 TB dedup campaign by payoff before any
+    * expensive near-dup pass runs.
+    *
+    * Scale shape: one narrow pass for (fp, tokens), ONE md5-keyed
+    * shuffle for the canonical winner (min-aggregate, map-side
+    * combinable — [[exact]]'s shape), then the |fp| winner table
+    * equi-joins back and per-source sums combine map-side. No pair
+    * join, no text through any exchange.
+    *
+    * @return (source, n_docs, n_dup_docs, total_tokens, dup_tokens,
+    *         savings_ppm) — savings_ppm = dup_tokens·10⁶ div
+    *         max(total_tokens, 1).
+    */
+  def dedupRoi(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String): DataFrame = {
+    val base = docs.select(col(idCol).as("id"),
+        col(sourceCol).as("source"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_words"),
+        TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .localCheckpoint(eager = false)
+    val winners = base.groupBy(col("fp")).agg(min(col("id")).as("keep_id"))
+    base.join(winners, Seq("fp"))
+      .withColumn("is_dup", col("id") =!= col("keep_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_docs"),
+        sum(col("n_words")).as("total_tokens"),
+        sum(when(col("is_dup"), col("n_words")).otherwise(0L))
+          .as("dup_tokens"))
+      .withColumn("savings_ppm",
+        expr("dup_tokens * 1000000 div greatest(total_tokens, 1)"))
+  }
+
   /** Exact dedup: keep the lowest id per content key (default: the
     * whitespace/case-normalized md5 fingerprint; pass e.g.
     * `t => md5(TextAnalysis.canonicalize(t))` for

@@ -1293,6 +1293,48 @@ object TrainingDataDedup {
       FROM corpus c LEFT JOIN g USING (doc_id) ORDER BY doc_id"""))
 
 
+  /** Per-source dedup ROI ([[Dedup.dedupRoi]]): token savings each
+    * source realizes under global exact dedup, with planted
+    * cross-source copies (every doc_id % 13 re-hosted verbatim under
+    * source 'mirror' at +5e6) so the mirror source's mass is pure
+    * savings and original sources keep canonicals. The dedup-campaign
+    * ordering signal; exact integer ppm. */
+  val td_dedup_roi = GraftQuery(
+    "td_dedup_roi",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("text"))
+      val corpus = docs.unionByName(
+        docs.filter(pmod(col("doc_id"), lit(13)) === 0)
+          .select((col("doc_id") + 5000000L).as("doc_id"),
+            lit("mirror").as("source"), col("text")))
+      Dedup.dedupRoi(corpus, "doc_id", "text", "source")
+        .orderBy(col("source"))
+    },
+    Some("""WITH corpus AS (
+        SELECT doc_id, source, text FROM documents
+        UNION ALL
+        SELECT doc_id + 5000000, 'mirror', text FROM documents
+        WHERE doc_id % 13 = 0),
+      base AS (
+        SELECT doc_id, source,
+          CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(string_split_regex(trim(text), '\s+')) END AS n_words,
+          md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+        FROM corpus),
+      winners AS (SELECT fp, MIN(doc_id) AS keep_id FROM base GROUP BY fp)
+      SELECT source, COUNT(*) AS n_docs,
+        CAST(SUM(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_dup_docs,
+        CAST(SUM(n_words) AS BIGINT) AS total_tokens,
+        CAST(SUM(CASE WHEN doc_id <> keep_id THEN n_words ELSE 0 END)
+          AS BIGINT) AS dup_tokens,
+        CAST(SUM(CASE WHEN doc_id <> keep_id THEN n_words ELSE 0 END)
+          * 1000000 // greatest(SUM(n_words), 1) AS BIGINT) AS savings_ppm
+      FROM base JOIN winners USING (fp)
+      GROUP BY source ORDER BY source"""))
+
+
   /** Benchmark decontamination: corpus docs sharing any word 3-gram
     * with the "benchmark" subset (doc_id % 97 = 0), with the count of
     * distinct shared shingles. */

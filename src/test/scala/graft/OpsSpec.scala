@@ -159,6 +159,21 @@ class OpsSpec extends SparkSpec {
     assert(fast == brute)
   }
 
+  test("dedupRoi: dup holders pay, canonical owners keep their tokens") {
+    val docs = Seq(
+      (1L, "A", "x y z"), (2L, "A", "x y z"), // d2 is the dup holder
+      (3L, "B", "a b c d"), (4L, "B", "x y z")) // cross-source copy
+      .toDF("doc_id", "source", "text")
+    val r = graft.ops.Dedup.dedupRoi(docs, "doc_id", "text", "source")
+      .orderBy("source")
+      .select("source", "n_docs", "n_dup_docs", "total_tokens",
+        "dup_tokens", "savings_ppm")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(r == Seq(
+      ("A", 2L, 1L, 6L, 3L, 500000L),
+      ("B", 2L, 1L, 7L, 3L, 428571L)))
+  }
+
   test("dropContained: quote dropped, host kept, identical pair keeps lowest id") {
     val host = "w1 w2 w3 w4 w5 w6 w7 w8 alpha beta gamma delta epsilon zeta " +
       "v1 v2 v3 v4 v5 v6 v7 v8"
