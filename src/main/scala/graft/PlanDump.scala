@@ -116,7 +116,11 @@ object PlanDump {
     "td_join_estimate" ->
       "Histogram join-size estimation: each side collapses to `buckets` rows via ONE map-side-combinable count aggregate keyed by the md5 route — the planner learns the join cardinality from two column scans; the bucket-product join and the exact-count comparison (test-scale only) are the only joins in the plan.",
     "td_token_fertility" ->
-      "Tokenizer fertility by (source, lang): BPE token counts are a narrow codegen pass (the same expression td_bpe_encode oracles), then one partial-aggregate exchange of (source, lang) groups — per-token work never crosses the wire and raw text never shuffles (PlanAuditSpec asserts both).")
+      "Tokenizer fertility by (source, lang): BPE token counts are a narrow codegen pass (the same expression td_bpe_encode oracles), then one partial-aggregate exchange of (source, lang) groups — per-token work never crosses the wire and raw text never shuffles (PlanAuditSpec asserts both).",
+    "td_dedup_roi" ->
+      "Per-source dedup ROI: the narrow pass collapses text to (fingerprint, token count) before ANY exchange, the canonical winner is a map-side-combinable min over the md5 key, and the winner table equi-joins back by fingerprint — per-source savings sums combine map-side; the campaign-ordering report costs exactly one corpus-keyed shuffle of 25-byte rows.",
+    "td_containment_dedup" ->
+      "Containment dedup action: the mined pair set (already bounded by the one-sided prefix filter) collapses to a distinct drop-id set via one filter — dominance (larger shingle set, tie on id) needs no transitive closure — and survivors emerge from a single left-anti join; no iteration, no components.")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
