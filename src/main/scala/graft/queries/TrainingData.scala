@@ -14,6 +14,7 @@ import org.apache.spark.sql.functions._
 object TrainingData {
   import TrainingDataText._
   import TrainingDataDedup._
+  import TrainingDataCuration._
   import TrainingDataAnn._
   import TrainingDataSampling._
   import TrainingDataSketch._

@@ -778,7 +778,7 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("td_containment: no cartesian product; raw text never shuffles") {
-    audited(graft.queries.TrainingDataDedup.td_containment.fn(spark, dir)) { df =>
+    audited(graft.queries.TrainingDataCuration.td_containment.fn(spark, dir)) { df =>
       val plan = df.queryExecution.executedPlan
       val cart = plan.collect {
         case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
@@ -795,7 +795,7 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("td_curation_funnel: benchmark shingles broadcast; no cartesian") {
-    audited(graft.queries.TrainingDataDedup.td_curation_funnel.fn(spark, dir)) { df =>
+    audited(graft.queries.TrainingDataCuration.td_curation_funnel.fn(spark, dir)) { df =>
       val plan = df.queryExecution.executedPlan
       val cart = plan.collect {
         case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
