@@ -319,4 +319,46 @@ object EventAnalytics {
           (col("n") * col("q") - col("s") * col("s")), lit(1))
           .otherwise(lit(0)).as("anomalous"))
   }
+
+  /** Inter-arrival time profile per event type — a power-of-two
+    * (log₂) histogram of the gap, in seconds, between consecutive
+    * events of the same entity, attributed to the LATER event's type:
+    * the latency fingerprint that separates human cadence
+    * (seconds–minutes buckets) from bots/batch jobs (sub-second
+    * spikes, metronome buckets) and feeds session-timeout choice.
+    * Bucket = smallest power of two ≥ gap (0 and 1 s are their own
+    * buckets) — exact integer arithmetic end to end, so the whole
+    * histogram is oracle-checkable.
+    *
+    * Scale shape: ONE entity-keyed exchange feeds the lag window
+    * (the [[EventAnalytics]] family's shape); gaps collapse map-side
+    * to ≤ |types|·64 histogram rows, and the per-type total for the
+    * share joins back from that tiny aggregate — raw events shuffle
+    * exactly once.
+    *
+    * @return (event_type, bucket_s, n, share_ppm) — share_ppm =
+    *         n·10⁶ div type total.
+    */
+  def interArrival(events: DataFrame, entityCol: String, tsCol: String,
+      typeCol: String, idCol: String): DataFrame = {
+    val byEntity = Window.partitionBy(col(entityCol))
+      .orderBy(unix_micros(col(tsCol)), col(idCol))
+    val gaps = events
+      .withColumn("__prev", lag(unix_micros(col(tsCol)), 1).over(byEntity))
+      .filter(col("__prev").isNotNull)
+      .withColumn("g",
+        ((unix_micros(col(tsCol)) - col("__prev")) / lit(1000000L))
+          .cast("long"))
+      .withColumn("bucket_s",
+        when(col("g") <= 0, lit(0L))
+          .when(col("g") === 1, lit(1L))
+          .otherwise(expr("shiftleft(1L, length(bin(g - 1)))")))
+    val hist = gaps.groupBy(col(typeCol).as("event_type"), col("bucket_s"))
+      .agg(count(lit(1)).as("n"))
+    val totals = hist.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("tot"))
+    hist.join(totals, Seq("event_type"))
+      .select(col("event_type"), col("bucket_s"), col("n"),
+        expr("n * 1000000 div tot").as("share_ppm"))
+  }
 }

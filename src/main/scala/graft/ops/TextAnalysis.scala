@@ -675,4 +675,33 @@ object TextAnalysis {
         transform(sequence(lit(0), lit(dim - 1)),
           i => coalesce(element_at(col("m"), i), lit(0L)).cast("double"))
           .as("tf_vec"))
+
+  /** Per-group vocabulary richness — type-token ratio and hapax share
+    * in exact integer ppm: the cheap templated/spam detector (machine-
+    * generated or boilerplate-stuffed sources repeat a tiny vocabulary
+    * → low TTR, low hapax share; natural text keeps minting one-off
+    * words). One (group, word)-keyed shuffle with map-side combine,
+    * then a |vocab|-sized collapse — token rows never reach the
+    * driver and the second aggregate's input is already vocabulary-
+    * bounded.
+    *
+    * @return (group, n_tokens, n_types, n_hapax, ttr_ppm, hapax_ppm)
+    *         — ttr_ppm = types·10⁶ div max(tokens, 1); hapax_ppm =
+    *         hapax·10⁶ div max(types, 1).
+    */
+  def vocabRichness(docs: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val wc = docs
+      .select(col(groupCol).as("group"),
+        explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("group"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    wc.groupBy(col("group"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("group"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        expr("n_types * 1000000 div greatest(n_tokens, 1)").as("ttr_ppm"),
+        expr("n_hapax * 1000000 div greatest(n_types, 1)").as("hapax_ppm"))
+  }
 }

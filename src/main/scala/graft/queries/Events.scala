@@ -386,8 +386,42 @@ object Events {
              AS BIGINT) AS ppm
       FROM t ORDER BY from_type, to_type"""))
 
+  /** Inter-arrival time profile
+    * ([[graft.ops.EventAnalytics.interArrival]]): log₂ histogram of
+    * same-user gaps per event type with exact-ppm shares — the
+    * cadence fingerprint (bots spike in the 0–1 s buckets, humans in
+    * the minutes decades) that picks session timeouts. One
+    * entity-keyed exchange, map-side histogram collapse. */
+  val ev_interarrival = GraftQuery(
+    "ev_interarrival",
+    (s, dir) => {
+      graft.ops.EventAnalytics.interArrival(
+          Tables.events(s, dir), "user_id", "ts", "event_type", "event_id")
+        .orderBy(col("event_type"), col("bucket_s"))
+    },
+    Some("""WITH e AS (
+        SELECT event_type, EPOCH_US(ts) AS us, user_id, event_id
+        FROM events),
+      g AS (
+        SELECT event_type,
+          (us - lag(us) OVER (
+            PARTITION BY user_id ORDER BY us, event_id)) // 1000000
+            AS gap
+        FROM e),
+      b AS (
+        SELECT event_type,
+          CASE WHEN gap <= 0 THEN 0 WHEN gap = 1 THEN 1
+               ELSE CAST(1 AS BIGINT)
+                 << length(bin(CAST(gap - 1 AS BIGINT))) END AS bucket_s
+        FROM g WHERE gap IS NOT NULL),
+      h AS (SELECT event_type, bucket_s, COUNT(*) AS n FROM b GROUP BY 1, 2),
+      t AS (SELECT event_type, SUM(n) AS tot FROM h GROUP BY 1)
+      SELECT h.event_type, CAST(h.bucket_s AS BIGINT) AS bucket_s, h.n,
+        CAST(h.n * 1000000 // t.tot AS BIGINT) AS share_ppm
+      FROM h JOIN t USING (event_type) ORDER BY event_type, bucket_s"""))
+
   def all: Seq[GraftQuery] = Seq(
     ev_funnel, ev_funnel_counts, ev_retention, ev_gapfill,
     ev_session_funnel, ev_rolling_distinct, ev_rolling_distinct_hll,
-    ev_attribution, ev_paths, ev_anomaly, ev_markov)
+    ev_attribution, ev_paths, ev_anomaly, ev_markov, ev_interarrival)
 }

@@ -22,7 +22,7 @@ object TrainingData {
 
   def all: Seq[GraftQuery] = Seq(
     td_lang_classifier, td_classifier_calibration, td_kmv_quantiles,
-    td_text_stats, td_lang_id, td_lang_purity, td_text_hygiene, td_fingerprint, td_dedup_exact, td_dup_profile, td_dedup_roi,
+    td_text_stats, td_lang_id, td_lang_purity, td_text_hygiene, td_vocab_richness, td_fingerprint, td_dedup_exact, td_dup_profile, td_dedup_roi,
     td_char_jaccard, td_cosine_topk, td_minhash_neardup,
     td_incremental_neardup, td_source_neardup, td_ngram_jaccard,
     td_containment, td_containment_dedup, td_minhash_error,

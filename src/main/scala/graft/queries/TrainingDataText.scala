@@ -593,6 +593,34 @@ object TrainingDataText {
       GROUP BY doc_id ORDER BY doc_id"""))
 
 
+  /** Per-source vocabulary richness
+    * ([[graft.ops.TextAnalysis.vocabRichness]]): type-token ratio and
+    * hapax share in exact integer ppm — the cheap templated/spam
+    * source detector (machine-generated text repeats a tiny
+    * vocabulary). One (source, word) shuffle with map-side combine
+    * then a vocabulary-bounded collapse. */
+  val td_vocab_richness = GraftQuery(
+    "td_vocab_richness",
+    (s, dir) => {
+      TextAnalysis.vocabRichness(
+          Tables.documents(s, dir), "source", "text")
+        .withColumnRenamed("group", "source")
+        .orderBy(col("source"))
+    },
+    Some("""WITH words AS (
+        SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS w
+        FROM documents WHERE length(trim(text)) > 0),
+      wc AS (SELECT source, w, COUNT(*) AS c FROM words GROUP BY 1, 2)
+      SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        COUNT(*) AS n_types,
+        CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        CAST(COUNT(*) * 1000000 // greatest(SUM(c), 1) AS BIGINT)
+          AS ttr_ppm,
+        CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000
+          // greatest(COUNT(*), 1) AS BIGINT) AS hapax_ppm
+      FROM wc GROUP BY source ORDER BY source"""))
+
+
   /** Merge list shared by the BPE queries: common English
     * char-bigram merges, applied in rank order. Fixed literals so the
     * DuckDB oracle can replay the identical replace chain. */

@@ -208,4 +208,22 @@ class EventAnalyticsSpec extends SparkSpec with TableDrivenPropertyChecks {
     // (20−38)² = 324 < 11664
     assert(aFlags.length == 10)
   }
+
+  test("interArrival: gaps bucket to power-of-two seconds, shares exact") {
+    // user 1: a@0, b@1 (gap 1 → bucket 1), a@4 (gap 3 → bucket 4),
+    //         a@4 dup-second via event_id order (gap 0 → bucket 0)
+    // user 2: b@100, b@105 (gap 5 → bucket 8)
+    val df = Seq(
+      (1L, 1L, ts(0), "a"), (2L, 1L, ts(1), "b"),
+      (3L, 1L, ts(4), "a"), (4L, 1L, ts(4), "a"),
+      (5L, 2L, ts(100), "b"), (6L, 2L, ts(105), "b"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val r = EventAnalytics.interArrival(df, "user_id", "ts",
+        "event_type", "event_id")
+      .orderBy("event_type", "bucket_s")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(r == Seq(
+      ("a", 0L, 1L, 500000L), ("a", 4L, 1L, 500000L),
+      ("b", 1L, 1L, 500000L), ("b", 8L, 1L, 500000L)), s"got $r")
+  }
 }

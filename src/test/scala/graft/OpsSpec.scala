@@ -159,6 +159,21 @@ class OpsSpec extends SparkSpec {
     assert(fast == brute)
   }
 
+  test("vocabRichness: TTR and hapax shares are exact per group") {
+    val docs = Seq(
+      ("A", "x x x x y"),   // 5 tokens, 2 types, 1 hapax (y)
+      ("B", "a b c a"))     // 4 tokens, 3 types, 2 hapax (b, c)
+      .toDF("source", "text")
+    val r = TextAnalysis.vocabRichness(docs, "source", "text")
+      .orderBy("group")
+      .select("group", "n_tokens", "n_types", "n_hapax", "ttr_ppm",
+        "hapax_ppm")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(r == Seq(
+      ("A", 5L, 2L, 1L, 400000L, 500000L),
+      ("B", 4L, 3L, 2L, 750000L, 666666L)))
+  }
+
   test("dedupRoi: dup holders pay, canonical owners keep their tokens") {
     val docs = Seq(
       (1L, "A", "x y z"), (2L, "A", "x y z"), // d2 is the dup holder
