@@ -352,4 +352,195 @@ object TrainingDataCuration {
       LEFT JOIN f_c USING (source)
       LEFT JOIN f_k USING (source)
       ORDER BY f_in.source"""))
+
+
+  /** CANONICALIZED benchmark decontamination — the obfuscation-robust
+    * form of td_decontam: shingles are taken over
+    * [[graft.ops.TextAnalysis.canonicalize]]d text (lowercase,
+    * punctuation stripped, whitespace collapsed), so a benchmark
+    * passage that leaked UPPERCASED or with injected punctuation
+    * still matches. Planted twins (+6e6) carry exactly that
+    * obfuscation: uppercased with commas between every word — raw
+    * 3-gram decontam sees zero shared shingles, the canonical form
+    * sees all of them. Same broadcast-benchmark plan shape as
+    * td_decontam; one extra narrow regex pass. */
+  val td_decontam_canonical = GraftQuery(
+    "td_decontam_canonical",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+      val obfuscated = bench
+        .filter(length(trim(col("text"))) > 0)
+        .select((col("doc_id") + 6000000L).as("doc_id"),
+          regexp_replace(upper(col("text")), " ", " , ").as("text"))
+      val corpus = docs.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+        .select(col("doc_id"), col("text"))
+        .unionByName(obfuscated)
+      graft.ops.Dedup.contaminatedDocs(
+          corpus.withColumn("ctext",
+            graft.ops.TextAnalysis.canonicalize(col("text"))),
+          bench.withColumn("ctext",
+            graft.ops.TextAnalysis.canonicalize(col("text"))),
+          "doc_id", "ctext")
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH bench AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+      corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+        UNION ALL
+        SELECT doc_id + 6000000,
+          regexp_replace(upper(text), ' ', ' , ', 'g')
+        FROM bench WHERE length(trim(text)) > 0),
+      ctok AS (
+        SELECT doc_id, string_split_regex(trim(regexp_replace(
+          regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+          '\s+', ' ', 'g')), '\s+') AS t
+        FROM corpus),
+      btok AS (
+        SELECT string_split_regex(trim(regexp_replace(
+          regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+          '\s+', ' ', 'g')), '\s+') AS t
+        FROM bench),
+      csh AS (
+        SELECT doc_id, unnest(
+          CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+               ELSE list_distinct(list_transform(range(1, len(t)-1),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END)
+          AS shingle
+        FROM ctok),
+      bsh AS (
+        SELECT DISTINCT unnest(
+          CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+               ELSE list_distinct(list_transform(range(1, len(t)-1),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END)
+          AS shingle
+        FROM btok)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM csh JOIN bsh USING (shingle)
+      GROUP BY doc_id ORDER BY doc_id"""))
+
+
+  /** LSH operating-point measurement — candidate PRECISION and RECALL
+    * of md5-minhash banding (16 hashes, 4 bands × 4 rows) against the
+    * exact Jaccard-0.8 pair set on a corpus with planted near-copies:
+    * precision says how much verify work the buckets waste, recall
+    * says what the sketch misses — the two numbers that pick a band
+    * configuration. Signatures and buckets are md5-derived
+    * ([[graft.ops.Dedup.minhashSignatureMd5]]), so DuckDB replays the
+    * whole pipeline bit-for-bit; the exact pair set reuses the
+    * lossless prefix-filter miner. */
+  val td_lsh_precision = GraftQuery(
+    "td_lsh_precision",
+    (s, dir) => {
+      val d0 = Tables.documents(s, dir).filter(col("doc_id") < 150)
+      // near-copies (high jaccard, should verify) + borderline copies
+      // (a 12-word tail pushes jaccard under 0.8 for most docs: bucket
+      // collisions that FAIL verify → measurable precision < 1)
+      val corpus = d0
+        .unionByName(d0.filter(pmod(col("doc_id"), lit(5)) === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L)
+          .withColumn("text", concat(col("text"), lit(" xtra wrds"))))
+        .unionByName(d0.filter(pmod(col("doc_id"), lit(7)) === 0)
+          .withColumn("doc_id", col("doc_id") + 2000000L)
+          .withColumn("text", concat(col("text"),
+            lit(" b1 b2 b3 b4 b5 b6 b7 b8 b9 b10 b11 b12"))))
+      val d = corpus
+        .select(col("doc_id").as("id"),
+          graft.ops.Dedup.shingles(col("text"), 3).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .localCheckpoint(eager = false)
+      val sig = d.withColumn("sig",
+        graft.ops.Dedup.minhashSignatureMd5(col("sh"), 16))
+      val banded = sig.select(col("id"), col("sh"),
+        posexplode(transform(sequence(lit(0), lit(3)),
+          b => md5(concat_ws(",",
+            transform(slice(col("sig"), b * 4 + 1, lit(4)),
+              x => x.cast("string")))))).as(Seq("band", "bucket")))
+      val a = banded.select(col("band"), col("bucket"),
+        col("id").as("id_a"), col("sh").as("sh_a"))
+      val bb = banded.select(col("band"), col("bucket"),
+        col("id").as("id_b"), col("sh").as("sh_b"))
+      val cand = a.join(bb, Seq("band", "bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+        .distinct()
+        .localCheckpoint(eager = false)
+      val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+      val nVer = cand
+        .withColumn("ni", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .withColumn("jac", col("ni").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("ni")))
+        .filter(col("jac") >= 0.8)
+        .agg(count(lit(1)).as("n_verified"))
+      val nExact = graft.ops.Dedup.ngramJaccardSimilar(
+          corpus, "doc_id", "text", 3, 0.8)
+        .agg(count(lit(1)).as("n_exact"))
+      nCand.crossJoin(broadcast(nVer)).crossJoin(broadcast(nExact))
+        .select(lit(4).as("bands"), lit(4).as("rows_per_band"),
+          col("n_candidates"), col("n_verified"), col("n_exact"),
+          expr("n_verified * 1000000 div greatest(n_candidates, 1)")
+            .as("precision_ppm"),
+          expr("n_verified * 1000000 div greatest(n_exact, 1)")
+            .as("recall_ppm"))
+    },
+    Some("""WITH base AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 150),
+    corpus AS (
+      SELECT doc_id, text FROM base
+      UNION ALL
+      SELECT doc_id + 1000000, text || ' xtra wrds' FROM base
+      WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + 2000000,
+        text || ' b1 b2 b3 b4 b5 b6 b7 b8 b9 b10 b11 b12' FROM base
+      WHERE doc_id % 7 = 0),
+    tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      FROM corpus),
+    sh AS (
+      SELECT doc_id,
+        CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+             ELSE list_distinct(list_transform(range(1, len(t)-1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS s
+      FROM tok),
+    sig AS (
+      SELECT doc_id, j,
+        MIN(CAST(('0x' || substring(md5(CAST(j AS VARCHAR) || '|' || g),
+          1, 15)) AS BIGINT)) AS h
+      FROM (SELECT doc_id, unnest(s) AS g FROM sh), range(0, 16) r(j)
+      GROUP BY doc_id, j),
+    sigl AS (
+      SELECT doc_id, list(h ORDER BY j) AS sig FROM sig GROUP BY doc_id),
+    banded AS (
+      SELECT doc_id, b,
+        md5(array_to_string(sig[(CAST(b AS INT)*4+1):(CAST(b AS INT)*4+4)],
+          ',')) AS bucket
+      FROM sigl, range(0, 4) r(b)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+      FROM banded a JOIN banded c
+        ON a.b = c.b AND a.bucket = c.bucket AND a.doc_id < c.doc_id),
+    ver AS (
+      SELECT COUNT(*) AS n_verified FROM (
+        SELECT id_a FROM cand
+        JOIN sh sa ON sa.doc_id = cand.id_a
+        JOIN sh sb ON sb.doc_id = cand.id_b
+        WHERE CAST(len(list_filter(sa.s, x -> list_contains(sb.s, x)))
+            AS DOUBLE)
+          / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.8)),
+    nc AS (SELECT COUNT(*) AS n_candidates FROM cand),
+    ex AS (
+      SELECT COUNT(*) AS n_exact FROM (
+        SELECT a.doc_id FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_filter(a.s, x -> list_contains(b.s, x)))
+            AS DOUBLE)
+          / len(list_distinct(list_concat(a.s, b.s))) >= 0.8))
+    SELECT 4 AS bands, 4 AS rows_per_band,
+      n_candidates, n_verified, n_exact,
+      CAST(n_verified * 1000000 // greatest(n_candidates, 1) AS BIGINT)
+        AS precision_ppm,
+      CAST(n_verified * 1000000 // greatest(n_exact, 1) AS BIGINT)
+        AS recall_ppm
+    FROM nc, ver, ex"""))
 }
