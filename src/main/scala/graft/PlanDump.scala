@@ -120,7 +120,15 @@ object PlanDump {
     "td_dedup_roi" ->
       "Per-source dedup ROI: the narrow pass collapses text to (fingerprint, token count) before ANY exchange, the canonical winner is a map-side-combinable min over the md5 key, and the winner table equi-joins back by fingerprint — per-source savings sums combine map-side; the campaign-ordering report costs exactly one corpus-keyed shuffle of 25-byte rows.",
     "td_containment_dedup" ->
-      "Containment dedup action: the mined pair set (already bounded by the one-sided prefix filter) collapses to a distinct drop-id set via one filter — dominance (larger shingle set, tie on id) needs no transitive closure — and survivors emerge from a single left-anti join; no iteration, no components.")
+      "Containment dedup action: the mined pair set (already bounded by the one-sided prefix filter) collapses to a distinct drop-id set via one filter — dominance (larger shingle set, tie on id) needs no transitive closure — and survivors emerge from a single left-anti join; no iteration, no components.",
+    "td_vocab_richness" ->
+      "Vocabulary richness: text collapses to (source, word) rows in a narrow explode BEFORE the one keyed shuffle (map-side combine makes per-word counts cheap); the TTR/hapax collapse then runs over vocabulary-bounded input — raw text never crosses an exchange (PlanAuditSpec asserts it).",
+    "ev_interarrival" ->
+      "Inter-arrival profile: ONE entity-keyed Exchange feeds the lag window (the event-analytics family's invariant shape); gaps bucket in a codegen'd projection (power-of-two via bin-length, no log, no float) and the histogram collapses map-side to ≤|types|·64 rows before the share join.",
+    "td_decontam_canonical" ->
+      "Canonicalized decontamination: the canonical form is one extra narrow regex pass; the benchmark's canonical shingle set still BROADCASTS and the corpus still never re-shuffles — obfuscation robustness costs zero exchanges over td_decontam.",
+    "td_lsh_precision" ->
+      "LSH operating point: signatures and band buckets are narrow md5 projections; candidates key by (band, bucket) — the only pair generation is within buckets — and the three 1-row count frames compose via broadcast; the exact-pair reference reuses the lossless prefix-filter miner, so the measurement itself scales like the miner it measures.")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -822,6 +822,71 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("ev_interarrival: one event-grain exchange; histogram collapses partial") {
+    audited(graft.queries.Events.ev_interarrival.fn(spark, dir)) { df =>
+      val plan = df.queryExecution.executedPlan
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      // only the lag window's entity partitioning sees event-grain
+      // rows (ts present); later exchanges carry histogram rows
+      val eventGrain = exchanges.filter(_.output.map(_.name).contains("ts"))
+      assert(eventGrain.size == 1,
+        s"expected ONE entity-keyed event exchange, got ${eventGrain.size}:\n$plan")
+      val partials = plan.collect {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+          if a.aggregateExpressions.exists(_.mode.toString == "Partial") => a
+      }
+      assert(partials.nonEmpty, s"histogram not map-side partial:\n$plan")
+    }
+  }
+
+  test("td_vocab_richness: raw text never shuffles; word counts partial") {
+    audited(graft.queries.TrainingDataText.td_vocab_richness.fn(spark, dir)) { df =>
+      val plan = df.queryExecution.executedPlan
+      plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.foreach { e =>
+        assert(!e.output.map(_.name).contains("text"),
+          s"richness shuffles raw text (single words should):\n$plan")
+      }
+      val partials = plan.collect {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+          if a.aggregateExpressions.exists(_.mode.toString == "Partial") => a
+      }
+      assert(partials.nonEmpty, s"word counts not map-side partial:\n$plan")
+    }
+  }
+
+  test("td_decontam_canonical: benchmark shingles broadcast; no cartesian") {
+    audited(graft.queries.TrainingDataCuration.td_decontam_canonical
+        .fn(spark, dir)) { df =>
+      val plan = df.queryExecution.executedPlan
+      assert(plan.collect {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      }.isEmpty, s"canonical decontam has a cartesian stage:\n$plan")
+      val bhj = plan.collect { case b: BroadcastHashJoinExec => b }
+      assert(bhj.nonEmpty,
+        s"canonical benchmark shingles not broadcast:\n$plan")
+    }
+  }
+
+  test("td_lsh_precision: candidate join keyed by (band, bucket), no cartesian") {
+    audited(graft.queries.TrainingDataCuration.td_lsh_precision
+        .fn(spark, dir)) { df =>
+      val plan = df.queryExecution.executedPlan
+      assert(plan.collect {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      }.isEmpty, s"LSH measurement degenerated to all-pairs:\n$plan")
+      // the three 1-row count frames compose via broadcast NLJ — the
+      // only nested loops allowed are those 1-row joins
+      val bnlj = plan.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+      }
+      assert(bnlj.size <= 2, s"unexpected nested-loop joins:\n$plan")
+    }
+  }
+
   test("td_token_fertility: one corpus aggregate, raw text never shuffles") {
     audited(graft.queries.TrainingDataText.td_token_fertility.fn(spark, dir)) { df =>
       val plan = df.queryExecution.executedPlan
