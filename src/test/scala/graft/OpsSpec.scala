@@ -243,6 +243,35 @@ class OpsSpec extends SparkSpec {
       s"estimate implausibly far from exact: $matches13/32")
   }
 
+  test("containmentPairs: prefix filter is lossless across thresholds") {
+    val rnd = new scala.util.Random(47)
+    val vocab = Seq("k1", "k2", "k3", "k4", "k5", "k6", "k7", "k8", "k9")
+    val base = (0 until 20).map { i =>
+      val len = 9 + rnd.nextInt(9)
+      (i.toLong, (0 until len).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    val slices = base.collect { case (i, t) if i % 2 == 0 =>
+      (i + 1000L, t.split(" ").take(2 * t.split(" ").length / 3).mkString(" ")) }
+    val docs = (base ++ slices).toDF("doc_id", "text")
+    val d = docs.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+    for (t <- Seq(0.5, 0.8, 0.9)) {
+      val fast = Dedup.containmentPairs(docs, "doc_id", "text", 3, t,
+          minShingles = 3)
+        .select("id_contained", "id_container")
+        .as[(Long, Long)].collect().toSet
+      val brute = d.select(col("doc_id").as("id_contained"), col("sh").as("si"))
+        .crossJoin(d.select(col("doc_id").as("id_container"), col("sh").as("so")))
+        .filter(col("id_contained") =!= col("id_container") &&
+          size(col("si")) >= 3)
+        .filter(size(array_intersect(col("si"), col("so"))).cast("double") /
+          size(col("si")) >= t)
+        .select("id_contained", "id_container")
+        .as[(Long, Long)].collect().toSet
+      assert(fast == brute, s"threshold $t: prefix filter lost pairs " +
+        s"(missing ${brute -- fast}, extra ${fast -- brute})")
+    }
+  }
+
   test("containmentPairs catches the quote-inclusion pair Jaccard misses") {
     // a 6-token quote embedded verbatim in a 60-token host: containment
     // = 1.0 but jaccard ≈ 4/58 — invisible to any symmetric threshold
