@@ -1019,11 +1019,23 @@ object Dedup {
       count(lit(1)).over(Window.partitionBy("g")))
 
     val byDoc = Window.partitionBy("id")
+    // Required overlap r = the SMALLEST integer with r/n_sh >=
+    // threshold under the SAME double comparison the verify filter
+    // uses below. ceil(t·n) alone is not that: when fl(t·n) rounds
+    // just above an integer k while fl(k/n) >= t still holds, ceil
+    // lands on k+1, the prefix shortens by one, and a borderline
+    // pair verify WOULD accept is never generated — silently broken
+    // losslessness. One widening probe (k−1) restores consistency;
+    // the other rounding direction only lengthens the prefix, which
+    // costs candidates but never recall.
+    val kc = ceil(lit(threshold) * col("n_sh")).cast("int")
+    val rReq = when(
+      (kc - 1).cast("double") / col("n_sh") >= threshold, kc - 1)
+      .otherwise(kc)
     val prefix = withDf
       .filter(col("n_sh") >= minShingles)
       .withColumn("pos", row_number().over(byDoc.orderBy("df", "g")))
-      .filter(col("pos") <=
-        col("n_sh") - ceil(lit(threshold) * col("n_sh")).cast("int") + 1)
+      .filter(col("pos") <= col("n_sh") - rReq + 1)
       .select(col("g"), col("id").as("id_in"))
 
     val cand = prefix

@@ -286,6 +286,16 @@ object EventAnalytics {
     * monitoring query an operator runs over an ingest/event table to
     * catch a stuck producer (rate collapse) or a runaway one (spike).
     *
+    * Periods with ZERO events inside a type's observed [min, max]
+    * span are gap-filled (sequence over the span, counts coalesced
+    * to 0) BEFORE the stats aggregate — a producer that stops
+    * mid-span emits no (type, period) row at all, so without the
+    * fill the collapse would never be flagged and the absent periods
+    * would bias the mean/variance toward the active ones. Trailing
+    * silence (a producer dead since its own max period) still needs
+    * an external clock/horizon to detect; that is trigger-level
+    * monitoring, not a property of the event table itself.
+    *
     * Exact integer arithmetic end to end (the md5-sibling discipline):
     * with n periods, per-period count x, S = Σx, Q = Σx², the z-test
     *   (x − S/n)² > k²·(Q/n − (S/n)²)
@@ -297,11 +307,15 @@ object EventAnalytics {
     * per partition-window, not over all history (n is the number of
     * periods either way, and the per-type stats row is 3 integers).
     *
-    * Plan shape: one shuffle to (type, period) counts, one tiny
-    * per-type agg (rows = |types|) broadcast back onto the counts —
-    * the corpus never shuffles twice and nothing collects.
+    * Plan shape: one shuffle to (type, period) counts; the gap-fill
+    * explodes ≤ span/periodSec rows per type from a |types|-row span
+    * agg (bounded by wall-clock range, not |events|) and left-joins
+    * the counts; the per-type stats agg (rows = |types|) broadcasts
+    * back — the event table itself never shuffles twice and nothing
+    * collects.
     *
-    * @return (`typeCol`, period, cnt, anomalous 1/0)
+    * @return (`typeCol`, period, cnt, anomalous 1/0) — one row per
+    *         period in each type's observed span, zeros included
     */
   def rateAnomaly(events: DataFrame, typeCol: String, tsCol: String,
                   periodSec: Long, kSigma: Int): DataFrame = {
@@ -309,11 +323,21 @@ object EventAnalytics {
     val counts = events
       .groupBy(col(typeCol), floor(unix_micros(col(tsCol)) / us).as("period"))
       .agg(count(lit(1)).as("cnt"))
-    val stats = counts.groupBy(col(typeCol))
+      // feeds the span agg AND the left join — avoid the two-branch
+      // recompute of the event-table shuffle
+      .localCheckpoint(eager = false)
+    val spans = counts.groupBy(col(typeCol))
+      .agg(min(col("period")).as("__pmin"), max(col("period")).as("__pmax"))
+    val full = spans
+      .select(col(typeCol),
+        explode(sequence(col("__pmin"), col("__pmax"))).as("period"))
+      .join(counts, Seq(typeCol, "period"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+    val stats = full.groupBy(col(typeCol))
       .agg(count(lit(1)).as("n"), sum(col("cnt")).as("s"),
         sum(col("cnt") * col("cnt")).as("q"))
     val dev = col("n") * col("cnt") - col("s")
-    counts.join(broadcast(stats), Seq(typeCol))
+    full.join(broadcast(stats), Seq(typeCol))
       .select(col(typeCol), col("period"), col("cnt"),
         when(dev * dev > lit(kSigma.toLong * kSigma) *
           (col("n") * col("q") - col("s") * col("s")), lit(1))

@@ -336,8 +336,12 @@ object TextAnalysis {
     * `1 000 000 · n_ab · N div (df_a · df_b)` (= P(a,b)/(P(a)·P(b))
     * scaled, the exact-arithmetic stand-in for PMI's float log) —
     * > 10⁶ means the pair co-occurs more than independence predicts.
-    * Long arithmetic holds to ~10¹² docs per partition-window; beyond
-    * that compute the lift in DECIMAL.
+    * The numerator is computed in DECIMAL(38,0) unconditionally:
+    * with support `minDocs = N/5`, any surviving pair already has
+    * `n_ab·N > N²/5`, so plain Long (`10⁶·n_ab·N`) would wrap
+    * silently past ~3 M docs — far below any real corpus. DECIMAL
+    * holds to 10³² docs; `div` returns the same BIGINT the oracle
+    * hashes.
     *
     * @param totalDocs corpus size N for the lift denominator
     * @return (token_a, token_b, n_docs, lift_ppm) with
@@ -375,7 +379,8 @@ object TextAnalysis {
       .join(broadcast(freq.select(col("tok").as("token_b"),
         col("df").as("__dfb"))), Seq("token_b"))
       .withColumn("lift_ppm",
-        expr(s"(1000000L * n_docs * ${totalDocs}L) div (__dfa * __dfb)"))
+        expr(s"(cast(1000000 as decimal(38,0)) * n_docs * ${totalDocs}L)" +
+          s" div (cast(__dfa as decimal(38,0)) * __dfb)"))
       .select(col("token_a"), col("token_b"), col("n_docs"),
         col("lift_ppm"))
   }

@@ -339,8 +339,11 @@ object Events {
 
   /** Daily event-rate anomaly flags per event type: integer z-test
     * (n·x − S)² > k²·(n·Q − S²) over per-day counts — no float mean,
-    * no sqrt, so the flag hash-matches any engine. One shuffle to
-    * (type, day) counts; the 5-row per-type stats broadcast back. */
+    * no sqrt, so the flag hash-matches any engine. Days with zero
+    * events inside a type's observed span are gap-filled as cnt = 0
+    * BEFORE the stats (a stopped producer emits no row — the fill is
+    * what lets the rate-collapse flag fire at all). One shuffle to
+    * (type, day) counts; the per-type stats broadcast back. */
   val ev_anomaly = GraftQuery(
     "ev_anomaly",
     (s, dir) => {
@@ -352,13 +355,23 @@ object Events {
         SELECT event_type, EPOCH_US(ts) // 86400000000 AS period,
                COUNT(*) AS cnt
         FROM events GROUP BY 1, 2),
+      span AS (
+        SELECT event_type, MIN(period) AS pmin, MAX(period) AS pmax
+        FROM d GROUP BY 1),
+      grid AS (
+        SELECT event_type, unnest(range(pmin, pmax + 1)) AS period
+        FROM span),
+      f AS (
+        SELECT g.event_type, g.period, COALESCE(d.cnt, 0) AS cnt
+        FROM grid g LEFT JOIN d
+          ON d.event_type = g.event_type AND d.period = g.period),
       s AS (
         SELECT event_type, COUNT(*) AS n, SUM(cnt) AS s, SUM(cnt*cnt) AS q
-        FROM d GROUP BY 1)
-      SELECT d.event_type, d.period, d.cnt,
-        CASE WHEN (s.n*d.cnt - s.s)*(s.n*d.cnt - s.s) >
+        FROM f GROUP BY 1)
+      SELECT f.event_type, f.period, CAST(f.cnt AS BIGINT) AS cnt,
+        CASE WHEN (s.n*f.cnt - s.s)*(s.n*f.cnt - s.s) >
                   4*(s.n*s.q - s.s*s.s) THEN 1 ELSE 0 END AS anomalous
-      FROM d JOIN s USING (event_type)
+      FROM f JOIN s USING (event_type)
       ORDER BY event_type, period"""))
 
   /** First-order Markov transition matrix over per-user event

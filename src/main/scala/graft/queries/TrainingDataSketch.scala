@@ -415,7 +415,11 @@ object TrainingDataSketch {
     * widths vs the exact join count, with the over-estimate error in
     * ppm — demonstrating the estimator's convergence as buckets grow
     * (the planner picks a width by error budget). All integer
-    * arithmetic; the md5 bucket is the oracled F1 route. */
+    * arithmetic; the md5 bucket is the oracled F1 route. The error
+    * numerator runs in DECIMAL(38,0): at 16 buckets `est_rows` ≈
+    * |lineitem|·|orders|/16, so the Long form `(est−exact)·10⁶`
+    * would wrap silently around SF10 — DECIMAL holds to 10³² rows
+    * and `div` still returns the BIGINT the oracle hashes. */
   val td_join_estimate = GraftQuery(
     "td_join_estimate",
     (s, dir) => {
@@ -430,7 +434,8 @@ object TrainingDataSketch {
         .agg(count(lit(1)).as("exact_rows"))
       ests.crossJoin(broadcast(exact))
         .withColumn("err_ppm",
-          expr("(est_rows - exact_rows) * 1000000 div exact_rows"))
+          expr("(cast(est_rows as decimal(38,0)) - exact_rows)" +
+            " * 1000000 div exact_rows"))
         .orderBy(col("buckets"))
     },
     Some("""WITH

@@ -209,6 +209,28 @@ class EventAnalyticsSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(aFlags.length == 10)
   }
 
+  test("rateAnomaly: a silent period inside the span gap-fills to zero " +
+      "and flags the rate collapse") {
+    // type C: 5 events/period for periods 0–4 and 6–10, NOTHING in
+    // period 5 — without gap-fill that period has no row at all and
+    // the stopped producer is invisible. Filled: n=11, S=50, Q=250;
+    // x=0 gives (0−50)² = 2500 > 4·(11·250−2500) = 1000 → flagged;
+    // x=5 gives (55−50)² = 25 → clean.
+    val rows = (0 to 10).filter(_ != 5)
+      .flatMap(p => Seq.fill(5)((1L, p * 10L, "C", 0.0)))
+    val out = EventAnalytics.rateAnomaly(
+        ev(rows.zipWithIndex.map { case ((u, sec, t, v), i) =>
+          (u + i, sec, t, v) }: _*),
+        "event_type", "ts", periodSec = 10L, kSigma = 2)
+      .select($"period", $"cnt", $"anomalous")
+      .as[(Long, Long, Int)].collect().sortBy(_._1)
+    val base = out.map(_._1).min // ev() offsets ts from a base epoch
+    val rel = out.map { case (p, c, a) => (p - base, c, a) }
+    assert(rel.length == 11, s"span must gap-fill to 11 periods: ${rel.length}")
+    assert(rel(5) == ((5L, 0L, 1)), s"silent period must flag: ${rel(5)}")
+    assert(rel.count(_._3 == 1) == 1)
+  }
+
   test("interArrival: gaps bucket to power-of-two seconds, shares exact") {
     // user 1: a@0, b@1 (gap 1 → bucket 1), a@4 (gap 3 → bucket 4),
     //         a@4 dup-second via event_id order (gap 0 → bucket 0)

@@ -272,6 +272,48 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("containmentPairs: required-overlap formula matches the verify " +
+      "comparison for every (k, n) up to 500") {
+    // r must be the smallest integer with fl(r/n) >= t under the SAME
+    // double comparison verify uses; ceil(t·n) alone overshoots when
+    // fl(t·n) rounds just above k (e.g. t = fl(29/35): ceil gives 30
+    // while 29/35 >= t holds). Exhaustive scan, pure JVM — the exact
+    // arithmetic the Catalyst expressions compile to.
+    var ceilBroken = 0
+    for (n <- 2 to 500; k <- 1 to n) {
+      val t = k.toDouble / n // threshold chosen exactly at the boundary
+      val kc = math.ceil(t * n).toInt
+      if (kc > k) ceilBroken += 1
+      val r = if ((kc - 1).toDouble / n >= t) kc - 1 else kc
+      assert(r.toDouble / n >= t, s"r=$r not accepted at k=$k n=$n")
+      assert(r - 1 < 1 || (r - 1).toDouble / n < t,
+        s"r=$r not minimal at k=$k n=$n")
+    }
+    assert(ceilBroken > 0, "scan should cover cases where bare ceil fails")
+  }
+
+  test("containmentPairs finds the boundary pair the ceil prefix lost") {
+    // Adversarial (k=29, n_sh=35, t=fl(29/35)): fl(t·35) rounds just
+    // above 29, so the old ceil-derived prefix had length 6 — and the
+    // contained doc's 6 UNSHARED shingles (df=1, rarest) filled that
+    // prefix exactly, so the candidate was never generated even
+    // though verify accepts 29/35 >= t. The widened prefix (length 7)
+    // must reach one shared shingle and recover the pair.
+    val t = 29.0 / 35
+    val a = (1 to 37).map(i => f"a$i%02d")           // 35 shingles
+    val contained = (2000L, a.mkString(" "))
+    val container = (1L, (a.take(31) ++ (1 to 20).map(i => f"x$i%02d"))
+      .mkString(" "))                                 // shares exactly 29
+    val docs = Seq(container, contained).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(docs, "doc_id", "text", 3, t,
+        minShingles = 3)
+      .filter(col("id_contained") === 2000L && col("id_container") === 1L)
+      .select("n_sh_contained", "containment")
+      .as[(Int, Double)].collect().toSeq
+    assert(pairs == Seq((35, t)),
+      s"boundary pair (overlap 29 of 35) must survive the prefix: $pairs")
+  }
+
   test("containmentPairs catches the quote-inclusion pair Jaccard misses") {
     // a 6-token quote embedded verbatim in a 60-token host: containment
     // = 1.0 but jaccard ≈ 4/58 — invisible to any symmetric threshold
