@@ -1253,4 +1253,121 @@ object Dedup {
       pop(ma.getField("hi").bitwiseOR(mb.getField("hi")))
     inter.cast("double") / union
   }
+
+  /** Winnowing-fingerprint pair mining (the MOSS detector over
+    * [[TextAnalysis.winnowingFingerprints]]): documents sharing
+    * ≥ `minShared` selected fingerprint hashes. Winnowing's guarantee
+    * makes this the SPAN-match complement of minhash: any pair
+    * sharing a run of ≥ w+k−1 tokens shares a fingerprint with
+    * certainty, while whole-document similarity can be arbitrarily
+    * low — the copied-paragraph detector, at 2/(w+1) of the gram
+    * volume.
+    *
+    * Scale shape: the candidate join keys on fingerprint HASHES, and
+    * `maxDf` drops hashes selected in more than that many documents
+    * before the join — the boilerplate-gram skew guard (same
+    * discipline as the boilerplate broadcast): a fingerprint shared
+    * by thousands of docs is template text, not plagiarism signal,
+    * and would otherwise quadratically dominate the pair fan-out.
+    *
+    * @return (id_a, id_b, fp_a, fp_b, n_shared) with id_a < id_b;
+    *         fp_a/fp_b are each side's distinct-hash fingerprint
+    *         counts (df-capped side only feeds n_shared)
+    */
+  def winnowingPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 4, minShared: Long = 3,
+      maxDf: Int = 64): DataFrame = {
+    // distinct hashes per doc feed the df filter, the pair join AND
+    // the per-doc counts — materialize once
+    val fp = TextAnalysis.winnowingFingerprints(docs, idCol, textCol, k, w)
+      .select(col("id"), col("h")).distinct()
+      .localCheckpoint(eager = false)
+    val counts = fp.groupBy(col("id")).agg(count(lit(1)).as("nfp"))
+    val rare = fp
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("df") <= maxDf)
+    rare.select(col("h"), col("id").as("id_a"))
+      .join(rare.select(col("h"), col("id").as("id_b")), Seq("h"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .join(counts.select(col("id").as("id_a"), col("nfp").as("fp_a")),
+        Seq("id_a"))
+      .join(counts.select(col("id").as("id_b"), col("nfp").as("fp_b")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("fp_a"), col("fp_b"),
+        col("n_shared"))
+  }
+
+  /** SPAN-level benchmark decontamination (the n-gram-collision
+    * window-removal rule of GPT-3/PaLM-style preprocessing): instead
+    * of dropping whole documents on any shared shingle
+    * ([[contaminatedDocs]]), locate each corpus position whose word
+    * `n`-gram appears in the benchmark, widen it by `radius` tokens
+    * on each side, merge overlapping windows, and rewrite the
+    * document with only the contaminated windows excised — the
+    * surgical form that keeps a 10 k-token document losing one
+    * leaked question.
+    *
+    * Scale shape: the benchmark gram set BROADCASTS (eval suites are
+    * tiny next to a 100 TB corpus); corpus grams come from the native
+    * one-pass `positioned_grams` expression; interval merge is the
+    * same per-doc island window [[removeDuplicatedSpans]] uses (one
+    * doc-keyed exchange over matched seeds only); the rebuild is a
+    * narrow array filter. Docs with no hit pass through unchanged.
+    *
+    * @return (id, n_tokens, n_spans, removed_tokens, clean_text)
+    */
+  def scrubContaminationSpans(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 3,
+      radius: Int = 2): DataFrame = {
+    val base = corpus
+      .select(col(idCol).as("id"),
+        TextAnalysis.tokens(col(textCol)).as("toks"))
+      .withColumn("n_tokens", size(col("toks")))
+      .localCheckpoint(eager = false)
+    val benchGrams = broadcast(
+      benchmark.select(
+          explode(graft.plans.NativeCols.positionedGrams(col(textCol), n))
+            .as("gram"))
+        .distinct())
+    // seed spans: matched gram positions widened by the radius,
+    // clamped to the token range
+    val seeds = corpus
+      .select(col(idCol).as("id"),
+        posexplode(graft.plans.NativeCols.positionedGrams(col(textCol), n))
+          .as(Seq("pos", "gram")))
+      .join(benchGrams, Seq("gram"))
+      .select(col("id"),
+        greatest(col("pos") - lit(radius), lit(0)).as("pos"),
+        (col("pos") + lit(n - 1 + radius)).as("e"))
+    val byDoc = Window.partitionBy("id").orderBy("pos")
+    val prevMax = byDoc.rowsBetween(Window.unboundedPreceding, -1)
+    val islands = seeds
+      .withColumn("pme", max(col("e")).over(prevMax))
+      .withColumn("isl", sum(
+        when(col("pme").isNull || col("pos") > col("pme"), 1L)
+          .otherwise(0L)).over(byDoc))
+      .groupBy(col("id"), col("isl"))
+      .agg(min(col("pos")).as("s"), max(col("e")).as("e"))
+      .groupBy(col("id"))
+      .agg(collect_list(struct(col("s"), col("e"))).as("cut"),
+        count(lit(1)).as("n_spans"))
+    base
+      .join(islands, Seq("id"), "left")
+      .withColumn("cut", coalesce(col("cut"),
+        array().cast("array<struct<s:int,e:int>>")))
+      .withColumn("kept", filter(
+        transform(col("toks"), (t, i) => struct(t.as("t"), i.as("i"))),
+        x => !exists(col("cut"), c =>
+          x.getField("i") >= c.getField("s") &&
+            x.getField("i") <= c.getField("e"))))
+      .select(col("id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        (col("n_tokens") - size(col("kept"))).cast("long")
+          .as("removed_tokens"),
+        concat_ws(" ", transform(col("kept"), _.getField("t")))
+          .as("clean_text"))
+  }
 }

@@ -317,8 +317,12 @@ object EventAnalytics {
     * @return (`typeCol`, period, cnt, anomalous 1/0) — one row per
     *         period in each type's observed span, zeros included
     */
-  def rateAnomaly(events: DataFrame, typeCol: String, tsCol: String,
-                  periodSec: Long, kSigma: Int): DataFrame = {
+  /** (type, period, cnt) with every period in each type's observed
+    * [min, max] span present — zero-count periods gap-filled. Shared
+    * by [[rateAnomaly]] and [[changepoint]]; see rateAnomaly's
+    * scaladoc for why the fill is load-bearing. */
+  private def filledPeriodCounts(events: DataFrame, typeCol: String,
+      tsCol: String, periodSec: Long): DataFrame = {
     val us = periodSec * 1000000L
     val counts = events
       .groupBy(col(typeCol), floor(unix_micros(col(tsCol)) / us).as("period"))
@@ -328,11 +332,16 @@ object EventAnalytics {
       .localCheckpoint(eager = false)
     val spans = counts.groupBy(col(typeCol))
       .agg(min(col("period")).as("__pmin"), max(col("period")).as("__pmax"))
-    val full = spans
+    spans
       .select(col(typeCol),
         explode(sequence(col("__pmin"), col("__pmax"))).as("period"))
       .join(counts, Seq(typeCol, "period"), "left")
       .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+  }
+
+  def rateAnomaly(events: DataFrame, typeCol: String, tsCol: String,
+                  periodSec: Long, kSigma: Int): DataFrame = {
+    val full = filledPeriodCounts(events, typeCol, tsCol, periodSec)
     val stats = full.groupBy(col(typeCol))
       .agg(count(lit(1)).as("n"), sum(col("cnt")).as("s"),
         sum(col("cnt") * col("cnt")).as("q"))
@@ -342,6 +351,55 @@ object EventAnalytics {
         when(dev * dev > lit(kSigma.toLong * kSigma) *
           (col("n") * col("q") - col("s") * col("s")), lit(1))
           .otherwise(lit(0)).as("anomalous"))
+  }
+
+  /** Offline CUSUM changepoint per event type — the LEVEL-SHIFT
+    * detector [[rateAnomaly]]'s pointwise z-test cannot see: a
+    * producer that halves its steady rate never deviates kσ in any
+    * single period, but its cumulative deviation from the global
+    * mean grows linearly. Over the gap-filled period counts
+    * (x₁ … x_n, total S), the classic statistic
+    *   C_i = Σ_{j≤i} x_j − i·S/n
+    * is evaluated in the n-scaled integer form
+    *   D_i = n·Σ_{j≤i} x_j − i·S
+    * and the changepoint is the period maximizing |D_i| (tie →
+    * earliest period) — exact arithmetic, hash-identical in any
+    * engine. Magnitudes: |D_i| ≤ n·S, so Long holds to ~3·10⁹
+    * events·periods per type — run per retention window beyond that.
+    * Reported means before/after the cut are exact integer ppm.
+    *
+    * Plan shape: one shuffle to (type, period) counts (shared with
+    * the gap-fill), ONE type-keyed window pass for the cumulative
+    * sums (rows ∝ |types|·|periods|, already tiny), and a |types|-row
+    * argmax via one more window rank — nothing collects.
+    *
+    * @return (`typeCol`, cp_period, dev, mean_before_ppm,
+    *         mean_after_ppm) — one row per type; dev = max |D_i|;
+    *         mean_after_ppm is NULL when the max lands on the last
+    *         period (no "after" segment)
+    */
+  def changepoint(events: DataFrame, typeCol: String, tsCol: String,
+                  periodSec: Long): DataFrame = {
+    val full = filledPeriodCounts(events, typeCol, tsCol, periodSec)
+    val byType = Window.partitionBy(col(typeCol))
+    val ordered = byType.orderBy(col("period"))
+    val scored = full
+      .withColumn("csum", sum(col("cnt")).over(
+        ordered.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("idx", row_number().over(ordered))
+      .withColumn("n", count(lit(1)).over(byType))
+      .withColumn("s", sum(col("cnt")).over(byType))
+      .withColumn("dev",
+        abs(col("n") * col("csum") - col("idx") * col("s")))
+    scored
+      .withColumn("rk", row_number().over(
+        byType.orderBy(col("dev").desc, col("period"))))
+      .filter(col("rk") === 1)
+      .select(col(typeCol), col("period").as("cp_period"), col("dev"),
+        expr("1000000 * csum div idx").as("mean_before_ppm"),
+        when(col("idx") < col("n"),
+          expr("1000000 * (s - csum) div (n - idx)"))
+          .as("mean_after_ppm"))
   }
 
   /** Inter-arrival time profile per event type — a power-of-two

@@ -181,4 +181,49 @@ object Profiling {
       .withColumn("r", when(varX =!= 0.0 && varY =!= 0.0,
         covXY / (sqrt(varX) * sqrt(varY))))
   }
+
+  /** Embedding-space drift between two corpus snapshots: per group
+    * (label/domain), the L1 and L∞ distance between the two
+    * snapshots' centroids — the semantic complement of the discrete
+    * [[driftTvd]] gate (a re-crawled domain whose bucket histogram
+    * is stable can still MOVE in embedding space; the centroid shift
+    * is what the retrieval/dedup thresholds downstream actually feel).
+    *
+    * Exactness (the md5-sibling discipline applied to floats): each
+    * float component is quantized ONCE to `floor(x · 2^20)` — float→
+    * double widening is exact, the double multiply and floor are the
+    * same IEEE ops in any engine — and every aggregate thereafter is
+    * integer (sums, counts, `div`). Centroid components are scaled
+    * integers; no float sum ever crosses engines. Quantization error
+    * ≤ 2⁻²⁰ per component is three orders below any drift worth
+    * alarming on.
+    *
+    * Scale shape: posexplode to (group, dim, q) is a narrow map; the
+    * sums collapse map-side to |groups|·dim rows; the join and final
+    * per-group fold are over that tiny aggregate — the embedding
+    * tables themselves shuffle once each, keyed (group, dim).
+    *
+    * @return (group, n_a, n_b, l1_drift_q20, linf_drift_q20) — scaled
+    *         by 2²⁰; divide by 1 048 576 for raw units
+    */
+  def embeddingDrift(a: DataFrame, b: DataFrame, groupCol: String,
+      vecCol: String): DataFrame = {
+    def centroids(df: DataFrame, side: String) = df
+      .select(col(groupCol).as("group"),
+        posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .withColumn("q", floor(col("x").cast("double") * lit(1048576.0))
+        .cast("long"))
+      .groupBy(col("group"), col("dim"))
+      .agg(sum(col("q")).as(s"sum_$side"),
+        count(lit(1)).as(s"n_$side"))
+      .withColumn(s"c_$side",
+        expr(s"sum_$side div n_$side"))
+    centroids(a, "a")
+      .join(centroids(b, "b"), Seq("group", "dim"))
+      .withColumn("d", abs(col("c_a") - col("c_b")))
+      .groupBy(col("group"))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        sum(col("d")).as("l1_drift_q20"),
+        max(col("d")).as("linf_drift_q20"))
+  }
 }

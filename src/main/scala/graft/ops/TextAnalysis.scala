@@ -709,4 +709,57 @@ object TextAnalysis {
         expr("n_types * 1000000 div greatest(n_tokens, 1)").as("ttr_ppm"),
         expr("n_hapax * 1000000 div greatest(n_types, 1)").as("hapax_ppm"))
   }
+
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the MOSS local-fingerprinting algorithm): hash
+    * every word `k`-gram, slide a window of `w` consecutive gram
+    * hashes, and in each window select the MINIMUM hash (ties →
+    * rightmost position). The selected (position, hash) set is the
+    * document's fingerprint, with the paper's two guarantees the
+    * global-min schemes (minhash, [[fingerprint]]) lack:
+    * any shared substring of length ≥ `w + k − 1` tokens is ALWAYS
+    * detected (some window inside it selects the same gram in both
+    * docs), and expected density is 2/(w+1) — fingerprint volume is a
+    * tuned fraction of the corpus, position-addressable for span
+    * reporting, robust to edits outside the shared region.
+    *
+    * Exactness: the gram hash is the md5-derived [[Pipeline.hashHex]]
+    * 60-bit integer and selection is pure integer argmin with a
+    * deterministic tie rule, so the fingerprint set hash-matches any
+    * engine.
+    *
+    * Scale shape: gram generation is the native one-pass
+    * `positioned_grams` codegen expression (narrow map); the window
+    * fan-out is a bounded ×w explode; selection is ONE shuffle keyed
+    * (doc, window-start) — skew-free by construction (keys are
+    * per-doc sequential ints). Fingerprints per doc ≈ 2·L/(w+1).
+    *
+    * @return (id, pos, h) — selected 0-based gram positions and
+    *         their 60-bit hashes, distinct per (id, pos)
+    */
+  def winnowingFingerprints(docs: DataFrame, idCol: String,
+      textCol: String, k: Int = 4, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && w >= 1, "k and w must be >= 1")
+    val g = docs
+      .select(col(idCol).as("id"),
+        graft.plans.NativeCols.positionedGrams(col(textCol), k).as("garr"))
+      .withColumn("ng", size(col("garr")))
+      .filter(col("ng") > 0)
+      .select(col("id"), col("ng"),
+        posexplode(col("garr")).as(Seq("pos", "gram")))
+      .withColumn("h", Pipeline.hashHex(col("gram"), 15))
+    // 0-based window starts run [0, max(0, ng−w)]; the gram at pos
+    // belongs to starts [max(0, pos−w+1), min(pos, max(0, ng−w))] —
+    // a doc with fewer than w grams forms one short window.
+    val smin = greatest(col("pos") - lit(w - 1), lit(0))
+    val smax = least(col("pos"), greatest(col("ng") - lit(w), lit(0)))
+    g.select(col("id"), col("pos"), col("h"),
+        explode(sequence(smin, smax)).as("s"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("id", "s").orderBy(col("h"), col("pos").desc)))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("pos"), col("h"))
+      .distinct()
+  }
 }

@@ -231,6 +231,42 @@ class EventAnalyticsSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(rel.count(_._3 == 1) == 1)
   }
 
+  test("changepoint: a halved steady rate z-tests clean but CUSUM-flags " +
+      "at the shift boundary") {
+    // type A: 4/period for periods 0-9, then 2/period for 10-19 — no
+    // single period deviates 2 sigma (rateAnomaly stays silent), but
+    // the cumulative deviation peaks exactly at the boundary.
+    // n=20, S=60; at idx i<=10: csum=4i, D=|80i-60i|=20i → max at
+    // i=10 (D=200, period 9); beyond: D=|20*(40+2(i-10))-60i|=|200-20(i-10)|
+    // declines. mean_before = 1e6*40 div 10 = 4000000; after 2000000.
+    val rows =
+      (0 until 10).flatMap(p => Seq.fill(4)((1L, p * 10L, "A", 0.0))) ++
+        (10 until 20).flatMap(p => Seq.fill(2)((1L, p * 10L, "A", 0.0)))
+    val df = ev(rows.zipWithIndex.map { case ((u, sec, t, v), i) =>
+      (u + i, sec, t, v) }: _*)
+    val an = EventAnalytics.rateAnomaly(df, "event_type", "ts", 10L, 2)
+      .select($"anomalous").as[Int].collect()
+    assert(an.forall(_ == 0), "pointwise z-test must NOT fire on the shift")
+    val cp = EventAnalytics.changepoint(df, "event_type", "ts", 10L)
+      .select($"cp_period", $"dev", $"mean_before_ppm", $"mean_after_ppm")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(cp.length == 1)
+    val basePeriod = cp.head._1 - 9 // period 9 relative to the ev() base
+    assert(cp.head._2 == 200L, s"dev: ${cp.head}")
+    assert(cp.head._3 == 4000000L && cp.head._4 == 2000000L, s"${cp.head}")
+    assert(basePeriod * 10 >= 0) // shape sanity: cp sits at relative 9
+  }
+
+  test("changepoint: single-period type has zero dev and NULL after-mean") {
+    val df = ev((1L, 0L, "X", 0.0), (2L, 1L, "X", 0.0))
+    val cp = EventAnalytics.changepoint(df, "event_type", "ts", 10L)
+      .select($"dev", $"mean_before_ppm", $"mean_after_ppm")
+      .collect().head
+    assert(cp.getLong(0) == 0L)
+    assert(cp.getLong(1) == 2000000L) // 1e6 * 2 div 1
+    assert(cp.isNullAt(2), "no after-segment at the last period")
+  }
+
   test("interArrival: gaps bucket to power-of-two seconds, shares exact") {
     // user 1: a@0, b@1 (gap 1 → bucket 1), a@4 (gap 3 → bucket 4),
     //         a@4 dup-second via event_id order (gap 0 → bucket 0)

@@ -1611,4 +1611,119 @@ class OpsSpec extends SparkSpec {
     assert(native(2L) == 0L && native(3L) == 0L) // < 4 bytes → no grams
     assert(native(6L) == null)                   // null payload → null
   }
+
+  /** Brute-force winnowing reference (the SIGMOD 2003 definition,
+    * computed directly): per window of w gram hashes, select the
+    * minimum, ties → rightmost. */
+  private def bruteWinnow(toks: Seq[String], k: Int, w: Int): Set[(Int, Long)] =
+    if (toks.length < k) Set.empty
+    else {
+      val grams = toks.sliding(k).map(_.mkString(" ")).toVector
+      val hs = grams.map { g =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      }
+      val nW = math.max(1, grams.length - w + 1)
+      (0 until nW).map { s =>
+        val win = s until math.min(s + w, grams.length)
+        val m = win.map(hs).min
+        val p = win.filter(i => hs(i) == m).max
+        (p, hs(p))
+      }.toSet
+    }
+
+  test("winnowingFingerprints ≡ the per-window brute force") {
+    val rnd = new scala.util.Random(131)
+    val vocab = (0 until 12).map(i => s"w$i")
+    val docs = (0 until 12).map { i =>
+      val len = rnd.nextInt(14) // includes < k and < w+k cases
+      (i.toLong, (0 until len).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    } :+ (99L, "a b c") // exactly k tokens → one gram, one window
+    val df = docs.toDF("doc_id", "text")
+    for ((k, w) <- Seq((4, 4), (3, 2))) {
+      val got = TextAnalysis.winnowingFingerprints(df, "doc_id", "text", k, w)
+        .as[(Long, Int, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+      val want = docs.map { case (id, t) =>
+        id -> bruteWinnow(t.split("\\s+").toSeq.filter(_.nonEmpty), k, w)
+      }.filter(_._2.nonEmpty).toMap
+      assert(got == want, s"(k=$k,w=$w)")
+    }
+  }
+
+  test("winnowingPairs: a shared run of w+k-1 tokens is ALWAYS detected") {
+    // the paper's guarantee: any common substring of >= w+k-1 tokens
+    // spans a full window, and that window selects the same
+    // fingerprint in both documents
+    val run = "r1 r2 r3 r4 r5 r6 r7" // w+k-1 = 7 tokens for k=4,w=4
+    val a = s"a1 a2 a3 a4 a5 $run a6 a7 a8 a9"
+    val b = s"b1 b2 $run b3 b4 b5 b6 b7 b8 b9 b10"
+    val c = "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12"
+    val pairs = Dedup.winnowingPairs(
+        Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text"),
+        "doc_id", "text", k = 4, w = 4, minShared = 1, maxDf = 64)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
+
+  test("winnowingPairs: maxDf drops boilerplate fingerprints") {
+    // the same 8-token template in EVERY doc; pairs exist at high
+    // maxDf and vanish when the cap excludes corpus-wide hashes
+    val tmpl = "t1 t2 t3 t4 t5 t6 t7 t8"
+    val docs = (0 until 6).map(i =>
+      (i.toLong, s"u${i}a u${i}b u${i}c $tmpl u${i}d u${i}e u${i}f"))
+      .toDF("doc_id", "text")
+    val loose = Dedup.winnowingPairs(docs, "doc_id", "text", 4, 4,
+      minShared = 1, maxDf = 64).count()
+    val tight = Dedup.winnowingPairs(docs, "doc_id", "text", 4, 4,
+      minShared = 1, maxDf = 3).count()
+    assert(loose > 0, "template fingerprints should pair without the cap")
+    assert(tight == 0, "df-capped fingerprints should not pair")
+  }
+
+  test("scrubContaminationSpans: seeds widen, overlap-merge, excise") {
+    val corpus = Seq(
+      (1L, "w1 w2 leak1 leak2 leak3 w3 w4 w5 w6 w7 w8 w9"),
+      (2L, "clean text with no benchmark overlap at all"),
+      (3L, "")).toDF("doc_id", "text")
+    val bench = Seq((100L, "leak1 leak2 leak3 leak4")).toDF("doc_id", "text")
+    val out = Dedup.scrubContaminationSpans(corpus, bench,
+        "doc_id", "text", n = 3, radius = 2)
+      .as[(Long, Int, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    // doc 1: grams "leak1 leak2 leak3" (pos 2) matches; widened span
+    // [0, 6] removes w1 w2 leak1 leak2 leak3 w3 w4 → 5 tokens kept
+    assert(out(1L) == ((1L, 12, 1L, 7L, "w5 w6 w7 w8 w9")), s"${out(1L)}")
+    assert(out(2L) == ((2L, 8, 0L, 0L,
+      "clean text with no benchmark overlap at all")))
+    assert(out(3L) == ((3L, 0, 0L, 0L, "")))
+  }
+
+  test("scrubContaminationSpans: adjacent seeds merge into one span") {
+    // benchmark 4-token run → two overlapping corpus trigram matches
+    // at pos 3 and 4 merge to ONE span [1, 8]
+    val corpus = Seq(
+      (1L, "k1 k2 k3 q1 q2 q3 q4 k4 k5 k6 k7 k8")).toDF("doc_id", "text")
+    val bench = Seq((9L, "q1 q2 q3 q4")).toDF("doc_id", "text")
+    val out = Dedup.scrubContaminationSpans(corpus, bench,
+        "doc_id", "text", n = 3, radius = 2)
+      .as[(Long, Int, Long, Long, String)].collect().head
+    assert(out == ((1L, 12, 1L, 8L, "k1 k6 k7 k8")), s"$out")
+  }
+
+  test("embeddingDrift: exact scaled-integer centroid shift") {
+    val a = Seq((7, Seq(1.0f, 0.0f)), (7, Seq(0.0f, 1.0f)),
+      (8, Seq(-0.5f, 0.25f))).toDF("label", "embedding")
+    val b = Seq((7, Seq(1.0f, 1.0f)), (8, Seq(0.5f, 0.25f)))
+      .toDF("label", "embedding")
+    val out = graft.ops.Profiling.embeddingDrift(a, b, "label", "embedding")
+      .as[(Int, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // label 7: A centroid (2^19, 2^19) [1048576/2 div 2], B (2^20, 2^20)
+    //   → per-dim shift 524288, l1 = 1048576, linf = 524288
+    assert(out(7) == ((7, 2L, 1L, 1048576L, 524288L)), s"${out(7)}")
+    // label 8: dims shift (1048576, 0) — negative side exercises the
+    //   truncating div agreement
+    assert(out(8) == ((8, 1L, 1L, 1048576L, 1048576L)), s"${out(8)}")
+  }
 }
