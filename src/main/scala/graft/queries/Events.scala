@@ -374,6 +374,53 @@ object Events {
       FROM f JOIN s USING (event_type)
       ORDER BY event_type, period"""))
 
+  /** Per-type CUSUM changepoint over daily counts
+    * ([[graft.ops.EventAnalytics.changepoint]]): the level-shift
+    * detector complementing [[ev_anomaly]]'s pointwise z-test —
+    * n-scaled exact-integer cumulative deviation over the gap-filled
+    * day grid, argmax with earliest-period tie-break, before/after
+    * means as exact ppm. */
+  val ev_changepoint = GraftQuery(
+    "ev_changepoint",
+    (s, dir) => {
+      EventAnalytics.changepoint(Tables.events(s, dir), "event_type", "ts",
+        periodSec = 86400L)
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH d AS (
+        SELECT event_type, EPOCH_US(ts) // 86400000000 AS period,
+               COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2),
+      span AS (
+        SELECT event_type, MIN(period) AS pmin, MAX(period) AS pmax
+        FROM d GROUP BY 1),
+      grid AS (
+        SELECT event_type, unnest(range(pmin, pmax + 1)) AS period
+        FROM span),
+      f AS (
+        SELECT g.event_type, g.period, COALESCE(d.cnt, 0) AS cnt
+        FROM grid g LEFT JOIN d
+          ON d.event_type = g.event_type AND d.period = g.period),
+      c AS (
+        SELECT event_type, period,
+          SUM(cnt) OVER (PARTITION BY event_type ORDER BY period) AS csum,
+          ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY period) AS idx,
+          COUNT(*) OVER (PARTITION BY event_type) AS n,
+          SUM(cnt) OVER (PARTITION BY event_type) AS s
+        FROM f),
+      sc AS (
+        SELECT event_type, period, csum, idx, n, s,
+          abs(n * csum - idx * s) AS dev,
+          ROW_NUMBER() OVER (PARTITION BY event_type
+            ORDER BY abs(n * csum - idx * s) DESC, period) AS rk
+        FROM c)
+      SELECT event_type, period AS cp_period, CAST(dev AS BIGINT) AS dev,
+        CAST(1000000 * csum // idx AS BIGINT) AS mean_before_ppm,
+        CASE WHEN idx < n
+          THEN CAST(1000000 * (s - csum) // (n - idx) AS BIGINT)
+        END AS mean_after_ppm
+      FROM sc WHERE rk = 1 ORDER BY event_type"""))
+
   /** First-order Markov transition matrix over per-user event
     * sequences, probabilities as exact-integer PPM of each from-type's
     * outgoing total (`1 000 000·n div total` — hash-identical in any
@@ -436,5 +483,6 @@ object Events {
   def all: Seq[GraftQuery] = Seq(
     ev_funnel, ev_funnel_counts, ev_retention, ev_gapfill,
     ev_session_funnel, ev_rolling_distinct, ev_rolling_distinct_hll,
-    ev_attribution, ev_paths, ev_anomaly, ev_markov, ev_interarrival)
+    ev_attribution, ev_paths, ev_anomaly, ev_changepoint, ev_markov,
+    ev_interarrival)
 }

@@ -1105,4 +1105,140 @@ object TrainingDataDedup {
       GROUP BY doc_id ORDER BY doc_id"""))
 
 
+  /** Winnowing fingerprint pair mining ([[graft.ops.Dedup
+    * .winnowingPairs]], the MOSS detector): planted twins carry a
+    * PREPENDED preamble, the edit that shifts every fixed-offset
+    * scheme — winnowing's content-anchored windows still share the
+    * fingerprints of the common region (guaranteed for any shared
+    * run ≥ w+k−1 tokens). Exact 60-bit md5 gram hashes; df cap 64
+    * keeps template fingerprints out of the pair join. */
+  val td_winnowing = GraftQuery(
+    "td_winnowing",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).filter(col("doc_id") < 250)
+        .select(col("doc_id"), col("text"))
+      val corpus = d.unionByName(
+        d.filter(pmod(col("doc_id"), lit(7)) === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L)
+          .withColumn("text",
+            concat(lit("intro preamble lines here "), col("text"))))
+      Dedup.winnowingPairs(corpus, "doc_id", "text", k = 4, w = 4,
+        minShared = 3, maxDf = 64)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""WITH corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 250
+        UNION ALL
+        SELECT doc_id + 1000000, 'intro preamble lines here ' || text
+        FROM documents WHERE doc_id < 250 AND doc_id % 7 = 0),
+      base AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t,
+          CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+        FROM corpus),
+      grams AS (
+        SELECT doc_id, pos - 1 AS pos, len(t) - 3 AS ng,
+          t[pos]||' '||t[pos+1]||' '||t[pos+2]||' '||t[pos+3] AS gram
+        FROM (SELECT doc_id, t, unnest(range(1, len(t) - 2)) AS pos
+              FROM base WHERE n_tokens >= 4)),
+      h AS (
+        SELECT doc_id, pos, ng,
+          CAST(('0x' || substring(md5(gram), 1, 15)) AS BIGINT) AS h
+        FROM grams),
+      wins AS (
+        SELECT doc_id, pos, h,
+          unnest(range(greatest(pos - 3, 0),
+                       least(pos, greatest(ng - 4, 0)) + 1)) AS s
+        FROM h),
+      sel AS (
+        SELECT doc_id, pos, h, ROW_NUMBER() OVER (
+          PARTITION BY doc_id, s ORDER BY h, pos DESC) AS rn
+        FROM wins),
+      fp AS (SELECT DISTINCT doc_id, h FROM sel WHERE rn = 1),
+      rare AS (
+        SELECT doc_id, h FROM fp
+        QUALIFY COUNT(*) OVER (PARTITION BY h) <= 64),
+      nf AS (SELECT doc_id, COUNT(*) AS nfp FROM fp GROUP BY 1),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+        FROM rare a JOIN rare b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+      SELECT p.id_a, p.id_b, fa.nfp AS fp_a, fb.nfp AS fp_b, p.n_shared
+      FROM pairs p JOIN nf fa ON fa.doc_id = p.id_a
+      JOIN nf fb ON fb.doc_id = p.id_b
+      ORDER BY id_a, id_b"""))
+
+
+  /** Span-level benchmark decontamination ([[graft.ops.Dedup
+    * .scrubContaminationSpans]]): same benchmark split as
+    * [[td_decontam]] (doc_id % 97), but the ACTION is surgical —
+    * widen each colliding 3-gram by 2 tokens each side, merge, and
+    * excise only the contaminated windows. Rewrites pinned by md5. */
+  val td_decontam_spans = GraftQuery(
+    "td_decontam_spans",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.scrubContaminationSpans(
+        docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(97)) === 0),
+        "doc_id", "text", n = 3, radius = 2)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("n_spans"),
+          col("removed_tokens"), md5(col("clean_text")).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH base AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t,
+          CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+        FROM documents),
+      bgrams AS (
+        SELECT DISTINCT t[pos]||' '||t[pos+1]||' '||t[pos+2] AS gram
+        FROM (SELECT t, unnest(range(1, len(t) - 1)) AS pos
+              FROM base WHERE doc_id % 97 = 0 AND n_tokens >= 3)),
+      cgrams AS (
+        SELECT doc_id, pos - 1 AS pos,
+          t[pos]||' '||t[pos+1]||' '||t[pos+2] AS gram
+        FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS pos
+              FROM base WHERE doc_id % 97 <> 0 AND n_tokens >= 3)),
+      seeds AS (
+        SELECT c.doc_id, greatest(c.pos - 2, 0) AS pos, c.pos + 4 AS e
+        FROM cgrams c JOIN bgrams USING (gram)),
+      isl AS (
+        SELECT doc_id, pos, e,
+          MAX(e) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        FROM seeds),
+      isl2 AS (
+        SELECT doc_id, pos, e,
+          SUM(CASE WHEN pme IS NULL OR pos > pme THEN 1 ELSE 0 END)
+            OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM isl),
+      ivl AS (
+        SELECT doc_id, island, MIN(pos) AS s, MAX(e) AS e
+        FROM isl2 GROUP BY 1, 2),
+      ns AS (SELECT doc_id, COUNT(*) AS n_spans FROM ivl GROUP BY 1),
+      toks AS (
+        SELECT doc_id, pos, t[pos] AS tok
+        FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS pos
+              FROM base WHERE doc_id % 97 <> 0 AND n_tokens > 0)),
+      kept AS (
+        SELECT tk.doc_id, tk.pos, tk.tok FROM toks tk
+        WHERE NOT EXISTS (SELECT 1 FROM ivl v
+          WHERE v.doc_id = tk.doc_id
+            AND tk.pos - 1 >= v.s AND tk.pos - 1 <= v.e)),
+      rebuilt AS (
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+          COUNT(*) AS n_kept
+        FROM kept GROUP BY doc_id)
+      SELECT b.doc_id, CAST(b.n_tokens AS INTEGER) AS n_tokens,
+        CAST(COALESCE(ns.n_spans, 0) AS BIGINT) AS n_spans,
+        CAST(b.n_tokens - COALESCE(r.n_kept, 0) AS BIGINT)
+          AS removed_tokens,
+        md5(COALESCE(r.clean_text, '')) AS clean_md5
+      FROM base b
+      LEFT JOIN ns USING (doc_id)
+      LEFT JOIN rebuilt r USING (doc_id)
+      WHERE b.doc_id % 97 <> 0
+      ORDER BY b.doc_id"""))
+
 }

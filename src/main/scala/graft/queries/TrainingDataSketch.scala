@@ -480,4 +480,45 @@ object TrainingDataSketch {
           AS err_ppm
       FROM u, ex ORDER BY buckets"""))
 
+
+  /** Embedding-space drift gate ([[graft.ops.Profiling
+    * .embeddingDrift]]): per-label centroid L1/L∞ shift between two
+    * deterministic hash-halves of the embedding table — the semantic
+    * complement of [[td_drift_tvd]]'s discrete histograms. Floats
+    * cross engines only through one identical widen·2²⁰·floor
+    * quantization; every aggregate after that is exact integer. */
+  val td_embedding_drift = GraftQuery(
+    "td_embedding_drift",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val side = graft.ops.Pipeline.hashBucket(col("vec_id"), 2)
+      graft.ops.Profiling.embeddingDrift(
+          e.filter(side === 0), e.filter(side === 1),
+          "label", "embedding")
+        .withColumnRenamed("group", "label")
+        .orderBy(col("label"))
+    },
+    Some("""WITH sides AS (
+        SELECT label, embedding,
+          CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+            AS BIGINT) % 2 AS side
+        FROM embeddings),
+      ex AS (
+        SELECT label, side, i AS dim,
+          CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576) AS BIGINT) AS q
+        FROM sides, unnest(range(1, len(embedding) + 1)) AS t(i)),
+      cent AS (
+        SELECT label, side, dim, COUNT(*) AS cnt,
+          SUM(q) // COUNT(*) AS c
+        FROM ex GROUP BY 1, 2, 3),
+      j AS (
+        SELECT a.label, a.dim, abs(a.c - b.c) AS d,
+          a.cnt AS na, b.cnt AS nb
+        FROM cent a JOIN cent b ON a.label = b.label AND a.dim = b.dim
+        WHERE a.side = 0 AND b.side = 1)
+      SELECT label, MAX(na) AS n_a, MAX(nb) AS n_b,
+        CAST(SUM(d) AS BIGINT) AS l1_drift_q20,
+        CAST(MAX(d) AS BIGINT) AS linf_drift_q20
+      FROM j GROUP BY label ORDER BY label"""))
+
 }
