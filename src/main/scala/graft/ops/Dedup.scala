@@ -1283,9 +1283,12 @@ object Dedup {
       .select(col("id"), col("h")).distinct()
       .localCheckpoint(eager = false)
     val counts = fp.groupBy(col("id")).agg(count(lit(1)).as("nfp"))
+    // both sides of the pair self-join read rare — materialize so the
+    // df window runs once, not per branch
     val rare = fp
       .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
       .filter(col("df") <= maxDf)
+      .localCheckpoint(eager = false)
     rare.select(col("h"), col("id").as("id_a"))
       .join(rare.select(col("h"), col("id").as("id_b")), Seq("h"))
       .filter(col("id_a") < col("id_b"))

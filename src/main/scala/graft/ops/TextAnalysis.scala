@@ -728,17 +728,30 @@ object TextAnalysis {
     * deterministic tie rule, so the fingerprint set hash-matches any
     * engine.
     *
-    * Scale shape: gram generation is the native one-pass
-    * `positioned_grams` codegen expression (narrow map); the window
-    * fan-out is a bounded ×w explode; selection is ONE shuffle keyed
-    * (doc, window-start) — skew-free by construction (keys are
-    * per-doc sequential ints). Fingerprints per doc ≈ 2·L/(w+1).
+    * Scale shape: the whole per-document selection runs inside the
+    * native one-pass `winnow_fingerprints` codegen expression (a
+    * monotonic deque over the gram-hash sequence — O(L) amortized),
+    * so fingerprinting is a NARROW map with zero shuffle and zero
+    * fan-out; only the selected ≈2·L/(w+1) fingerprints ever leave
+    * the row. The DataFrame window formulation is kept as
+    * [[winnowingFingerprintsFold]], the spec-proved semantic twin.
     *
     * @return (id, pos, h) — selected 0-based gram positions and
     *         their 60-bit hashes, distinct per (id, pos)
     */
   def winnowingFingerprints(docs: DataFrame, idCol: String,
-      textCol: String, k: Int = 4, w: Int = 4): DataFrame = {
+      textCol: String, k: Int = 4, w: Int = 4): DataFrame =
+    docs.select(col(idCol).as("id"),
+        explode(graft.plans.NativeCols.winnowFingerprints(
+          col(textCol), k, w)).as("fp"))
+      .select(col("id"), col("fp.pos").as("pos"), col("fp.h").as("h"))
+
+  /** The original DataFrame/window form of [[winnowingFingerprints]]
+    * — the semantic reference the native expression is verified
+    * against (VectorExprsSpec): per-window argmin via a ×w window
+    * explode + one (doc, window)-keyed row_number. */
+  private[graft] def winnowingFingerprintsFold(docs: DataFrame,
+      idCol: String, textCol: String, k: Int = 4, w: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1 && w >= 1, "k and w must be >= 1")
     val g = docs

@@ -52,6 +52,11 @@ object NativeCols {
   def positionedGrams(text: Column, n: Int): Column =
     cl(PositionedGramsExpression(ex(text), n))
 
+  /** Codegen winnowing fingerprint selection
+    * (see [[WinnowFingerprintsExpression]]). */
+  def winnowFingerprints(text: Column, k: Int, w: Int): Column =
+    cl(WinnowFingerprintsExpression(ex(text), k, w))
+
   /** Codegen md5-plane multi-table LSH keys
     * (see [[Md5LshKeysExpression]]). */
   def md5LshKeys(vec: Column, dim: Int, numPlanes: Int,

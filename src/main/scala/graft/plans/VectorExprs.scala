@@ -366,6 +366,78 @@ object VectorOps {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Winnowing fingerprint selection in one pass (see
+    * [[WinnowFingerprintsExpression]]): tokenize like
+    * [[positionedGrams]] (SQL space-only trim, `\s+` split), hash
+    * every k-gram to the md5-hex60 long ([[graft.ops.Pipeline
+    * .hashHex]] twin), then slide a monotonic deque over the hash
+    * sequence — pops with `>=` keep the RIGHTMOST minimum at the
+    * front, the paper's tie rule. Selected positions are
+    * non-decreasing (the deque front index never moves left), so
+    * consecutive dedup yields the distinct fingerprint set in
+    * position order. A doc with fewer than `w` grams forms one short
+    * window; fewer than `k` tokens → empty. */
+  def winnowFingerprints(s: UTF8String, k: Int, w: Int): ArrayData = {
+    val raw = s.toString
+    var b = 0
+    var e = raw.length
+    while (b < e && raw.charAt(b) == ' ') b += 1
+    while (e > b && raw.charAt(e - 1) == ' ') e -= 1
+    val str = raw.substring(b, e)
+    val toks: Array[String] =
+      if (str.isEmpty) Array.empty else wsPattern.split(str, -1)
+    val ng = toks.length - k + 1
+    if (ng <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val md = md5Local.get()
+    val hs = new Array[Long](ng)
+    var i = 0
+    while (i < ng) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < k) { sb.append(' ').append(toks(i + j)); j += 1 }
+      md.reset()
+      val d = md.digest(
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var h = 0L
+      var t = 0
+      while (t < 7) { h = (h << 8) | (d(t) & 0xFFL); t += 1 }
+      hs(i) = (h << 4) | ((d(7) & 0xFF) >>> 4)
+      i += 1
+    }
+    val wEff = math.min(w, ng)
+    val deque = new Array[Int](ng)
+    var head = 0
+    var tail = 0
+    val selPos = new Array[Int](ng - wEff + 1)
+    var nSel = 0
+    var p = 0
+    while (p < ng) {
+      while (tail > head && hs(deque(tail - 1)) >= hs(p)) tail -= 1
+      deque(tail) = p
+      tail += 1
+      if (p >= wEff - 1) {
+        val s0 = p - wEff + 1
+        while (deque(head) < s0) head += 1
+        val sel = deque(head)
+        if (nSel == 0 || selPos(nSel - 1) != sel) {
+          selPos(nSel) = sel
+          nSel += 1
+        }
+      }
+      p += 1
+    }
+    val out = new Array[Any](nSel)
+    var q = 0
+    while (q < nSel) {
+      out(q) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](selPos(q), hs(selPos(q))))
+      q += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Per-document repetition stats (the Gopher-style repetition
     * filters): `top_bigram_frac` = occurrences of the most frequent
     * word bigram / total bigrams, `dup_trigram_frac` = fraction of
@@ -899,6 +971,48 @@ final case class CdcChunksExpression(child: Expression, window: Int,
 object CdcChunksExpression {
   val info: ExpressionInfo = new ExpressionInfo(
     classOf[CdcChunksExpression].getName, "cdc_chunks")
+}
+
+/** `winnow_fingerprints(text, k, w)`: codegen winnowing fingerprint
+  * selection (Schleimer/Wilkerson/Aiken, SIGMOD 2003) —
+  * array<struct<pos INT, h BIGINT>>, the selected 0-based gram
+  * positions with their md5-hex60 gram hashes. One compiled pass per
+  * document: the DataFrame form's ×w window explode + (id, s)-keyed
+  * row_number shuffle disappear entirely — selection is a monotonic
+  * deque over the gram-hash sequence, O(L) amortized, and the only
+  * thing that ever leaves the row is the ≈2L/(w+1) fingerprint set. */
+final case class WinnowFingerprintsExpression(child: Expression, k: Int,
+    w: Int) extends UnaryExpression {
+
+  require(k >= 1 && w >= 1,
+    s"winnow_fingerprints requires k >= 1 and w >= 1, got $k/$w")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"winnow_fingerprints requires STRING input, got ${child.dataType.sql}")
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("pos", IntegerType, nullable = false),
+    StructField("h", LongType, nullable = false))),
+    containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    VectorOps.winnowFingerprints(input.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.VectorOps.winnowFingerprints($c, $k, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "winnow_fingerprints"
+}
+
+object WinnowFingerprintsExpression {
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[WinnowFingerprintsExpression].getName, "winnow_fingerprints")
 }
 
 /** `hashed_gram_buckets(text, dim, bigrams)`: codegen hashed-feature

@@ -371,6 +371,29 @@ class VectorExprsSpec extends SparkSpec {
     }
   }
 
+  test("winnow_fingerprints ≡ window-explode fold across (k, w) shapes") {
+    import graft.ops.TextAnalysis
+    import spark.implicits._
+    val rnd = new scala.util.Random(59)
+    val texts = Seq("", "   ", "one two three", "a b c d",
+      " padded   runs  here again ok now ",
+      "\tx y z w v u t s\n",
+      // repeated vocab → hash ties exercise the rightmost-tie rule
+      (0 until 300).map(_ => s"v${rnd.nextInt(5)}").mkString(" "),
+      (0 until 120).map(i => s"u$i").mkString(" "))
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    for ((k, w) <- Seq((4, 4), (3, 5), (1, 1), (2, 9))) {
+      val native = TextAnalysis
+        .winnowingFingerprints(docs, "id", "text", k, w)
+        .as[(Long, Int, Long)].collect().toSeq.sorted
+      val fold = TextAnalysis
+        .winnowingFingerprintsFold(docs, "id", "text", k, w)
+        .as[(Long, Int, Long)].collect().toSeq.sorted
+      assert(native == fold, s"(k=$k, w=$w)")
+    }
+  }
+
   test("native expressions survive whole-stage codegen in a real plan") {
     import spark.implicits._
     // force the codegen path (not interpreted fallback eval) by going
