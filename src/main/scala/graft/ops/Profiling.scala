@@ -202,6 +202,10 @@ object Profiling {
     * sums collapse map-side to |groups|·dim rows; the join and final
     * per-group fold are over that tiny aggregate — the embedding
     * tables themselves shuffle once each, keyed (group, dim).
+    * Magnitudes: |q| ≤ 2²⁰ for unit-normalized components, so the
+    * per-(group, dim) Long sum is safe to ~8·10¹² rows per group;
+    * past that, cast the sum to DECIMAL (the cooccurrence
+    * discipline) before the div.
     *
     * @return (group, n_a, n_b, l1_drift_q20, linf_drift_q20) — scaled
     *         by 2²⁰; divide by 1 048 576 for raw units

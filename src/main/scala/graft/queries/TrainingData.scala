@@ -49,7 +49,8 @@ object TrainingData {
     td_token_quantiles, td_quantiles_by_value, td_quantile_sketch,
     td_join_estimate,
     td_pack_sequences, td_decontam, td_decontam_canonical,
-    td_decontam_spans, td_winnowing, td_embedding_drift,
+    td_decontam_spans, td_winnowing, td_winnowing_density,
+    td_embedding_drift,
     td_lsh_precision, td_curation_funnel,
     td_token_budget, td_interleave, td_train_split,
     td_split_leakage_safe, td_pii_scrub,

@@ -1169,6 +1169,88 @@ object TrainingDataDedup {
       ORDER BY id_a, id_b"""))
 
 
+  /** Winnowing density sweep: measured fingerprint density vs the
+    * paper's expected 2/(w+1) across window sizes — the tuning curve
+    * an operator reads to pick the index-size/guarantee trade-off
+    * (w up → smaller index, longer minimum guaranteed-detected run
+    * w+k−1). Exact integer ppm; selection runs in the native
+    * one-pass expression, so the sweep is three narrow scans. */
+  val td_winnowing_density = GraftQuery(
+    "td_winnowing_density",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val grams = docs.select(
+          size(graft.plans.NativeCols.positionedGrams(col("text"), 4))
+            .as("ng"))
+        .agg(sum(col("ng")).as("n_grams"))
+      val fps = Seq(4, 8, 16).map { w =>
+        TextAnalysis.winnowingFingerprints(docs, "doc_id", "text", 4, w)
+          .agg(count(lit(1)).as("n_fp"))
+          .withColumn("w", lit(w))
+      }.reduce(_ unionByName _)
+      fps.crossJoin(broadcast(grams))
+        .select(col("w"), col("n_grams"), col("n_fp"),
+          expr("1000000 * n_fp div n_grams").as("density_ppm"),
+          expr("2000000 div (w + 1)").as("expected_ppm"))
+        .orderBy(col("w"))
+    },
+    Some("""WITH base AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t,
+          CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+        FROM documents),
+      grams AS (
+        SELECT doc_id, pos - 1 AS pos, len(t) - 3 AS ng,
+          t[pos]||' '||t[pos+1]||' '||t[pos+2]||' '||t[pos+3] AS gram
+        FROM (SELECT doc_id, t, unnest(range(1, len(t) - 2)) AS pos
+              FROM base WHERE n_tokens >= 4)),
+      h AS (
+        SELECT doc_id, pos, ng,
+          CAST(('0x' || substring(md5(gram), 1, 15)) AS BIGINT) AS h
+        FROM grams),
+      tot AS (SELECT COUNT(*) AS n_grams FROM h),
+      w4 AS (
+        SELECT doc_id, pos, h,
+          unnest(range(greatest(pos - 3, 0),
+                       least(pos, greatest(ng - 4, 0)) + 1)) AS s
+        FROM h),
+      f4 AS (SELECT COUNT(*) AS n_fp FROM (
+        SELECT DISTINCT doc_id, pos FROM (
+          SELECT doc_id, pos, ROW_NUMBER() OVER (
+            PARTITION BY doc_id, s ORDER BY h, pos DESC) AS rn
+          FROM w4) WHERE rn = 1)),
+      w8 AS (
+        SELECT doc_id, pos, h,
+          unnest(range(greatest(pos - 7, 0),
+                       least(pos, greatest(ng - 8, 0)) + 1)) AS s
+        FROM h),
+      f8 AS (SELECT COUNT(*) AS n_fp FROM (
+        SELECT DISTINCT doc_id, pos FROM (
+          SELECT doc_id, pos, ROW_NUMBER() OVER (
+            PARTITION BY doc_id, s ORDER BY h, pos DESC) AS rn
+          FROM w8) WHERE rn = 1)),
+      w16 AS (
+        SELECT doc_id, pos, h,
+          unnest(range(greatest(pos - 15, 0),
+                       least(pos, greatest(ng - 16, 0)) + 1)) AS s
+        FROM h),
+      f16 AS (SELECT COUNT(*) AS n_fp FROM (
+        SELECT DISTINCT doc_id, pos FROM (
+          SELECT doc_id, pos, ROW_NUMBER() OVER (
+            PARTITION BY doc_id, s ORDER BY h, pos DESC) AS rn
+          FROM w16) WHERE rn = 1)),
+      u AS (
+        SELECT 4 AS w, (SELECT n_fp FROM f4) AS n_fp
+        UNION ALL
+        SELECT 8, (SELECT n_fp FROM f8)
+        UNION ALL
+        SELECT 16, (SELECT n_fp FROM f16))
+      SELECT u.w, tot.n_grams, u.n_fp,
+        CAST(1000000 * u.n_fp // tot.n_grams AS BIGINT) AS density_ppm,
+        CAST(2000000 // (u.w + 1) AS BIGINT) AS expected_ppm
+      FROM u, tot ORDER BY w"""))
+
+
   /** Span-level benchmark decontamination ([[graft.ops.Dedup
     * .scrubContaminationSpans]]): same benchmark split as
     * [[td_decontam]] (doc_id % 97), but the ACTION is surgical —

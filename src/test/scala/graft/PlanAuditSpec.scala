@@ -905,4 +905,40 @@ class PlanAuditSpec extends SparkSpec {
       assert(partials.nonEmpty, s"fertility aggregate not partial:\n$plan")
     }
   }
+
+  test("winnowingFingerprints: native selection is a narrow map — zero " +
+      "shuffle, zero window") {
+    import org.apache.spark.sql.functions._
+    audited(graft.ops.TextAnalysis.winnowingFingerprints(
+        graft.Tables.documents(spark, dir), "doc_id", "text", 4, 4)) { df =>
+      val plan = df.queryExecution.executedPlan
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty,
+        s"fingerprint selection must not shuffle:\n$plan")
+      val windows = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.isEmpty,
+        s"fingerprint selection must not sort/window:\n$plan")
+    }
+  }
+
+  test("td_embedding_drift: partial aggregation before both centroid " +
+      "exchanges, centroid join broadcasts") {
+    audited(graft.queries.TrainingDataSketch.td_embedding_drift
+        .fn(spark, dir)) { df =>
+      val plan = df.queryExecution.executedPlan
+      val partials = plan.collect {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec
+          if a.aggregateExpressions.exists(_.mode ==
+            org.apache.spark.sql.catalyst.expressions.aggregate.Partial) => a
+      }
+      assert(partials.size >= 2,
+        s"both centroid aggs must combine map-side:\n$plan")
+      val bhj = plan.collect { case b: BroadcastHashJoinExec => b }
+      assert(bhj.nonEmpty, s"centroid join should broadcast:\n$plan")
+    }
+  }
 }
