@@ -128,7 +128,17 @@ object PlanDump {
     "td_decontam_canonical" ->
       "Canonicalized decontamination: the canonical form is one extra narrow regex pass; the benchmark's canonical shingle set still BROADCASTS and the corpus still never re-shuffles — obfuscation robustness costs zero exchanges over td_decontam.",
     "td_lsh_precision" ->
-      "LSH operating point: signatures and band buckets are narrow md5 projections; candidates key by (band, bucket) — the only pair generation is within buckets — and the three 1-row count frames compose via broadcast; the exact-pair reference reuses the lossless prefix-filter miner, so the measurement itself scales like the miner it measures.")
+      "LSH operating point: signatures and band buckets are narrow md5 projections; candidates key by (band, bucket) — the only pair generation is within buckets — and the three 1-row count frames compose via broadcast; the exact-pair reference reuses the lossless prefix-filter miner, so the measurement itself scales like the miner it measures.",
+    "td_winnowing" ->
+      "Winnowing pair mining: the whole per-doc selection (gram hashes + sliding-window rightmost-tie argmin) runs inside the native winnow_fingerprints expression — a NARROW map, no explode fan-out, no (doc, window) shuffle (PlanAuditSpec pins zero Exchange/Window in the selection subtree); the pair join keys on fingerprint hashes after the df-cap window drops boilerplate hashes, so candidate volume is bounded by genuinely-shared content.",
+    "td_winnowing_density" ->
+      "Density sweep: three narrow fingerprint scans (one per w) each collapsing to a 1-row count before the union; the gram total broadcasts into the ppm projection — nothing but 1-row frames past the scans.",
+    "td_decontam_spans" ->
+      "Span decontamination: benchmark grams DISTINCT then BROADCAST; corpus grams from the native positioned_grams expression (narrow Generate); matched seeds shuffle once keyed by doc for the island merge; the excision is an in-row array filter — the corpus text never shuffles.",
+    "ev_changepoint" ->
+      "CUSUM changepoint: one exchange to the (type, period) grid; cumulative sums, totals, and the argmax rank are all windows over the same type-keyed partitioning (WindowGroupLimit caps the rank scan); output is one row per type.",
+    "td_embedding_drift" ->
+      "Embedding drift: both snapshots posexplode in narrow maps and collapse map-side to (label, dim) centroid partials before their single exchanges; the two centroid aggregates join via BroadcastHashJoin and the per-label fold runs over rows ∝ |labels|·dim.")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -1303,6 +1303,73 @@ object Dedup {
         col("n_shared"))
   }
 
+  /** Persistable winnowing fingerprint index: the distinct (id, h)
+    * fingerprint set of a corpus, built ONCE and appended per ingest
+    * batch so documents are never re-fingerprinted — the same
+    * economics as [[minhashBandIndex]], at winnowing's ≈2/(w+1) of
+    * the gram volume. Write it SORTED by `h`: probes arrive as hash
+    * sets, so parquet row-group min/max stats then prune the scan
+    * (the [[DataSkipping]] story applied to the index). The `params`
+    * column makes a probe with different (k, w) fail loudly instead
+    * of silently matching nothing. */
+  def winnowIndex(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 4): DataFrame =
+    TextAnalysis.winnowingFingerprints(docs, idCol, textCol, k, w)
+      .select(col("id"), col("h")).distinct()
+      .withColumn("params", lit(s"$k:$w"))
+
+  /** Incremental winnowing probe: fingerprint the NEW batch only and
+    * report every pair sharing ≥ `minShared` rare fingerprints with
+    * the index or within the batch — the per-batch form of
+    * [[winnowingPairs]] for a growing corpus (the incremental-LSH
+    * discipline applied to span-match detection). Batch ids must be
+    * disjoint from index ids; append the batch's index rows after
+    * the check.
+    *
+    * Scale shape: the index enters through ONE equi-join against the
+    * BROADCAST batch hash set (row-group-prunable when the index is
+    * stored h-sorted), so per-batch cost is O(|batch| + collisions)
+    * — the index is never re-fingerprinted and corpus text is never
+    * reopened. The df cap is computed over batch ∪ matched index
+    * rows, which equals the GLOBAL df for every hash the batch
+    * carries — boilerplate hashes drop before any pair expands.
+    *
+    * @return (id_a, id_b, n_shared): id_a is always the new-batch
+    *         doc; id_b is an index partner, or a batch partner with
+    *         id_a < id_b
+    */
+  def incrementalWinnowPairs(newDocs: DataFrame, index: DataFrame,
+      idCol: String, textCol: String, k: Int = 4, w: Int = 4,
+      minShared: Long = 3, maxDf: Int = 64): DataFrame = {
+    require(index.columns.contains("params"),
+      "index lacks the params column — was it built by winnowIndex?")
+    val expected = s"$k:$w"
+    index.select("params").limit(1).collect().headOption.foreach { r =>
+      require(r.getString(0) == expected,
+        s"index was built with winnowing params ${r.getString(0)}, " +
+          s"but the probe uses $expected")
+    }
+    val bf = TextAnalysis.winnowingFingerprints(newDocs, idCol, textCol, k, w)
+      .select(col("id"), col("h")).distinct()
+      .withColumn("nw", lit(true))
+      .localCheckpoint(eager = false) // feeds prune, df, and both join sides
+    val matched = index
+      .join(broadcast(bf.select(col("h")).distinct()), Seq("h"))
+      .select(col("id"), col("h"), lit(false).as("nw"))
+    val rare = bf.unionByName(matched)
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("df") <= maxDf)
+      .localCheckpoint(eager = false) // both sides of the pair join
+    rare.filter(col("nw")).select(col("h"), col("id").as("id_a"))
+      .join(rare.select(col("h"), col("id").as("id_b"),
+        col("nw").as("nw_b")), Seq("h"))
+      .filter(when(col("nw_b"), col("id_a") < col("id_b"))
+        .otherwise(lit(true)))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** SPAN-level benchmark decontamination (the n-gram-collision
     * window-removal rule of GPT-3/PaLM-style preprocessing): instead
     * of dropping whole documents on any shared shingle

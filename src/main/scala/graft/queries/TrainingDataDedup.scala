@@ -1169,6 +1169,67 @@ object TrainingDataDedup {
       ORDER BY id_a, id_b"""))
 
 
+  /** Incremental winnowing probe ([[graft.ops.Dedup
+    * .incrementalWinnowPairs]]): the per-batch operating mode — a
+    * persisted fingerprint index is probed by the NEW batch's
+    * fingerprints only (broadcast hash-set prune, global-df cap),
+    * never re-fingerprinting the corpus. Planted preamble-shifted
+    * twins land as new×index pairs. */
+  val td_incremental_winnowing = GraftQuery(
+    "td_incremental_winnowing",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).filter(col("doc_id") < 150)
+        .select(col("doc_id"), col("text"))
+      val newBatch = d.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+        .withColumn("text",
+          concat(lit("intro preamble lines here "), col("text")))
+      val index = Dedup.winnowIndex(d, "doc_id", "text", k = 4, w = 4)
+      Dedup.incrementalWinnowPairs(newBatch, index, "doc_id", "text",
+        k = 4, w = 4, minShared = 3, maxDf = 64)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""WITH corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 150
+        UNION ALL
+        SELECT doc_id + 1000000, 'intro preamble lines here ' || text
+        FROM documents WHERE doc_id < 150 AND doc_id % 5 = 0),
+      base AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t,
+          CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+        FROM corpus),
+      grams AS (
+        SELECT doc_id, pos - 1 AS pos, len(t) - 3 AS ng,
+          t[pos]||' '||t[pos+1]||' '||t[pos+2]||' '||t[pos+3] AS gram
+        FROM (SELECT doc_id, t, unnest(range(1, len(t) - 2)) AS pos
+              FROM base WHERE n_tokens >= 4)),
+      h AS (
+        SELECT doc_id, pos, ng,
+          CAST(('0x' || substring(md5(gram), 1, 15)) AS BIGINT) AS h
+        FROM grams),
+      wins AS (
+        SELECT doc_id, pos, h,
+          unnest(range(greatest(pos - 3, 0),
+                       least(pos, greatest(ng - 4, 0)) + 1)) AS s
+        FROM h),
+      sel AS (
+        SELECT doc_id, pos, h, ROW_NUMBER() OVER (
+          PARTITION BY doc_id, s ORDER BY h, pos DESC) AS rn
+        FROM wins),
+      fp AS (SELECT DISTINCT doc_id, h FROM sel WHERE rn = 1),
+      rare AS (
+        SELECT doc_id, h FROM fp
+        QUALIFY COUNT(*) OVER (PARTITION BY h) <= 64)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        COUNT(*) AS n_shared
+      FROM rare a JOIN rare b ON a.h = b.h
+      WHERE a.doc_id >= 1000000
+        AND (b.doc_id < 1000000 OR a.doc_id < b.doc_id)
+      GROUP BY 1, 2 HAVING COUNT(*) >= 3
+      ORDER BY id_a, id_b"""))
+
+
   /** Winnowing density sweep: measured fingerprint density vs the
     * paper's expected 2/(w+1) across window sizes — the tuning curve
     * an operator reads to pick the index-size/guarantee trade-off

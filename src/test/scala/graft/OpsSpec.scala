@@ -1682,6 +1682,27 @@ class OpsSpec extends SparkSpec {
     assert(tight == 0, "df-capped fingerprints should not pair")
   }
 
+  test("incrementalWinnowPairs: batch probes the index without " +
+      "re-fingerprinting; params mismatch fails loudly") {
+    val run = "r1 r2 r3 r4 r5 r6 r7"
+    val idx = Dedup.winnowIndex(
+      Seq((1L, s"a1 a2 a3 a4 a5 $run a6 a7 a8 a9"),
+        (2L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", k = 4, w = 4)
+    val batch = Seq((10L, s"b1 b2 $run b3 b4 b5 b6 b7 b8 b9 b10"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.incrementalWinnowPairs(batch, idx, "doc_id", "text",
+        k = 4, w = 4, minShared = 1, maxDf = 64)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((10L, 1L)), s"got $pairs")
+    val err = intercept[IllegalArgumentException] {
+      Dedup.incrementalWinnowPairs(batch, idx, "doc_id", "text",
+        k = 5, w = 4, minShared = 1, maxDf = 64).collect()
+    }
+    assert(err.getMessage.contains("params"), err.getMessage)
+  }
+
   test("scrubContaminationSpans: seeds widen, overlap-merge, excise") {
     val corpus = Seq(
       (1L, "w1 w2 leak1 leak2 leak3 w3 w4 w5 w6 w7 w8 w9"),
