@@ -138,7 +138,9 @@ object PlanDump {
     "ev_changepoint" ->
       "CUSUM changepoint: one exchange to the (type, period) grid; cumulative sums, totals, and the argmax rank are all windows over the same type-keyed partitioning (WindowGroupLimit caps the rank scan); output is one row per type.",
     "td_embedding_drift" ->
-      "Embedding drift: both snapshots posexplode in narrow maps and collapse map-side to (label, dim) centroid partials before their single exchanges; the two centroid aggregates join via BroadcastHashJoin and the per-label fold runs over rows ∝ |labels|·dim.")
+      "Embedding drift: both snapshots posexplode in narrow maps and collapse map-side to (label, dim) centroid partials before their single exchanges; the two centroid aggregates join via BroadcastHashJoin and the per-label fold runs over rows ∝ |labels|·dim.",
+    "td_incremental_winnowing" ->
+      "Incremental winnowing probe: only the NEW batch is fingerprinted (native narrow map); the index enters through ONE equi-join against the BROADCAST batch hash set — never rescanned wholesale, row-group-prunable when stored h-sorted; the global-df cap and pair expansion run over batch ∪ matched rows only, so per-batch cost is O(batch + collisions).")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
