@@ -126,6 +126,15 @@ final class GraftExtensions extends (SparkSessionExtensions => Unit) {
           intLit(children(2), "cdc_chunks divisor"), md5)
       }))
     ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("winnow_fingerprints"),
+      WinnowFingerprintsExpression.info,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 3, "winnow_fingerprints takes (text, k, w)")
+        WinnowFingerprintsExpression(children.head,
+          intLit(children(1), "winnow_fingerprints k"),
+          intLit(children(2), "winnow_fingerprints w"))
+      }))
+    ext.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("nfc_normalize"),
       NfcNormalizeExpression.info,
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {

@@ -446,6 +446,12 @@ class VectorExprsSpec extends SparkSpec {
       assert(r2.getSeq[Int](4) == Seq(64 + 97 % 64, 64 + 98 % 64))
       assert(r2.getLong(5) == 11L)  // 1·3 + 2·4
       assert(r2.getBoolean(6))      // NFC composes e+U+0301 into é
+      // round-13: winnowing selection is SQL-reachable too; 4 tokens
+      // at k=4 → exactly one gram → exactly one fingerprint at pos 0
+      val r3 = withExt.sql(
+        "SELECT winnow_fingerprints('a b c d', 4, 4) AS fp").collect()(0)
+      val fp = r3.getSeq[org.apache.spark.sql.Row](0)
+      assert(fp.length == 1 && fp.head.getInt(0) == 0)
     } finally {
       org.apache.spark.sql.SparkSession.clearActiveSession()
       org.apache.spark.sql.SparkSession.clearDefaultSession()
