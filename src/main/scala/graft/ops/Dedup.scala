@@ -1164,8 +1164,9 @@ object Dedup {
   def removeDuplicatedSpans(docs: DataFrame, idCol: String,
       textCol: String, n: Int = 5, minDocs: Int = 2): DataFrame = {
     val base = docs
-      .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("toks"))
-      .withColumn("n_tokens", size(col("toks")))
+      .select(col(idCol).as("id"), col(textCol).as("__text"))
+      .withColumn("n_tokens",
+        size(TextAnalysis.tokens(col("__text"))))
     // native one-pass gram builder (see duplicatedSpans)
     val grams = docs
       .select(col(idCol).as("id"),
@@ -1195,15 +1196,12 @@ object Dedup {
       .join(islands, Seq("id"), "left")
       .withColumn("cut", coalesce(col("cut"),
         array().cast("array<struct<s:int,e:int>>")))
-      .withColumn("kept", filter(
-        transform(col("toks"), (t, i) => struct(t.as("t"), i.as("i"))),
-        w => !exists(col("cut"), c =>
-          w.getField("i") >= c.getField("s") &&
-            w.getField("i") <= c.getField("e"))))
-      .select(col("id"),
-        concat_ws(" ", transform(col("kept"), _.getField("t")))
-          .as("clean_text"),
-        col("n_tokens"), size(col("kept")).as("n_kept"))
+      // one compiled excision pass (spec-proved ≡ the exciseFold
+      // transform+exists lambda it replaced)
+      .withColumn("ex",
+        graft.plans.NativeCols.excisePositions(col("__text"), col("cut")))
+      .select(col("id"), col("ex.clean_text").as("clean_text"),
+        col("n_tokens"), col("ex.n_kept").as("n_kept"))
   }
 
   /** Edit-distance near-duplicates: shingle-Jaccard candidate
@@ -1393,9 +1391,9 @@ object Dedup {
       idCol: String, textCol: String, n: Int = 3,
       radius: Int = 2): DataFrame = {
     val base = corpus
-      .select(col(idCol).as("id"),
-        TextAnalysis.tokens(col(textCol)).as("toks"))
-      .withColumn("n_tokens", size(col("toks")))
+      .select(col(idCol).as("id"), col(textCol).as("__text"))
+      .withColumn("n_tokens",
+        size(TextAnalysis.tokens(col("__text"))))
       .localCheckpoint(eager = false)
     val benchGrams = broadcast(
       benchmark.select(
@@ -1428,16 +1426,30 @@ object Dedup {
       .join(islands, Seq("id"), "left")
       .withColumn("cut", coalesce(col("cut"),
         array().cast("array<struct<s:int,e:int>>")))
-      .withColumn("kept", filter(
-        transform(col("toks"), (t, i) => struct(t.as("t"), i.as("i"))),
-        x => !exists(col("cut"), c =>
-          x.getField("i") >= c.getField("s") &&
-            x.getField("i") <= c.getField("e"))))
+      // one compiled excision pass (spec-proved ≡ the exciseFold
+      // transform+exists lambda it replaced)
+      .withColumn("ex",
+        graft.plans.NativeCols.excisePositions(col("__text"), col("cut")))
       .select(col("id"), col("n_tokens"),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
-        (col("n_tokens") - size(col("kept"))).cast("long")
+        (col("n_tokens") - col("ex.n_kept")).cast("long")
           .as("removed_tokens"),
-        concat_ws(" ", transform(col("kept"), _.getField("t")))
-          .as("clean_text"))
+        col("ex.clean_text").as("clean_text"))
+  }
+
+  /** The interpreted higher-order-function form of the excision step
+    * — the semantic reference [[graft.plans.VectorOps
+    * .excisePositions]] is verified against (VectorExprsSpec):
+    * per-token membership test against the cut intervals via
+    * `transform` + `exists`, rebuild via `concat_ws`. */
+  private[graft] def exciseFold(text: Column, cuts: Column): Column = {
+    val withIdx = transform(TextAnalysis.tokens(text),
+      (t, i) => struct(t.as("t"), i.as("i")))
+    val kept = filter(withIdx, x => !exists(cuts, c =>
+      x.getField("i") >= c.getField("s") &&
+        x.getField("i") <= c.getField("e")))
+    struct(
+      concat_ws(" ", transform(kept, _.getField("t"))).as("clean_text"),
+      size(kept).as("n_kept"))
   }
 }

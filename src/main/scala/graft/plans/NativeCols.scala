@@ -57,6 +57,10 @@ object NativeCols {
   def winnowFingerprints(text: Column, k: Int, w: Int): Column =
     cl(WinnowFingerprintsExpression(ex(text), k, w))
 
+  /** Codegen span excision (see [[ExcisePositionsExpression]]). */
+  def excisePositions(text: Column, cuts: Column): Column =
+    cl(ExcisePositionsExpression(ex(text), ex(cuts)))
+
   /** Codegen md5-plane multi-table LSH keys
     * (see [[Md5LshKeysExpression]]). */
   def md5LshKeys(vec: Column, dim: Int, numPlanes: Int,

@@ -438,6 +438,69 @@ object VectorOps {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Span excision in one pass (see [[ExcisePositionsExpression]]):
+    * tokenize like the SQL form (space-only trim, `\s+` split), sort
+    * and merge the cut intervals (insertion sort — interval counts
+    * are island counts, single digits in practice), then walk tokens
+    * against the merged list with two pointers, appending survivors.
+    * Clean text joins with single spaces — the same normalization
+    * the `concat_ws` fold applies. */
+  def excisePositions(s: UTF8String, cuts: ArrayData): InternalRow = {
+    val raw = s.toString
+    var b = 0
+    var e = raw.length
+    while (b < e && raw.charAt(b) == ' ') b += 1
+    while (e > b && raw.charAt(e - 1) == ' ') e -= 1
+    val str = raw.substring(b, e)
+    val toks: Array[String] =
+      if (str.isEmpty) Array.empty else wsPattern.split(str, -1)
+    val nc = cuts.numElements()
+    val ss = new Array[Int](nc)
+    val es = new Array[Int](nc)
+    var i = 0
+    while (i < nc) {
+      val r = cuts.getStruct(i, 2)
+      ss(i) = r.getInt(0)
+      es(i) = r.getInt(1)
+      i += 1
+    }
+    // insertion sort by start
+    i = 1
+    while (i < nc) {
+      val cs = ss(i); val ce = es(i)
+      var j = i - 1
+      while (j >= 0 && ss(j) > cs) { ss(j + 1) = ss(j); es(j + 1) = es(j); j -= 1 }
+      ss(j + 1) = cs; es(j + 1) = ce
+      i += 1
+    }
+    // merge overlapping/touching intervals in place → [0, nm)
+    var nm = 0
+    i = 0
+    while (i < nc) {
+      if (nm > 0 && ss(i) <= es(nm - 1)) {
+        if (es(i) > es(nm - 1)) es(nm - 1) = es(i)
+      } else {
+        ss(nm) = ss(i); es(nm) = es(i); nm += 1
+      }
+      i += 1
+    }
+    val sb = new java.lang.StringBuilder()
+    var kept = 0
+    var ci = 0
+    var t = 0
+    while (t < toks.length) {
+      while (ci < nm && es(ci) < t) ci += 1
+      if (!(ci < nm && ss(ci) <= t && t <= es(ci))) {
+        if (kept > 0) sb.append(' ')
+        sb.append(toks(t))
+        kept += 1
+      }
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](UTF8String.fromString(sb.toString), kept))
+  }
+
   /** Per-document repetition stats (the Gopher-style repetition
     * filters): `top_bigram_frac` = occurrences of the most frequent
     * word bigram / total bigrams, `dup_trigram_frac` = fraction of
@@ -1013,6 +1076,52 @@ final case class WinnowFingerprintsExpression(child: Expression, k: Int,
 object WinnowFingerprintsExpression {
   val info: ExpressionInfo = new ExpressionInfo(
     classOf[WinnowFingerprintsExpression].getName, "winnow_fingerprints")
+}
+
+/** `excise_positions(text, cuts)`: codegen span excision — rewrite a
+  * document with every token whose 0-based position falls inside any
+  * `[s, e]` interval of `cuts` removed. Returns
+  * struct<clean_text STRING, n_kept INT>. One compiled pass
+  * (sort+merge the interval list, then a two-pointer token walk)
+  * replacing the interpreted per-token × per-interval
+  * `transform`+`exists` lambda that the span-removal ops paid on
+  * every corpus token. Intervals may arrive unsorted, overlapping,
+  * or out of range — the kernel normalizes them. */
+final case class ExcisePositionsExpression(left: Expression,
+    right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, ArrayType(st: StructType, _))
+          if st.length == 2 &&
+            st.fields.forall(_.dataType == IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"excise_positions requires (STRING, ARRAY<STRUCT<INT, INT>>), " +
+          s"got (${l.sql}, ${r.sql})")
+    }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("clean_text", StringType, nullable = false),
+    StructField("n_kept", IntegerType, nullable = false)))
+
+  override def nullSafeEval(text: Any, cuts: Any): Any =
+    VectorOps.excisePositions(text.asInstanceOf[UTF8String],
+      cuts.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (t, c) => s"graft.plans.VectorOps.excisePositions($t, $c)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "excise_positions"
+}
+
+object ExcisePositionsExpression {
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[ExcisePositionsExpression].getName, "excise_positions")
 }
 
 /** `hashed_gram_buckets(text, dim, bigrams)`: codegen hashed-feature

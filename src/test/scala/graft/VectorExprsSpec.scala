@@ -394,6 +394,39 @@ class VectorExprsSpec extends SparkSpec {
     }
   }
 
+  test("excise_positions ≡ transform+exists fold, incl unsorted/" +
+      "overlapping/out-of-range intervals") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(83)
+    val rows = (0 until 40).map { i =>
+      val nTok = rnd.nextInt(30)
+      val text =
+        if (i == 0) "" else if (i == 1) "   "
+        else (0 until nTok).map(_ => s"t${rnd.nextInt(7)}")
+          .mkString(if (i % 3 == 0) "  " else " ")
+      val cuts = (0 until rnd.nextInt(5)).map { _ =>
+        val s = rnd.nextInt(35) - 3 // may start before 0 / past the end
+        (s, s + rnd.nextInt(8) - 1) // may be empty (e < s)
+      }
+      (i.toLong, text, cuts)
+    }
+    val df = rows.toDF("id", "text", "cuts")
+      .withColumn("cuts", expr(
+        "transform(cuts, c -> named_struct('s', c._1, 'e', c._2))"))
+    val out = df.select(col("id"),
+        graft.plans.NativeCols.excisePositions(col("text"), col("cuts"))
+          .as("nat"),
+        graft.ops.Dedup.exciseFold(col("text"), col("cuts")).as("fold"))
+      .select(col("id"), col("nat.clean_text"), col("nat.n_kept"),
+        col("fold.clean_text"), col("fold.n_kept"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getString(1) == r.getString(3) && r.getInt(2) == r.getInt(4),
+        s"id=${r.getLong(0)}: native (${r.getString(1)}, ${r.getInt(2)}) " +
+          s"vs fold (${r.getString(3)}, ${r.getInt(4)})")
+    }
+  }
+
   test("native expressions survive whole-stage codegen in a real plan") {
     import spark.implicits._
     // force the codegen path (not interpreted fallback eval) by going
