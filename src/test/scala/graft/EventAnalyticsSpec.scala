@@ -257,6 +257,45 @@ class EventAnalyticsSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(basePeriod * 10 >= 0) // shape sanity: cp sits at relative 9
   }
 
+  test("changepoint ≡ brute CUSUM on random dense count sequences") {
+    val rnd = new scala.util.Random(211)
+    // three types, every period occupied (no gap-fill interaction),
+    // counts 1..6 per period
+    val types = Seq("P", "Q", "R")
+    val perType = types.map { t =>
+      t -> (0 until (8 + rnd.nextInt(8))).map(_ => 1 + rnd.nextInt(6))
+    }.toMap
+    val rows = perType.toSeq.flatMap { case (t, counts) =>
+      counts.zipWithIndex.flatMap { case (c, p) =>
+        Seq.fill(c)((1L, p * 10L, t, 0.0)) }
+    }
+    val df = ev(rows.zipWithIndex.map { case ((u, sec, t, v), i) =>
+      (u + i, sec, t, v) }: _*)
+    // every type starts at sec=0, so all share the same base period
+    val pmin = df.select(
+        org.apache.spark.sql.functions.floor(
+          org.apache.spark.sql.functions.unix_micros($"ts") / 10000000L))
+      .as[Long].collect().min
+    val out = EventAnalytics.changepoint(df, "event_type", "ts",
+        periodSec = 10L)
+      .select($"event_type", $"cp_period", $"dev")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    perType.foreach { case (t, x) =>
+      val n = x.length.toLong
+      val s = x.sum.toLong
+      val cs = x.scanLeft(0L)(_ + _).drop(1)
+      val devs = cs.zipWithIndex.map { case (c, i) =>
+        math.abs(n * c - (i + 1) * s) }
+      // argmax with earliest-period tie-break
+      val best = devs.zipWithIndex.maxBy { case (d, i) => (d, -i) }
+      val (_, gotP, gotD) = out(t)
+      assert(gotD == best._1, s"type $t dev: got $gotD want ${best._1}")
+      assert(gotP - pmin == best._2,
+        s"type $t cp: got ${gotP - pmin} want ${best._2}")
+    }
+  }
+
   test("changepoint: single-period type has zero dev and NULL after-mean") {
     val df = ev((1L, 0L, "X", 0.0), (2L, 1L, "X", 0.0))
     val cp = EventAnalytics.changepoint(df, "event_type", "ts", 10L)

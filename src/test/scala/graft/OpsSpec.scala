@@ -1667,6 +1667,27 @@ class OpsSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)), s"got $pairs")
   }
 
+  test("winnowingPairs guarantee property: random (k, w), random hosts, " +
+      "every planted run of w+k-1 tokens detected") {
+    val rnd = new scala.util.Random(401)
+    for (trial <- 0 until 6) {
+      val k = 2 + rnd.nextInt(4) // 2..5
+      val w = 2 + rnd.nextInt(5) // 2..6
+      val runLen = w + k - 1
+      val run = (0 until runLen).map(i => s"shared_${trial}_$i")
+      def hostTokens(tag: String) =
+        (0 until 3 + rnd.nextInt(10)).map(i => s"${tag}_$i")
+      val a = (hostTokens("a") ++ run ++ hostTokens("aa")).mkString(" ")
+      val b = (hostTokens("b") ++ run ++ hostTokens("bb")).mkString(" ")
+      val pairs = Dedup.winnowingPairs(
+          Seq((1L, a), (2L, b)).toDF("doc_id", "text"),
+          "doc_id", "text", k = k, w = w, minShared = 1, maxDf = 64)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(pairs.contains((1L, 2L)),
+        s"trial $trial (k=$k, w=$w): planted run of $runLen tokens missed")
+    }
+  }
+
   test("winnowingPairs: maxDf drops boilerplate fingerprints") {
     // the same 8-token template in EVERY doc; pairs exist at high
     // maxDf and vanish when the cap excludes corpus-wide hashes
