@@ -280,6 +280,28 @@ object EventAnalytics {
       .drop("__total")
   }
 
+  /** (type, period, cnt) with every period in each type's observed
+    * [min, max] span present — zero-count periods gap-filled. Shared
+    * by [[rateAnomaly]] and [[changepoint]]; see rateAnomaly's
+    * scaladoc for why the fill is load-bearing. */
+  private def filledPeriodCounts(events: DataFrame, typeCol: String,
+      tsCol: String, periodSec: Long): DataFrame = {
+    val us = periodSec * 1000000L
+    val counts = events
+      .groupBy(col(typeCol), floor(unix_micros(col(tsCol)) / us).as("period"))
+      .agg(count(lit(1)).as("cnt"))
+      // feeds the span agg AND the left join — avoid the two-branch
+      // recompute of the event-table shuffle
+      .localCheckpoint(eager = false)
+    val spans = counts.groupBy(col(typeCol))
+      .agg(min(col("period")).as("__pmin"), max(col("period")).as("__pmax"))
+    spans
+      .select(col(typeCol),
+        explode(sequence(col("__pmin"), col("__pmax"))).as("period"))
+      .join(counts, Seq(typeCol, "period"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+  }
+
   /** Event-rate anomaly gate: bucket events per (`typeCol`, period of
     * `periodSec`), then flag periods whose count sits more than
     * `kSigma` standard deviations from that type's own mean — the
@@ -317,28 +339,6 @@ object EventAnalytics {
     * @return (`typeCol`, period, cnt, anomalous 1/0) — one row per
     *         period in each type's observed span, zeros included
     */
-  /** (type, period, cnt) with every period in each type's observed
-    * [min, max] span present — zero-count periods gap-filled. Shared
-    * by [[rateAnomaly]] and [[changepoint]]; see rateAnomaly's
-    * scaladoc for why the fill is load-bearing. */
-  private def filledPeriodCounts(events: DataFrame, typeCol: String,
-      tsCol: String, periodSec: Long): DataFrame = {
-    val us = periodSec * 1000000L
-    val counts = events
-      .groupBy(col(typeCol), floor(unix_micros(col(tsCol)) / us).as("period"))
-      .agg(count(lit(1)).as("cnt"))
-      // feeds the span agg AND the left join — avoid the two-branch
-      // recompute of the event-table shuffle
-      .localCheckpoint(eager = false)
-    val spans = counts.groupBy(col(typeCol))
-      .agg(min(col("period")).as("__pmin"), max(col("period")).as("__pmax"))
-    spans
-      .select(col(typeCol),
-        explode(sequence(col("__pmin"), col("__pmax"))).as("period"))
-      .join(counts, Seq(typeCol, "period"), "left")
-      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
-  }
-
   def rateAnomaly(events: DataFrame, typeCol: String, tsCol: String,
                   periodSec: Long, kSigma: Int): DataFrame = {
     val full = filledPeriodCounts(events, typeCol, tsCol, periodSec)
