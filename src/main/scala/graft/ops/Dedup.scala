@@ -1400,8 +1400,9 @@ object Dedup {
           explode(graft.plans.NativeCols.positionedGrams(col(textCol), n))
             .as("gram"))
         .distinct())
-    // seed spans: matched gram positions widened by the radius,
-    // clamped to the token range
+    // seed spans: matched gram positions widened by the radius;
+    // starts clamp at 0, ends may overshoot the doc length (harmless
+    // — positions past the last token never exist to excise)
     val seeds = corpus
       .select(col(idCol).as("id"),
         posexplode(graft.plans.NativeCols.positionedGrams(col(textCol), n))
