@@ -1754,6 +1754,33 @@ class OpsSpec extends SparkSpec {
     assert(out == ((1L, 12, 1L, 8L, "k1 k6 k7 k8")), s"$out")
   }
 
+  test("embeddingDrift ≡ brute JVM computation on random vectors") {
+    val rnd = new scala.util.Random(509)
+    def vecs(n: Int) = (0 until n).map(_ =>
+      Seq.fill(6)(rnd.nextFloat() * 2f - 1f))
+    val aRows = (0 until 3).flatMap(g => vecs(2 + g).map(v => (g, v)))
+    val bRows = (0 until 3).flatMap(g => vecs(4 - g).map(v => (g, v)))
+    val out = graft.ops.Profiling.embeddingDrift(
+        aRows.toDF("label", "embedding"), bRows.toDF("label", "embedding"),
+        "label", "embedding")
+      .as[(Int, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    def cent(rows: Seq[(Int, Seq[Float])], g: Int): Seq[Long] = {
+      val vs = rows.filter(_._1 == g).map(_._2)
+      (0 until 6).map { d =>
+        val s = vs.map(v => math.floor(v(d).toDouble * 1048576.0).toLong).sum
+        s / vs.length // JVM / truncates toward zero, same as div
+      }
+    }
+    for (g <- 0 until 3) {
+      val ds = cent(aRows, g).zip(cent(bRows, g)).map { case (x, y) =>
+        math.abs(x - y) }
+      val (_, na, nb, l1, linf) = out(g)
+      assert(na == aRows.count(_._1 == g) && nb == bRows.count(_._1 == g))
+      assert(l1 == ds.sum, s"label $g l1: got $l1 want ${ds.sum}")
+      assert(linf == ds.max, s"label $g linf: got $linf want ${ds.max}")
+    }
+  }
+
   test("embeddingDrift: exact scaled-integer centroid shift") {
     val a = Seq((7, Seq(1.0f, 0.0f)), (7, Seq(0.0f, 1.0f)),
       (8, Seq(-0.5f, 0.25f))).toDF("label", "embedding")
