@@ -364,8 +364,12 @@ object EventAnalytics {
     *   D_i = n·Σ_{j≤i} x_j − i·S
     * and the changepoint is the period maximizing |D_i| (tie →
     * earliest period) — exact arithmetic, hash-identical in any
-    * engine. Magnitudes: |D_i| ≤ n·S, so Long holds to ~3·10⁹
-    * events·periods per type — run per retention window beyond that.
+    * engine. Magnitudes (no squares here, unlike [[rateAnomaly]]'s
+    * z-form): |D_i| ≤ n·S, so the statistic holds while
+    * periods·events < 2⁶³ per type (e.g. 10⁹ events over 10⁹
+    * periods); the TIGHTER bound is the ppm means — 10⁶·S must stay
+    * under 2⁶³, so S < ~9·10¹² events per type; run per retention
+    * window beyond that (n is the window's period count either way).
     * Reported means before/after the cut are exact integer ppm.
     *
     * Plan shape: one shuffle to (type, period) counts (shared with

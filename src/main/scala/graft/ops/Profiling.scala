@@ -205,7 +205,11 @@ object Profiling {
     * Magnitudes: |q| ≤ 2²⁰ for unit-normalized components, so the
     * per-(group, dim) Long sum is safe to ~8·10¹² rows per group;
     * past that, cast the sum to DECIMAL (the cooccurrence
-    * discipline) before the div.
+    * discipline) before the div. Assumes fixed-dimension vectors:
+    * the centroid join is an inner join on (group, dim), so a dim
+    * present in only one snapshot (ragged inputs) contributes
+    * nothing — validate dimensionality upstream if ragged vectors
+    * are possible.
     *
     * @return (group, n_a, n_b, l1_drift_q20, linf_drift_q20) — scaled
     *         by 2²⁰; divide by 1 048 576 for raw units

@@ -1235,7 +1235,10 @@ object TrainingDataDedup {
     * an operator reads to pick the index-size/guarantee trade-off
     * (w up → smaller index, longer minimum guaranteed-detected run
     * w+k−1). Exact integer ppm; selection runs in the native
-    * one-pass expression, so the sweep is three narrow scans. */
+    * one-pass expression, so the sweep is three narrow scans.
+    * Long bound: 10⁶·n_fp needs n_fp < ~9·10¹² fingerprints — cast
+    * to DECIMAL (the cooccurrence discipline) past ~5·10¹³ corpus
+    * grams. */
   val td_winnowing_density = GraftQuery(
     "td_winnowing_density",
     (s, dir) => {
