@@ -1754,6 +1754,31 @@ class OpsSpec extends SparkSpec {
     assert(out == ((1L, 12, 1L, 8L, "k1 k6 k7 k8")), s"$out")
   }
 
+  test("scrubContaminationSpans: radius 0 excises exactly the gram") {
+    val corpus = Seq((1L, "w1 w2 leak1 leak2 leak3 w3 w4"))
+      .toDF("doc_id", "text")
+    val bench = Seq((9L, "leak1 leak2 leak3")).toDF("doc_id", "text")
+    val out = Dedup.scrubContaminationSpans(corpus, bench,
+        "doc_id", "text", n = 3, radius = 0)
+      .as[(Long, Int, Long, Long, String)].collect().head
+    assert(out == ((1L, 7, 1L, 3L, "w1 w2 w3 w4")), s"$out")
+  }
+
+  test("incrementalWinnowPairs: within-batch pairs report once, ordered") {
+    val run = "r1 r2 r3 r4 r5 r6 r7"
+    val idx = Dedup.winnowIndex(
+      Seq((1L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", k = 4, w = 4)
+    val batch = Seq(
+      (10L, s"b1 b2 $run b3 b4 b5 b6"),
+      (11L, s"d1 $run d2 d3 d4 d5 d6 d7")).toDF("doc_id", "text")
+    val pairs = Dedup.incrementalWinnowPairs(batch, idx, "doc_id", "text",
+        k = 4, w = 4, minShared = 1, maxDf = 64)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(pairs == Seq((10L, 11L)), s"got $pairs") // once, id_a < id_b
+  }
+
   test("embeddingDrift ≡ brute JVM computation on random vectors") {
     val rnd = new scala.util.Random(509)
     def vecs(n: Int) = (0 until n).map(_ =>
