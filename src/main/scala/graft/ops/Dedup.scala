@@ -1342,11 +1342,19 @@ object Dedup {
     require(index.columns.contains("params"),
       "index lacks the params column — was it built by winnowIndex?")
     val expected = s"$k:$w"
-    index.select("params").limit(1).collect().headOption.foreach { r =>
-      require(r.getString(0) == expected,
-        s"index was built with winnowing params ${r.getString(0)}, " +
-          s"but the probe uses $expected")
-    }
+    // DISTINCT params, not limit(1): an index assembled by appending
+    // winnowIndex outputs with DIFFERENT (k, w) — likely under the
+    // append-per-batch lifecycle this op documents — would pass a
+    // first-row probe and silently match nothing for the mismatched
+    // portion. The distinct is tiny (one row per params value ever
+    // appended); the eager job at construction time is the existing
+    // guard idiom (see the 1-row guards at Dedup.scala:259).
+    val seen = index.select("params").distinct().collect()
+      .map(_.getString(0)).sorted
+    require(seen.forall(_ == expected),
+      s"index carries winnowing params {${seen.mkString(", ")}}, " +
+        s"but the probe uses $expected — mixed or mismatched " +
+        "winnowIndex appends?")
     val bf = TextAnalysis.winnowingFingerprints(newDocs, idCol, textCol, k, w)
       .select(col("id"), col("h")).distinct()
       .withColumn("nw", lit(true))

@@ -283,11 +283,38 @@ object EventAnalytics {
   /** (type, period, cnt) with every period in each type's observed
     * [min, max] span present — zero-count periods gap-filled. Shared
     * by [[rateAnomaly]] and [[changepoint]]; see rateAnomaly's
-    * scaladoc for why the fill is load-bearing. */
+    * scaladoc for why the fill is load-bearing.
+    *
+    * Events with a NULL timestamp are dropped EXPLICITLY up front:
+    * they carry no period, so no grid placement exists for them —
+    * without the filter they would silently vanish in the grid join
+    * anyway (a (type, NULL) count row matches no grid row), so the
+    * filter makes the drop intentional and visible rather than an
+    * accident of join semantics.
+    *
+    * `horizonSec` (epoch seconds from an EXTERNAL clock — the trigger
+    * time, not the data) extends each type's grid forward to that
+    * period: a producer dead since its own max period emits no row at
+    * all past it, so without an external horizon its trailing silence
+    * is invisible (the in-data span ends where the data ends). With
+    * the horizon, the silent tail gap-fills to zeros and the
+    * downstream stats flag it. The horizon only ever EXTENDS (it is
+    * `greatest`-ed with the observed max), so a stale clock can't
+    * truncate real data.
+    *
+    * `maxSpanPeriods` guards the grid explode: one corrupt timestamp
+    * (epoch 0, far future) would otherwise inflate a type's
+    * `sequence(pmin, pmax)` to billions of rows and OOM a monitoring
+    * query that must be robust to dirty data. A type whose span
+    * exceeds the cap fails LOUDLY inside the plan (raise_error naming
+    * the type) — clamping would silently hide the corrupt region. */
   private def filledPeriodCounts(events: DataFrame, typeCol: String,
-      tsCol: String, periodSec: Long): DataFrame = {
+      tsCol: String, periodSec: Long, horizonSec: Option[Long],
+      maxSpanPeriods: Long): DataFrame = {
+    require(maxSpanPeriods > 0, "maxSpanPeriods must be positive")
     val us = periodSec * 1000000L
     val counts = events
+      .filter(col(tsCol).isNotNull)
       .groupBy(col(typeCol), floor(unix_micros(col(tsCol)) / us).as("period"))
       .agg(count(lit(1)).as("cnt"))
       // feeds the span agg AND the left join — avoid the two-branch
@@ -295,9 +322,22 @@ object EventAnalytics {
       .localCheckpoint(eager = false)
     val spans = counts.groupBy(col(typeCol))
       .agg(min(col("period")).as("__pmin"), max(col("period")).as("__pmax"))
+    val horizonPeriod = horizonSec.map(h =>
+      Math.floorDiv(h * 1000000L, us))
+    val pmax = horizonPeriod
+      .map(hp => greatest(col("__pmax"), lit(hp)))
+      .getOrElse(col("__pmax"))
+    val guardedMin = when(
+      pmax - col("__pmin") >= lit(maxSpanPeriods),
+      raise_error(concat(
+        lit(s"filledPeriodCounts: period span exceeds $maxSpanPeriods " +
+          "for type "), col(typeCol).cast("string"),
+        lit(" — corrupt timestamps? (outlier periods inflate the " +
+          "gap-fill grid; filter them or raise maxSpanPeriods)"))
+      ).cast("long")).otherwise(col("__pmin"))
     spans
       .select(col(typeCol),
-        explode(sequence(col("__pmin"), col("__pmax"))).as("period"))
+        explode(sequence(guardedMin, pmax)).as("period"))
       .join(counts, Seq(typeCol, "period"), "left")
       .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
   }
@@ -314,9 +354,17 @@ object EventAnalytics {
     * mid-span emits no (type, period) row at all, so without the
     * fill the collapse would never be flagged and the absent periods
     * would bias the mean/variance toward the active ones. Trailing
-    * silence (a producer dead since its own max period) still needs
-    * an external clock/horizon to detect; that is trigger-level
-    * monitoring, not a property of the event table itself.
+    * silence (a producer dead since its own max period) is closed by
+    * `horizonSec`: pass the CURRENT external clock (trigger time,
+    * epoch seconds) and every type's grid extends to that period, so
+    * the dead tail fills with zeros and flags like any mid-span
+    * collapse. Without a horizon the span ends where the data ends —
+    * the in-data grid cannot see past its own last event.
+    *
+    * Events with NULL `tsCol` are dropped (explicitly — see
+    * [[filledPeriodCounts]]); a type whose period span exceeds
+    * `maxSpanPeriods` (corrupt epoch-0/far-future timestamps) fails
+    * loudly instead of exploding the grid.
     *
     * Exact integer arithmetic end to end (the md5-sibling discipline):
     * with n periods, per-period count x, S = Σx, Q = Σx², the z-test
@@ -340,8 +388,11 @@ object EventAnalytics {
     *         period in each type's observed span, zeros included
     */
   def rateAnomaly(events: DataFrame, typeCol: String, tsCol: String,
-                  periodSec: Long, kSigma: Int): DataFrame = {
-    val full = filledPeriodCounts(events, typeCol, tsCol, periodSec)
+                  periodSec: Long, kSigma: Int,
+                  horizonSec: Option[Long] = None,
+                  maxSpanPeriods: Long = 1000000L): DataFrame = {
+    val full = filledPeriodCounts(events, typeCol, tsCol, periodSec,
+      horizonSec, maxSpanPeriods)
     val stats = full.groupBy(col(typeCol))
       .agg(count(lit(1)).as("n"), sum(col("cnt")).as("s"),
         sum(col("cnt") * col("cnt")).as("q"))
@@ -372,6 +423,12 @@ object EventAnalytics {
     * window beyond that (n is the window's period count either way).
     * Reported means before/after the cut are exact integer ppm.
     *
+    * `horizonSec`/`maxSpanPeriods` behave as in [[rateAnomaly]]: an
+    * external-clock horizon extends each grid so a producer dead
+    * since its last event shows the level shift (the cut lands at the
+    * silence onset), NULL timestamps drop explicitly, and a
+    * span-cap guard fails loudly on corrupt-timestamp grids.
+    *
     * Plan shape: one shuffle to (type, period) counts (shared with
     * the gap-fill), ONE type-keyed window pass for the cumulative
     * sums (rows ∝ |types|·|periods|, already tiny), and a |types|-row
@@ -383,8 +440,10 @@ object EventAnalytics {
     *         period (no "after" segment)
     */
   def changepoint(events: DataFrame, typeCol: String, tsCol: String,
-                  periodSec: Long): DataFrame = {
-    val full = filledPeriodCounts(events, typeCol, tsCol, periodSec)
+                  periodSec: Long, horizonSec: Option[Long] = None,
+                  maxSpanPeriods: Long = 1000000L): DataFrame = {
+    val full = filledPeriodCounts(events, typeCol, tsCol, periodSec,
+      horizonSec, maxSpanPeriods)
     val byType = Window.partitionBy(col(typeCol))
     val ordered = byType.orderBy(col("period"))
     val scored = full

@@ -205,11 +205,16 @@ object Profiling {
     * Magnitudes: |q| ≤ 2²⁰ for unit-normalized components, so the
     * per-(group, dim) Long sum is safe to ~8·10¹² rows per group;
     * past that, cast the sum to DECIMAL (the cooccurrence
-    * discipline) before the div. Assumes fixed-dimension vectors:
-    * the centroid join is an inner join on (group, dim), so a dim
-    * present in only one snapshot (ragged inputs) contributes
-    * nothing — validate dimensionality upstream if ragged vectors
-    * are possible.
+    * discipline) before the div. Requires fixed-dimension vectors
+    * and FAILS LOUDLY on ragged input (the winnowIndex params-guard
+    * discipline, but plan-embedded — zero extra pass): the centroid
+    * join is a full-outer on (group, dim), and a group is rejected
+    * with raise_error when a dim is present in only one snapshot OR
+    * when per-dim vector counts vary within a side (short vectors
+    * inside one snapshot) — the silent alternative biases exactly
+    * the high dims a truncated embedding batch drops. A group
+    * present in only ONE snapshot entirely is not ragged — it has no
+    * drift to measure and is dropped, as the inner join always did.
     *
     * @return (group, n_a, n_b, l1_drift_q20, linf_drift_q20) — scaled
     *         by 2²⁰; divide by 1 048 576 for raw units
@@ -226,12 +231,29 @@ object Profiling {
         count(lit(1)).as(s"n_$side"))
       .withColumn(s"c_$side",
         expr(s"sum_$side div n_$side"))
+    val ragged = col("__da") < col("__dims") || col("__db") < col("__dims") ||
+      col("__na_min") =!= col("__na_max") || col("__nb_min") =!= col("__nb_max")
     centroids(a, "a")
-      .join(centroids(b, "b"), Seq("group", "dim"))
+      .join(centroids(b, "b"), Seq("group", "dim"), "full_outer")
       .withColumn("d", abs(col("c_a") - col("c_b")))
       .groupBy(col("group"))
-      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
-        sum(col("d")).as("l1_drift_q20"),
-        max(col("d")).as("linf_drift_q20"))
+      .agg(count(lit(1)).as("__dims"),
+        count(col("c_a")).as("__da"), count(col("c_b")).as("__db"),
+        min(col("n_a")).as("__na_min"), max(col("n_a")).as("__na_max"),
+        min(col("n_b")).as("__nb_min"), max(col("n_b")).as("__nb_max"),
+        sum(col("d")).as("__l1"), max(col("d")).as("__linf"))
+      // group absent from one snapshot entirely: nothing to compare
+      .filter(col("__da") > 0 && col("__db") > 0)
+      .select(col("group"),
+        when(ragged, raise_error(concat(
+          lit("embeddingDrift: ragged dimensions in group "),
+          col("group").cast("string"),
+          lit(" — a dim is missing from one snapshot or vector " +
+            "lengths vary within a snapshot; fix the embedding batch " +
+            "upstream"))).cast("long"))
+          .otherwise(col("__na_max")).as("n_a"),
+        col("__nb_max").as("n_b"),
+        col("__l1").as("l1_drift_q20"),
+        col("__linf").as("linf_drift_q20"))
   }
 }

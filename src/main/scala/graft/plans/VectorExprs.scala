@@ -454,14 +454,24 @@ object VectorOps {
     val str = raw.substring(b, e)
     val toks: Array[String] =
       if (str.isEmpty) Array.empty else wsPattern.split(str, -1)
-    val nc = cuts.numElements()
-    val ss = new Array[Int](nc)
-    val es = new Array[Int](nc)
+    val ncRaw = cuts.numElements()
+    val ss = new Array[Int](ncRaw)
+    val es = new Array[Int](ncRaw)
+    // null elements / null-field structs (possible via SQL literals or
+    // a null-producing transform — the accepted input type has
+    // containsNull) carry no interval: skip them, keeping the kernel
+    // total over its declared type instead of NPE-ing in codegen
+    var nc = 0
     var i = 0
-    while (i < nc) {
-      val r = cuts.getStruct(i, 2)
-      ss(i) = r.getInt(0)
-      es(i) = r.getInt(1)
+    while (i < ncRaw) {
+      if (!cuts.isNullAt(i)) {
+        val r = cuts.getStruct(i, 2)
+        if (!r.isNullAt(0) && !r.isNullAt(1)) {
+          ss(nc) = r.getInt(0)
+          es(nc) = r.getInt(1)
+          nc += 1
+        }
+      }
       i += 1
     }
     // insertion sort by start
@@ -1086,7 +1096,10 @@ object WinnowFingerprintsExpression {
   * replacing the interpreted per-token × per-interval
   * `transform`+`exists` lambda that the span-removal ops paid on
   * every corpus token. Intervals may arrive unsorted, overlapping,
-  * or out of range — the kernel normalizes them. */
+  * or out of range — the kernel normalizes them; null array elements
+  * and null-field structs (reachable via SQL literals, never from the
+  * in-repo collect_list callers) are skipped as empty intervals, so
+  * the kernel is total over its accepted containsNull type. */
 final case class ExcisePositionsExpression(left: Expression,
     right: Expression) extends BinaryExpression {
 

@@ -374,6 +374,45 @@ object Events {
       FROM f JOIN s USING (event_type)
       ORDER BY event_type, period"""))
 
+  /** [[ev_anomaly]] with an EXTERNAL-CLOCK horizon (2024-02-04, a
+    * literal epoch) — the trailing-silence form: every producer in
+    * the fixture is "dead" after 2024-01-30, so the horizon extends
+    * each type's grid five zero-filled days past its last event and
+    * the z-test flags the collapse the in-data grid cannot see (the
+    * zeros also enter the mean/variance, exactly as a mid-span gap
+    * does). In production the horizon is the trigger time; a literal
+    * here keeps the query oracle-checkable. */
+  val ev_anomaly_horizon = GraftQuery(
+    "ev_anomaly_horizon",
+    (s, dir) => {
+      EventAnalytics.rateAnomaly(Tables.events(s, dir), "event_type", "ts",
+        periodSec = 86400L, kSigma = 2, horizonSec = Some(1707004800L))
+        .orderBy(col("event_type"), col("period"))
+    },
+    Some("""WITH d AS (
+        SELECT event_type, EPOCH_US(ts) // 86400000000 AS period,
+               COUNT(*) AS cnt
+        FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+      span AS (
+        SELECT event_type, MIN(period) AS pmin,
+               GREATEST(MAX(period), 1707004800 // 86400) AS pmax
+        FROM d GROUP BY 1),
+      grid AS (
+        SELECT event_type, unnest(range(pmin, pmax + 1)) AS period
+        FROM span),
+      f AS (
+        SELECT g.event_type, g.period, COALESCE(d.cnt, 0) AS cnt
+        FROM grid g LEFT JOIN d
+          ON d.event_type = g.event_type AND d.period = g.period),
+      s AS (
+        SELECT event_type, COUNT(*) AS n, SUM(cnt) AS s, SUM(cnt*cnt) AS q
+        FROM f GROUP BY 1)
+      SELECT f.event_type, f.period, CAST(f.cnt AS BIGINT) AS cnt,
+        CASE WHEN (s.n*f.cnt - s.s)*(s.n*f.cnt - s.s) >
+                  4*(s.n*s.q - s.s*s.s) THEN 1 ELSE 0 END AS anomalous
+      FROM f JOIN s USING (event_type)
+      ORDER BY event_type, period"""))
+
   /** Per-type CUSUM changepoint over daily counts
     * ([[graft.ops.EventAnalytics.changepoint]]): the level-shift
     * detector complementing [[ev_anomaly]]'s pointwise z-test —
@@ -393,6 +432,54 @@ object Events {
         FROM events GROUP BY 1, 2),
       span AS (
         SELECT event_type, MIN(period) AS pmin, MAX(period) AS pmax
+        FROM d GROUP BY 1),
+      grid AS (
+        SELECT event_type, unnest(range(pmin, pmax + 1)) AS period
+        FROM span),
+      f AS (
+        SELECT g.event_type, g.period, COALESCE(d.cnt, 0) AS cnt
+        FROM grid g LEFT JOIN d
+          ON d.event_type = g.event_type AND d.period = g.period),
+      c AS (
+        SELECT event_type, period,
+          SUM(cnt) OVER (PARTITION BY event_type ORDER BY period) AS csum,
+          ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY period) AS idx,
+          COUNT(*) OVER (PARTITION BY event_type) AS n,
+          SUM(cnt) OVER (PARTITION BY event_type) AS s
+        FROM f),
+      sc AS (
+        SELECT event_type, period, csum, idx, n, s,
+          abs(n * csum - idx * s) AS dev,
+          ROW_NUMBER() OVER (PARTITION BY event_type
+            ORDER BY abs(n * csum - idx * s) DESC, period) AS rk
+        FROM c)
+      SELECT event_type, period AS cp_period, CAST(dev AS BIGINT) AS dev,
+        CAST(1000000 * csum // idx AS BIGINT) AS mean_before_ppm,
+        CASE WHEN idx < n
+          THEN CAST(1000000 * (s - csum) // (n - idx) AS BIGINT)
+        END AS mean_after_ppm
+      FROM sc WHERE rk = 1 ORDER BY event_type"""))
+
+  /** [[ev_changepoint]] with the same external-clock horizon as
+    * [[ev_anomaly_horizon]]: the five trailing zero-filled days pull
+    * every type's maximum cumulative deviation to the end of the
+    * observed data — the level shift IS the death of the producer,
+    * and the cut lands at the silence onset instead of wherever the
+    * in-data counts happened to wobble. */
+  val ev_changepoint_horizon = GraftQuery(
+    "ev_changepoint_horizon",
+    (s, dir) => {
+      EventAnalytics.changepoint(Tables.events(s, dir), "event_type", "ts",
+        periodSec = 86400L, horizonSec = Some(1707004800L))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH d AS (
+        SELECT event_type, EPOCH_US(ts) // 86400000000 AS period,
+               COUNT(*) AS cnt
+        FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+      span AS (
+        SELECT event_type, MIN(period) AS pmin,
+               GREATEST(MAX(period), 1707004800 // 86400) AS pmax
         FROM d GROUP BY 1),
       grid AS (
         SELECT event_type, unnest(range(pmin, pmax + 1)) AS period
@@ -483,6 +570,7 @@ object Events {
   def all: Seq[GraftQuery] = Seq(
     ev_funnel, ev_funnel_counts, ev_retention, ev_gapfill,
     ev_session_funnel, ev_rolling_distinct, ev_rolling_distinct_hll,
-    ev_attribution, ev_paths, ev_anomaly, ev_changepoint, ev_markov,
+    ev_attribution, ev_paths, ev_anomaly, ev_anomaly_horizon,
+    ev_changepoint, ev_changepoint_horizon, ev_markov,
     ev_interarrival)
 }

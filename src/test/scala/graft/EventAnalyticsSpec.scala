@@ -306,6 +306,98 @@ class EventAnalyticsSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(cp.isNullAt(2), "no after-segment at the last period")
   }
 
+  test("rateAnomaly: external-clock horizon exposes trailing silence " +
+      "the in-data grid cannot see") {
+    // type D: 10/period for periods 0–11, then DEAD. The in-data span
+    // ends at period 11, so without a horizon no zero row exists to
+    // flag. Horizon at relative period 13 appends zero periods 12–13:
+    // n=14, S=120, Q=1200; x=0 → S² = 14400 > 4·(14·1200−14400) =
+    // 9600 → dead periods flag; x=10 → (140−120)² = 400 → clean.
+    val rows = (0 until 12)
+      .flatMap(p => Seq.fill(10)((1L, p * 10L, "D", 0.0)))
+    val df = ev(rows.zipWithIndex.map { case ((u, sec, t, v), i) =>
+      (u + i, sec, t, v) }: _*)
+    val without = EventAnalytics.rateAnomaly(df, "event_type", "ts", 10L, 2)
+    assert(without.count() == 12)
+    assert(without.filter($"anomalous" === 1).count() == 0,
+      "the dead producer must be invisible without an external clock")
+    val out = EventAnalytics.rateAnomaly(df, "event_type", "ts", 10L, 2,
+        horizonSec = Some(1700000000L + 130L))
+      .select($"period", $"cnt", $"anomalous")
+      .as[(Long, Long, Int)].collect().sortBy(_._1)
+    assert(out.length == 14, s"grid must extend to the horizon: ${out.length}")
+    assert(out.takeRight(2).forall(r => r._2 == 0L && r._3 == 1),
+      s"trailing silence must flag: ${out.takeRight(2).mkString(", ")}")
+    assert(out.dropRight(2).forall(_._3 == 0))
+  }
+
+  test("changepoint: horizon pulls the cut to the silence onset") {
+    val rows = (0 until 12)
+      .flatMap(p => Seq.fill(10)((1L, p * 10L, "D", 0.0)))
+    val df = ev(rows.zipWithIndex.map { case ((u, sec, t, v), i) =>
+      (u + i, sec, t, v) }: _*)
+    // constant counts without a horizon: every D_i = 0, dev = 0
+    val flat = EventAnalytics.changepoint(df, "event_type", "ts", 10L)
+      .select($"dev").as[Long].collect()
+    assert(flat.sameElements(Array(0L)))
+    // with the horizon: n=14, S=120; i ≤ 12 → D = |140i − 120i| = 20i,
+    // max at i=12 (relative period 11, the last live period);
+    // means: before 1e6·120 div 12, after 1e6·0 div 2 = 0
+    val cp = EventAnalytics.changepoint(df, "event_type", "ts", 10L,
+        horizonSec = Some(1700000000L + 130L))
+      .select($"cp_period", $"dev", $"mean_before_ppm", $"mean_after_ppm")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(cp._1 == 170000000L + 11L, s"cut must land at silence onset: $cp")
+    assert(cp._2 == 240L && cp._3 == 10000000L && cp._4 == 0L, s"$cp")
+  }
+
+  test("rateAnomaly: a horizon at or before the data max never truncates") {
+    val rows = (0 until 8).flatMap(p => Seq.fill(3)((1L, p * 10L, "E", 0.0)))
+    val df = ev(rows.zipWithIndex.map { case ((u, sec, t, v), i) =>
+      (u + i, sec, t, v) }: _*)
+    val plain = EventAnalytics.rateAnomaly(df, "event_type", "ts", 10L, 2)
+      .collect().toSet
+    val stale = EventAnalytics.rateAnomaly(df, "event_type", "ts", 10L, 2,
+        horizonSec = Some(1700000000L)) // the data's own first second
+      .collect().toSet
+    assert(stale == plain, "a stale clock must be greatest-ed away")
+  }
+
+  test("rateAnomaly: NULL timestamps drop explicitly, not by join accident") {
+    val withNull = Seq(
+      (1L, Some(ts(0)), "N", 0.0), (2L, Some(ts(10)), "N", 0.0),
+      (3L, None: Option[Timestamp], "N", 0.0))
+      .toDF("user_id", "ts", "event_type", "value")
+    val clean = withNull.filter($"ts".isNotNull)
+    val a = EventAnalytics.rateAnomaly(withNull, "event_type", "ts", 10L, 2)
+      .collect().toSet
+    val b = EventAnalytics.rateAnomaly(clean, "event_type", "ts", 10L, 2)
+      .collect().toSet
+    assert(a == b && a.size == 2)
+  }
+
+  test("rateAnomaly/changepoint: a corrupt far-future timestamp fails " +
+      "loudly instead of exploding the gap-fill grid") {
+    // one outlier 3·10⁷ s out → 3·10⁶ ten-second periods, over the
+    // default 10⁶ cap: the monitoring query must refuse, not OOM
+    val df = ev((1L, 0L, "C", 0.0), (2L, 10L, "C", 0.0),
+      (3L, 30000000L, "C", 0.0))
+    val e = intercept[Exception] {
+      EventAnalytics.rateAnomaly(df, "event_type", "ts", 10L, 2).collect()
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.toString + messages(t.getCause)
+    assert(messages(e).contains("period span exceeds"), messages(e))
+    val e2 = intercept[Exception] {
+      EventAnalytics.changepoint(df, "event_type", "ts", 10L).collect()
+    }
+    assert(messages(e2).contains("period span exceeds"))
+    // a raised cap runs it: the full grid, zeros in between
+    val ok = EventAnalytics.rateAnomaly(df, "event_type", "ts", 10L, 2,
+      maxSpanPeriods = 4000000L)
+    assert(ok.count() == 3000001L)
+  }
+
   test("interArrival: gaps bucket to power-of-two seconds, shares exact") {
     // user 1: a@0, b@1 (gap 1 → bucket 1), a@4 (gap 3 → bucket 4),
     //         a@4 dup-second via event_id order (gap 0 → bucket 0)

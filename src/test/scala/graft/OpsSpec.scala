@@ -1724,6 +1724,25 @@ class OpsSpec extends SparkSpec {
     assert(err.getMessage.contains("params"), err.getMessage)
   }
 
+  test("incrementalWinnowPairs: an index assembled from MIXED params " +
+      "fails loudly (not just a mismatched first row)") {
+    val a = Seq((1L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12"))
+      .toDF("doc_id", "text")
+    val b = Seq((2L, "e1 e2 e3 e4 e5 e6 e7 e8 e9 e10 e11 e12"))
+      .toDF("doc_id", "text")
+    // appended index halves built with DIFFERENT (k, w) — the
+    // append-per-batch workflow's likeliest corruption; a limit(1)
+    // probe can land on the matching half and pass
+    val mixed = Dedup.winnowIndex(a, "doc_id", "text", k = 4, w = 4)
+      .unionByName(Dedup.winnowIndex(b, "doc_id", "text", k = 5, w = 4))
+    val batch = Seq((10L, "b1 b2 b3 b4 b5 b6 b7 b8")).toDF("doc_id", "text")
+    val err = intercept[IllegalArgumentException] {
+      Dedup.incrementalWinnowPairs(batch, mixed, "doc_id", "text",
+        k = 4, w = 4, minShared = 1, maxDf = 64).collect()
+    }
+    assert(err.getMessage.contains("mixed or mismatched"), err.getMessage)
+  }
+
   test("scrubContaminationSpans: seeds widen, overlap-merge, excise") {
     val corpus = Seq(
       (1L, "w1 w2 leak1 leak2 leak3 w3 w4 w5 w6 w7 w8 w9"),
@@ -1819,5 +1838,37 @@ class OpsSpec extends SparkSpec {
     // label 8: dims shift (1048576, 0) — negative side exercises the
     //   truncating div agreement
     assert(out(8) == ((8, 1L, 1L, 1048576L, 1048576L)), s"${out(8)}")
+  }
+
+  test("embeddingDrift: ragged dimensions fail loudly; one-sided groups " +
+      "drop silently (nothing to compare)") {
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.toString + messages(t.getCause)
+    // cross-side raggedness: dim 2 exists only in snapshot a
+    val e1 = intercept[Exception] {
+      graft.ops.Profiling.embeddingDrift(
+        Seq((1, Seq(1f, 0f, 0f))).toDF("label", "embedding"),
+        Seq((1, Seq(1f, 0f))).toDF("label", "embedding"),
+        "label", "embedding").collect()
+    }
+    assert(messages(e1).contains("ragged dimensions"), messages(e1))
+    // within-side raggedness: one truncated vector inside snapshot a
+    // (dim 2's centroid would silently average only the long vectors)
+    val e2 = intercept[Exception] {
+      graft.ops.Profiling.embeddingDrift(
+        Seq((2, Seq(1f, 0f, 1f)), (2, Seq(1f, 0f)))
+          .toDF("label", "embedding"),
+        Seq((2, Seq(0f, 0f, 0f))).toDF("label", "embedding"),
+        "label", "embedding").collect()
+    }
+    assert(messages(e2).contains("ragged dimensions"), messages(e2))
+    // a group present in only ONE snapshot is not ragged: no drift to
+    // measure — dropped, and well-formed groups are unaffected
+    val out = graft.ops.Profiling.embeddingDrift(
+        Seq((1, Seq(1f, 0f)), (9, Seq(1f, 1f))).toDF("label", "embedding"),
+        Seq((1, Seq(0f, 0f))).toDF("label", "embedding"),
+        "label", "embedding")
+      .as[(Int, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1, 1L, 1L, 1048576L, 1048576L)), s"$out")
   }
 }

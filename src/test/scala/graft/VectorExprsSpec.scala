@@ -427,6 +427,23 @@ class VectorExprsSpec extends SparkSpec {
     }
   }
 
+  test("excise_positions: null cut elements and null-field structs are " +
+      "skipped, not NPE'd (total over the accepted containsNull type)") {
+    import spark.implicits._
+    // reachable via SQL literals / null-producing transforms — never
+    // from the in-repo collect_list callers
+    val out = Seq((1L, "a b c d e")).toDF("id", "text")
+      .withColumn("cuts", expr(
+        "array(named_struct('s', 1, 'e', 2), " +
+          "CAST(NULL AS STRUCT<s: INT, e: INT>), " +
+          "named_struct('s', CAST(NULL AS INT), 'e', 4))"))
+      .select(graft.plans.NativeCols.excisePositions(
+        col("text"), col("cuts")).as("ex"))
+      .select(col("ex.clean_text"), col("ex.n_kept"))
+      .collect().head
+    assert(out.getString(0) == "a d e" && out.getInt(1) == 3, s"$out")
+  }
+
   test("native expressions survive whole-stage codegen in a real plan") {
     import spark.implicits._
     // force the codegen path (not interpreted fallback eval) by going
