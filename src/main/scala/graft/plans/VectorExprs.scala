@@ -338,7 +338,7 @@ object VectorOps {
   }
 
   /** Word n-grams in POSITION order, duplicates kept — one gram per
-    * start position (the [[graft.ops.Dedup.duplicatedSpans]] feed:
+    * start position (the [[graft.ops.Winnowing.duplicatedSpans]] feed:
     * `posexplode` over this yields the (pos, gram) pairs the
     * span-merge needs). Same tokenization as [[wordShingles]]; fewer
     * than `n` tokens → empty array (callers' `n_tokens >= n` filter

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{GraftQuery, Tables}
-import graft.ops.{Dedup, Pipeline}
+import graft.ops.{Dedup, Pipeline, Winnowing}
 import org.apache.spark.sql.functions._
 
 /** Curation composition + sketch-accuracy queries (round-12
@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
 object TrainingDataCuration {
 
   /** EXACT asymmetric near-containment pairs
-    * ([[Dedup.containmentPairs]]) — the quote/subset detector Jaccard
+    * ([[Winnowing.containmentPairs]]) — the quote/subset detector Jaccard
     * misses: planted half-slices (+2e6 twins, fully contained) and
     * half-slices with a novel tail (+3e6 twins, contained ≈ 0.8)
     * against the base corpus. The oracle is brute-force all-pairs
@@ -37,7 +37,7 @@ object TrainingDataCuration {
         .select((col("doc_id") + 3000000L).as("doc_id"),
           concat(half, lit(" qq zz extra tail")).as("text"))
       val corpus = base.unionByName(full).unionByName(partial)
-      Dedup.containmentPairs(corpus, "doc_id", "text", n = 3,
+      Winnowing.containmentPairs(corpus, "doc_id", "text", n = 3,
           threshold = 0.75, minShingles = 4)
         .orderBy(col("id_contained"), col("id_container"))
     },
@@ -79,7 +79,7 @@ object TrainingDataCuration {
     ORDER BY id_contained, id_container"""))
 
 
-  /** The containment dedup ACTION ([[Dedup.dropContained]]): survivors
+  /** The containment dedup ACTION ([[Winnowing.dropContained]]): survivors
     * after dropping docs ≥ 0.75-contained in a strictly dominant
     * other (larger shingle set, tie on lower id — an identical pair
     * keeps exactly its lowest id). Same planted corpus as
@@ -101,7 +101,7 @@ object TrainingDataCuration {
         .select((col("doc_id") + 3000000L).as("doc_id"),
           concat(half, lit(" qq zz extra tail")).as("text"))
       val corpus = base.unionByName(full).unionByName(partial)
-      Dedup.dropContained(corpus, "doc_id", "text", n = 3,
+      Winnowing.dropContained(corpus, "doc_id", "text", n = 3,
           threshold = 0.75, minShingles = 4)
         .select(col("doc_id"))
         .orderBy(col("doc_id"))

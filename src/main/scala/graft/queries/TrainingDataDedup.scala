@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{GraftQuery, Tables}
-import graft.ops.{BloomJoin, Dedup, Multimodal, Pipeline, Profiling, Retrieval, Sampling, Similarity, Sketches, TextAnalysis}
+import graft.ops.{BloomJoin, Dedup, Multimodal, Pipeline, Profiling, Retrieval, Sampling, Similarity, Sketches, TextAnalysis, Winnowing}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -819,7 +819,7 @@ object TrainingDataDedup {
         when(pmod(col("doc_id"), lit(10)) === 0,
           concat(col("text"), lit(" zz yy xx ww vv uu tt ss")))
           .otherwise(col("text")))
-      Dedup.duplicatedSpans(aug, "doc_id", "text", n = 5)
+      Winnowing.duplicatedSpans(aug, "doc_id", "text", n = 5)
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))
     },
@@ -884,7 +884,7 @@ object TrainingDataDedup {
         when(pmod(col("doc_id"), lit(10)) === 0,
           concat(col("text"), lit(" zz yy xx ww vv uu tt ss")))
           .otherwise(col("text")))
-      Dedup.removeDuplicatedSpans(aug, "doc_id", "text", n = 5)
+      Winnowing.removeDuplicatedSpans(aug, "doc_id", "text", n = 5)
         .select(col("id").as("doc_id"),
           md5(col("clean_text")).as("clean_md5"),
           col("n_tokens"), col("n_kept"))
@@ -1122,7 +1122,7 @@ object TrainingDataDedup {
           .withColumn("doc_id", col("doc_id") + 1000000L)
           .withColumn("text",
             concat(lit("intro preamble lines here "), col("text"))))
-      Dedup.winnowingPairs(corpus, "doc_id", "text", k = 4, w = 4,
+      Winnowing.winnowingPairs(corpus, "doc_id", "text", k = 4, w = 4,
         minShared = 3, maxDf = 64)
         .orderBy(col("id_a"), col("id_b"))
     },
@@ -1184,8 +1184,8 @@ object TrainingDataDedup {
         .withColumn("doc_id", col("doc_id") + 1000000L)
         .withColumn("text",
           concat(lit("intro preamble lines here "), col("text")))
-      val index = Dedup.winnowIndex(d, "doc_id", "text", k = 4, w = 4)
-      Dedup.incrementalWinnowPairs(newBatch, index, "doc_id", "text",
+      val index = Winnowing.winnowIndex(d, "doc_id", "text", k = 4, w = 4)
+      Winnowing.incrementalWinnowPairs(newBatch, index, "doc_id", "text",
         k = 4, w = 4, minShared = 3, maxDf = 64)
         .orderBy(col("id_a"), col("id_b"))
     },
@@ -1324,7 +1324,7 @@ object TrainingDataDedup {
     "td_decontam_spans",
     (s, dir) => {
       val docs = Tables.documents(s, dir)
-      Dedup.scrubContaminationSpans(
+      Winnowing.scrubContaminationSpans(
         docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
         docs.filter(pmod(col("doc_id"), lit(97)) === 0),
         "doc_id", "text", n = 3, radius = 2)

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{BloomJoin, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{BloomJoin, Dedup, Multimodal, Similarity, TextAnalysis, Winnowing}
 import org.apache.spark.sql.functions._
 
 class OpsSpec extends SparkSpec {
@@ -138,7 +138,7 @@ class OpsSpec extends SparkSpec {
       (i + 2000L, t.split(" ").take(t.split(" ").length / 2).mkString(" ") + " zz qq") }
     val docs = (base ++ slices ++ noisy).toDF("doc_id", "text")
 
-    val fast = Dedup.containmentPairs(docs, "doc_id", "text", 3, 0.7,
+    val fast = Winnowing.containmentPairs(docs, "doc_id", "text", 3, 0.7,
         minShingles = 3)
       .select("id_contained", "id_container", "containment")
       .as[(Long, Long, Double)].collect().toSet
@@ -199,7 +199,7 @@ class OpsSpec extends SparkSpec {
       (4L, "twin copy of this exact sentence here now"),
       (5L, "twin copy of this exact sentence here now")) // 4 kept, 5 dropped
       .toDF("doc_id", "text")
-    val kept = graft.ops.Dedup.dropContained(docs, "doc_id", "text",
+    val kept = graft.ops.Winnowing.dropContained(docs, "doc_id", "text",
         n = 3, threshold = 0.8, minShingles = 3)
       .select("doc_id").as[Long].collect().toSeq.sorted
     assert(kept == Seq(1L, 3L, 4L), s"wrong survivors: $kept")
@@ -255,7 +255,7 @@ class OpsSpec extends SparkSpec {
     val docs = (base ++ slices).toDF("doc_id", "text")
     val d = docs.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
     for (t <- Seq(0.5, 0.8, 0.9)) {
-      val fast = Dedup.containmentPairs(docs, "doc_id", "text", 3, t,
+      val fast = Winnowing.containmentPairs(docs, "doc_id", "text", 3, t,
           minShingles = 3)
         .select("id_contained", "id_container")
         .as[(Long, Long)].collect().toSet
@@ -305,7 +305,7 @@ class OpsSpec extends SparkSpec {
     val container = (1L, (a.take(31) ++ (1 to 20).map(i => f"x$i%02d"))
       .mkString(" "))                                 // shares exactly 29
     val docs = Seq(container, contained).toDF("doc_id", "text")
-    val pairs = Dedup.containmentPairs(docs, "doc_id", "text", 3, t,
+    val pairs = Winnowing.containmentPairs(docs, "doc_id", "text", 3, t,
         minShingles = 3)
       .filter(col("id_contained") === 2000L && col("id_container") === 1L)
       .select("n_sh_contained", "containment")
@@ -328,7 +328,7 @@ class OpsSpec extends SparkSpec {
       .collect()
     assert(jac.isEmpty, "jaccard should NOT flag the asymmetric pair")
 
-    val con = Dedup.containmentPairs(docs, "doc_id", "text", 3, 0.99,
+    val con = Winnowing.containmentPairs(docs, "doc_id", "text", 3, 0.99,
         minShingles = 3)
       .select("id_contained", "id_container", "containment")
       .as[(Long, Long, Double)].collect().toSeq
@@ -1027,7 +1027,7 @@ class OpsSpec extends SparkSpec {
       (4L, "z1 z2 z3 z4 z5 z6 z7 z8"),
       (5L, "w1 w2"),
       (6L, "")).toDF("doc_id", "text")
-    val out = Dedup.duplicatedSpans(docs, "doc_id", "text", n = 5)
+    val out = Winnowing.duplicatedSpans(docs, "doc_id", "text", n = 5)
       .orderBy("id")
       .select("id", "n_tokens", "dup_tokens", "dup_ppm")
       .as[(Long, Int, Long, Long)].collect().toSeq
@@ -1136,7 +1136,7 @@ class OpsSpec extends SparkSpec {
       (2L, "x1 s1 s2 s3 s4 s5 s6 s7 x2"),
       (3L, "q1 q2 q3 q4 q5 q6"),             // unique — untouched
       (4L, "")).toDF("doc_id", "text")
-    val out = Dedup.removeDuplicatedSpans(docs, "doc_id", "text", n = 5)
+    val out = Winnowing.removeDuplicatedSpans(docs, "doc_id", "text", n = 5)
       .orderBy("id")
       .select("id", "clean_text", "n_tokens", "n_kept")
       .as[(Long, String, Int, Int)].collect().toSeq
@@ -1191,7 +1191,7 @@ class OpsSpec extends SparkSpec {
              q <- p until p + n) covered(q) = true
       (id, t.size, covered.count(identity).toLong)
     }.sortBy(_._1)
-    val got = Dedup.duplicatedSpans(
+    val got = Winnowing.duplicatedSpans(
         docs.toDF("doc_id", "text"), "doc_id", "text", n = n)
       .orderBy("id").select("id", "n_tokens", "dup_tokens")
       .as[(Long, Int, Long)].collect().toSeq
@@ -1202,7 +1202,7 @@ class OpsSpec extends SparkSpec {
     val base = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"
     val docs = Seq((1L, base), (2L, base), (3L, "q1 q2 q3 q4 q5 q6"))
       .toDF("doc_id", "text")
-    val out = Dedup.duplicatedSpans(docs, "doc_id", "text", n = 5)
+    val out = Winnowing.duplicatedSpans(docs, "doc_id", "text", n = 5)
       .orderBy("id").select("id", "dup_ppm").as[(Long, Long)].collect().toSeq
     assert(out == Seq((1L, 1000000L), (2L, 1000000L), (3L, 0L)))
   }
@@ -1660,7 +1660,7 @@ class OpsSpec extends SparkSpec {
     val a = s"a1 a2 a3 a4 a5 $run a6 a7 a8 a9"
     val b = s"b1 b2 $run b3 b4 b5 b6 b7 b8 b9 b10"
     val c = "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12"
-    val pairs = Dedup.winnowingPairs(
+    val pairs = Winnowing.winnowingPairs(
         Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text"),
         "doc_id", "text", k = 4, w = 4, minShared = 1, maxDf = 64)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
@@ -1679,7 +1679,7 @@ class OpsSpec extends SparkSpec {
         (0 until 3 + rnd.nextInt(10)).map(i => s"${tag}_$i")
       val a = (hostTokens("a") ++ run ++ hostTokens("aa")).mkString(" ")
       val b = (hostTokens("b") ++ run ++ hostTokens("bb")).mkString(" ")
-      val pairs = Dedup.winnowingPairs(
+      val pairs = Winnowing.winnowingPairs(
           Seq((1L, a), (2L, b)).toDF("doc_id", "text"),
           "doc_id", "text", k = k, w = w, minShared = 1, maxDf = 64)
         .select("id_a", "id_b").as[(Long, Long)].collect().toSet
@@ -1695,9 +1695,9 @@ class OpsSpec extends SparkSpec {
     val docs = (0 until 6).map(i =>
       (i.toLong, s"u${i}a u${i}b u${i}c $tmpl u${i}d u${i}e u${i}f"))
       .toDF("doc_id", "text")
-    val loose = Dedup.winnowingPairs(docs, "doc_id", "text", 4, 4,
+    val loose = Winnowing.winnowingPairs(docs, "doc_id", "text", 4, 4,
       minShared = 1, maxDf = 64).count()
-    val tight = Dedup.winnowingPairs(docs, "doc_id", "text", 4, 4,
+    val tight = Winnowing.winnowingPairs(docs, "doc_id", "text", 4, 4,
       minShared = 1, maxDf = 3).count()
     assert(loose > 0, "template fingerprints should pair without the cap")
     assert(tight == 0, "df-capped fingerprints should not pair")
@@ -1706,19 +1706,19 @@ class OpsSpec extends SparkSpec {
   test("incrementalWinnowPairs: batch probes the index without " +
       "re-fingerprinting; params mismatch fails loudly") {
     val run = "r1 r2 r3 r4 r5 r6 r7"
-    val idx = Dedup.winnowIndex(
+    val idx = Winnowing.winnowIndex(
       Seq((1L, s"a1 a2 a3 a4 a5 $run a6 a7 a8 a9"),
         (2L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12"))
         .toDF("doc_id", "text"),
       "doc_id", "text", k = 4, w = 4)
     val batch = Seq((10L, s"b1 b2 $run b3 b4 b5 b6 b7 b8 b9 b10"))
       .toDF("doc_id", "text")
-    val pairs = Dedup.incrementalWinnowPairs(batch, idx, "doc_id", "text",
+    val pairs = Winnowing.incrementalWinnowPairs(batch, idx, "doc_id", "text",
         k = 4, w = 4, minShared = 1, maxDf = 64)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((10L, 1L)), s"got $pairs")
     val err = intercept[IllegalArgumentException] {
-      Dedup.incrementalWinnowPairs(batch, idx, "doc_id", "text",
+      Winnowing.incrementalWinnowPairs(batch, idx, "doc_id", "text",
         k = 5, w = 4, minShared = 1, maxDf = 64).collect()
     }
     assert(err.getMessage.contains("params"), err.getMessage)
@@ -1733,11 +1733,11 @@ class OpsSpec extends SparkSpec {
     // appended index halves built with DIFFERENT (k, w) — the
     // append-per-batch workflow's likeliest corruption; a limit(1)
     // probe can land on the matching half and pass
-    val mixed = Dedup.winnowIndex(a, "doc_id", "text", k = 4, w = 4)
-      .unionByName(Dedup.winnowIndex(b, "doc_id", "text", k = 5, w = 4))
+    val mixed = Winnowing.winnowIndex(a, "doc_id", "text", k = 4, w = 4)
+      .unionByName(Winnowing.winnowIndex(b, "doc_id", "text", k = 5, w = 4))
     val batch = Seq((10L, "b1 b2 b3 b4 b5 b6 b7 b8")).toDF("doc_id", "text")
     val err = intercept[IllegalArgumentException] {
-      Dedup.incrementalWinnowPairs(batch, mixed, "doc_id", "text",
+      Winnowing.incrementalWinnowPairs(batch, mixed, "doc_id", "text",
         k = 4, w = 4, minShared = 1, maxDf = 64).collect()
     }
     assert(err.getMessage.contains("mixed or mismatched"), err.getMessage)
@@ -1749,7 +1749,7 @@ class OpsSpec extends SparkSpec {
       (2L, "clean text with no benchmark overlap at all"),
       (3L, "")).toDF("doc_id", "text")
     val bench = Seq((100L, "leak1 leak2 leak3 leak4")).toDF("doc_id", "text")
-    val out = Dedup.scrubContaminationSpans(corpus, bench,
+    val out = Winnowing.scrubContaminationSpans(corpus, bench,
         "doc_id", "text", n = 3, radius = 2)
       .as[(Long, Int, Long, Long, String)].collect()
       .map(r => r._1 -> r).toMap
@@ -1767,7 +1767,7 @@ class OpsSpec extends SparkSpec {
     val corpus = Seq(
       (1L, "k1 k2 k3 q1 q2 q3 q4 k4 k5 k6 k7 k8")).toDF("doc_id", "text")
     val bench = Seq((9L, "q1 q2 q3 q4")).toDF("doc_id", "text")
-    val out = Dedup.scrubContaminationSpans(corpus, bench,
+    val out = Winnowing.scrubContaminationSpans(corpus, bench,
         "doc_id", "text", n = 3, radius = 2)
       .as[(Long, Int, Long, Long, String)].collect().head
     assert(out == ((1L, 12, 1L, 8L, "k1 k6 k7 k8")), s"$out")
@@ -1777,7 +1777,7 @@ class OpsSpec extends SparkSpec {
     val corpus = Seq((1L, "w1 w2 leak1 leak2 leak3 w3 w4"))
       .toDF("doc_id", "text")
     val bench = Seq((9L, "leak1 leak2 leak3")).toDF("doc_id", "text")
-    val out = Dedup.scrubContaminationSpans(corpus, bench,
+    val out = Winnowing.scrubContaminationSpans(corpus, bench,
         "doc_id", "text", n = 3, radius = 0)
       .as[(Long, Int, Long, Long, String)].collect().head
     assert(out == ((1L, 7, 1L, 3L, "w1 w2 w3 w4")), s"$out")
@@ -1785,14 +1785,14 @@ class OpsSpec extends SparkSpec {
 
   test("incrementalWinnowPairs: within-batch pairs report once, ordered") {
     val run = "r1 r2 r3 r4 r5 r6 r7"
-    val idx = Dedup.winnowIndex(
+    val idx = Winnowing.winnowIndex(
       Seq((1L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12"))
         .toDF("doc_id", "text"),
       "doc_id", "text", k = 4, w = 4)
     val batch = Seq(
       (10L, s"b1 b2 $run b3 b4 b5 b6"),
       (11L, s"d1 $run d2 d3 d4 d5 d6 d7")).toDF("doc_id", "text")
-    val pairs = Dedup.incrementalWinnowPairs(batch, idx, "doc_id", "text",
+    val pairs = Winnowing.incrementalWinnowPairs(batch, idx, "doc_id", "text",
         k = 4, w = 4, minShared = 1, maxDf = 64)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
     assert(pairs == Seq((10L, 11L)), s"got $pairs") // once, id_a < id_b

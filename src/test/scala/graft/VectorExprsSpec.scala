@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Dedup, Similarity}
+import graft.ops.{Dedup, Similarity, Winnowing}
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -416,7 +416,7 @@ class VectorExprsSpec extends SparkSpec {
     val out = df.select(col("id"),
         graft.plans.NativeCols.excisePositions(col("text"), col("cuts"))
           .as("nat"),
-        graft.ops.Dedup.exciseFold(col("text"), col("cuts")).as("fold"))
+        graft.ops.Winnowing.exciseFold(col("text"), col("cuts")).as("fold"))
       .select(col("id"), col("nat.clean_text"), col("nat.n_kept"),
         col("fold.clean_text"), col("fold.n_kept"))
       .collect()
