@@ -336,29 +336,58 @@ object Winnowing {
   def incrementalWinnowPairs(newDocs: DataFrame, index: DataFrame,
       idCol: String, textCol: String, k: Int = 4, w: Int = 4,
       minShared: Long = 3, maxDf: Int = 64): DataFrame = {
+    validateIndexParams(index, k, w)
+    val bf = fingerprintSet(newDocs, idCol, textCol, k, w)
+      .localCheckpoint(eager = false) // feeds prune, df, and both join sides
+    probePairs(bf, index, minShared, maxDf)
+  }
+
+  /** [[incrementalWinnowPairs]]' params guard: DISTINCT params, not
+    * limit(1) — an index assembled by appending winnowIndex outputs
+    * with DIFFERENT (k, w) (likely under the append-per-batch
+    * lifecycle these ops document) would pass a first-row probe and
+    * silently match nothing for the mismatched portion. The distinct
+    * is tiny (one row per params value ever appended); the eager job
+    * at construction time is the existing guard idiom (the 1-row
+    * guards at Dedup.scala:259). */
+  private[graft] def validateIndexParams(index: DataFrame, k: Int,
+      w: Int): Unit = {
     require(index.columns.contains("params"),
       "index lacks the params column — was it built by winnowIndex?")
     val expected = s"$k:$w"
-    // DISTINCT params, not limit(1): an index assembled by appending
-    // winnowIndex outputs with DIFFERENT (k, w) — likely under the
-    // append-per-batch lifecycle this op documents — would pass a
-    // first-row probe and silently match nothing for the mismatched
-    // portion. The distinct is tiny (one row per params value ever
-    // appended); the eager job at construction time is the existing
-    // guard idiom (see the 1-row guards at Dedup.scala:259).
     val seen = index.select("params").distinct().collect()
       .map(_.getString(0)).sorted
     require(seen.forall(_ == expected),
       s"index carries winnowing params {${seen.mkString(", ")}}, " +
         s"but the probe uses $expected — mixed or mismatched " +
         "winnowIndex appends?")
-    val bf = TextAnalysis.winnowingFingerprints(newDocs, idCol, textCol, k, w)
+  }
+
+  /** The distinct (id, h, nw=true) fingerprint set of a batch — the
+    * probe side [[probePairs]] consumes. */
+  private def fingerprintSet(docs: DataFrame, idCol: String,
+      textCol: String, k: Int, w: Int): DataFrame =
+    TextAnalysis.winnowingFingerprints(docs, idCol, textCol, k, w)
       .select(col("id"), col("h")).distinct()
       .withColumn("nw", lit(true))
-      .localCheckpoint(eager = false) // feeds prune, df, and both join sides
+
+  /** The probe core shared by the in-memory and pruned-read forms:
+    * join the index on the broadcast batch hash set, df-cap over
+    * batch ∪ matched (= global df for every batch-carried hash), then
+    * the pair join. Matched index rows pass through DISTINCT: a
+    * crashed compaction can legitimately leave the same (id, h) row
+    * in both a staging target and a stale source dir until the next
+    * compaction's heal, and a duplicate row would otherwise inflate
+    * n_shared past the threshold (the minhash band index tolerates
+    * duplicates — components are edge-duplication-invariant — but
+    * winnowing's SHARED-COUNT semantics are not; the distinct runs
+    * over the matched sliver only, never the index). */
+  private def probePairs(bf: DataFrame, index: DataFrame,
+      minShared: Long, maxDf: Int): DataFrame = {
     val matched = index
       .join(broadcast(bf.select(col("h")).distinct()), Seq("h"))
-      .select(col("id"), col("h"), lit(false).as("nw"))
+      .select(col("id"), col("h")).distinct()
+      .withColumn("nw", lit(false))
     val rare = bf.unionByName(matched)
       .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
       .filter(col("df") <= maxDf)
@@ -371,6 +400,56 @@ object Winnowing {
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+  }
+
+  /** ENFORCED h-sorted index persistence: write `index` (a
+    * [[winnowIndex]] frame) range-clustered and sorted on `h` into
+    * ~`nFiles` files under `dir`, then build the [[DataSkipping]]
+    * stats manifest for `h` — the write path [[winnowIndex]]'s
+    * docstring promises. Each file owns a tight disjoint h-slice, so
+    * a probe's hash set prunes to O(|hashes|) files out of the fleet
+    * via [[DataSkipping.prunedFilesForKeys]] instead of opening the
+    * whole index ([[incrementalWinnowPairsPruned]] is that read
+    * path). Returns the index read back from `dir`. */
+  def writeWinnowIndex(spark: org.apache.spark.sql.SparkSession,
+      index: DataFrame, dir: String, nFiles: Int): DataFrame = {
+    require(nFiles > 0, "nFiles must be positive")
+    require(index.columns.contains("h") && index.columns.contains("params"),
+      "writeWinnowIndex expects a winnowIndex frame (id, h, params)")
+    index.repartitionByRange(nFiles, col("h"))
+      .sortWithinPartitions(col("h"))
+      .write.mode("overwrite").parquet(dir)
+    DataSkipping.buildStats(spark, dir, Seq("h"))
+    spark.read.parquet(dir)
+  }
+
+  /** [[incrementalWinnowPairs]] against a [[writeWinnowIndex]]-persisted
+    * directory, opening ONLY the index files whose h-range may hold a
+    * batch fingerprint: the batch's distinct hash set (bounded
+    * control-plane — ≈ 2/(w+1) of the batch's grams, `maxProbeKeys`
+    * guards the collect) prunes the file list through the stats
+    * manifest, and the probe core then runs the exact join on the
+    * surviving superset. Params are validated against the FULL
+    * directory, not the pruned subset — a mismatched-params index
+    * would prune to nearly nothing and silently match nothing, the
+    * exact failure the guard exists to catch (the params read is a
+    * column-pruned footer-cheap scan). Results are identical to the
+    * unpruned probe (pruning is a superset guarantee; spec-pinned). */
+  def incrementalWinnowPairsPruned(spark: org.apache.spark.sql.SparkSession,
+      newDocs: DataFrame, indexDir: String, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 4, minShared: Long = 3, maxDf: Int = 64,
+      maxProbeKeys: Long = 4000000L): DataFrame = {
+    validateIndexParams(spark.read.parquet(indexDir), k, w)
+    val bf = fingerprintSet(newDocs, idCol, textCol, k, w)
+      .localCheckpoint(eager = false) // feeds the key collect AND the probe
+    val keys = bf.select(col("h")).distinct().collect().map(_.getLong(0))
+    require(keys.length <= maxProbeKeys,
+      s"batch carries ${keys.length} distinct fingerprints > " +
+        s"maxProbeKeys=$maxProbeKeys — split the batch or raise the cap " +
+        "(the pruned probe collects the batch hash set to the driver)")
+    val ix = DataSkipping.prunedReadForKeys(spark, indexDir, "h",
+      keys.toSeq)
+    probePairs(bf, ix, minShared, maxDf)
   }
 
   /** SPAN-level benchmark decontamination (the n-gram-collision

@@ -50,7 +50,7 @@ object TrainingData {
     td_join_estimate,
     td_pack_sequences, td_decontam, td_decontam_canonical,
     td_decontam_spans, td_winnowing, td_winnowing_density,
-    td_incremental_winnowing, td_embedding_drift,
+    td_incremental_winnowing, td_winnow_index_pruned, td_embedding_drift,
     td_lsh_precision, td_curation_funnel,
     td_token_budget, td_interleave, td_train_split,
     td_split_leakage_safe, td_pii_scrub,

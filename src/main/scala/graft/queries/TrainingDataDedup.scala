@@ -1229,6 +1229,35 @@ object TrainingDataDedup {
       GROUP BY 1, 2 HAVING COUNT(*) >= 3
       ORDER BY id_a, id_b"""))
 
+  /** The PERSISTED form of [[td_incremental_winnowing]]: the index is
+    * written through [[graft.ops.Winnowing.writeWinnowIndex]] (h-range-
+    * clustered files + DataSkipping stats manifest) and the probe runs
+    * [[graft.ops.Winnowing.incrementalWinnowPairsPruned]], opening only
+    * the files whose h-slice can hold a batch fingerprint. Same fixture
+    * and oracle as the in-memory probe — pruning is a superset
+    * guarantee, so the rows must be hash-identical; what changes is the
+    * I/O shape, which is what makes the index a production artifact at
+    * 100 TB (a batch of hashes touches O(|hashes|) files, not the
+    * fleet). */
+  val td_winnow_index_pruned = GraftQuery(
+    "td_winnow_index_pruned",
+    (s, dir) => {
+      val stage = s"${System.getProperty("java.io.tmpdir")}/graft_winnowix_" +
+        s"${s.sparkContext.applicationId}_${Integer.toHexString(dir.hashCode)}"
+      val d = Tables.documents(s, dir).filter(col("doc_id") < 150)
+        .select(col("doc_id"), col("text"))
+      val newBatch = d.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+        .withColumn("text",
+          concat(lit("intro preamble lines here "), col("text")))
+      Winnowing.writeWinnowIndex(s,
+        Winnowing.winnowIndex(d, "doc_id", "text", k = 4, w = 4),
+        stage, nFiles = 16)
+      Winnowing.incrementalWinnowPairsPruned(s, newBatch, stage,
+        "doc_id", "text", k = 4, w = 4, minShared = 3, maxDf = 64)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    td_incremental_winnowing.oracle)
 
   /** Winnowing density sweep: measured fingerprint density vs the
     * paper's expected 2/(w+1) across window sizes — the tuning curve

@@ -74,6 +74,48 @@ object DocIngest {
       case None => Dedup.minhashNearDuplicates(
         batch, idCol, textCol, numHashes, bands, threshold)
     }
+    val survivors = survivorsByPairs(batch, pairs, idCol)
+    (survivors,
+      Dedup.minhashBandIndex(survivors, idCol, textCol, numHashes, bands))
+  }
+
+  /** [[admitBatch]]'s span-match sibling: one batch of cross-corpus
+    * WINNOWING admission — probe the persisted fingerprint index
+    * (None for the first batch) with
+    * [[graft.ops.Winnowing.incrementalWinnowPairs]] and return
+    * (survivors, their [[graft.ops.Winnowing.winnowIndex]] rows to
+    * append). Same transitive-component admission semantics as
+    * [[admitBatch]] (shared core), different duplication signal: a
+    * doc is rejected when it SHARES A SPAN (≥ minShared rare
+    * fingerprints, guaranteed for any common run of w+k−1 tokens)
+    * with the corpus or a kept batch-mate — the boilerplate/
+    * quote-reuse admission gate, where minhash's whole-document
+    * Jaccard would admit a doc that embeds a long verbatim excerpt
+    * inside enough fresh text. */
+  def admitBatchWinnow(batch: DataFrame, index: Option[DataFrame],
+      idCol: String, textCol: String,
+      k: Int = 4, w: Int = 4, minShared: Long = 3, maxDf: Int = 64)
+      : (DataFrame, DataFrame) = {
+    import graft.ops.Winnowing
+    val pairs = index match {
+      case Some(ix) => Winnowing.incrementalWinnowPairs(
+        batch, ix, idCol, textCol, k, w, minShared, maxDf)
+      case None => Winnowing.winnowingPairs(
+        batch, idCol, textCol, k, w, minShared, maxDf)
+    }
+    val survivors = survivorsByPairs(batch, pairs, idCol)
+    (survivors, Winnowing.winnowIndex(survivors, idCol, textCol, k, w))
+  }
+
+  /** The admission core shared by [[admitBatch]] and
+    * [[admitBatchWinnow]]: transitive components over the batch's
+    * verified pair graph (new×index and new×new edges); a new doc is
+    * admitted iff its component contains NO already-admitted doc and
+    * it is the component's lowest new id. The survivors frame is
+    * localCheckpoint'd: callers write it AND derive index rows from
+    * it. */
+  private def survivorsByPairs(batch: DataFrame, pairs: DataFrame,
+      idCol: String): DataFrame = {
     // components over the (tiny) pair graph; members only
     val members = Dedup.connectedComponents(pairs)
       .localCheckpoint(eager = false) // feeds three subtrees below
@@ -91,10 +133,8 @@ object DocIngest {
     val removed = newMembers.select(col("id"))
       .join(keepers, Seq("id"), "left_anti")
       .select(col("id").as(idCol))
-    val survivors = batch.join(removed, Seq(idCol), "left_anti")
+    batch.join(removed, Seq(idCol), "left_anti")
       .localCheckpoint(eager = false)
-    (survivors,
-      Dedup.minhashBandIndex(survivors, idCol, textCol, numHashes, bands))
   }
 
   /** Streaming sketch maintenance — the proof of the sketch layer's
@@ -285,7 +325,8 @@ object DocIngest {
   def compactIndex(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, upToBatch: Long,
       targetFileBytes: Long = 128L << 20,
-      fromBatch: Long = 0L): Int = {
+      fromBatch: Long = 0L,
+      sortCol: Option[String] = None): Int = {
     import org.apache.hadoop.fs.Path
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val root = new Path(indexDir)
@@ -314,10 +355,18 @@ object DocIngest {
     val nFiles = math.max(1L,
       (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     // distinct() both merges and HEALS duplicates a past crash left
-    spark.read.parquet(sources.map(_.toString).toSeq: _*)
+    val healed = spark.read.parquet(sources.map(_.toString).toSeq: _*)
       .distinct()
-      .repartition(nFiles)
-      .write.mode("overwrite").parquet(staging.toString)
+    // sortCol (the winnow index's h): preserve the range-clustered
+    // sorted layout through compaction so row-group stats stay tight
+    // — random repartition would scatter every file across the full
+    // hash domain and undo the pruned-probe story
+    val arranged = sortCol match {
+      case Some(c) => healed.repartitionByRange(nFiles, col(c))
+        .sortWithinPartitions(col(c))
+      case None => healed.repartition(nFiles)
+    }
+    arranged.write.mode("overwrite").parquet(staging.toString)
     // delete the target FIRST: once anything is deleted, the staging
     // (which holds every row) is the recovery source of truth
     sources.foreach(fs.delete(_, true))
@@ -462,6 +511,76 @@ object DocIngest {
           if (batchId > 0 && batchId % n == 0)
             compactIndex(spark, indexDir, upToBatch = batchId - 1,
               fromBatch = batchId - n)
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** [[nearDupIngest]]'s winnowing sibling: every micro-batch is
+    * [[admitBatchWinnow]]ed against the persisted fingerprint index,
+    * survivors land in `outDir`, and their index rows are appended —
+    * corpus growth with SPAN-MATCH admission at O(batch + collisions)
+    * per batch, completing [[graft.ops.Winnowing.winnowIndex]]'s
+    * production lifecycle (build → append → probe → compact).
+    *
+    * Same crash discipline as [[nearDupIngest]]: batch-keyed
+    * subdirectories with overwrite (replay-idempotent), unconditional
+    * torn-compaction roll-forward BEFORE probing, and a replay filter
+    * excluding the current batch's own rows. Winnowing adds two
+    * refinements: index rows are written h-SORTED (each batch dir is
+    * one range-clustered file, and compaction preserves the order via
+    * `sortCol` — the row-group-pruning layout
+    * [[graft.ops.Winnowing.writeWinnowIndex]] enforces for the
+    * offline form), and the probe core dedupes matched index rows, so
+    * the duplicate rows a crashed compaction can transiently leave
+    * never inflate a pair's shared-fingerprint count past threshold
+    * (minhash admission is edge-duplication-invariant; winnowing's
+    * n_shared is not).
+    */
+  def winnowIngest(docs: DataFrame, idCol: String, textCol: String,
+      indexDir: String, outDir: String, checkpointDir: String,
+      k: Int = 4, w: Int = 4, minShared: Long = 3, maxDf: Int = 64,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
+      compactEvery: Option[Int] = None)
+      : StreamingQuery = {
+    compactEvery.foreach(n => require(n >= 2,
+      s"compactEvery=$n: compacting every batch just rewrites the index"))
+    val writer = docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+    trigger.foreach(writer.trigger)
+    writer
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val idxPath = new org.apache.hadoop.fs.Path(indexDir)
+        val fs = idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // heal a torn compaction BEFORE probing (see nearDupIngest)
+        if (fs.exists(idxPath))
+          compactIndex(spark, indexDir, upToBatch = -1L, sortCol = Some("h"))
+        val haveIndex = fs.exists(idxPath) &&
+          fs.listStatus(idxPath).exists(_.getPath.getName.startsWith("batch="))
+        val index =
+          if (haveIndex)
+            Some(spark.read.parquet(indexDir)
+              .filter(col("batch") =!= batchId))
+          else None
+        val (survivors, idxRows) = admitBatchWinnow(
+          batch, index, idCol, textCol, k, w, minShared, maxDf)
+        survivors.write.mode("overwrite")
+          .parquet(s"$outDir/batch=$batchId")
+        // one h-sorted file per batch dir: batch fingerprint sets are
+        // small (≈ 2/(w+1) of the batch's grams), and the sorted
+        // layout keeps row-group h-stats tight from the first write
+        idxRows.repartitionByRange(1, col("h"))
+          .sortWithinPartitions(col("h"))
+          .write.mode("overwrite")
+          .parquet(s"$indexDir/batch=$batchId")
+        // in-loop windowed compaction (see nearDupIngest for why the
+        // window, not from-zero), order-preserving via sortCol
+        compactEvery.foreach { n =>
+          if (batchId > 0 && batchId % n == 0)
+            compactIndex(spark, indexDir, upToBatch = batchId - 1,
+              fromBatch = batchId - n, sortCol = Some("h"))
         }
         ()
       }

@@ -90,6 +90,101 @@ class DocIngestSpec extends SparkSpec {
     assert(idx.select("id").distinct().as[Long].collect().toSet == Set(12L))
   }
 
+  test("winnowIngest: cross-batch SPAN matches rejected via the persisted " +
+      "h-sorted fingerprint index") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("winnowingest").toString
+    val mem = MemoryStream[RawDoc]
+    val q = DocIngest.winnowIngest(mem.toDF(), "doc_id", "text",
+      s"$dir/index", s"$dir/out", s"$dir/ckpt",
+      k = 4, w = 4, minShared = 1, maxDf = 64)
+
+    // batch 0: two distinct docs — both admitted
+    mem.addData(
+      RawDoc(1, "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 a11 a12"),
+      RawDoc(2, "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10 b11 b12"))
+    q.processAllAvailable()
+    // batch 1: doc 3 embeds a 7-token run of doc 1 (guaranteed span
+    // match at w+k−1) inside otherwise-fresh text — minhash Jaccard
+    // ≈ 7/17 would ADMIT it; docs 4/5 are an in-batch exact pair
+    mem.addData(
+      RawDoc(3, "c1 c2 a3 a4 a5 a6 a7 a8 a9 c3 c4 c5 c6 c7"),
+      RawDoc(4, "d1 d2 d3 d4 d5 d6 d7 d8 d9 d10 d11 d12"),
+      RawDoc(5, "d1 d2 d3 d4 d5 d6 d7 d8 d9 d10 d11 d12"))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.read.parquet(s"$dir/out")
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(1L, 2L, 4L), s"admitted: $out")
+    val ix = spark.read.parquet(s"$dir/index")
+    assert(ix.select("id").distinct().as[Long].collect().toSet ==
+      Set(1L, 2L, 4L))
+    // every appended dir carries the params stamp and ONE h-sorted file
+    assert(ix.select("params").distinct().as[String].collect().toSeq ==
+      Seq("4:4"))
+    val batchDirs = new java.io.File(s"$dir/index").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+    assert(batchDirs.length == 2)
+    batchDirs.foreach { d =>
+      val parts = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(parts.length == 1, s"${d.getName}: ${parts.length} files")
+      val hs = spark.read.parquet(d.toString).select("h")
+        .as[Long].collect().toSeq
+      assert(hs == hs.sorted, s"${d.getName} not h-sorted")
+    }
+  }
+
+  test("winnowIngest with compactEvery: same admissions, bounded dirs, " +
+      "h-order preserved through compaction") {
+    implicit val sqlCtx = spark.sqlContext
+    def run(compactEvery: Option[Int]): (Set[Long], Int, String) = {
+      val dir = java.nio.file.Files.createTempDirectory("winnowcomp").toString
+      val mem = MemoryStream[RawDoc]
+      val q = DocIngest.winnowIngest(mem.toDF(), "doc_id", "text",
+        s"$dir/index", s"$dir/out", s"$dir/ckpt",
+        k = 4, w = 4, minShared = 1, maxDf = 64,
+        compactEvery = compactEvery)
+      (0 until 6).foreach { b =>
+        // per batch: one fresh doc + one doc embedding a 7-token run
+        // of the PREVIOUS batch's fresh doc (cross-batch rejection)
+        val fresh = RawDoc(10L + b,
+          (0 until 12).map(j => s"f${b}_$j").mkString(" "))
+        val echo =
+          if (b == 0) Seq.empty
+          else Seq(RawDoc(100L + b, "e1 e2 " +
+            (3 until 10).map(j => s"f${b - 1}_$j").mkString(" ") +
+            s" e3_$b e4 e5 e6"))
+        mem.addData(fresh +: echo: _*)
+        q.processAllAvailable()
+      }
+      q.stop()
+      val out = spark.read.parquet(s"$dir/out")
+        .select("doc_id").as[Long].collect().toSet
+      val dirs = new java.io.File(s"$dir/index").listFiles()
+        .count(f => f.isDirectory && f.getName.startsWith("batch="))
+      (out, dirs, s"$dir/index")
+    }
+    val (plain, plainDirs, _) = run(None)
+    val (compacted, compDirs, compIdx) = run(Some(2))
+    assert(compacted == plain, s"admissions must not change: " +
+      s"$compacted vs $plain")
+    assert(plain == (10L until 16L).toSet, s"only fresh docs admitted: $plain")
+    assert(compDirs < plainDirs,
+      s"compaction must bound dirs: $compDirs !< $plainDirs")
+    // order-preserving compaction: every surviving parquet file —
+    // merged or fresh — is individually h-sorted
+    val parts = new java.io.File(compIdx).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .flatMap(_.listFiles().filter(_.getName.endsWith(".parquet")))
+    assert(parts.nonEmpty)
+    parts.foreach { p =>
+      val hs = spark.read.parquet(p.toString).select("h")
+        .as[Long].collect().toSeq
+      assert(hs == hs.sorted, s"$p not h-sorted after compaction")
+    }
+  }
+
   test("streaming ingest: duplicate content beyond the watermark is re-admitted") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Doc]

@@ -1743,6 +1743,73 @@ class OpsSpec extends SparkSpec {
     assert(err.getMessage.contains("mixed or mismatched"), err.getMessage)
   }
 
+  test("writeWinnowIndex: disjoint per-file h-ranges; pruned probe opens " +
+      "fewer files and returns identical pairs") {
+    import graft.ops.DataSkipping
+    // 120 docs of fully distinct vocab → a few thousand distinct
+    // uniformly-spread fingerprint hashes across 32 range-clustered files
+    val docs = (0 until 120).map(i =>
+      (i.toLong, (0 until 40).map(j => s"t${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("winnowix-")
+      .toString + "/ix"
+    Winnowing.writeWinnowIndex(spark,
+      Winnowing.winnowIndex(docs, "doc_id", "text", k = 4, w = 4),
+      dir, nFiles = 32)
+    // enforced layout: each file owns a tight DISJOINT h-slice — the
+    // property that makes the hash-set probe prune
+    val stats = DataSkipping.statsManifest(spark, dir)
+      .filter($"column" === "h")
+      .select($"file", $"minLong", $"maxLong")
+      .as[(String, Option[Long], Option[Long])].collect()
+      .map(r => (r._2.get, r._3.get)).sortBy(_._1)
+    assert(stats.length >= 16, s"expected a multi-file fleet: ${stats.length}")
+    stats.sliding(2).foreach { case Array((_, prevMax), (nextMin, _)) =>
+      assert(prevMax < nextMin,
+        s"file h-ranges must be disjoint: $prevMax !< $nextMin")
+    }
+    // batch: a planted 7-token run from doc 7 (guaranteed ≥1 shared
+    // fingerprint at w+k−1) inside fresh text
+    val run = (10 until 17).map(j => s"t7_$j").mkString(" ")
+    val batch = Seq((1000000L, s"x1 x2 $run x3 x4 x5 x6 x7"))
+      .toDF("doc_id", "text")
+    val full = Winnowing.incrementalWinnowPairs(batch,
+        spark.read.parquet(dir), "doc_id", "text",
+        k = 4, w = 4, minShared = 1, maxDf = 64)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    val pruned = Winnowing.incrementalWinnowPairsPruned(spark, batch, dir,
+        "doc_id", "text", k = 4, w = 4, minShared = 1, maxDf = 64)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(full.nonEmpty && full.map(_._2).contains(7L), s"full: $full")
+    assert(pruned == full, s"pruned $pruned != full $full")
+    // the probe's hash set must open a small fraction of the fleet
+    val keys = TextAnalysis.winnowingFingerprints(batch, "doc_id", "text",
+        4, 4).select($"h").distinct().as[Long].collect()
+    val (kept, total) = DataSkipping.prunedFilesForKeys(spark, dir, "h",
+      keys.toSeq)
+    assert(kept.size < total / 2,
+      s"pruning should skip most files: kept ${kept.size} of $total " +
+        s"for ${keys.length} probe hashes")
+  }
+
+  test("incrementalWinnowPairsPruned: params mismatch fails loudly even " +
+      "though a mismatched index would prune to nothing") {
+    val docs = (0 until 20).map(i =>
+      (i.toLong, (0 until 30).map(j => s"v${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("winnowix-")
+      .toString + "/ix"
+    Winnowing.writeWinnowIndex(spark,
+      Winnowing.winnowIndex(docs, "doc_id", "text", k = 5, w = 4),
+      dir, nFiles = 4)
+    val batch = Seq((99L, "y1 y2 y3 y4 y5 y6 y7 y8")).toDF("doc_id", "text")
+    val err = intercept[IllegalArgumentException] {
+      Winnowing.incrementalWinnowPairsPruned(spark, batch, dir,
+        "doc_id", "text", k = 4, w = 4, minShared = 1).collect()
+    }
+    assert(err.getMessage.contains("params"), err.getMessage)
+  }
+
   test("scrubContaminationSpans: seeds widen, overlap-merge, excise") {
     val corpus = Seq(
       (1L, "w1 w2 leak1 leak2 leak3 w3 w4 w5 w6 w7 w8 w9"),
