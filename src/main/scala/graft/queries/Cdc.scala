@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   */
 object Cdc {
 
-  private def customerMeta(c: DataFrame): TableMeta =
+  private[graft] def customerMeta(c: DataFrame): TableMeta =
     TableMeta(TableId("srcdb", "public", "customer"), c.schema, Seq("c_custkey"))
 
   private def events(s: SparkSession, dir: String): (DataFrame, TableMeta) = {
@@ -337,7 +337,7 @@ object Cdc {
   /** Write `df` as ONE spool file at `$spool/name.parquet` with a
     * forced mtime — the file source replays files in mtime order, so
     * deterministic mtimes make batch ids deterministic. */
-  private def writeSpoolFile(df: DataFrame, spool: String, name: String,
+  private[graft] def writeSpoolFile(df: DataFrame, spool: String, name: String,
       mtimeMs: Long): Unit = {
     import java.nio.file.{Files, Paths}
     val dir = s"$spool/_stage_$name"
