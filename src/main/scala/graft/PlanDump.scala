@@ -140,7 +140,13 @@ object PlanDump {
     "td_embedding_drift" ->
       "Embedding drift: both snapshots posexplode in narrow maps and collapse map-side to (label, dim) centroid partials before their single exchanges; the two centroid aggregates join via BroadcastHashJoin and the per-label fold runs over rows ∝ |labels|·dim.",
     "td_incremental_winnowing" ->
-      "Incremental winnowing probe: only the NEW batch is fingerprinted (native narrow map); the index enters through ONE equi-join against the BROADCAST batch hash set — never rescanned wholesale, row-group-prunable when stored h-sorted; the global-df cap and pair expansion run over batch ∪ matched rows only, so per-batch cost is O(batch + collisions).")
+      "Incremental winnowing probe: only the NEW batch is fingerprinted (native narrow map); the index enters through ONE equi-join against the BROADCAST batch hash set — never rescanned wholesale, row-group-prunable when stored h-sorted; the global-df cap and pair expansion run over batch ∪ matched rows only, so per-batch cost is O(batch + collisions).",
+    "td_winnow_index_pruned" ->
+      "Pruned persisted-index probe: the index scan lists ONLY the files whose h-range can hold a batch fingerprint (stats-manifest pruning over the writeWinnowIndex h-range-clustered fleet — the scan's file list, not a post-filter); downstream is the identical probe core, so the plan differs from td_incremental_winnowing only in the scan's input files.",
+    "ev_anomaly_horizon" ->
+      "Horizon rate anomaly: identical shape to ev_anomaly — the external-clock horizon only changes the grid's pmax expression (a greatest() over the |types|-row span agg), so the trailing-silence extension costs zero additional exchanges.",
+    "ev_changepoint_horizon" ->
+      "Horizon changepoint: identical shape to ev_changepoint; the horizon extends the sequence() grid from the same |types|-row span agg — the zero-filled tail rides the existing type-keyed window pass.")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -926,7 +926,7 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("td_embedding_drift: partial aggregation before both centroid " +
-      "exchanges, centroid join broadcasts") {
+      "exchanges; the full-outer centroid join adds NO exchange") {
     audited(graft.queries.TrainingDataSketch.td_embedding_drift
         .fn(spark, dir)) { df =>
       val plan = df.queryExecution.executedPlan
@@ -937,8 +937,24 @@ class PlanAuditSpec extends SparkSpec {
       }
       assert(partials.size >= 2,
         s"both centroid aggs must combine map-side:\n$plan")
-      val bhj = plan.collect { case b: BroadcastHashJoinExec => b }
-      assert(bhj.nonEmpty, s"centroid join should broadcast:\n$plan")
+      // the ragged-dims guard made the centroid join FULL OUTER, which
+      // BroadcastHashJoin cannot execute — the right plan is a
+      // sort-merge join that REUSES the centroid aggregates' (group,
+      // dim) hash partitioning: exchanges in the whole plan stay at
+      // exactly the 2 centroid aggs + the |labels|-row final agg +
+      // the output sort; the join itself adds only local sorts of the
+      // two tiny aggregate sides
+      val smj = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }
+      assert(smj.nonEmpty, s"centroid join should sort-merge:\n$plan")
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.size <= 4,
+        s"full-outer centroid join must reuse the agg partitioning " +
+          s"(2 centroid aggs + final agg + output sort), got " +
+          s"${exchanges.size}:\n$plan")
     }
   }
 }
