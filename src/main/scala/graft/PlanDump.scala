@@ -146,7 +146,11 @@ object PlanDump {
     "ev_anomaly_horizon" ->
       "Horizon rate anomaly: identical shape to ev_anomaly — the external-clock horizon only changes the grid's pmax expression (a greatest() over the |types|-row span agg), so the trailing-silence extension costs zero additional exchanges.",
     "ev_changepoint_horizon" ->
-      "Horizon changepoint: identical shape to ev_changepoint; the horizon extends the sequence() grid from the same |types|-row span agg — the zero-filled tail rides the existing type-keyed window pass.")
+      "Horizon changepoint: identical shape to ev_changepoint; the horizon extends the sequence() grid from the same |types|-row span agg — the zero-filled tail rides the existing type-keyed window pass.",
+    "ev_seasonal_anomaly" ->
+      "Seasonal anomaly: the gap-fill's one event shuffle; lag(season) and the residual stats ride the SAME type-keyed partitioning (no second exchange of the grid); the |types|-row stats broadcast back.",
+    "td_mrr" ->
+      "MRR@k eval: the ranked side is already a per-query top-k (rows ∝ queries·k — corpus-independent); one equi-join against the broadcast relevance pairs and one query-keyed min; reciprocals are integer div, no float crosses engines.")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")

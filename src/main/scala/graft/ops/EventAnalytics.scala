@@ -465,6 +465,63 @@ object EventAnalytics {
           .as("mean_after_ppm"))
   }
 
+  /** SEASONAL rate anomaly — the periodic-pattern complement of
+    * [[rateAnomaly]]'s global z-test: residual r_t = cnt_t −
+    * cnt_{t−seasonPeriods} against the SAME period one season back,
+    * flagged when (n·r − S)² > k²·(n·Q − S²) over the residual
+    * population (n residuals, S = Σr, Q = Σr²) — the exact-integer
+    * z-form of [[rateAnomaly]] applied to seasonal differences.
+    * This is the detector for load with a built-in cadence: under a
+    * weekly pattern the global test either false-flags every weekend
+    * or (worse) hides a weekday collapsing to weekend levels inside
+    * the inflated global variance; seasonal residuals are ≈ 0
+    * everywhere except genuine pattern violations, so the collapse
+    * stands k·σ out (spec-pinned: a planted weekday-at-weekend-level
+    * day that the global z-test provably misses).
+    *
+    * The gap-filled grid ([[filledPeriodCounts]] — same NULL-drop,
+    * horizon, and span-guard semantics as [[rateAnomaly]]) is what
+    * makes `lag(seasonPeriods)` the TRUE seasonal predecessor: with
+    * zero-count periods absent, lag would skip silently across gaps
+    * and compare unrelated periods. The first `seasonPeriods` periods
+    * of each type have no predecessor — they report a NULL residual
+    * and never flag (warm-up, not data).
+    *
+    * Plan shape: [[filledPeriodCounts]]' one event shuffle; the lag
+    * and the |types|-row residual stats ride the same type-keyed
+    * partitioning; stats broadcast back. Magnitudes: |r| ≤ max count,
+    * so the z-form holds to the same ~3·10⁹ events/type bound as
+    * [[rateAnomaly]].
+    *
+    * @return (`typeCol`, period, cnt, residual, anomalous) — residual
+    *         NULL (and anomalous 0) for each type's first
+    *         seasonPeriods periods
+    */
+  def seasonalAnomaly(events: DataFrame, typeCol: String, tsCol: String,
+      periodSec: Long, seasonPeriods: Int, kSigma: Int,
+      horizonSec: Option[Long] = None,
+      maxSpanPeriods: Long = 1000000L): DataFrame = {
+    require(seasonPeriods > 0, "seasonPeriods must be positive")
+    val full = filledPeriodCounts(events, typeCol, tsCol, periodSec,
+      horizonSec, maxSpanPeriods)
+    val byType = Window.partitionBy(col(typeCol)).orderBy(col("period"))
+    val withRes = full.withColumn("residual",
+      col("cnt") - lag(col("cnt"), seasonPeriods).over(byType))
+    val stats = withRes.filter(col("residual").isNotNull)
+      .groupBy(col(typeCol))
+      .agg(count(lit(1)).as("n"), sum(col("residual")).as("s"),
+        sum(col("residual") * col("residual")).as("q"))
+    val dev = col("n") * col("residual") - col("s")
+    // left join: a type shorter than one season has NO residuals and
+    // no stats row — its periods still report (with NULL residuals)
+    withRes.join(broadcast(stats), Seq(typeCol), "left")
+      .select(col(typeCol), col("period"), col("cnt"), col("residual"),
+        when(col("residual").isNotNull &&
+          dev * dev > lit(kSigma.toLong * kSigma) *
+            (col("n") * col("q") - col("s") * col("s")), lit(1))
+          .otherwise(lit(0)).as("anomalous"))
+  }
+
   /** Inter-arrival time profile per event type — a power-of-two
     * (log₂) histogram of the gap, in seconds, between consecutive
     * events of the same entity, attributed to the LATER event's type:

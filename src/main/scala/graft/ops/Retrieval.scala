@@ -124,4 +124,45 @@ object Retrieval {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("id"), col("rrf_score"))
   }
+
+  /** Reciprocal rank @ k — the retrieval-quality eval that
+    * complements [[graft.ops.Similarity]]-side recall@k: per query,
+    * the rank of the FIRST relevant document inside the top `k`, and
+    * its reciprocal as exact-integer ppm (`1 000 000 div rank` — no
+    * float, so MRR sums hash-match any engine). Queries whose top-k
+    * holds no relevant doc report (NULL, 0) — they count against the
+    * mean, which is the standard MRR@k convention. The query universe
+    * is `relevant`'s query set (an eval set defines one+ relevant doc
+    * per query by construction); ranked rows for queries outside it
+    * are ignored.
+    *
+    * Scale shape: `ranked` is already a per-query top-k (rows ∝
+    * queries·k); one equi-join against the relevance pairs and one
+    * query-keyed min — evaluation cost is independent of the corpus,
+    * the [[graft.ops.Similarity]] recall-eval discipline.
+    *
+    * @param ranked  (queryCol, docCol, rankCol) — a per-query ranking,
+    *                e.g. [[bm25TopK]] output
+    * @param relevant (queryCol, docCol) relevance pairs
+    * @return (queryCol, first_rank, rr_ppm) — one row per query in
+    *         `relevant`; first_rank NULL and rr_ppm 0 on a miss
+    */
+  def reciprocalRank(ranked: DataFrame, relevant: DataFrame,
+      queryCol: String, docCol: String, rankCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val hits = ranked
+      .filter(col(rankCol) <= k)
+      .select(col(queryCol), col(docCol), col(rankCol))
+      .join(relevant.select(col(queryCol), col(docCol)).distinct(),
+        Seq(queryCol, docCol), "left_semi")
+      .groupBy(col(queryCol))
+      .agg(min(col(rankCol)).as("first_rank"))
+    relevant.select(col(queryCol)).distinct()
+      .join(hits, Seq(queryCol), "left")
+      .select(col(queryCol), col("first_rank"),
+        when(col("first_rank").isNotNull,
+          expr("1000000L div first_rank")).otherwise(lit(0L))
+          .as("rr_ppm"))
+  }
 }

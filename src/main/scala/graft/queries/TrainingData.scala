@@ -31,7 +31,8 @@ object TrainingData {
     td_line_repetition, td_c4_clean, td_blocklist_scrub,
     td_semantic_decontam,
     td_heavy_hitters, td_hll_registers, td_hll_by_source,
-    td_pipeline_e2e, td_hashed_tf, td_tfidf, td_bm25, td_hybrid_rrf,
+    td_pipeline_e2e, td_hashed_tf, td_tfidf, td_bm25, td_mrr,
+    td_hybrid_rrf,
     td_dedup_components, td_cc_largestar, td_dedup_survivors, td_dedup_best,
     td_dedup_canonical,
     td_simhash_md5, td_ann_lsh_md5, td_embedding_neardup, td_ann_ivf,

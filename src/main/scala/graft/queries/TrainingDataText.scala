@@ -393,6 +393,72 @@ object TrainingDataText {
       WHERE rank <= 10 ORDER BY query_id, rank"""))
 
 
+  /** MRR@10 self-retrieval eval
+    * ([[graft.ops.Retrieval.reciprocalRank]]): queries are the first
+    * six tokens of every doc_id % 100 == 7 document, the relevant doc
+    * is the source itself — the standard retrieval sanity eval (a
+    * healthy index should rank a document first for its own prefix,
+    * and every case where it doesn't is boilerplate worth reading).
+    * Reciprocals are exact-integer ppm (1e6 div rank), so per-query
+    * rows and any MRR mean over them hash-match the oracle; misses
+    * report (NULL, 0) and count against the mean, the standard MRR@k
+    * convention. */
+  val td_mrr = GraftQuery(
+    "td_mrr",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val qs = docs.filter(pmod(col("doc_id"), lit(100)) === 7)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ",
+            slice(TextAnalysis.tokens(col("text")), 1, 6)).as("qtext"))
+      val ranked = Retrieval.bm25TopK(docs, "doc_id", "text",
+        qs, "query_id", "qtext", k = 10)
+      val rel = qs.select(col("query_id"), col("query_id").as("id"))
+      Retrieval.reciprocalRank(ranked, rel, "query_id", "id", "rank",
+        k = 10)
+        .orderBy(col("query_id"))
+    },
+    Some("""WITH d AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        FROM documents WHERE length(trim(text)) > 0),
+      idx AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM d),
+      p AS (SELECT term, doc_id, dl, COUNT(*) AS tf
+            FROM idx GROUP BY 1, 2, 3),
+      dfreq AS (SELECT term, COUNT(*) AS df FROM p GROUP BY 1),
+      nd AS (SELECT COUNT(*) AS n_docs,
+               CAST(SUM(len(t)) AS BIGINT) AS t_tokens FROM d),
+      q AS (SELECT doc_id AS query_id, array_to_string(t[1:6], ' ') AS qtext
+            FROM d WHERE doc_id % 100 = 7),
+      qt AS (SELECT DISTINCT query_id, term FROM (
+              SELECT query_id,
+                unnest(string_split_regex(trim(qtext), '\s+')) AS term
+              FROM q)),
+      sc AS (
+        SELECT qt.query_id, p.doc_id,
+          CAST(SUM(CAST(FLOOR(1000000.0 *
+            ((2.0 * nd.n_docs - 2.0 * dfreq.df + 1.0) /
+             (2.0 * dfreq.df + 1.0)) *
+            ((44.0 * nd.t_tokens * p.tf) /
+             (20.0 * nd.t_tokens * p.tf + 6.0 * nd.t_tokens +
+              18.0 * p.dl * nd.n_docs))) AS BIGINT)) AS BIGINT)
+            AS score_ppm
+        FROM qt JOIN p USING (term) JOIN dfreq USING (term)
+        CROSS JOIN nd GROUP BY 1, 2),
+      ranked AS (
+        SELECT query_id, doc_id, rank FROM (
+          SELECT query_id, doc_id,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY score_ppm DESC, doc_id) AS rank
+          FROM sc)
+        WHERE rank <= 10),
+      hits AS (
+        SELECT query_id, MIN(rank) AS fr
+        FROM ranked WHERE doc_id = query_id GROUP BY 1)
+      SELECT q.query_id, CAST(hits.fr AS INTEGER) AS first_rank,
+        COALESCE(CAST(1000000 // hits.fr AS BIGINT), 0) AS rr_ppm
+      FROM q LEFT JOIN hits USING (query_id)
+      ORDER BY query_id"""))
+
   /** Hybrid retrieval: BM25 (sparse, doc-as-query "more like this")
     * and brute-force cosine (dense) rankings merged by reciprocal-
     * rank fusion ([[Retrieval.reciprocalRankFusion]]) — integer-

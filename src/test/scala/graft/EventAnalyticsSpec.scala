@@ -398,6 +398,55 @@ class EventAnalyticsSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(ok.count() == 3000001L)
   }
 
+  test("seasonalAnomaly: a weekday collapsing to weekend levels flags " +
+      "seasonally while the global z-test provably misses it") {
+    // 4 weeks of weekly cadence at 10-second "days", season = 7:
+    // weekdays 10/period, weekends (periods 5,6 of each week)
+    // 2/period — except period 22 (a WEEK-4 weekday) collapses to 2.
+    // Global z-test at k=2: n=28, S=208, Q=1936; x=2 → (56−208)² =
+    // 23104 < 4·(28·1936−208²) = 43776 → never flags (weekend mass
+    // inflates the global variance).
+    // Seasonal residuals: all 0 except period 22's −8: n=21, S=−8,
+    // Q=64; dev² = (21·(−8)−(−8))² = 25600 > 4·(21·64−64) = 5120 →
+    // flagged; zero residuals give (0−(−8))² = 64 → clean.
+    def cnt(p: Int): Int =
+      if (p == 22) 2 else if (p % 7 >= 5) 2 else 10
+    val rows = (0 until 28).flatMap(p =>
+      Seq.fill(cnt(p))((1L, p * 10L, "W", 0.0)))
+    val df = ev(rows.zipWithIndex.map { case ((u, sec, t, v), i) =>
+      (u + i, sec, t, v) }: _*)
+    val global = EventAnalytics.rateAnomaly(df, "event_type", "ts", 10L, 2)
+      .filter($"anomalous" === 1).count()
+    assert(global == 0, "the global z-test must miss the collapse")
+    val out = EventAnalytics.seasonalAnomaly(df, "event_type", "ts", 10L,
+        seasonPeriods = 7, kSigma = 2)
+      .select($"period", $"residual", $"anomalous")
+      .as[(Long, Option[Long], Int)].collect().sortBy(_._1)
+    assert(out.length == 28)
+    val base = out.map(_._1).min
+    // warm-up week: NULL residuals, never anomalous
+    assert(out.take(7).forall(r => r._2.isEmpty && r._3 == 0))
+    val flagged = out.filter(_._3 == 1)
+    assert(flagged.map(_._1 - base).toSeq == Seq(22L),
+      s"only the violated weekday flags: ${flagged.mkString(", ")}")
+    assert(flagged.head._2.contains(-8L))
+    // the week AFTER the collapse: period 29 doesn't exist (28 periods),
+    // but period 22+7 would residual +8 — out of range here by design
+  }
+
+  test("seasonalAnomaly: type shorter than one season reports NULL " +
+      "residuals and no flags") {
+    val rows = (0 until 4).flatMap(p => Seq.fill(3)((1L, p * 10L, "S", 0.0)))
+    val df = ev(rows.zipWithIndex.map { case ((u, sec, t, v), i) =>
+      (u + i, sec, t, v) }: _*)
+    val out = EventAnalytics.seasonalAnomaly(df, "event_type", "ts", 10L,
+        seasonPeriods = 7, kSigma = 2)
+      .select($"residual", $"anomalous")
+      .collect()
+    assert(out.length == 4)
+    assert(out.forall(r => r.isNullAt(0) && r.getInt(1) == 0))
+  }
+
   test("interArrival: gaps bucket to power-of-two seconds, shares exact") {
     // user 1: a@0, b@1 (gap 1 → bucket 1), a@4 (gap 3 → bucket 4),
     //         a@4 dup-second via event_id order (gap 0 → bucket 0)

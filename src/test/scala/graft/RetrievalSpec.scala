@@ -65,4 +65,25 @@ class RetrievalSpec extends SparkSpec {
     assert(r == Seq((1, 11L, 16393L + 16129L), (2, 10L, 16393L),
       (3, 12L, 16129L)))
   }
+
+  test("reciprocalRank: first relevant hit per query, exact ppm, " +
+      "misses report (NULL, 0), beyond-k hits don't count") {
+    val ranked = Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),   // q1: relevant at 2 and 3
+      (2L, 20L, 1), (2L, 21L, 2),                 // q2: nothing relevant
+      (3L, 30L, 1), (3L, 31L, 2), (3L, 32L, 3),   // q3: relevant only at 3,
+      (4L, 40L, 7))                               //     but k=2 cuts it off
+      .toDF("query_id", "id", "rank")
+    val rel = Seq((1L, 11L), (1L, 12L), (2L, 99L), (3L, 32L), (4L, 40L))
+      .toDF("query_id", "id")
+    val out = Retrieval.reciprocalRank(ranked, rel, "query_id", "id",
+        "rank", k = 2)
+      .as[(Long, Option[Int], Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((Some(2), 500000L)))   // first relevant at rank 2
+    assert(out(2L) == ((None, 0L)))           // relevant doc never retrieved
+    assert(out(3L) == ((None, 0L)))           // rank 3 is outside k=2
+    assert(out(4L) == ((None, 0L)))           // rank 7 outside k even alone
+    assert(out.size == 4, "every query in the relevance set reports")
+  }
 }
