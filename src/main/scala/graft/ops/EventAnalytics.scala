@@ -311,19 +311,29 @@ object EventAnalytics {
   private def filledPeriodCounts(events: DataFrame, typeCol: String,
       tsCol: String, periodSec: Long, horizonSec: Option[Long],
       maxSpanPeriods: Long): DataFrame = {
-    require(maxSpanPeriods > 0, "maxSpanPeriods must be positive")
     val us = periodSec * 1000000L
     val counts = events
       .filter(col(tsCol).isNotNull)
       .groupBy(col(typeCol), floor(unix_micros(col(tsCol)) / us).as("period"))
       .agg(count(lit(1)).as("cnt"))
-      // feeds the span agg AND the left join — avoid the two-branch
-      // recompute of the event-table shuffle
-      .localCheckpoint(eager = false)
+    gapFilledCounts(counts, typeCol,
+      horizonSec.map(h => Math.floorDiv(h * 1000000L, us)), maxSpanPeriods)
+  }
+
+  /** The grid layer under [[filledPeriodCounts]], factored so
+    * PRE-AGGREGATED (type, period, cnt) counts — e.g. the streaming
+    * monitor's merge-on-read registers
+    * ([[graft.stream.EventStreams.rateMonitor]]) — enter the same
+    * gap-fill + guard machinery without a raw-event pass. Horizon is
+    * already in period units here. */
+  private[graft] def gapFilledCounts(counts0: DataFrame, typeCol: String,
+      horizonPeriod: Option[Long], maxSpanPeriods: Long): DataFrame = {
+    require(maxSpanPeriods > 0, "maxSpanPeriods must be positive")
+    // feeds the span agg AND the left join — avoid the two-branch
+    // recompute of the counts aggregation
+    val counts = counts0.localCheckpoint(eager = false)
     val spans = counts.groupBy(col(typeCol))
       .agg(min(col("period")).as("__pmin"), max(col("period")).as("__pmax"))
-    val horizonPeriod = horizonSec.map(h =>
-      Math.floorDiv(h * 1000000L, us))
     val pmax = horizonPeriod
       .map(hp => greatest(col("__pmax"), lit(hp)))
       .getOrElse(col("__pmax"))
@@ -390,9 +400,30 @@ object EventAnalytics {
   def rateAnomaly(events: DataFrame, typeCol: String, tsCol: String,
                   periodSec: Long, kSigma: Int,
                   horizonSec: Option[Long] = None,
-                  maxSpanPeriods: Long = 1000000L): DataFrame = {
-    val full = filledPeriodCounts(events, typeCol, tsCol, periodSec,
-      horizonSec, maxSpanPeriods)
+                  maxSpanPeriods: Long = 1000000L): DataFrame =
+    zFlag(filledPeriodCounts(events, typeCol, tsCol, periodSec,
+      horizonSec, maxSpanPeriods), typeCol, kSigma)
+
+  /** [[rateAnomaly]] over PRE-AGGREGATED (typeCol, period, cnt)
+    * counts — the entry point for callers that maintain period counts
+    * incrementally instead of holding raw events (the streaming
+    * monitor's additive registers,
+    * [[graft.stream.EventStreams.rateMonitorView]]): identical
+    * gap-fill, horizon (already in period units), span guard, and
+    * exact-integer z-test, so the view over merged registers is
+    * row-identical to the batch op over the concatenated event log
+    * (spec-pinned). Duplicate (type, period) rows are the caller's
+    * bug — sum them before calling. */
+  def rateAnomalyFromCounts(counts: DataFrame, typeCol: String,
+      kSigma: Int, horizonPeriod: Option[Long] = None,
+      maxSpanPeriods: Long = 1000000L): DataFrame =
+    zFlag(gapFilledCounts(counts, typeCol, horizonPeriod, maxSpanPeriods),
+      typeCol, kSigma)
+
+  /** The exact-integer z-test over a gap-filled grid — shared by the
+    * raw-event and pre-aggregated entry points. */
+  private def zFlag(full: DataFrame, typeCol: String,
+      kSigma: Int): DataFrame = {
     val stats = full.groupBy(col(typeCol))
       .agg(count(lit(1)).as("n"), sum(col("cnt")).as("s"),
         sum(col("cnt") * col("cnt")).as("q"))

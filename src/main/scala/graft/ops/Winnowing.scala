@@ -442,11 +442,15 @@ object Winnowing {
     validateIndexParams(spark.read.parquet(indexDir), k, w)
     val bf = fingerprintSet(newDocs, idCol, textCol, k, w)
       .localCheckpoint(eager = false) // feeds the key collect AND the probe
-    val keys = bf.select(col("h")).distinct().collect().map(_.getLong(0))
-    require(keys.length <= maxProbeKeys,
-      s"batch carries ${keys.length} distinct fingerprints > " +
-        s"maxProbeKeys=$maxProbeKeys — split the batch or raise the cap " +
-        "(the pruned probe collects the batch hash set to the driver)")
+    // limit BEFORE collect: the guard must fire without first
+    // materializing an over-cap key set on the driver
+    val capped = math.toIntExact(maxProbeKeys) + 1
+    val keys = bf.select(col("h")).distinct().limit(capped)
+      .collect().map(_.getLong(0))
+    require(keys.length < capped,
+      s"batch carries > $maxProbeKeys distinct fingerprints — split " +
+        "the batch or raise maxProbeKeys (the pruned probe collects " +
+        "the batch hash set to the driver)")
     val ix = DataSkipping.prunedReadForKeys(spark, indexDir, "h",
       keys.toSeq)
     probePairs(bf, ix, minShared, maxDf)

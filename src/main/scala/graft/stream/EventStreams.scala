@@ -136,4 +136,68 @@ object EventStreams {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
+
+  /** Streaming rate monitor, register side: each micro-batch's
+    * (`typeCol`, period, count) partial counts land in a batch-keyed
+    * directory (overwrite → replay-idempotent). Registers are
+    * ADDITIVE — counts sum on read — so the monitor's state is
+    * bounded by wall-clock periods × types, never by event volume,
+    * and [[DocIngest.compactSketch]] applies UNCHANGED (its contract
+    * is "every non-`count` column is a key"; its manifest-driven
+    * roll-forward keeps merged counts single-represented through
+    * crashes). This is the production wiring of
+    * [[graft.ops.EventAnalytics.rateAnomaly]]'s horizon: the raw
+    * events are long gone when the operator asks "is anything dead?"
+    * — the registers plus the CURRENT clock answer it
+    * ([[rateMonitorView]]).
+    */
+  def rateMonitor(events: DataFrame, typeCol: String, tsCol: String,
+      periodSec: Long, countsDir: String, checkpointDir: String,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(periodSec > 0, "periodSec must be positive")
+    val us = periodSec * 1000000L
+    val writer = events.writeStream
+      .option("checkpointLocation", checkpointDir)
+    trigger.foreach(writer.trigger)
+    writer
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch
+          .filter(col(tsCol).isNotNull) // the rateAnomaly drop, visible
+          .groupBy(col(typeCol),
+            floor(unix_micros(col(tsCol)) / us).as("period"))
+          .agg(count(lit(1)).as("count"))
+          .write.mode("overwrite").parquet(s"$countsDir/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
+  /** Streaming rate monitor, read side: merge the [[rateMonitor]]
+    * registers (counts ADD; [[DocIngest.compactSketch]]'s crash
+    * recovery runs first so a torn compaction can't double-count) and
+    * run the exact-integer anomaly gate over the gap-filled grid with
+    * the CALLER'S clock as the horizon — a producer dead since its
+    * last event shows zero-filled flagged periods up to `horizonSec`.
+    * Row-identical to batch [[graft.ops.EventAnalytics.rateAnomaly]]
+    * over the concatenated event log with the same horizon
+    * (spec-pinned: the registers are the same (type, period) counts,
+    * merged by the same monoid Spark runs map-side).
+    */
+  def rateMonitorView(spark: SparkSession, countsDir: String,
+      typeCol: String, periodSec: Long, kSigma: Int,
+      horizonSec: Option[Long] = None,
+      maxSpanPeriods: Long = 1000000L): DataFrame = {
+    require(periodSec > 0, "periodSec must be positive")
+    // recovery-only pass: upToBatch = -1 merges nothing but completes
+    // any torn compaction before the read trusts the directory
+    DocIngest.compactSketch(spark, countsDir, upToBatch = -1L)
+    val merged = spark.read.parquet(countsDir).drop("batch")
+      .groupBy(col(typeCol), col("period"))
+      .agg(sum(col("count")).as("cnt"))
+    graft.ops.EventAnalytics.rateAnomalyFromCounts(merged, typeCol,
+      kSigma,
+      horizonSec.map(h => Math.floorDiv(h * 1000000L, periodSec * 1000000L)),
+      maxSpanPeriods)
+  }
 }

@@ -1792,6 +1792,26 @@ class OpsSpec extends SparkSpec {
         s"for ${keys.length} probe hashes")
   }
 
+  test("incrementalWinnowPairsPruned: the probe-key cap fires without " +
+      "materializing an over-cap key set") {
+    val docs = (0 until 5).map(i =>
+      (i.toLong, (0 until 30).map(j => s"w${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("winnowix-")
+      .toString + "/ix"
+    Winnowing.writeWinnowIndex(spark,
+      Winnowing.winnowIndex(docs, "doc_id", "text", k = 4, w = 4),
+      dir, nFiles = 2)
+    val batch = Seq((99L, (0 until 40).map(j => s"q$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val err = intercept[IllegalArgumentException] {
+      Winnowing.incrementalWinnowPairsPruned(spark, batch, dir,
+        "doc_id", "text", k = 4, w = 4, minShared = 1,
+        maxProbeKeys = 2L).collect()
+    }
+    assert(err.getMessage.contains("maxProbeKeys"), err.getMessage)
+  }
+
   test("incrementalWinnowPairsPruned: params mismatch fails loudly even " +
       "though a mismatched index would prune to nothing") {
     val docs = (0 until 20).map(i =>
