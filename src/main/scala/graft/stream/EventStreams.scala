@@ -189,6 +189,11 @@ object EventStreams {
       horizonSec: Option[Long] = None,
       maxSpanPeriods: Long = 1000000L): DataFrame = {
     require(periodSec > 0, "periodSec must be positive")
+    val root = new org.apache.hadoop.fs.Path(countsDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(root),
+      s"rateMonitorView: no registers at $countsDir — has rateMonitor " +
+        "committed a batch yet?")
     // recovery-only pass: upToBatch = -1 merges nothing but completes
     // any torn compaction before the read trusts the directory
     DocIngest.compactSketch(spark, countsDir, upToBatch = -1L)
