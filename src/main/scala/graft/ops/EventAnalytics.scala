@@ -472,9 +472,23 @@ object EventAnalytics {
     */
   def changepoint(events: DataFrame, typeCol: String, tsCol: String,
                   periodSec: Long, horizonSec: Option[Long] = None,
-                  maxSpanPeriods: Long = 1000000L): DataFrame = {
-    val full = filledPeriodCounts(events, typeCol, tsCol, periodSec,
-      horizonSec, maxSpanPeriods)
+                  maxSpanPeriods: Long = 1000000L): DataFrame =
+    cusumFlag(filledPeriodCounts(events, typeCol, tsCol, periodSec,
+      horizonSec, maxSpanPeriods), typeCol)
+
+  /** [[changepoint]] over PRE-AGGREGATED (typeCol, period, cnt)
+    * counts — the register-fed entry point (the
+    * [[rateAnomalyFromCounts]] contract: duplicates summed upstream,
+    * horizon already in period units). Lets ONE streaming register
+    * family ([[graft.stream.EventStreams.rateMonitor]]) feed every
+    * detector: z-test, CUSUM, and seasonal. */
+  def changepointFromCounts(counts: DataFrame, typeCol: String,
+      horizonPeriod: Option[Long] = None,
+      maxSpanPeriods: Long = 1000000L): DataFrame =
+    cusumFlag(gapFilledCounts(counts, typeCol, horizonPeriod,
+      maxSpanPeriods), typeCol)
+
+  private def cusumFlag(full: DataFrame, typeCol: String): DataFrame = {
     val byType = Window.partitionBy(col(typeCol))
     val ordered = byType.orderBy(col("period"))
     val scored = full
@@ -533,8 +547,24 @@ object EventAnalytics {
       horizonSec: Option[Long] = None,
       maxSpanPeriods: Long = 1000000L): DataFrame = {
     require(seasonPeriods > 0, "seasonPeriods must be positive")
-    val full = filledPeriodCounts(events, typeCol, tsCol, periodSec,
-      horizonSec, maxSpanPeriods)
+    seasonalFlag(filledPeriodCounts(events, typeCol, tsCol, periodSec,
+      horizonSec, maxSpanPeriods), typeCol, seasonPeriods, kSigma)
+  }
+
+  /** [[seasonalAnomaly]] over PRE-AGGREGATED (typeCol, period, cnt)
+    * counts — the register-fed entry point (the
+    * [[rateAnomalyFromCounts]] contract). */
+  def seasonalAnomalyFromCounts(counts: DataFrame, typeCol: String,
+      seasonPeriods: Int, kSigma: Int,
+      horizonPeriod: Option[Long] = None,
+      maxSpanPeriods: Long = 1000000L): DataFrame = {
+    require(seasonPeriods > 0, "seasonPeriods must be positive")
+    seasonalFlag(gapFilledCounts(counts, typeCol, horizonPeriod,
+      maxSpanPeriods), typeCol, seasonPeriods, kSigma)
+  }
+
+  private def seasonalFlag(full: DataFrame, typeCol: String,
+      seasonPeriods: Int, kSigma: Int): DataFrame = {
     val byType = Window.partitionBy(col(typeCol)).orderBy(col("period"))
     val withRes = full.withColumn("residual",
       col("cnt") - lag(col("cnt"), seasonPeriods).over(byType))

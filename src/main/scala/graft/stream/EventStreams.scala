@@ -187,22 +187,37 @@ object EventStreams {
   def rateMonitorView(spark: SparkSession, countsDir: String,
       typeCol: String, periodSec: Long, kSigma: Int,
       horizonSec: Option[Long] = None,
-      maxSpanPeriods: Long = 1000000L): DataFrame = {
-    require(periodSec > 0, "periodSec must be positive")
+      maxSpanPeriods: Long = 1000000L): DataFrame =
+    graft.ops.EventAnalytics.rateAnomalyFromCounts(
+      monitorCounts(spark, countsDir, typeCol), typeCol, kSigma,
+      horizonPeriod(periodSec, horizonSec), maxSpanPeriods)
+
+  /** The merged (typeCol, period, cnt) counts of a [[rateMonitor]]
+    * register directory — crash recovery first, counts summed across
+    * batch dirs. ONE register family feeds every detector: feed this
+    * to [[graft.ops.EventAnalytics.rateAnomalyFromCounts]] (the
+    * [[rateMonitorView]] convenience), `changepointFromCounts` (CUSUM
+    * level shifts), or `seasonalAnomalyFromCounts` (cadence
+    * violations) — all three are spec-pinned row-identical to their
+    * batch forms over the concatenated event log. */
+  def monitorCounts(spark: SparkSession, countsDir: String,
+      typeCol: String): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(countsDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(root),
-      s"rateMonitorView: no registers at $countsDir — has rateMonitor " +
+      s"monitorCounts: no registers at $countsDir — has rateMonitor " +
         "committed a batch yet?")
     // recovery-only pass: upToBatch = -1 merges nothing but completes
     // any torn compaction before the read trusts the directory
     DocIngest.compactSketch(spark, countsDir, upToBatch = -1L)
-    val merged = spark.read.parquet(countsDir).drop("batch")
+    spark.read.parquet(countsDir).drop("batch")
       .groupBy(col(typeCol), col("period"))
       .agg(sum(col("count")).as("cnt"))
-    graft.ops.EventAnalytics.rateAnomalyFromCounts(merged, typeCol,
-      kSigma,
-      horizonSec.map(h => Math.floorDiv(h * 1000000L, periodSec * 1000000L)),
-      maxSpanPeriods)
+  }
+
+  /** An external-clock horizon in epoch seconds → period units. */
+  def horizonPeriod(periodSec: Long, horizonSec: Option[Long]): Option[Long] = {
+    require(periodSec > 0, "periodSec must be positive")
+    horizonSec.map(h => Math.floorDiv(h * 1000000L, periodSec * 1000000L))
   }
 }

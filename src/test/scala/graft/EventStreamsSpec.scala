@@ -288,6 +288,34 @@ class EventStreamsSpec extends SparkSpec {
       "D's grid must extend to the clock")
     assert(rows(viewH).exists(r => r._1 == "D" && r._3 == 0L))
 
+    // the SAME registers feed the other two detectors — each
+    // row-identical to its batch form over the concatenated log
+    val counts = EventStreams.monitorCounts(spark, s"$dir/counts",
+      "event_type")
+    val hp = EventStreams.horizonPeriod(10L, horizon)
+    val cpView = graft.ops.EventAnalytics.changepointFromCounts(
+        counts, "event_type", horizonPeriod = hp)
+      .collect().map(_.toSeq).toSet
+    val cpBatch = graft.ops.EventAnalytics.changepoint(batchDf,
+        "event_type", "ts", 10L, horizonSec = horizon)
+      .collect().map(_.toSeq).toSet
+    assert(cpView == cpBatch)
+    // D's cut lands at its last live period (silence onset)
+    val dCut = graft.ops.EventAnalytics.changepointFromCounts(
+        counts, "event_type", horizonPeriod = hp)
+      .filter($"event_type" === "D").select($"cp_period")
+      .as[Long].collect().head
+    assert(dCut == 169999998L + 5L, s"cut at silence onset: $dCut")
+    val seaView = graft.ops.EventAnalytics.seasonalAnomalyFromCounts(
+        counts, "event_type", seasonPeriods = 3, kSigma = 2,
+        horizonPeriod = hp)
+      .collect().map(_.toSeq).toSet
+    val seaBatch = graft.ops.EventAnalytics.seasonalAnomaly(batchDf,
+        "event_type", "ts", 10L, seasonPeriods = 3, kSigma = 2,
+        horizonSec = horizon)
+      .collect().map(_.toSeq).toSet
+    assert(seaView == seaBatch)
+
     // compaction (additive-state path) must not change the view
     val merged = graft.stream.DocIngest.compactSketch(spark,
       s"$dir/counts", upToBatch = 2L)
