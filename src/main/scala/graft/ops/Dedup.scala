@@ -857,7 +857,8 @@ object Dedup {
     * [[maskJaccard]] residual. Same keyed-candidates shape as
     * [[minhashNearDuplicates]], but exact, not probabilistic.
     *
-    * Scale: one window shuffle keyed by doc (≤ 128 rows each), one
+    * Scale: a map-side-partial df aggregate + join-back on
+    * (part, bit), one window shuffle keyed by doc (≤ 128 rows each), one
     * shuffle on (part, char) buckets, one distinct on pairs. Output
     * is the similar-pair set itself — the only O(n²) left is a part
     * whose docs genuinely all match, which is output size, not plan
@@ -892,8 +893,14 @@ object Dedup {
     // per-(part,bit) document frequency → the prefix order
     val exploded = d.select(col("part"), col("id"), col("cm"),
       explode(col("cs")).as("ch"))
-    val withDf = exploded.withColumn("df",
-      count(lit(1)).over(Window.partitionBy("part", "ch")))
+    // df as a map-side-combinable aggregate joined back, never
+    // count(*) OVER (PARTITION BY part, ch): a bit set in every doc
+    // of a giant part (' ' is) would funnel ALL its occurrences into
+    // one un-splittable window task; the groupBy collapses it to one
+    // row per task map-side and the join-back is AQE-skew-splittable
+    val dfTab = exploded.groupBy(col("part"), col("ch"))
+      .agg(count(lit(1)).as("df"))
+    val withDf = exploded.join(dfTab, Seq("part", "ch"))
 
     // keep each doc's prefix: chars ranked by (df, ch) up to
     // |S| − ⌈t·|S|⌉ + 1
@@ -929,8 +936,9 @@ object Dedup {
     * equi-joining on the shingle is lossless. Candidates are verified
     * with the full `array_intersect` Jaccard.
     *
-    * Scale: shingling is a narrow codegen map; the df window and the
-    * candidate join shuffle by shingle — rare-shingle keys, so
+    * Scale: shingling is a narrow codegen map; the df aggregate is
+    * map-side partial (one row per distinct shingle) and the df
+    * join-back and candidate join shuffle by shingle — rare-shingle keys, so
     * buckets stay small (with t = 0.8 the prefix is ~20% of each
     * doc's shingles, and common shingles never enter it); the verify
     * join is |candidates|, not |corpus|².
@@ -947,8 +955,14 @@ object Dedup {
 
     val exploded = d.select(col("id"), size(col("sh")).as("n_sh"),
       explode(col("sh")).as("g"))
-    val withDf = exploded.withColumn("df",
-      count(lit(1)).over(Window.partitionBy("g")))
+    // df as a map-side-combinable aggregate joined back, never
+    // count(*) OVER (PARTITION BY g): the window form funnels every
+    // occurrence of a boilerplate shingle into ONE task with no
+    // partial aggregation and no AQE skew-split — precisely the hot
+    // key the rarity order exists to demote. The groupBy collapses a
+    // hot gram map-side; the join-back is skew-splittable.
+    val dfTab = exploded.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val withDf = exploded.join(dfTab, Seq("g"))
 
     val byDoc = Window.partitionBy("id")
     val prefix = withDf

@@ -36,8 +36,8 @@ object Winnowing {
     * so the candidate equi-join keys on rare shingles and stays
     * skew-light; the container side indexes ALL its shingles (it must
     * — nothing bounds |S(A)|), which is the same one
-    * exploded-corpus-keyed-by-shingle exchange the df window already
-    * pays in [[Dedup.ngramJaccardSimilar]]. Verify is exact
+    * exploded-corpus-keyed-by-shingle exchange the df join-back
+    * already pays in [[Dedup.ngramJaccardSimilar]]. Verify is exact
     * `array_intersect` over the candidate set only.
     *
     * `minShingles` drops trivially small contained sides (a 1-shingle
@@ -60,8 +60,15 @@ object Winnowing {
 
     val exploded = d.select(col("id"), size(col("sh")).as("n_sh"),
       explode(col("sh")).as("g"))
-    val withDf = exploded.withColumn("df",
-      count(lit(1)).over(Window.partitionBy("g")))
+    // Document frequency as a map-side-combinable aggregate joined
+    // back — never count(*) OVER (PARTITION BY g): the window form
+    // has no partial aggregation and can never be skew-split, so
+    // every occurrence of a boilerplate shingle (license headers,
+    // template text) funnels into ONE task before the rarity order
+    // is even computed. The groupBy collapses a hot gram to one row
+    // per task map-side, and the join-back is AQE-skew-splittable.
+    val dfTab = exploded.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val withDf = exploded.join(dfTab, Seq("g"))
 
     val byDoc = Window.partitionBy("id")
     // Required overlap r = the SMALLEST integer with r/n_sh >=
@@ -278,11 +285,18 @@ object Winnowing {
       .select(col("id"), col("h")).distinct()
       .localCheckpoint(eager = false)
     val counts = fp.groupBy(col("id")).agg(count(lit(1)).as("nfp"))
-    // both sides of the pair self-join read rare — materialize so the
-    // df window runs once, not per branch
-    val rare = fp
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
-      .filter(col("df") <= maxDf)
+    // df as a map-side-combinable aggregate, not count(*) OVER
+    // (PARTITION BY h): the window form funnels every occurrence of a
+    // boilerplate fingerprint into one un-splittable task BEFORE the
+    // maxDf filter can drop it — the guard itself becomes the 100 TB
+    // hot spot. The groupBy partial-aggregates a hot hash within each
+    // task, and the join-back keys only on hashes that SURVIVED the
+    // cap, so its groups are <= maxDf rows — skew is gone before any
+    // h-keyed exchange of fingerprint rows. Both sides of the pair
+    // self-join read rare — materialize so the df stage runs once.
+    val rareH = fp.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("h"))
+    val rare = fp.join(rareH, Seq("h"))
       .localCheckpoint(eager = false)
     rare.select(col("h"), col("id").as("id_a"))
       .join(rare.select(col("h"), col("id").as("id_b")), Seq("h"))
@@ -388,9 +402,18 @@ object Winnowing {
       .join(broadcast(bf.select(col("h")).distinct()), Seq("h"))
       .select(col("id"), col("h")).distinct()
       .withColumn("nw", lit(false))
-    val rare = bf.unionByName(matched)
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
-      .filter(col("df") <= maxDf)
+    // Every h in the union is a batch hash (matched is the index
+    // sliver equi-joined on the broadcast batch set), so the df table
+    // is bounded by the batch's distinct fingerprints — the same set
+    // already broadcast above. BROADCAST the survivors back: the
+    // matched rows never shuffle by h for the guard at all, and the
+    // map-side partial agg collapses a boilerplate hash within each
+    // task instead of funneling its occurrences into one window task.
+    val un = bf.unionByName(matched)
+      .localCheckpoint(eager = false) // feeds the df agg AND the join
+    val rareH = un.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("h"))
+    val rare = un.join(broadcast(rareH), Seq("h"))
       .localCheckpoint(eager = false) // both sides of the pair join
     rare.filter(col("nw")).select(col("h"), col("id").as("id_a"))
       .join(rare.select(col("h"), col("id").as("id_b"),

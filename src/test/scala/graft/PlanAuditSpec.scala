@@ -957,4 +957,87 @@ class PlanAuditSpec extends SparkSpec {
           s"${exchanges.size}:\n$plan")
     }
   }
+
+  // ── df skew guards: map-side-combinable aggregates, never
+  //    count(*) OVER (PARTITION BY key) ────────────────────────────
+  // A key-partitioned window has NO partial aggregation and can never
+  // be skew-split: every occurrence of one boilerplate fingerprint or
+  // shingle must land in ONE task BEFORE the maxDf filter runs — the
+  // guard against hot keys would itself be the hot-key bottleneck at
+  // 100 TB. The df count must be a groupBy (partial-aggregating
+  // map-side) joined back; per-DOC windows (row_number prefix ranks)
+  // are fine — doc-keyed groups are bounded by document length.
+
+  private def windowPartKeys(df: DataFrame): Seq[Seq[String]] =
+    df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        w.partitionSpec.map(_.toString)
+    }
+
+  private def assertPartialDf(df: DataFrame): Unit = {
+    val partial = df.queryExecution.executedPlan.collect {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+        if a.aggregateExpressions.exists(_.mode.toString == "Partial") => a
+    }
+    assert(partial.nonEmpty,
+      s"df guard not map-side partial:\n${df.queryExecution.executedPlan}")
+  }
+
+  test("td_winnowing: df guard is a partial aggregate — zero window anywhere") {
+    audited(graft.queries.TrainingDataDedup.td_winnowing.fn(spark, dir)) { df =>
+      assert(windowPartKeys(df).isEmpty,
+        s"winnowingPairs df guard regressed to a window:\n" +
+          s"${df.queryExecution.executedPlan}")
+      assertPartialDf(df)
+    }
+  }
+
+  test("td_incremental_winnowing: probe df guard has zero window") {
+    audited(graft.queries.TrainingDataDedup.td_incremental_winnowing
+        .fn(spark, dir)) { df =>
+      assert(windowPartKeys(df).isEmpty,
+        s"probePairs df guard regressed to a window:\n" +
+          s"${df.queryExecution.executedPlan}")
+      assertPartialDf(df)
+    }
+  }
+
+  test("td_winnow_index_pruned: pruned probe df guard has zero window") {
+    audited(graft.queries.TrainingDataDedup.td_winnow_index_pruned
+        .fn(spark, dir)) { df =>
+      assert(windowPartKeys(df).isEmpty,
+        s"pruned probePairs df guard regressed to a window:\n" +
+          s"${df.queryExecution.executedPlan}")
+    }
+  }
+
+  test("td_ngram_jaccard: every window is doc-keyed (df is a join-back)") {
+    audited(graft.queries.TrainingDataDedup.td_ngram_jaccard.fn(spark, dir)) { df =>
+      val parts = windowPartKeys(df)
+      assert(parts.forall(_.exists(_.contains("id"))),
+        s"a window partitions on a non-doc key (df window is back): " +
+          s"$parts\n${df.queryExecution.executedPlan}")
+      assertPartialDf(df)
+    }
+  }
+
+  test("td_char_jaccard: every window is doc-keyed (df is a join-back)") {
+    audited(graft.queries.TrainingDataDedup.td_char_jaccard.fn(spark, dir)) { df =>
+      val parts = windowPartKeys(df)
+      assert(parts.forall(_.exists(_.contains("id"))),
+        s"a window partitions on a non-doc key (df window is back): " +
+          s"$parts\n${df.queryExecution.executedPlan}")
+      assertPartialDf(df)
+    }
+  }
+
+  test("td_containment: every window is doc-keyed (df is a join-back)") {
+    audited(graft.queries.TrainingDataCuration.td_containment.fn(spark, dir)) { df =>
+      val parts = windowPartKeys(df)
+      assert(parts.forall(_.exists(_.contains("id"))),
+        s"a window partitions on a non-doc key (df window is back): " +
+          s"$parts\n${df.queryExecution.executedPlan}")
+      assertPartialDf(df)
+    }
+  }
 }
