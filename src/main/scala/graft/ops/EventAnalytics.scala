@@ -317,7 +317,8 @@ object EventAnalytics {
       .groupBy(col(typeCol), floor(unix_micros(col(tsCol)) / us).as("period"))
       .agg(count(lit(1)).as("cnt"))
     gapFilledCounts(counts, typeCol,
-      horizonSec.map(h => Math.floorDiv(h * 1000000L, us)), maxSpanPeriods)
+      horizonSec.map(h => Math.floorDiv(h * 1000000L, us)), maxSpanPeriods,
+      caller = "filledPeriodCounts")
   }
 
   /** The grid layer under [[filledPeriodCounts]], factored so
@@ -325,9 +326,13 @@ object EventAnalytics {
     * monitor's merge-on-read registers
     * ([[graft.stream.EventStreams.rateMonitor]]) — enter the same
     * gap-fill + guard machinery without a raw-event pass. Horizon is
-    * already in period units here. */
+    * already in period units here. `caller` names the PUBLIC entry
+    * point in the span-guard raise_error, so an operator debugging a
+    * streaming monitor that tripped the guard is pointed at the
+    * function they actually called, not this internal layer. */
   private[graft] def gapFilledCounts(counts0: DataFrame, typeCol: String,
-      horizonPeriod: Option[Long], maxSpanPeriods: Long): DataFrame = {
+      horizonPeriod: Option[Long], maxSpanPeriods: Long,
+      caller: String = "gapFilledCounts"): DataFrame = {
     require(maxSpanPeriods > 0, "maxSpanPeriods must be positive")
     // feeds the span agg AND the left join — avoid the two-branch
     // recompute of the counts aggregation
@@ -340,7 +345,7 @@ object EventAnalytics {
     val guardedMin = when(
       pmax - col("__pmin") >= lit(maxSpanPeriods),
       raise_error(concat(
-        lit(s"filledPeriodCounts: period span exceeds $maxSpanPeriods " +
+        lit(s"$caller: period span exceeds $maxSpanPeriods " +
           "for type "), col(typeCol).cast("string"),
         lit(" — corrupt timestamps? (outlier periods inflate the " +
           "gap-fill grid; filter them or raise maxSpanPeriods)"))
@@ -417,8 +422,8 @@ object EventAnalytics {
   def rateAnomalyFromCounts(counts: DataFrame, typeCol: String,
       kSigma: Int, horizonPeriod: Option[Long] = None,
       maxSpanPeriods: Long = 1000000L): DataFrame =
-    zFlag(gapFilledCounts(counts, typeCol, horizonPeriod, maxSpanPeriods),
-      typeCol, kSigma)
+    zFlag(gapFilledCounts(counts, typeCol, horizonPeriod, maxSpanPeriods,
+      caller = "rateAnomalyFromCounts"), typeCol, kSigma)
 
   /** The exact-integer z-test over a gap-filled grid — shared by the
     * raw-event and pre-aggregated entry points. */
@@ -486,7 +491,7 @@ object EventAnalytics {
       horizonPeriod: Option[Long] = None,
       maxSpanPeriods: Long = 1000000L): DataFrame =
     cusumFlag(gapFilledCounts(counts, typeCol, horizonPeriod,
-      maxSpanPeriods), typeCol)
+      maxSpanPeriods, caller = "changepointFromCounts"), typeCol)
 
   private def cusumFlag(full: DataFrame, typeCol: String): DataFrame = {
     val byType = Window.partitionBy(col(typeCol))
@@ -560,21 +565,88 @@ object EventAnalytics {
       maxSpanPeriods: Long = 1000000L): DataFrame = {
     require(seasonPeriods > 0, "seasonPeriods must be positive")
     seasonalFlag(gapFilledCounts(counts, typeCol, horizonPeriod,
-      maxSpanPeriods), typeCol, seasonPeriods, kSigma)
+      maxSpanPeriods, caller = "seasonalAnomalyFromCounts"), typeCol,
+      seasonPeriods, kSigma)
   }
 
   private def seasonalFlag(full: DataFrame, typeCol: String,
-      seasonPeriods: Int, kSigma: Int): DataFrame = {
+      seasonPeriods: Int, kSigma: Int): DataFrame =
+    multiSeasonalFlag(full, typeCol, Seq(seasonPeriods), kSigma)
+
+  /** MULTI-season rate anomaly — nested cadences (a daily pattern
+    * inside a weekly one), which a single seasonal lag cannot
+    * whiten: lag-one-day residuals still carry the weekly bumps
+    * (every weekend flags, or the inflated variance hides a real
+    * violation), while lag-one-week residuals are blind to daily-
+    * cadence breaks. The classic fix is COMPOSED seasonal
+    * differencing (Box–Jenkins): apply (1−B^s₁)(1−B^s₂)… to the
+    * gap-filled counts — each pass subtracts the value one season
+    * back of the PREVIOUS pass's residual — and z-test the final
+    * residual, which is ≈ 0 under every declared cadence at once.
+    * The single-season [[seasonalAnomaly]] is the `Seq(s)` case.
+    *
+    * Warm-up: each pass loses its first `sᵢ` periods per type, so
+    * the first `Σ sᵢ` periods report NULL residuals and never flag.
+    * A one-period violation at t echoes (sign-flipped) at t+sᵢ —
+    * inherent to differencing; read flags within one compound season
+    * of a known incident accordingly (same caveat as the single-lag
+    * form, compounded).
+    *
+    * Plan shape: unchanged from [[seasonalAnomaly]] — every lag pass
+    * rides the SAME type-keyed sort the first one pays (one
+    * WindowExec, |lags| lag expressions), |types|-row stats broadcast
+    * back.
+    *
+    * @return (`typeCol`, period, cnt, residual, anomalous) — residual
+    *         NULL (anomalous 0) for each type's first Σ seasonPeriods
+    *         periods
+    */
+  def multiSeasonalAnomaly(events: DataFrame, typeCol: String,
+      tsCol: String, periodSec: Long, seasonPeriods: Seq[Int],
+      kSigma: Int, horizonSec: Option[Long] = None,
+      maxSpanPeriods: Long = 1000000L): DataFrame = {
+    require(seasonPeriods.nonEmpty && seasonPeriods.forall(_ > 0),
+      "seasonPeriods must be non-empty and positive")
+    multiSeasonalFlag(filledPeriodCounts(events, typeCol, tsCol,
+      periodSec, horizonSec, maxSpanPeriods), typeCol, seasonPeriods,
+      kSigma)
+  }
+
+  /** [[multiSeasonalAnomaly]] over PRE-AGGREGATED (typeCol, period,
+    * cnt) counts — the register-fed entry point (the
+    * [[rateAnomalyFromCounts]] contract). */
+  def multiSeasonalAnomalyFromCounts(counts: DataFrame, typeCol: String,
+      seasonPeriods: Seq[Int], kSigma: Int,
+      horizonPeriod: Option[Long] = None,
+      maxSpanPeriods: Long = 1000000L): DataFrame = {
+    require(seasonPeriods.nonEmpty && seasonPeriods.forall(_ > 0),
+      "seasonPeriods must be non-empty and positive")
+    multiSeasonalFlag(gapFilledCounts(counts, typeCol, horizonPeriod,
+      maxSpanPeriods, caller = "multiSeasonalAnomalyFromCounts"),
+      typeCol, seasonPeriods, kSigma)
+  }
+
+  private def multiSeasonalFlag(full: DataFrame, typeCol: String,
+      seasonPeriods: Seq[Int], kSigma: Int): DataFrame = {
     val byType = Window.partitionBy(col(typeCol)).orderBy(col("period"))
-    val withRes = full.withColumn("residual",
-      col("cnt") - lag(col("cnt"), seasonPeriods).over(byType))
+    // composed differencing, one pass per lag (window functions can't
+    // nest in one projection): every pass shares the one type-keyed
+    // sort, so the extra Window operators add no exchange and no
+    // re-sort. A NULL from one pass's warm-up propagates through the
+    // next — exactly the compound warm-up contract.
+    val withRes = seasonPeriods.foldLeft(
+        full.withColumn("residual", col("cnt"))) { (df, s) =>
+      df.withColumn("residual",
+        col("residual") - lag(col("residual"), s).over(byType))
+    }
     val stats = withRes.filter(col("residual").isNotNull)
       .groupBy(col(typeCol))
       .agg(count(lit(1)).as("n"), sum(col("residual")).as("s"),
         sum(col("residual") * col("residual")).as("q"))
     val dev = col("n") * col("residual") - col("s")
-    // left join: a type shorter than one season has NO residuals and
-    // no stats row — its periods still report (with NULL residuals)
+    // left join: a type shorter than the compound season has NO
+    // residuals and no stats row — its periods still report (with
+    // NULL residuals)
     withRes.join(broadcast(stats), Seq(typeCol), "left")
       .select(col(typeCol), col("period"), col("cnt"), col("residual"),
         when(col("residual").isNotNull &&

@@ -553,6 +553,59 @@ object Events {
       FROM r LEFT JOIN s USING (event_type)
       ORDER BY event_type, period"""))
 
+  /** Nested-cadence anomaly
+    * ([[graft.ops.EventAnalytics.multiSeasonalAnomaly]]): composed
+    * seasonal differencing (1−B)(1−B⁷) over per-type daily counts —
+    * first the day-over-day difference, then that residual against
+    * itself one week back — z-tested exactly. The detector for load
+    * with BOTH a daily trend and a weekly cadence, where any single
+    * lag leaves the other cadence in the residuals inflating the
+    * variance. First 8 periods per type are compound warm-up (NULL
+    * residuals). */
+  val ev_multi_seasonal = GraftQuery(
+    "ev_multi_seasonal",
+    (s, dir) => {
+      EventAnalytics.multiSeasonalAnomaly(Tables.events(s, dir),
+        "event_type", "ts", periodSec = 86400L,
+        seasonPeriods = Seq(1, 7), kSigma = 2)
+        .orderBy(col("event_type"), col("period"))
+    },
+    Some("""WITH d AS (
+        SELECT event_type, EPOCH_US(ts) // 86400000000 AS period,
+               COUNT(*) AS cnt
+        FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+      span AS (
+        SELECT event_type, MIN(period) AS pmin, MAX(period) AS pmax
+        FROM d GROUP BY 1),
+      grid AS (
+        SELECT event_type, unnest(range(pmin, pmax + 1)) AS period
+        FROM span),
+      f AS (
+        SELECT g.event_type, g.period, COALESCE(d.cnt, 0) AS cnt
+        FROM grid g LEFT JOIN d
+          ON d.event_type = g.event_type AND d.period = g.period),
+      r1 AS (
+        SELECT event_type, period, cnt,
+          cnt - LAG(cnt, 1) OVER (
+            PARTITION BY event_type ORDER BY period) AS res1
+        FROM f),
+      r AS (
+        SELECT event_type, period, cnt,
+          res1 - LAG(res1, 7) OVER (
+            PARTITION BY event_type ORDER BY period) AS residual
+        FROM r1),
+      s AS (
+        SELECT event_type, COUNT(*) AS n, SUM(residual) AS s,
+               SUM(residual * residual) AS q
+        FROM r WHERE residual IS NOT NULL GROUP BY 1)
+      SELECT r.event_type, r.period, CAST(r.cnt AS BIGINT) AS cnt,
+        CAST(r.residual AS BIGINT) AS residual,
+        CASE WHEN r.residual IS NOT NULL AND
+          (s.n*r.residual - s.s)*(s.n*r.residual - s.s) >
+            4*(s.n*s.q - s.s*s.s) THEN 1 ELSE 0 END AS anomalous
+      FROM r LEFT JOIN s USING (event_type)
+      ORDER BY event_type, period"""))
+
   /** First-order Markov transition matrix over per-user event
     * sequences, probabilities as exact-integer PPM of each from-type's
     * outgoing total (`1 000 000·n div total` — hash-identical in any
@@ -617,5 +670,5 @@ object Events {
     ev_session_funnel, ev_rolling_distinct, ev_rolling_distinct_hll,
     ev_attribution, ev_paths, ev_anomaly, ev_anomaly_horizon,
     ev_changepoint, ev_changepoint_horizon, ev_seasonal_anomaly,
-    ev_markov, ev_interarrival)
+    ev_multi_seasonal, ev_markov, ev_interarrival)
 }

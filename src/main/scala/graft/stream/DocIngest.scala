@@ -174,10 +174,11 @@ object DocIngest {
     * otherwise leave the merged counts ALSO present in the stale
     * source dirs, silently doubling them in the sum. */
   def mergedSketch(spark: org.apache.spark.sql.SparkSession,
-      sketchDir: String, groupCols: Seq[String]): DataFrame = {
+      sketchDir: String, groupCols: Seq[String],
+      stagingGraceMs: Long = 60000L): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(sketchDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(root)) recoverSketchDir(fs, root)
+    if (fs.exists(root)) recoverSketchDir(fs, root, stagingGraceMs)
     spark.read.parquet(sketchDir).drop("batch")
       .groupBy((groupCols :+ "bucket").map(col): _*)
       .agg(sum(col("count")).as("count"))
@@ -191,9 +192,22 @@ object DocIngest {
     * is missing, then finish the manifest's source deletions. A
     * manifest is only trusted when its END terminator survived the
     * write — a truncated "batch=12" read as "batch=1" must never
-    * delete the wrong directory. */
+    * delete the wrong directory.
+    *
+    * `stagingGraceMs` makes recovery safe on READ paths that may race
+    * a LIVE compaction ([[mergedSketch]],
+    * [[graft.stream.EventStreams.monitorCounts]]): a staging dir
+    * younger than the grace is left untouched — it is either an
+    * in-flight write (deleting it would nuke the compactor's output
+    * out from under it) or a crash so fresh the next recovery pass
+    * will heal it. Compaction's own call passes 0 — its contract
+    * already forbids a concurrent writer on the same directory. The
+    * manifest-driven source deletions below carry no such risk (a
+    * manifest is written only after the staged data is complete) and
+    * always run. */
   private def recoverSketchDir(fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path): Unit = {
+      root: org.apache.hadoop.fs.Path,
+      stagingGraceMs: Long = 0L): Unit = {
     import org.apache.hadoop.fs.Path
     def readManifest(dir: Path): Option[Seq[String]] = {
       val mf = new Path(dir, sketchManifestName)
@@ -208,6 +222,8 @@ object DocIngest {
       }
     }
     fs.listStatus(root).filter(_.getPath.getName.startsWith(sketchStagingPrefix))
+      .filter(st =>
+        System.currentTimeMillis() - st.getModificationTime >= stagingGraceMs)
       .foreach { st =>
         val targetName = st.getPath.getName.stripPrefix(sketchStagingPrefix)
         val target = new Path(root, targetName)
@@ -252,29 +268,58 @@ object DocIngest {
     * full merge is bounded by batches·groups·buckets, never by data
     * volume.
     *
+    * `retain = Some((keyCol, n))` is the RETENTION form for registers
+    * whose key advances with wall-clock (the
+    * [[graft.stream.EventStreams.rateMonitor]] period registers —
+    * bounded per unit time but monotonically growing forever without
+    * it): after merging, only rows with `keyCol >= max(keyCol) − n + 1`
+    * (max over the MERGED dirs) survive, so compacted state is
+    * bounded by the analysis window, not by uptime — the TableStore
+    * vacuum discipline applied to monitor registers. With retention a
+    * single eligible dir is still rewritten (the trim is the point);
+    * dropped periods are gone from the compacted dir, so pick `n` at
+    * or above the widest analysis window any view will ask for.
+    *
     * Returns the number of directories merged (0 = nothing to do).
     */
   def compactSketch(spark: org.apache.spark.sql.SparkSession,
-      sketchDir: String, upToBatch: Long): Int = {
+      sketchDir: String, upToBatch: Long,
+      retain: Option[(String, Long)] = None,
+      recoveryGraceMs: Long = 0L): Int = {
     import org.apache.hadoop.fs.Path
     val root = new Path(sketchDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return 0
     val stagingPrefix = sketchStagingPrefix
     val manifestName = sketchManifestName
-    recoverSketchDir(fs, root)
+    recoverSketchDir(fs, root, recoveryGraceMs)
     val ks = fs.listStatus(root).map(_.getPath.getName)
       .filter(_.startsWith("batch="))
       .map(_.stripPrefix("batch=").toLong)
       .filter(_ <= upToBatch).sorted
-    if (ks.length < 2) return 0
+    if (ks.length < (if (retain.isDefined) 1 else 2)) return 0
     val sources = ks.map(k => new Path(root, s"batch=$k"))
     val targetName = s"batch=${ks.head}"
     val staging = new Path(root, s"$stagingPrefix$targetName")
     fs.delete(staging, true)
     val df = spark.read.parquet(sources.map(_.toString).toSeq: _*)
     val keys = df.columns.filterNot(_ == "count").toSeq
-    df.groupBy(keys.map(col): _*).agg(sum(col("count")).as("count"))
+    val merged = df.groupBy(keys.map(col): _*)
+      .agg(sum(col("count")).as("count"))
+    val retained = retain match {
+      case Some((keyCol, n)) =>
+        require(n > 0, "retain window must be positive")
+        // cutoff from the merged data itself (no wall clock in the
+        // loop — deterministic, replay-stable): keep the last n key
+        // values of what these dirs carry. The 1-row agg collect is
+        // bounded control-plane, not a global window over the rows.
+        val row = merged.agg((max(col(keyCol)) - lit(n - 1)).as("c"))
+          .collect().head
+        if (row.isNullAt(0)) merged
+        else merged.filter(col(keyCol) >= lit(row.get(0)))
+      case None => merged
+    }
+    retained
       .coalesce(1)
       .write.mode("overwrite").parquet(staging.toString)
     val out = fs.create(new Path(staging, manifestName), true)

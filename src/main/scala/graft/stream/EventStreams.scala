@@ -150,12 +150,34 @@ object EventStreams {
     * events are long gone when the operator asks "is anything dead?"
     * — the registers plus the CURRENT clock answer it
     * ([[rateMonitorView]]).
+    *
+    * `retainPeriods` is the register LIFECYCLE: without it state is
+    * bounded per unit time but grows monotonically forever (a 60 s
+    * period adds ~526 k periods/type/year, all re-read on every
+    * view). With `retainPeriods = Some(n)`, every `compactEvery`-th
+    * batch folds the checkpoint-committed register dirs (strictly
+    * below the current batch — it could still replay) into one and
+    * drops periods older than `max(period) − n + 1` over the merged
+    * dirs, so steady-state register volume is bounded by
+    * types × (n + the few periods the uncompacted recent batches
+    * carry) — the TableStore vacuum discipline. Pick `n` at or above
+    * the widest analysis window any view will ask for; detectors over
+    * the retained window are unchanged (spec-pinned). Late events
+    * older than the retention cutoff would resurrect a PARTIAL count
+    * for a dropped period — bound views with `sincePeriod` at or
+    * above the cutoff ([[monitorCounts]]) for deterministic reads,
+    * the same contract a watermark gives a streaming agg. In-loop
+    * compaction runs inside foreachBatch (never concurrent with the
+    * writer); readers race it safely via [[monitorCounts]]'s
+    * recovery grace.
     */
   def rateMonitor(events: DataFrame, typeCol: String, tsCol: String,
       periodSec: Long, countsDir: String, checkpointDir: String,
-      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
+      retainPeriods: Option[Long] = None, compactEvery: Int = 8)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(periodSec > 0, "periodSec must be positive")
+    require(compactEvery > 0, "compactEvery must be positive")
     val us = periodSec * 1000000L
     val writer = events.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -168,6 +190,16 @@ object EventStreams {
             floor(unix_micros(col(tsCol)) / us).as("period"))
           .agg(count(lit(1)).as("count"))
           .write.mode("overwrite").parquet(s"$countsDir/batch=$batchId")
+        if (retainPeriods.isDefined && batchId > 0 &&
+            batchId % compactEvery == 0) {
+          // only batches strictly below the current one: batchId
+          // itself could replay after a crash and must stay addressable
+          // under its own key for the overwrite to be idempotent
+          DocIngest.compactSketch(batch.sparkSession, countsDir,
+            upToBatch = batchId - 1,
+            retain = retainPeriods.map(("period", _)))
+          ()
+        }
         ()
       }
       .start()
@@ -187,10 +219,11 @@ object EventStreams {
   def rateMonitorView(spark: SparkSession, countsDir: String,
       typeCol: String, periodSec: Long, kSigma: Int,
       horizonSec: Option[Long] = None,
-      maxSpanPeriods: Long = 1000000L): DataFrame =
+      maxSpanPeriods: Long = 1000000L,
+      sincePeriod: Option[Long] = None): DataFrame =
     graft.ops.EventAnalytics.rateAnomalyFromCounts(
-      monitorCounts(spark, countsDir, typeCol), typeCol, kSigma,
-      horizonPeriod(periodSec, horizonSec), maxSpanPeriods)
+      monitorCounts(spark, countsDir, typeCol, sincePeriod), typeCol,
+      kSigma, horizonPeriod(periodSec, horizonSec), maxSpanPeriods)
 
   /** The merged (typeCol, period, cnt) counts of a [[rateMonitor]]
     * register directory — crash recovery first, counts summed across
@@ -199,18 +232,36 @@ object EventStreams {
     * [[rateMonitorView]] convenience), `changepointFromCounts` (CUSUM
     * level shifts), or `seasonalAnomalyFromCounts` (cadence
     * violations) — all three are spec-pinned row-identical to their
-    * batch forms over the concatenated event log. */
+    * batch forms over the concatenated event log.
+    *
+    * `sincePeriod` pushes a `period >=` filter into the register READ
+    * (parquet row-group pruning drops old files before the sum), so a
+    * view over a retention-compacted monitor bounds both its scan and
+    * its semantics: set it at or above the retention cutoff and a
+    * late event resurrecting a partial count for an already-dropped
+    * period can never skew the grid.
+    *
+    * Safe to call while the monitor is RUNNING: the recovery pass
+    * leaves staging dirs younger than `stagingGraceMs` untouched, so
+    * it cannot delete an in-flight in-loop compaction's output out
+    * from under the writer (the torn state it would have healed is
+    * healed by the writer itself, or by the next read once the dir
+    * ages past the grace). */
   def monitorCounts(spark: SparkSession, countsDir: String,
-      typeCol: String): DataFrame = {
+      typeCol: String, sincePeriod: Option[Long] = None,
+      stagingGraceMs: Long = 60000L): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(countsDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(root),
       s"monitorCounts: no registers at $countsDir — has rateMonitor " +
         "committed a batch yet?")
     // recovery-only pass: upToBatch = -1 merges nothing but completes
-    // any torn compaction before the read trusts the directory
-    DocIngest.compactSketch(spark, countsDir, upToBatch = -1L)
-    spark.read.parquet(countsDir).drop("batch")
+    // any (grace-aged) torn compaction before the read trusts the
+    // directory
+    DocIngest.compactSketch(spark, countsDir, upToBatch = -1L,
+      recoveryGraceMs = stagingGraceMs)
+    val all = spark.read.parquet(countsDir).drop("batch")
+    sincePeriod.fold(all)(p => all.filter(col("period") >= p))
       .groupBy(col(typeCol), col("period"))
       .agg(sum(col("count")).as("cnt"))
   }
@@ -218,6 +269,6 @@ object EventStreams {
   /** An external-clock horizon in epoch seconds → period units. */
   def horizonPeriod(periodSec: Long, horizonSec: Option[Long]): Option[Long] = {
     require(periodSec > 0, "periodSec must be positive")
-    horizonSec.map(h => Math.floorDiv(h * 1000000L, periodSec * 1000000L))
+    horizonSec.map(h => Math.floorDiv(h, periodSec))
   }
 }

@@ -434,6 +434,57 @@ class EventAnalyticsSpec extends SparkSpec with TableDrivenPropertyChecks {
     // but period 22+7 would residual +8 — out of range here by design
   }
 
+  test("multiSeasonalAnomaly: a violation under NESTED cadences flags " +
+      "only when both lags compose; either single lag provably misses it") {
+    // 6 "weeks" of 7 ten-second periods with BOTH a 2-period (daily)
+    // and a 7-period (weekly) additive cadence — coprime, so neither
+    // single lag whitens the counts:
+    //   cnt(p) = 10 + 9·[p even] + 12·[p mod 7 ∈ {4,5}] − 4·[p = 23]
+    // lag-2 residuals keep the ±12 weekly edges (σ ≈ 9); lag-7
+    // residuals keep the ±9 daily alternation (7 is odd); in both the
+    // planted −4 drop at period 23 sits inside 2σ and never flags.
+    // Composed (1−B²)(1−B⁷): residuals are EXACTLY 0 everywhere
+    // except the violation's difference echoes ∓4 at {23, 25, 30, 32},
+    // which all stand out of the near-zero variance.
+    def cnt(p: Int): Int =
+      10 + (if (p % 2 == 0) 9 else 0) +
+        (if (p % 7 == 4 || p % 7 == 5) 12 else 0) -
+        (if (p == 23) 4 else 0)
+    val rows = (0 until 42).flatMap(p =>
+      Seq.fill(cnt(p))((1L, p * 10L, "N", 0.0)))
+    val df = ev(rows.zipWithIndex.map { case ((u, sec, t, v), i) =>
+      (u + i, sec, t, v) }: _*)
+    val base = EventAnalytics.seasonalAnomaly(df, "event_type", "ts", 10L,
+        seasonPeriods = 2, kSigma = 2)
+      .select($"period").as[Long].collect().min
+    def flagged(out: org.apache.spark.sql.DataFrame): Seq[Long] =
+      out.filter($"anomalous" === 1).select($"period")
+        .as[Long].collect().map(_ - base).sorted.toSeq
+    assert(flagged(EventAnalytics.seasonalAnomaly(df, "event_type", "ts",
+      10L, seasonPeriods = 2, kSigma = 2)).isEmpty,
+      "lag-2 alone must miss the violation (weekly edges inflate σ)")
+    assert(flagged(EventAnalytics.seasonalAnomaly(df, "event_type", "ts",
+      10L, seasonPeriods = 7, kSigma = 2)).isEmpty,
+      "lag-7 alone must miss the violation (daily alternation inflates σ)")
+    val multi = EventAnalytics.multiSeasonalAnomaly(df, "event_type", "ts",
+      10L, seasonPeriods = Seq(2, 7), kSigma = 2)
+    assert(flagged(multi) == Seq(23L, 25L, 30L, 32L),
+      s"composed differencing must flag the violation and its echoes: " +
+        s"${flagged(multi)}")
+    // compound warm-up: first 2+7 periods NULL residual, never flagged
+    val warm = multi.orderBy($"period")
+      .select($"residual", $"anomalous").collect().take(9)
+    assert(warm.forall(r => r.isNullAt(0) && r.getInt(1) == 0))
+    // a clean twin (no violation) never false-flags under the multi
+    // test — the composed residuals are identically zero
+    val cleanRows = (0 until 42).flatMap(p =>
+      Seq.fill(cnt(p) + (if (p == 23) 4 else 0))((1L, p * 10L, "N", 0.0)))
+    val cleanDf = ev(cleanRows.zipWithIndex.map { case ((u, sec, t, v), i) =>
+      (u + i, sec, t, v) }: _*)
+    assert(flagged(EventAnalytics.multiSeasonalAnomaly(cleanDf,
+      "event_type", "ts", 10L, Seq(2, 7), kSigma = 2)).isEmpty)
+  }
+
   test("seasonalAnomaly: type shorter than one season reports NULL " +
       "residuals and no flags") {
     val rows = (0 until 4).flatMap(p => Seq.fill(3)((1L, p * 10L, "S", 0.0)))

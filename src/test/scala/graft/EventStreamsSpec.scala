@@ -324,4 +324,65 @@ class EventStreamsSpec extends SparkSpec {
       "event_type", 10L, 2, horizonSec = horizon)
     assert(rows(viewC) == rows(batchH))
   }
+
+  test("rateMonitor retention: in-loop compaction bounds register state " +
+      "by the analysis window; views over the retained window are " +
+      "row-identical to batch detectors") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("ratemon_ttl").toString
+    val pb = base / 1000 / 10 // absolute period of ts(0)
+    val mem = MemoryStream[Event]
+    val q = EventStreams.rateMonitor(mem.toDF(), "event_type", "ts",
+      periodSec = 10L, s"$dir/counts", s"$dir/ckpt",
+      retainPeriods = Some(6L), compactEvery = 2)
+    def burst(t: String, p: Int, n: Int) =
+      (0 until n).map(i => Event(p * 100L + i, ts(p * 10L), t, 0.0))
+    // five micro-batches, 4 periods each, two types throughout —
+    // compaction fires inside batches 2 and 4
+    (0 until 5).foreach { b =>
+      mem.addData((4 * b until 4 * b + 4)
+        .flatMap(p => burst("D", p, 3) ++ burst("L", p, 2)): _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    // batch-4 compaction merged periods [pb+2, pb+15] (batch 4 itself
+    // must stay replayable, so its periods 16-19 are uncompacted) and
+    // retained the last 6 → registers hold exactly periods pb+10 ..
+    // pb+19: types × (retainPeriods + the uncompacted batch's slack)
+    val regs = spark.read.parquet(s"$dir/counts")
+    val periods = regs.select("period").distinct()
+      .as[Long].collect().sorted
+    assert(periods.head == pb + 10,
+      s"retention cutoff: expected min period ${pb + 10}, got ${periods.head}")
+    assert(periods.length == 10, s"expected 10 retained periods: ${periods.length}")
+    assert(regs.count() == 2 * 10,
+      "register rows must be bounded by types × (retainPeriods + slack)")
+    val dirs = new java.io.File(s"$dir/counts").listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).sorted.toSeq
+    assert(dirs == Seq("batch=0", "batch=4"),
+      s"multi-compaction must fold committed dirs: $dirs")
+
+    // detector row-identity over the retained window: view with
+    // sincePeriod at the cutoff ≡ batch ops over the events of those
+    // periods
+    val allEvents = (0 until 20).flatMap(p => burst("D", p, 3) ++ burst("L", p, 2))
+    val winEvents = allEvents.filter(e => e.ts.getTime / 1000 / 10 >= pb + 10)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"event_type", $"period", $"cnt", $"anomalous")
+        .as[(String, Long, Long, Int)].collect().toSet
+    val view = EventStreams.rateMonitorView(spark, s"$dir/counts",
+      "event_type", 10L, 2, sincePeriod = Some(pb + 10))
+    val batchOp = graft.ops.EventAnalytics.rateAnomaly(
+      winEvents.toDF(), "event_type", "ts", 10L, 2)
+    assert(rows(view) == rows(batchOp))
+    val counts = EventStreams.monitorCounts(spark, s"$dir/counts",
+      "event_type", sincePeriod = Some(pb + 10))
+    val cpView = graft.ops.EventAnalytics.changepointFromCounts(
+      counts, "event_type").collect().map(_.toSeq).toSet
+    val cpBatch = graft.ops.EventAnalytics.changepoint(
+      winEvents.toDF(), "event_type", "ts", 10L)
+      .collect().map(_.toSeq).toSet
+    assert(cpView == cpBatch)
+  }
 }
