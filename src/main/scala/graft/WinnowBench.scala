@@ -136,10 +136,10 @@ object WinnowBench {
     // batch, making `violations == 0` a sound one-directional gate
     val fps = TextAnalysis.winnowingFingerprints(docs, "doc_id", "text",
         4, 4).select(col("id"), col("h")).distinct()
-    val detectable = fps
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("h")))
-      .filter(col("df") <= 64)
+      .localCheckpoint(eager = false) // feeds the df agg AND the join
+    val rareH = fps.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 64).select(col("h"))
+    val detectable = fps.join(rareH, Seq("h"))
       .groupBy(col("id")).agg(count(lit(1)).as("n"))
       .filter(col("n") >= 3)
       .select(col("id").as("doc_id"))
@@ -153,9 +153,16 @@ object WinnowBench {
 
     // ---- economics 1: the dirs/probe-cost curve ----
     // probe batch: verbatim redeliveries of the first slice (the
-    // steady-state shape — all rejections via the index)
+    // steady-state shape — all rejections via the index). The id
+    // offset sits one slot PAST the highest echo slot (echo ids are
+    // doc_id + 1_000_000·b, b < nBatches; doc_ids < 1_000_000 by the
+    // guard above), so probe ids can never collide with index rows at
+    // ANY nBatches — a fixed constant would alias batch
+    // ⌊const/1e6⌋'s echoes once nBatches reached it, violating the
+    // probe's id-disjointness precondition and skewing pair counts.
     val probeBatch = docs.filter(col("doc_id") < perBatch)
-      .select((col("doc_id") + 50000000L).as("doc_id"), col("text"))
+      .select((col("doc_id") + lit(1000000L * (nBatches + 1)))
+        .as("doc_id"), col("text"))
       .localCheckpoint() // timings must measure the PROBE
     def indexDirs(): Int = new java.io.File(idxDir).listFiles()
       .count(f => f.isDirectory && f.getName.startsWith("batch="))

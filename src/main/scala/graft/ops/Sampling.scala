@@ -155,6 +155,17 @@ object Sampling {
     * 1-based rank `ceil(p * count)` in (measure, id) order — the
     * percentile-disc definition, integer-exact so any engine agrees
     * bit-for-bit (interpolating quantiles differ by float rounding).
+    *
+    * CONTRACT: exact per-row ranking requires each group to sort in
+    * one task — that is what row_number means — so a giant stratum
+    * serializes no matter how the count is computed. The group COUNT,
+    * however, does NOT need the sort: it is a map-side-combinable
+    * aggregate joined back (one row per group), never a second
+    * count-over-window pass buffering the group again. For strata too
+    * large to sort in one task, use [[discreteQuantilesByValue]]
+    * (exact, windows only |distinct values| rows) or the
+    * log-histogram sketch (`td_quantile_sketch`) — those are the
+    * 100 TB forms; this one is for many-small-strata shapes.
     */
   def discreteQuantiles(df: DataFrame, groupCol: String, idCol: String,
                         measure: Column, ps: Seq[(String, Double)]): DataFrame = {
@@ -162,15 +173,17 @@ object Sampling {
     ps.foreach { case (name, p) =>
       require(p > 0.0 && p <= 1.0, s"quantile $name: p=$p outside (0, 1]")
     }
-    val ranked = df
-      .select(col(groupCol), col(idCol), measure.as("__m"))
+    val src = df.select(col(groupCol), col(idCol), measure.as("__m"))
+    val cnts = src.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__cnt"))
+    val ranked = src
       // NULLS LAST explicitly: Spark's default asc ordering is nulls
       // first while SQL engines (and the oracle) rank nulls last —
       // a null measure must not shift every rank in the stratum
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col(groupCol))
           .orderBy(col("__m").asc_nulls_last, col(idCol))))
-      .withColumn("__cnt", count(lit(1)).over(Window.partitionBy(col(groupCol))))
+      .join(cnts, Seq(groupCol))
     // rank = ceil(p * count) computed in EXACT decimal arithmetic
     // (count and p are both exact decimals, so the product and its
     // ceiling are too) — DuckDB's `ceil(cnt * 0.9)` is likewise a

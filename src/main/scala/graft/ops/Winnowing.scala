@@ -349,11 +349,72 @@ object Winnowing {
     */
   def incrementalWinnowPairs(newDocs: DataFrame, index: DataFrame,
       idCol: String, textCol: String, k: Int = 4, w: Int = 4,
-      minShared: Long = 3, maxDf: Int = 64): DataFrame = {
-    validateIndexParams(index, k, w)
+      minShared: Long = 3, maxDf: Int = 64,
+      validateParams: Boolean = true): DataFrame = {
+    // validateParams=false is for callers that already proved the
+    // directory's params through O(1) metadata (winnowIngest's
+    // per-stream sidecar check) — the distinct-params scan here
+    // touches the WHOLE index, which an in-loop probe must not pay
+    // per micro-batch
+    if (validateParams) validateIndexParams(index, k, w)
     val bf = fingerprintSet(newDocs, idCol, textCol, k, w)
       .localCheckpoint(eager = false) // feeds prune, df, and both join sides
     probePairs(bf, index, minShared, maxDf)
+  }
+
+  /** Name of the tiny sidecar recording a persisted index directory's
+    * (k, w) — written by [[writeWinnowIndex]] and
+    * [[graft.stream.DocIngest.winnowIngest]] so probes validate
+    * params from O(1) metadata instead of scanning the index per
+    * probe. Starts with `_`, so Spark's parquet reader never sees it. */
+  private[graft] val paramsSidecarName = "_winnow_params"
+
+  private[graft] def writeParamsSidecar(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, k: Int, w: Int): Unit = {
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(dir, paramsSidecarName), true)
+    // END terminator: a truncated sidecar must read as absent (fall
+    // back to the scan), never as a shorter params value
+    try out.write(s"$k:$w\nEND".getBytes("UTF-8")) finally out.close()
+  }
+
+  private[graft] def readParamsSidecar(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir, paramsSidecarName)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val lines =
+        try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().toList.filter(_.nonEmpty)
+        finally in.close()
+      if (lines.length == 2 && lines.last == "END") Some(lines.head)
+      else None
+    }
+  }
+
+  /** Directory-level params guard: O(1) against the
+    * [[paramsSidecarName]] sidecar when one exists; otherwise the
+    * full [[validateIndexParams]] scan (a pre-sidecar directory, or
+    * one assembled by hand-appending winnowIndex frames). The
+    * sidecar is trusted because every writer that creates it
+    * ([[writeWinnowIndex]], winnowIngest) only ever appends rows with
+    * exactly those params. */
+  private[graft] def validateIndexParamsAt(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      k: Int, w: Int): Unit = {
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readParamsSidecar(fs, root) match {
+      case Some(p) =>
+        require(p == s"$k:$w",
+          s"index at $indexDir carries winnowing params {$p} (sidecar), " +
+            s"but the probe uses $k:$w — wrong index for these params?")
+      case None =>
+        validateIndexParams(spark.read.parquet(indexDir), k, w)
+    }
   }
 
   /** [[incrementalWinnowPairs]]' params guard: DISTINCT params, not
@@ -361,9 +422,12 @@ object Winnowing {
     * with DIFFERENT (k, w) (likely under the append-per-batch
     * lifecycle these ops document) would pass a first-row probe and
     * silently match nothing for the mismatched portion. The distinct
-    * is tiny (one row per params value ever appended); the eager job
-    * at construction time is the existing guard idiom (the 1-row
-    * guards at Dedup.scala:259). */
+    * is tiny (one row per params value ever appended), but the scan
+    * under it touches the whole index — directory-backed callers
+    * should validate via [[validateIndexParamsAt]]'s O(1) sidecar
+    * (this form remains for in-memory frames and sidecar-less dirs);
+    * the eager job at construction time is the existing guard idiom
+    * (the 1-row guards at Dedup.scala:259). */
   private[graft] def validateIndexParams(index: DataFrame, k: Int,
       w: Int): Unit = {
     require(index.columns.contains("params"),
@@ -443,6 +507,17 @@ object Winnowing {
       .sortWithinPartitions(col("h"))
       .write.mode("overwrite").parquet(dir)
     DataSkipping.buildStats(spark, dir, Seq("h"))
+    // O(1) params metadata for probes — valid because this write just
+    // verified a single-params frame below (the distinct guard runs
+    // at probe time for sidecar-less dirs only)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val params = index.select("params").distinct().collect()
+      .map(_.getString(0))
+    require(params.length == 1,
+      s"writeWinnowIndex: mixed params {${params.mkString(", ")}}")
+    val Array(k, w) = params.head.split(":").map(_.toInt)
+    writeParamsSidecar(fs, root, k, w)
     spark.read.parquet(dir)
   }
 
@@ -452,17 +527,19 @@ object Winnowing {
     * control-plane — ≈ 2/(w+1) of the batch's grams, `maxProbeKeys`
     * guards the collect) prunes the file list through the stats
     * manifest, and the probe core then runs the exact join on the
-    * surviving superset. Params are validated against the FULL
+    * surviving superset. Params are validated for the WHOLE
     * directory, not the pruned subset — a mismatched-params index
     * would prune to nearly nothing and silently match nothing, the
-    * exact failure the guard exists to catch (the params read is a
-    * column-pruned footer-cheap scan). Results are identical to the
-    * unpruned probe (pruning is a superset guarantee; spec-pinned). */
+    * exact failure the guard exists to catch. The validation is O(1)
+    * against the [[paramsSidecarName]] sidecar [[writeWinnowIndex]]
+    * records (a sidecar-less legacy dir falls back to the full
+    * distinct-params scan). Results are identical to the unpruned
+    * probe (pruning is a superset guarantee; spec-pinned). */
   def incrementalWinnowPairsPruned(spark: org.apache.spark.sql.SparkSession,
       newDocs: DataFrame, indexDir: String, idCol: String, textCol: String,
       k: Int = 4, w: Int = 4, minShared: Long = 3, maxDf: Int = 64,
       maxProbeKeys: Long = 4000000L): DataFrame = {
-    validateIndexParams(spark.read.parquet(indexDir), k, w)
+    validateIndexParamsAt(spark, indexDir, k, w)
     val bf = fingerprintSet(newDocs, idCol, textCol, k, w)
       .localCheckpoint(eager = false) // feeds the key collect AND the probe
     // limit BEFORE collect: the guard must fire without first

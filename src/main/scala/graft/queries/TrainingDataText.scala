@@ -407,7 +407,12 @@ object TrainingDataText {
     "td_mrr",
     (s, dir) => {
       val docs = Tables.documents(s, dir)
+      // non-empty tokenized text only — mirrors the oracle's `d` CTE
+      // (its query set derives from the blank-filtered corpus): a
+      // blank document at a %100==7 id must not become a query here
+      // that the oracle lacks
       val qs = docs.filter(pmod(col("doc_id"), lit(100)) === 7)
+        .filter(size(TextAnalysis.tokens(col("text"))) > 0)
         .select(col("doc_id").as("query_id"),
           concat_ws(" ",
             slice(TextAnalysis.tokens(col("text")), 1, 6)).as("qtext"))

@@ -94,12 +94,14 @@ object DocIngest {
     * inside enough fresh text. */
   def admitBatchWinnow(batch: DataFrame, index: Option[DataFrame],
       idCol: String, textCol: String,
-      k: Int = 4, w: Int = 4, minShared: Long = 3, maxDf: Int = 64)
+      k: Int = 4, w: Int = 4, minShared: Long = 3, maxDf: Int = 64,
+      validateParams: Boolean = true)
       : (DataFrame, DataFrame) = {
     import graft.ops.Winnowing
     val pairs = index match {
       case Some(ix) => Winnowing.incrementalWinnowPairs(
-        batch, ix, idCol, textCol, k, w, minShared, maxDf)
+        batch, ix, idCol, textCol, k, w, minShared, maxDf,
+        validateParams)
       case None => Winnowing.winnowingPairs(
         batch, idCol, textCol, k, w, minShared, maxDf)
     }
@@ -604,13 +606,26 @@ object DocIngest {
           compactIndex(spark, indexDir, upToBatch = -1L, sortCol = Some("h"))
         val haveIndex = fs.exists(idxPath) &&
           fs.listStatus(idxPath).exists(_.getPath.getName.startsWith("batch="))
+        // params guard, once per batch at O(1): the sidecar (written
+        // below after the first index append) proves the whole
+        // directory's (k, w), so the probe skips the DataFrame-form
+        // distinct-params scan that would otherwise touch the FULL
+        // index every micro-batch. A sidecar-less dir with index rows
+        // (pre-sidecar layout) falls back to the scan once — the
+        // sidecar write below then upgrades it.
+        val sidecar = graft.ops.Winnowing.readParamsSidecar(fs, idxPath)
+        sidecar.foreach(p => require(p == s"$k:$w",
+          s"winnowIngest: index at $indexDir carries params {$p} but " +
+            s"this stream uses $k:$w — restarted with different " +
+            "winnowing params?"))
         val index =
           if (haveIndex)
             Some(spark.read.parquet(indexDir)
               .filter(col("batch") =!= batchId))
           else None
         val (survivors, idxRows) = admitBatchWinnow(
-          batch, index, idCol, textCol, k, w, minShared, maxDf)
+          batch, index, idCol, textCol, k, w, minShared, maxDf,
+          validateParams = sidecar.isEmpty)
         survivors.write.mode("overwrite")
           .parquet(s"$outDir/batch=$batchId")
         // one h-sorted file per batch dir: batch fingerprint sets are
@@ -620,6 +635,8 @@ object DocIngest {
           .sortWithinPartitions(col("h"))
           .write.mode("overwrite")
           .parquet(s"$indexDir/batch=$batchId")
+        if (sidecar.isEmpty)
+          graft.ops.Winnowing.writeParamsSidecar(fs, idxPath, k, w)
         // in-loop windowed compaction (see nearDupIngest for why the
         // window, not from-zero), order-preserving via sortCol
         compactEvery.foreach { n =>

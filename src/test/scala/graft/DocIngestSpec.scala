@@ -133,6 +133,28 @@ class DocIngestSpec extends SparkSpec {
         .as[Long].collect().toSeq
       assert(hs == hs.sorted, s"${d.getName} not h-sorted")
     }
+    // the stream stamped the O(1) params sidecar, so per-batch probes
+    // skip the full-index distinct-params scan
+    val idxPath = new org.apache.hadoop.fs.Path(s"$dir/index")
+    val fs = idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(graft.ops.Winnowing.readParamsSidecar(fs, idxPath)
+      .contains("4:4"))
+
+    // restarting the ingest with DIFFERENT params against the same
+    // index must fail loudly at the first batch, not silently match
+    // nothing for the existing rows
+    val mem2 = MemoryStream[RawDoc]
+    val q2 = DocIngest.winnowIngest(mem2.toDF(), "doc_id", "text",
+      s"$dir/index", s"$dir/out", s"$dir/ckpt2",
+      k = 5, w = 4, minShared = 1, maxDf = 64)
+    mem2.addData(RawDoc(9, "e1 e2 e3 e4 e5 e6 e7 e8 e9 e10"))
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    q2.stop()
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.toString + messages(t.getCause)
+    assert(messages(err).contains("different"), messages(err))
   }
 
   test("winnowIngest with compactEvery: same admissions, bounded dirs, " +

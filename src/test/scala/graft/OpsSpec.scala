@@ -1828,6 +1828,46 @@ class OpsSpec extends SparkSpec {
         "doc_id", "text", k = 4, w = 4, minShared = 1).collect()
     }
     assert(err.getMessage.contains("params"), err.getMessage)
+    // the guard above came from the O(1) sidecar writeWinnowIndex
+    // records — not from scanning the index
+    assert(err.getMessage.contains("sidecar"), err.getMessage)
+  }
+
+  test("winnow params sidecar: written by writeWinnowIndex; a " +
+      "sidecar-less dir falls back to the distinct-params scan") {
+    val docs = (0 until 10).map(i =>
+      (i.toLong, (0 until 30).map(j => s"s${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("winnowix-")
+      .toString + "/ix"
+    Winnowing.writeWinnowIndex(spark,
+      Winnowing.winnowIndex(docs, "doc_id", "text", k = 4, w = 4),
+      dir, nFiles = 2)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(Winnowing.readParamsSidecar(fs, root).contains("4:4"))
+    // legacy layout: delete the sidecar — the probe must still catch
+    // a params mismatch (via the scan), and a matching probe still runs
+    fs.delete(new org.apache.hadoop.fs.Path(root,
+      Winnowing.paramsSidecarName), false)
+    val run = (5 until 12).map(j => s"s3_$j").mkString(" ")
+    val batch = Seq((777L, s"z1 z2 $run z3 z4 z5 z6 z7"))
+      .toDF("doc_id", "text")
+    val err = intercept[IllegalArgumentException] {
+      Winnowing.incrementalWinnowPairsPruned(spark, batch, dir,
+        "doc_id", "text", k = 5, w = 4, minShared = 1).collect()
+    }
+    assert(err.getMessage.contains("params") &&
+      !err.getMessage.contains("sidecar"), err.getMessage)
+    val pairs = Winnowing.incrementalWinnowPairsPruned(spark, batch, dir,
+        "doc_id", "text", k = 4, w = 4, minShared = 1)
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.map(_._2).contains(3L), pairs.mkString(", "))
+    // a truncated sidecar (no END) reads as absent, never as params
+    val out = fs.create(new org.apache.hadoop.fs.Path(root,
+      Winnowing.paramsSidecarName), true)
+    out.write("4:4".getBytes("UTF-8")); out.close()
+    assert(Winnowing.readParamsSidecar(fs, root).isEmpty)
   }
 
   test("scrubContaminationSpans: seeds widen, overlap-merge, excise") {
