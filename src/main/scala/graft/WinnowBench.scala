@@ -72,7 +72,23 @@ object WinnowBench {
     val ckpt = Files.createTempDirectory("graft-wbench-ckpt-").toString
 
     // ---- untimed setup: one spool file per batch ----
-    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    // batch-volume lever (the DocStreamBench SPARK_GRAFT_STREAM_SCALE
+    // discipline): `scale` id-shifted fixture copies, each copy's
+    // TOKENS prefixed with a copy tag so copies share ZERO grams —
+    // and therefore zero winnowing fingerprints: cross-copy content
+    // stays independent, admission semantics (span structure WITHIN a
+    // copy) unchanged. Answers whether the recorded rows/sec is
+    // fixed-overhead-bound (throughput rises with batch volume) or
+    // probe/pair-graph-bound (it doesn't).
+    val scale = sys.env.get("SPARK_GRAFT_STREAM_SCALE")
+      .flatMap(_.toIntOption).getOrElse(1)
+    val base = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val baseMax = base.agg(max(col("doc_id"))).head().getLong(0)
+    val docs = (0 until scale).map { s =>
+      if (s == 0) base
+      else base.select((col("doc_id") + s * (baseMax + 1)).as("doc_id"),
+        regexp_replace(col("text"), "\\S+", s"c${s}_$$0").as("text"))
+    }.reduce(_ unionByName _)
     val total = docs.count()
     val maxDocId = docs.agg(max(col("doc_id"))).head().getLong(0)
     require(maxDocId < 1000000L,
@@ -200,8 +216,11 @@ object WinnowBench {
     val fullIndex = spark.read.parquet(idxDir).drop("batch")
     Winnowing.writeWinnowIndex(spark, fullIndex, fleetDir, nFiles = 64)
     // a NARROW probe (one doc) — the needle-lookup shape pruning serves
+    // same headroom rule as the probe batch: one slot past the probe
+    // batch's, so neither echoes nor the curve probe can alias it
     val needle = docs.filter(col("doc_id") === 3L)
-      .select((col("doc_id") + 60000000L).as("doc_id"), col("text"))
+      .select((col("doc_id") + lit(1000000L * (nBatches + 2)))
+        .as("doc_id"), col("text"))
       .localCheckpoint()
     val keys = TextAnalysis.winnowingFingerprints(needle, "doc_id", "text",
       4, 4).select(col("h")).distinct().collect().map(_.getLong(0))
@@ -241,7 +260,8 @@ object WinnowBench {
         s""""pruned_files_total":$totalFiles,"needle_hashes":${keys.length},""" +
         s""""probe_full_sec":${fmt(probeFullSec)},""" +
         s""""probe_pruned_sec":${fmt(probePrunedSec)},""" +
-        s""""failed":${!(ok && curveOk && prunedOk)},"sf":"$sfDir"}"""
+        s""""failed":${!(ok && curveOk && prunedOk)},"scale":$scale,""" +
+        s""""sf":"$sfDir"}"""
     java.nio.file.Files.write(Paths.get("WINNOWBENCH_DETAIL.json"),
       line.getBytes("UTF-8"))
     println(line)

@@ -186,7 +186,9 @@ object DocIngest {
       .agg(sum(col("count")).as("count"))
   }
 
-  private val sketchStagingPrefix = ".compact_staging_"
+  // the shared staging prefix: every compactor's recovery pass must
+  // recognize every family's staging dirs the same way
+  private val sketchStagingPrefix = IndexLifecycle.stagingPrefix
   private val sketchManifestName = "_merged_dirs.txt"
 
   /** [[compactSketch]]'s roll-forward recovery, shared with
@@ -223,7 +225,7 @@ object DocIngest {
         if (lines.lastOption.contains("END")) Some(lines.init) else None
       }
     }
-    fs.listStatus(root).filter(_.getPath.getName.startsWith(sketchStagingPrefix))
+    IndexLifecycle.stagingDirs(fs, root)
       .filter(st =>
         System.currentTimeMillis() - st.getModificationTime >= stagingGraceMs)
       .foreach { st =>
@@ -292,17 +294,13 @@ object DocIngest {
     val root = new Path(sketchDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return 0
-    val stagingPrefix = sketchStagingPrefix
     val manifestName = sketchManifestName
     recoverSketchDir(fs, root, recoveryGraceMs)
-    val ks = fs.listStatus(root).map(_.getPath.getName)
-      .filter(_.startsWith("batch="))
-      .map(_.stripPrefix("batch=").toLong)
-      .filter(_ <= upToBatch).sorted
+    val ks = IndexLifecycle.listBatchKeys(fs, root, Long.MinValue, upToBatch)
     if (ks.length < (if (retain.isDefined) 1 else 2)) return 0
-    val sources = ks.map(k => new Path(root, s"batch=$k"))
+    val sources = ks.map(IndexLifecycle.batchPath(root, _))
     val targetName = s"batch=${ks.head}"
-    val staging = new Path(root, s"$stagingPrefix$targetName")
+    val staging = new Path(root, s"$sketchStagingPrefix$targetName")
     fs.delete(staging, true)
     val df = spark.read.parquet(sources.map(_.toString).toSeq: _*)
     val keys = df.columns.filterNot(_ == "count").toSeq
@@ -330,11 +328,10 @@ object DocIngest {
     finally out.close()
     // target first (staging then holds the only copy → roll forward),
     // rename, then the manifest-driven deletion of the other sources
-    fs.delete(new Path(root, targetName), true)
-    if (!fs.rename(staging, new Path(root, targetName)))
-      throw new IllegalStateException(
-        s"compactSketch: failed to swap in $targetName")
-    ks.tail.foreach(k => fs.delete(new Path(root, s"batch=$k"), true))
+    // (additive contract: sources go AFTER the rename, via the
+    // manifest, never inside the swap)
+    IndexLifecycle.swapIn(fs, root, staging, targetName, "compactSketch")
+    ks.tail.foreach(k => fs.delete(IndexLifecycle.batchPath(root, k), true))
     fs.delete(new Path(root, targetName + "/" + manifestName), false)
     ks.length
   }
@@ -379,24 +376,14 @@ object DocIngest {
     val root = new Path(indexDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return 0
-    val stagingPrefix = ".compact_staging_"
-    // roll-forward recovery from a previous crash
-    fs.listStatus(root).filter(_.getPath.getName.startsWith(stagingPrefix))
-      .foreach { st =>
-        val target = new Path(root, st.getPath.getName.stripPrefix(stagingPrefix))
-        if (!fs.exists(target)) {
-          if (!fs.rename(st.getPath, target)) throw new IllegalStateException(
-            s"compactIndex: recovery rename to $target failed")
-        } else fs.delete(st.getPath, true)
-      }
-    val ks = fs.listStatus(root).map(_.getPath.getName)
-      .filter(_.startsWith("batch="))
-      .map(_.stripPrefix("batch=").toLong)
-      .filter(k => k >= fromBatch && k <= upToBatch).sorted
+    // roll-forward recovery from a previous crash (row-set contract)
+    IndexLifecycle.recoverRowSetDir(fs, root, "compactIndex")
+    val ks = IndexLifecycle.listBatchKeys(fs, root, fromBatch, upToBatch)
     if (ks.length < 2) return 0
-    val sources = ks.map(k => new Path(root, s"batch=$k"))
+    val sources = ks.map(IndexLifecycle.batchPath(root, _))
     val targetName = s"batch=${ks.head}"
-    val staging = new Path(root, s"$stagingPrefix$targetName")
+    val staging = new Path(root,
+      s"${IndexLifecycle.stagingPrefix}$targetName")
     fs.delete(staging, true)
     val bytes = sources.map(fs.getContentSummary(_).getLength).sum
     val nFiles = math.max(1L,
@@ -414,12 +401,11 @@ object DocIngest {
       case None => healed.repartition(nFiles)
     }
     arranged.write.mode("overwrite").parquet(staging.toString)
-    // delete the target FIRST: once anything is deleted, the staging
-    // (which holds every row) is the recovery source of truth
-    sources.foreach(fs.delete(_, true))
-    if (!fs.rename(staging, new Path(root, targetName)))
-      throw new IllegalStateException(
-        s"compactIndex: failed to swap in $targetName")
+    // target deleted FIRST inside swapIn: once anything is deleted,
+    // the staging (which holds every row) is the recovery source of
+    // truth; the other sources follow pre-rename (row-set contract)
+    IndexLifecycle.swapIn(fs, root, staging, targetName, "compactIndex",
+      alsoDelete = sources.tail)
     ks.length
   }
 
