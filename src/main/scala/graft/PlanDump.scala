@@ -130,7 +130,7 @@ object PlanDump {
     "td_lsh_precision" ->
       "LSH operating point: signatures and band buckets are narrow md5 projections; candidates key by (band, bucket) — the only pair generation is within buckets — and the three 1-row count frames compose via broadcast; the exact-pair reference reuses the lossless prefix-filter miner, so the measurement itself scales like the miner it measures.",
     "td_winnowing" ->
-      "Winnowing pair mining: the whole per-doc selection (gram hashes + sliding-window rightmost-tie argmin) runs inside the native winnow_fingerprints expression — a NARROW map, no explode fan-out, no (doc, window) shuffle (PlanAuditSpec pins zero Exchange/Window in the selection subtree); the pair join keys on fingerprint hashes after the df-cap window drops boilerplate hashes, so candidate volume is bounded by genuinely-shared content.",
+      "Winnowing pair mining: the whole per-doc selection (gram hashes + sliding-window rightmost-tie argmin) runs inside the native winnow_fingerprints expression — a NARROW map, no explode fan-out, no (doc, window) shuffle; the df cap is a map-side-combinable groupBy(h).count joined back (PlanAuditSpec pins ZERO WindowExec anywhere — a hot boilerplate hash collapses to one partial row per task instead of funneling into one window task), and the pair join keys only on hashes that SURVIVED the cap, so candidate volume is bounded by genuinely-shared content.",
     "td_winnowing_density" ->
       "Density sweep: three narrow fingerprint scans (one per w) each collapsing to a 1-row count before the union; the gram total broadcasts into the ppm projection — nothing but 1-row frames past the scans.",
     "td_decontam_spans" ->
@@ -140,7 +140,7 @@ object PlanDump {
     "td_embedding_drift" ->
       "Embedding drift: both snapshots posexplode in narrow maps and collapse map-side to (label, dim) centroid partials before their single exchanges; the two centroid aggregates join via BroadcastHashJoin and the per-label fold runs over rows ∝ |labels|·dim.",
     "td_incremental_winnowing" ->
-      "Incremental winnowing probe: only the NEW batch is fingerprinted (native narrow map); the index enters through ONE equi-join against the BROADCAST batch hash set — never rescanned wholesale, row-group-prunable when stored h-sorted; the global-df cap and pair expansion run over batch ∪ matched rows only, so per-batch cost is O(batch + collisions).",
+      "Incremental winnowing probe: only the NEW batch is fingerprinted (native narrow map); the index enters through ONE equi-join against the BROADCAST batch hash set — never rescanned wholesale, row-group-prunable when stored h-sorted; the global-df cap is a partial aggregate whose survivor set (bounded by the batch's distinct hashes) BROADCASTS back, so matched index rows never shuffle by hash and per-batch cost stays O(batch + collisions).",
     "td_winnow_index_pruned" ->
       "Pruned persisted-index probe: the index scan lists ONLY the files whose h-range can hold a batch fingerprint (stats-manifest pruning over the writeWinnowIndex h-range-clustered fleet — the scan's file list, not a post-filter); downstream is the identical probe core, so the plan differs from td_incremental_winnowing only in the scan's input files.",
     "ev_anomaly_horizon" ->
@@ -149,6 +149,10 @@ object PlanDump {
       "Horizon changepoint: identical shape to ev_changepoint; the horizon extends the sequence() grid from the same |types|-row span agg — the zero-filled tail rides the existing type-keyed window pass.",
     "ev_seasonal_anomaly" ->
       "Seasonal anomaly: the gap-fill's one event shuffle; lag(season) and the residual stats ride the SAME type-keyed partitioning (no second exchange of the grid); the |types|-row stats broadcast back.",
+    "ev_multi_seasonal" ->
+      "Nested-cadence anomaly: composed differencing (1-B)(1-B^7) — each lag pass is a Window over the SAME type-keyed sort the gap-fill grid already established (extra Window operators, zero extra Exchange, zero re-sort); the z-test stats on the whitened residual broadcast back exactly as in the single-season form.",
+    "ev_robust_anomaly" ->
+      "Robust (median/MAD) anomaly: both percentile-disc ranking passes ride the gap-fill grid's type-keyed partitioning (grid rows bounded by maxSpanPeriods — the one family where type-keyed windows are bounded state, not data volume); the |types|-row median and MAD frames BROADCAST back, so the detector adds zero exchanges over ev_anomaly.",
     "td_mrr" ->
       "MRR@k eval: the ranked side is already a per-query top-k (rows ∝ queries·k — corpus-independent); one equi-join against the broadcast relevance pairs and one query-keyed min; reciprocals are integer div, no float crosses engines.")
 

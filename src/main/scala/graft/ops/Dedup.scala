@@ -675,12 +675,22 @@ object Dedup {
     val members = connectedComponents(pairs) // (id, comp) — members only
     val scored = docs.select(col(idCol).as("id"), col(scoreCol).as("__score"))
       .join(members, Seq("id"))
-    // winner per cluster: max score, then min id — deterministic
-    val w = Window.partitionBy(col("comp"))
-      .orderBy(col("__score").desc, col("id"))
+      .localCheckpoint(eager = false) // feeds the winner aggs AND removed
+    // winner per cluster: max score, then min id — as two map-side-
+    // combinable aggregates + joins, never a row_number window over
+    // comp: a boilerplate mega-cluster (the very thing dedup mines)
+    // would funnel every member into ONE un-splittable window task,
+    // while partial aggs collapse it within each task and the joins
+    // are AQE-skew-splittable. Ties on the exact stored score value
+    // break to min id — no float arithmetic, so the equality join is
+    // exact.
+    val best = scored.groupBy(col("comp"))
+      .agg(max(col("__score")).as("__score"))
+    val winners = scored.join(best, Seq("comp", "__score"))
+      .groupBy(col("comp")).agg(min(col("id")).as("__win"))
     val removed = scored
-      .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") > 1)
+      .join(winners, Seq("comp"))
+      .filter(col("id") =!= col("__win"))
       .select(col("id").as(idCol))
     docs.join(removed, Seq(idCol), "left_anti")
   }

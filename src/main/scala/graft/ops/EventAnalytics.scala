@@ -626,6 +626,83 @@ object EventAnalytics {
       typeCol, seasonPeriods, kSigma)
   }
 
+  /** ROBUST rate anomaly — median/MAD in place of mean/σ, the
+    * detector for the masking failure both moment-based tests share:
+    * ONE extreme spike inflates the variance (z-test) and drags the
+    * global mean (CUSUM) so far that a simultaneous genuine collapse
+    * sits inside the widened tolerance and never flags. Median and
+    * MAD have a 50% breakdown point: up to half the periods can be
+    * arbitrarily corrupt and the location/scale estimates don't move,
+    * so the collapse stands out regardless of how large the spike is
+    * (spec-pinned: a planted spike that provably masks a collapse
+    * from the k=2 z-test).
+    *
+    * Exact integer end to end: median is percentile-disc (the value
+    * at 1-based rank ⌈n/2⌉ in (cnt, period) order — same definition
+    * as [[graft.ops.Sampling.discreteQuantiles]]), MAD is the same
+    * rank over |cnt − med|, and the flag is
+    * `|cnt − med| > k·MAD` — integer compares, hash-identical in any
+    * engine. MAD = 0 (more than half the periods at the median)
+    * flags EVERY deviating period: under a constant baseline any
+    * deviation is signal; pair with the z-test when counts are noisy
+    * and deviations routine.
+    *
+    * Same gap-fill/NULL-drop/horizon/span-guard semantics as
+    * [[rateAnomaly]]. Plan shape: the grid's one event shuffle; both
+    * ranking passes and the |types|-row median/MAD aggregates ride
+    * the SAME type-keyed partitioning (grid rows ∝ types·periods,
+    * already bounded by `maxSpanPeriods`); the two tiny stats frames
+    * broadcast back.
+    *
+    * @return (`typeCol`, period, cnt, med, mad, anomalous)
+    */
+  def robustAnomaly(events: DataFrame, typeCol: String, tsCol: String,
+      periodSec: Long, k: Int, horizonSec: Option[Long] = None,
+      maxSpanPeriods: Long = 1000000L): DataFrame =
+    robustFlag(filledPeriodCounts(events, typeCol, tsCol, periodSec,
+      horizonSec, maxSpanPeriods), typeCol, k)
+
+  /** [[robustAnomaly]] over PRE-AGGREGATED (typeCol, period, cnt)
+    * counts — the register-fed entry point (the
+    * [[rateAnomalyFromCounts]] contract). */
+  def robustAnomalyFromCounts(counts: DataFrame, typeCol: String,
+      k: Int, horizonPeriod: Option[Long] = None,
+      maxSpanPeriods: Long = 1000000L): DataFrame =
+    robustFlag(gapFilledCounts(counts, typeCol, horizonPeriod,
+      maxSpanPeriods, caller = "robustAnomalyFromCounts"), typeCol, k)
+
+  private def robustFlag(full: DataFrame, typeCol: String,
+      k: Int): DataFrame = {
+    // percentile-disc at p=0.5 over the grid: rank in (value, period)
+    // order, pick rank ceil(n/2). Grid rows are bounded by
+    // types·maxSpanPeriods, so the type-keyed windows here are the
+    // same bounded shape every detector in this family rides.
+    val n = full.groupBy(col(typeCol)).agg(count(lit(1)).as("__n"))
+    val medRank = ceil(col("__n").cast("decimal(20,0)") *
+      lit(new java.math.BigDecimal("0.5")).cast("decimal(10,4)"))
+    val byCnt = Window.partitionBy(col(typeCol))
+      .orderBy(col("cnt"), col("period"))
+    val med = full
+      .withColumn("__rn", row_number().over(byCnt))
+      .join(broadcast(n), Seq(typeCol))
+      .filter(col("__rn") === medRank)
+      .select(col(typeCol), col("cnt").as("med"))
+    val withRes = full.join(broadcast(med), Seq(typeCol))
+      .withColumn("__ad", abs(col("cnt") - col("med")))
+    val byAd = Window.partitionBy(col(typeCol))
+      .orderBy(col("__ad"), col("period"))
+    val mad = withRes
+      .withColumn("__rn", row_number().over(byAd))
+      .join(broadcast(n), Seq(typeCol))
+      .filter(col("__rn") === medRank)
+      .select(col(typeCol), col("__ad").as("mad"))
+    withRes.join(broadcast(mad), Seq(typeCol))
+      .select(col(typeCol), col("period"), col("cnt"), col("med"),
+        col("mad"),
+        when(col("__ad") > lit(k.toLong) * col("mad"), lit(1))
+          .otherwise(lit(0)).as("anomalous"))
+  }
+
   private def multiSeasonalFlag(full: DataFrame, typeCol: String,
       seasonPeriods: Seq[Int], kSigma: Int): DataFrame = {
     val byType = Window.partitionBy(col(typeCol)).orderBy(col("period"))

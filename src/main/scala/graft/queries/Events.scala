@@ -606,6 +606,62 @@ object Events {
       FROM r LEFT JOIN s USING (event_type)
       ORDER BY event_type, period"""))
 
+  /** Robust (median/MAD) rate anomaly
+    * ([[graft.ops.EventAnalytics.robustAnomaly]]): percentile-disc
+    * median and median-absolute-deviation over per-type daily counts,
+    * flag |cnt − med| > k·MAD — the 50%-breakdown-point detector for
+    * the masking failure of moment-based tests (one extreme spike
+    * inflates σ until a simultaneous collapse never flags). Exact
+    * integer end to end: both medians are rank-⌈n/2⌉ picks in
+    * (value, period) order, the flag an integer compare. */
+  val ev_robust_anomaly = GraftQuery(
+    "ev_robust_anomaly",
+    (s, dir) => {
+      EventAnalytics.robustAnomaly(Tables.events(s, dir), "event_type",
+        "ts", periodSec = 86400L, k = 2)
+        .orderBy(col("event_type"), col("period"))
+    },
+    Some("""WITH d AS (
+        SELECT event_type, EPOCH_US(ts) // 86400000000 AS period,
+               COUNT(*) AS cnt
+        FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+      span AS (
+        SELECT event_type, MIN(period) AS pmin, MAX(period) AS pmax
+        FROM d GROUP BY 1),
+      grid AS (
+        SELECT event_type, unnest(range(pmin, pmax + 1)) AS period
+        FROM span),
+      f AS (
+        SELECT g.event_type, g.period, COALESCE(d.cnt, 0) AS cnt
+        FROM grid g LEFT JOIN d
+          ON d.event_type = g.event_type AND d.period = g.period),
+      n AS (SELECT event_type, COUNT(*) AS n FROM f GROUP BY 1),
+      rmed AS (
+        SELECT event_type, period, cnt, ROW_NUMBER() OVER (
+          PARTITION BY event_type ORDER BY cnt, period) AS rn
+        FROM f),
+      med AS (
+        SELECT r.event_type, r.cnt AS med
+        FROM rmed r JOIN n USING (event_type)
+        WHERE r.rn = CEIL(n.n * 0.5)),
+      ad AS (
+        SELECT f.event_type, f.period, f.cnt, med.med,
+          ABS(f.cnt - med.med) AS adv
+        FROM f JOIN med USING (event_type)),
+      rmad AS (
+        SELECT event_type, period, adv, ROW_NUMBER() OVER (
+          PARTITION BY event_type ORDER BY adv, period) AS rn
+        FROM ad),
+      mad AS (
+        SELECT r.event_type, r.adv AS mad
+        FROM rmad r JOIN n USING (event_type)
+        WHERE r.rn = CEIL(n.n * 0.5))
+      SELECT ad.event_type, ad.period, CAST(ad.cnt AS BIGINT) AS cnt,
+        CAST(ad.med AS BIGINT) AS med, CAST(mad.mad AS BIGINT) AS mad,
+        CASE WHEN ad.adv > 2 * mad.mad THEN 1 ELSE 0 END AS anomalous
+      FROM ad JOIN mad USING (event_type)
+      ORDER BY event_type, period"""))
+
   /** First-order Markov transition matrix over per-user event
     * sequences, probabilities as exact-integer PPM of each from-type's
     * outgoing total (`1 000 000·n div total` — hash-identical in any
@@ -670,5 +726,5 @@ object Events {
     ev_session_funnel, ev_rolling_distinct, ev_rolling_distinct_hll,
     ev_attribution, ev_paths, ev_anomaly, ev_anomaly_horizon,
     ev_changepoint, ev_changepoint_horizon, ev_seasonal_anomaly,
-    ev_multi_seasonal, ev_markov, ev_interarrival)
+    ev_multi_seasonal, ev_robust_anomaly, ev_markov, ev_interarrival)
 }

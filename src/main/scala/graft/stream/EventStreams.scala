@@ -230,9 +230,11 @@ object EventStreams {
     * batch dirs. ONE register family feeds every detector: feed this
     * to [[graft.ops.EventAnalytics.rateAnomalyFromCounts]] (the
     * [[rateMonitorView]] convenience), `changepointFromCounts` (CUSUM
-    * level shifts), or `seasonalAnomalyFromCounts` (cadence
-    * violations) — all three are spec-pinned row-identical to their
-    * batch forms over the concatenated event log.
+    * level shifts), `seasonalAnomalyFromCounts` /
+    * `multiSeasonalAnomalyFromCounts` (cadence violations), or
+    * `robustAnomalyFromCounts` (median/MAD, spike-masking-proof) —
+    * each spec-pinned row-identical to its batch form over the
+    * concatenated event log.
     *
     * `sincePeriod` pushes a `period >=` filter into the register READ
     * (parquet row-group pruning drops old files before the sum), so a

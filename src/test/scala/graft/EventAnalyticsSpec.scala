@@ -485,6 +485,45 @@ class EventAnalyticsSpec extends SparkSpec with TableDrivenPropertyChecks {
       "event_type", "ts", 10L, Seq(2, 7), kSigma = 2)).isEmpty)
   }
 
+  test("robustAnomaly: a spike that masks a collapse from the z-test " +
+      "is powerless against median/MAD") {
+    // 31 ten-second periods alternating 11/9 (wobble → MAD = 2), a
+    // 500-count spike at period 5 and a collapse to 2 at period 20.
+    // z-test at k=2: the spike inflates σ to ~86, so the collapse's
+    // |2 − mean| ≈ 24 sits far inside 2σ — only the spike flags
+    // (masking). Robust: med = 11, MAD = 2, threshold |r| > 4 →
+    // flags exactly {5, 20}. (All values verified exactly outside
+    // Spark first.)
+    def cnt(p: Int): Int =
+      if (p == 5) 500 else if (p == 20) 2
+      else if (p % 2 == 0) 11 else 9
+    val rows = (0 until 31).flatMap(p =>
+      Seq.fill(cnt(p))((1L, p * 10L, "R", 0.0)))
+    val df = ev(rows.zipWithIndex.map { case ((u, sec, t, v), i) =>
+      (u + i, sec, t, v) }: _*)
+    val base = EventAnalytics.rateAnomaly(df, "event_type", "ts", 10L, 2)
+      .select($"period").as[Long].collect().min
+    val zFlags = EventAnalytics.rateAnomaly(df, "event_type", "ts", 10L, 2)
+      .filter($"anomalous" === 1).select($"period")
+      .as[Long].collect().map(_ - base).sorted.toSeq
+    assert(zFlags == Seq(5L), s"z-test must flag ONLY the spike: $zFlags")
+    val robust = EventAnalytics.robustAnomaly(df, "event_type", "ts", 10L, 2)
+    val rFlags = robust.filter($"anomalous" === 1).select($"period")
+      .as[Long].collect().map(_ - base).sorted.toSeq
+    assert(rFlags == Seq(5L, 20L),
+      s"median/MAD must flag spike AND collapse: $rFlags")
+    val stats = robust.select($"med", $"mad").distinct()
+      .as[(Long, Long)].collect().toSeq
+    assert(stats == Seq((11L, 2L)), s"med/mad: $stats")
+    // register-fed twin: row-identical over pre-aggregated counts
+    val counts = df.groupBy($"event_type",
+        floor(unix_micros($"ts") / 10000000L).as("period"))
+      .agg(count(lit(1)).as("cnt"))
+    val viaCounts = EventAnalytics.robustAnomalyFromCounts(
+      counts, "event_type", 2).collect().map(_.toSeq).toSet
+    assert(viaCounts == robust.collect().map(_.toSeq).toSet)
+  }
+
   test("seasonalAnomaly: type shorter than one season reports NULL " +
       "residuals and no flags") {
     val rows = (0 until 4).flatMap(p => Seq.fill(3)((1L, p * 10L, "S", 0.0)))

@@ -315,6 +315,13 @@ class EventStreamsSpec extends SparkSpec {
         horizonSec = horizon)
       .collect().map(_.toSeq).toSet
     assert(seaView == seaBatch)
+    val robView = graft.ops.EventAnalytics.robustAnomalyFromCounts(
+        counts, "event_type", 2, horizonPeriod = hp)
+      .collect().map(_.toSeq).toSet
+    val robBatch = graft.ops.EventAnalytics.robustAnomaly(batchDf,
+        "event_type", "ts", 10L, 2, horizonSec = horizon)
+      .collect().map(_.toSeq).toSet
+    assert(robView == robBatch)
 
     // compaction (additive-state path) must not change the view
     val merged = graft.stream.DocIngest.compactSketch(spark,

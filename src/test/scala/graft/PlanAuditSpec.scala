@@ -983,6 +983,15 @@ class PlanAuditSpec extends SparkSpec {
       s"df guard not map-side partial:\n${df.queryExecution.executedPlan}")
   }
 
+  test("td_dedup_best: cluster-winner pick is partial aggregates — zero window") {
+    audited(graft.queries.TrainingDataDedup.td_dedup_best.fn(spark, dir)) { df =>
+      assert(windowPartKeys(df).isEmpty,
+        s"dedupCorpusBy winner pick regressed to a comp-keyed window:\n" +
+          s"${df.queryExecution.executedPlan}")
+      assertPartialDf(df)
+    }
+  }
+
   test("td_winnowing: df guard is a partial aggregate — zero window anywhere") {
     audited(graft.queries.TrainingDataDedup.td_winnowing.fn(spark, dir)) { df =>
       assert(windowPartKeys(df).isEmpty,
