@@ -1001,13 +1001,25 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("td_incremental_winnowing: probe df guard has zero window") {
+  test("td_incremental_winnowing: probe df guard has zero window and " +
+      "BROADCASTS its survivor set back") {
     audited(graft.queries.TrainingDataDedup.td_incremental_winnowing
         .fn(spark, dir)) { df =>
       assert(windowPartKeys(df).isEmpty,
         s"probePairs df guard regressed to a window:\n" +
           s"${df.queryExecution.executedPlan}")
       assertPartialDf(df)
+      // the guard's join-back is an explicit broadcast() hint in
+      // probePairs (the df table is bounded by the batch's distinct
+      // hashes); it runs in an earlier job behind the localCheckpoint
+      // boundary, so this final plan can't see it — the visible pair
+      // join being broadcast plus zero windows anywhere is the
+      // auditable residue here
+      val bhj = df.queryExecution.executedPlan.collect {
+        case b: BroadcastHashJoinExec => b
+      }
+      assert(bhj.nonEmpty,
+        s"pair join not broadcast:\n${df.queryExecution.executedPlan}")
     }
   }
 
