@@ -101,17 +101,24 @@ object Wal2Json {
     * offline repair.
     */
   def partitionValid(parsed: DataFrame): (DataFrame, DataFrame) = {
-    // an unrecognized kind quarantines too: wal2json change records
-    // carry only insert/update/delete (truncate rides the DDL spool),
-    // and [[decodeEvents]] would silently DROP any other value — the
-    // reference fail-fasts on statements it can't generate
-    // (`replayer/connemara_replay.pl:543-544`), so losing the row
-    // quietly is the one behavior both modes must rule out
-    val bad = col("p").isNull ||
-      col("p.kind").isNull || col("p.table").isNull || col("p.schema").isNull ||
-      !col("p.kind").isin("insert", "update", "delete")
+    val bad = invalid
     (parsed.filter(!bad), parsed.filter(bad))
   }
+
+  /** The quarantine predicate over a [[parse]]d frame: payload failed
+    * to parse entirely, or parsed to a change with no usable
+    * kind/table. An unrecognized kind quarantines too: wal2json change
+    * records carry only insert/update/delete (truncate rides the DDL
+    * spool), and [[decodeEvents]] would silently DROP any other value
+    * — the reference fail-fasts on statements it can't generate
+    * (`replayer/connemara_replay.pl:543-544`), so losing the row
+    * quietly is the one behavior both modes must rule out. Exposed as
+    * a column so the stream engine can fold validity counting into its
+    * single per-batch preamble aggregate. */
+  def invalid: Column =
+    col("p").isNull ||
+      col("p.kind").isNull || col("p.table").isNull || col("p.schema").isNull ||
+      !col("p.kind").isin("insert", "update", "delete")
 
   /** Envelope stream → one spool-shaped row per change, the envelope's
     * xid/timestamp carried onto every change (S2's framing, minus the

@@ -63,63 +63,72 @@ object SyntheticCdc {
       timestamp_seconds(lit(tsBase + phase * 60L)).as("xid_timestamp"),
       lit("slot1").as("source_slotname"))
 
+  /** Spool row as a STRUCT (same fields/types as [[spoolRows]]) — the
+    * building block of the single-scan log generators below: each
+    * phase becomes one `when(condition, spoolStruct(...))` element of
+    * an array that is filtered and exploded, so a 7-phase log costs
+    * ONE scan of the base table and one Generate instead of a 7-branch
+    * union of filtered scans. The union form made every consumer's
+    * plan carry 7 parquet scans; analysis + codegen of that tree
+    * dominated the COLD time of the whole cdc_* batch family
+    * (optimization round 15, guide §3.3: wide unions make planning
+    * itself the bottleneck). Rows are identical, order immaterial
+    * (every consumer folds by the (ts, lsn) clock or sorts). */
+  private def spoolStruct(phase: Int, payload: Column, lsnKey: Column): Column =
+    struct(
+      timestamp_seconds(lit(tsBase + phase)).as("insert_timestamp"),
+      lit("srcdb").as("database"),
+      (lit(phase.toLong * 10000000L) + lsnKey).as("lsn_start"),
+      (lit(phase.toLong * 100000L) + lsnKey).as("xid"),
+      payload.as("payload"),
+      timestamp_seconds(lit(tsBase + phase * 60L)).as("xid_timestamp"),
+      lit("slot1").as("source_slotname"))
+
+  /** Explode per-row phase events (null = phase doesn't touch the row)
+    * into spool rows. */
+  private def explodeEvents(base: DataFrame, events: Seq[Column]): DataFrame =
+    base
+      .select(explode(filter(array(events: _*), e => e.isNotNull)).as("__r"))
+      .select(col("__r.*"))
+
   def customerLog(spark: SparkSession, sfDir: String): DataFrame = {
     val c = Tables.customer(spark, sfDir)
     val k = col("c_custkey")
     val ks = k.cast("string")
 
-    val p1 = spoolRows(
-      c.filter(pmod(k, lit(10)).isin(1, 2)), 1,
-      updatePayload(
+    val m10 = pmod(k, lit(10))
+    val m20 = pmod(k, lit(20))
+
+    explodeEvents(c, Seq(
+      when(m10.isin(1, 2), spoolStruct(1, updatePayload(
         Seq("c_custkey", "c_acctbal"),
-        Seq(ks, (col("c_acctbal") + 100).cast("string")), ks), k)
-
-    val p2 = spoolRows(
-      c.filter(pmod(k, lit(10)) === 1), 2,
-      updatePayload(
+        Seq(ks, (col("c_acctbal") + 100).cast("string")), ks), k)),
+      when(m10 === 1, spoolStruct(2, updatePayload(
         Seq("c_custkey", "c_mktsegment"),
-        Seq(ks, lit("HOT")), ks), k)
-
-    val p3 = spoolRows(
-      c.filter(pmod(k, lit(10)) === 3), 3,
-      updatePayload(
+        Seq(ks, lit("HOT")), ks), k)),
+      when(m10 === 3, spoolStruct(3, updatePayload(
         Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
         Seq(
           (k + 5000000L).cast("string"),
           concat(lit("Moved#"), ks),
           col("c_nationkey").cast("string"),
           col("c_acctbal").cast("string"),
-          col("c_mktsegment")), ks), k)
-
-    val p4 = spoolRows(
-      c.filter(pmod(k, lit(10)) === 4), 4,
-      insertPayload(Seq(
+          col("c_mktsegment")), ks), k)),
+      when(m10 === 4, spoolStruct(4, insertPayload(Seq(
         (k + 9000000L).cast("string"),
         concat(lit("New#"), ks),
         col("c_nationkey").cast("string"),
-        lit("0.0"), lit("NEWSEG"))), k)
-
-    val p5 = spoolRows(
-      c.filter(pmod(k, lit(20)) === 4), 5,
-      updatePayload(
+        lit("0.0"), lit("NEWSEG"))), k)),
+      when(m20 === 4, spoolStruct(5, updatePayload(
         Seq("c_custkey", "c_acctbal"),
         Seq((k + 9000000L).cast("string"), lit("50.0")),
-        (k + 9000000L).cast("string")), k)
-
-    val p6 = spoolRows(
-      c.filter(pmod(k, lit(10)) === 0), 6,
-      deletePayload(ks), k)
-
-    val p7 = spoolRows(
-      c.filter(pmod(k, lit(20)) === 10), 7,
-      insertPayload(Seq(
+        (k + 9000000L).cast("string")), k)),
+      when(m10 === 0, spoolStruct(6, deletePayload(ks), k)),
+      when(m20 === 10, spoolStruct(7, insertPayload(Seq(
         ks,
         concat(lit("Re#"), ks),
         col("c_nationkey").cast("string"),
-        lit("1.0"), lit("RESEG"))), k)
-
-    p1.unionByName(p2).unionByName(p3).unionByName(p4)
-      .unionByName(p5).unionByName(p6).unionByName(p7)
+        lit("1.0"), lit("RESEG"))), k))))
   }
 
   /** Deliberately hot-keyed change log (SURVEY §2.8 A4 skew): ~half
@@ -141,12 +150,12 @@ object SyntheticCdc {
     val k = col("c_custkey")
     val ks = k.cast("string")
 
-    // spool rows with PER-EVENT timestamps (spoolRows fixes one ts
-    // per phase, which would defeat time-bucket sharding)
+    // spool structs with PER-EVENT timestamps (spoolStruct fixes one
+    // ts per phase, which would defeat time-bucket sharding)
     // 31 s spacing: every emitter lands in its own 30 s bucket, so
     // the shard count grows with the table, not the phase count
-    def rows(df: DataFrame, phase: Int, payload: Column): DataFrame =
-      df.select(
+    def ev(phase: Int, payload: Column): Column =
+      struct(
         timestamp_seconds(lit(tsBase) + k * 31).as("insert_timestamp"),
         lit("srcdb").as("database"),
         (lit(phase.toLong * 10000000L) + k).as("lsn_start"),
@@ -155,25 +164,16 @@ object SyntheticCdc {
         timestamp_seconds(lit(tsBase) + k * 31).as("xid_timestamp"),
         lit("slot1").as("source_slotname"))
 
-    val hotBal = rows(
-      c.filter(pmod(k, lit(2)) === 0), 1,
-      updatePayload(
+    explodeEvents(c, Seq(
+      when(pmod(k, lit(2)) === 0, ev(1, updatePayload(
         Seq("c_custkey", "c_acctbal"),
-        Seq(lit("1"), k.cast("double").cast("string")), lit("1")))
-
-    val hotSeg = rows(
-      c.filter(pmod(k, lit(2)) === 1), 2,
-      updatePayload(
+        Seq(lit("1"), k.cast("double").cast("string")), lit("1")))),
+      when(pmod(k, lit(2)) === 1, ev(2, updatePayload(
         Seq("c_custkey", "c_mktsegment"),
-        Seq(lit("1"), concat(lit("SEG"), ks)), lit("1")))
-
-    val spread = rows(
-      c.filter(pmod(k, lit(10)) === 7), 3,
-      updatePayload(
+        Seq(lit("1"), concat(lit("SEG"), ks)), lit("1")))),
+      when(pmod(k, lit(10)) === 7, ev(3, updatePayload(
         Seq("c_custkey", "c_acctbal"),
-        Seq(ks, (col("c_acctbal") + 1000).cast("string")), ks))
-
-    hotBal.unionByName(hotSeg).unionByName(spread)
+        Seq(ks, (col("c_acctbal") + 1000).cast("string")), ks)))))
   }
 
   /** One micro-batch of a ROLLING change log over `customer` — the
@@ -205,8 +205,8 @@ object SyntheticCdc {
     val ks = k.cast("string")
     val b = batch.toLong
 
-    def rows(df: DataFrame, sub: Int, payload: Column): DataFrame =
-      df.select(
+    def ev(sub: Int, payload: Column): Column =
+      struct(
         timestamp_seconds(lit(tsBase + b * 60)).as("insert_timestamp"),
         lit("srcdb").as("database"),
         (lit(b * 100000000L + sub.toLong * 10000000L) + k).as("lsn_start"),
@@ -215,24 +215,22 @@ object SyntheticCdc {
         timestamp_seconds(lit(tsBase + b * 60)).as("xid_timestamp"),
         lit("slot1").as("source_slotname"))
 
-    val updates = rows(
-      c.filter(pmod(k, lit(10)) =!= 4), 1,
-      updatePayload(
+    val updates =
+      when(pmod(k, lit(10)) =!= 4, ev(1, updatePayload(
         Seq("c_custkey", "c_acctbal"),
-        Seq(ks, lit(b.toDouble).cast("string")), ks))
-    val inserts = rows(
-      c.filter(pmod(k, lit(10)) === 4), 2,
-      insertPayload(Seq(
+        Seq(ks, lit(b.toDouble).cast("string")), ks)))
+    val inserts =
+      when(pmod(k, lit(10)) === 4, ev(2, insertPayload(Seq(
         (k + b * 10000000L).cast("string"),
         concat(lit(s"B$batch#"), ks),
         col("c_nationkey").cast("string"),
-        lit("0.0"), lit("NEWSEG"))))
+        lit("0.0"), lit("NEWSEG")))))
     val deletes =
       if (batch <= 1) None
-      else Some(rows(
-        c.filter(pmod(k, lit(10)) === 4), 3,
-        deletePayload((k + (b - 1) * 10000000L).cast("string"))))
-    deletes.foldLeft(updates.unionByName(inserts))(_ unionByName _)
+      else Some(
+        when(pmod(k, lit(10)) === 4, ev(3,
+          deletePayload((k + (b - 1) * 10000000L).cast("string")))))
+    explodeEvents(c, Seq(updates, inserts) ++ deletes)
   }
 
   /** Composite-key change log over a lineitem-shaped target
@@ -265,15 +263,14 @@ object SyntheticCdc {
     }
 
     val lsnKey = ok * 10 + col("l_linenumber")
-    val p1 = spoolRows(
-      li.filter(pmod(ok, lit(10)) === 1), 1,
-      payload("update",
-        Seq("l_orderkey", "l_linenumber", "l_quantity"),
-        Seq(oks, lns, (col("l_quantity") + 5).cast("string")),
-        withOld = true), lsnKey)
-    val p2 = spoolRows(
-      li.filter(pmod(ok, lit(10)) === 0 && col("l_linenumber") === 1), 2,
-      payload("delete", Seq.empty, Seq.empty, withOld = true), lsnKey)
-    p1.unionByName(p2)
+    explodeEvents(li, Seq(
+      when(pmod(ok, lit(10)) === 1, spoolStruct(1,
+        payload("update",
+          Seq("l_orderkey", "l_linenumber", "l_quantity"),
+          Seq(oks, lns, (col("l_quantity") + 5).cast("string")),
+          withOld = true), lsnKey)),
+      when(pmod(ok, lit(10)) === 0 && col("l_linenumber") === 1,
+        spoolStruct(2,
+          payload("delete", Seq.empty, Seq.empty, withOld = true), lsnKey))))
   }
 }

@@ -436,4 +436,40 @@ object Sketches {
       .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("est_rows"))
       .select(lit(buckets).as("buckets"), col("est_rows"))
   }
+
+  /** Multi-resolution [[joinSizeEstimate]]: ONE md5-route histogram
+    * pass per side at the FINEST width, every coarser width derived by
+    * re-aggregating that histogram — exact, not an approximation,
+    * because each width divides the finest and the route is
+    * `pmod(H, n)` over a non-negative H, so
+    * `pmod(pmod(H, finest), w) ≡ pmod(H, w)`. Row-identical to
+    * unioning per-width [[joinSizeEstimate]] calls while each input is
+    * scanned (and md5-hashed) ONCE instead of |widths| times — at
+    * corpus scale the md5-over-the-fact-table pass is the entire cost,
+    * and the derived re-aggregations run on ≤ finest rows
+    * (localCheckpoint pins the two histograms so the per-width reads
+    * never touch the corpus again). */
+  def joinSizeEstimateMulti(left: DataFrame, leftKey: Column,
+      right: DataFrame, rightKey: Column, buckets: Seq[Int]): DataFrame = {
+    import graft.functions.Routing
+    require(buckets.nonEmpty, "joinSizeEstimateMulti: no widths")
+    val finest = buckets.max
+    require(buckets.forall(b => b > 0 && finest % b == 0),
+      s"joinSizeEstimateMulti: every width must divide the finest ($finest), " +
+        s"got $buckets")
+    def hist(df: DataFrame, key: Column) = df
+      .select(Routing.md5Route(finest, key.cast("string")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = false)
+    val ha = hist(left, leftKey)
+    val hb = hist(right, rightKey)
+    buckets.map { w =>
+      def coarse(h: DataFrame, as: String) = h
+        .groupBy(pmod(col("h"), lit(w.toLong)).as("b"))
+        .agg(sum(col("n")).as(as))
+      coarse(ha, "na").join(coarse(hb, "nb"), Seq("b"))
+        .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("est_rows"))
+        .select(lit(w).as("buckets"), col("est_rows"))
+    }.reduce(_ unionByName _)
+  }
 }

@@ -425,10 +425,10 @@ object TrainingDataSketch {
     (s, dir) => {
       val li = Tables.lineitem(s, dir)
       val ord = Tables.orders(s, dir)
-      val ests = Seq(16, 256, 4096)
-        .map(b => Sketches.joinSizeEstimate(
-          li, col("l_orderkey"), ord, col("o_orderkey"), b))
-        .reduce(_ unionByName _)
+      // one md5 pass per side at width 4096; 16/256 derived exactly
+      // from that histogram (divisor widths) — see joinSizeEstimateMulti
+      val ests = Sketches.joinSizeEstimateMulti(
+        li, col("l_orderkey"), ord, col("o_orderkey"), Seq(16, 256, 4096))
       val exact = li.join(ord,
           col("l_orderkey") === col("o_orderkey"))
         .agg(count(lit(1)).as("exact_rows"))

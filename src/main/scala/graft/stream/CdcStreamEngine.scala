@@ -3,8 +3,7 @@ package graft.stream
 import graft.apply.{ApplyEngine, IncrementalAgg}
 import graft.decode.Wal2Json
 import graft.model.{ChangeRecord, SchemaRegistry, TableId, TableMeta}
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -187,49 +186,82 @@ final class CdcStreamEngine(
         slotByDb, col("database"), col("source_slotname")))
     val batch =
       startLsn.fold(batchSlotted)(l => batchSlotted.filter(col("lsn_start") >= l))
-    if (batch.isEmpty) return
     val parsedAll = Wal2Json.parse(batch).cache()
     try {
-      // Malformed payloads: fail fast in strict mode (A9 — the
-      // reference dies on the first bad row); otherwise drop them
-      // from replay but preserve the raw rows for offline repair.
-      val (parsed, quarantined) = Wal2Json.partitionValid(parsedAll)
-      // preserve the bad rows FIRST — in strict mode they're exactly
-      // what the operator needs to diagnose the fail-fast
-      quarantineDir.foreach { dir =>
-        quarantined.drop("p").withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id")
-          .parquet(dir)
-      }
-      if (strict) {
-        val nBad = quarantined.count()
-        if (nBad > 0) throw new IllegalStateException(
-          s"batch $batchId: $nBad unparseable change payloads" +
-            quarantineDir.map(d => s" (preserved under $d)").getOrElse(""))
-      }
-
       // P7: DDL routing predicate splits the stream. Only INSERTs
       // carry statements; deletes/updates of the DDL spool table
       // (e.g. processed-row cleanup) are ignorable bookkeeping.
       val isDdl = col("p.schema") === "public" &&
         col("p.table") === "sql_ddl_statements"
+      val bad = Wal2Json.invalid
 
-      val ddls = parsed.filter(isDdl && col("p.kind") === "insert")
-        .orderBy(col("xid_timestamp"), col("lsn_start"))
-        .select(col("xid_timestamp"), col("lsn_start"), col("database"),
-          map_from_arrays(col("p.columnnames"), col("p.columnvalues")).as("m"))
-        .collect()
+      // ONE preamble action where there used to be four driver
+      // round-trips per micro-batch (the emptiness probe, the strict
+      // quarantine count, the DDL collect, and the first segment's
+      // touched-tables collect): row/malformed counts, the batch's
+      // ordered DDL events, and the touched-table set all return from
+      // a single aggregate over the cached parse. Per-trigger driver
+      // round-trips are the replay loop's fixed cost — at the 30 s
+      // reference cadence each one saved is latency on every batch
+      // forever (opt guide §1.2: fix the distributed-algorithm shape
+      // first; a collect per phase IS the shape here).
+      // §1.5 of the optimization guide: label the replay loop's jobs so
+      // a slow trigger decomposes in the UI / profiler without guesswork
+      def label(phase: String): Unit =
+        spark.sparkContext.setJobDescription(s"cdc batch $batchId: $phase")
+      label("preamble")
+      val pre = parsedAll.agg(
+        count(lit(1)).as("__n"),
+        count(when(bad, lit(1))).as("__nbad"),
+        collect_list(when(!bad && isDdl && col("p.kind") === "insert",
+          struct(col("xid_timestamp"), col("lsn_start"), col("database"),
+            map_from_arrays(col("p.columnnames"), col("p.columnvalues")))))
+          .as("__ddls"),
+        collect_set(when(!bad && !isDdl &&
+            !col("p.table").startsWith("pg_temp"),
+          struct(col("database"), col("p.schema"), col("p.table"))))
+          .as("__touched")).head()
+      if (pre.getLong(0) == 0L) return
+      val nBad = pre.getLong(1)
+
+      // Malformed payloads: fail fast in strict mode (A9 — the
+      // reference dies on the first bad row); otherwise drop them
+      // from replay but preserve the raw rows for offline repair.
+      // Preserve FIRST — in strict mode they're exactly what the
+      // operator needs to diagnose the fail-fast. A clean batch skips
+      // the write entirely (dynamic overwrite of zero rows touched no
+      // partition anyway, but it still cost a full write action).
+      if (nBad > 0) quarantineDir.foreach { dir =>
+        label("quarantine")
+        parsedAll.filter(bad).drop("p").withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(dir)
+      }
+      if (strict && nBad > 0) throw new IllegalStateException(
+        s"batch $batchId: $nBad unparseable change payloads" +
+          quarantineDir.map(d => s" (preserved under $d)").getOrElse(""))
+
+      val parsed = parsedAll.filter(!bad)
+
+      // driver-side (ts, lsn) sort replaces the orderBy the old
+      // per-batch DDL collect paid for — the list is tiny by cadence
+      val ddls = pre.getSeq[Row](2)
         .map { r =>
-          val m = r.getMap[String, String](3)
           (r.getTimestamp(0), r.getLong(1),
             graft.ddl.DdlInterpreter.eventFrom(
               r.getString(2),
-              Map.empty[String, String] ++ m.toMap.collect {
+              Map.empty[String, String] ++ r.getMap[String, String](3).collect {
                 case (k, v) if v != null => k -> v
               }))
         }
+        .sortBy { case (ts, lsn, _) =>
+          val i = if (ts == null) java.time.Instant.EPOCH.minusSeconds(1L << 40)
+                  else ts.toInstant
+          (i.getEpochSecond, i.getNano.toLong, lsn)
+        }
+        .toArray
 
       val dml = parsed.filter(!isDdl)
       val pos = struct(col("xid_timestamp"), col("lsn_start"))
@@ -256,12 +288,15 @@ final class CdcStreamEngine(
       // cadence the reference runs (`replayer/connemara_replay.pl:846-857`).
       val allowDelta = ddls.isEmpty
 
-      def applySegment(segDml: DataFrame): Unit = {
-        val touched = segDml
-          .select(col("database").as("d"), col("p.schema").as("s"), col("p.table").as("t"))
-          .filter(!col("t").startsWith("pg_temp")) // P6
-          .distinct().collect()
-          .map(r => TableId(r.getString(0), r.getString(1), r.getString(2)))
+      // per-segment touched set (DDL batches only — the common DML-only
+      // batch gets its set from the preamble aggregate, zero extra jobs)
+      def touchedOf(segDml: DataFrame): Seq[TableId] = segDml
+        .select(col("database").as("d"), col("p.schema").as("s"), col("p.table").as("t"))
+        .filter(!col("t").startsWith("pg_temp")) // P6
+        .distinct().collect().toSeq
+        .map(r => TableId(r.getString(0), r.getString(1), r.getString(2)))
+
+      def applySegment(segDml: DataFrame, touched: Seq[TableId]): Unit = {
         touched.foreach { tid =>
           registry.get(tid)
             .filter(meta => committed.get(meta.id.qualified).forall(_ < targetVersion))
@@ -325,10 +360,13 @@ final class CdcStreamEngine(
         }
       }
 
-      if (ddls.isEmpty) applySegment(dml)
+      if (ddls.isEmpty)
+        applySegment(dml, pre.getSeq[Row](3)
+          .map(r => TableId(r.getString(0), r.getString(1), r.getString(2))))
       else {
         val bounds = ddls.map { case (ts, lsn, _) => struct(lit(ts), lit(lsn)) }
-        applySegment(dml.filter(pos < bounds.head))
+        val seg0 = dml.filter(pos < bounds.head)
+        applySegment(seg0, touchedOf(seg0))
         ddls.indices.foreach { i =>
           ddlHandler(ddls(i)._3) // the barrier: DDL at its position
           // lower bound INCLUSIVE: DML sharing the DDL's exact stream
@@ -338,7 +376,7 @@ final class CdcStreamEngine(
           val seg =
             if (i + 1 < ddls.length) dml.filter(lower && pos < bounds(i + 1))
             else dml.filter(lower)
-          applySegment(seg)
+          applySegment(seg, touchedOf(seg))
         }
       }
 
@@ -356,7 +394,8 @@ final class CdcStreamEngine(
         // delta entries write only their changed buckets; bucketed
         // tables touched any other way (DDL batch, hooks) keep the
         // bucketed layout via a full bucket rewrite
-        def stageOne(tid: TableId, df: DataFrame): Unit =
+        def stageOne(tid: TableId, df: DataFrame): Unit = {
+          label(s"stage ${tid.qualified}")
           store.bucketSpec(tid) match {
             case Some(spec) => workingBuckets.get(tid) match {
               case Some(changed) =>
@@ -366,6 +405,7 @@ final class CdcStreamEngine(
             }
             case None => store.stage(tid, df, targetVersion)
           }
+        }
         // parallel staging: disjoint dirs, one commit after the barrier
         // (the reference's nb_threads worker pool, replay.pl:764-777)
         if (entries.length <= 1)
@@ -405,14 +445,20 @@ final class CdcStreamEngine(
       // (idempotent), mirroring `WITH deleted AS (DELETE … RETURNING *)
       // INSERT INTO replication.replayed` (`replayer/connemara_replay.pl:521-526`).
       archiveDir.foreach { dir =>
-        batch.withColumn("batch_id", lit(batchId))
+        label("archive")
+        // raw rows from the cached parse (drop("p") restores the exact
+        // spool shape) — the old form re-read the source files
+        parsedAll.drop("p").withColumn("batch_id", lit(batchId))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id")
           .parquet(dir)
       }
       maybeFail(batchId, "post_commit")
-    } finally parsedAll.unpersist()
+    } finally {
+      spark.sparkContext.setJobDescription(null)
+      parsedAll.unpersist()
+    }
   }
 
   /** Start the streaming replay over a spool directory. */
