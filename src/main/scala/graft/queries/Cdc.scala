@@ -439,8 +439,11 @@ object Cdc {
         (s"$tmp/spool", s"$tmp/ckpt", s"$tmp/store", s"$tmp/quarantine")
       val k = col("c_custkey")
       val ks = k.cast("string")
-      def spoolRows(df: DataFrame, payload: org.apache.spark.sql.Column) =
-        df.select(
+      // single-scan fixture: both event classes are per-row array
+      // elements over ONE customer scan (the round-15 SyntheticCdc
+      // shape — a 2-branch union doubled the scan and the plan)
+      def spoolStruct(payload: org.apache.spark.sql.Column) =
+        struct(
           timestamp_seconds(lit(1700000001L)).as("insert_timestamp"),
           lit("srcdb").as("database"),
           (lit(10000000L) + k).as("lsn_start"),
@@ -448,14 +451,14 @@ object Cdc {
           payload.as("payload"),
           timestamp_seconds(lit(1700000060L)).as("xid_timestamp"),
           lit("slot1").as("source_slotname"))
-      val valid = spoolRows(c.filter(pmod(k, lit(10)) === 2),
+      val valid = spoolStruct(
         concat(
           lit("""{"kind":"update","schema":"public","table":"customer",""" +
             """"columnnames":["c_custkey","c_acctbal"],"columnvalues":["""),
           ks, lit(",\""), (col("c_acctbal") + 100).cast("string"),
           lit("\"]," + """"oldkeys":{"keynames":["c_custkey"],"keyvalues":["""),
           ks, lit("]}}")))
-      val broken = spoolRows(c.filter(pmod(k, lit(10)) === 1),
+      val broken = spoolStruct(
         concat(
           lit("""{"kind":"upd8","schema":"public","table":"customer",""" +
             """"columnnames":["c_custkey","c_mktsegment"],""" +
@@ -463,8 +466,11 @@ object Cdc {
           ks,
           lit(""","HOT"],"oldkeys":{"keynames":["c_custkey"],"keyvalues":["""),
           ks, lit("]}}")))
-      writeSpoolFile(valid.unionByName(broken), spool, "batch_1",
-        1700000000000L)
+      val log = c.select(explode(filter(array(
+          when(pmod(k, lit(10)) === 2, valid),
+          when(pmod(k, lit(10)) === 1, broken)), e => e.isNotNull)).as("__r"))
+        .select(col("__r.*"))
+      writeSpoolFile(log, spool, "batch_1", 1700000000000L)
       val registry = new graft.model.SchemaRegistry
       registry.register(meta)
       val store = new graft.stream.TableStore(s, root)
@@ -601,11 +607,16 @@ object Cdc {
         meta.id
       }
       store.commit(ids.map(_ -> 0L).toMap)
-      def upd(df: DataFrame, db: String, slot: String,
-              bal: org.apache.spark.sql.Column, lsnBase: Long) =
-        df.select(
+      // single-scan fixture (round-15 shape): per-db routing is a
+      // pmod-derived column, so the four legit slices collapse to ONE
+      // array element over one customer scan instead of a 5-branch
+      // union (4 filtered scans + the stale-slot scan)
+      def updStruct(db: org.apache.spark.sql.Column,
+                    slot: org.apache.spark.sql.Column,
+                    bal: org.apache.spark.sql.Column, lsnBase: Long) =
+        struct(
           timestamp_seconds(lit(1700000001L)).as("insert_timestamp"),
-          lit(db).as("database"),
+          db.as("database"),
           (lit(lsnBase) + k).as("lsn_start"),
           (lit(100000L) + k).as("xid"),
           concat(
@@ -615,19 +626,22 @@ object Cdc {
             lit("""],"oldkeys":{"keynames":["c_custkey"],"keyvalues":["""),
             ks, lit("]}}")).as("payload"),
           timestamp_seconds(lit(1700000060L)).as("xid_timestamp"),
-          lit(slot).as("source_slotname"))
+          slot.as("source_slotname"))
       // update class %3=0 intersects every %4 slice (k ≡ 0,9,6,3 mod
       // 12 respectively) — a %10 class would leave the even slices
       // updateless and their tables uncommitted
-      val legit = dbs.zipWithIndex.map { case (db, i) =>
-        upd(c.filter(pmod(k, lit(4)) === i && pmod(k, lit(3)) === 0),
-          db, s"slot_$db", col("c_acctbal") + (i + 1) * 100, 10000000L)
-      }.reduce(_ unionByName _)
+      val m4 = pmod(k, lit(4))
+      val dbCol = concat(lit("db"), (m4 + 1).cast("string"))
+      val legit = when(pmod(k, lit(3)) === 0,
+        updStruct(dbCol, concat(lit("slot_"), dbCol),
+          col("c_acctbal") + (m4 + 1) * 100, 10000000L))
       // stale slot on db2: higher LSN, poison value — P5 drops it
-      val stale = upd(c.filter(pmod(k, lit(4)) === 1 && pmod(k, lit(3)) === 0),
-        "db2", "slot_stale", lit(-999.0), 20000000L)
-      writeSpoolFile(legit.unionByName(stale), spool, "batch_1",
-        1700000000000L)
+      val stale = when(m4 === 1 && pmod(k, lit(3)) === 0,
+        updStruct(lit("db2"), lit("slot_stale"), lit(-999.0), 20000000L))
+      val log = c.select(explode(filter(array(legit, stale),
+          e => e.isNotNull)).as("__r"))
+        .select(col("__r.*"))
+      writeSpoolFile(log, spool, "batch_1", 1700000000000L)
       val engine = new graft.stream.CdcStreamEngine(s, registry, store,
         slotByDb = Map("db1" -> "slot_db1", "db2" -> "slot_db2"))
       engine.start(spool, ckpt).awaitTermination()
