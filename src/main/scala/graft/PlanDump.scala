@@ -114,7 +114,7 @@ object PlanDump {
     "td_curation_funnel" ->
       "End-to-end curation funnel (quality -> exact dedup -> decontam in ONE plan): the corpus is scanned once (localCheckpoint pins the shared base), dedup is one md5-keyed exchange, the benchmark shingle set BROADCASTS into the contamination probe, and the per-source funnel counts are map-side-partial sums — composition adds no driver round-trips and no second corpus-sized shuffle.",
     "td_join_estimate" ->
-      "Histogram join-size estimation: each side collapses to `buckets` rows via ONE map-side-combinable count aggregate keyed by the md5 route — the planner learns the join cardinality from two column scans; the bucket-product join and the exact-count comparison (test-scale only) are the only joins in the plan.",
+      "Histogram join-size estimation, multi-resolution form (round 15): each side collapses ONCE to a finest-width (4096) md5-route histogram via a map-side-combinable count — coarser widths (256/16) re-aggregate that checkpointed histogram, exact because every width divides the finest (pmod(pmod(H,4096),w) = pmod(H,w)). Two md5-bearing corpus scans total where the per-width form paid six; the bucket-product joins and the exact-count comparison (test-scale only) run on <= 4096-row inputs.",
     "td_token_fertility" ->
       "Tokenizer fertility by (source, lang): BPE token counts are a narrow codegen pass (the same expression td_bpe_encode oracles), then one partial-aggregate exchange of (source, lang) groups — per-token work never crosses the wire and raw text never shuffles (PlanAuditSpec asserts both).",
     "td_dedup_roi" ->

@@ -360,6 +360,51 @@ object Cdc {
     rm(new java.io.File(dir))
   }
 
+  /** Write one spool file PER distinct value of `phase` (an int
+    * column) in a SINGLE Spark job: one hash-partitioned partitionBy
+    * write puts each phase's rows in its own directory as one file
+    * (repartition by phase → a phase never splits across tasks), then
+    * each part file moves to `$spool/<nameOf(p)>.parquet` with its
+    * forced mtime. Replaces N filter+coalesce(1) write jobs — the
+    * per-phase spool prep was N full write actions for one logical
+    * pass (opt guide §2.4: one exchange can serve every phase). */
+  private[graft] def writeSpoolFilesByPhase(df: DataFrame,
+      phase: org.apache.spark.sql.Column, spool: String,
+      nameOf: Int => String, mtimeOf: Int => Long): Unit = {
+    import java.nio.file.{Files, Paths}
+    val dir = s"$spool/_stage_phases"
+    df.withColumn("__phase", phase.cast("int"))
+      .repartition(col("__phase"))
+      .write.mode("overwrite").partitionBy("__phase").parquet(dir)
+    Files.createDirectories(Paths.get(spool))
+    val phaseDirs = {
+      val s = Files.list(Paths.get(dir))
+      try s.iterator().asScala.toSeq
+        .filter(_.getFileName.toString.startsWith("__phase="))
+      finally s.close()
+    }
+    require(phaseDirs.nonEmpty, s"no phase partitions written under $dir")
+    phaseDirs.foreach { pd =>
+      val p = pd.getFileName.toString.stripPrefix("__phase=").toInt
+      val parts = {
+        val s = Files.list(pd)
+        try s.iterator().asScala.toSeq
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+        finally s.close()
+      }
+      require(parts.size == 1,
+        s"expected exactly one file for phase $p, found ${parts.size}")
+      val target = Paths.get(s"$spool/${nameOf(p)}.parquet")
+      Files.move(parts.head, target)
+      Files.setLastModifiedTime(target,
+        java.nio.file.attribute.FileTime.fromMillis(mtimeOf(p)))
+    }
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(dir))
+  }
+
   /** K5 archive mode as an oracled query: the deterministic change
     * log replays through the REAL engine (one spool file per phase →
     * one micro-batch per phase), with `archiveDir` set — applied
@@ -378,16 +423,12 @@ object Cdc {
       val tmp = Files.createTempDirectory("graft-q-arch-").toString
       val (spool, ckpt, root, arch) =
         (s"$tmp/spool", s"$tmp/ckpt", s"$tmp/store", s"$tmp/archive")
-      // materialize the 7-phase union ONCE: each per-phase spool write
-      // filters this log, and without the checkpoint every write
-      // re-evaluates all 7 branches (49 scans of customer + to_json)
-      val log = SyntheticCdc.customerLog(s, dir).localCheckpoint()
-      (1 to 7).foreach { p =>
-        writeSpoolFile(
-          log.filter(col("insert_timestamp") ===
-            timestamp_seconds(lit(1700000000L + p))),
-          spool, s"phase_$p", 1700000000000L + p * 60000L)
-      }
+      // all 7 phase files from ONE write job (the phase is recoverable
+      // from the fixture's per-phase insert_timestamp); the old form
+      // was an eager checkpoint + 7 filter+coalesce write actions
+      writeSpoolFilesByPhase(SyntheticCdc.customerLog(s, dir),
+        unix_seconds(col("insert_timestamp")) - 1700000000L, spool,
+        p => s"phase_$p", p => 1700000000000L + p * 60000L)
       val registry = new graft.model.SchemaRegistry
       registry.register(meta)
       val store = new graft.stream.TableStore(s, root)
