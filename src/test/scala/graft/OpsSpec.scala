@@ -223,6 +223,32 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("joinSizeEstimateMulti ≡ per-width joinSizeEstimate (divisor widths)") {
+    // the one-pass multi-resolution form must be ROW-identical to
+    // unioning single-width calls: coarser widths re-aggregate the
+    // finest histogram, exact because pmod(pmod(H, finest), w) ==
+    // pmod(H, w) when w divides finest
+    val rnd = new scala.util.Random(77)
+    val left = (0 until 500).map(_ => rnd.nextInt(60).toLong).toDF("k")
+    val right = (0 until 350).map(_ => rnd.nextInt(60).toLong).toDF("k")
+    val widths = Seq(4, 16, 256)
+    val multi = graft.ops.Sketches.joinSizeEstimateMulti(
+        left, col("k"), right, col("k"), widths)
+      .orderBy(col("buckets"))
+      .as[(Int, Long)].collect().toSeq
+    val single = widths.map { w =>
+      w -> graft.ops.Sketches.joinSizeEstimate(
+        left, col("k"), right, col("k"), w)
+        .select("est_rows").as[Long].head()
+    }
+    assert(multi == single, s"multi $multi != per-width $single")
+    // a non-divisor width must be refused, not silently approximated
+    intercept[IllegalArgumentException] {
+      graft.ops.Sketches.joinSizeEstimateMulti(
+        left, col("k"), right, col("k"), Seq(3, 256))
+    }
+  }
+
   test("minhashSignatureMd5: identical sets match everywhere; estimate tracks Jaccard") {
     val docs = Seq(
       (1L, "a b c d e f g h i j k l m n o p"),
