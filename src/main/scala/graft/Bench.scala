@@ -122,8 +122,21 @@ object Bench {
       if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     def jsc(m: Seq[(String, Double)]) =
       m.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    // ADDITIONS-ONLY stabilizer (opt round 16): the final line trims
+    // `queries` to the slowest ~70, so per-query round-over-round
+    // membership churns with timing noise. Fixed per-family subtotals
+    // (6 entries, never trimmed) give every round a stable comparable
+    // total even when the query window shifts. Existing keys, their
+    // meaning, and the one-line JSON contract are unchanged.
+    def family(n: String) =
+      if (n.startsWith("td_")) "td" else if (n.startsWith("cdc_")) "cdc"
+      else if (n.startsWith("ev_")) "ev" else if (n.startsWith("cat_")) "cat"
+      else if (n.startsWith("snap_")) "snap" else "q"
+    val fams = results.filter(_._2 >= 0)
+      .groupBy { case (n, _) => family(n) }.toSeq.sortBy(_._1)
+      .map { case (f, qs) => f -> qs.map(_._2).sum }
     def line(qs: Seq[(String, Double)]) =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jsc(qs)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jsc(qs)},"families":${jsc(fams)},"sf":"$sfDir"}"""
     // if even 2-decimal precision overflows the window, keep the
     // slowest queries (the ones worth grading) and drop the fastest —
     // but NEVER drop a failure marker (-1): trimming by plain min

@@ -37,14 +37,23 @@ import org.apache.spark.sql.functions._
 object IvfIndex {
 
   /** Train a `kCells`-cell codebook on `corpus` and persist the index
-    * under `dir`: `centroids/` + cell-partitioned `postings/`. */
+    * under `dir`: `centroids/` + cell-partitioned `postings/`.
+    *
+    * The postings write assigns the corpus with ONE [[nearestCell]]
+    * pass against the frozen codebook (the [[append]] shape) — the
+    * same exact argmin that [[KMeans.trainWithCentroids]]'s final
+    * assignment runs, carrying the raw vector through min_by, so the
+    * earlier `corpus ⋈ assignment` id-shuffle join (three exchanges:
+    * assignment groupBy + two join sides) collapses to the argmin's
+    * single map-side-combinable exchange (opt round 16, guide §2.4). */
   def build(corpus: DataFrame, idCol: String, vecCol: String, dir: String,
             kCells: Int, iters: Int, scale: Int = 1000): Unit = {
-    val (assigned, cents) =
+    val (_, cents) =
       KMeans.trainWithCentroids(corpus, idCol, vecCol, kCells, iters, scale)
     cents.write.mode("overwrite").parquet(s"$dir/centroids")
-    corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .join(assigned.withColumnRenamed("cluster", "cell"), Seq("id"))
+    nearestCell(
+      corpus.select(col(idCol).as("id"), col(vecCol).as("vec")),
+      cents, scale)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/postings")
   }
 
@@ -225,13 +234,24 @@ object IvfIndex {
   def buildSq8(corpus: DataFrame, idCol: String, vecCol: String, dir: String,
                kCells: Int, iters: Int, levels: Int = 255,
                scale: Int = 1000): Unit = {
-    val (assigned, cents) =
+    val (_, cents) =
       KMeans.trainWithCentroids(corpus, idCol, vecCol, kCells, iters, scale)
     cents.write.mode("overwrite").parquet(s"$dir/centroids")
+    // lazy localCheckpoint: the 1-row stats frame feeds the stats
+    // write AND the encode broadcast — one dim-stats corpus pass, not
+    // two (opt round 16, guide §2.4; per-run staging, released by the
+    // caller's post-query cache clear)
     val stats = ScalarQuant.dimStats(corpus, vecCol, scale)
+      .localCheckpoint(eager = false)
     stats.write.mode("overwrite").parquet(s"$dir/stats")
-    ScalarQuant.encode(corpus, stats, idCol, vecCol, levels, scale)
-      .join(assigned.withColumnRenamed("cluster", "cell"), Seq("id"))
+    // one nearestCell pass replaces encode ⋈ assignment (same collapse
+    // as [[build]]: three exchanges to one); `keep` carries the cell
+    // through the narrow encode projection
+    ScalarQuant.encode(
+      nearestCell(
+        corpus.select(col(idCol).as("id"), col(vecCol).as("vec")),
+        cents, scale),
+      stats, "id", "vec", levels, scale, keep = Seq("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/postings")
   }
 

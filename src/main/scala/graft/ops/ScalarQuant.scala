@@ -61,17 +61,19 @@ object ScalarQuant {
     * @return (id, codes: array<int>)
     */
   def encode(corpus: DataFrame, stats: DataFrame, idCol: String,
-      vecCol: String, levels: Int = 255, scale: Int = 1000): DataFrame =
+      vecCol: String, levels: Int = 255, scale: Int = 1000,
+      keep: Seq[String] = Seq.empty): DataFrame =
     corpus
-      .select(col(idCol).as("id"), KMeans.quantize(col(vecCol), scale).as("qv"))
+      .select(col(idCol).as("id") +:
+        KMeans.quantize(col(vecCol), scale).as("qv") +: keep.map(col): _*)
       .crossJoin(broadcast(stats))
-      .select(col("id"),
+      .select(col("id") +:
         // native one-pass codec (graft.plans.SqEncodeExpression) —
         // the zip_with form evaluated an interpreted lambda per
         // dimension over the whole corpus at every index build;
         // ScalarQuantSpec proves native ≡ fold code-for-code
         graft.plans.NativeCols.sqEncode(col("qv"), col("st"), levels)
-          .as("codes"))
+          .as("codes") +: keep.map(col): _*)
 
   /** zip_with twin of the native [[encode]] codec — spec reference. */
   private[graft] def encodeFoldCodes(qv: Column, st: Column,

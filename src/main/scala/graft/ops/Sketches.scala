@@ -76,7 +76,6 @@ object Sketches {
       depth: Int = 4, width: Int = 8192): DataFrame = {
     require(depth >= 1 && width >= 1 && phiPct >= 1,
       s"depth=$depth width=$width phiPct=$phiPct must be positive")
-    val spark = tokens.sparkSession
     val cells = countMin(tokens, tokenCol, depth, width).collect()
     val table = Array.fill(depth, width)(0L)
     cells.foreach(r =>
@@ -85,29 +84,29 @@ object Sketches {
     // every occurrence lands in exactly one cell per row, so row 0
     // already holds the total — no separate count() pass
     val total = table(0).sum
-    val bc = spark.sparkContext.broadcast(table)
-    // the probe recomputes the SAME md5 halves as the sketch build:
-    // hex chars 1-15 = bytes 0-7 >>> 4, chars 17-31 = bytes 8-15 >>> 4
-    val est = udf { (w: String) =>
-      if (w == null) 0L
-      else {
-        val d = java.security.MessageDigest.getInstance("MD5")
-          .digest(w.getBytes("UTF-8"))
-        val bb = java.nio.ByteBuffer.wrap(d)
-        val h1 = bb.getLong(0) >>> 4
-        val h2 = bb.getLong(8) >>> 4
-        var minC = Long.MaxValue
-        var r = 0
-        while (r < depth) {
-          minC = math.min(minC,
-            bc.value(r)(((h1 + r * h2) % width).toInt))
-          r += 1
-        }
-        minC
-      }
-    }
+    // est(w) = min_r cnt[r][b_r];  est·100 ≥ total·φ  ⇔
+    // ∀r: cnt[r][b_r]·100 ≥ total·φ  ⇔  ∀r: b_r ∈ hot(r), where
+    // hot(r) = buckets of row r at/above the threshold. Row r's counts
+    // sum to `total`, so |hot(r)| ≤ 100/φ — a tiny per-row literal
+    // list, probed with the SAME codegen'd md5-route expressions
+    // (cmHalves/cmBucket) that built the sketch. This replaces the
+    // interpreted UDF probe that deserialized every token on the hot
+    // row path (opt round 16; guide step 4: no non-codegen expressions
+    // in the hot path).
+    val hot: Array[Array[Long]] = Array.tabulate(depth)(r =>
+      table(r).zipWithIndex.collect {
+        case (cnt, b) if cnt * 100 >= total * phiPct.toLong => b.toLong
+      })
+    val (h1, h2) = cmHalves(col(tokenCol))
+    val candidate =
+      if (hot.exists(_.isEmpty)) lit(false)
+      else (0 until depth).map(r =>
+        cmBucket(col("__h1"), col("__h2"), r, width)
+          .isin(hot(r).map(Long.box): _*)).reduce(_ && _)
     tokens
-      .filter(est(col(tokenCol)) * 100 >= total * phiPct.toLong)
+      .filter(col(tokenCol).isNotNull)
+      .select(col(tokenCol), h1.as("__h1"), h2.as("__h2"))
+      .filter(candidate)
       .groupBy(col(tokenCol).as("w"))
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") * 100 >= total * phiPct.toLong)
@@ -448,7 +447,13 @@ object Sketches {
     * corpus scale the md5-over-the-fact-table pass is the entire cost,
     * and the derived re-aggregations run on ≤ finest rows
     * (localCheckpoint pins the two histograms so the per-width reads
-    * never touch the corpus again). */
+    * never touch the corpus again).
+    *
+    * The two ≤finest-row checkpoints stay in the block manager until
+    * the session drops them — a long-lived session that calls this
+    * repeatedly should clear persistent RDDs once the returned frame
+    * has been consumed (Bench/Verify/ProfileQuery already unpersist
+    * after every query; noted per ADVICE r15). */
   def joinSizeEstimateMulti(left: DataFrame, leftKey: Column,
       right: DataFrame, rightKey: Column, buckets: Seq[Int]): DataFrame = {
     import graft.functions.Routing

@@ -370,7 +370,8 @@ object Cdc {
     * pass (opt guide §2.4: one exchange can serve every phase). */
   private[graft] def writeSpoolFilesByPhase(df: DataFrame,
       phase: org.apache.spark.sql.Column, spool: String,
-      nameOf: Int => String, mtimeOf: Int => Long): Unit = {
+      nameOf: Int => String, mtimeOf: Int => Long,
+      expected: Seq[Int]): Unit = {
     import java.nio.file.{Files, Paths}
     val dir = s"$spool/_stage_phases"
     df.withColumn("__phase", phase.cast("int"))
@@ -383,7 +384,17 @@ object Cdc {
         .filter(_.getFileName.toString.startsWith("__phase="))
       finally s.close()
     }
-    require(phaseDirs.nonEmpty, s"no phase partitions written under $dir")
+    // fail loudly on a silently-empty phase: partitionBy writes no
+    // directory for a phase with zero rows, which would shift every
+    // later micro-batch id while the oracle hard-codes batch_id per
+    // phase (ADVICE r15) — the old per-phase writer kept the batch
+    // ids stable, so an empty phase must be an error, not a skip
+    val produced = phaseDirs
+      .map(_.getFileName.toString.stripPrefix("__phase=").toInt).toSet
+    require(expected.toSet == produced,
+      s"writeSpoolFilesByPhase: expected phases ${expected.sorted.mkString(",")} " +
+        s"but the write produced ${produced.toSeq.sorted.mkString(",")} — " +
+        "an empty phase would silently renumber every later micro-batch")
     phaseDirs.foreach { pd =>
       val p = pd.getFileName.toString.stripPrefix("__phase=").toInt
       val parts = {
@@ -428,7 +439,8 @@ object Cdc {
       // was an eager checkpoint + 7 filter+coalesce write actions
       writeSpoolFilesByPhase(SyntheticCdc.customerLog(s, dir),
         unix_seconds(col("insert_timestamp")) - 1700000000L, spool,
-        p => s"phase_$p", p => 1700000000000L + p * 60000L)
+        p => s"phase_$p", p => 1700000000000L + p * 60000L,
+        expected = 1 to 7)
       val registry = new graft.model.SchemaRegistry
       registry.register(meta)
       val store = new graft.stream.TableStore(s, root)

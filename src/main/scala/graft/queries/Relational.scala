@@ -668,7 +668,8 @@ object Relational {
       import graft.ops.Validation.Check
       val li = Tables.lineitem(s, dir)
       // plant duplicates so the uniqueness row is non-trivial
-      val corpus = li.unionByName(li.filter(pmod(col("l_orderkey"), lit(100)) === 0))
+      val corpus = graft.fixtures.Planted.corpus(li,
+        (pmod(col("l_orderkey"), lit(100)) === 0) -> Seq.empty)
       val checks = Seq(
         Check("discount_max_5pct", col("l_discount") <= 0.05),
         Check("quantity_in_range", col("l_quantity").between(1, 50)),

@@ -54,7 +54,8 @@ object Snap {
     "snap_validate_pk",
     (s, dir) => {
       val li = Tables.lineitem(s, dir)
-      val withDups = li.unionByName(li.filter(pmod(col("l_orderkey"), lit(100)) === 0))
+      val withDups = graft.fixtures.Planted.corpus(li,
+        (pmod(col("l_orderkey"), lit(100)) === 0) -> Seq.empty)
       Snapshot.validatePrimaryKey(withDups, Seq("l_orderkey", "l_linenumber"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     },

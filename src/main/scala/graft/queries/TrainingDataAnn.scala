@@ -116,9 +116,9 @@ object TrainingDataAnn {
       // sides, immune to cross-engine float divergence.
       val e = Tables.embeddings(s, dir).filter(col("vec_id") < 150)
         .select(col("vec_id"), col("embedding"))
-      val corpus = e.unionByName(
-        e.filter(pmod(col("vec_id"), lit(3)) === 0)
-          .withColumn("vec_id", col("vec_id") + 1000000L))
+      val corpus = graft.fixtures.Planted.corpus(e,
+        (pmod(col("vec_id"), lit(3)) === 0) ->
+          Seq("vec_id" -> (col("vec_id") + 1000000L)))
       Similarity.cosineNearDuplicates(corpus, "vec_id", "embedding", 0.8)
         .select(col("id_a"), col("id_b"))
         .orderBy(col("id_a"), col("id_b"))
@@ -936,8 +936,8 @@ object TrainingDataAnn {
       // between engines can't flip membership. Planted ids never win
       // arg_min, so the codebook is unchanged by the planting.
       val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-      val corpus = e.unionByName(
-        e.withColumn("vec_id", col("vec_id") + 1000000L))
+      val corpus = graft.fixtures.Planted.corpus(e,
+        lit(true) -> Seq("vec_id" -> (col("vec_id") + 1000000L)))
       // `cell` stays OUT of the output: a vector whose top-2 centroid
       // similarities differ by less than the engines' ~1e-7 float-sum
       // divergence can be celled differently per engine. The planted

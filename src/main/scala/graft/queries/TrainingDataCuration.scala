@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{GraftQuery, Tables}
+import graft.fixtures.Planted
 import graft.ops.{Dedup, Pipeline, Winnowing}
 import org.apache.spark.sql.functions._
 
@@ -29,14 +30,13 @@ object TrainingDataCuration {
       val toks = split(trim(col("text")), "\\s+")
       val half = array_join(
         slice(toks, lit(1), (size(toks) / 2).cast("int")), " ")
-      val plantable = base.filter(
-        length(trim(col("text"))) > 0 && size(toks) >= 8)
-      val full = plantable.filter(pmod(col("doc_id"), lit(6)) === 0)
-        .select((col("doc_id") + 2000000L).as("doc_id"), half.as("text"))
-      val partial = plantable.filter(pmod(col("doc_id"), lit(9)) === 0)
-        .select((col("doc_id") + 3000000L).as("doc_id"),
-          concat(half, lit(" qq zz extra tail")).as("text"))
-      val corpus = base.unionByName(full).unionByName(partial)
+      val plantable = length(trim(col("text"))) > 0 && size(toks) >= 8
+      val corpus = Planted.corpus(base,
+        (plantable && pmod(col("doc_id"), lit(6)) === 0) -> Seq(
+          "doc_id" -> (col("doc_id") + 2000000L), "text" -> half),
+        (plantable && pmod(col("doc_id"), lit(9)) === 0) -> Seq(
+          "doc_id" -> (col("doc_id") + 3000000L),
+          "text" -> concat(half, lit(" qq zz extra tail"))))
       Winnowing.containmentPairs(corpus, "doc_id", "text", n = 3,
           threshold = 0.75, minShingles = 4)
         .orderBy(col("id_contained"), col("id_container"))
@@ -93,14 +93,13 @@ object TrainingDataCuration {
       val toks = split(trim(col("text")), "\\s+")
       val half = array_join(
         slice(toks, lit(1), (size(toks) / 2).cast("int")), " ")
-      val plantable = base.filter(
-        length(trim(col("text"))) > 0 && size(toks) >= 8)
-      val full = plantable.filter(pmod(col("doc_id"), lit(6)) === 0)
-        .select((col("doc_id") + 2000000L).as("doc_id"), half.as("text"))
-      val partial = plantable.filter(pmod(col("doc_id"), lit(9)) === 0)
-        .select((col("doc_id") + 3000000L).as("doc_id"),
-          concat(half, lit(" qq zz extra tail")).as("text"))
-      val corpus = base.unionByName(full).unionByName(partial)
+      val plantable = length(trim(col("text"))) > 0 && size(toks) >= 8
+      val corpus = Planted.corpus(base,
+        (plantable && pmod(col("doc_id"), lit(6)) === 0) -> Seq(
+          "doc_id" -> (col("doc_id") + 2000000L), "text" -> half),
+        (plantable && pmod(col("doc_id"), lit(9)) === 0) -> Seq(
+          "doc_id" -> (col("doc_id") + 3000000L),
+          "text" -> concat(half, lit(" qq zz extra tail"))))
       Winnowing.dropContained(corpus, "doc_id", "text", n = 3,
           threshold = 0.75, minShingles = 4)
         .select(col("doc_id"))
@@ -243,10 +242,10 @@ object TrainingDataCuration {
     (s, dir) => {
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), col("source"), col("text"))
-      val corpus = docs.unionByName(
-        docs.filter(pmod(col("doc_id"), lit(13)) === 0)
-          .select((col("doc_id") + 5000000L).as("doc_id"),
-            lit("mirror").as("source"), col("text")))
+      val corpus = Planted.corpus(docs,
+        (pmod(col("doc_id"), lit(13)) === 0) -> Seq(
+          "doc_id" -> (col("doc_id") + 5000000L),
+          "source" -> lit("mirror")))
       Dedup.dedupRoi(corpus, "doc_id", "text", "source")
         .orderBy(col("source"))
     },
@@ -284,10 +283,11 @@ object TrainingDataCuration {
     "td_curation_funnel",
     (s, dir) => {
       val docs = Tables.documents(s, dir)
-      val train0 = docs.filter(pmod(col("doc_id"), lit(97)) =!= 0)
-      val train = train0.unionByName(
-        train0.filter(pmod(col("doc_id"), lit(11)) === 0)
-          .withColumn("doc_id", col("doc_id") + 4000000L))
+      val m97 = pmod(col("doc_id"), lit(97))
+      val train = Planted.variants(docs, Seq(
+        (m97 =!= 0) -> Seq.empty,
+        (m97 =!= 0 && pmod(col("doc_id"), lit(11)) === 0) ->
+          Seq("doc_id" -> (col("doc_id") + 4000000L))))
       val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
       Pipeline.curationFunnel(train, bench, "doc_id", "text", "source",
           minWords = 5, shingleN = 3)
@@ -369,13 +369,13 @@ object TrainingDataCuration {
     (s, dir) => {
       val docs = Tables.documents(s, dir)
       val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
-      val obfuscated = bench
-        .filter(length(trim(col("text"))) > 0)
-        .select((col("doc_id") + 6000000L).as("doc_id"),
-          regexp_replace(upper(col("text")), " ", " , ").as("text"))
-      val corpus = docs.filter(pmod(col("doc_id"), lit(97)) =!= 0)
-        .select(col("doc_id"), col("text"))
-        .unionByName(obfuscated)
+      val m97 = pmod(col("doc_id"), lit(97))
+      val corpus = Planted.variants(
+        docs.select(col("doc_id"), col("text")), Seq(
+          (m97 =!= 0) -> Seq.empty,
+          (m97 === 0 && length(trim(col("text"))) > 0) -> Seq(
+            "doc_id" -> (col("doc_id") + 6000000L),
+            "text" -> regexp_replace(upper(col("text")), " ", " , "))))
       graft.ops.Dedup.contaminatedDocs(
           corpus.withColumn("ctext",
             graft.ops.TextAnalysis.canonicalize(col("text"))),
@@ -437,13 +437,13 @@ object TrainingDataCuration {
       // near-copies (high jaccard, should verify) + borderline copies
       // (a 12-word tail pushes jaccard under 0.8 for most docs: bucket
       // collisions that FAIL verify → measurable precision < 1)
-      val corpus = d0
-        .unionByName(d0.filter(pmod(col("doc_id"), lit(5)) === 0)
-          .withColumn("doc_id", col("doc_id") + 1000000L)
-          .withColumn("text", concat(col("text"), lit(" xtra wrds"))))
-        .unionByName(d0.filter(pmod(col("doc_id"), lit(7)) === 0)
-          .withColumn("doc_id", col("doc_id") + 2000000L)
-          .withColumn("text", concat(col("text"),
+      val corpus = Planted.corpus(d0,
+        (pmod(col("doc_id"), lit(5)) === 0) -> Seq(
+          "doc_id" -> (col("doc_id") + 1000000L),
+          "text" -> concat(col("text"), lit(" xtra wrds"))),
+        (pmod(col("doc_id"), lit(7)) === 0) -> Seq(
+          "doc_id" -> (col("doc_id") + 2000000L),
+          "text" -> concat(col("text"),
             lit(" b1 b2 b3 b4 b5 b6 b7 b8 b9 b10 b11 b12"))))
       val d = corpus
         .select(col("doc_id").as("id"),

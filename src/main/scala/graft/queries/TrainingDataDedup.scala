@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{GraftQuery, Tables}
+import graft.fixtures.Planted
 import graft.ops.{BloomJoin, Dedup, Multimodal, Pipeline, Profiling, Retrieval, Sampling, Similarity, Sketches, TextAnalysis, Winnowing}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -35,13 +36,13 @@ object TrainingDataDedup {
     "td_dup_profile",
     (s, dir) => {
       val d = Tables.documents(s, dir)
-      val corpus = d
-        .unionByName(d.filter(pmod(col("doc_id"), lit(7)) === 0)
-          .withColumn("doc_id", col("doc_id") + 1000000L))
-        .unionByName(d.filter(pmod(col("doc_id"), lit(31)) === 0)
-          .withColumn("doc_id", col("doc_id") + 2000000L))
-        .unionByName(d.filter(pmod(col("doc_id"), lit(31)) === 0)
-          .withColumn("doc_id", col("doc_id") + 3000000L))
+      val corpus = Planted.corpus(d,
+        (pmod(col("doc_id"), lit(7)) === 0) ->
+          Seq("doc_id" -> (col("doc_id") + 1000000L)),
+        (pmod(col("doc_id"), lit(31)) === 0) ->
+          Seq("doc_id" -> (col("doc_id") + 2000000L)),
+        (pmod(col("doc_id"), lit(31)) === 0) ->
+          Seq("doc_id" -> (col("doc_id") + 3000000L)))
       Dedup.dupProfile(corpus, "text").orderBy(col("bucket"))
     },
     Some("""WITH corpus AS (
@@ -78,7 +79,8 @@ object TrainingDataDedup {
     "td_dedup_exact",
     (s, dir) => {
       val d = Tables.documents(s, dir)
-      val corpus = d.unionByName(d.withColumn("doc_id", col("doc_id") + 1000000L))
+      val corpus = Planted.corpus(d,
+        lit(true) -> Seq("doc_id" -> (col("doc_id") + 1000000L)))
       Dedup.exact(corpus, "doc_id", "text")
         .select(col("doc_id"), col("n_copies"))
         .orderBy(col("doc_id"))
@@ -135,10 +137,10 @@ object TrainingDataDedup {
     "td_minhash_neardup",
     (s, dir) => {
       val d = Tables.documents(s, dir).filter(col("doc_id") < 150)
-      val corpus = d.unionByName(
-        d.filter(pmod(col("doc_id"), lit(5)) === 0)
-          .withColumn("doc_id", col("doc_id") + 1000000L)
-          .withColumn("text", concat(col("text"), lit(" xtra wrds"))))
+      val corpus = Planted.corpus(d,
+        (pmod(col("doc_id"), lit(5)) === 0) -> Seq(
+          "doc_id" -> (col("doc_id") + 1000000L),
+          "text" -> concat(col("text"), lit(" xtra wrds"))))
       Dedup.minhashNearDuplicates(corpus, "doc_id", "text",
         numHashes = 32, bands = 16, threshold = 0.8)
         .orderBy(col("id_a"), col("id_b"))
@@ -220,10 +222,10 @@ object TrainingDataDedup {
     "td_source_neardup",
     (s, dir) => {
       val d = Tables.documents(s, dir).select(col("source"), col("text"))
-      val corpus = d.unionByName(
-        d.filter(col("source") === "src0")
-          .withColumn("source", lit("srcX"))
-          .withColumn("text", concat(col("text"), lit(" xtra wrds"))))
+      val corpus = Planted.corpus(d,
+        (col("source") === "src0") -> Seq(
+          "source" -> lit("srcX"),
+          "text" -> concat(col("text"), lit(" xtra wrds"))))
       Dedup.groupNearDuplicates(corpus, "source", "text",
         numHashes = 32, bands = 16, threshold = 0.8)
         .orderBy(col("grp_a"), col("grp_b"))
@@ -265,10 +267,10 @@ object TrainingDataDedup {
     "td_dedup_components",
     (s, dir) => {
       val d = Tables.documents(s, dir).filter(col("doc_id") < 150)
-      val corpus = d.unionByName(
-        d.filter(pmod(col("doc_id"), lit(5)) === 0)
-          .withColumn("doc_id", col("doc_id") + 1000000L)
-          .withColumn("text", concat(col("text"), lit(" xtra wrds"))))
+      val corpus = Planted.corpus(d,
+        (pmod(col("doc_id"), lit(5)) === 0) -> Seq(
+          "doc_id" -> (col("doc_id") + 1000000L),
+          "text" -> concat(col("text"), lit(" xtra wrds"))))
       val pairs = Dedup.minhashNearDuplicates(corpus, "doc_id", "text",
         numHashes = 32, bands = 16, threshold = 0.8)
       Dedup.connectedComponents(pairs)
@@ -328,10 +330,10 @@ object TrainingDataDedup {
     "td_cc_largestar",
     (s, dir) => {
       val d = Tables.documents(s, dir).filter(col("doc_id") < 150)
-      val corpus = d.unionByName(
-        d.filter(pmod(col("doc_id"), lit(5)) === 0)
-          .withColumn("doc_id", col("doc_id") + 1000000L)
-          .withColumn("text", concat(col("text"), lit(" xtra wrds"))))
+      val corpus = Planted.corpus(d,
+        (pmod(col("doc_id"), lit(5)) === 0) -> Seq(
+          "doc_id" -> (col("doc_id") + 1000000L),
+          "text" -> concat(col("text"), lit(" xtra wrds"))))
       val pairs = Dedup.minhashNearDuplicates(corpus, "doc_id", "text",
         numHashes = 32, bands = 16, threshold = 0.8)
       Dedup.connectedComponentsStar(pairs)
@@ -380,10 +382,10 @@ object TrainingDataDedup {
     "td_dedup_survivors",
     (s, dir) => {
       val d = Tables.documents(s, dir).filter(col("doc_id") < 150)
-      val corpus = d.unionByName(
-        d.filter(pmod(col("doc_id"), lit(5)) === 0)
-          .withColumn("doc_id", col("doc_id") + 1000000L)
-          .withColumn("text", concat(col("text"), lit(" xtra wrds"))))
+      val corpus = Planted.corpus(d,
+        (pmod(col("doc_id"), lit(5)) === 0) -> Seq(
+          "doc_id" -> (col("doc_id") + 1000000L),
+          "text" -> concat(col("text"), lit(" xtra wrds"))))
       Dedup.dedupCorpus(corpus, "doc_id", "text",
         numHashes = 32, bands = 16, threshold = 0.8)
         .select(col("doc_id"), col("source"))
@@ -434,10 +436,10 @@ object TrainingDataDedup {
     "td_dedup_best",
     (s, dir) => {
       val d = Tables.documents(s, dir).filter(col("doc_id") < 150)
-      val corpus = d.unionByName(
-        d.filter(pmod(col("doc_id"), lit(5)) === 0)
-          .withColumn("doc_id", col("doc_id") + 1000000L)
-          .withColumn("text", concat(col("text"), lit(" xtra wrds"))))
+      val corpus = Planted.corpus(d,
+        (pmod(col("doc_id"), lit(5)) === 0) -> Seq(
+          "doc_id" -> (col("doc_id") + 1000000L),
+          "text" -> concat(col("text"), lit(" xtra wrds"))))
         .withColumn("score", length(col("text")))
       Dedup.dedupCorpusBy(corpus, "doc_id", "text", "score",
         numHashes = 32, bands = 16, threshold = 0.8)
@@ -497,10 +499,10 @@ object TrainingDataDedup {
       val d = Tables.documents(s, dir)
         .filter(col("lang") === "en" && col("doc_id") < 200)
         .select(col("doc_id"), col("text"))
-      val corpus = d.unionByName(
-        d.filter(pmod(col("doc_id"), lit(4)) === 0)
-          .withColumn("doc_id", col("doc_id") + 1000000L)
-          .withColumn("text", concat(upper(col("text")), lit("!!"))))
+      val corpus = Planted.corpus(d,
+        (pmod(col("doc_id"), lit(4)) === 0) -> Seq(
+          "doc_id" -> (col("doc_id") + 1000000L),
+          "text" -> concat(upper(col("text")), lit("!!"))))
       Dedup.exact(corpus, "doc_id", "text",
         key = t => md5(TextAnalysis.canonicalize(t)))
         .select(col("doc_id"), col("n_copies"))
@@ -586,10 +588,10 @@ object TrainingDataDedup {
     "td_content_chunks",
     (s, dir) => {
       val d = Tables.documents(s, dir).filter(col("doc_id") < 1000)
-      val planted = d.filter(pmod(col("doc_id"), lit(5)) === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"),
-          concat(lit("PREFIX-2026 "), col("text")).as("text"))
-      val corpus = d.select(col("doc_id"), col("text")).unionByName(planted)
+      val corpus = Planted.corpus(d.select(col("doc_id"), col("text")),
+        (pmod(col("doc_id"), lit(5)) === 0) -> Seq(
+          "doc_id" -> (col("doc_id") + 1000000L),
+          "text" -> concat(lit("PREFIX-2026 "), col("text"))))
       val chunks = corpus
         .select(col("doc_id"),
           explode(TextAnalysis.cdcChunks(col("text"))).as("c"))
@@ -667,10 +669,10 @@ object TrainingDataDedup {
     "td_content_chunks_fast",
     (s, dir) => {
       val d = Tables.documents(s, dir).filter(col("doc_id") < 1000)
-      val planted = d.filter(pmod(col("doc_id"), lit(5)) === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"),
-          concat(lit("PREFIX-2026 "), col("text")).as("text"))
-      val corpus = d.select(col("doc_id"), col("text")).unionByName(planted)
+      val corpus = Planted.corpus(d.select(col("doc_id"), col("text")),
+        (pmod(col("doc_id"), lit(5)) === 0) -> Seq(
+          "doc_id" -> (col("doc_id") + 1000000L),
+          "text" -> concat(lit("PREFIX-2026 "), col("text"))))
       val chunks = corpus
         .select(col("doc_id"),
           explode(TextAnalysis.cdcChunksFast(col("text"))).as("c"))
@@ -771,10 +773,10 @@ object TrainingDataDedup {
     "td_ngram_jaccard",
     (s, dir) => {
       val d = Tables.documents(s, dir).filter(col("doc_id") < 150)
-      val corpus = d.unionByName(
-        d.filter(pmod(col("doc_id"), lit(5)) === 0)
-          .withColumn("doc_id", col("doc_id") + 1000000L)
-          .withColumn("text", concat(col("text"), lit(" xtra wrds"))))
+      val corpus = Planted.corpus(d,
+        (pmod(col("doc_id"), lit(5)) === 0) -> Seq(
+          "doc_id" -> (col("doc_id") + 1000000L),
+          "text" -> concat(col("text"), lit(" xtra wrds"))))
       Dedup.ngramJaccardSimilar(corpus, "doc_id", "text", n = 3,
         threshold = 0.8)
         .orderBy(col("id_a"), col("id_b"))
@@ -812,9 +814,9 @@ object TrainingDataDedup {
     "td_dup_spans",
     (s, dir) => {
       val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val corpus = d.unionByName(
-        d.filter(pmod(col("doc_id"), lit(7)) === 0)
-          .withColumn("doc_id", col("doc_id") + 1000000L))
+      val corpus = Planted.corpus(d,
+        (pmod(col("doc_id"), lit(7)) === 0) ->
+          Seq("doc_id" -> (col("doc_id") + 1000000L)))
       val aug = corpus.withColumn("text",
         when(pmod(col("doc_id"), lit(10)) === 0,
           concat(col("text"), lit(" zz yy xx ww vv uu tt ss")))
@@ -877,9 +879,9 @@ object TrainingDataDedup {
     "td_dup_span_removal",
     (s, dir) => {
       val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val corpus = d.unionByName(
-        d.filter(pmod(col("doc_id"), lit(7)) === 0)
-          .withColumn("doc_id", col("doc_id") + 1000000L))
+      val corpus = Planted.corpus(d,
+        (pmod(col("doc_id"), lit(7)) === 0) ->
+          Seq("doc_id" -> (col("doc_id") + 1000000L)))
       val aug = corpus.withColumn("text",
         when(pmod(col("doc_id"), lit(10)) === 0,
           concat(col("text"), lit(" zz yy xx ww vv uu tt ss")))
@@ -956,10 +958,10 @@ object TrainingDataDedup {
     (s, dir) => {
       val d = Tables.documents(s, dir).filter(col("doc_id") < 150)
         .select(col("doc_id"), col("text"))
-      val corpus = d.unionByName(
-        d.filter(pmod(col("doc_id"), lit(5)) === 0)
-          .withColumn("doc_id", col("doc_id") + 1000000L)
-          .withColumn("text", concat(col("text"), lit(" ver2"))))
+      val corpus = Planted.corpus(d,
+        (pmod(col("doc_id"), lit(5)) === 0) -> Seq(
+          "doc_id" -> (col("doc_id") + 1000000L),
+          "text" -> concat(col("text"), lit(" ver2"))))
       Dedup.editDistanceNearDuplicates(corpus, "doc_id", "text",
         maxDist = 10, shingleN = 3, jaccardFloor = 0.5)
         .orderBy(col("id_a"), col("id_b"))
@@ -1044,9 +1046,9 @@ object TrainingDataDedup {
     "td_chunk_dedup",
     (s, dir) => {
       val d = Tables.documents(s, dir)
-      val corpus = d.unionByName(
-        d.filter(pmod(col("doc_id"), lit(7)) === 0)
-          .withColumn("doc_id", col("doc_id") + 1000000L))
+      val corpus = Planted.corpus(d,
+        (pmod(col("doc_id"), lit(7)) === 0) ->
+          Seq("doc_id" -> (col("doc_id") + 1000000L)))
       Dedup.chunkDedup(corpus, "doc_id", "text", chunkTokens = 20)
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))
@@ -1117,11 +1119,10 @@ object TrainingDataDedup {
     (s, dir) => {
       val d = Tables.documents(s, dir).filter(col("doc_id") < 250)
         .select(col("doc_id"), col("text"))
-      val corpus = d.unionByName(
-        d.filter(pmod(col("doc_id"), lit(7)) === 0)
-          .withColumn("doc_id", col("doc_id") + 1000000L)
-          .withColumn("text",
-            concat(lit("intro preamble lines here "), col("text"))))
+      val corpus = Planted.corpus(d,
+        (pmod(col("doc_id"), lit(7)) === 0) -> Seq(
+          "doc_id" -> (col("doc_id") + 1000000L),
+          "text" -> concat(lit("intro preamble lines here "), col("text"))))
       Winnowing.winnowingPairs(corpus, "doc_id", "text", k = 4, w = 4,
         minShared = 3, maxDf = 64)
         .orderBy(col("id_a"), col("id_b"))

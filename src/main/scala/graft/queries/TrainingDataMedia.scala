@@ -75,11 +75,11 @@ object TrainingDataMedia {
     "td_media_neardup",
     (s, dir) => {
       val d = Tables.documents(s, dir)
-      val corpus = d.select(col("doc_id"), col("text"))
-        .unionByName(d.filter(pmod(col("doc_id"), lit(9)) === 0)
-          .select(col("doc_id") + 2000000L,
-            concat(lit("ab"), col("text")).as("text"))
-          .toDF("doc_id", "text"))
+      val corpus = graft.fixtures.Planted.corpus(
+        d.select(col("doc_id"), col("text")),
+        (pmod(col("doc_id"), lit(9)) === 0) -> Seq(
+          "doc_id" -> (col("doc_id") + 2000000L),
+          "text" -> concat(lit("ab"), col("text"))))
       Multimodal.perceptualNearDup(
           Multimodal.packFromText(corpus, "doc_id", "text"))
         .select(col("id_a"), col("id_b"),

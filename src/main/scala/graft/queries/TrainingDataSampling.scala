@@ -575,10 +575,10 @@ object TrainingDataSampling {
     "td_split_leakage_safe",
     (s, dir) => {
       val d = Tables.documents(s, dir).filter(col("doc_id") < 150)
-      val corpus = d.unionByName(
-        d.filter(pmod(col("doc_id"), lit(5)) === 0)
-          .withColumn("doc_id", col("doc_id") + 1000000L)
-          .withColumn("text", concat(col("text"), lit(" xtra wrds"))))
+      val corpus = graft.fixtures.Planted.corpus(d,
+        (pmod(col("doc_id"), lit(5)) === 0) -> Seq(
+          "doc_id" -> (col("doc_id") + 1000000L),
+          "text" -> concat(col("text"), lit(" xtra wrds"))))
       val pairs = Dedup.minhashNearDuplicates(corpus, "doc_id", "text",
         numHashes = 32, bands = 16, threshold = 0.8)
       Pipeline.leakageSafeSplit(corpus, "doc_id", pairs, 80, 10)

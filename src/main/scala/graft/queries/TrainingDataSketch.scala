@@ -200,14 +200,12 @@ object TrainingDataSketch {
     "td_corpus_diff",
     (s, dir) => {
       val d = Tables.documents(s, dir)
-      val next = d
-        .filter(pmod(col("doc_id"), lit(11)) =!= 0)
-        .withColumn("text",
-          when(pmod(col("doc_id"), lit(7)) === 0,
-            concat(col("text"), lit(" EDITED"))).otherwise(col("text")))
-        .unionByName(
-          d.filter(col("doc_id") < 5)
-            .withColumn("doc_id", col("doc_id") + 9000000L))
+      val next = graft.fixtures.Planted.variants(d, Seq(
+        (pmod(col("doc_id"), lit(11)) =!= 0) -> Seq(
+          "text" -> when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(col("text"), lit(" EDITED"))).otherwise(col("text"))),
+        (col("doc_id") < 5) ->
+          Seq("doc_id" -> (col("doc_id") + 9000000L))))
       Profiling.corpusDiff(d, next, "doc_id", "text")
         .filter(col("status") =!= "unchanged")
         .orderBy(col("doc_id"))
